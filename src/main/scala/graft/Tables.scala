@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver's test tables (`/root/repo/TESTDATA.md`,
+  * schemas in `/root/repo/FIXTURES.md §A`).
+  *
+  * Reads are plain `spark.read.parquet` so Catalyst keeps full pushdown
+  * freedom (column pruning + predicate pushdown reach the scan). At
+  * 100 TB these would be partitioned tables behind a catalog; the
+  * loader is the single seam where that swap happens.
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame    = t(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = t(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = t(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = t(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = t(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = t(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = t(s, d, "lineitem")
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader rejects
+    * ([PARQUET_TYPE_ILLEGAL]). Read nanos as long (legacy conf), then
+    * convert to a micros TimestampType column — same truncation DuckDB
+    * applies when casting TIMESTAMP_NS → TIMESTAMP, so oracle parity
+    * holds as long as oracle SQL also casts `ts` to TIMESTAMP.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, d, "events")
+      .withColumn("ts",
+        timestamp_micros(floor(col("ts") / 1000L).cast("long"))
+          .cast(org.apache.spark.sql.types.TimestampNTZType))
+  }
+  def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
+}

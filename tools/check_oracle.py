@@ -1,0 +1,106 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's DuckDB correctness gate.
+
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+
+Reads each <verifyOutDir>/<name> parquet (written by graft.Verify), runs
+the matching SQL from oracle_sql.json in DuckDB over views of the sfDir
+tables, and compares: column names (sorted), row count, and values
+(exact for non-floats; floats both exact-count and max-abs-diff so we
+can judge hash-compare risk).
+
+Uses driver-side python libs (duckdb/pyarrow) — tooling only, NOT an
+engine dependency.
+"""
+import sys, json, glob, math
+import duckdb
+import pyarrow.parquet as pq
+
+TABLES = ["region","nation","customer","supplier","part","orders",
+          "lineitem","events","documents","embeddings"]
+
+def load_spark_result(path):
+    files = sorted(glob.glob(f"{path}/*.parquet"))
+    if not files:
+        return None
+    import pyarrow as pa
+    tabs = [pq.read_table(f) for f in files]
+    return pa.concat_tables(tabs)
+
+def norm_rows(cols, rows):
+    # sort columns by name (driver behavior), rows as tuples
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    ncols = [cols[i] for i in order]
+    nrows = [tuple(r[i] for i in order) for r in rows]
+    return ncols, nrows
+
+def canon(v):
+    if isinstance(v, float):
+        return v
+    if hasattr(v, "isoformat"):
+        s = v.isoformat()
+        return s.replace("+00:00", "")
+    return v
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_ok = n_bad = 0
+    for name, sql in sorted(oracle.items()):
+        tab = load_spark_result(f"{out_dir}/{name}")
+        if tab is None:
+            print(f"FAIL {name}: no spark result")
+            n_bad += 1
+            continue
+        try:
+            duck = con.execute(sql).fetch_arrow_table()
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error: {e}")
+            n_bad += 1
+            continue
+        scols, srows = norm_rows(tab.column_names,
+                                 [list(r.values()) for r in tab.to_pylist()])
+        dcols, drows = norm_rows(duck.column_names,
+                                 [list(r.values()) for r in duck.to_pylist()])
+        if scols != dcols:
+            print(f"FAIL {name}: columns differ spark={scols} duck={dcols}")
+            n_bad += 1
+            continue
+        if len(srows) != len(drows):
+            print(f"FAIL {name}: rowcount spark={len(srows)} duck={len(drows)}")
+            n_bad += 1
+            continue
+        max_fdiff = 0.0
+        mism = 0
+        first = None
+        for i, (a, b) in enumerate(zip(srows, drows)):
+            for x, y in zip(a, b):
+                x, y = canon(x), canon(y)
+                if isinstance(x, float) and isinstance(y, float):
+                    if math.isnan(x) and math.isnan(y):
+                        continue
+                    d = abs(x - y)
+                    max_fdiff = max(max_fdiff, d)
+                    if x != y:
+                        mism += 1
+                        if first is None:
+                            first = (i, x, y)
+                elif x != y:
+                    mism += 1
+                    if first is None:
+                        first = (i, x, y)
+        if mism == 0:
+            print(f"OK   {name}: rows={len(srows)}")
+            n_ok += 1
+        else:
+            print(f"FAIL {name}: {mism} value mismatches, max_float_diff={max_fdiff}, first={first}")
+            n_bad += 1
+    print(f"\n{n_ok} ok, {n_bad} bad")
+    sys.exit(1 if n_bad else 0)
+
+if __name__ == "__main__":
+    main()
