@@ -253,4 +253,30 @@ object Core {
       |JOIN region ON n_regionkey = r_regionkey
       |GROUP BY ROLLUP (r_name, n_name)
       |ORDER BY r_name, n_name""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_agg"            -> (q01Agg _),
+    "q02_topk_revenue"   -> (q02TopkRevenue _),
+    "q03_join_brand"     -> (q03JoinBrand _),
+    "q04_semi_join"      -> (q04SemiJoin _),
+    "q05_anti_join"      -> (q05AntiJoin _),
+    "q06_outer_join"     -> (q06OuterJoin _),
+    "q07_window_rank"    -> (q07WindowRank _),
+    "q08_window_running" -> (q08WindowRunning _),
+    "q09_set_ops"        -> (q09SetOps _),
+    "q10_rollup"         -> (q10Rollup _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q01_agg"            -> q01Sql,
+    "q02_topk_revenue"   -> q02Sql,
+    "q03_join_brand"     -> q03Sql,
+    "q04_semi_join"      -> q04Sql,
+    "q05_anti_join"      -> q05Sql,
+    "q06_outer_join"     -> q06Sql,
+    "q07_window_rank"    -> q07Sql,
+    "q08_window_running" -> q08Sql,
+    "q09_set_ops"        -> q09Sql,
+    "q10_rollup"         -> q10Sql,
+  )
 }
