@@ -23,11 +23,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     relational.Core.queries ++
-    relational.Breadth.queries
+    relational.Breadth.queries ++
+    relational.Events.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     relational.Core.oracle ++
-    relational.Breadth.oracle
+    relational.Breadth.oracle ++
+    relational.Events.oracle
 }

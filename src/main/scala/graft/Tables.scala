@@ -36,7 +36,9 @@ object Tables {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     t(s, d, "events")
       .withColumn("ts",
-        timestamp_micros(floor(col("ts") / 1000L).cast("long"))
+        // integral `div`, not `/`: double division loses precision on
+        // ~1.7e18 nanosecond values (53-bit mantissa) and rounds up.
+        timestamp_micros(expr("ts div 1000"))
           .cast(org.apache.spark.sql.types.TimestampNTZType))
   }
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
