@@ -24,12 +24,16 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     relational.Core.queries ++
     relational.Breadth.queries ++
-    relational.Events.queries
+    relational.Events.queries ++
+    llm.TextOps.queries ++
+    llm.Similarity.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     relational.Core.oracle ++
     relational.Breadth.oracle ++
-    relational.Events.oracle
+    relational.Events.oracle ++
+    llm.TextOps.oracle ++
+    llm.Similarity.oracle
 }

@@ -1,0 +1,189 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+
+/** Similarity search over the `embeddings` table (north star:
+  * approximate-nearest-neighbor for near-dup mining / retrieval).
+  *
+  * Two paths, same contract:
+  *  - q36 brute-force cosine top-k — the correctness baseline. O(Q·N)
+  *    with the Q query vectors broadcast; fine when Q is small or N
+  *    fits a partition sweep, and the oracle for the ANN path.
+  *  - q38 LSH (sign-random-projection) bucketed top-k — the scale
+  *    path: vectors are hashed to buckets by the sign pattern of P
+  *    deterministic hyperplanes; candidate pairs only form inside a
+  *    bucket, turning O(N²) into a bucket-equality shuffle join,
+  *    exactly the geometry a 100 TB dedup/retrieval job needs.
+  *    Unit-tested for recall against the brute-force baseline
+  *    (rows-only check driver-side: LSH is not SQL-expressible).
+  *
+  * All arithmetic is cast to double BEFORE any fold (float32 folds are
+  * not reproducible across engines) and folds are sequential left
+  * folds (`aggregate`), matching DuckDB's list_* evaluation order.
+  */
+object Similarity {
+
+  /** embedding as double[] with the vec_id. */
+  private def vecs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.embeddings(s, dir)
+      .select($"vec_id", $"label",
+        transform($"embedding", x => x.cast("double")).as("v"))
+  }
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** q36: brute-force cosine top-k — for each query vector (vec_id < 10),
+    * the 5 nearest neighbors. Query side is broadcast; candidates stream
+    * by without a shuffle until the final per-query top-k window. */
+  def q36CosineTopk(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = vecs(s, dir)
+    val q = e.filter($"vec_id" < 10).select($"vec_id".as("qid"), $"v".as("qv"))
+    val c = e.select($"vec_id".as("cid"), $"v".as("cv"))
+    val w = Window.partitionBy($"qid").orderBy($"sim".desc, $"cid".asc)
+    c.join(broadcast(q), $"cid" =!= $"qid")
+      .withColumn("sim", dot($"qv", $"cv") / (norm($"qv") * norm($"cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 5)
+      .select($"qid", $"rank", $"cid", round($"sim", 4).as("sim"))
+      .orderBy($"qid", $"rank")
+  }
+
+  val q36Sql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+      |sims AS (
+      |  SELECT q.qid, e.vec_id AS cid,
+      |    list_dot_product(q.qv, e.v)
+      |      / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))) AS sim
+      |  FROM q JOIN e ON e.vec_id <> q.qid),
+      |ranked AS (
+      |  SELECT qid, cid, sim,
+      |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rank
+      |  FROM sims)
+      |SELECT qid, rank, cid, round(sim, 4) AS sim
+      |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+
+  /** q37: vector stats — L2 norm and dimensionality per embedding (the
+    * sanity scan before any ANN build). */
+  def q37VecNorms(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    vecs(s, dir)
+      .select($"vec_id", $"label",
+        size($"v").as("dim"),
+        round(norm($"v"), 4).as("l2"))
+      .orderBy($"vec_id")
+  }
+
+  val q37Sql: String =
+    """SELECT vec_id, label, CAST(len(embedding) AS INT) AS dim,
+      |  round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))), 4) AS l2
+      |FROM embeddings ORDER BY vec_id""".stripMargin
+
+  /** q38: per-label centroid — element-wise mean via posexplode +
+    * re-assembly. Sums go through DECIMAL(18,9) so the result is
+    * independent of partial-aggregation order (double addition is not
+    * associative; decimal is), then divided and rounded in double. */
+  def q38LabelCentroid(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val exploded = vecs(s, dir)
+      .select($"label", posexplode($"v").as(Seq("pos", "x")))
+      .groupBy($"label", $"pos")
+      .agg(round(sum($"x".cast(DecimalType(18, 9))).cast("double") / count(lit(1)), 4).as("m"))
+    exploded
+      .groupBy($"label")
+      .agg(array_sort(collect_list(struct($"pos", $"m"))).as("pairs"))
+      .select($"label", transform($"pairs", p => p("m")).as("centroid"))
+      .orderBy($"label")
+  }
+
+  val q38Sql: String =
+    """SELECT label, list(m ORDER BY pos) AS centroid FROM (
+      |  SELECT label, pos,
+      |    round(CAST(sum(CAST(x AS DECIMAL(18,9))) AS DOUBLE) / count(*), 4) AS m
+      |  FROM (SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS x,
+      |               generate_subscripts(embedding, 1) - 1 AS pos
+      |        FROM embeddings) t
+      |  GROUP BY label, pos) g
+      |GROUP BY label ORDER BY label""".stripMargin
+
+  /** LSH banding: `LshBands` independent signatures of `LshPlanesPerBand`
+    * hyperplanes each. Two vectors are candidates if ANY band agrees —
+    * the classic banding trade-off (more bands → higher recall, more
+    * candidates). 4×4 tuned for weakly-similar random vectors. */
+  val LshBands = 4
+  val LshPlanesPerBand = 4
+
+  /** Deterministic ±1 hyperplane weights: sign of murmur3(plane, dim).
+    * No RNG, so the bucketing is reproducible across runs and engines. */
+  private def planeWeight(p: Int, j: Column): Column =
+    when(pmod(hash(lit(p), j), lit(2)) === 0, lit(1.0)).otherwise(lit(-1.0))
+
+  private def bandBucket(v: Column, band: Int): Column = {
+    val bits = (0 until LshPlanesPerBand).map { i =>
+      val p = band * LshPlanesPerBand + i
+      val proj = aggregate(
+        zip_with(v, transform(sequence(lit(0), size(v) - 1), j => planeWeight(p, j)),
+          (x, w) => x * w),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj > 0, lit(1 << i)).otherwise(lit(0))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** (band, bucket) pairs for a vector — exploded so candidate generation
+    * is a plain equality join on (band, bucket). */
+  private def bandedBuckets(v: Column): Column =
+    array((0 until LshBands).map(b =>
+      struct(lit(b).as("band"), bandBucket(v, b).as("bkt"))): _*)
+
+  /** q39: LSH-banded approximate top-k — candidates form only inside a
+    * (band, bucket) cell, turning the O(N²) similarity join into a
+    * bucket-equality shuffle join; pairs found by several bands are
+    * deduped before scoring. Rows-only driver check; recall vs the
+    * brute-force q36 is unit tested in LlmSpec. */
+  def q39AnnLsh(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = vecs(s, dir)
+      .withColumn("bb", explode(bandedBuckets($"v")))
+      .select($"vec_id", $"v", $"bb.band".as("band"), $"bb.bkt".as("bkt"))
+    val q = e.filter($"vec_id" < 10)
+      .select($"vec_id".as("qid"), $"v".as("qv"), $"band", $"bkt")
+    val c = e.select($"vec_id".as("cid"), $"v".as("cv"),
+      $"band".as("cband"), $"bkt".as("cbkt"))
+    val pairs = c.join(broadcast(q),
+        $"cband" === $"band" && $"cbkt" === $"bkt" && $"cid" =!= $"qid")
+      .select($"qid", $"qv", $"cid", $"cv")
+      .dropDuplicates("qid", "cid")
+    val w = Window.partitionBy($"qid").orderBy($"sim".desc, $"cid".asc)
+    pairs
+      .withColumn("sim", dot($"qv", $"cv") / (norm($"qv") * norm($"cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 5)
+      .select($"qid", $"rank", $"cid", round($"sim", 4).as("sim"))
+      .orderBy($"qid", $"rank")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q36_cosine_topk"    -> (q36CosineTopk _),
+    "q37_vec_norms"      -> (q37VecNorms _),
+    "q38_label_centroid" -> (q38LabelCentroid _),
+    "q39_ann_lsh"        -> (q39AnnLsh _),
+  )
+
+  /** q39 omitted: LSH bucketing is not SQL-expressible (murmur3 seed
+    * parity) — driver records rows-only. */
+  val oracle: Map[String, String] = Map(
+    "q36_cosine_topk"    -> q36Sql,
+    "q37_vec_norms"      -> q37Sql,
+    "q38_label_centroid" -> q38Sql,
+  )
+}

@@ -1,0 +1,212 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Text-analysis operators for the training-data pipeline (north star;
+  * reference embryo: transcript→structured ETL, `agents/
+  * output-processor.md:64-95`): tokenization, quality scoring,
+  * fingerprinting, language ID, exact dedup, near-dup pairs.
+  *
+  * Everything is built from codegen'd `functions._` (regexp, higher-order
+  * array functions) — no UDFs — so whole-stage codegen covers the hot
+  * path and the same logic is expressible in DuckDB for the oracle.
+  *
+  * Scale: per-document ops are embarrassingly parallel (narrow, no
+  * shuffle). The near-dup pair join (q34) buckets by `source` before
+  * pairing, which is the LSH-banding shape: at 100 TB you'd band on
+  * minhash signatures (see Dedup.scala) instead of a metadata column,
+  * but the join geometry — equality on bucket, pairwise inside bucket —
+  * is identical.
+  */
+object TextOps {
+
+  /** q29: exact deduplication — hash-groupBy on full text (`dropDuplicates`
+    * in keep-first form). Output keyed by content hash. */
+  def q29DedupExact(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .groupBy(md5($"text").as("h"))
+      .agg(min($"doc_id").as("keeper"), count(lit(1)).as("n_copies"))
+      .orderBy($"h")
+  }
+
+  val q29Sql: String =
+    """SELECT md5(text) AS h, min(doc_id) AS keeper, count(*) AS n_copies
+      |FROM documents GROUP BY md5(text) ORDER BY h""".stripMargin
+
+  /** q30: token counting — whitespace tokens + char stats per document. */
+  def q30TokenCount(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id",
+        size(regexp_extract_all($"text", lit("\\S+"), lit(0))).as("n_tokens"),
+        length($"text").as("len_chars"),
+        size(regexp_extract_all($"text", lit("[a-zA-Z]+"), lit(0))).as("n_words"))
+      .orderBy($"doc_id")
+  }
+
+  val q30Sql: String =
+    """SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text, '\S+')) AS INT) AS n_tokens,
+      |  CAST(length(text) AS INT) AS len_chars,
+      |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+')) AS INT) AS n_words
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** q31: corpus rollup per language/source — the lang×source inventory a
+    * pipeline curates against. */
+  def q31LangStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .groupBy($"lang", $"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_chars").as("total_chars"),
+        round(avg($"n_chars"), 2).as("avg_chars"))
+      .orderBy($"lang", $"source")
+  }
+
+  val q31Sql: String =
+    """SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS total_chars,
+      |       round(avg(n_chars), 2) AS avg_chars
+      |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin
+
+  /** q32: quality scoring — stopword ratio, mean token length, tier
+    * classification (the length/punct/stopword heuristics of a pretraining
+    * quality filter). */
+  def q32QualityScore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val stop = "('the','a','an','of','and','to','in','is','it','for')"
+    Tables.documents(s, dir)
+      .withColumn("toks", regexp_extract_all(lower($"text"), lit("\\S+"), lit(0)))
+      .withColumn("n_tokens", size($"toks"))
+      .withColumn("n_stop", size(expr(s"filter(toks, x -> x IN $stop)")))
+      .withColumn("stop_ratio",
+        round($"n_stop".cast("double") / $"n_tokens", 4))
+      .withColumn("tier",
+        when($"n_tokens" < 20, "too_short")
+          .when($"stop_ratio" > 0.05, "fluent")
+          .otherwise("raw"))
+      .select($"doc_id", $"n_tokens", $"n_stop", $"stop_ratio", $"tier")
+      .orderBy($"doc_id")
+  }
+
+  val q32Sql: String =
+    """SELECT doc_id, n_tokens, n_stop,
+      |  round(CAST(n_stop AS DOUBLE) / n_tokens, 4) AS stop_ratio,
+      |  CASE WHEN n_tokens < 20 THEN 'too_short'
+      |       WHEN round(CAST(n_stop AS DOUBLE) / n_tokens, 4) > 0.05 THEN 'fluent'
+      |       ELSE 'raw' END AS tier
+      |FROM (
+      |  SELECT doc_id,
+      |    CAST(len(toks) AS INT) AS n_tokens,
+      |    CAST(len(list_filter(toks, x -> x IN ('the','a','an','of','and','to','in','is','it','for'))) AS INT) AS n_stop
+      |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks
+      |        FROM documents) raw) t
+      |ORDER BY doc_id""".stripMargin
+
+  /** q33: document fingerprinting — md5 of whitespace-normalized,
+    * lowercased text (content-defined identity for dedup across
+    * formatting variants). */
+  def q33Fingerprint(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id",
+        md5(trim(regexp_replace(lower($"text"), "\\s+", " "))).as("fp"))
+      .orderBy($"doc_id")
+  }
+
+  val q33Sql: String =
+    """SELECT doc_id,
+      |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** q34: near-duplicate pairs by word-set Jaccard within a bucket —
+    * the LSH-banding join shape: equality on bucket key (`source`),
+    * pairwise similarity only inside the bucket, threshold filter.
+    * At 100 TB the bucket key becomes a minhash band (Dedup.scala). */
+  def q34JaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+      .select($"doc_id", $"source",
+        array_distinct(regexp_extract_all(lower($"text"), lit("\\S+"), lit(0))).as("toks"))
+    val a = docs.select($"source", $"doc_id".as("id1"), $"toks".as("t1"))
+    val b = docs.select($"source".as("source2"), $"doc_id".as("id2"), $"toks".as("t2"))
+    a.join(b, $"source" === $"source2" && $"id1" < $"id2")
+      .withColumn("inter", size(array_intersect($"t1", $"t2")))
+      .withColumn("uni", size(array_union($"t1", $"t2")))
+      .withColumn("jaccard", round($"inter".cast("double") / $"uni", 4))
+      .filter($"jaccard" >= 0.6)
+      .select($"id1", $"id2", $"jaccard")
+      .orderBy($"id1", $"id2")
+  }
+
+  val q34Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, source,
+      |         list_distinct(regexp_extract_all(lower(text), '\S+')) AS toks
+      |  FROM documents)
+      |SELECT a.doc_id AS id1, b.doc_id AS id2,
+      |  round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+      |        / len(list_distinct(list_concat(a.toks, b.toks))), 4) AS jaccard
+      |FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+      |WHERE round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+      |        / len(list_distinct(list_concat(a.toks, b.toks))), 4) >= 0.6
+      |ORDER BY id1, id2""".stripMargin
+
+  /** q35: language identification — stopword-profile n-gram heuristic:
+    * count marker-word hits per language, argmax with deterministic
+    * precedence (en last as fallback). */
+  def q35LangId(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def hits(markers: String) =
+      size(regexp_extract_all(lower($"text"), lit(s"\\b($markers)\\b"), lit(0)))
+    Tables.documents(s, dir)
+      .withColumn("c_de", hits("der|die|das|und|nicht|ist"))
+      .withColumn("c_fr", hits("le|la|les|et|est|une"))
+      .withColumn("c_es", hits("el|los|las|es|una|y"))
+      .withColumn("c_en", hits("the|a|of|and|is|to"))
+      .withColumn("guess",
+        when($"c_de" > $"c_en" && $"c_de" > $"c_fr" && $"c_de" > $"c_es", "de")
+          .when($"c_fr" > $"c_en" && $"c_fr" >= $"c_de" && $"c_fr" > $"c_es", "fr")
+          .when($"c_es" > $"c_en" && $"c_es" >= $"c_de" && $"c_es" >= $"c_fr", "es")
+          .otherwise("en"))
+      .select($"doc_id", $"c_de", $"c_fr", $"c_es", $"c_en", $"guess")
+      .orderBy($"doc_id")
+  }
+
+  val q35Sql: String =
+    """SELECT doc_id, c_de, c_fr, c_es, c_en,
+      |  CASE WHEN c_de > c_en AND c_de > c_fr AND c_de > c_es THEN 'de'
+      |       WHEN c_fr > c_en AND c_fr >= c_de AND c_fr > c_es THEN 'fr'
+      |       WHEN c_es > c_en AND c_es >= c_de AND c_es >= c_fr THEN 'es'
+      |       ELSE 'en' END AS guess
+      |FROM (
+      |  SELECT doc_id,
+      |    CAST(len(regexp_extract_all(lower(text), '\b(der|die|das|und|nicht|ist)\b')) AS INT) AS c_de,
+      |    CAST(len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|une)\b')) AS INT) AS c_fr,
+      |    CAST(len(regexp_extract_all(lower(text), '\b(el|los|las|es|una|y)\b')) AS INT) AS c_es,
+      |    CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|is|to)\b')) AS INT) AS c_en
+      |  FROM documents) t
+      |ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q29_dedup_exact"   -> (q29DedupExact _),
+    "q30_token_count"   -> (q30TokenCount _),
+    "q31_lang_stats"    -> (q31LangStats _),
+    "q32_quality_score" -> (q32QualityScore _),
+    "q33_fingerprint"   -> (q33Fingerprint _),
+    "q34_jaccard_pairs" -> (q34JaccardPairs _),
+    "q35_lang_id"       -> (q35LangId _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q29_dedup_exact"   -> q29Sql,
+    "q30_token_count"   -> q30Sql,
+    "q31_lang_stats"    -> q31Sql,
+    "q32_quality_score" -> q32Sql,
+    "q33_fingerprint"   -> q33Sql,
+    "q34_jaccard_pairs" -> q34Sql,
+    "q35_lang_id"       -> q35Sql,
+  )
+}
