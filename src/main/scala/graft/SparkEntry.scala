@@ -26,7 +26,9 @@ object SparkEntry {
     relational.Breadth.queries ++
     relational.Events.queries ++
     llm.TextOps.queries ++
-    llm.Similarity.queries
+    llm.Similarity.queries ++
+    rounds.Stratify.queries ++
+    queue.QueueOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -35,5 +37,6 @@ object SparkEntry {
     relational.Breadth.oracle ++
     relational.Events.oracle ++
     llm.TextOps.oracle ++
-    llm.Similarity.oracle
+    llm.Similarity.oracle ++
+    rounds.Stratify.oracle
 }

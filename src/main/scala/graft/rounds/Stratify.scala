@@ -1,0 +1,151 @@
+package graft.rounds
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Round stratification S9 — the reference's core scheduling transform
+  * (ref `commands/pulsar.md:104-157,407-422`, `commands/nova.md:341-420`):
+  * partition each plan's phase DAG into maximally-parallel "rounds" =
+  * topological strata. A phase's round is the length of the longest
+  * dependency chain ending at it; every phase runs in the earliest
+  * round its dependencies allow (maximality).
+  *
+  * Implemented as an iterative DataFrame fixpoint: each iteration joins
+  * the current depth estimate across the dependency edges and takes
+  * `max(dep depth)+1`; terminates in ≤ depth(DAG) iterations. All work
+  * is distributed joins/aggregations keyed by (plan, phase) — the
+  * driver only counts iterations, so 10⁹ plans stratify exactly like
+  * 10: shuffle-partitioned by key, no driver-side data.
+  *
+  * Cycle safety: edges are restricted to earlier→later phase numbers
+  * (the reference's own tiebreak — oldest first, `agents/orbiter.md:
+  * 138-140` — applied at edge-derivation time), so the graph is acyclic
+  * by construction and the fixpoint always terminates.
+  */
+object Stratify {
+
+  /** Stratify a generic edge list. `nodes`: (plan, phase); `edges`:
+    * (plan, phase, dep) meaning `dep` must finish before `phase`.
+    * Returns (plan, phase, round) with round ≥ 1. */
+  def stratify(nodes: DataFrame, edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    val spark = nodes.sparkSession
+    import spark.implicits._
+    // depth starts at 1 for every node
+    var depth = nodes.select($"plan", $"phase", lit(1).as("round"))
+    var changed = true
+    var i = 0
+    while (changed && i < maxIter) {
+      // proposed = 1 + max over deps' current depth
+      val proposed = edges
+        .join(depth.withColumnRenamed("phase", "dep_phase")
+          .withColumnRenamed("round", "dep_round"),
+          Seq("plan"))
+        .filter($"dep" === $"dep_phase")
+        .groupBy($"plan", $"phase")
+        .agg((max($"dep_round") + 1).as("via_deps"))
+      val next = depth.join(proposed, Seq("plan", "phase"), "left")
+        .select($"plan", $"phase",
+          greatest($"round", coalesce($"via_deps", lit(1))).as("round"))
+      next.cache()
+      val delta = next.join(depth.withColumnRenamed("round", "old"),
+        Seq("plan", "phase"))
+        .filter($"round" =!= $"old").limit(1).count()
+      changed = delta > 0
+      depth.unpersist()
+      depth = next
+      i += 1
+    }
+    depth
+  }
+
+  /** q40: round stratification over a derived phase DAG from `lineitem`:
+    * plan = order, phase = line number, and a dependency edge j→i when
+    * an earlier line j of the same order touches the same part or
+    * supplier ("same files ⇒ later depends on earlier", ref
+    * `agents/orbiter.md:55-66`). Output: per plan/phase its round, plus
+    * plan-level parallelism stats mirror `parallelGroups`
+    * (ref `commands/nova.md:488-489`). */
+  def q40RoundStrata(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir)
+      .select($"l_orderkey".as("plan"), $"l_linenumber".as("phase"),
+        $"l_partkey", $"l_suppkey")
+    // (plan, phase) is not unique in the synthetic lineitem — dedup to a
+    // proper DAG node set
+    val nodes = li.select($"plan", $"phase").distinct()
+    val a = li.select($"plan", $"phase", $"l_partkey", $"l_suppkey")
+    val b = li.select($"plan".as("p2"), $"phase".as("dep"),
+      $"l_partkey".as("pk2"), $"l_suppkey".as("sk2"))
+    val edges = a.join(b,
+        $"plan" === $"p2" && $"dep" < $"phase" &&
+        ($"l_partkey" === $"pk2" || $"l_suppkey" === $"sk2"))
+      .select($"plan", $"phase", $"dep").distinct()
+    stratify(nodes, edges)
+      .orderBy($"plan", $"phase")
+  }
+
+  val q40Sql: String =
+    """WITH RECURSIVE nodes AS (
+      |  SELECT l_orderkey AS plan, l_linenumber AS phase, l_partkey, l_suppkey
+      |  FROM lineitem),
+      |edges AS (
+      |  SELECT DISTINCT a.plan, a.phase, b.phase AS dep
+      |  FROM nodes a JOIN nodes b
+      |    ON a.plan = b.plan AND b.phase < a.phase
+      |   AND (a.l_partkey = b.l_partkey OR a.l_suppkey = b.l_suppkey)),
+      |paths AS (
+      |  SELECT DISTINCT plan, phase, 1 AS d FROM nodes
+      |  UNION ALL
+      |  SELECT e.plan, e.phase, p.d + 1
+      |  FROM edges e JOIN paths p ON p.plan = e.plan AND p.phase = e.dep)
+      |SELECT plan, phase, CAST(max(d) AS INT) AS round
+      |FROM paths GROUP BY plan, phase
+      |ORDER BY plan, phase""".stripMargin
+
+  /** q41: per-plan round summary — rounds count ("parallelGroups") and
+    * the widest round, the plan-level numbers Nova records on the board
+    * (ref `commands/nova.md:488-489`). */
+  def q41RoundSummary(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val strata = q40RoundStrata(s, dir)
+    val width = strata.groupBy($"plan", $"round").agg(count(lit(1)).as("w"))
+    width.groupBy($"plan")
+      .agg(max($"round").as("parallel_groups"),
+        max($"w").as("max_round_width"),
+        sum($"w").as("n_phases"))
+      .orderBy($"plan")
+  }
+
+  val q41Sql: String =
+    """WITH RECURSIVE nodes AS (
+      |  SELECT l_orderkey AS plan, l_linenumber AS phase, l_partkey, l_suppkey
+      |  FROM lineitem),
+      |edges AS (
+      |  SELECT DISTINCT a.plan, a.phase, b.phase AS dep
+      |  FROM nodes a JOIN nodes b
+      |    ON a.plan = b.plan AND b.phase < a.phase
+      |   AND (a.l_partkey = b.l_partkey OR a.l_suppkey = b.l_suppkey)),
+      |paths AS (
+      |  SELECT DISTINCT plan, phase, 1 AS d FROM nodes
+      |  UNION ALL
+      |  SELECT e.plan, e.phase, p.d + 1
+      |  FROM edges e JOIN paths p ON p.plan = e.plan AND p.phase = e.dep),
+      |strata AS (
+      |  SELECT plan, phase, max(d) AS round FROM paths GROUP BY plan, phase),
+      |width AS (
+      |  SELECT plan, round, count(*) AS w FROM strata GROUP BY plan, round)
+      |SELECT plan, CAST(max(round) AS INT) AS parallel_groups,
+      |       max(w) AS max_round_width, sum(w) AS n_phases
+      |FROM width GROUP BY plan ORDER BY plan""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q40_round_strata"  -> (q40RoundStrata _),
+    "q41_round_summary" -> (q41RoundSummary _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q40_round_strata"  -> q40Sql,
+    "q41_round_summary" -> q41Sql,
+  )
+}

@@ -1,0 +1,121 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class QueueSpec extends AnyFunSuite {
+  import SparkTestSession.{spark, sf}
+  import queue.{Fixtures, QueueOps}
+
+  test("S5 deps: later plan touching same file depends on earlier") {
+    val deps = QueueOps.interPlanDeps(Fixtures.plans(spark)).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    // plan-20260106-0900 touches src/api/auth.ts which plan-20260105-1530 touched earlier
+    assert(deps.contains(("plan-20260106-0900", "plan-20260105-1530")))
+    // plan-20260106-1000 touches src/app.ts (earlier plan's file)
+    assert(deps.contains(("plan-20260106-1000", "plan-20260105-1530")))
+    // no self or reversed deps
+    assert(deps.forall { case (a, b) => a != b })
+  }
+
+  test("S6 eligibility: queued plans with incomplete deps are excluded") {
+    val plans = Fixtures.plans(spark)
+    val deps = QueueOps.interPlanDeps(plans)
+    val elig = QueueOps.eligible(plans, deps).select("id").collect().map(_.getString(0)).toSet
+    // deps of 0900/1000 (plan-...1530) are completed -> eligible;
+    // beta chore has no deps -> eligible
+    assert(elig == Set("plan-20260106-0900", "plan-20260106-1000", "plan-20260107-1100"))
+  }
+
+  test("S7+S8: bug outranks feature outranks chore; top-1 is the bug") {
+    val picked = QueueOps.q42SchedulerPick(spark, sf).collect()
+    assert(picked.length == 1)
+    assert(picked.head.getString(0) == "plan-20260106-0900")
+    assert(picked.head.getString(2) == "bug")
+  }
+
+  test("S3 active-existence gate") {
+    assert(QueueOps.anyActive(Fixtures.plans(spark)))
+    val none = Fixtures.plans(spark).filter(col("status") =!= "active")
+    assert(!QueueOps.anyActive(none))
+  }
+
+  test("S18 overview: pct complete and counts") {
+    val ov = QueueOps.statusOverview(Fixtures.statuses(spark))
+      .filter(col("plan_id") === "plan-20260105-1530").collect().head
+    assert(ov.getAs[Long]("n_phases") == 3)
+    assert(ov.getAs[Long]("n_completed") == 2)
+    assert(ov.getAs[Long]("n_failed") == 1)
+    assert(math.abs(ov.getAs[Double]("pct_complete") - 66.7) < 0.01)
+  }
+
+  test("S20 legality: queued->completed is illegal, queued->active legal") {
+    import spark.implicits._
+    val moves = Seq(("p1", "queued", "active"), ("p2", "queued", "completed"),
+      ("p3", "review", "completed")).toDF("id", "from_status", "to_status")
+    val res = QueueOps.validateMoves(moves).collect()
+      .map(r => r.getString(0) -> r.getBoolean(r.fieldIndex("legal"))).toMap
+    assert(res("p1") && !res("p2") && res("p3"))
+  }
+
+  test("S21 namespace resolution: renamed project re-pointed via path") {
+    import spark.implicits._
+    val cfg = Seq(("/home/dev/alpha", "alpha")).toDF("cfgPath", "cfgProject")
+    val res = QueueOps.resolveNamespaces(Fixtures.board(spark), cfg).collect()
+      .map(r => r.getString(0) -> (r.getString(2), r.getBoolean(3))).toMap
+    assert(res("plan-20260106-0900") == ("alpha", true))   // was alpha-old
+    assert(res("plan-20260105-1530") == ("alpha", false))  // already right
+  }
+}
+
+class StratifySpec extends AnyFunSuite {
+  import SparkTestSession.{spark, sf}
+  import spark.implicits._
+
+  /** Reference example (commands/nova.md:362-367): phases 1,2 independent,
+    * 3 depends on both -> rounds {1,2},{3}. */
+  test("stratify matches the reference worked example") {
+    val nodes = Seq(("p", 1), ("p", 2), ("p", 3)).toDF("plan", "phase")
+    val edges = Seq(("p", 3, 1), ("p", 3, 2)).toDF("plan", "phase", "dep")
+    val out = rounds.Stratify.stratify(nodes, edges).collect()
+      .map(r => r.getInt(1) -> r.getInt(2)).toMap
+    assert(out == Map(1 -> 1, 2 -> 1, 3 -> 2))
+  }
+
+  test("stratify: chain of n phases gives n rounds") {
+    val n = 6
+    val nodes = (1 to n).map(("p", _)).toDF("plan", "phase")
+    val edges = (2 to n).map(i => ("p", i, i - 1)).toDF("plan", "phase", "dep")
+    val out = rounds.Stratify.stratify(nodes, edges).collect()
+      .map(r => r.getInt(1) -> r.getInt(2)).toMap
+    assert(out == (1 to n).map(i => i -> i).toMap)
+  }
+
+  /** Property: every phase's round is exactly 1 + max(dep rounds)
+    * (maximality + validity) on seeded random DAGs with edges i<j only. */
+  test("stratify property: round = 1 + max dep round on random DAGs") {
+    val rnd = new scala.util.Random(42)
+    (1 to 8).foreach { _ =>
+      val n = 2 + rnd.nextInt(7)
+      val es = (0 until rnd.nextInt(2 * n)).map { _ =>
+        val j = 2 + rnd.nextInt(n - 1); val i = 1 + rnd.nextInt(j - 1); (j, i)
+      }.distinct
+      val nodes = (1 to n).map(("p", _)).toDF("plan", "phase")
+      val out =
+        if (es.isEmpty) {
+          val edges = Seq.empty[(String, Int, Int)].toDF("plan", "phase", "dep")
+          rounds.Stratify.stratify(nodes, edges)
+        } else {
+          val edges = es.map { case (j, i) => ("p", j, i) }.toDF("plan", "phase", "dep")
+          rounds.Stratify.stratify(nodes, edges)
+        }
+      val got = out.collect().map(r => r.getInt(1) -> r.getInt(2)).toMap
+      val depMap = es.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      (1 to n).foreach { p =>
+        val expect = depMap.get(p).map(ds => ds.map(got).max + 1).getOrElse(1)
+        assert(got(p) == expect, s"phase $p: got ${got(p)}, want $expect (n=$n edges=$es)")
+      }
+    }
+  }
+}
