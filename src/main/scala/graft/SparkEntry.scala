@@ -28,7 +28,8 @@ object SparkEntry {
     llm.TextOps.queries ++
     llm.Similarity.queries ++
     rounds.Stratify.queries ++
-    queue.QueueOps.queries
+    queue.QueueOps.queries ++
+    streaming.Registered.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

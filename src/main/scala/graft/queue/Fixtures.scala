@@ -59,6 +59,26 @@ object Fixtures {
     ).toDS()
   }
 
+  /** Tool-event log for lifecycle replay (the PostToolUse/SessionStart/
+    * Stop hook stream distilled — ref `hooks/hooks.json:4-48`). */
+  def toolEvents(spark: SparkSession): Dataset[ToolEvent] = {
+    import spark.implicits._
+    Seq(
+      ToolEvent("plan-20260108-1200", 1, "beta", "Session", None, "start", ts("2026-01-08 12:00:00")),
+      ToolEvent("plan-20260108-1200", 1, "beta", "Edit", Some("src/svc/a.ts"), "tool", ts("2026-01-08 12:05:00")),
+      ToolEvent("plan-20260108-1200", 1, "beta", "Bash", None, "tool", ts("2026-01-08 12:10:00")),
+      ToolEvent("plan-20260108-1200", 1, "beta", "", None, "stop_completed", ts("2026-01-08 12:20:00")),
+      // late tool event after terminal status: must NOT downgrade
+      ToolEvent("plan-20260108-1200", 1, "beta", "Edit", None, "tool", ts("2026-01-08 12:21:00")),
+      ToolEvent("plan-20260108-1200", 2, "beta", "Session", None, "start", ts("2026-01-08 12:21:00")),
+      ToolEvent("plan-20260108-1200", 2, "beta", "Bash", None, "tool", ts("2026-01-08 12:25:00")),
+      // duplicate claim attempt: must be ignored (no steal)
+      ToolEvent("plan-20260108-1200", 2, "beta", "Session", None, "start", ts("2026-01-08 12:26:00")),
+      ToolEvent("plan-20260105-1530", 3, "alpha", "Bash", None, "tool", ts("2026-01-05 16:20:00")),
+      ToolEvent("plan-20260105-1530", 3, "alpha", "", None, "stop_failed", ts("2026-01-05 16:30:00"))
+    ).toDS()
+  }
+
   def board(spark: SparkSession): Dataset[BoardEntry] = {
     import spark.implicits._
     Seq(

@@ -1,0 +1,32 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.queue.Fixtures
+
+/** Rows-only registered queries for the streaming domain: the driver
+  * can't oracle stateful streaming, so these run the batch-replay form
+  * over fixture event logs; the true streaming paths are covered by
+  * StreamingSpec (MemoryStream + processAllAvailable). */
+object Registered {
+
+  /** q44: event-sourced lifecycle replay (S12–S14) — rebuild the status
+    * table from the tool-event log. */
+  def q44LifecycleReplay(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Lifecycle.replayBatch(Fixtures.toolEvents(s)).toDF()
+      .orderBy($"plan_id", $"phase")
+  }
+
+  /** q45: pulse rollup (S16) over the replayed statuses. */
+  def q45Pulse(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Streams.pulse(Lifecycle.replayBatch(Fixtures.toolEvents(s)))
+      .orderBy($"project", $"plan_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q44_lifecycle_replay" -> (q44LifecycleReplay _),
+    "q45_pulse"            -> (q45Pulse _),
+  )
+}

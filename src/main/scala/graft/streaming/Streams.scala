@@ -1,0 +1,90 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.model.PhaseStatus
+
+/** Streaming sources, windows, and the pulse aggregation (SURVEY.md §2.1
+  * S1/S16/S22 + §2.2 streaming rows).
+  *
+  * The reference's polling daemon (300 s loop, one plan at a time —
+  * `scripts/starry-daemon.sh:209-226`) maps to a file-source stream with
+  * `maxFilesPerTrigger=1` backpressure; its 30 s watcher rollup
+  * (`agents/orbiter.md:158-242`) is a windowed streaming aggregation.
+  */
+object Streams {
+
+  /** Schema of a queued-plan JSON document (BoardEntry shape,
+    * ref `commands/nova.md:473-491`). */
+  val planSchema: StructType = StructType(Seq(
+    StructField("id", StringType),
+    StructField("title", StringType),
+    StructField("project", StringType),
+    StructField("projectPath", StringType),
+    StructField("planType", StringType),
+    StructField("status", StringType),
+    StructField("executionMode", StringType),
+    StructField("path", StringType),
+    StructField("createdAt", TimestampType),
+    StructField("phases", IntegerType),
+    StructField("parallelGroups", IntegerType)))
+
+  /** S1/S22 — streaming queue consumer: tail a queue directory of JSON
+    * plan docs; `maxFilesPerTrigger=1` reproduces the daemon's
+    * single-flight admission (one plan per trigger). */
+  def queueStream(spark: SparkSession, queueDir: String): DataFrame =
+    spark.readStream
+      .schema(planSchema)
+      .option("maxFilesPerTrigger", 1)
+      .json(queueDir)
+
+  /** S2 streaming — rolling queue depth per project. */
+  def queueDepth(queue: DataFrame): DataFrame =
+    queue.groupBy(col("project")).count()
+
+  /** Watermarked tumbling-window counts over an event stream (pulse
+    * cadence S16; late data beyond the watermark is dropped, exactly
+    * the completed-guard semantics of S13). */
+  def tumblingCounts(events: DataFrame, window_ : String = "1 hour",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+
+  /** Session windows per user with a 30-minute gap (the batch q23
+    * formulation, native streaming form). */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+
+  /** Streaming dedup within the watermark — claim-CAS shape S12: first
+    * record per key wins, duplicates dropped. */
+  def dedupFirst(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicates(Seq("user_id", "event_type"))
+
+  /** S16 — pulse aggregation over the status stream: per project/plan
+    * rollup {phases by status, total tools, last update, stalled count}
+    * (ref `agents/orbiter.md:198-242`). Works on batch or streaming
+    * status Datasets (complete output mode when streaming). */
+  def pulse(statuses: Dataset[PhaseStatus]): DataFrame = {
+    val spark = statuses.sparkSession
+    import spark.implicits._
+    statuses.toDF()
+      .groupBy($"project", $"plan_id")
+      .agg(
+        count(lit(1)).as("n_phases"),
+        sum(when($"status" === "completed", 1).otherwise(0)).as("n_completed"),
+        sum(when($"status" === "failed", 1).otherwise(0)).as("n_failed"),
+        sum(when($"status" === "running" || $"status" === "starting", 1).otherwise(0)).as("n_active"),
+        sum(when($"status" === "stalled", 1).otherwise(0)).as("n_stalled"),
+        sum($"tool_count").as("total_tools"),
+        max($"updated_at").as("last_update"))
+  }
+}

@@ -1,0 +1,161 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+import graft.model.ToolEvent
+import graft.streaming.{Lifecycle, Streams}
+
+class StreamingSpec extends AnyFunSuite {
+  import SparkTestSession.{spark, sf}
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("lifecycle stream: claim, upsert, terminal no-downgrade, stall timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[ToolEvent]
+    val out = Lifecycle.statusStream(mem.toDS(), watermarkDelay = "0 seconds")
+    val q = out.writeStream.format("memory").queryName("lifecycle_out")
+      .outputMode("update").start()
+    try {
+      // batch 1: phase 1 starts and works; phase 2 starts then goes silent
+      mem.addData(
+        ToolEvent("p", 1, "proj", "Session", None, "start", ts("2026-01-01 10:00:00")),
+        ToolEvent("p", 1, "proj", "Edit", Some("a.ts"), "tool", ts("2026-01-01 10:01:00")),
+        ToolEvent("p", 1, "proj", "Bash", None, "tool", ts("2026-01-01 10:02:00")),
+        ToolEvent("p", 2, "proj", "Session", None, "start", ts("2026-01-01 10:00:30")))
+      q.processAllAvailable()
+      // batch 2: phase 1 completes; a late steal attempt on phase 2
+      mem.addData(
+        ToolEvent("p", 1, "proj", "", None, "stop_completed", ts("2026-01-01 10:03:00")),
+        ToolEvent("p", 2, "proj", "Session", None, "start", ts("2026-01-01 10:03:10")))
+      q.processAllAvailable()
+      // batch 3: unrelated phase far in the future pushes the watermark
+      // past phase 2's stall deadline (10:00:30 + 10 min)
+      mem.addData(
+        ToolEvent("p", 3, "proj", "Session", None, "start", ts("2026-01-01 10:30:00")))
+      q.processAllAvailable()
+      // one more batch so the timeout fires after watermark advance
+      mem.addData(
+        ToolEvent("p", 3, "proj", "Bash", None, "tool", ts("2026-01-01 10:31:00")))
+      q.processAllAvailable()
+
+      val rows = spark.table("lifecycle_out")
+      val p1Latest = rows.filter($"phase" === 1)
+        .orderBy($"updated_at".desc).limit(1).collect().head
+      assert(p1Latest.getAs[String]("status") == "completed")
+      assert(p1Latest.getAs[Int]("tool_count") == 2)
+      // phase 2 went silent -> the event-time timeout emitted a stalled record
+      val p2Statuses = rows.filter($"phase" === 2).select("status")
+        .collect().map(_.getString(0)).toSet
+      assert(p2Statuses.contains("stalled"), s"phase2 statuses: $p2Statuses")
+      // late tool event after completion must not appear anywhere
+      val p1Statuses = rows.filter($"phase" === 1).select("status")
+        .collect().map(_.getString(0)).toSet
+      assert(!p1Statuses.contains("failed"))
+    } finally q.stop()
+  }
+
+  test("batch replay matches reference guards (fixture log)") {
+    val statuses = Lifecycle.replayBatch(queue.Fixtures.toolEvents(spark))
+      .collect().map(s => (s.plan_id, s.phase) -> s).toMap
+    val p1 = statuses(("plan-20260108-1200", 1))
+    assert(p1.status == "completed")
+    assert(p1.tool_count == 2) // late tool after stop_completed ignored
+    val p2 = statuses(("plan-20260108-1200", 2))
+    assert(p2.status == "running")
+    assert(p2.started_at == ts("2026-01-08 12:21:00")) // second claim ignored
+    assert(statuses(("plan-20260105-1530", 3)).status == "failed")
+  }
+
+  test("queue stream: maxFilesPerTrigger=1 single-flight admission") {
+    val dir = java.nio.file.Files.createTempDirectory("queue").toFile
+    val files = (1 to 3).map { i =>
+      val f = new java.io.File(dir, s"plan-$i.json")
+      val w = new java.io.PrintWriter(f)
+      w.println(s"""{"id":"plan-$i","title":"t$i","project":"alpha","projectPath":"/p","planType":"feature","status":"queued","executionMode":"background","path":"queued/plan-$i.json","createdAt":"2026-01-0${i}T10:00:00.000Z","phases":2,"parallelGroups":1}""")
+      w.close(); f
+    }
+    var batches = 0
+    var totalRows = 0L
+    val q = Streams.queueStream(spark, dir.getAbsolutePath)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        val n = df.count()
+        if (n > 0) { batches += 1; totalRows += n }
+        ()
+      }.start()
+    q.awaitTermination(60000)
+    assert(totalRows == 3, s"rows=$totalRows")
+    assert(batches == 3, s"single-flight violated: $batches batches for 3 files")
+    files.foreach(_.delete()); dir.delete()
+  }
+
+  test("streaming tumbling counts match batch equivalent") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val events = mem.toDS().toDF("ts", "event_type", "value")
+    val q = Streams.tumblingCounts(events, "1 hour", "0 seconds")
+      .writeStream.format("memory").queryName("tumbling_out")
+      .outputMode("complete").start()
+    try {
+      val data = Seq(
+        (ts("2026-01-01 10:05:00"), "click", 1.0),
+        (ts("2026-01-01 10:55:00"), "click", 2.0),
+        (ts("2026-01-01 11:05:00"), "click", 3.0),
+        (ts("2026-01-01 11:15:00"), "view", 4.0))
+      mem.addData(data: _*)
+      q.processAllAvailable()
+      val got = spark.table("tumbling_out")
+        .select($"window.start".as("w"), $"event_type", $"n", $"total_value")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1)) ->
+          (r.getLong(2), r.getDouble(3))).toMap
+      assert(got((ts("2026-01-01 10:00:00"), "click")) == (2L, 3.0))
+      assert(got((ts("2026-01-01 11:00:00"), "click")) == (1L, 3.0))
+      assert(got((ts("2026-01-01 11:00:00"), "view")) == (1L, 4.0))
+    } finally q.stop()
+  }
+
+  test("streaming session windows group by gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long)]
+    val events = mem.toDS().toDF("ts", "user_id")
+    val q = Streams.sessionCounts(events, "30 minutes", "0 seconds")
+      .writeStream.format("memory").queryName("session_out")
+      .outputMode("complete").start()
+    try {
+      mem.addData(
+        (ts("2026-01-01 10:00:00"), 1L),
+        (ts("2026-01-01 10:10:00"), 1L), // same session
+        (ts("2026-01-01 11:30:00"), 1L), // gap > 30min: new session
+        (ts("2026-01-01 10:00:00"), 2L))
+      q.processAllAvailable()
+      val rows = spark.table("session_out").collect()
+      val u1 = rows.filter(_.getAs[Long]("user_id") == 1L)
+      assert(u1.length == 2, s"expected 2 sessions for user 1, got ${u1.length}")
+      assert(u1.map(_.getAs[Long]("n_events")).sorted.toSeq == Seq(1L, 2L))
+    } finally q.stop()
+  }
+
+  test("streaming dedup keeps one row per key") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val events = mem.toDS().toDF("ts", "user_id", "event_type")
+    val q = Streams.dedupFirst(events, "0 seconds")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (ts("2026-01-01 10:00:00"), 1L, "click"),
+        (ts("2026-01-01 10:01:00"), 1L, "click"),
+        (ts("2026-01-01 10:02:00"), 1L, "view"),
+        (ts("2026-01-01 10:03:00"), 2L, "click"))
+      q.processAllAvailable()
+      assert(spark.table("dedup_out").count() == 3)
+    } finally q.stop()
+  }
+}
