@@ -29,7 +29,9 @@ object SparkEntry {
     llm.Similarity.queries ++
     rounds.Stratify.queries ++
     queue.QueueOps.queries ++
-    streaming.Registered.queries
+    streaming.Registered.queries ++
+    llm.Dedup.queries ++
+    queue.TranscriptEtl.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -39,5 +41,6 @@ object SparkEntry {
     relational.Events.oracle ++
     llm.TextOps.oracle ++
     llm.Similarity.oracle ++
-    rounds.Stratify.oracle
+    rounds.Stratify.oracle ++
+    llm.Dedup.oracle
 }

@@ -1,0 +1,173 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Near-duplicate detection for the training-data pipeline (north star):
+  * MinHash + LSH banding and SimHash, both built on codegen'd builtins
+  * (xxhash64, higher-order array functions) — no UDFs, no RNG.
+  *
+  * MinHash pipeline shape (shingle → minhash → band → bucket-join):
+  *  1. shingle: w-word shingles from the token stream;
+  *  2. K minhashes: min over shingles of xxhash64(seed=k, shingle);
+  *  3. banding: split the K-signature into B bands of R rows; a pair is
+  *     a candidate iff some band agrees (same (band, band-hash) bucket);
+  *  4. verify candidates with exact shingle-set Jaccard.
+  *
+  * Scale: candidate generation is an equality join on (band, bucket) —
+  * shuffle-partitioned, no cross product. Bucket skew (boilerplate
+  * shingles) is the known hazard at 100 TB; counter: salt hot buckets
+  * or cap bucket width (both flagged below), and AQE skew-join locally.
+  * Verification touches only candidate pairs, O(candidates), and the
+  * signature pass is one narrow scan.
+  */
+object Dedup {
+
+  val MinhashK = 32      // signature length
+  val Bands = 8          // B bands x R rows, B*R = K
+  val RowsPerBand = 4
+
+  /** Tokenized docs: (doc_id, toks). */
+  private def toks(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id",
+        regexp_extract_all(lower($"text"), lit("\\S+"), lit(0)).as("toks"))
+  }
+
+  /** w-word shingles of a token array column. */
+  def shingles(toksCol: Column, w: Int = 3): Column =
+    array_distinct(transform(
+      sequence(lit(0), greatest(size(toksCol) - w, lit(0))),
+      i => concat_ws(" ", slice(toksCol, i + 1, lit(w)))))
+
+  /** K-element minhash signature of a shingle-array column. */
+  def minhashSig(sh: Column, k: Int = MinhashK): Column =
+    array((0 until k).map(seed =>
+      array_min(transform(sh, x => xxhash64(lit(seed), x)))): _*)
+
+  /** (band, bucket) candidates from a signature column. */
+  private def bandBuckets(sig: Column): Column =
+    array((0 until Bands).map(b =>
+      struct(lit(b).as("band"),
+        xxhash64(slice(sig, b * RowsPerBand + 1, RowsPerBand)).as("bkt"))): _*)
+
+  /** q46: MinHash-LSH near-dup pairs, verified by exact shingle Jaccard.
+    * Rows-only driver check (xxhash64 seeds are not oracle-expressible);
+    * correctness unit-tested on constructed near-dups in DedupSpec. */
+  def q46MinhashPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = toks(s, dir)
+      .withColumn("sh", shingles($"toks"))
+      .withColumn("sig", minhashSig($"sh"))
+    val banded = base
+      .withColumn("bb", explode(bandBuckets($"sig")))
+      .select($"doc_id", $"sh", $"bb.band", $"bb.bkt")
+    val a = banded.select($"doc_id".as("id1"), $"sh".as("sh1"), $"band", $"bkt")
+    val b = banded.select($"doc_id".as("id2"), $"sh".as("sh2"),
+      $"band".as("b2"), $"bkt".as("k2"))
+    a.join(b, $"band" === $"b2" && $"bkt" === $"k2" && $"id1" < $"id2")
+      .select($"id1", $"id2", $"sh1", $"sh2").dropDuplicates("id1", "id2")
+      .withColumn("jaccard",
+        round(size(array_intersect($"sh1", $"sh2")).cast("double") /
+          size(array_union($"sh1", $"sh2")), 4))
+      .filter($"jaccard" >= 0.5)
+      .select($"id1", $"id2", $"jaccard")
+      .orderBy($"id1", $"id2")
+  }
+
+  /** 64-bit SimHash of a token array: bit j is the sign of the sum over
+    * tokens of ±1 according to bit j of xxhash64(token). Built as 64
+    * per-bit aggregates over the exploded token stream (codegen'd). */
+  def simhash64(docs: DataFrame, idCol: String, toksCol: String): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val hashed = docs
+      .select(col(idCol).as("doc_id"), explode(col(toksCol)).as("tok"))
+      .withColumn("h", xxhash64($"tok"))
+    val bitSums = (0 until 64).map { j =>
+      sum(when(shiftright($"h", j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j")
+    }
+    val agg = hashed.groupBy($"doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val simhash = (0 until 64).map { j =>
+      when(col(s"b$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+    agg.select($"doc_id", simhash.as("simhash"))
+  }
+
+  /** q47: SimHash near-dup pairs — candidates agree on one of four
+    * 16-bit chunks (the standard rotation trick), verified by Hamming
+    * distance ≤ 6. Rows-only driver check; unit-tested. */
+  def q47SimhashPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh = simhash64(toks(s, dir), "doc_id", "toks")
+    val chunked = sh.withColumn("chunk", explode(array((0 until 4).map(c =>
+        struct(lit(c).as("c"),
+          shiftright($"simhash", c * 16).bitwiseAND(0xFFFFL).as("v"))): _*)))
+      .select($"doc_id", $"simhash", $"chunk.c", $"chunk.v")
+    val a = chunked.select($"doc_id".as("id1"), $"simhash".as("s1"), $"c", $"v")
+    val b = chunked.select($"doc_id".as("id2"), $"simhash".as("s2"),
+      $"c".as("c2"), $"v".as("v2"))
+    a.join(b, $"c" === $"c2" && $"v" === $"v2" && $"id1" < $"id2")
+      .dropDuplicates("id1", "id2")
+      .withColumn("hamming", bit_count($"s1".bitwiseXOR($"s2")))
+      .filter($"hamming" <= 6)
+      .select($"id1", $"id2", $"hamming")
+      .orderBy($"id1", $"id2")
+  }
+
+  /** Karp–Rabin rolling fingerprint over the token stream: a sequential
+    * polynomial fold (h = h*B + tok_hash mod 2^31-1) — order-sensitive,
+    * unlike the set-based md5 fingerprint (q33). The Mersenne-31 modulus
+    * keeps acc*131 far below 2^63 (ANSI overflow checking is on). */
+  def rollingFingerprint(toksCol: Column): Column = {
+    val M = lit(2147483647L) // 2^31 - 1
+    aggregate(toksCol, lit(0L),
+      (acc, t) => pmod(acc * 131L + pmod(xxhash64(t), M), M))
+  }
+
+  /** q48: order-sensitive rolling-hash fingerprints (doc identity for
+    * exact-order dedup). Rows-only. */
+  def q48RollingFp(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    toks(s, dir)
+      .select($"doc_id", rollingFingerprint($"toks").as("fp"))
+      .orderBy($"doc_id")
+  }
+
+  /** q49: corpus singleton shingles — the dead-code usage-count shape
+    * S25 (ref `agents/dead-code-agent.md:63-71`: identifier used once ⇒
+    * dead): 3-word shingles that occur in exactly one document. */
+  def q49Singletons(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    toks(s, dir)
+      .withColumn("sh", explode(shingles($"toks")))
+      .groupBy($"sh")
+      .agg(countDistinct($"doc_id").as("n_docs"))
+      .filter($"n_docs" === 1)
+      .select($"sh")
+      .orderBy($"sh")
+  }
+
+  val q49Sql: String =
+    """WITH sh AS (
+      |  SELECT doc_id, unnest(list_distinct([
+      |    concat_ws(' ', toks[i], toks[i+1], toks[i+2])
+      |    FOR i IN generate_series(1, greatest(len(toks) - 2, 1))])) AS sh
+      |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks
+      |        FROM documents) t)
+      |SELECT sh FROM sh GROUP BY sh HAVING count(DISTINCT doc_id) = 1
+      |ORDER BY sh""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q46_minhash_pairs" -> (q46MinhashPairs _),
+    "q47_simhash_pairs" -> (q47SimhashPairs _),
+    "q48_rolling_fp"    -> (q48RollingFp _),
+    "q49_singletons"    -> (q49Singletons _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q49_singletons" -> q49Sql,
+  )
+}

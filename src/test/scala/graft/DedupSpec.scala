@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.llm.Dedup
+import graft.queue.TranscriptEtl
+
+class DedupSpec extends AnyFunSuite {
+  import SparkTestSession.{spark, sf}
+  import spark.implicits._
+
+  /** Synthetic corpus: 1↔2 near-dups (one word changed), 3 unrelated,
+    * 4↔5 exact dups. */
+  private lazy val corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog and runs far away home tonight"),
+    (2L, "the quick brown fox jumps over the lazy cat and runs far away home tonight"),
+    (3L, "completely different content about database engines and query optimization techniques"),
+    (4L, "identical text repeated verbatim for exact duplicate detection in this corpus"),
+    (5L, "identical text repeated verbatim for exact duplicate detection in this corpus"))
+    .toDF("doc_id", "text")
+    .withColumn("toks", regexp_extract_all(lower($"text"), lit("\\S+"), lit(0)))
+
+  test("minhash signature: identical docs share full signature, near-dups most of it") {
+    val sigs = corpus
+      .withColumn("sh", Dedup.shingles($"toks"))
+      .withColumn("sig", Dedup.minhashSig($"sh"))
+      .select($"doc_id", $"sig").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(4L) == sigs(5L), "exact dups must have identical signatures")
+    val agree12 = sigs(1L).zip(sigs(2L)).count { case (a, b) => a == b }
+    val agree13 = sigs(1L).zip(sigs(3L)).count { case (a, b) => a == b }
+    assert(agree12 > agree13, s"near-dup agreement $agree12 should exceed unrelated $agree13")
+    assert(agree12 >= Dedup.MinhashK / 2, s"near-dups agree on only $agree12/${Dedup.MinhashK}")
+  }
+
+  test("simhash: near-dups within small hamming distance, unrelated far") {
+    val sh = Dedup.simhash64(corpus, "doc_id", "toks")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(4L), sh(5L)) == 0)
+    assert(ham(sh(1L), sh(2L)) < ham(sh(1L), sh(3L)),
+      s"near ${ham(sh(1L), sh(2L))} !< far ${ham(sh(1L), sh(3L))}")
+  }
+
+  test("rolling fingerprint is order-sensitive, md5 fingerprint is not") {
+    val df = Seq((1L, "alpha beta gamma"), (2L, "gamma beta alpha")).toDF("doc_id", "text")
+      .withColumn("toks", regexp_extract_all(lower($"text"), lit("\\S+"), lit(0)))
+    val fps = df.select($"doc_id", Dedup.rollingFingerprint($"toks").as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(1L) != fps(2L), "same bag of words, different order must differ")
+    val same = Seq((1L, "alpha beta"), (2L, "alpha beta")).toDF("doc_id", "text")
+      .withColumn("toks", regexp_extract_all(lower($"text"), lit("\\S+"), lit(0)))
+      .select(Dedup.rollingFingerprint($"toks").as("fp")).distinct().count()
+    assert(same == 1)
+  }
+
+  test("q46 minhash pairs on real corpus run and respect id1<id2 + threshold") {
+    val rows = Dedup.q46MinhashPairs(spark, sf).collect()
+    assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(rows.forall(_.getDouble(2) >= 0.5))
+  }
+
+  test("q47 simhash pairs respect hamming threshold") {
+    val rows = Dedup.q47SimhashPairs(spark, sf).collect()
+    assert(rows.forall(r => r.getAs[Number]("hamming").longValue <= 6))
+  }
+}
+
+class EtlSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+  import spark.implicits._
+
+  test("S24 transcript ETL: status classification and extraction") {
+    val out = TranscriptEtl.parse(TranscriptEtl.fixture(spark))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[String]("status") == "completed")
+    assert(out(2L).getAs[String]("status") == "completed_with_errors")
+    assert(out(3L).getAs[String]("status") == "failed")
+    assert(out(1L).getAs[scala.collection.Seq[String]]("files_modified").toSet ==
+      Set("src/models/user.ts", "src/api/auth.ts"))
+    assert(out(1L).getAs[Int]("tests_passed") == 12)
+    assert(out(2L).getAs[Int]("tests_failed") == 2)
+    assert(out(1L).getAs[scala.collection.Seq[String]]("commits").contains("a1b2c3d"))
+  }
+
+  test("S10 model routing: High/Medium -> heavy, Low -> light") {
+    val phases = Seq(("p", 1, "High (Architecture)"), ("p", 2, "Medium"),
+      ("p", 3, "Low"), ("p", 4, "unknown"))
+      .toDF("plan_id", "phase", "complexity")
+    val routed = TranscriptEtl.routeModels(phases).collect()
+      .map(r => r.getInt(1) -> r.getAs[String]("executor")).toMap
+    assert(routed == Map(1 -> "heavy", 2 -> "heavy", 3 -> "light", 4 -> "light"))
+  }
+}
