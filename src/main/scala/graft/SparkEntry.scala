@@ -31,7 +31,8 @@ object SparkEntry {
     queue.QueueOps.queries ++
     streaming.Registered.queries ++
     llm.Dedup.queries ++
-    queue.TranscriptEtl.queries
+    queue.TranscriptEtl.queries ++
+    llm.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

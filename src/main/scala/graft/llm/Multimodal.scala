@@ -1,0 +1,138 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Multimodal columns for the training-data pipeline (north star):
+  * image/audio/video as opaque `binary` columns with typed metadata,
+  * plus decode / feature-extract / resize / frame-sample operators.
+  *
+  * The actual codec call is STUBBED (this container has no image/audio
+  * libraries): `FakeCodec` derives deterministic "pixels" from the
+  * payload bytes. Everything around the stub — the media schema, the
+  * `mapPartitions` batch shape (decoder state amortized per partition,
+  * exactly how a JNI/FFI codec would be held), the feature-vector
+  * output feeding `Similarity`, and the metadata transforms — is real
+  * Spark plumbing and is tested.
+  *
+  * Scale: payloads stay opaque bytes end-to-end (no driver collect, no
+  * string conversion); per-partition decoding keeps codec init off the
+  * per-row path; features are fixed-width arrays so downstream ANN
+  * (Similarity.q39) shuffles small vectors, never raw media.
+  */
+object Multimodal {
+
+  case class MediaRow(
+      media_id: Long,
+      kind: String,          // image | audio | video
+      content: Array[Byte],  // opaque payload
+      width: Int, height: Int,
+      sample_rate: Int, duration_ms: Long, format: String)
+
+  case class MediaFeatures(
+      media_id: Long,
+      kind: String,
+      n_bytes: Int,
+      features: Seq[Double]) // FeatureDim-bin normalized byte histogram
+
+  val FeatureDim = 16
+
+  /** STUB — deterministic stand-in for the real decoder. A production
+    * build replaces this object with an FFI codec (libjpeg/ffmpeg …)
+    * initialized once per partition; the call signature (bytes in,
+    * fixed-width features out) and determinism contract are the real
+    * interface. */
+  object FakeCodec {
+    /** "Decode" = normalized 16-bin histogram of payload bytes. */
+    def features(bytes: Array[Byte]): Array[Double] = {
+      val hist = new Array[Double](FeatureDim)
+      var i = 0
+      while (i < bytes.length) {
+        hist((bytes(i) & 0xFF) * FeatureDim / 256) += 1.0
+        i += 1
+      }
+      val n = math.max(bytes.length, 1).toDouble
+      hist.map(_ / n)
+    }
+
+    /** "Resize" = metadata-only transform (a real codec would re-encode;
+      * the engine-side contract — new dims, same id — is identical). */
+    def resize(r: MediaRow, w: Int, h: Int): MediaRow =
+      r.copy(width = w, height = h)
+  }
+
+  /** Build a deterministic media table from the documents corpus: the
+    * text bytes are the opaque payload (varying, reproducible), kind
+    * cycles image/audio/video, metadata derived from n_chars. */
+  def mediaTable(s: SparkSession, dir: String): Dataset[MediaRow] = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id".as("media_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (pmod($"doc_id", lit(3)) + 1).cast("int")).as("kind"),
+        $"text".cast("binary").as("content"),
+        (pmod($"doc_id", lit(640)) + 16).cast("int").as("width"),
+        (pmod($"doc_id", lit(480)) + 16).cast("int").as("height"),
+        lit(16000).as("sample_rate"),
+        ($"n_chars" * 40).as("duration_ms"),
+        lit("fake/v1").as("format"))
+      .as[MediaRow]
+  }
+
+  /** Decode + feature-extract via mapPartitions: the decoder is touched
+    * once per partition (amortized init), rows stream through in one
+    * pass. */
+  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    val s = media.sparkSession
+    import s.implicits._
+    media.mapPartitions { it =>
+      // per-partition decoder handle would be created HERE in a real codec
+      val codec = FakeCodec
+      it.map { r =>
+        MediaFeatures(r.media_id, r.kind, r.content.length,
+          codec.features(r.content).toSeq)
+      }
+    }
+  }
+
+  /** Frame sampling for video rows: one output row per sampled frame at
+    * `fps`-spaced timestamps — pure relational explode on metadata, no
+    * payload duplication (each frame row carries only the offset; a real
+    * pipeline decodes lazily from the shared payload). */
+  def sampleFrames(media: Dataset[MediaRow], everyMs: Long = 1000L): DataFrame = {
+    val s = media.sparkSession
+    import s.implicits._
+    media.toDF()
+      .filter($"kind" === "video")
+      .withColumn("frame_ms",
+        explode(sequence(lit(0L), greatest($"duration_ms" - 1, lit(0L)), lit(everyMs))))
+      .select($"media_id", $"frame_ms", $"width", $"height")
+  }
+
+  /** q52: media feature extraction over the derived corpus — counts and
+    * a checksum-ish aggregate per kind so the driver's rows-only check
+    * still exercises the full decode path. */
+  def q52MediaFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    extractFeatures(mediaTable(s, dir)).toDF()
+      .select($"media_id", $"kind", $"n_bytes",
+        round(aggregate($"features", lit(0.0), (a, x) => a + x), 6).as("feat_sum"),
+        round(element_at($"features", 1), 6).as("f0"))
+      .orderBy($"media_id")
+  }
+
+  /** q53: frame sampling — frames per video at 1 fps equivalent. */
+  def q53FrameSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    sampleFrames(mediaTable(s, dir))
+      .groupBy($"media_id")
+      .agg(count(lit(1)).as("n_frames"), max($"frame_ms").as("last_frame_ms"))
+      .orderBy($"media_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q52_media_features" -> (q52MediaFeatures _),
+    "q53_frame_sample"   -> (q53FrameSample _),
+  )
+}
