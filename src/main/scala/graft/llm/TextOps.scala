@@ -127,15 +127,24 @@ object TextOps {
     * At 100 TB the bucket key becomes a minhash band (Dedup.scala). */
   def q34JaccardPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // Sparse formulation: explode distinct tokens, join on (bucket,
+    // token), count shared tokens per pair, then |A∪B| = |A|+|B|-shared.
+    // O(pairs-that-share-a-token) instead of O(all-pairs × array ops) —
+    // the shape that survives 100 TB (the token join shuffles by token;
+    // stopword-like hot tokens would be dropped/salted there).
     val docs = Tables.documents(s, dir)
       .select($"doc_id", $"source",
         array_distinct(regexp_extract_all(lower($"text"), lit("\\S+"), lit(0))).as("toks"))
-    val a = docs.select($"source", $"doc_id".as("id1"), $"toks".as("t1"))
-    val b = docs.select($"source".as("source2"), $"doc_id".as("id2"), $"toks".as("t2"))
-    a.join(b, $"source" === $"source2" && $"id1" < $"id2")
-      .withColumn("inter", size(array_intersect($"t1", $"t2")))
-      .withColumn("uni", size(array_union($"t1", $"t2")))
-      .withColumn("jaccard", round($"inter".cast("double") / $"uni", 4))
+      .withColumn("n", size($"toks"))
+    val toks = docs.select($"source", $"doc_id", $"n", explode($"toks").as("tok"))
+    val a = toks.select($"source", $"doc_id".as("id1"), $"n".as("n1"), $"tok")
+    val b = toks.select($"source".as("s2"), $"doc_id".as("id2"), $"n".as("n2"),
+      $"tok".as("tok2"))
+    a.join(b, $"source" === $"s2" && $"tok" === $"tok2" && $"id1" < $"id2")
+      .groupBy($"id1", $"id2", $"n1", $"n2")
+      .agg(count(lit(1)).as("shared"))
+      .withColumn("jaccard",
+        round($"shared".cast("double") / ($"n1" + $"n2" - $"shared"), 4))
       .filter($"jaccard" >= 0.6)
       .select($"id1", $"id2", $"jaccard")
       .orderBy($"id1", $"id2")
