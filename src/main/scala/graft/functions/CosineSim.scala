@@ -1,0 +1,86 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions.call_function
+
+/** Native Catalyst expression for cosine similarity of two double
+  * arrays — the hot inner loop of the similarity operators (SURVEY.md
+  * §7.3: "upgrade to Catalyst Expression with codegen only if bench
+  * demands"; the brute-force top-k spends its time here).
+  *
+  * One fused loop computes dot product and both norms — versus the
+  * builtin formulation (zip_with + three aggregate folds) which
+  * allocates an intermediate array and walks the inputs four times.
+  * Identical IEEE result: the fold order (sequential, left-to-right,
+  * all-double) matches both the builtin version and DuckDB's
+  * list_dot_product, so swapping it in preserves oracle parity
+  * (verified: q36 stays hash-identical).
+  *
+  * Generated code is a tight primitive loop inside whole-stage codegen;
+  * `nullSafeEval` provides the interpreted fallback.
+  */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  // inputs must be array<double>; enforced by the call sites (the
+  // engine always casts embeddings to double before similarity).
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_cosine"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var nx = 0.0; var ny = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = x.getDouble(i); val yi = y.getDouble(i)
+      dot += xi * yi; nx += xi * xi; ny += yi * yi
+      i += 1
+    }
+    dot / (math.sqrt(nx) * math.sqrt(ny))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
+      val xi = ctx.freshName("xi")
+      val yi = ctx.freshName("yi")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xi = $a.getDouble($i);
+         |  double $yi = $b.getDouble($i);
+         |  $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
+         |}
+         |${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object CosineSim {
+  val FnName = "graft_cosine"
+
+  /** Idempotently register the function in the session's registry and
+    * return a Column invoking it (avoids depending on Column↔Expression
+    * internals, which moved in the Spark 4 sql-api split). */
+  def cosine(s: SparkSession, a: Column, b: Column): Column = {
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      FnName, exprs => CosineSim(exprs.head, exprs(1)), "built-in")
+    call_function(FnName, a, b)
+  }
+}

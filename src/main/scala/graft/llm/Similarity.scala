@@ -50,7 +50,7 @@ object Similarity {
     val c = e.select($"vec_id".as("cid"), $"v".as("cv"))
     val w = Window.partitionBy($"qid").orderBy($"sim".desc, $"cid".asc)
     c.join(broadcast(q), $"cid" =!= $"qid")
-      .withColumn("sim", dot($"qv", $"cv") / (norm($"qv") * norm($"cv")))
+      .withColumn("sim", graft.functions.CosineSim.cosine(s, $"qv", $"cv"))
       .withColumn("rank", row_number().over(w))
       .filter($"rank" <= 5)
       .select($"qid", $"rank", $"cid", round($"sim", 4).as("sim"))
@@ -165,7 +165,7 @@ object Similarity {
       .dropDuplicates("qid", "cid")
     val w = Window.partitionBy($"qid").orderBy($"sim".desc, $"cid".asc)
     pairs
-      .withColumn("sim", dot($"qv", $"cv") / (norm($"qv") * norm($"cv")))
+      .withColumn("sim", graft.functions.CosineSim.cosine(s, $"qv", $"cv"))
       .withColumn("rank", row_number().over(w))
       .filter($"rank" <= 5)
       .select($"qid", $"rank", $"cid", round($"sim", 4).as("sim"))
