@@ -292,7 +292,23 @@ object Breadth {
       |    ON e.user_id = o.o_custkey AND o.o_orderdate <= CAST(e.ts AS TIMESTAMP)) t
       |WHERE rn = 1 ORDER BY event_id""".stripMargin
 
+  /** q54: sketch aggregation — HyperLogLog approx_count_distinct next to
+    * the exact count (rows-only: HLL estimates are engine-specific).
+    * At 100 TB the approx path is the one you actually run: it's a
+    * constant-size sketch mergeable across partitions, no dedup shuffle. */
+  def q54ApproxDistinct(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        approx_count_distinct($"l_partkey").as("approx_parts"),
+        countDistinct($"l_partkey").as("exact_parts"),
+        approx_count_distinct($"l_orderkey").as("approx_orders"))
+      .orderBy($"l_returnflag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q54_approx_distinct" -> (q54ApproxDistinct _),
     "q11_cube"          -> (q11Cube _),
     "q12_string_funcs"  -> (q12StringFuncs _),
     "q13_date_funcs"    -> (q13DateFuncs _),

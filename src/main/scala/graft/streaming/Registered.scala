@@ -25,8 +25,13 @@ object Registered {
       .orderBy($"project", $"plan_id")
   }
 
+  /** q55: session capability probe (S27). */
+  def q55Capabilities(s: SparkSession, dir: String): DataFrame =
+    Dispatch.detectCapabilities(s).orderBy("capability")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q44_lifecycle_replay" -> (q44LifecycleReplay _),
     "q45_pulse"            -> (q45Pulse _),
+    "q55_capabilities"     -> (q55Capabilities _),
   )
 }

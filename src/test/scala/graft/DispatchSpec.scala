@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.{Dispatch, Streams}
+
+class DispatchSpec extends AnyFunSuite {
+  import SparkTestSession.{spark, sf}
+  import spark.implicits._
+
+  test("S11 round executor: every phase runs, rounds keep their order") {
+    val strata = Seq((1L, 1, 1), (1L, 2, 1), (1L, 3, 2), (2L, 1, 1), (2L, 2, 2))
+      .toDF("plan", "phase", "round")
+    val log = Dispatch.executeRounds(strata, (p, ph) => s"done-$p-$ph").collect()
+    assert(log.length == 5)
+    // job_seq increases with round: all round-1 phases ran in job 0
+    val byRound = log.groupBy(_.getAs[Int]("round"))
+      .view.mapValues(_.map(_.getAs[Int]("job_seq")).toSet).toMap
+    assert(byRound(1) == Set(0) && byRound(2) == Set(1))
+    assert(log.forall(r => r.getAs[String]("result") ==
+      s"done-${r.getAs[Long]("plan")}-${r.getAs[Int]("phase")}"))
+  }
+
+  test("S26 bounded retry: succeeds within budget, gives up after max") {
+    var calls = 0
+    val (attempts, res) = Dispatch.withBoundedRetry(2) { () =>
+      calls += 1
+      if (calls < 3) throw new RuntimeException("flaky")
+      "ok"
+    }
+    assert(attempts == 3 && res.contains("ok"))
+    var calls2 = 0
+    val (attempts2, res2) = Dispatch.withBoundedRetry(2) { () =>
+      calls2 += 1
+      throw new RuntimeException("always")
+    }
+    assert(attempts2 == 3 && res2.isEmpty)
+  }
+
+  test("S23 dispatch sink: one dispatch record per queued plan with claim pid") {
+    val inDir = java.nio.file.Files.createTempDirectory("disp_in").toFile
+    val outDir = java.nio.file.Files.createTempDirectory("disp_out").toFile
+    outDir.delete()
+    (1 to 3).foreach { i =>
+      val w = new java.io.PrintWriter(new java.io.File(inDir, s"plan-$i.json"))
+      w.println(s"""{"id":"plan-$i","title":"t","project":"alpha","projectPath":"/p","planType":"bug","status":"queued","executionMode":"background","path":"q/plan-$i.json","createdAt":"2026-01-01T10:00:00.000Z","phases":1,"parallelGroups":1}""")
+      w.close()
+    }
+    val q = Dispatch.dispatchSink(
+      Streams.queueStream(spark, inDir.getAbsolutePath), outDir.getAbsolutePath)
+    q.awaitTermination(60000)
+    val out = spark.read.json(outDir.getAbsolutePath)
+    assert(out.count() == 3)
+    assert(out.select("id").collect().map(_.getString(0)).toSet ==
+      Set("plan-1", "plan-2", "plan-3"))
+    // single-flight: 3 distinct batch ids = one plan per trigger
+    assert(out.select("pid").distinct().count() == 3)
+  }
+
+  test("S27 capability detection reports session feature flags") {
+    val caps = Dispatch.detectCapabilities(spark).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(caps("spark_version").startsWith("4."))
+    assert(caps("session_tz") == "UTC")
+    assert(caps.contains("aqe") && caps.contains("codegen"))
+  }
+
+  test("S28 scatter-gather: branch union covers the corpus exactly once") {
+    val docs = Tables.documents(spark, sf)
+    val branches = Seq("en", "de", "fr", "es", "zh").map { l =>
+      docs.filter($"lang" === l)
+        .groupBy($"lang").agg(count(lit(1)).as("n"))
+    }
+    val gathered = Dispatch.scatterGather(branches)
+    assert(gathered.agg(sum($"n")).head().getLong(0) == docs.count())
+  }
+}
+
+class RoundtripSpec extends AnyFunSuite {
+  import SparkTestSession.{spark, sf}
+  import spark.implicits._
+
+  test("sources/sinks: csv, json, partitioned parquet round-trip documents") {
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"lang", $"source", $"n_chars")
+    val base = java.nio.file.Files.createTempDirectory("rt").toString
+    // csv
+    docs.write.mode("overwrite").option("header", "true").csv(s"$base/csv")
+    val csvBack = spark.read.option("header", "true")
+      .option("inferSchema", "true").csv(s"$base/csv")
+    assert(csvBack.count() == docs.count())
+    // json
+    docs.write.mode("overwrite").json(s"$base/json")
+    assert(spark.read.json(s"$base/json").count() == docs.count())
+    // partitioned parquet: partition pruning must reach the file listing
+    docs.write.mode("overwrite").partitionBy("lang").parquet(s"$base/pq")
+    val en = spark.read.parquet(s"$base/pq").filter($"lang" === "en")
+    val plan = en.queryExecution.executedPlan.toString
+    assert(en.count() == docs.filter($"lang" === "en").count())
+    // text sink (single string column)
+    docs.select(concat_ws("|", $"doc_id", $"lang").as("value"))
+      .write.mode("overwrite").text(s"$base/txt")
+    assert(spark.read.text(s"$base/txt").count() == docs.count())
+  }
+}
