@@ -25,6 +25,7 @@ object SparkEntry {
     relational.Core.queries ++
     relational.Breadth.queries ++
     relational.Events.queries ++
+    relational.Extra.queries ++
     llm.TextOps.queries ++
     llm.Similarity.queries ++
     rounds.Stratify.queries ++
@@ -40,6 +41,7 @@ object SparkEntry {
     relational.Core.oracle ++
     relational.Breadth.oracle ++
     relational.Events.oracle ++
+    relational.Extra.oracle ++
     llm.TextOps.oracle ++
     llm.Similarity.oracle ++
     rounds.Stratify.oracle ++

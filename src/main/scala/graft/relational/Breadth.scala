@@ -24,7 +24,7 @@ object Breadth {
     import s.implicits._
     Tables.orders(s, dir)
       .cube($"o_orderstatus", $"o_orderpriority")
-      .agg(count(lit(1)).as("n"), round(sum($"o_totalprice"), 2).as("total"))
+      .agg(count(lit(1)).as("n"), round(dsum($"o_totalprice"), 2).as("total"))
       .select(coalesce($"o_orderstatus", lit("ALL")).as("o_orderstatus"),
         coalesce($"o_orderpriority", lit("ALL")).as("o_orderpriority"),
         $"n", $"total")
@@ -34,7 +34,7 @@ object Breadth {
   val q11Sql: String =
     """SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
       |       coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
-      |       count(*) AS n, round(sum(o_totalprice), 2) AS total
+      |       count(*) AS n, round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS total
       |FROM orders
       |GROUP BY CUBE (o_orderstatus, o_orderpriority)
       |ORDER BY o_orderstatus, o_orderpriority""".stripMargin
@@ -72,7 +72,7 @@ object Breadth {
     Tables.orders(s, dir)
       .groupBy(date_trunc("month", $"o_orderdate").as("month"))
       .agg(count(lit(1)).as("n_orders"),
-        round(avg($"o_totalprice"), 2).as("avg_price"))
+        round(dsum($"o_totalprice") / count(lit(1)), 2).as("avg_price"))
       .withColumn("yr", year($"month"))
       .withColumn("mon", month($"month"))
       .select($"month", $"yr", $"mon", $"n_orders", $"avg_price")
@@ -86,7 +86,7 @@ object Breadth {
       |       n_orders, avg_price
       |FROM (
       |  SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS mo,
-      |         count(*) AS n_orders, round(avg(o_totalprice), 2) AS avg_price
+      |         count(*) AS n_orders, round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / count(*), 2) AS avg_price
       |  FROM orders GROUP BY 1) t
       |ORDER BY month""".stripMargin
 
@@ -201,13 +201,13 @@ object Breadth {
     import s.implicits._
     Tables.lineitem(s, dir)
       .groupBy($"l_suppkey")
-      .agg(count(lit(1)).as("n"), round(sum($"l_extendedprice"), 2).as("volume"))
+      .agg(count(lit(1)).as("n"), round(dsum($"l_extendedprice"), 2).as("volume"))
       .filter($"n" > 500)
       .orderBy($"l_suppkey")
   }
 
   val q18Sql: String =
-    """SELECT l_suppkey, count(*) AS n, round(sum(l_extendedprice), 2) AS volume
+    """SELECT l_suppkey, count(*) AS n, round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS volume
       |FROM lineitem GROUP BY l_suppkey HAVING count(*) > 500
       |ORDER BY l_suppkey""".stripMargin
 

@@ -31,20 +31,20 @@ object Core {
     Tables.lineitem(s, dir)
       .groupBy($"l_returnflag", $"l_linestatus")
       .agg(
-        round(sum($"l_quantity"), 2).as("sum_qty"),
-        round(sum($"l_extendedprice"), 2).as("sum_base_price"),
-        round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("sum_disc_price"),
-        round(avg($"l_quantity"), 2).as("avg_qty"),
+        round(dsum($"l_quantity"), 2).as("sum_qty"),
+        round(dsum($"l_extendedprice"), 2).as("sum_base_price"),
+        round(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("sum_disc_price"),
+        round(dsum($"l_quantity") / count(lit(1)), 2).as("avg_qty"),
         count(lit(1)).as("count_order"))
       .orderBy($"l_returnflag", $"l_linestatus")
   }
 
   val q01Sql: String =
     """SELECT l_returnflag, l_linestatus,
-      | round(sum(l_quantity), 2) AS sum_qty,
-      | round(sum(l_extendedprice), 2) AS sum_base_price,
-      | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
-      | round(avg(l_quantity), 2) AS avg_qty,
+      | round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_qty,
+      | round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_base_price,
+      | round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_disc_price,
+      | round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*), 2) AS avg_qty,
       | count(*) AS count_order
       |FROM lineitem
       |GROUP BY l_returnflag, l_linestatus
@@ -64,13 +64,13 @@ object Core {
     li.join(ord, $"l_orderkey" === $"o_orderkey")
       .join(broadcast(cust), $"o_custkey" === $"c_custkey")
       .groupBy($"l_orderkey", $"o_orderdate")
-      .agg(round(sum($"rev"), 2).as("revenue"))
+      .agg(round(dsum($"rev"), 2).as("revenue"))
       .orderBy($"revenue".desc, $"o_orderdate".asc, $"l_orderkey".asc)
       .limit(10)
   }
 
   val q02Sql: String =
-    """SELECT l_orderkey, o_orderdate, round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+    """SELECT l_orderkey, o_orderdate, round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
       |JOIN customer ON o_custkey = c_custkey
@@ -87,12 +87,12 @@ object Core {
     Tables.lineitem(s, dir).select($"l_partkey", $"l_quantity")
       .join(broadcast(p), $"l_partkey" === $"p_partkey")
       .groupBy($"p_brand")
-      .agg(count(lit(1)).as("n_items"), round(sum($"l_quantity"), 2).as("total_qty"))
+      .agg(count(lit(1)).as("n_items"), round(dsum($"l_quantity"), 2).as("total_qty"))
       .orderBy($"p_brand")
   }
 
   val q03Sql: String =
-    """SELECT p_brand, count(*) AS n_items, round(sum(l_quantity), 2) AS total_qty
+    """SELECT p_brand, count(*) AS n_items, round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 2) AS total_qty
       |FROM lineitem JOIN part ON l_partkey = p_partkey
       |GROUP BY p_brand ORDER BY p_brand""".stripMargin
 
@@ -238,7 +238,7 @@ object Core {
     c.join(broadcast(n), $"c_nationkey" === $"n_nationkey")
       .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
       .rollup($"r_name", $"n_name")
-      .agg(count(lit(1)).as("n_cust"), round(sum($"c_acctbal"), 2).as("total_bal"))
+      .agg(count(lit(1)).as("n_cust"), round(dsum($"c_acctbal"), 2).as("total_bal"))
       .select(coalesce($"r_name", lit("ALL")).as("r_name"),
         coalesce($"n_name", lit("ALL")).as("n_name"),
         $"n_cust", $"total_bal")
@@ -247,7 +247,7 @@ object Core {
 
   val q10Sql: String =
     """SELECT coalesce(r_name, 'ALL') AS r_name, coalesce(n_name, 'ALL') AS n_name,
-      |       count(*) AS n_cust, round(sum(c_acctbal), 2) AS total_bal
+      |       count(*) AS n_cust, round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE), 2) AS total_bal
       |FROM customer
       |JOIN nation ON c_nationkey = n_nationkey
       |JOIN region ON n_regionkey = r_regionkey

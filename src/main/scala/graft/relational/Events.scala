@@ -29,14 +29,14 @@ object Events {
     import s.implicits._
     ev(s, dir)
       .groupBy(date_trunc("hour", $"ts").as("hour"), $"event_type")
-      .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("total_value"))
+      .agg(count(lit(1)).as("n"), round(dsum($"value"), 2).as("total_value"))
       .orderBy($"hour", $"event_type")
   }
 
   val q22Sql: String =
     s"""$evCte
        |SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
-       |       count(*) AS n, round(sum(value), 2) AS total_value
+       |       count(*) AS n, round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS total_value
        |FROM ev GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
 
   /** q23: session windows — 30-minute-gap sessionization per user
@@ -152,18 +152,18 @@ object Events {
     import s.implicits._
     val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
     ev(s, dir)
-      .withColumn("gap_sec",
-        (unix_micros($"ts".cast("timestamp")) - unix_micros(lag($"ts", 1).over(w).cast("timestamp"))) / 1000000.0)
+      .withColumn("gap_us",
+        unix_micros($"ts".cast("timestamp")) - unix_micros(lag($"ts", 1).over(w).cast("timestamp")))
       .groupBy($"user_id")
-      .agg(round(avg($"gap_sec"), 2).as("avg_gap_sec"),
-        count($"gap_sec").as("n_gaps"))
+      .agg(round(sum($"gap_us") / count($"gap_us") / 1000000.0, 2).as("avg_gap_sec"),
+        count($"gap_us").as("n_gaps"))
       .orderBy($"user_id")
   }
 
   val q27Sql: String =
     s"""$evCte
        |SELECT user_id,
-       |  round(avg(gap_us / 1000000.0), 2) AS avg_gap_sec,
+       |  round(sum(gap_us) / count(gap_us) / 1000000.0, 2) AS avg_gap_sec,
        |  count(gap_us) AS n_gaps
        |FROM (
        |  SELECT user_id,
@@ -183,7 +183,7 @@ object Events {
         countDistinct($"user_id").as("n_users"),
         min($"ts").as("first_ts"),
         max($"ts").as("last_ts"),
-        round(sum($"value"), 2).as("total_value"))
+        round(dsum($"value"), 2).as("total_value"))
       .orderBy($"event_type")
   }
 
@@ -191,7 +191,7 @@ object Events {
     s"""$evCte
        |SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users,
        |       min(ts) AS first_ts, max(ts) AS last_ts,
-       |       round(sum(value), 2) AS total_value
+       |       round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS total_value
        |FROM ev GROUP BY event_type ORDER BY event_type""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
