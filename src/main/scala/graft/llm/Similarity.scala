@@ -172,11 +172,48 @@ object Similarity {
       .orderBy($"qid", $"rank")
   }
 
+  /** q66: IVF-style ANN — the other scale path besides LSH banding:
+    *  1. centroids: deterministic stride sample of the corpus (the
+    *     seeding step of a k-means IVF build; no RNG);
+    *  2. assign: every vector goes to its nearest-centroid cell
+    *     (broadcast centroids, one narrow pass);
+    *  3. probe: each query searches its `nprobe`=2 nearest cells only.
+    * Candidate generation is an equality join on cell id — at 100 TB
+    * the cells shard the corpus so a query touches ~nprobe/K of it.
+    * Rows-only; recall vs brute force unit-tested. */
+  def q66AnnIvf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = vecs(s, dir)
+    val cents = e.filter(pmod($"vec_id", lit(31)) === 0)
+      .select($"vec_id".as("cent_id"), $"v".as("cv0"))
+    def nearestCells(df: DataFrame, vcol: String, n: Int, out: String): DataFrame = {
+      val w = Window.partitionBy($"vec_id").orderBy($"csim".desc, $"cent_id".asc)
+      df.crossJoin(broadcast(cents))
+        .withColumn("csim", graft.functions.CosineSim.cosine(s, col(vcol), $"cv0"))
+        .withColumn("crn", row_number().over(w))
+        .filter($"crn" <= n)
+        .select(df.columns.map(col) :+ $"cent_id".as(out): _*)
+    }
+    val assigned = nearestCells(e, "v", 1, "cell")
+    val q = nearestCells(e.filter($"vec_id" < 10), "v", 2, "cell")
+      .select($"vec_id".as("qid"), $"v".as("qv"), $"cell")
+    val c = assigned.select($"vec_id".as("cid"), $"v".as("cv"), $"cell".as("ccell"))
+    val w = Window.partitionBy($"qid").orderBy($"sim".desc, $"cid".asc)
+    c.join(broadcast(q), $"ccell" === $"cell" && $"cid" =!= $"qid")
+      .select($"qid", $"qv", $"cid", $"cv").dropDuplicates("qid", "cid")
+      .withColumn("sim", graft.functions.CosineSim.cosine(s, $"qv", $"cv"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 5)
+      .select($"qid", $"rank", $"cid", round($"sim", 4).as("sim"))
+      .orderBy($"qid", $"rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q36_cosine_topk"    -> (q36CosineTopk _),
     "q37_vec_norms"      -> (q37VecNorms _),
     "q38_label_centroid" -> (q38LabelCentroid _),
     "q39_ann_lsh"        -> (q39AnnLsh _),
+    "q66_ann_ivf"        -> (q66AnnIvf _),
   )
 
   /** q39 omitted: LSH bucketing is not SQL-expressible (murmur3 seed

@@ -199,7 +199,31 @@ object TextOps {
       |  FROM documents) t
       |ORDER BY doc_id""".stripMargin
 
+  /** q67: BPE-ish tokenization — the GPT-2 pre-tokenizer regex shape
+    * (contractions, space-prefixed letter runs, digit runs, punctuation
+    * runs, whitespace); counts per document next to whitespace tokens.
+    * Pure RE2-compatible alternation, so DuckDB evaluates it identically. */
+  def q67BpeTokens(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bpe = "'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^\\sa-zA-Z0-9]+|\\s+"
+    Tables.documents(s, dir)
+      .select($"doc_id",
+        size(regexp_extract_all($"text", lit(bpe), lit(0))).as("n_bpe"),
+        size(regexp_extract_all($"text", lit("\\S+"), lit(0))).as("n_ws"),
+        size(array_distinct(regexp_extract_all($"text", lit(bpe), lit(0))))
+          .as("n_bpe_distinct"))
+      .orderBy($"doc_id")
+  }
+
+  val q67Sql: String =
+    """SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^\sa-zA-Z0-9]+|\s+')) AS INT) AS n_bpe,
+      |  CAST(len(regexp_extract_all(text, '\S+')) AS INT) AS n_ws,
+      |  CAST(len(list_distinct(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^\sa-zA-Z0-9]+|\s+'))) AS INT) AS n_bpe_distinct
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q67_bpe_tokens"    -> (q67BpeTokens _),
     "q29_dedup_exact"   -> (q29DedupExact _),
     "q30_token_count"   -> (q30TokenCount _),
     "q31_lang_stats"    -> (q31LangStats _),
@@ -210,6 +234,7 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q67_bpe_tokens"    -> q67Sql,
     "q29_dedup_exact"   -> q29Sql,
     "q30_token_count"   -> q30Sql,
     "q31_lang_stats"    -> q31Sql,
