@@ -26,6 +26,7 @@ object SparkEntry {
     relational.Breadth.queries ++
     relational.Events.queries ++
     relational.Extra.queries ++
+    relational.Extra2.queries ++
     llm.TextOps.queries ++
     llm.Similarity.queries ++
     rounds.Stratify.queries ++
@@ -42,6 +43,7 @@ object SparkEntry {
     relational.Breadth.oracle ++
     relational.Events.oracle ++
     relational.Extra.oracle ++
+    relational.Extra2.oracle ++
     llm.TextOps.oracle ++
     llm.Similarity.oracle ++
     rounds.Stratify.oracle ++

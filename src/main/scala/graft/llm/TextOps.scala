@@ -140,7 +140,11 @@ object TextOps {
     val a = toks.select($"source", $"doc_id".as("id1"), $"n".as("n1"), $"tok")
     val b = toks.select($"source".as("s2"), $"doc_id".as("id2"), $"n".as("n2"),
       $"tok".as("tok2"))
-    a.join(b, $"source" === $"s2" && $"tok" === $"tok2" && $"id1" < $"id2")
+    // length-ratio prefilter: J(A,B) <= min/max, so min >= 0.6*max is a
+    // necessary condition for the 0.6 threshold — prunes pairs at the
+    // join without changing results (oracle SQL needs no filter).
+    a.join(b, $"source" === $"s2" && $"tok" === $"tok2" && $"id1" < $"id2" &&
+        least($"n1", $"n2") >= lit(0.6) * greatest($"n1", $"n2"))
       .groupBy($"id1", $"id2", $"n1", $"n2")
       .agg(count(lit(1)).as("shared"))
       .withColumn("jaccard",
