@@ -27,6 +27,7 @@ object SparkEntry {
     relational.Events.queries ++
     relational.Extra.queries ++
     relational.Extra2.queries ++
+    relational.Analytics.queries ++
     llm.TextOps.queries ++
     llm.Similarity.queries ++
     rounds.Stratify.queries ++
@@ -44,6 +45,7 @@ object SparkEntry {
     relational.Events.oracle ++
     relational.Extra.oracle ++
     relational.Extra2.oracle ++
+    relational.Analytics.oracle ++
     llm.TextOps.oracle ++
     llm.Similarity.oracle ++
     rounds.Stratify.oracle ++
