@@ -57,7 +57,7 @@ object Analytics {
     * a part-name family. */
   def q77ProfitByNation(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val part = Tables.part(s, dir).filter($"p_name".contains("1"))
+    val part = Tables.part(s, dir).filter($"p_name".contains("widget"))
       .select($"p_partkey", $"p_retailprice")
     val supp = Tables.supplier(s, dir).select($"s_suppkey", $"s_nationkey")
     val nation = Tables.nation(s, dir).select($"n_nationkey", $"n_name")
@@ -84,7 +84,7 @@ object Analytics {
       |  JOIN supplier ON l_suppkey = s_suppkey
       |  JOIN nation   ON s_nationkey = n_nationkey
       |  JOIN orders   ON l_orderkey = o_orderkey
-      |  WHERE p_name LIKE '%1%') t
+      |  WHERE p_name LIKE '%widget%') t
       |GROUP BY n_name, o_year
       |ORDER BY n_name, o_year DESC""".stripMargin
 
