@@ -69,6 +69,24 @@ object Streams {
       .withWatermark("ts", watermark)
       .dropDuplicates(Seq("user_id", "event_type"))
 
+  /** Watermarked stream-stream interval join (SURVEY.md §2.2 joins row:
+    * "interval join = range condition + watermark in streaming"): match
+    * each follow-up event to signups of the same user within the
+    * preceding hour. Both sides watermarked so state is bounded — the
+    * join buffers at most one hour of each stream per key. */
+  def signupFollowupJoin(signups: DataFrame, events: DataFrame,
+      watermark: String = "10 minutes"): DataFrame = {
+    val su = signups
+      .withColumnRenamed("ts", "su_ts")
+      .withColumnRenamed("user_id", "su_user")
+      .withWatermark("su_ts", watermark)
+    val ev = events.withWatermark("ts", watermark)
+    ev.join(su,
+      expr("""user_id = su_user AND
+              ts > su_ts AND
+              ts <= su_ts + INTERVAL 1 HOUR"""))
+  }
+
   /** S16 — pulse aggregation over the status stream: per project/plan
     * rollup {phases by status, total tools, last update, stalled count}
     * (ref `agents/orbiter.md:198-242`). Works on batch or streaming

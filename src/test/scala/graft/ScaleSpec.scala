@@ -1,0 +1,75 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.Streams
+
+/** Scale-mechanism checks: stream-stream interval join state bounds and
+  * bucketed shuffle-free joins — the 100 TB design claims, verified on
+  * small data by inspecting plans and results. */
+class ScaleSpec extends AnyFunSuite {
+  import SparkTestSession.{spark, sf}
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("stream-stream interval join matches follow-ups within the hour only") {
+    implicit val sqlCtx = spark.sqlContext
+    val suMem = MemoryStream[(Timestamp, Long)]
+    val evMem = MemoryStream[(Timestamp, Long, String)]
+    val signups = suMem.toDS().toDF("ts", "user_id")
+    val events = evMem.toDS().toDF("ts", "user_id", "event_type")
+    val joined = Streams.signupFollowupJoin(signups, events, "0 seconds")
+    val q = joined.writeStream.format("memory").queryName("ssj_out")
+      .outputMode("append").start()
+    try {
+      suMem.addData((ts("2026-01-01 10:00:00"), 1L), (ts("2026-01-01 10:00:00"), 2L))
+      evMem.addData(
+        (ts("2026-01-01 10:30:00"), 1L, "click"),   // in window
+        (ts("2026-01-01 11:30:00"), 1L, "click"),   // past 1 hour
+        (ts("2026-01-01 09:30:00"), 1L, "click"),   // before signup
+        (ts("2026-01-01 10:15:00"), 3L, "click"))   // other user
+      q.processAllAvailable()
+      val rows = spark.table("ssj_out").collect()
+      assert(rows.length == 1, s"expected 1 joined row, got ${rows.length}")
+      assert(rows.head.getAs[Long]("user_id") == 1L)
+      assert(rows.head.getAs[Timestamp]("ts") == ts("2026-01-01 10:30:00"))
+    } finally q.stop()
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    val wh = java.nio.file.Files.createTempDirectory("wh").toString
+    val o = Tables.orders(spark, sf).select($"o_orderkey", $"o_custkey", $"o_totalprice")
+    val l = Tables.lineitem(spark, sf).select($"l_orderkey", $"l_quantity")
+    o.write.mode("overwrite").bucketBy(8, "o_orderkey")
+      .sortBy("o_orderkey").option("path", s"$wh/ob").saveAsTable("orders_b")
+    l.write.mode("overwrite").bucketBy(8, "l_orderkey")
+      .sortBy("l_orderkey").option("path", s"$wh/lb").saveAsTable("lineitem_b")
+    try {
+      // disable auto-broadcast so the join would otherwise shuffle
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = spark.table("lineitem_b")
+        .join(spark.table("orders_b"), $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_custkey").agg(sum($"l_quantity").as("q"))
+      val plan = j.queryExecution.executedPlan.toString
+      // bucketed co-partitioning: no Exchange below the join
+      val joinIdx = plan.indexOf("SortMergeJoin")
+      assert(joinIdx >= 0, s"expected sort-merge join:\n$plan")
+      val below = plan.substring(joinIdx)
+      assert(!below.contains("Exchange hashpartitioning(l_orderkey"),
+        s"join still shuffles its inputs:\n$plan")
+      // results match the unbucketed join
+      val expected = l.join(o, $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_custkey").agg(sum($"l_quantity").as("q"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val got = j.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(got == expected)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", s"${10L * 1024 * 1024}")
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    }
+  }
+}
