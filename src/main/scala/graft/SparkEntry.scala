@@ -28,6 +28,7 @@ object SparkEntry {
     relational.Extra.queries ++
     relational.Extra2.queries ++
     relational.Analytics.queries ++
+    relational.Extra3.queries ++
     llm.TextOps.queries ++
     llm.Similarity.queries ++
     rounds.Stratify.queries ++
@@ -46,6 +47,7 @@ object SparkEntry {
     relational.Extra.oracle ++
     relational.Extra2.oracle ++
     relational.Analytics.oracle ++
+    relational.Extra3.oracle ++
     llm.TextOps.oracle ++
     llm.Similarity.oracle ++
     rounds.Stratify.oracle ++

@@ -1,0 +1,47 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-hygiene regression guard: no registered query may plan a
+  * cartesian product (except the whitelisted intentional crosses over
+  * tiny dimensions), and the big-fact scans must prune columns — the
+  * properties that keep every query viable at 100 TB. */
+class PlanHygieneSpec extends AnyFunSuite {
+  import SparkTestSession.{spark, sf}
+
+  /** Intentional tiny-dimension crosses / scalar-subquery broadcasts. */
+  private val cartesianOk = Set(
+    "q25_stall_detect",    // broadcast of a 1-row high-water mark
+    "q36_cosine_topk",     // brute-force by design: broadcast Q vs corpus
+    "q63_levenshtein",     // 25x25 nation pairs
+    "q65_cross_join",      // region x status grid
+    "q66_ann_ivf",         // broadcast of ~16 centroids
+    "q79_scalar_subquery") // broadcast of a 1-row global average
+
+  test("no unintended cartesian products across the whole catalog") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan =
+        try fn(spark, sf).queryExecution.executedPlan.toString
+        catch { case e: Throwable => fail(s"$name failed to plan: ${e.getMessage}") }
+      if ((plan.contains("CartesianProduct") || plan.contains("BroadcastNestedLoopJoin"))
+          && !cartesianOk.contains(name)) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"queries planning cartesian/nested-loop joins: $offenders")
+  }
+
+  test("lineitem scans prune columns (never read the full 11-column schema)") {
+    val wide = Seq("q01_agg", "q02_topk_revenue", "q03_join_brand", "q18_having")
+    wide.foreach { name =>
+      val scans = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.sparkPlan.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            f.requiredSchema.fields.length
+        }
+      assert(scans.nonEmpty, s"$name: no parquet scan found")
+      scans.foreach { n =>
+        assert(n <= 6, s"$name has a scan reading $n columns")
+      }
+    }
+  }
+}
