@@ -36,7 +36,8 @@ object SparkEntry {
     streaming.Registered.queries ++
     llm.Dedup.queries ++
     queue.TranscriptEtl.queries ++
-    llm.Multimodal.queries
+    llm.Multimodal.queries ++
+    plans.TopK.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -51,5 +52,6 @@ object SparkEntry {
     llm.TextOps.oracle ++
     llm.Similarity.oracle ++
     rounds.Stratify.oracle ++
-    llm.Dedup.oracle
+    llm.Dedup.oracle ++
+    plans.TopK.oracle
 }

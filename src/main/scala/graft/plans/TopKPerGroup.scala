@@ -1,0 +1,134 @@
+package graft.plans
+
+import scala.collection.mutable
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.classic.Strategy
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Descending, Expression, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
+
+/** Whole-operator custom tier (SURVEY.md §7.3 path (c)): per-group top-k
+  * as a first-class operator — LogicalPlan node, planner Strategy, and
+  * physical SparkPlan — instead of the window row_number()+filter
+  * formulation, which must fully sort every group. The physical operator
+  * keeps a bounded k-element heap per group (one pass, O(n log k),
+  * memory O(groups·k) per partition) after clustering rows by group key.
+  *
+  * This is the scheduler's "pick the best k per queue" (S8,
+  * ref `agents/orbiter.md:85-90`) shaped for 100 TB: the only shuffle is
+  * the hash partition by group; no sort of the full input ever happens.
+  */
+case class TopKPerGroup(
+    groupExprs: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    child: LogicalPlan) extends UnaryNode {
+  require(k > 0, "k must be positive")
+  override def output = child.output
+  override protected def withNewChildInternal(newChild: LogicalPlan): LogicalPlan =
+    copy(child = newChild)
+}
+
+case class TopKPerGroupExec(
+    groupExprs: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    child: SparkPlan) extends UnaryExecNode {
+
+  override def output = child.output
+
+  /** Rows of one group must meet in one partition — Catalyst inserts the
+    * hash exchange (or reuses an existing compatible partitioning). */
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(groupExprs) :: Nil
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val schema = child.output
+    val (gExprs, oOrder, kk) = (groupExprs, order, k)
+    child.execute().mapPartitions({ iter =>
+      val groupProj = UnsafeProjection.create(gExprs, schema)
+      val ord = RowOrdering.create(oOrder, schema)
+      // max-heap under `ord`: the worst retained row sits on top and is
+      // evicted when a better one arrives
+      val heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
+      iter.foreach { row =>
+        val key = groupProj(row)
+        val heap = heaps.getOrElseUpdate(key.copy(),
+          mutable.PriorityQueue.empty[InternalRow](ord.asInstanceOf[Ordering[InternalRow]]))
+        if (heap.size < kk) heap.enqueue(row.copy())
+        else if (ord.compare(row, heap.head) < 0) {
+          heap.dequeue(); heap.enqueue(row.copy())
+        }
+      }
+      heaps.valuesIterator.flatMap(_.dequeueAll.reverseIterator)
+    }, preservesPartitioning = true)
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): SparkPlan =
+    copy(child = newChild)
+}
+
+object TopKStrategy extends Strategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerGroup(g, o, k, child) =>
+      TopKPerGroupExec(g, o, k, planLater(child)) :: Nil
+    case _ => Nil
+  }
+}
+
+object TopK {
+  import org.apache.spark.sql.graftshim.GraftSqlShim
+
+  /** Sort spec: column name + direction. */
+  case class Ord(name: String, asc: Boolean = true)
+
+  /** Per-group top-k of `df`: the `k` first rows of each group under
+    * `orderBy`. Columns are resolved by name against the analyzed child
+    * (computed keys: `withColumn` first). Registers the strategy
+    * idempotently on the session. */
+  def perGroup(df: DataFrame, groupBy: Seq[String], orderBy: Seq[Ord], k: Int): DataFrame = {
+    val spark = df.sparkSession
+    if (!spark.experimental.extraStrategies.contains(TopKStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ TopKStrategy
+    }
+    val child = df.queryExecution.analyzed
+    def attr(n: String) = child.output.find(_.name == n).getOrElse(
+      throw new IllegalArgumentException(
+        s"column $n not in ${child.output.map(_.name).mkString(", ")}"))
+    val g = groupBy.map(attr(_): Expression)
+    val o = orderBy.map(s =>
+      SortOrder(attr(s.name), if (s.asc) Ascending else Descending))
+    GraftSqlShim.ofRows(spark, TopKPerGroup(g, o, k, child))
+  }
+
+  /** q86: the custom operator under the oracle gate — 3 highest-value
+    * orders per customer via TopKPerGroupExec, hash-matched against the
+    * window row_number() SQL formulation. */
+  def q86CustomTopk(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val o = graft.Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+    perGroup(o, Seq("o_custkey"),
+        Seq(Ord("o_totalprice", asc = false), Ord("o_orderkey")), 3)
+      .orderBy(col("o_custkey"), col("o_totalprice").desc, col("o_orderkey"))
+  }
+
+  val q86Sql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_custkey
+      |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      |  FROM orders) t
+      |WHERE rn <= 3
+      |ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q86_custom_topk" -> (q86CustomTopk _))
+  val oracle: Map[String, String] = Map(
+    "q86_custom_topk" -> q86Sql)
+}
