@@ -37,7 +37,8 @@ object SparkEntry {
     llm.Dedup.queries ++
     queue.TranscriptEtl.queries ++
     llm.Multimodal.queries ++
-    plans.TopK.queries
+    plans.TopK.queries ++
+    llm.Pipeline.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

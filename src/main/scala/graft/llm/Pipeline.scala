@@ -1,0 +1,77 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** End-to-end curation pipeline — the composition a training-data user
+  * actually runs, chaining the engine's operators in their production
+  * order (each stage narrows the corpus before the next, more expensive
+  * one):
+  *
+  *   1. exact dedup on the normalized fingerprint (q33's identity);
+  *   2. quality gate: token count + stopword-ratio tier (q32);
+  *   3. language filter via the lang-ID heuristic (q35);
+  *   4. near-dup suppression: MinHash-LSH candidates (q46's shape),
+  *      keeping the lower doc_id of each surviving pair;
+  *   5. emit the curated corpus with its provenance columns.
+  *
+  * One pass per stage, all narrow or bucket-joined — the funnel shape
+  * (cheap filters first, pairwise work last on the smallest set) is the
+  * 100 TB cost model.
+  */
+object Pipeline {
+
+  def curate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+
+    // 1. exact dedup on normalized text (keep the smallest doc_id)
+    val fp = docs.withColumn("fp",
+      md5(trim(regexp_replace(lower($"text"), "\\s+", " "))))
+    val keepers = fp.groupBy($"fp").agg(min($"doc_id").as("doc_id"))
+    val deduped = fp.join(keepers, Seq("fp", "doc_id"))
+
+    // 2. quality gate
+    val stop = "('the','a','an','of','and','to','in','is','it','for')"
+    val scored = deduped
+      .withColumn("toks", regexp_extract_all(lower($"text"), lit("\\S+"), lit(0)))
+      .withColumn("n_tokens", size($"toks"))
+      .withColumn("stop_ratio",
+        size(expr(s"filter(toks, x -> x IN $stop)")).cast("double") / $"n_tokens")
+      .filter($"n_tokens" >= 20)
+
+    // 3. language filter (marker-word heuristic, en only)
+    val en = scored.filter(
+      size(regexp_extract_all(lower($"text"), lit("\\b(the|a|of|and|is|to)\\b"), lit(0))) >
+      size(regexp_extract_all(lower($"text"), lit("\\b(der|die|das|und|le|la|el|los)\\b"), lit(0))))
+
+    // 4. near-dup suppression via MinHash-LSH: drop the higher doc_id of
+    //    any confirmed near-dup pair
+    val sh = en.withColumn("sh", Dedup.shingles($"toks"))
+      .withColumn("sig", Dedup.minhashSig($"sh"))
+    val banded = sh.select($"doc_id", $"sh",
+      explode(array((0 until Dedup.Bands).map(b =>
+        struct(lit(b).as("band"),
+          xxhash64(slice($"sig", b * Dedup.RowsPerBand + 1, Dedup.RowsPerBand)).as("bkt"))): _*))
+        .as("bb"))
+      .select($"doc_id", $"sh", $"bb.band", $"bb.bkt")
+    val a = banded.select($"doc_id".as("id1"), $"sh".as("sh1"), $"band", $"bkt")
+    val b = banded.select($"doc_id".as("id2"), $"sh".as("sh2"),
+      $"band".as("b2"), $"bkt".as("k2"))
+    val losers = a.join(b, $"band" === $"b2" && $"bkt" === $"k2" && $"id1" < $"id2")
+      .dropDuplicates("id1", "id2")
+      .filter(size(array_intersect($"sh1", $"sh2")).cast("double") /
+        size(array_union($"sh1", $"sh2")) >= 0.5)
+      .select($"id2".as("doc_id")).distinct()
+
+    // 5. curated corpus + provenance
+    en.join(losers, Seq("doc_id"), "left_anti")
+      .select($"doc_id", $"lang", $"source", $"n_tokens",
+        round($"stop_ratio", 4).as("stop_ratio"), $"fp")
+      .orderBy($"doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q87_curation_pipeline" -> (curate _))
+}

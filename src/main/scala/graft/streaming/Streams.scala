@@ -69,6 +69,15 @@ object Streams {
       .withWatermark("ts", watermark)
       .dropDuplicates(Seq("user_id", "event_type"))
 
+  /** Watermark-bounded-state variant: duplicates are only suppressed
+    * while their first sighting is younger than the watermark delay, and
+    * state is dropped afterwards — the unbounded-key-space form (Spark
+    * 3.5+ `dropDuplicatesWithinWatermark`). */
+  def dedupWithinWatermark(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(Seq("user_id", "event_type"))
+
   /** Watermarked stream-stream interval join (SURVEY.md §2.2 joins row:
     * "interval join = range condition + watermark in streaming"): match
     * each follow-up event to signups of the same user within the
