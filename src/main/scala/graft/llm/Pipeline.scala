@@ -41,10 +41,13 @@ object Pipeline {
         size(expr(s"filter(toks, x -> x IN $stop)")).cast("double") / $"n_tokens")
       .filter($"n_tokens" >= 20)
 
-    // 3. language filter (marker-word heuristic, en only)
+    // 3. language filter (marker-word heuristic, en only).
+    // localCheckpoint: `en` feeds BOTH the LSH candidate build and the
+    // final anti-join — without it the whole funnel lineage runs twice.
     val en = scored.filter(
       size(regexp_extract_all(lower($"text"), lit("\\b(the|a|of|and|is|to)\\b"), lit(0))) >
       size(regexp_extract_all(lower($"text"), lit("\\b(der|die|das|und|le|la|el|los)\\b"), lit(0))))
+      .localCheckpoint(true)
 
     // 4. near-dup suppression via MinHash-LSH: drop the higher doc_id of
     //    any confirmed near-dup pair
@@ -56,6 +59,7 @@ object Pipeline {
           xxhash64(slice($"sig", b * Dedup.RowsPerBand + 1, Dedup.RowsPerBand)).as("bkt"))): _*))
         .as("bb"))
       .select($"doc_id", $"sh", $"bb.band", $"bb.bkt")
+      .localCheckpoint(true) // both join sides read this; hash once
     val a = banded.select($"doc_id".as("id1"), $"sh".as("sh1"), $"band", $"bkt")
     val b = banded.select($"doc_id".as("id2"), $"sh".as("sh2"),
       $"band".as("b2"), $"bkt".as("k2"))
