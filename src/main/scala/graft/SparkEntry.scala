@@ -28,6 +28,7 @@ object SparkEntry {
     relational.Extra.queries ++
     relational.Extra2.queries ++
     relational.Analytics.queries ++
+    relational.Stats.queries ++
     relational.Extra3.queries ++
     llm.TextOps.queries ++
     llm.Similarity.queries ++
@@ -49,6 +50,7 @@ object SparkEntry {
     relational.Extra.oracle ++
     relational.Extra2.oracle ++
     relational.Analytics.oracle ++
+    relational.Stats.oracle ++
     relational.Extra3.oracle ++
     llm.TextOps.oracle ++
     llm.Similarity.oracle ++

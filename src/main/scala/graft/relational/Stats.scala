@@ -1,0 +1,206 @@
+package graft.relational
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Statistical and selector aggregates wave: stddev/variance/corr,
+  * arg-max/min selectors, boolean aggregates, grouped EXISTS,
+  * multi-column IN, and corpus word frequencies. */
+object Stats {
+
+  /** q88: grouped EXISTS — customers having an order with more than 4
+    * line items (EXISTS over an aggregated subquery). */
+  def q88GroupedExists(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val big = Tables.lineitem(s, dir)
+      .groupBy($"l_orderkey").agg(count(lit(1)).as("n"))
+      .filter($"n" > 4).select($"l_orderkey")
+    val ord = Tables.orders(s, dir).select($"o_orderkey", $"o_custkey")
+      .join(big, $"o_orderkey" === $"l_orderkey", "left_semi")
+    Tables.customer(s, dir).select($"c_custkey", $"c_mktsegment")
+      .join(ord.select($"o_custkey").distinct(), $"c_custkey" === $"o_custkey", "left_semi")
+      .groupBy($"c_mktsegment").agg(count(lit(1)).as("n_cust"))
+      .orderBy($"c_mktsegment")
+  }
+
+  val q88Sql: String =
+    """SELECT c_mktsegment, count(*) AS n_cust
+      |FROM customer
+      |WHERE EXISTS (
+      |  SELECT 1 FROM orders
+      |  WHERE o_custkey = c_custkey
+      |    AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey
+      |                GROUP BY l_orderkey HAVING count(*) > 4))
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  /** q90: multi-column IN — line items whose (orderkey, suppkey) pair
+    * appears among urgent orders' pairs. Expressed as a two-column
+    * semi-join on both sides. */
+  def q90MultiColIn(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val urgentPairs = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir).filter($"o_orderpriority" === "1-URGENT")
+        .select($"o_orderkey"), $"l_orderkey" === $"o_orderkey", "left_semi")
+      .select($"l_orderkey".as("uk"), $"l_suppkey".as("us")).distinct()
+    Tables.lineitem(s, dir)
+      .join(urgentPairs, $"l_orderkey" === $"uk" && $"l_suppkey" === $"us", "left_semi")
+      .groupBy($"l_returnflag").agg(count(lit(1)).as("n"))
+      .orderBy($"l_returnflag")
+  }
+
+  // DuckDB lacks tuple-IN subqueries; the correlated EXISTS is the same
+  // two-column semi-join.
+  val q90Sql: String =
+    """SELECT l1.l_returnflag, count(*) AS n
+      |FROM lineitem l1
+      |WHERE EXISTS (
+      |  SELECT 1 FROM lineitem l2
+      |  JOIN orders ON l2.l_orderkey = o_orderkey
+      |  WHERE o_orderpriority = '1-URGENT'
+      |    AND l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey = l1.l_suppkey)
+      |GROUP BY l1.l_returnflag ORDER BY l1.l_returnflag""".stripMargin
+
+  /** q91: conditional ordering — ORDER BY CASE (urgent first, then by
+    * key), the priority-dispatch sort S8 in pure ORDER BY form. */
+  def q91CaseOrder(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .filter($"o_orderkey" <= 200)
+      .withColumn("lane",
+        when($"o_orderpriority" === "1-URGENT", 0)
+          .when($"o_orderstatus" === "O", 1).otherwise(2))
+      .select($"o_orderkey", $"o_orderpriority", $"lane")
+      .orderBy($"lane", $"o_orderkey")
+  }
+
+  val q91Sql: String =
+    """SELECT o_orderkey, o_orderpriority,
+      |  CAST(CASE WHEN o_orderpriority = '1-URGENT' THEN 0
+      |       WHEN o_orderstatus = 'O' THEN 1 ELSE 2 END AS INT) AS lane
+      |FROM orders WHERE o_orderkey <= 200
+      |ORDER BY lane, o_orderkey""".stripMargin
+
+  /** q92: corpus word frequencies — global top-20 tokens (explode +
+    * count + top-k, the vocabulary scan of any text pipeline). */
+  def q92WordFreq(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(explode(regexp_extract_all(lower($"text"), lit("[a-z]+"), lit(0))).as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"w".asc)
+      .limit(20)
+  }
+
+  val q92Sql: String =
+    """SELECT w, count(*) AS n FROM (
+      |  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+      |  FROM documents) t
+      |GROUP BY w ORDER BY n DESC, w ASC LIMIT 20""".stripMargin
+
+  /** q93: selector aggregates — the order key holding each priority
+    * class's maximum price (max_by ≙ arg_max); price ties broken by the
+    * composite (price, key) ordering so both engines select identically. */
+  def q93ArgMax(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .groupBy($"o_orderpriority")
+      .agg(
+        max_by($"o_orderkey", struct($"o_totalprice", $"o_orderkey")).as("max_key"),
+        min_by($"o_orderkey", struct($"o_totalprice", $"o_orderkey")).as("min_key"),
+        round(max($"o_totalprice"), 2).as("max_price"))
+      .orderBy($"o_orderpriority")
+  }
+
+  // DuckDB's arg_max can't take a struct ordering; first_value over the
+  // composite sort is the same lexicographic selector.
+  val q93Sql: String =
+    """SELECT DISTINCT o_orderpriority,
+      |  first_value(o_orderkey) OVER (PARTITION BY o_orderpriority
+      |    ORDER BY o_totalprice DESC, o_orderkey DESC) AS max_key,
+      |  first_value(o_orderkey) OVER (PARTITION BY o_orderpriority
+      |    ORDER BY o_totalprice ASC, o_orderkey ASC) AS min_key,
+      |  round(max(o_totalprice) OVER (PARTITION BY o_orderpriority), 2) AS max_price
+      |FROM orders ORDER BY o_orderpriority""".stripMargin
+
+  /** q94: boolean aggregates — every/any per segment. */
+  def q94BoolAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.customer(s, dir)
+      .groupBy($"c_mktsegment")
+      .agg(
+        bool_and($"c_acctbal" > -1000.0).as("all_above_floor"),
+        bool_or($"c_acctbal" > 9000.0).as("any_rich"),
+        count(lit(1)).as("n"))
+      .orderBy($"c_mktsegment")
+  }
+
+  val q94Sql: String =
+    """SELECT c_mktsegment,
+      |  bool_and(c_acctbal > -1000.0) AS all_above_floor,
+      |  bool_or(c_acctbal > 9000.0) AS any_rich,
+      |  count(*) AS n
+      |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  /** q95: dispersion statistics — stddev/variance (sample), rounded to
+    * absorb one-pass accumulation-order noise. */
+  def q95Dispersion(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .groupBy($"o_orderstatus")
+      .agg(
+        round(stddev_samp($"o_totalprice"), 2).as("sd"),
+        round(var_samp($"o_totalprice"), 1).as("variance"),
+        count(lit(1)).as("n"))
+      .orderBy($"o_orderstatus")
+  }
+
+  val q95Sql: String =
+    """SELECT o_orderstatus,
+      |  round(stddev_samp(o_totalprice), 2) AS sd,
+      |  round(var_samp(o_totalprice), 1) AS variance,
+      |  count(*) AS n
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  /** q96: bivariate statistics — correlation and covariance between
+    * quantity and discounted price. */
+  def q96Correlation(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        round(corr($"l_quantity", $"l_extendedprice"), 4).as("r"),
+        round(covar_samp($"l_quantity", $"l_discount"), 6).as("cv"),
+        count(lit(1)).as("n"))
+      .orderBy($"l_returnflag")
+  }
+
+  val q96Sql: String =
+    """SELECT l_returnflag,
+      |  round(corr(l_quantity, l_extendedprice), 4) AS r,
+      |  round(covar_samp(l_quantity, l_discount), 6) AS cv,
+      |  count(*) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q88_grouped_exists" -> (q88GroupedExists _),
+    "q90_multicol_in"    -> (q90MultiColIn _),
+    "q91_case_order"     -> (q91CaseOrder _),
+    "q92_word_freq"      -> (q92WordFreq _),
+    "q93_arg_max"        -> (q93ArgMax _),
+    "q94_bool_agg"       -> (q94BoolAgg _),
+    "q95_dispersion"     -> (q95Dispersion _),
+    "q96_correlation"    -> (q96Correlation _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q88_grouped_exists" -> q88Sql,
+    "q90_multicol_in"    -> q90Sql,
+    "q91_case_order"     -> q91Sql,
+    "q92_word_freq"      -> q92Sql,
+    "q93_arg_max"        -> q93Sql,
+    "q94_bool_agg"       -> q94Sql,
+    "q95_dispersion"     -> q95Sql,
+    "q96_correlation"    -> q96Sql,
+  )
+}
