@@ -53,6 +53,15 @@ object Streams {
       .groupBy(window(col("ts"), window_), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
 
+  /** Sliding-window counts — overlapping windows (`width` every `slide`);
+    * each event lands in width/slide windows. */
+  def slidingCounts(events: DataFrame, width: String = "1 hour",
+      slide: String = "15 minutes", watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+
   /** Session windows per user with a 30-minute gap (the batch q23
     * formulation, native streaming form). */
   def sessionCounts(events: DataFrame, gap: String = "30 minutes",

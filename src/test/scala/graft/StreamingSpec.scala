@@ -120,6 +120,22 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sliding windows: each event appears in width/slide windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val events = mem.toDS().toDF("ts", "event_type")
+    val q = Streams.slidingCounts(events, "1 hour", "15 minutes", "0 seconds")
+      .writeStream.format("memory").queryName("sliding_out")
+      .outputMode("complete").start()
+    try {
+      mem.addData((ts("2026-01-01 10:31:00"), "click"))
+      q.processAllAvailable()
+      val wins = spark.table("sliding_out").collect()
+      assert(wins.length == 4, s"expected 4 overlapping windows, got ${wins.length}")
+      assert(wins.forall(_.getAs[Long]("n") == 1))
+    } finally q.stop()
+  }
+
   test("streaming session windows group by gap") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, Long)]
