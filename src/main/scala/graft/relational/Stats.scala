@@ -182,7 +182,32 @@ object Stats {
       |  count(*) AS n
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** q97: error-safe arithmetic — try_divide/try_cast yield null instead
+    * of raising under ANSI mode (DuckDB mirrors with NULLIF/TRY_CAST). */
+  def q97TryOps(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .withColumn("unit_price", try_divide($"l_extendedprice", $"l_quantity" - $"l_quantity"))
+      .withColumn("flag_num", try_to_number($"l_returnflag", lit("9")))
+      .groupBy($"l_returnflag")
+      .agg(
+        sum(when($"unit_price".isNull, 1).otherwise(0)).as("n_div_null"),
+        sum(when($"flag_num".isNull, 1).otherwise(0)).as("n_cast_null"),
+        count(lit(1)).as("n"))
+      .orderBy($"l_returnflag")
+  }
+
+  val q97Sql: String =
+    """SELECT l_returnflag,
+      |  sum(CASE WHEN l_extendedprice / nullif(l_quantity - l_quantity, 0.0) IS NULL
+      |           THEN 1 ELSE 0 END) AS n_div_null,
+      |  sum(CASE WHEN TRY_CAST(l_returnflag AS DECIMAL(1,0)) IS NULL
+      |           THEN 1 ELSE 0 END) AS n_cast_null,
+      |  count(*) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q97_try_ops"        -> (q97TryOps _),
     "q88_grouped_exists" -> (q88GroupedExists _),
     "q90_multicol_in"    -> (q90MultiColIn _),
     "q91_case_order"     -> (q91CaseOrder _),
@@ -194,6 +219,7 @@ object Stats {
   )
 
   val oracle: Map[String, String] = Map(
+    "q97_try_ops"        -> q97Sql,
     "q88_grouped_exists" -> q88Sql,
     "q90_multicol_in"    -> q90Sql,
     "q91_case_order"     -> q91Sql,

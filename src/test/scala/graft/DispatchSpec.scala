@@ -101,5 +101,14 @@ class RoundtripSpec extends AnyFunSuite {
     docs.select(concat_ws("|", $"doc_id", $"lang").as("value"))
       .write.mode("overwrite").text(s"$base/txt")
     assert(spark.read.text(s"$base/txt").count() == docs.count())
+    // ORC round-trip (orc-core ships with the Spark distribution)
+    docs.write.mode("overwrite").orc(s"$base/orc")
+    assert(spark.read.orc(s"$base/orc").count() == docs.count())
+    // zstd-compressed parquet round-trip
+    docs.write.mode("overwrite").option("compression", "zstd").parquet(s"$base/pq_zstd")
+    val zfiles = new java.io.File(s"$base/pq_zstd").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(zfiles.forall(_.getName.contains("zstd")), "zstd codec not applied")
+    assert(spark.read.parquet(s"$base/pq_zstd").count() == docs.count())
   }
 }
