@@ -206,7 +206,71 @@ object Stats {
       |  count(*) AS n
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** q98: bitwise operations — and/or/xor/shift over keys (the bucket
+    * and signature manipulation primitives used by the LSH/SimHash
+    * family, surfaced as a relational query). */
+  def q98BitOps(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .filter($"o_orderkey" <= 500)
+      .select($"o_orderkey",
+        ($"o_orderkey".bitwiseAND(255L)).as("lo_byte"),
+        ($"o_orderkey".bitwiseOR(15L)).as("or15"),
+        ($"o_orderkey".bitwiseXOR($"o_custkey")).as("xor_cust"),
+        shiftright($"o_orderkey", 4).as("shr4"),
+        shiftleft($"o_orderkey".bitwiseAND(7L), 2).as("shl2"),
+        bit_count($"o_orderkey").as("popcnt"))
+      .orderBy($"o_orderkey")
+  }
+
+  val q98Sql: String =
+    """SELECT o_orderkey,
+      |  o_orderkey & 255 AS lo_byte,
+      |  o_orderkey | 15 AS or15,
+      |  xor(o_orderkey, o_custkey) AS xor_cust,
+      |  o_orderkey >> 4 AS shr4,
+      |  (o_orderkey & 7) << 2 AS shl2,
+      |  CAST(bit_count(o_orderkey) AS INT) AS popcnt
+      |FROM orders WHERE o_orderkey <= 500
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** q99: chained CTEs through the SQL front door — the multi-stage
+    * funnel (filter → aggregate → join → rank) as one SQL statement. */
+  def q99ChainedCte(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("orders")
+    Tables.customer(s, dir).createOrReplaceTempView("customer")
+    s.sql(
+      """WITH big AS (
+        |  SELECT o_custkey, count(*) AS n_orders,
+        |         round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS spend
+        |  FROM orders GROUP BY o_custkey HAVING count(*) >= 3),
+        |ranked AS (
+        |  SELECT b.*, c.c_mktsegment,
+        |    row_number() OVER (PARTITION BY c.c_mktsegment
+        |                       ORDER BY b.spend DESC, b.o_custkey) AS rk
+        |  FROM big b JOIN customer c ON b.o_custkey = c.c_custkey)
+        |SELECT c_mktsegment, o_custkey, n_orders, spend, rk
+        |FROM ranked WHERE rk <= 5
+        |ORDER BY c_mktsegment, rk""".stripMargin)
+  }
+
+  val q99Sql: String =
+    """WITH big AS (
+      |  SELECT o_custkey, count(*) AS n_orders,
+      |         round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS spend
+      |  FROM orders GROUP BY o_custkey HAVING count(*) >= 3),
+      |ranked AS (
+      |  SELECT b.*, c.c_mktsegment,
+      |    row_number() OVER (PARTITION BY c.c_mktsegment
+      |                       ORDER BY b.spend DESC, b.o_custkey) AS rk
+      |  FROM big b JOIN customer c ON b.o_custkey = c.c_custkey)
+      |SELECT c_mktsegment, o_custkey, n_orders, spend, rk
+      |FROM ranked WHERE rk <= 5
+      |ORDER BY c_mktsegment, rk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q98_bit_ops"        -> (q98BitOps _),
+    "q99_chained_cte"    -> (q99ChainedCte _),
     "q97_try_ops"        -> (q97TryOps _),
     "q88_grouped_exists" -> (q88GroupedExists _),
     "q90_multicol_in"    -> (q90MultiColIn _),
@@ -219,6 +283,8 @@ object Stats {
   )
 
   val oracle: Map[String, String] = Map(
+    "q98_bit_ops"        -> q98Sql,
+    "q99_chained_cte"    -> q99Sql,
     "q97_try_ops"        -> q97Sql,
     "q88_grouped_exists" -> q88Sql,
     "q90_multicol_in"    -> q90Sql,
