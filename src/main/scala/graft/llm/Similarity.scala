@@ -88,32 +88,29 @@ object Similarity {
       |  round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))), 4) AS l2
       |FROM embeddings ORDER BY vec_id""".stripMargin
 
-  /** q38: per-label centroid — element-wise mean via posexplode +
-    * re-assembly. Sums go through DECIMAL(18,9) so the result is
-    * independent of partial-aggregation order (double addition is not
-    * associative; decimal is), then divided and rounded in double. */
+  /** q38: per-label centroid — element-wise mean via posexplode.
+    * Sums go through DECIMAL(18,9) so the result is independent of
+    * partial-aggregation order (double addition is not associative;
+    * decimal is), then divided and rounded in double. Output is one
+    * scalar row per (label, pos) — array-typed output columns are not
+    * comparable by the driver's pandas sorter, and the exploded shape
+    * is also what a downstream consumer joins against. */
   def q38LabelCentroid(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val exploded = vecs(s, dir)
+    vecs(s, dir)
       .select($"label", posexplode($"v").as(Seq("pos", "x")))
       .groupBy($"label", $"pos")
       .agg(round(sum($"x".cast(DecimalType(18, 9))).cast("double") / count(lit(1)), 4).as("m"))
-    exploded
-      .groupBy($"label")
-      .agg(array_sort(collect_list(struct($"pos", $"m"))).as("pairs"))
-      .select($"label", transform($"pairs", p => p("m")).as("centroid"))
-      .orderBy($"label")
+      .orderBy($"label", $"pos")
   }
 
   val q38Sql: String =
-    """SELECT label, list(m ORDER BY pos) AS centroid FROM (
-      |  SELECT label, pos,
-      |    round(CAST(sum(CAST(x AS DECIMAL(18,9))) AS DOUBLE) / count(*), 4) AS m
-      |  FROM (SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS x,
-      |               generate_subscripts(embedding, 1) - 1 AS pos
-      |        FROM embeddings) t
-      |  GROUP BY label, pos) g
-      |GROUP BY label ORDER BY label""".stripMargin
+    """SELECT label, CAST(pos AS INT) AS pos,
+      |  round(CAST(sum(CAST(x AS DECIMAL(18,9))) AS DOUBLE) / count(*), 4) AS m
+      |FROM (SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS x,
+      |             generate_subscripts(embedding, 1) - 1 AS pos
+      |      FROM embeddings) t
+      |GROUP BY label, pos ORDER BY label, pos""".stripMargin
 
   /** LSH banding: `LshBands` independent signatures of `LshPlanesPerBand`
     * hyperplanes each. Two vectors are candidates if ANY band agrees —

@@ -62,13 +62,15 @@ object TextOps {
       .groupBy($"lang", $"source")
       .agg(count(lit(1)).as("n_docs"),
         sum($"n_chars").as("total_chars"),
-        round(avg($"n_chars"), 2).as("avg_chars"))
+        round((sum($"n_chars".cast("decimal(18,4)")) / count(lit(1))).cast("double"), 2)
+          .as("avg_chars"))
       .orderBy($"lang", $"source")
   }
 
   val q31Sql: String =
-    """SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS total_chars,
-      |       round(avg(n_chars), 2) AS avg_chars
+    """SELECT lang, source, count(*) AS n_docs,
+      |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |       round(CAST(sum(CAST(n_chars AS DECIMAL(18,4))) / count(*) AS DOUBLE), 2) AS avg_chars
       |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin
 
   /** q32: quality scoring — stopword ratio, mean token length, tier

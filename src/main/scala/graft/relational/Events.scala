@@ -70,8 +70,8 @@ object Events {
        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
        |sess AS (
        |  SELECT user_id, ts,
-       |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-       |                        ROWS UNBOUNDED PRECEDING) AS sess_id
+       |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_id
        |  FROM flagged)
        |SELECT user_id, sess_id, count(*) AS n_events,
        |       min(ts) AS sess_start, max(ts) AS sess_end

@@ -35,7 +35,11 @@ object Extra2 {
       |      FROM customer) t
       |ORDER BY c_custkey""".stripMargin
 
-  /** q69: array function suite over embeddings. */
+  /** q69: array function suite over embeddings — slice / transform /
+    * reverse / element_at / min / max. The sliced-and-reversed arrays
+    * are exploded to one scalar row per position (the driver's pandas
+    * comparator cannot sort array-typed columns), which still exercises
+    * every array op while keeping the output hash-comparable. */
   def q69ArrayFuncs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.embeddings(s, dir)
@@ -43,22 +47,29 @@ object Extra2 {
         transform($"embedding", x => x.cast("double")).as("v"))
       .select($"vec_id",
         size($"v").as("dim"),
-        transform(slice($"v", 1, 4), x => round(x, 3)).as("first4"),
-        reverse(transform(slice($"v", 1, 4), x => round(x, 3))).as("rev4"),
+        transform(slice($"v", 1, 4), x => round(x, 3)).as("f4"),
+        reverse(transform(slice($"v", 1, 4), x => round(x, 3))).as("r4"),
         round(array_max($"v"), 3).as("mx"),
         round(array_min($"v"), 3).as("mn"))
-      .orderBy($"vec_id")
+      .select($"vec_id", $"dim", $"mx", $"mn", $"r4",
+        posexplode($"f4").as(Seq("pos", "fv")))
+      .withColumn("rv", element_at($"r4", $"pos" + 1))
+      .drop("r4")
+      .orderBy($"vec_id", $"pos")
   }
 
   val q69Sql: String =
-    """SELECT vec_id,
-      |  CAST(len(v) AS INT) AS dim,
-      |  list_transform(v[1:4], x -> round(x, 3)) AS first4,
-      |  list_reverse(list_transform(v[1:4], x -> round(x, 3))) AS rev4,
-      |  round(list_max(v), 3) AS mx,
-      |  round(list_min(v), 3) AS mn
-      |FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) t
-      |ORDER BY vec_id""".stripMargin
+    """SELECT vec_id, dim, mx, mn, CAST(pos AS INT) AS pos, fv, r4[pos + 1] AS rv
+      |FROM (
+      |  SELECT vec_id,
+      |    CAST(len(v) AS INT) AS dim,
+      |    round(list_max(v), 3) AS mx,
+      |    round(list_min(v), 3) AS mn,
+      |    list_reverse(list_transform(v[1:4], x -> round(x, 3))) AS r4,
+      |    generate_subscripts(v[1:4], 1) - 1 AS pos,
+      |    unnest(list_transform(v[1:4], x -> round(x, 3))) AS fv
+      |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) t) u
+      |ORDER BY vec_id, pos""".stripMargin
 
   /** q70: map functions — construction, merge, lookup, filter. Rows-only
     * (DuckDB map extraction returns lists, not scalars — no clean

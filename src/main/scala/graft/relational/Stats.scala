@@ -188,7 +188,7 @@ object Stats {
     import s.implicits._
     Tables.lineitem(s, dir)
       .withColumn("unit_price", try_divide($"l_extendedprice", $"l_quantity" - $"l_quantity"))
-      .withColumn("flag_num", try_to_number($"l_returnflag", lit("9")))
+      .withColumn("flag_num", expr("try_cast(l_returnflag AS DECIMAL(1,0))"))
       .groupBy($"l_returnflag")
       .agg(
         sum(when($"unit_price".isNull, 1).otherwise(0)).as("n_div_null"),
@@ -199,10 +199,10 @@ object Stats {
 
   val q97Sql: String =
     """SELECT l_returnflag,
-      |  sum(CASE WHEN l_extendedprice / nullif(l_quantity - l_quantity, 0.0) IS NULL
-      |           THEN 1 ELSE 0 END) AS n_div_null,
-      |  sum(CASE WHEN TRY_CAST(l_returnflag AS DECIMAL(1,0)) IS NULL
-      |           THEN 1 ELSE 0 END) AS n_cast_null,
+      |  CAST(sum(CASE WHEN l_extendedprice / nullif(l_quantity - l_quantity, 0.0) IS NULL
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS n_div_null,
+      |  CAST(sum(CASE WHEN TRY_CAST(l_returnflag AS DECIMAL(1,0)) IS NULL
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS n_cast_null,
       |  count(*) AS n
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 

@@ -148,7 +148,7 @@ object Stratify {
       |width AS (
       |  SELECT plan, round, count(*) AS w FROM strata GROUP BY plan, round)
       |SELECT plan, CAST(max(round) AS INT) AS parallel_groups,
-      |       max(w) AS max_round_width, sum(w) AS n_phases
+      |       max(w) AS max_round_width, CAST(sum(w) AS BIGINT) AS n_phases
       |FROM width GROUP BY plan ORDER BY plan""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

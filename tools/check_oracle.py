@@ -70,6 +70,27 @@ def main():
             print(f"FAIL {name}: columns differ spark={scols} duck={dcols}")
             n_bad += 1
             continue
+        # Driver hashes raw arrow values, so a DuckDB HUGEINT (decimal128)
+        # column vs a Spark int64 hash-mismatches even when the Python
+        # values compare equal. Flag any type-category divergence.
+        def tcat(t):
+            import pyarrow.types as pt
+            if pt.is_integer(t): return "int"
+            if pt.is_decimal(t): return "decimal"
+            if pt.is_floating(t): return "float"
+            if pt.is_timestamp(t): return "timestamp"
+            if pt.is_date(t): return "date"
+            if pt.is_boolean(t): return "bool"
+            if pt.is_string(t) or pt.is_large_string(t): return "string"
+            return str(t)
+        sfield = {f.name: f.type for f in tab.schema}
+        dfield = {f.name: f.type for f in duck.schema}
+        tbad = [(c, tcat(sfield[c]), tcat(dfield[c]))
+                for c in scols if tcat(sfield[c]) != tcat(dfield[c])]
+        if tbad:
+            print(f"FAIL {name}: arrow type-category mismatch {tbad}")
+            n_bad += 1
+            continue
         if len(srows) != len(drows):
             print(f"FAIL {name}: rowcount spark={len(srows)} duck={len(drows)}")
             n_bad += 1
