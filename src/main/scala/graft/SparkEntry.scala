@@ -33,7 +33,7 @@ object SparkEntry {
     llm.TextOps.queries ++
     llm.Similarity.queries ++
     rounds.Stratify.queries ++
-    queue.QueueOps.queries ++
+    queue.Derived.queries ++
     streaming.Registered.queries ++
     llm.Dedup.queries ++
     queue.TranscriptEtl.queries ++
@@ -55,6 +55,7 @@ object SparkEntry {
     llm.TextOps.oracle ++
     llm.Similarity.oracle ++
     rounds.Stratify.oracle ++
+    queue.Derived.oracle ++
     llm.Dedup.oracle ++
     plans.TopK.oracle
 }

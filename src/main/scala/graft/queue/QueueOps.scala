@@ -161,11 +161,11 @@ object QueueOps {
       .drop("from_ok", "to_ok")
   }
 
-  /** q42 — the scheduler pipeline end-to-end on the reference-shaped
-    * fixture queue: S5 dependency detection → S6 eligibility → S7
-    * priority → S8 top-1 pick. Rows-only driver check (fixture input,
-    * not SQL-oracle-able); semantics unit-tested in QueueSpec. */
-  def q42SchedulerPick(s: SparkSession, dir: String): DataFrame = {
+  /** The scheduler pipeline end-to-end on the reference-shaped fixture
+    * queue: S5 dependency detection → S6 eligibility → S7 priority →
+    * S8 top-1 pick. Exercised by QueueSpec; the driver-graded twin runs
+    * over parquet-derived tables in [[Derived.q42SchedulerPick]]. */
+  def fixtureSchedulerPick(s: SparkSession): DataFrame = {
     val plans = Fixtures.plans(s)
     val deps = interPlanDeps(plans)
     val elig = eligible(plans, deps)
@@ -173,18 +173,14 @@ object QueueOps {
     pickNext(prio).select("id", "project", "planType", "priority")
   }
 
-  /** q43 — status overview + ETA on the fixture status table (S18/S19). */
-  def q43StatusOverview(s: SparkSession, dir: String): DataFrame = {
+  /** Status overview + ETA on the fixture status table (S18/S19);
+    * driver-graded twin: [[Derived.q43StatusOverview]]. */
+  def fixtureStatusOverview(s: SparkSession): DataFrame = {
     import s.implicits._
     val st = Fixtures.statuses(s)
     statusOverview(st).join(etaSeconds(st), Seq("plan_id"), "left")
       .orderBy($"plan_id")
   }
-
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q42_scheduler_pick"   -> (q42SchedulerPick _),
-    "q43_status_overview"  -> (q43StatusOverview _),
-  )
 
   /** S21 — namespace FK resolution: board entries whose recorded
     * projectPath no longer matches the config table get re-pointed

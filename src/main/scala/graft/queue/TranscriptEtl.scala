@@ -93,10 +93,10 @@ object TranscriptEtl {
         .otherwise("light"))
   }
 
-  /** q51: routing over the fixture plans' phases, with per-executor
-    * totals (the execution-log model aggregate, ref `commands/
-    * pulsar.md:635-638`). Rows-only. */
-  def q51ModelRouting(s: SparkSession, dir: String): DataFrame = {
+  /** Routing over the fixture plans' phases, with per-executor totals
+    * (the execution-log model aggregate, ref `commands/pulsar.md:
+    * 635-638`). Driver-graded twin: [[Derived.q51ModelRouting]]. */
+  def fixtureModelRouting(s: SparkSession): DataFrame = {
     import s.implicits._
     val phases = Fixtures.plans(s)
       .select($"id".as("plan_id"), explode($"phases").as("ph"))
@@ -109,6 +109,5 @@ object TranscriptEtl {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_transcript_etl" -> (q50TranscriptEtl _),
-    "q51_model_routing"  -> (q51ModelRouting _),
   )
 }

@@ -18,8 +18,10 @@ object Registered {
       .orderBy($"plan_id", $"phase")
   }
 
-  /** q45: pulse rollup (S16) over the replayed statuses. */
-  def q45Pulse(s: SparkSession, dir: String): DataFrame = {
+  /** Pulse rollup (S16) over the replayed fixture statuses — covered by
+    * StreamingSpec; the driver-graded twin runs over parquet-derived
+    * statuses in `graft.queue.Derived.q45Pulse`. */
+  def fixturePulse(s: SparkSession): DataFrame = {
     import s.implicits._
     Streams.pulse(Lifecycle.replayBatch(Fixtures.toolEvents(s)))
       .orderBy($"project", $"plan_id")
@@ -31,7 +33,6 @@ object Registered {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q44_lifecycle_replay" -> (q44LifecycleReplay _),
-    "q45_pulse"            -> (q45Pulse _),
     "q55_capabilities"     -> (q55Capabilities _),
   )
 }

@@ -29,7 +29,7 @@ class QueueSpec extends AnyFunSuite {
   }
 
   test("S7+S8: bug outranks feature outranks chore; top-1 is the bug") {
-    val picked = QueueOps.q42SchedulerPick(spark, sf).collect()
+    val picked = QueueOps.fixtureSchedulerPick(spark).collect()
     assert(picked.length == 1)
     assert(picked.head.getString(0) == "plan-20260106-0900")
     assert(picked.head.getString(2) == "bug")
