@@ -53,27 +53,67 @@ object Dedup {
       struct(lit(b).as("band"),
         xxhash64(slice(sig, b * RowsPerBand + 1, RowsPerBand)).as("bkt"))): _*)
 
+  /** Skew guard: buckets wider than this are dropped from candidate
+    * generation. A bucket of width w contributes O(w²) pairs, so one
+    * boilerplate bucket (templated text, empty docs) can dominate the
+    * whole job at corpus scale. Docs in an oversized bucket are
+    * near-identical by construction, which is exactly what the CHEAPER
+    * upstream exact/fingerprint dedup (q29/q33, pipeline stage 1)
+    * already catches — so the recall lost here is confined to
+    * "boilerplate that survived exact dedup", measured in DedupSpec. */
+  val MaxBucketWidth = 64
+
+  /** Id-only LSH candidate pairs from a (doc_id, sig) table. The band
+    * join carries ONLY (doc_id, band, bkt) — shingle arrays must never
+    * ride the ×Bands-exploded shuffle (at corpus scale that re-shuffles
+    * the whole corpus 8× in array form). Width-1 buckets are dropped
+    * before the self-join (they cannot pair), width->maxWidth buckets
+    * by the skew cap above. */
+  def lshCandidates(sigs: DataFrame, maxWidth: Int = MaxBucketWidth): DataFrame = {
+    val s = sigs.sparkSession
+    import s.implicits._
+    val banded = sigs
+      .withColumn("bb", explode(bandBuckets(col("sig"))))
+      .select($"doc_id", $"bb.band", $"bb.bkt")
+      .localCheckpoint(true) // ids only; read 3× (widths + both join sides)
+    val okBuckets = banded.groupBy($"band", $"bkt")
+      .agg(count(lit(1)).as("w"))
+      .filter($"w" > 1 && $"w" <= maxWidth)
+      .select($"band", $"bkt")
+    val capped = banded.join(okBuckets, Seq("band", "bkt"))
+    val a = capped.select($"doc_id".as("id1"), $"band", $"bkt")
+    val b = capped.select($"doc_id".as("id2"), $"band".as("b2"), $"bkt".as("k2"))
+    a.join(b, $"band" === $"b2" && $"bkt" === $"k2" && $"id1" < $"id2")
+      .select($"id1", $"id2").distinct()
+  }
+
+  /** Late shingle re-join: attach shingle sets to id-only candidate
+    * pairs and keep pairs with exact Jaccard >= minJ. The shingle table
+    * is shuffled by doc_id once per side — proportional to CANDIDATES,
+    * not to bands × corpus. */
+  def verifyJaccard(cand: DataFrame, shingleTbl: DataFrame, minJ: Double): DataFrame = {
+    val s = cand.sparkSession
+    import s.implicits._
+    cand
+      .join(shingleTbl.select($"doc_id".as("id1"), $"sh".as("sh1")), Seq("id1"))
+      .join(shingleTbl.select($"doc_id".as("id2"), $"sh".as("sh2")), Seq("id2"))
+      .withColumn("jaccard",
+        round(size(array_intersect($"sh1", $"sh2")).cast("double") /
+          size(array_union($"sh1", $"sh2")), 4))
+      .filter($"jaccard" >= minJ)
+      .select($"id1", $"id2", $"jaccard")
+  }
+
   /** q46: MinHash-LSH near-dup pairs, verified by exact shingle Jaccard.
     * Rows-only driver check (xxhash64 seeds are not oracle-expressible);
     * correctness unit-tested on constructed near-dups in DedupSpec. */
   def q46MinhashPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val base = toks(s, dir)
-      .withColumn("sh", shingles($"toks"))
-      .withColumn("sig", minhashSig($"sh"))
-    val banded = base
-      .withColumn("bb", explode(bandBuckets($"sig")))
-      .select($"doc_id", $"sh", $"bb.band", $"bb.bkt")
-    val a = banded.select($"doc_id".as("id1"), $"sh".as("sh1"), $"band", $"bkt")
-    val b = banded.select($"doc_id".as("id2"), $"sh".as("sh2"),
-      $"band".as("b2"), $"bkt".as("k2"))
-    a.join(b, $"band" === $"b2" && $"bkt" === $"k2" && $"id1" < $"id2")
-      .select($"id1", $"id2", $"sh1", $"sh2").dropDuplicates("id1", "id2")
-      .withColumn("jaccard",
-        round(size(array_intersect($"sh1", $"sh2")).cast("double") /
-          size(array_union($"sh1", $"sh2")), 4))
-      .filter($"jaccard" >= 0.5)
-      .select($"id1", $"id2", $"jaccard")
+    val sh = toks(s, dir)
+      .select($"doc_id", shingles($"toks").as("sh"))
+      .localCheckpoint(true) // feeds the signature pass and both verify sides
+    val sigs = sh.select($"doc_id", minhashSig($"sh").as("sig"))
+    verifyJaccard(lshCandidates(sigs), sh, 0.5)
       .orderBy($"id1", $"id2")
   }
 

@@ -49,24 +49,13 @@ object Pipeline {
       size(regexp_extract_all(lower($"text"), lit("\\b(der|die|das|und|le|la|el|los)\\b"), lit(0))))
       .localCheckpoint(true)
 
-    // 4. near-dup suppression via MinHash-LSH: drop the higher doc_id of
-    //    any confirmed near-dup pair
-    val sh = en.withColumn("sh", Dedup.shingles($"toks"))
-      .withColumn("sig", Dedup.minhashSig($"sh"))
-    val banded = sh.select($"doc_id", $"sh",
-      explode(array((0 until Dedup.Bands).map(b =>
-        struct(lit(b).as("band"),
-          xxhash64(slice($"sig", b * Dedup.RowsPerBand + 1, Dedup.RowsPerBand)).as("bkt"))): _*))
-        .as("bb"))
-      .select($"doc_id", $"sh", $"bb.band", $"bb.bkt")
-      .localCheckpoint(true) // both join sides read this; hash once
-    val a = banded.select($"doc_id".as("id1"), $"sh".as("sh1"), $"band", $"bkt")
-    val b = banded.select($"doc_id".as("id2"), $"sh".as("sh2"),
-      $"band".as("b2"), $"bkt".as("k2"))
-    val losers = a.join(b, $"band" === $"b2" && $"bkt" === $"k2" && $"id1" < $"id2")
-      .dropDuplicates("id1", "id2")
-      .filter(size(array_intersect($"sh1", $"sh2")).cast("double") /
-        size(array_union($"sh1", $"sh2")) >= 0.5)
+    // 4. near-dup suppression via MinHash-LSH: id-only band join with the
+    //    skew cap, late shingle re-join (Dedup.lshCandidates/verifyJaccard),
+    //    then drop the higher doc_id of any confirmed near-dup pair
+    val sh = en.select($"doc_id", Dedup.shingles($"toks").as("sh"))
+      .localCheckpoint(true) // feeds the signature pass and both verify sides
+    val sigs = sh.select($"doc_id", Dedup.minhashSig($"sh").as("sig"))
+    val losers = Dedup.verifyJaccard(Dedup.lshCandidates(sigs), sh, 0.5)
       .select($"id2".as("doc_id")).distinct()
 
     // 5. curated corpus + provenance

@@ -2,14 +2,17 @@ package graft.plans
 
 import scala.collection.mutable
 
+import org.apache.spark.SparkEnv
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.classic.Strategy
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Ascending, Descending, Expression, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
-import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode, UnsafeExternalRowSorter}
+import org.apache.spark.sql.types.{StructField, StructType}
+import org.apache.spark.util.collection.unsafe.sort.PrefixComparators
 
 /** Whole-operator custom tier (SURVEY.md §7.3 path (c)): per-group top-k
   * as a first-class operator — LogicalPlan node, planner Strategy, and
@@ -46,25 +49,102 @@ case class TopKPerGroupExec(
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(groupExprs) :: Nil
 
+  /** The operator neither adds nor moves rows across partitions, so the
+    * child's (hash-clustered) partitioning survives — advertise it, or
+    * downstream operators that need the same clustering re-exchange. */
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+
   override protected def doExecute(): RDD[InternalRow] = {
     val schema = child.output
     val (gExprs, oOrder, kk) = (groupExprs, order, k)
+    // Memory contract: the heap map holds groups·k rows per partition.
+    // Past this many distinct groups the partition falls back to a
+    // disk-spilling external sort (Spark's own sort machinery), which is
+    // what the window formulation would have done for ALL partitions —
+    // so the fast path costs nothing when cardinality is low and
+    // degrades to the safe path exactly where it would otherwise OOM.
+    val maxGroups = conf.getConfString(
+      "spark.graft.topk.maxGroupsPerPartition", "1000000").toInt
+    val structType = StructType(schema.map(a => StructField(a.name, a.dataType, a.nullable)))
+    val pageSize = SparkEnv.get.memoryManager.pageSizeBytes
     child.execute().mapPartitions({ iter =>
       val groupProj = UnsafeProjection.create(gExprs, schema)
       val ord = RowOrdering.create(oOrder, schema)
       // max-heap under `ord`: the worst retained row sits on top and is
       // evicted when a better one arrives
       val heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
-      iter.foreach { row =>
+      var overflow = false
+      while (iter.hasNext && !overflow) {
+        val row = iter.next()
         val key = groupProj(row)
-        val heap = heaps.getOrElseUpdate(key.copy(),
-          mutable.PriorityQueue.empty[InternalRow](ord.asInstanceOf[Ordering[InternalRow]]))
-        if (heap.size < kk) heap.enqueue(row.copy())
-        else if (ord.compare(row, heap.head) < 0) {
-          heap.dequeue(); heap.enqueue(row.copy())
+        val existing = heaps.get(key)
+        if (existing.isEmpty && heaps.size >= maxGroups) {
+          overflow = true
+          // row not consumed into the heaps: hand it to the sort path
+          val heap = mutable.PriorityQueue.empty[InternalRow](
+            ord.asInstanceOf[Ordering[InternalRow]])
+          heap.enqueue(row.copy())
+          heaps.put(key.copy(), heap)
+        } else {
+          val heap = existing.getOrElse {
+            val h = mutable.PriorityQueue.empty[InternalRow](
+              ord.asInstanceOf[Ordering[InternalRow]])
+            heaps.put(key.copy(), h)
+            h
+          }
+          if (heap.size < kk) heap.enqueue(row.copy())
+          else if (ord.compare(row, heap.head) < 0) {
+            heap.dequeue(); heap.enqueue(row.copy())
+          }
         }
       }
-      heaps.valuesIterator.flatMap(_.dequeueAll.reverseIterator)
+      if (!overflow) {
+        heaps.valuesIterator.flatMap(_.dequeueAll.reverseIterator)
+      } else {
+        // external-sort fallback: (group, order) sort of the retained
+        // rows plus the remainder of the partition, then stream the
+        // first k of each group. Constant prefix => all comparisons go
+        // through the row ordering; the sorter spills to disk under
+        // memory pressure like SortExec.
+        val fullOrder = gExprs.map(SortOrder(_, Ascending)) ++ oOrder
+        val fullOrd = RowOrdering.create(fullOrder, schema)
+        val prefixComputer = new UnsafeExternalRowSorter.PrefixComputer {
+          private val p = new UnsafeExternalRowSorter.PrefixComputer.Prefix
+          override def computePrefix(row: InternalRow) = { p.value = 0L; p.isNull = false; p }
+        }
+        val sorter = UnsafeExternalRowSorter.create(
+          structType, fullOrd, PrefixComparators.LONG, prefixComputer, pageSize, false)
+        val toUnsafe = UnsafeProjection.create(schema, schema)
+        heaps.valuesIterator.foreach(_.foreach(r => sorter.insertRow(toUnsafe(r))))
+        iter.foreach(r => sorter.insertRow(toUnsafe(r)))
+        heaps.clear()
+        val sorted = sorter.sort()
+        // the sorter's iterator REUSES its row buffer: a returned row is
+        // valid only until the next hasNext/next call, so advance in
+        // hasNext (after the consumer is done with the previous row),
+        // never inside next() before handing the row out
+        new Iterator[InternalRow] {
+          private var curKey: UnsafeRow = null
+          private var taken = 0
+          private var ready: InternalRow = null
+          override def hasNext: Boolean = {
+            while (ready == null && sorted.hasNext) {
+              val r = sorted.next()
+              val key = groupProj(r)
+              if (curKey == null || key != curKey) {
+                curKey = key.copy(); taken = 1; ready = r
+              } else if (taken < kk) {
+                taken += 1; ready = r
+              }
+            }
+            ready != null
+          }
+          override def next(): InternalRow = {
+            if (ready == null && !hasNext) throw new NoSuchElementException
+            val r = ready; ready = null; r
+          }
+        }
+      }
     }, preservesPartitioning = true)
   }
 

@@ -46,7 +46,7 @@ class ToolHistoryProcessor
       rows: Iterator[ToolEvent],
       timerValues: TimerValues): Iterator[ToolStats] = {
     val tools = rows.toSeq.sortBy(_.at.getTime)
-      .filter(e => e.kind == "tool" && e.tool.nonEmpty)
+      .filter(e => e.kind == "tool" && e.tool != null && e.tool.nonEmpty)
     if (tools.isEmpty) return Iterator.empty
     tools.foreach { e =>
       recent.appendValue(e.tool)

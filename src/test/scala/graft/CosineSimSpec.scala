@@ -42,4 +42,30 @@ class CosineSimSpec extends AnyFunSuite {
         array(lit(3.0), lit(4.0)), array(lit(4.0), lit(3.0))).as("c")).head()
     assert(math.abs(out.getDouble(0) - 24.0 / 25.0) < 1e-12)
   }
+
+  test("zero/empty vectors yield 0.0, never NaN or Infinity") {
+    // codegen path (through a plan over real rows)
+    val r = spark.range(1).select(
+      CosineSim.cosine(spark,
+        array(lit(0.0), lit(0.0)), array(lit(1.0), lit(2.0))).as("za"),
+      CosineSim.cosine(spark,
+        array(lit(0.0)), array(lit(0.0))).as("zz"),
+      CosineSim.cosine(spark,
+        array().cast("array<double>"), array(lit(1.0))).as("ea")).head()
+    assert(r.getDouble(0) == 0.0 && r.getDouble(1) == 0.0 && r.getDouble(2) == 0.0)
+    // a zero vector must not win a similarity top-k (NaN sorts greatest)
+    val sims = Seq((1L, Array(1.0, 0.0)), (2L, Array(0.0, 0.0)))
+      .toDF("id", "v")
+      .select($"id", CosineSim.cosine(spark, $"v", array(lit(1.0), lit(0.0))).as("sim"))
+      .orderBy($"sim".desc).collect()
+    assert(sims.head.getLong(0) == 1L)
+  }
+
+  test("non-double-array inputs are rejected at analysis time") {
+    CosineSim.cosine(spark, lit(0), lit(0)) // force registration
+    val ex = intercept[Exception] {
+      spark.sql("SELECT graft_cosine(array(1, 2), array(1, 2))").head()
+    }
+    assert(ex.getMessage.toLowerCase.contains("array<double>"))
+  }
 }

@@ -64,6 +64,35 @@ class DedupSpec extends AnyFunSuite {
     val rows = Dedup.q47SimhashPairs(spark, sf).collect()
     assert(rows.forall(r => r.getAs[Number]("hamming").longValue <= 6))
   }
+
+  test("bucket-width cap drops boilerplate buckets, keeps genuine near-dup pairs") {
+    // 100 verbatim copies of one template (one giant bucket per band)
+    // plus the 1<->2 near-dup pair from distinct text.
+    val boiler = (100L until 200L).map(i =>
+      (i, "identical boilerplate template text repeated across many documents verbatim every time"))
+    val docs = (Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and runs far away home tonight"),
+      (2L, "the quick brown fox jumps over the lazy cat and runs far away home tonight")) ++ boiler)
+      .toDF("doc_id", "text")
+      .withColumn("toks", regexp_extract_all(lower($"text"), lit("\\S+"), lit(0)))
+    val sigs = docs
+      .withColumn("sh", Dedup.shingles($"toks"))
+      .select($"doc_id", Dedup.minhashSig($"sh").as("sig"))
+
+    val capped = Dedup.lshCandidates(sigs, maxWidth = 64).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = Dedup.lshCandidates(sigs, maxWidth = Int.MaxValue).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // uncapped: the giant bucket contributes its full quadratic pair set
+    assert(uncapped.count { case (a, b) => a >= 100L && b >= 100L } == 100 * 99 / 2)
+    // capped: the 100-wide boilerplate bucket is dropped entirely...
+    assert(capped.forall { case (a, b) => a < 100L || b < 100L })
+    // ...while the genuine near-dup pair survives in both
+    assert(capped.contains((1L, 2L)) && uncapped.contains((1L, 2L)))
+    // measured recall trade-off: only boilerplate pairs were sacrificed
+    assert((uncapped -- capped).forall { case (a, b) => a >= 100L && b >= 100L })
+  }
 }
 
 class EtlSpec extends AnyFunSuite {

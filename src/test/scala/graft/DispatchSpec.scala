@@ -111,4 +111,81 @@ class RoundtripSpec extends AnyFunSuite {
     assert(zfiles.forall(_.getName.contains("zstd")), "zstd codec not applied")
     assert(spark.read.parquet(s"$base/pq_zstd").count() == docs.count())
   }
+
+  /** The reference daemon's full loop (`scripts/starry-daemon.sh:209-226`):
+    * plans wait under queued/{background,interactive}, are admitted ONE at
+    * a time, move to active/ while their phases execute, and land in
+    * completed/ — driven end-to-end through queueStream → dispatchSink →
+    * statusStream. */
+  test("lifecycle integration: queued -> dispatched -> active -> completed, one plan in flight") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.model.ToolEvent
+    import graft.streaming.Lifecycle
+
+    val root = Files.createTempDirectory("daemon").toFile
+    val queuedBg = new java.io.File(root, "queued/background"); queuedBg.mkdirs()
+    val queuedIa = new java.io.File(root, "queued/interactive"); queuedIa.mkdirs()
+    val active = new java.io.File(root, "active"); active.mkdirs()
+    val completed = new java.io.File(root, "completed"); completed.mkdirs()
+
+    def writePlan(dir: java.io.File, id: String, mode: String): java.io.File = {
+      val f = new java.io.File(dir, s"$id.json")
+      val w = new java.io.PrintWriter(f)
+      w.println(s"""{"id":"$id","title":"t","project":"alpha","projectPath":"/p","planType":"feature","status":"queued","executionMode":"$mode","path":"queued/$mode/$id.json","createdAt":"2026-01-01T10:00:00.000Z","phases":1,"parallelGroups":1}""")
+      w.close(); f
+    }
+    val planFiles = Map(
+      "plan-a" -> writePlan(queuedBg, "plan-a", "background"),
+      "plan-b" -> writePlan(queuedBg, "plan-b", "background"),
+      "plan-c" -> writePlan(queuedIa, "plan-c", "interactive"))
+
+    // 1. admission: the queue stream tails BOTH queue subdirs; the
+    //    dispatch sink claims one plan per trigger (single flight)
+    val q = Dispatch.dispatchSink(
+      Streams.queueStream(spark, root.getAbsolutePath + "/queued/*"),
+      root.getAbsolutePath + "/dispatched")
+    q.awaitTermination(60000)
+    val dispatched = spark.read.json(root.getAbsolutePath + "/dispatched")
+    assert(dispatched.count() == 3)
+    assert(dispatched.select("pid").distinct().count() == 3,
+      "one-plan-in-flight violated: plans shared a dispatch batch")
+
+    // 2. execution: each dispatched plan moves queued -> active, its
+    //    events run through the status state machine to completion, and
+    //    the plan file moves active -> completed — never two in active/
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[ToolEvent]
+    val statuses = Lifecycle.statusStream(mem.toDS(), watermarkDelay = "0 seconds")
+    val sq = statuses.writeStream.format("memory").queryName("daemon_statuses")
+      .outputMode("update").start()
+    try {
+      var t = 0L
+      def ts(): Timestamp = { t += 60000L; new Timestamp(1767265200000L + t) }
+      val order = dispatched.orderBy("pid").select("id").collect().map(_.getString(0))
+      order.foreach { id =>
+        val src = planFiles(id).toPath
+        val act = Paths.get(active.getAbsolutePath, src.getFileName.toString)
+        Files.move(src, act, StandardCopyOption.ATOMIC_MOVE)
+        assert(active.listFiles().length == 1, "two plans in active/ at once")
+        mem.addData(
+          ToolEvent(id, 1, "alpha", "Session", None, "start", ts()),
+          ToolEvent(id, 1, "alpha", "Edit", Some("a.ts"), "tool", ts()),
+          ToolEvent(id, 1, "alpha", "", None, "stop_completed", ts()))
+        sq.processAllAvailable()
+        val st = spark.table("daemon_statuses")
+          .filter($"plan_id" === id).orderBy($"updated_at".desc).head()
+        assert(st.getAs[String]("status") == "completed", s"$id not completed")
+        Files.move(act, Paths.get(completed.getAbsolutePath, src.getFileName.toString),
+          StandardCopyOption.ATOMIC_MOVE)
+      }
+    } finally sq.stop()
+
+    // 3. final tree: queues drained, nothing stuck in active, all done
+    assert(queuedBg.listFiles().isEmpty && queuedIa.listFiles().isEmpty)
+    assert(active.listFiles().isEmpty)
+    assert(completed.listFiles().map(_.getName).toSet ==
+      Set("plan-a.json", "plan-b.json", "plan-c.json"))
+  }
 }

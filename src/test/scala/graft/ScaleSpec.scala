@@ -72,4 +72,32 @@ class ScaleSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS lineitem_b")
     }
   }
+
+  test("TopKPerGroup falls back to external sort past the group-cardinality cap") {
+    import graft.plans.TopK
+    // every customer is its own group -> high cardinality relative to a
+    // tiny cap, so every partition overflows into the sort path
+    val o = Tables.orders(spark, sf)
+      .select($"o_custkey", $"o_orderkey", $"o_totalprice")
+    def run(): Set[(Long, Long)] =
+      TopK.perGroup(o, Seq("o_custkey"),
+          Seq(TopK.Ord("o_totalprice", asc = false), TopK.Ord("o_orderkey")), 2)
+        .select($"o_custkey", $"o_orderkey").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fast = run()
+    spark.conf.set("spark.graft.topk.maxGroupsPerPartition", "8")
+    try {
+      val spilled = run()
+      assert(spilled == fast, "sort-fallback path must produce the heap path's rows")
+      // and both match the window formulation
+      val win = o.withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy($"o_custkey")
+            .orderBy($"o_totalprice".desc, $"o_orderkey")))
+        .filter($"rn" <= 2)
+        .select($"o_custkey", $"o_orderkey").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(spilled == win)
+    } finally spark.conf.unset("spark.graft.topk.maxGroupsPerPartition")
+  }
 }

