@@ -228,6 +228,69 @@ object TextOps {
       |  CAST(len(list_distinct(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^\sa-zA-Z0-9]+|\s+'))) AS INT) AS n_bpe_distinct
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** q100: deterministic train/val/test split — the reproducible-split
+    * primitive a training pipeline needs: assignment is a pure function
+    * of doc_id (first hex digit of md5), no RNG, no seed drift between
+    * runs or engines; ~75/12.5/12.5. At 100 TB this is a narrow
+    * projection + aggregation, and the same expression used as a filter
+    * extracts any one split without materializing the others. */
+  def q100DataSplit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .withColumn("bucket", substring(md5($"doc_id".cast("string")), 1, 1))
+      .withColumn("split",
+        when($"bucket".isin("c", "d"), "val")
+          .when($"bucket".isin("e", "f"), "test")
+          .otherwise("train"))
+      .groupBy($"split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_chars").as("total_chars"),
+        countDistinct($"source").as("n_sources"))
+      .orderBy($"split")
+  }
+
+  val q100Sql: String =
+    """SELECT
+      |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c','d') THEN 'val'
+      |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('e','f') THEN 'test'
+      |       ELSE 'train' END AS split,
+      |  count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |  count(DISTINCT source) AS n_sources
+      |FROM documents GROUP BY 1 ORDER BY split""".stripMargin
+
+  /** q101: benchmark decontamination — training docs sharing 3-gram
+    * shingles with a held-out "benchmark" slice (source = src0), with
+    * the shared-shingle count as contamination evidence. The join is an
+    * equality join on the shingle (shuffle-partitioned by shingle hash);
+    * the benchmark side is the small one and broadcastable at scale. */
+  def q101Decontamination(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh = Tables.documents(s, dir)
+      .select($"doc_id", $"source",
+        regexp_extract_all(lower($"text"), lit("\\S+"), lit(0)).as("toks"))
+      .select($"doc_id", $"source", explode(Dedup.shingles($"toks")).as("sh"))
+    val bench = sh.filter($"source" === "src0").select($"sh".as("bsh")).distinct()
+    sh.filter($"source" =!= "src0")
+      .join(broadcast(bench), $"sh" === $"bsh")
+      .groupBy($"doc_id")
+      .agg(countDistinct($"sh").as("n_shared"))
+      .orderBy($"doc_id")
+  }
+
+  val q101Sql: String =
+    """WITH sh AS (
+      |  SELECT doc_id, source, unnest(list_distinct([
+      |    concat_ws(' ', toks[i], toks[i+1], toks[i+2])
+      |    FOR i IN generate_series(1, greatest(len(toks) - 2, 1))])) AS sh
+      |  FROM (SELECT doc_id, source, regexp_extract_all(lower(text), '\S+') AS toks
+      |        FROM documents) t)
+      |SELECT a.doc_id, count(DISTINCT a.sh) AS n_shared
+      |FROM sh a JOIN (SELECT DISTINCT sh FROM sh WHERE source = 'src0') b
+      |  ON a.sh = b.sh
+      |WHERE a.source <> 'src0'
+      |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q67_bpe_tokens"    -> (q67BpeTokens _),
     "q29_dedup_exact"   -> (q29DedupExact _),
@@ -237,6 +300,8 @@ object TextOps {
     "q33_fingerprint"   -> (q33Fingerprint _),
     "q34_jaccard_pairs" -> (q34JaccardPairs _),
     "q35_lang_id"       -> (q35LangId _),
+    "q100_data_split"   -> (q100DataSplit _),
+    "q101_decontamination" -> (q101Decontamination _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -248,5 +313,7 @@ object TextOps {
     "q33_fingerprint"   -> q33Sql,
     "q34_jaccard_pairs" -> q34Sql,
     "q35_lang_id"       -> q35Sql,
+    "q100_data_split"   -> q100Sql,
+    "q101_decontamination" -> q101Sql,
   )
 }

@@ -3,7 +3,7 @@ package graft.queue
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.model.PhaseStatus
+import graft.model.{PhaseStatus, ToolEvent}
 
 /** Parquet-derived twins of the queue domain, so the reference's core
   * scheduler semantics are graded by the DuckDB hash oracle instead of
@@ -307,17 +307,172 @@ object Derived {
       |FROM lineitem
       |GROUP BY 1 ORDER BY executor""".stripMargin
 
+  /** Derived tool-event log for the lifecycle machine: one ToolEvent per
+    * events.parquet row. Event times are synthesized from event_id
+    * (seconds offset from a fixed epoch) so every key's fold order is
+    * total and identical on both engines — no ns-truncation exposure
+    * and no intra-millisecond ties for `replayBatch`'s sort. */
+  def toolEvents(s: SparkSession, dir: String): Dataset[ToolEvent] = {
+    import s.implicits._
+    Tables.events(s, dir).select(
+      $"user_id".cast("string").as("plan_id"),
+      ($"event_id" % 3 + 1).cast("int").as("phase"),
+      concat(lit("proj_"), ($"user_id" % 5).cast("string")).as("project"),
+      when($"event_type" === "click", "Edit")
+        .when($"event_type" === "view", "Read")
+        .otherwise("").as("tool"),
+      lit(null).cast("string").as("file"),
+      when($"event_type" === "signup", "start")
+        .when($"event_type" === "purchase", "stop_completed")
+        .when($"event_type" === "error", "stop_failed")
+        .otherwise("tool").as("kind"),
+      timestamp_seconds(lit(1767225600L) + $"event_id").as("at"))
+      .as[ToolEvent]
+  }
+
+  /** q44 — event-sourced lifecycle replay (S12–S14, ref `hooks/
+    * status-tracker.sh:17-123`) through the production fold
+    * (`Lifecycle.step`), graded against a window/aggregate restatement
+    * of the state machine in SQL: the first terminal event absorbs
+    * everything after it, tools before it count, `start` claims don't
+    * refresh updated_at. */
+  def q44LifecycleReplay(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.streaming.Lifecycle.replayBatch(toolEvents(s, dir)).toDF()
+      .select($"project", $"plan_id", $"phase", $"status", $"tool_count",
+        $"last_tool", $"started_at", $"updated_at", $"completed_at")
+      .orderBy($"plan_id", $"phase")
+  }
+
+  val q44Sql: String =
+    """WITH evd AS (
+      |  SELECT CAST(user_id AS VARCHAR) AS plan_id,
+      |         CAST(event_id % 3 + 1 AS INT) AS phase,
+      |         'proj_' || CAST(user_id % 5 AS VARCHAR) AS project,
+      |         CASE event_type WHEN 'click' THEN 'Edit'
+      |                         WHEN 'view' THEN 'Read' ELSE '' END AS tool,
+      |         CASE event_type WHEN 'signup' THEN 'start'
+      |                         WHEN 'purchase' THEN 'stop_completed'
+      |                         WHEN 'error' THEN 'stop_failed'
+      |                         ELSE 'tool' END AS kind,
+      |         TIMESTAMP '2026-01-01 00:00:00'
+      |           + CAST(event_id AS BIGINT) * INTERVAL 1 SECOND AS at
+      |  FROM events),
+      |term AS (
+      |  SELECT plan_id, phase, min(at) AS term_at, arg_min(kind, at) AS term_kind
+      |  FROM evd WHERE kind IN ('stop_completed', 'stop_failed')
+      |  GROUP BY plan_id, phase),
+      |agg AS (
+      |  SELECT e.plan_id, e.phase, any_value(e.project) AS project,
+      |    min(e.at) AS started_at,
+      |    arg_min(e.kind, e.at) AS first_kind,
+      |    count(*) FILTER (WHERE e.kind = 'tool') AS n_tools,
+      |    max(e.at) FILTER (WHERE e.kind = 'tool') AS last_tool_at,
+      |    arg_max(e.tool, e.at) FILTER (WHERE e.kind = 'tool') AS last_tool
+      |  FROM evd e LEFT JOIN term t USING (plan_id, phase)
+      |  WHERE t.term_at IS NULL OR e.at <= t.term_at
+      |  GROUP BY e.plan_id, e.phase)
+      |SELECT a.project, a.plan_id, a.phase,
+      |  CASE WHEN t.term_kind = 'stop_completed' THEN 'completed'
+      |       WHEN t.term_kind = 'stop_failed' THEN 'failed'
+      |       WHEN a.n_tools > 0 THEN 'running'
+      |       WHEN a.first_kind = 'start' THEN 'starting'
+      |       ELSE 'running' END AS status,
+      |  CAST(a.n_tools AS INT) AS tool_count,
+      |  a.last_tool,
+      |  a.started_at,
+      |  coalesce(t.term_at, a.last_tool_at, a.started_at) AS updated_at,
+      |  t.term_at AS completed_at
+      |FROM agg a LEFT JOIN term t ON t.plan_id = a.plan_id AND t.phase = a.phase
+      |ORDER BY a.plan_id, a.phase""".stripMargin
+
+  /** Derived raw transcripts: corpus text with deterministic doc_id-keyed
+    * CLI markers injected, so the S24 regex ETL has something to find
+    * and both engines parse the SAME strings. */
+  def transcripts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir).select(
+      $"doc_id".as("id"),
+      concat($"text",
+        when($"doc_id" % 4 === 0,
+          concat(lit(" Created src/m"), ($"doc_id" % 7).cast("string"), lit(".ts")))
+          .otherwise(""),
+        when($"doc_id" % 6 === 0,
+          concat(lit(" Modified src/app"), ($"doc_id" % 5).cast("string"), lit(".py")))
+          .otherwise(""),
+        when($"doc_id" % 3 === 0,
+          concat(lit(" "), ($"doc_id" % 20).cast("string"), lit(" passed, "),
+            ($"doc_id" % 5).cast("string"), lit(" failed")))
+          .otherwise(""),
+        when($"doc_id" % 11 === 0, lit(" fatal: repository corrupt, cannot continue"))
+          .when($"doc_id" % 5 === 0, lit(" Error: TypeError: boom"))
+          .otherwise("")).as("transcript"))
+  }
+
+  // NB: no line may START with "||" — this CTE is interpolated into
+  // q50Sql whose own stripMargin would eat the first pipe
+  private val transcriptsCte: String =
+    """tr AS (
+      |  SELECT doc_id AS id, concat(text,
+      |    CASE WHEN doc_id % 4 = 0
+      |         THEN concat(' Created src/m', CAST(doc_id % 7 AS VARCHAR), '.ts')
+      |         ELSE '' END,
+      |    CASE WHEN doc_id % 6 = 0
+      |         THEN concat(' Modified src/app', CAST(doc_id % 5 AS VARCHAR), '.py')
+      |         ELSE '' END,
+      |    CASE WHEN doc_id % 3 = 0
+      |         THEN concat(' ', CAST(doc_id % 20 AS VARCHAR), ' passed, ',
+      |                     CAST(doc_id % 5 AS VARCHAR), ' failed')
+      |         ELSE '' END,
+      |    CASE WHEN doc_id % 11 = 0 THEN ' fatal: repository corrupt, cannot continue'
+      |         WHEN doc_id % 5 = 0 THEN ' Error: TypeError: boom'
+      |         ELSE '' END) AS transcript
+      |  FROM documents)""".stripMargin
+
+  /** q50 — transcript→report ETL (S24, ref `agents/output-processor.md:
+    * 35-95`) through the production `TranscriptEtl.parse`, over derived
+    * transcripts. Commit extraction is excluded from the graded columns:
+    * its Java-regex lookahead has no RE2 (DuckDB) equivalent. */
+  def q50TranscriptEtl(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    TranscriptEtl.parse(transcripts(s, dir))
+      .select($"id", $"status", $"tests_passed", $"tests_failed",
+        size($"files_modified").as("n_files"))
+      .orderBy($"id")
+  }
+
+  val q50Sql: String =
+    s"""WITH $transcriptsCte,
+      |p AS (
+      |  SELECT id, transcript,
+      |    coalesce(TRY_CAST(nullif(regexp_extract(transcript, '(\\d+)\\s+passed', 1), '') AS INT), 0) AS tests_passed,
+      |    coalesce(TRY_CAST(nullif(regexp_extract(transcript, '(\\d+)\\s+failed', 1), '') AS INT), 0) AS tests_failed
+      |  FROM tr)
+      |SELECT id,
+      |  CASE WHEN regexp_matches(transcript, '(?i)(fatal|unrecoverable|cannot continue)') THEN 'failed'
+      |       WHEN regexp_matches(transcript, '(?i)(error|exception)') OR tests_failed > 0
+      |            THEN 'completed_with_errors'
+      |       ELSE 'completed' END AS status,
+      |  tests_passed, tests_failed,
+      |  CAST(len(list_distinct(regexp_extract_all(transcript,
+      |    '(?:Created|Modified|Updated|Wrote|Edited)\\s+(\\S+\\.\\w+)', 1))) AS INT) AS n_files
+      |FROM p ORDER BY id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q42_scheduler_pick"  -> (q42SchedulerPick _),
     "q43_status_overview" -> (q43StatusOverview _),
+    "q44_lifecycle_replay" -> (q44LifecycleReplay _),
     "q45_pulse"           -> (q45Pulse _),
+    "q50_transcript_etl"  -> (q50TranscriptEtl _),
     "q51_model_routing"   -> (q51ModelRouting _),
   )
 
   val oracle: Map[String, String] = Map(
     "q42_scheduler_pick"  -> q42Sql,
     "q43_status_overview" -> q43Sql,
+    "q44_lifecycle_replay" -> q44Sql,
     "q45_pulse"           -> q45Sql,
+    "q50_transcript_etl"  -> q50Sql,
     "q51_model_routing"   -> q51Sql,
   )
 }
