@@ -124,34 +124,54 @@ object TextOps {
       |FROM documents ORDER BY doc_id""".stripMargin
 
   /** q34: near-duplicate pairs by word-set Jaccard within a bucket —
-    * the LSH-banding join shape: equality on bucket key (`source`),
-    * pairwise similarity only inside the bucket, threshold filter.
-    * At 100 TB the bucket key becomes a minhash band (Dedup.scala). */
+    * candidate generation by EXACT prefix filtering (Chaudhuri/Vernica
+    * style), verification on the full token sets.
+    *
+    * Prefix theorem: order every token set by one global canonical
+    * order (ascending document frequency, rarest first — ties by
+    * token). J(A,B) >= t implies |A∩B| >= ceil(t·|A|) (the union is at
+    * least as big as either set), so by pigeonhole a shared token must
+    * sit in the first |x| − ceil(t·|x|) + 1 tokens of each side. Only
+    * those prefixes join; with t = 0.6 that is ~40% of the tokens, and
+    * on a real corpus (Zipfian df) the rarest-first order makes prefix
+    * collisions rare — candidate volume collapses. EXACT: no recall
+    * loss, proven by the unchanged brute-force oracle still matching.
+    * The length-ratio filter (J <= min/max) prunes at the join, also
+    * exactly. This is the 100 TB shape: df is a tiny broadcast table,
+    * the prefix join shuffles by token, verification touches only
+    * candidate pairs. */
   def q34JaccardPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // Sparse formulation: explode distinct tokens, join on (bucket,
-    // token), count shared tokens per pair, then |A∪B| = |A|+|B|-shared.
-    // O(pairs-that-share-a-token) instead of O(all-pairs × array ops) —
-    // the shape that survives 100 TB (the token join shuffles by token;
-    // stopword-like hot tokens would be dropped/salted there).
+    val t = 0.6
     val docs = Tables.documents(s, dir)
       .select($"doc_id", $"source",
         array_distinct(regexp_extract_all(lower($"text"), lit("\\S+"), lit(0))).as("toks"))
       .withColumn("n", size($"toks"))
-    val toks = docs.select($"source", $"doc_id", $"n", explode($"toks").as("tok"))
-    val a = toks.select($"source", $"doc_id".as("id1"), $"n".as("n1"), $"tok")
-    val b = toks.select($"source".as("s2"), $"doc_id".as("id2"), $"n".as("n2"),
+    // global document frequency — the canonical order (vocabulary-sized)
+    val dfreq = docs.select(explode($"toks").as("tok"))
+      .groupBy($"tok").agg(count(lit(1)).as("df"))
+    val ordered = docs
+      .select($"source", $"doc_id", $"n", explode($"toks").as("tok"))
+      .join(broadcast(dfreq), Seq("tok"))
+      .groupBy($"source", $"doc_id", $"n")
+      .agg(array_sort(collect_list(struct($"df", $"tok"))).as("ord"))
+      .withColumn("plen", ($"n" - ceil($"n" * t) + 1).cast("int"))
+      .select($"source", $"doc_id", $"n",
+        explode(transform(slice($"ord", lit(1), $"plen"), p => p("tok"))).as("tok"))
+    val a = ordered.select($"source", $"doc_id".as("id1"), $"n".as("n1"), $"tok")
+    val b = ordered.select($"source".as("s2"), $"doc_id".as("id2"), $"n".as("n2"),
       $"tok".as("tok2"))
-    // length-ratio prefilter: J(A,B) <= min/max, so min >= 0.6*max is a
-    // necessary condition for the 0.6 threshold — prunes pairs at the
-    // join without changing results (oracle SQL needs no filter).
-    a.join(b, $"source" === $"s2" && $"tok" === $"tok2" && $"id1" < $"id2" &&
-        least($"n1", $"n2") >= lit(0.6) * greatest($"n1", $"n2"))
-      .groupBy($"id1", $"id2", $"n1", $"n2")
-      .agg(count(lit(1)).as("shared"))
+    val cand = a.join(b, $"source" === $"s2" && $"tok" === $"tok2" && $"id1" < $"id2" &&
+        least($"n1", $"n2") >= lit(t) * greatest($"n1", $"n2"))
+      .select($"id1", $"id2").distinct()
+    val full = docs.select($"doc_id", $"toks")
+    cand
+      .join(full.select($"doc_id".as("id1"), $"toks".as("t1")), Seq("id1"))
+      .join(full.select($"doc_id".as("id2"), $"toks".as("t2")), Seq("id2"))
+      .withColumn("shared", size(array_intersect($"t1", $"t2")))
       .withColumn("jaccard",
-        round($"shared".cast("double") / ($"n1" + $"n2" - $"shared"), 4))
-      .filter($"jaccard" >= 0.6)
+        round($"shared".cast("double") / (size($"t1") + size($"t2") - $"shared"), 4))
+      .filter($"jaccard" >= t)
       .select($"id1", $"id2", $"jaccard")
       .orderBy($"id1", $"id2")
   }
@@ -291,7 +311,91 @@ object TextOps {
       |WHERE a.source <> 'src0'
       |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin
 
+  /** q102: overlapping token-window chunking — the context-window prep
+    * step of an LLM ingest pipeline: chunks of `C` tokens every `S`
+    * (overlap C−S), with the token offset kept for provenance. Pure
+    * narrow projection + explode: no shuffle at all until a consumer
+    * aggregates, so it streams at scan speed over 100 TB. */
+  def q102Chunking(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val C = 10
+    val S = 8
+    Tables.documents(s, dir)
+      .select($"doc_id",
+        regexp_extract_all($"text", lit("\\S+"), lit(0)).as("toks"))
+      .withColumn("n", size($"toks"))
+      .withColumn("n_chunks",
+        (ceil(greatest($"n" - C, lit(0)).cast("double") / S) + 1).cast("int"))
+      .select($"doc_id", $"toks",
+        explode(sequence(lit(0), $"n_chunks" - 1)).as("chunk_idx"))
+      .withColumn("token_start", ($"chunk_idx" * S + 1).cast("int"))
+      .withColumn("chunk", slice($"toks", $"token_start", lit(C)))
+      .select($"doc_id", $"chunk_idx", $"token_start",
+        size($"chunk").as("n_tokens"),
+        concat_ws(" ", $"chunk").as("chunk_text"))
+      .orderBy($"doc_id", $"chunk_idx")
+  }
+
+  val q102Sql: String =
+    """WITH c AS (
+      |  SELECT doc_id, regexp_extract_all(text, '\S+') AS toks,
+      |    CAST(ceil(greatest(len(regexp_extract_all(text, '\S+')) - 10, 0) / 8.0) + 1 AS INT)
+      |      AS n_chunks
+      |  FROM documents)
+      |SELECT doc_id, CAST(ci AS INT) AS chunk_idx,
+      |  CAST(ci * 8 + 1 AS INT) AS token_start,
+      |  CAST(len(toks[ci*8+1 : ci*8+10]) AS INT) AS n_tokens,
+      |  array_to_string(toks[ci*8+1 : ci*8+10], ' ') AS chunk_text
+      |FROM c, unnest(generate_series(0, n_chunks - 1)) AS u(ci)
+      |ORDER BY doc_id, chunk_idx""".stripMargin
+
+  /** q103: PII scrubbing — email/phone detection + redaction counts, the
+    * compliance pass a corpus runs before training. PII is injected
+    * deterministically (the synthetic corpus has none), both engines
+    * scrub the SAME strings; the redacted text is md5'd so the full
+    * replacement output is hash-graded without shipping long strings. */
+  def q103PiiRedaction(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phoneRe = "\\b\\d{3}-\\d{4}\\b"
+    Tables.documents(s, dir)
+      .select($"doc_id",
+        concat($"text",
+          when($"doc_id" % 3 === 0,
+            concat(lit(" contact user"), ($"doc_id" % 50).cast("string"),
+              lit("@example.com now"))).otherwise(""),
+          when($"doc_id" % 4 === 0,
+            concat(lit(" call 555-01"), lpad(($"doc_id" % 100).cast("string"), 2, "0")))
+            .otherwise("")).as("raw"))
+      .select($"doc_id",
+        size(regexp_extract_all($"raw", lit(emailRe), lit(0))).as("n_emails"),
+        size(regexp_extract_all($"raw", lit(phoneRe), lit(0))).as("n_phones"),
+        md5(regexp_replace(regexp_replace($"raw", emailRe, "[EMAIL]"),
+          phoneRe, "[PHONE]")).as("redacted_md5"))
+      .orderBy($"doc_id")
+  }
+
+  val q103Sql: String =
+    """WITH r AS (
+      |  SELECT doc_id, concat(text,
+      |    CASE WHEN doc_id % 3 = 0
+      |         THEN concat(' contact user', CAST(doc_id % 50 AS VARCHAR), '@example.com now')
+      |         ELSE '' END,
+      |    CASE WHEN doc_id % 4 = 0
+      |         THEN concat(' call 555-01', lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0'))
+      |         ELSE '' END) AS raw
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+      |  CAST(len(regexp_extract_all(raw, '\b\d{3}-\d{4}\b')) AS INT) AS n_phones,
+      |  md5(regexp_replace(regexp_replace(raw,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+      |    '\b\d{3}-\d{4}\b', '[PHONE]', 'g')) AS redacted_md5
+      |FROM r ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q102_chunking"     -> (q102Chunking _),
+    "q103_pii_redaction" -> (q103PiiRedaction _),
     "q67_bpe_tokens"    -> (q67BpeTokens _),
     "q29_dedup_exact"   -> (q29DedupExact _),
     "q30_token_count"   -> (q30TokenCount _),
@@ -305,6 +409,8 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q102_chunking"     -> q102Sql,
+    "q103_pii_redaction" -> q103Sql,
     "q67_bpe_tokens"    -> q67Sql,
     "q29_dedup_exact"   -> q29Sql,
     "q30_token_count"   -> q30Sql,
