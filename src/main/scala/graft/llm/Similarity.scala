@@ -205,12 +205,47 @@ object Similarity {
       .orderBy($"qid", $"rank")
   }
 
+  /** q104: embedding-cosine near-dup pairs — the vector-space member of
+    * the dedup family (exact q29, MinHash q46, SimHash q47, n-gram
+    * Jaccard q34): pairs whose cosine clears a threshold, blocked by
+    * `label` (the cluster/partition key) so candidate generation is an
+    * equality join, never corpus×corpus. Uses the codegen'd `CosineSim`
+    * kernel; its fold is bit-identical to DuckDB's list_dot_product
+    * (proved by q36), so the threshold cut is hash-exact.
+    *
+    * Threshold 0.35 is calibrated to the synthetic uniform-random
+    * vectors (max observed within-label cosine ≈ 0.47); a real corpus
+    * with duplicated content uses 0.9+. At 100 TB the label block is
+    * replaced by LSH buckets (q39's geometry) — same join shape. */
+  def q104CosineDups(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = vecs(s, dir)
+    val a = e.select($"label", $"vec_id".as("id1"), $"v".as("v1"))
+    val b = e.select($"label".as("l2"), $"vec_id".as("id2"), $"v".as("v2"))
+    a.join(b, $"label" === $"l2" && $"id1" < $"id2")
+      .withColumn("cos", graft.functions.CosineSim.cosine(s, $"v1", $"v2"))
+      .filter($"cos" >= 0.35)
+      .select($"id1", $"id2", round($"cos", 4).as("cos"))
+      .orderBy($"id1", $"id2")
+  }
+
+  val q104Sql: String =
+    """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+      |SELECT a.vec_id AS id1, b.vec_id AS id2,
+      |  round(list_dot_product(a.v, b.v)
+      |        / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS cos
+      |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+      |WHERE list_dot_product(a.v, b.v)
+      |      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.35
+      |ORDER BY id1, id2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q36_cosine_topk"    -> (q36CosineTopk _),
     "q37_vec_norms"      -> (q37VecNorms _),
     "q38_label_centroid" -> (q38LabelCentroid _),
     "q39_ann_lsh"        -> (q39AnnLsh _),
     "q66_ann_ivf"        -> (q66AnnIvf _),
+    "q104_cosine_dups"   -> (q104CosineDups _),
   )
 
   /** q39 omitted: LSH bucketing is not SQL-expressible (murmur3 seed
@@ -219,5 +254,6 @@ object Similarity {
     "q36_cosine_topk"    -> q36Sql,
     "q37_vec_norms"      -> q37Sql,
     "q38_label_centroid" -> q38Sql,
+    "q104_cosine_dups"   -> q104Sql,
   )
 }
