@@ -148,6 +148,10 @@ object Derived {
         ($"created2" < $"created_at" ||
          ($"created2" === $"created_at" && $"id2" < $"id")))
       .select($"id".as("plan_id"), $"id2".as("depends_on")).distinct()
+      // deps feeds BOTH the unmet anti-join and the unblock counts —
+      // materialize the (small, id-only) pair set once instead of
+      // running the big self-join twice
+      .localCheckpoint(true)
 
     val completed = p.filter($"status" === "completed").select($"id".as("cid"))
     val unmet = deps.join(completed, $"depends_on" === $"cid", "left_anti")
@@ -229,7 +233,9 @@ object Derived {
     * table, through the production operators. */
   def q43StatusOverview(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val st = statuses(s, dir)
+    // both the overview and the ETA rollup scan the derived status
+    // table — materialize the join once
+    val st = statuses(s, dir).localCheckpoint(true)
     QueueOps.statusOverview(st)
       .join(QueueOps.etaSeconds(st), Seq("plan_id"), "left")
       .orderBy($"project", $"plan_id")

@@ -71,9 +71,12 @@ object Extra2 {
       |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) t) u
       |ORDER BY vec_id, pos""".stripMargin
 
-  /** q70: map functions — construction, merge, lookup, filter. Rows-only
-    * (DuckDB map extraction returns lists, not scalars — no clean
-    * cross-engine value parity). */
+  /** q70: map functions — construction, merge, lookup, filter. The map
+    * itself never leaves the query: every output column is a scalar, so
+    * the oracle restates the semantics relationally (the map is built
+    * from sorted unique names, hence size = count, first key = min,
+    * filtered size = conditional count) without needing DuckDB's map
+    * type at all. */
   def q70MapFuncs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.nation(s, dir)
@@ -88,6 +91,13 @@ object Extra2 {
         size(map_filter($"name_lens", (_, v) => v > 8)).as("n_long_names"))
       .orderBy($"n_regionkey")
   }
+
+  val q70Sql: String =
+    """SELECT n_regionkey,
+      |  CAST(count(*) AS INT) AS n_entries,
+      |  min(n_name) AS first_key,
+      |  CAST(sum(CASE WHEN length(n_name) > 8 THEN 1 ELSE 0 END) AS INT) AS n_long_names
+      |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin
 
   /** q71: higher-order functions — exists / forall / filter / aggregate. */
   def q71HigherOrder(s: SparkSession, dir: String): DataFrame = {
@@ -216,6 +226,7 @@ object Extra2 {
   val oracle: Map[String, String] = Map(
     "q68_null_handling" -> q68Sql,
     "q69_array_funcs"   -> q69Sql,
+    "q70_map_funcs"     -> q70Sql,
     "q71_higher_order"  -> q71Sql,
     "q72_lateral"       -> q72Sql,
     "q73_rank_suite"    -> q73Sql,
