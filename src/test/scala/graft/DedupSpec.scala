@@ -65,6 +65,18 @@ class DedupSpec extends AnyFunSuite {
     assert(rows.forall(r => r.getAs[Number]("hamming").longValue <= 6))
   }
 
+  test("q105 dedup clusters: transitive closure, canonical = min id, singletons self") {
+    val out = Dedup.q105DedupClusters(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // total map over the corpus, every canonical is a real doc in its own cluster
+    assert(out.size == Tables.documents(spark, sf).count())
+    assert(out.forall { case (d, c) => c <= d && out(c) == c })
+    // clusters agree with the pair graph: both ends of every pair share a cluster
+    val pairs = graft.llm.TextOps.q34JaccardPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.forall { case (a, b) => out(a) == out(b) })
+  }
+
   test("bucket-width cap drops boilerplate buckets, keeps genuine near-dup pairs") {
     // 100 verbatim copies of one template (one giant bucket per band)
     // plus the 1<->2 near-dup pair from distinct text.
