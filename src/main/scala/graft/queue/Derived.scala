@@ -143,30 +143,31 @@ object Derived {
       p.filter($"status" === "queued").select($"id", $"project", $"created_at"), Seq("id"))
     val b = pf.select($"id".as("id2"), $"project".as("proj2"),
       $"created_at".as("created2"), $"file".as("file2"))
+    // Both consumers of the dependency pairs need only EXISTENCE — "has
+    // an unmet dep" and "is depended upon" — so the pair stream is never
+    // pair-deduplicated (that distinct was the single biggest shuffle of
+    // the query); each side collapses to a one-column distinct instead.
     val deps = pfQueued.join(b,
         $"file" === $"file2" && $"project" === $"proj2" &&
         ($"created2" < $"created_at" ||
          ($"created2" === $"created_at" && $"id2" < $"id")))
-      .select($"id".as("plan_id"), $"id2".as("depends_on")).distinct()
-      // deps feeds BOTH the unmet anti-join and the unblock counts —
-      // materialize the (small, id-only) pair set once instead of
-      // running the big self-join twice
-      .localCheckpoint(true)
+      .select($"id".as("plan_id"), $"id2".as("depends_on"))
+      .localCheckpoint(true) // feeds both the unmet filter and unblock flags
 
     val completed = p.filter($"status" === "completed").select($"id".as("cid"))
-    val unmet = deps.join(completed, $"depends_on" === $"cid", "left_anti")
+    val unmetIds = deps.join(completed, $"depends_on" === $"cid", "left_anti")
+      .select($"plan_id").distinct()
     val elig = p.filter($"status" === "queued")
-      .join(unmet.select($"plan_id").distinct(), $"id" === $"plan_id", "left_anti")
+      .join(unmetIds, $"id" === $"plan_id", "left_anti")
 
     val nph = Tables.lineitem(s, dir)
       .groupBy($"l_orderkey".as("nid"))
       .agg(countDistinct($"l_linenumber").as("n_phases"))
-    val unblocks = deps.groupBy($"depends_on".as("uid"))
-      .agg(count(lit(1)).as("n_unblocked"))
+    val unblockedIds = deps.select($"depends_on".as("uid")).distinct()
 
     val asOfUs = java.sql.Timestamp.valueOf(AsOf).getTime * 1000L
     elig.join(nph, $"id" === $"nid")
-      .join(unblocks, $"id" === $"uid", "left")
+      .join(unblockedIds, $"id" === $"uid", "left")
       .withColumn("base",
         when($"plan_type" === "bug", 1)
           .when($"plan_type" === "feature", 2)
@@ -174,7 +175,7 @@ object Derived {
           .when($"plan_type" === "chore", 4)
           .otherwise(5))
       .withColumn("adj_unblocks",
-        when(coalesce($"n_unblocked", lit(0L)) > 0, -1).otherwise(0))
+        when($"uid".isNotNull, -1).otherwise(0))
       .withColumn("waited_days",
         floor((lit(asOfUs) - unix_micros($"created_at".cast("timestamp"))) / 86400000000.0))
       .withColumn("adj_age", when($"waited_days" >= 3, -1).otherwise(0))
@@ -197,7 +198,7 @@ object Derived {
       |  FROM files f JOIN plans p ON p.id = f.id
       |  WHERE p.status = 'queued'),
       |deps AS (
-      |  SELECT DISTINCT a.id AS plan_id, b.id AS depends_on
+      |  SELECT a.id AS plan_id, b.id AS depends_on
       |  FROM pfq a JOIN pf b
       |    ON a.file = b.file AND a.project = b.project
       |   AND (b.created_at < a.created_at
@@ -212,13 +213,13 @@ object Derived {
       |  SELECT p.* FROM plans p
       |  WHERE p.status = 'queued' AND p.id NOT IN (SELECT plan_id FROM unmet)),
       |unbl AS (
-      |  SELECT depends_on AS uid, count(*) AS n_unblocked FROM deps GROUP BY 1),
+      |  SELECT DISTINCT depends_on AS uid FROM deps),
       |prio AS (
       |  SELECT e.id, e.project, e.plan_type, e.created_at,
       |    CASE e.plan_type WHEN 'bug' THEN 1 WHEN 'feature' THEN 2
       |                     WHEN 'refactor' THEN 3 WHEN 'chore' THEN 4
       |                     ELSE 5 END
-      |    + (CASE WHEN coalesce(u.n_unblocked, 0) > 0 THEN -1 ELSE 0 END)
+      |    + (CASE WHEN u.uid IS NOT NULL THEN -1 ELSE 0 END)
       |    + (CASE WHEN floor((epoch_us(TIMESTAMP '$AsOf') - epoch_us(e.created_at))
       |                       / 86400000000.0) >= 3 THEN -1 ELSE 0 END)
       |    + (CASE WHEN n.n_phases >= 6 THEN 1 ELSE 0 END) AS raw
