@@ -207,8 +207,46 @@ object TopK {
       |WHERE rn <= 3
       |ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin
 
+  /** q106: the custom operator composed with the text-quality scorer —
+    * per-language top-3 "most fluent" documents (highest stopword
+    * ratio, q32's fluency signal). A second oracle gate on
+    * `TopKPerGroupExec`, over the documents table this time, and the
+    * curation shape a training pipeline actually runs: "keep the best
+    * k per stratum" without sorting whole strata. */
+  def q106QualityTopk(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val stop = "('the','a','an','of','and','to','in','is','it','for')"
+    val scored = graft.Tables.documents(s, dir)
+      .withColumn("toks",
+        expr("regexp_extract_all(lower(text), '\\\\S+', 0)"))
+      .withColumn("stop_ratio",
+        round(expr(s"size(filter(toks, x -> x IN $stop))").cast("double") /
+          size(col("toks")), 4))
+      .select(col("lang"), col("doc_id"), col("stop_ratio"))
+    perGroup(scored, Seq("lang"),
+        Seq(Ord("stop_ratio", asc = false), Ord("doc_id")), 3)
+      .orderBy(col("lang"), col("stop_ratio").desc, col("doc_id"))
+  }
+
+  val q106Sql: String =
+    """WITH scored AS (
+      |  SELECT lang, doc_id,
+      |    round(CAST(len(list_filter(toks, x -> x IN ('the','a','an','of','and','to','in','is','it','for'))) AS DOUBLE)
+      |          / len(toks), 4) AS stop_ratio
+      |  FROM (SELECT lang, doc_id, regexp_extract_all(lower(text), '\S+') AS toks
+      |        FROM documents) raw)
+      |SELECT lang, doc_id, stop_ratio FROM (
+      |  SELECT lang, doc_id, stop_ratio,
+      |    row_number() OVER (PARTITION BY lang
+      |      ORDER BY stop_ratio DESC, doc_id) AS rn
+      |  FROM scored) t
+      |WHERE rn <= 3
+      |ORDER BY lang, stop_ratio DESC, doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q86_custom_topk" -> (q86CustomTopk _))
+    "q86_custom_topk"  -> (q86CustomTopk _),
+    "q106_quality_topk" -> (q106QualityTopk _))
   val oracle: Map[String, String] = Map(
-    "q86_custom_topk" -> q86Sql)
+    "q86_custom_topk"  -> q86Sql,
+    "q106_quality_topk" -> q106Sql)
 }
