@@ -282,16 +282,91 @@ object Dedup {
       |FROM documents doc LEFT JOIN best b ON b.doc_id = doc.doc_id
       |ORDER BY doc.doc_id""".stripMargin
 
+  /** q107: the MinHash-LSH pipeline with an ORACLE-EXPRESSIBLE hash —
+    * md5's first 8 hex digits as the minhash family (both engines
+    * compute md5 identically), K=8 signatures in 4 bands of 2, band
+    * bucket = the band's two minhash values verbatim. Same shape as
+    * q46 (shingle → signature → band bucket → equality join → exact
+    * Jaccard verify), but every step is restatable in DuckDB SQL, so
+    * the BANDING SEMANTICS themselves are hash-graded — q46 remains
+    * the fast path (xxhash64 beats md5 by a wide margin; its seeds are
+    * simply not SQL-expressible). */
+  def q107MinhashMd5(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val K = 8
+    val R = 2
+    def mdh(seed: Int, x: Column): Column =
+      conv(substring(md5(concat(lit(seed.toString), lit("|"), x)), 1, 8), 16, 10)
+        .cast("long")
+    // deterministic 1-in-2 sample: this twin exists to GRADE the banding
+    // semantics, not to re-run the full corpus through md5 (much slower
+    // than xxhash64 — q46 stays the full-corpus fast path)
+    val sh = toks(s, dir)
+      .filter($"doc_id" % 2 === 0)
+      .select($"doc_id", shingles($"toks").as("sh"))
+      .localCheckpoint(true) // signature pass + both verify sides
+    val sigs = sh.select($"doc_id",
+      array((0 until K).map(k => array_min(transform($"sh", x => mdh(k, x)))): _*).as("sig"))
+    val banded = sigs.select($"doc_id",
+        explode(array((0 until K / R).map(b =>
+          struct(lit(b).as("band"),
+            concat_ws(",",
+              element_at($"sig", b * R + 1).cast("string"),
+              element_at($"sig", b * R + 2).cast("string")).as("bkt"))): _*)).as("bb"))
+      .select($"doc_id", $"bb.band", $"bb.bkt")
+    val a = banded.select($"doc_id".as("id1"), $"band", $"bkt")
+    val b = banded.select($"doc_id".as("id2"), $"band".as("b2"), $"bkt".as("k2"))
+    val cand = a.join(b, $"band" === $"b2" && $"bkt" === $"k2" && $"id1" < $"id2")
+      .select($"id1", $"id2").distinct()
+    verifyJaccard(cand, sh, 0.5)
+      .orderBy($"id1", $"id2")
+  }
+
+  val q107Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks
+      |  FROM documents WHERE doc_id % 2 = 0),
+      |sh AS (
+      |  SELECT doc_id, list_distinct([
+      |    concat_ws(' ', toks[i], toks[i+1], toks[i+2])
+      |    FOR i IN generate_series(1, greatest(len(toks) - 2, 1))]) AS shs
+      |  FROM t),
+      |mh AS (
+      |  SELECT doc_id,
+      |    [ list_min([ ('0x' || substr(md5(CAST(k AS VARCHAR) || '|' || s), 1, 8))::BIGINT
+      |                 FOR s IN shs ])
+      |      FOR k IN generate_series(0, 7) ] AS sig
+      |  FROM sh),
+      |banded AS (
+      |  SELECT doc_id, b AS band,
+      |    CAST(sig[2*b + 1] AS VARCHAR) || ',' || CAST(sig[2*b + 2] AS VARCHAR) AS bkt
+      |  FROM mh, unnest(generate_series(0, 3)) AS u(b)),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+      |  FROM banded a JOIN banded b
+      |    ON a.band = b.band AND a.bkt = b.bkt AND a.doc_id < b.doc_id)
+      |SELECT c.id1, c.id2,
+      |  round(CAST(len(list_intersect(x.shs, y.shs)) AS DOUBLE)
+      |        / len(list_distinct(list_concat(x.shs, y.shs))), 4) AS jaccard
+      |FROM cand c
+      |JOIN sh x ON x.doc_id = c.id1
+      |JOIN sh y ON y.doc_id = c.id2
+      |WHERE round(CAST(len(list_intersect(x.shs, y.shs)) AS DOUBLE)
+      |        / len(list_distinct(list_concat(x.shs, y.shs))), 4) >= 0.5
+      |ORDER BY id1, id2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q46_minhash_pairs" -> (q46MinhashPairs _),
     "q47_simhash_pairs" -> (q47SimhashPairs _),
     "q48_rolling_fp"    -> (q48RollingFp _),
     "q49_singletons"    -> (q49Singletons _),
     "q105_dedup_clusters" -> (q105DedupClusters _),
+    "q107_minhash_md5"  -> (q107MinhashMd5 _),
   )
 
   val oracle: Map[String, String] = Map(
     "q49_singletons" -> q49Sql,
     "q105_dedup_clusters" -> q105Sql,
+    "q107_minhash_md5" -> q107Sql,
   )
 }
