@@ -44,6 +44,8 @@ def canon(v):
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    # Optional 3rd arg: comma-separated name prefixes — check only those.
+    only = sys.argv[3].split(",") if len(sys.argv) > 3 else None
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -51,6 +53,8 @@ def main():
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_ok = n_bad = 0
     for name, sql in sorted(oracle.items()):
+        if only and not any(name.startswith(p) for p in only):
+            continue
         tab = load_spark_result(f"{out_dir}/{name}")
         if tab is None:
             print(f"FAIL {name}: no spark result")
