@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Block-manager hygiene for the long-lived sessions the driver runs
+  * (one JVM, 100+ queries back-to-back, warmup + timed passes).
+  *
+  * `localCheckpoint(eager = true)` blocks are never freed when the
+  * DataFrame goes out of scope, so a full catalog run accumulates every
+  * query's intermediates in the block manager — by mid-run, storage
+  * memory is doing eviction/GC work that gets billed to whichever query
+  * is executing. `sweep()` frees everything between queries, EXCEPT
+  * checkpoints registered through `pinned()` — those back cross-query
+  * memo caches (Stratify's strata, Dedup's pair set) whose lineage is
+  * truncated and therefore cannot be recomputed if their blocks vanish.
+  */
+object Ckpt {
+  private val pinnedIds = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+
+  /** Eager localCheckpoint whose blocks survive `sweep` — use ONLY for
+    * DataFrames memoized across queries. */
+  def pinned(df: DataFrame): DataFrame = synchronized {
+    val sc = df.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val out = df.localCheckpoint(true)
+    (sc.getPersistentRDDs.keySet -- before).foreach(id => pinnedIds.add(id))
+    out
+  }
+
+  /** Free all persisted blocks except pinned ones. Dataset-level caches
+    * (`.persist()`) are cleared via the cache manager first — those have
+    * full lineage and recompute gracefully if ever re-used; truncated
+    * localCheckpoint RDDs are unpersisted only when not pinned. */
+  def sweep(spark: SparkSession): Unit = {
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+      if (!pinnedIds.contains(id)) rdd.unpersist(blocking = false)
+    }
+  }
+}

@@ -72,10 +72,15 @@ object Dedup {
   def lshCandidates(sigs: DataFrame, maxWidth: Int = MaxBucketWidth): DataFrame = {
     val s = sigs.sparkSession
     import s.implicits._
+    // ids only; read 3× (widths + both join sides). Lazy persist, not an
+    // eager localCheckpoint: no blocking materialization job, graceful
+    // recompute under memory pressure, and the identical self-join sides
+    // still collapse to one shuffle via ReusedExchange. Bench/Verify
+    // sweep the blocks after each query (graft.Ckpt).
     val banded = sigs
       .withColumn("bb", explode(bandBuckets(col("sig"))))
       .select($"doc_id", $"bb.band", $"bb.bkt")
-      .localCheckpoint(true) // ids only; read 3× (widths + both join sides)
+      .persist()
     val okBuckets = banded.groupBy($"band", $"bkt")
       .agg(count(lit(1)).as("w"))
       .filter($"w" > 1 && $"w" <= maxWidth)
@@ -111,7 +116,7 @@ object Dedup {
     import s.implicits._
     val sh = toks(s, dir)
       .select($"doc_id", shingles($"toks").as("sh"))
-      .localCheckpoint(true) // feeds the signature pass and both verify sides
+      .persist() // feeds the signature pass and both verify sides (lazily)
     val sigs = sh.select($"doc_id", minhashSig($"sh").as("sig"))
     verifyJaccard(lshCandidates(sigs), sh, 0.5)
       .orderBy($"id1", $"id2")
@@ -226,8 +231,8 @@ object Dedup {
       val cached = pairCache.get((s, dir))
       if (cached != null) cached
       else {
-        val p = TextOps.q34JaccardPairs(s, dir)
-          .select($"id1", $"id2").localCheckpoint(true)
+        val p = graft.Ckpt.pinned(
+          TextOps.q34JaccardPairs(s, dir).select($"id1", $"id2"))
         pairCache.put((s, dir), p)
         p
       }
@@ -304,7 +309,7 @@ object Dedup {
     val sh = toks(s, dir)
       .filter($"doc_id" % 2 === 0)
       .select($"doc_id", shingles($"toks").as("sh"))
-      .localCheckpoint(true) // signature pass + both verify sides
+      .persist() // signature pass + both verify sides (lazily)
     val sigs = sh.select($"doc_id",
       array((0 until K).map(k => array_min(transform($"sh", x => mdh(k, x)))): _*).as("sig"))
     val banded = sigs.select($"doc_id",

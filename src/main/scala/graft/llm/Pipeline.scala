@@ -42,18 +42,19 @@ object Pipeline {
       .filter($"n_tokens" >= 20)
 
     // 3. language filter (marker-word heuristic, en only).
-    // localCheckpoint: `en` feeds BOTH the LSH candidate build and the
-    // final anti-join — without it the whole funnel lineage runs twice.
+    // persist: `en` feeds BOTH the LSH candidate build and the final
+    // anti-join — without it the whole funnel lineage runs twice. Lazy
+    // (no blocking job); swept by Bench/Verify after the query.
     val en = scored.filter(
       size(regexp_extract_all(lower($"text"), lit("\\b(the|a|of|and|is|to)\\b"), lit(0))) >
       size(regexp_extract_all(lower($"text"), lit("\\b(der|die|das|und|le|la|el|los)\\b"), lit(0))))
-      .localCheckpoint(true)
+      .persist()
 
     // 4. near-dup suppression via MinHash-LSH: id-only band join with the
     //    skew cap, late shingle re-join (Dedup.lshCandidates/verifyJaccard),
     //    then drop the higher doc_id of any confirmed near-dup pair
     val sh = en.select($"doc_id", Dedup.shingles($"toks").as("sh"))
-      .localCheckpoint(true) // feeds the signature pass and both verify sides
+      .persist() // feeds the signature pass and both verify sides (lazily)
     val sigs = sh.select($"doc_id", Dedup.minhashSig($"sh").as("sig"))
     val losers = Dedup.verifyJaccard(Dedup.lshCandidates(sigs), sh, 0.5)
       .select($"id2".as("doc_id")).distinct()

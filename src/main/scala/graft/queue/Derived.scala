@@ -152,7 +152,7 @@ object Derived {
         ($"created2" < $"created_at" ||
          ($"created2" === $"created_at" && $"id2" < $"id")))
       .select($"id".as("plan_id"), $"id2".as("depends_on"))
-      .localCheckpoint(true) // feeds both the unmet filter and unblock flags
+      .persist() // feeds both the unmet filter and unblock flags (lazily)
 
     val completed = p.filter($"status" === "completed").select($"id".as("cid"))
     val unmetIds = deps.join(completed, $"depends_on" === $"cid", "left_anti")
@@ -236,7 +236,7 @@ object Derived {
     import s.implicits._
     // both the overview and the ETA rollup scan the derived status
     // table — materialize the join once
-    val st = statuses(s, dir).localCheckpoint(true)
+    val st = statuses(s, dir).persist()
     QueueOps.statusOverview(st)
       .join(QueueOps.etaSeconds(st), Seq("plan_id"), "left")
       .orderBy($"project", $"plan_id")

@@ -92,7 +92,10 @@ object Stratify {
         $"plan" === $"p2" && $"dep" < $"phase" &&
         ($"l_partkey" === $"pk2" || $"l_suppkey" === $"sk2"))
       .select($"plan", $"phase", $"dep").distinct()
-    val strata = stratify(nodes, edges)
+    // pinned: the memoized strata survive Bench/Verify's between-query
+    // block sweep (the loop's per-iteration checkpoints do not, and
+    // should not — they are garbage once the fixpoint converges)
+    val strata = graft.Ckpt.pinned(stratify(nodes, edges))
     strataCache.put((s, dir), strata)
     strata.orderBy($"plan", $"phase")
   }
