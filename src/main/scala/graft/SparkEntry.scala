@@ -57,5 +57,6 @@ object SparkEntry {
     rounds.Stratify.oracle ++
     queue.Derived.oracle ++
     llm.Dedup.oracle ++
-    plans.TopK.oracle
+    plans.TopK.oracle ++
+    llm.Pipeline.oracle
 }

@@ -162,6 +162,96 @@ object Dedup {
       .orderBy($"id1", $"id2")
   }
 
+  /** q109: the SimHash pipeline with an ORACLE-EXPRESSIBLE hash — the
+    * 64-bit signature is built from two 32-bit md5 halves (hex digits
+    * 1–8 and 9–16 of md5(token); both engines compute md5 identically)
+    * and materialized as FOUR 16-BIT CHUNK VALUES instead of one packed
+    * long: chunk values stay in [0, 65535], so no engine-specific
+    * 64-bit shift/overflow semantics enter the graded output. Candidates
+    * agree on one chunk (the same rotation trick as q47), hamming =
+    * Σ bit_count(xor(chunk)) ≤ 6 — so the SIMHASH SEMANTICS (bit-sum
+    * signs, chunk banding, hamming verify) are hash-graded while q47
+    * remains the xxhash64 fast path. */
+  def q109SimhashMd5(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hashed = toks(s, dir)
+      .select($"doc_id", explode($"toks").as("tok"))
+      .withColumn("h1", conv(substring(md5($"tok"), 1, 8), 16, 10).cast("long"))
+      .withColumn("h2", conv(substring(md5($"tok"), 9, 8), 16, 10).cast("long"))
+    val bitSums = (0 until 64).map { j =>
+      val src = if (j < 32) $"h1" else $"h2"
+      sum(when(shiftright(src, j % 32).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j")
+    }
+    val agg = hashed.groupBy($"doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val chunkCols = (0 until 4).map { c =>
+      (0 until 16).map { k =>
+        when(col(s"b${c * 16 + k}") > 0, lit(1 << k)).otherwise(lit(0))
+      }.reduce(_ + _).cast("int").as(s"v$c")
+    }
+    val sig = agg.select(($"doc_id" +: chunkCols): _*)
+      .persist() // read twice: both chunk-join sides
+    val chunked = sig.withColumn("cc", explode(array((0 until 4).map(c =>
+        struct(lit(c).as("c"), col(s"v$c").as("v"))): _*)))
+      .select($"doc_id", $"v0", $"v1", $"v2", $"v3", $"cc.c", $"cc.v")
+    val a = chunked.select($"doc_id".as("id1"), $"v0".as("x0"), $"v1".as("x1"),
+      $"v2".as("x2"), $"v3".as("x3"), $"c", $"v")
+    val b = chunked.select($"doc_id".as("id2"), $"v0".as("y0"), $"v1".as("y1"),
+      $"v2".as("y2"), $"v3".as("y3"), $"c".as("c2"), $"v".as("v2j"))
+    a.join(b, $"c" === $"c2" && $"v" === $"v2j" && $"id1" < $"id2")
+      .dropDuplicates("id1", "id2")
+      .withColumn("hamming",
+        (bit_count($"x0".bitwiseXOR($"y0")) + bit_count($"x1".bitwiseXOR($"y1")) +
+         bit_count($"x2".bitwiseXOR($"y2")) + bit_count($"x3".bitwiseXOR($"y3")))
+          .cast("int"))
+      .filter($"hamming" <= 6)
+      .select($"id1", $"id2", $"hamming")
+      .orderBy($"id1", $"id2")
+  }
+
+  val q109Sql: String = {
+    val bitSums = (0 until 64).map { j =>
+      val src = if (j < 32) "h1" else "h2"
+      s"sum(CASE WHEN (($src >> ${j % 32}) & 1) = 1 THEN 1 ELSE -1 END) AS b$j"
+    }.mkString(",\n    ")
+    val chunks = (0 until 4).map { c =>
+      (0 until 16).map { k =>
+        s"(CASE WHEN b${c * 16 + k} > 0 THEN ${1 << k} ELSE 0 END)"
+      }.mkString("CAST(", " + ", s" AS INT) AS v$c")
+    }.mkString(",\n    ")
+    s"""WITH t AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS tok
+       |  FROM documents),
+       |h AS (
+       |  SELECT doc_id,
+       |    ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h1,
+       |    ('0x' || substr(md5(tok), 9, 8))::BIGINT AS h2
+       |  FROM t),
+       |b AS (
+       |  SELECT doc_id,
+       |    $bitSums
+       |  FROM h GROUP BY doc_id),
+       |v AS (
+       |  SELECT doc_id,
+       |    $chunks
+       |  FROM b),
+       |c AS (
+       |  SELECT doc_id, v0, v1, v2, v3, u.c,
+       |    CASE u.c WHEN 0 THEN v0 WHEN 1 THEN v1 WHEN 2 THEN v2 ELSE v3 END AS vv
+       |  FROM v, unnest(generate_series(0, 3)) AS u(c)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+       |  FROM c a JOIN c b ON a.c = b.c AND a.vv = b.vv AND a.doc_id < b.doc_id)
+       |SELECT cd.id1, cd.id2,
+       |  CAST(bit_count(xor(x.v0, y.v0)) + bit_count(xor(x.v1, y.v1)) +
+       |       bit_count(xor(x.v2, y.v2)) + bit_count(xor(x.v3, y.v3)) AS INT) AS hamming
+       |FROM cand cd
+       |JOIN v x ON x.doc_id = cd.id1
+       |JOIN v y ON y.doc_id = cd.id2
+       |WHERE bit_count(xor(x.v0, y.v0)) + bit_count(xor(x.v1, y.v1)) +
+       |      bit_count(xor(x.v2, y.v2)) + bit_count(xor(x.v3, y.v3)) <= 6
+       |ORDER BY id1, id2""".stripMargin
+  }
+
   /** Karp–Rabin rolling fingerprint over the token stream: a sequential
     * polynomial fold (h = h*B + tok_hash mod 2^31-1) — order-sensitive,
     * unlike the set-based md5 fingerprint (q33). The Mersenne-31 modulus
@@ -296,13 +386,44 @@ object Dedup {
     * the BANDING SEMANTICS themselves are hash-graded — q46 remains
     * the fast path (xxhash64 beats md5 by a wide margin; its seeds are
     * simply not SQL-expressible). */
-  def q107MinhashMd5(s: SparkSession, dir: String): DataFrame = {
+  /** md5-family minhash candidate pairs — the ORACLE-EXPRESSIBLE twin
+    * of `lshCandidates`: both engines compute md5 identically, so K=8
+    * signatures in 4 bands of 2 (bucket = the band's two minhash values
+    * verbatim) restate in DuckDB SQL step for step. `maxWidth <= 0`
+    * disables the skew cap (q107 grades pure banding); q108 passes
+    * `MaxBucketWidth` to mirror the production path's cap. */
+  def md5Candidates(sh: DataFrame, maxWidth: Int = 0): DataFrame = {
+    val s = sh.sparkSession
     import s.implicits._
     val K = 8
     val R = 2
     def mdh(seed: Int, x: Column): Column =
       conv(substring(md5(concat(lit(seed.toString), lit("|"), x)), 1, 8), 16, 10)
         .cast("long")
+    val sigs = sh.select($"doc_id",
+      array((0 until K).map(k => array_min(transform($"sh", x => mdh(k, x)))): _*).as("sig"))
+    val banded0 = sigs.select($"doc_id",
+        explode(array((0 until K / R).map(b =>
+          struct(lit(b).as("band"),
+            concat_ws(",",
+              element_at($"sig", b * R + 1).cast("string"),
+              element_at($"sig", b * R + 2).cast("string")).as("bkt"))): _*)).as("bb"))
+      .select($"doc_id", $"bb.band", $"bb.bkt")
+    val banded = if (maxWidth <= 0) banded0 else {
+      val bp = banded0.persist() // read twice: widths + the capped join
+      val ok = bp.groupBy($"band", $"bkt").agg(count(lit(1)).as("w"))
+        .filter($"w" > 1 && $"w" <= maxWidth)
+        .select($"band", $"bkt")
+      bp.join(ok, Seq("band", "bkt"))
+    }
+    val a = banded.select($"doc_id".as("id1"), $"band", $"bkt")
+    val b = banded.select($"doc_id".as("id2"), $"band".as("b2"), $"bkt".as("k2"))
+    a.join(b, $"band" === $"b2" && $"bkt" === $"k2" && $"id1" < $"id2")
+      .select($"id1", $"id2").distinct()
+  }
+
+  def q107MinhashMd5(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     // deterministic 1-in-2 sample: this twin exists to GRADE the banding
     // semantics, not to re-run the full corpus through md5 (much slower
     // than xxhash64 — q46 stays the full-corpus fast path)
@@ -310,20 +431,7 @@ object Dedup {
       .filter($"doc_id" % 2 === 0)
       .select($"doc_id", shingles($"toks").as("sh"))
       .persist() // signature pass + both verify sides (lazily)
-    val sigs = sh.select($"doc_id",
-      array((0 until K).map(k => array_min(transform($"sh", x => mdh(k, x)))): _*).as("sig"))
-    val banded = sigs.select($"doc_id",
-        explode(array((0 until K / R).map(b =>
-          struct(lit(b).as("band"),
-            concat_ws(",",
-              element_at($"sig", b * R + 1).cast("string"),
-              element_at($"sig", b * R + 2).cast("string")).as("bkt"))): _*)).as("bb"))
-      .select($"doc_id", $"bb.band", $"bb.bkt")
-    val a = banded.select($"doc_id".as("id1"), $"band", $"bkt")
-    val b = banded.select($"doc_id".as("id2"), $"band".as("b2"), $"bkt".as("k2"))
-    val cand = a.join(b, $"band" === $"b2" && $"bkt" === $"k2" && $"id1" < $"id2")
-      .select($"id1", $"id2").distinct()
-    verifyJaccard(cand, sh, 0.5)
+    verifyJaccard(md5Candidates(sh), sh, 0.5)
       .orderBy($"id1", $"id2")
   }
 
@@ -367,11 +475,13 @@ object Dedup {
     "q49_singletons"    -> (q49Singletons _),
     "q105_dedup_clusters" -> (q105DedupClusters _),
     "q107_minhash_md5"  -> (q107MinhashMd5 _),
+    "q109_simhash_md5"  -> (q109SimhashMd5 _),
   )
 
   val oracle: Map[String, String] = Map(
     "q49_singletons" -> q49Sql,
     "q105_dedup_clusters" -> q105Sql,
     "q107_minhash_md5" -> q107Sql,
+    "q109_simhash_md5" -> q109Sql,
   )
 }

@@ -22,7 +22,14 @@ import graft.Tables
   */
 object Pipeline {
 
-  def curate(s: SparkSession, dir: String): DataFrame = {
+  /** Stages 1–3 of the funnel (exact dedup → quality gate → language
+    * filter): shared verbatim by the production pipeline (q87) and its
+    * oracle twin (q108) — the twin grades THIS composition.
+    *
+    * persist: the result feeds BOTH the LSH candidate build and the
+    * final anti-join — without it the whole funnel lineage runs twice.
+    * Lazy (no blocking job); swept by Bench/Verify after the query. */
+  private def enCorpus(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, dir)
 
@@ -41,15 +48,27 @@ object Pipeline {
         size(expr(s"filter(toks, x -> x IN $stop)")).cast("double") / $"n_tokens")
       .filter($"n_tokens" >= 20)
 
-    // 3. language filter (marker-word heuristic, en only).
-    // persist: `en` feeds BOTH the LSH candidate build and the final
-    // anti-join — without it the whole funnel lineage runs twice. Lazy
-    // (no blocking job); swept by Bench/Verify after the query.
-    val en = scored.filter(
+    // 3. language filter (marker-word heuristic, en only)
+    scored.filter(
       size(regexp_extract_all(lower($"text"), lit("\\b(the|a|of|and|is|to)\\b"), lit(0))) >
       size(regexp_extract_all(lower($"text"), lit("\\b(der|die|das|und|le|la|el|los)\\b"), lit(0))))
       .persist()
+  }
 
+  /** Stage 5: drop the higher doc_id of each confirmed near-dup pair,
+    * emit the curated corpus with provenance columns. */
+  private def emit(en: DataFrame, losers: DataFrame): DataFrame = {
+    val s = en.sparkSession
+    import s.implicits._
+    en.join(losers, Seq("doc_id"), "left_anti")
+      .select($"doc_id", $"lang", $"source", $"n_tokens",
+        round($"stop_ratio", 4).as("stop_ratio"), $"fp")
+      .orderBy($"doc_id")
+  }
+
+  def curate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val en = enCorpus(s, dir)
     // 4. near-dup suppression via MinHash-LSH: id-only band join with the
     //    skew cap, late shingle re-join (Dedup.lshCandidates/verifyJaccard),
     //    then drop the higher doc_id of any confirmed near-dup pair
@@ -58,14 +77,87 @@ object Pipeline {
     val sigs = sh.select($"doc_id", Dedup.minhashSig($"sh").as("sig"))
     val losers = Dedup.verifyJaccard(Dedup.lshCandidates(sigs), sh, 0.5)
       .select($"id2".as("doc_id")).distinct()
-
-    // 5. curated corpus + provenance
-    en.join(losers, Seq("doc_id"), "left_anti")
-      .select($"doc_id", $"lang", $"source", $"n_tokens",
-        round($"stop_ratio", 4).as("stop_ratio"), $"fp")
-      .orderBy($"doc_id")
+    emit(en, losers)
   }
 
+  /** q108: the full curation funnel with the ORACLE-EXPRESSIBLE md5
+    * minhash family (q107's) in stage 4 — every stage restates in
+    * DuckDB SQL, so the funnel COMPOSITION (dedup → quality → lang →
+    * near-dup anti-join, survivor selection, bucket cap) is hash-graded
+    * end to end. q87 stays the production path (xxhash64 signatures);
+    * the two share stages 1–3 and 5 verbatim. */
+  def q108CurationMd5(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val en = enCorpus(s, dir)
+    val sh = en.select($"doc_id", Dedup.shingles($"toks").as("sh"))
+      .persist() // feeds the signature pass and both verify sides (lazily)
+    val losers = Dedup.verifyJaccard(
+        Dedup.md5Candidates(sh, Dedup.MaxBucketWidth), sh, 0.5)
+      .select($"id2".as("doc_id")).distinct()
+    emit(en, losers)
+  }
+
+  val q108Sql: String =
+    """WITH fp AS (
+      |  SELECT doc_id, text, lang, source,
+      |         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+      |  FROM documents),
+      |keep AS (SELECT fp, min(doc_id) AS doc_id FROM fp GROUP BY fp),
+      |deduped AS (
+      |  SELECT f.* FROM fp f JOIN keep k ON f.fp = k.fp AND f.doc_id = k.doc_id),
+      |tok AS (
+      |  SELECT *, regexp_extract_all(lower(text), '\S+') AS toks FROM deduped),
+      |scored AS (
+      |  SELECT doc_id, text, lang, source, fp, toks,
+      |    CAST(len(toks) AS INT) AS n_tokens,
+      |    CAST(len(list_filter(toks, x -> x IN ('the','a','an','of','and','to','in','is','it','for'))) AS DOUBLE)
+      |      / len(toks) AS stop_ratio
+      |  FROM tok WHERE len(toks) >= 20),
+      |en AS (
+      |  SELECT * FROM scored
+      |  WHERE len(regexp_extract_all(lower(text), '\b(the|a|of|and|is|to)\b')) >
+      |        len(regexp_extract_all(lower(text), '\b(der|die|das|und|le|la|el|los)\b'))),
+      |sh AS (
+      |  SELECT doc_id, list_distinct([
+      |    concat_ws(' ', toks[i], toks[i+1], toks[i+2])
+      |    FOR i IN generate_series(1, greatest(len(toks) - 2, 1))]) AS shs
+      |  FROM en),
+      |mh AS (
+      |  SELECT doc_id,
+      |    [ list_min([ ('0x' || substr(md5(CAST(k AS VARCHAR) || '|' || s), 1, 8))::BIGINT
+      |                 FOR s IN shs ])
+      |      FOR k IN generate_series(0, 7) ] AS sig
+      |  FROM sh),
+      |banded AS (
+      |  SELECT doc_id, b AS band,
+      |    CAST(sig[2*b + 1] AS VARCHAR) || ',' || CAST(sig[2*b + 2] AS VARCHAR) AS bkt
+      |  FROM mh, unnest(generate_series(0, 3)) AS u(b)),
+      |ok AS (
+      |  SELECT band, bkt FROM banded GROUP BY band, bkt
+      |  HAVING count(*) > 1 AND count(*) <= 64),
+      |capped AS (
+      |  SELECT banded.* FROM banded JOIN ok USING (band, bkt)),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+      |  FROM capped a JOIN capped b
+      |    ON a.band = b.band AND a.bkt = b.bkt AND a.doc_id < b.doc_id),
+      |losers AS (
+      |  SELECT DISTINCT c.id2 AS doc_id
+      |  FROM cand c
+      |  JOIN sh x ON x.doc_id = c.id1
+      |  JOIN sh y ON y.doc_id = c.id2
+      |  WHERE round(CAST(len(list_intersect(x.shs, y.shs)) AS DOUBLE)
+      |          / len(list_distinct(list_concat(x.shs, y.shs))), 4) >= 0.5)
+      |SELECT e.doc_id, e.lang, e.source, e.n_tokens,
+      |       round(e.stop_ratio, 4) AS stop_ratio, e.fp
+      |FROM en e
+      |WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.doc_id = e.doc_id)
+      |ORDER BY e.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q87_curation_pipeline" -> (curate _))
+    "q87_curation_pipeline" -> (curate _),
+    "q108_curation_md5"     -> (q108CurationMd5 _))
+
+  val oracle: Map[String, String] = Map(
+    "q108_curation_md5" -> q108Sql)
 }

@@ -43,27 +43,46 @@ def canon(v):
     return v
 
 def main():
-    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    args = list(sys.argv[1:])
+    # Optional: --out PATH writes a CORRECTNESS_r*-format json of this
+    # local run (for tools/status.py check-coverage between driver rounds).
+    out_json = None
+    if "--out" in args:
+        i = args.index("--out")
+        out_json = args[i + 1]
+        del args[i:i + 2]
+    sf_dir, out_dir = args[0], args[1]
     # Optional 3rd arg: comma-separated name prefixes — check only those.
-    only = sys.argv[3].split(",") if len(sys.argv) > 3 else None
+    only = args[2].split(",") if len(args) > 2 else None
+    results = {}
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_ok = n_bad = 0
+
+    def record(name, rows=None, hash_match=None, err=None, oracle_rows=None):
+        results[name] = {
+            "rows_match": None if hash_match is None else hash_match or rows == oracle_rows,
+            "schema_match": None if hash_match is None else hash_match is not None,
+            "hash_match": hash_match, "spark_rows": rows,
+            "oracle_rows": oracle_rows, "err": err}
+
     for name, sql in sorted(oracle.items()):
         if only and not any(name.startswith(p) for p in only):
             continue
         tab = load_spark_result(f"{out_dir}/{name}")
         if tab is None:
             print(f"FAIL {name}: no spark result")
+            record(name, err="no_result")
             n_bad += 1
             continue
         try:
             duck = con.execute(sql).fetch_arrow_table()
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
+            record(name, rows=tab.num_rows, err=f"duckdb: {e}")
             n_bad += 1
             continue
         scols, srows = norm_rows(tab.column_names,
@@ -120,11 +139,24 @@ def main():
                         first = (i, x, y)
         if mism == 0:
             print(f"OK   {name}: rows={len(srows)}")
+            record(name, rows=len(srows), hash_match=True, oracle_rows=len(drows))
             n_ok += 1
         else:
             print(f"FAIL {name}: {mism} value mismatches, max_float_diff={max_fdiff}, first={first}")
+            record(name, rows=len(srows), hash_match=False, oracle_rows=len(drows))
             n_bad += 1
-    print(f"\n{n_ok} ok, {n_bad} bad")
+    if out_json:
+        # queries Verify dumped but with no oracle entry = rows-only
+        for path in sorted(glob.glob(f"{out_dir}/q*")):
+            name = path.rsplit("/", 1)[-1]
+            if name not in oracle and name not in results:
+                tab = load_spark_result(path)
+                results[name] = {
+                    "rows_match": None, "schema_match": None, "hash_match": None,
+                    "spark_rows": tab.num_rows if tab is not None else None,
+                    "oracle_rows": None, "err": "no_oracle"}
+        json.dump(dict(sorted(results.items())), open(out_json, "w"), indent=2)
+        print(f"wrote {out_json}")
     sys.exit(1 if n_bad else 0)
 
 if __name__ == "__main__":
