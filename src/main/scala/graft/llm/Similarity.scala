@@ -40,22 +40,28 @@ object Similarity {
 
   private def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** q36: brute-force cosine top-k — for each query vector (vec_id < 10),
-    * the 5 nearest neighbors. Query side is broadcast; candidates stream
-    * by without a shuffle until the final per-query top-k window. */
-  def q36CosineTopk(s: SparkSession, dir: String): DataFrame = {
+  /** Brute-force cosine top-k over an arbitrary (vec_id, v) set — the
+    * correctness baseline every ANN path's recall is measured against.
+    * Query side is broadcast; candidates stream by without a shuffle
+    * until the final per-query top-k window. */
+  def bruteTopkFrom(e: DataFrame, nq: Int = 10, k: Int = 5): DataFrame = {
+    val s = e.sparkSession
     import s.implicits._
-    val e = vecs(s, dir)
-    val q = e.filter($"vec_id" < 10).select($"vec_id".as("qid"), $"v".as("qv"))
+    val q = e.filter($"vec_id" < nq).select($"vec_id".as("qid"), $"v".as("qv"))
     val c = e.select($"vec_id".as("cid"), $"v".as("cv"))
     val w = Window.partitionBy($"qid").orderBy($"sim".desc, $"cid".asc)
     c.join(broadcast(q), $"cid" =!= $"qid")
       .withColumn("sim", graft.functions.CosineSim.cosine(s, $"qv", $"cv"))
       .withColumn("rank", row_number().over(w))
-      .filter($"rank" <= 5)
+      .filter($"rank" <= k)
       .select($"qid", $"rank", $"cid", round($"sim", 4).as("sim"))
       .orderBy($"qid", $"rank")
   }
+
+  /** q36: brute-force cosine top-k — for each query vector (vec_id < 10),
+    * the 5 nearest neighbors. */
+  def q36CosineTopk(s: SparkSession, dir: String): DataFrame =
+    bruteTopkFrom(vecs(s, dir))
 
   val q36Sql: String =
     """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -142,18 +148,38 @@ object Similarity {
     array((0 until LshBands).map(b =>
       struct(lit(b).as("band"), bandBucket(v, b).as("bkt"))): _*)
 
-  /** q39: LSH-banded approximate top-k — candidates form only inside a
-    * (band, bucket) cell, turning the O(N²) similarity join into a
-    * bucket-equality shuffle join; pairs found by several bands are
-    * deduped before scoring. Rows-only driver check; recall vs the
-    * brute-force q36 is unit tested in LlmSpec. */
-  def q39AnnLsh(s: SparkSession, dir: String): DataFrame = {
+  /** LSH-banded approximate top-k over an arbitrary (vec_id, v) set.
+    *
+    * `multiProbe`: in addition to a query's own bucket in each band,
+    * probe every bucket whose code differs in ≤ multiProbe of the
+    * band's sign bits (classic multi-probe LSH — Lv et al., VLDB'07).
+    * A near-neighbor that lands one hyperplane-sign away is reached
+    * WITHOUT growing the number of tables: the probe fan-out multiplies
+    * only the broadcast QUERY side (×(1+P) buckets per band at
+    * multiProbe=1), never the corpus side — the knob buys recall at
+    * O(queries) cost, which is the right trade at 100 TB where the
+    * corpus-side explode is the expensive dimension. */
+  def annLshFrom(e0: DataFrame, nq: Int = 10, k: Int = 5,
+                 multiProbe: Int = 1): DataFrame = {
+    val s = e0.sparkSession
     import s.implicits._
-    val e = vecs(s, dir)
+    val e = e0
       .withColumn("bb", explode(bandedBuckets($"v")))
       .select($"vec_id", $"v", $"bb.band".as("band"), $"bb.bkt".as("bkt"))
-    val q = e.filter($"vec_id" < 10)
-      .select($"vec_id".as("qid"), $"v".as("qv"), $"band", $"bkt")
+    // probe set per query band: own bucket + single-bit (and, for
+    // multiProbe=2, double-bit) flips of the sign code
+    val flips: Seq[Column] = {
+      val bits = 0 until LshPlanesPerBand
+      val one = if (multiProbe >= 1) bits.map(i => lit(1 << i)) else Seq.empty
+      val two = if (multiProbe >= 2)
+        (for (i <- bits; j <- bits if i < j) yield lit((1 << i) | (1 << j)))
+      else Seq.empty
+      lit(0) +: (one ++ two)
+    }
+    val q = e.filter($"vec_id" < nq)
+      .withColumn("probe", explode(array(flips: _*)))
+      .select($"vec_id".as("qid"), $"v".as("qv"), $"band",
+        $"bkt".bitwiseXOR($"probe").as("bkt"))
     val c = e.select($"vec_id".as("cid"), $"v".as("cv"),
       $"band".as("cband"), $"bkt".as("cbkt"))
     val pairs = c.join(broadcast(q),
@@ -164,9 +190,22 @@ object Similarity {
     pairs
       .withColumn("sim", graft.functions.CosineSim.cosine(s, $"qv", $"cv"))
       .withColumn("rank", row_number().over(w))
-      .filter($"rank" <= 5)
+      .filter($"rank" <= k)
       .select($"qid", $"rank", $"cid", round($"sim", 4).as("sim"))
       .orderBy($"qid", $"rank")
+  }
+
+  /** q39: LSH-banded approximate top-k — candidates form only inside a
+    * (band, bucket) cell, turning the O(N²) similarity join into a
+    * bucket-equality shuffle join; pairs found by several bands are
+    * deduped before scoring. Multi-probe depth via
+    * `spark.graft.lsh.multiprobe` (default 1). Rows-only driver check;
+    * recall vs the brute-force q36 is unit tested in LlmSpec with an
+    * asserted ≥0.8 floor on a clustered corpus. */
+  def q39AnnLsh(s: SparkSession, dir: String): DataFrame = {
+    val mp = s.conf.getOption("spark.graft.lsh.multiprobe")
+      .map(_.toInt).getOrElse(1)
+    annLshFrom(vecs(s, dir), multiProbe = mp)
   }
 
   /** q66: IVF-style ANN — the other scale path besides LSH banding:
@@ -178,10 +217,11 @@ object Similarity {
     * Candidate generation is an equality join on cell id — at 100 TB
     * the cells shard the corpus so a query touches ~nprobe/K of it.
     * Rows-only; recall vs brute force unit-tested. */
-  def q66AnnIvf(s: SparkSession, dir: String): DataFrame = {
+  def annIvfFrom(e: DataFrame, nq: Int = 10, k: Int = 5,
+                 strideMod: Int = 31, nprobe: Int = 2): DataFrame = {
+    val s = e.sparkSession
     import s.implicits._
-    val e = vecs(s, dir)
-    val cents = e.filter(pmod($"vec_id", lit(31)) === 0)
+    val cents = e.filter(pmod($"vec_id", lit(strideMod)) === 0)
       .select($"vec_id".as("cent_id"), $"v".as("cv0"))
     def nearestCells(df: DataFrame, vcol: String, n: Int, out: String): DataFrame = {
       val w = Window.partitionBy($"vec_id").orderBy($"csim".desc, $"cent_id".asc)
@@ -192,7 +232,7 @@ object Similarity {
         .select(df.columns.map(col) :+ $"cent_id".as(out): _*)
     }
     val assigned = nearestCells(e, "v", 1, "cell")
-    val q = nearestCells(e.filter($"vec_id" < 10), "v", 2, "cell")
+    val q = nearestCells(e.filter($"vec_id" < nq), "v", nprobe, "cell")
       .select($"vec_id".as("qid"), $"v".as("qv"), $"cell")
     val c = assigned.select($"vec_id".as("cid"), $"v".as("cv"), $"cell".as("ccell"))
     val w = Window.partitionBy($"qid").orderBy($"sim".desc, $"cid".asc)
@@ -200,10 +240,13 @@ object Similarity {
       .select($"qid", $"qv", $"cid", $"cv").dropDuplicates("qid", "cid")
       .withColumn("sim", graft.functions.CosineSim.cosine(s, $"qv", $"cv"))
       .withColumn("rank", row_number().over(w))
-      .filter($"rank" <= 5)
+      .filter($"rank" <= k)
       .select($"qid", $"rank", $"cid", round($"sim", 4).as("sim"))
       .orderBy($"qid", $"rank")
   }
+
+  def q66AnnIvf(s: SparkSession, dir: String): DataFrame =
+    annIvfFrom(vecs(s, dir))
 
   /** q104: embedding-cosine near-dup pairs — the vector-space member of
     * the dedup family (exact q29, MinHash q46, SimHash q47, n-gram

@@ -51,7 +51,54 @@ class LlmSpec extends AnyFunSuite {
     assert(ann.nonEmpty)
     val recall = (ann & brute).size.toDouble / brute.size
     info(f"LSH recall vs brute force: $recall%.2f (ann=${ann.size})")
-    assert(recall > 0.05, f"LSH recall $recall%.2f suspiciously low")
+    // multi-probe (default depth 1) holds 0.90 even on this uniform
+    // corpus — the hardest case for LSH; deterministic, so a hard floor
+    assert(recall >= 0.8, f"LSH recall $recall%.2f below the 0.8 floor")
+  }
+
+  /** Clustered corpus for recall floors: C centers with members = center
+    * + small deterministic perturbation (hash-based, no RNG). On this —
+    * the realistic near-dup geometry, unlike uniform-random vectors —
+    * a query's true neighbors share its cluster, so a correct ANN path
+    * must find nearly all of them. */
+  private def clusteredVecs(nClusters: Int, perCluster: Int, dim: Int) = {
+    import spark.implicits._
+    def h(a: Int, b: Int, c: Int): Double =
+      ((((a * 1000003 + b) * 7919 + c) * 2654435761L % 1000).toDouble / 500.0) - 1.0
+    val rows = for {
+      c <- 0 until nClusters
+      m <- 0 until perCluster
+    } yield {
+      val id = (c * perCluster + m).toLong
+      val v = (0 until dim).map(j => h(c, 0, j) + 0.15 * h(c, m + 1, j)).toArray
+      (id, s"c$c", v)
+    }
+    rows.toDF("vec_id", "label", "v")
+  }
+
+  test("ANN recall floor: LSH multi-probe >= 0.8 on a clustered corpus") {
+    val e = clusteredVecs(nClusters = 10, perCluster = 50, dim = 16)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairs(llm.Similarity.bruteTopkFrom(e))
+    val plain = pairs(llm.Similarity.annLshFrom(e, multiProbe = 0))
+    val probed = pairs(llm.Similarity.annLshFrom(e, multiProbe = 1))
+    val rPlain = (plain & brute).size.toDouble / brute.size
+    val rProbed = (probed & brute).size.toDouble / brute.size
+    info(f"clustered recall@5: plain=$rPlain%.2f multiprobe=$rProbed%.2f")
+    assert(rProbed >= rPlain, "multi-probe must not lose recall")
+    assert(rProbed >= 0.8, f"multi-probe LSH recall $rProbed%.2f below the 0.8 floor")
+  }
+
+  test("ANN recall floor: IVF nprobe=2 >= 0.8 on a clustered corpus") {
+    val e = clusteredVecs(nClusters = 10, perCluster = 50, dim = 16)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairs(llm.Similarity.bruteTopkFrom(e))
+    val ivf = pairs(llm.Similarity.annIvfFrom(e))
+    val recall = (ivf & brute).size.toDouble / brute.size
+    info(f"clustered IVF recall@5: $recall%.2f")
+    assert(recall >= 0.8, f"IVF recall $recall%.2f below the 0.8 floor")
   }
 
   test("q35 langid guesses are from the closed set") {
