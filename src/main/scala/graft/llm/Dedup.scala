@@ -271,6 +271,32 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** q110: the Karp–Rabin rolling fingerprint with an ORACLE-EXPRESSIBLE
+    * per-token hash — md5's first 8 hex digits instead of xxhash64 —
+    * so the ORDER-SENSITIVE fold itself (h = h·131 + tok mod 2³¹−1,
+    * DuckDB `list_reduce` with a prepended 0 accumulator) is
+    * hash-graded; q48 stays the xxhash64 fast path. */
+  def q110RollingFpMd5(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val M = lit(2147483647L) // 2^31 - 1
+    def mdh(t: Column): Column =
+      conv(substring(md5(t), 1, 8), 16, 10).cast("long")
+    toks(s, dir)
+      .select($"doc_id",
+        aggregate($"toks", lit(0L),
+          (acc, t) => pmod(acc * 131L + pmod(mdh(t), M), M)).as("fp"))
+      .orderBy($"doc_id")
+  }
+
+  val q110Sql: String =
+    """SELECT doc_id,
+      |  list_reduce(
+      |    list_prepend(0::BIGINT,
+      |      [ ('0x' || substr(md5(t), 1, 8))::BIGINT % 2147483647
+      |        FOR t IN regexp_extract_all(lower(text), '\S+') ]),
+      |    (acc, x) -> (acc * 131 + x) % 2147483647) AS fp
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   /** q49: corpus singleton shingles — the dead-code usage-count shape
     * S25 (ref `agents/dead-code-agent.md:63-71`: identifier used once ⇒
     * dead): 3-word shingles that occur in exactly one document. */
@@ -476,6 +502,7 @@ object Dedup {
     "q105_dedup_clusters" -> (q105DedupClusters _),
     "q107_minhash_md5"  -> (q107MinhashMd5 _),
     "q109_simhash_md5"  -> (q109SimhashMd5 _),
+    "q110_rollingfp_md5" -> (q110RollingFpMd5 _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -483,5 +510,6 @@ object Dedup {
     "q105_dedup_clusters" -> q105Sql,
     "q107_minhash_md5" -> q107Sql,
     "q109_simhash_md5" -> q109Sql,
+    "q110_rollingfp_md5" -> q110Sql,
   )
 }

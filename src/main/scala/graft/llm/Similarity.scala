@@ -248,6 +248,111 @@ object Similarity {
   def q66AnnIvf(s: SparkSession, dir: String): DataFrame =
     annIvfFrom(vecs(s, dir))
 
+  /** q66 oracle: the IVF build is fully deterministic (stride-sampled
+    * centroids, no RNG) and `CosineSim`'s fold is bit-identical to
+    * DuckDB's list_dot_product (proved by q36), so unlike the
+    * murmur3-seeded LSH paths the WHOLE IVF pipeline — seeding, cell
+    * assignment, nprobe=2 probing, scoring — restates in SQL and is
+    * hash-graded, not rows-only. */
+  val q66Sql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |cents AS (SELECT vec_id AS cent_id, v AS cv0 FROM e WHERE vec_id % 31 = 0),
+      |asg AS (
+      |  SELECT vec_id, v, cent_id,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id ASC) AS crn
+      |  FROM (
+      |    SELECT e.vec_id, e.v, c.cent_id,
+      |      list_dot_product(e.v, c.cv0)
+      |        / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv0, c.cv0))) AS csim
+      |    FROM e, cents c) t),
+      |assigned AS (SELECT vec_id, v, cent_id AS cell FROM asg WHERE crn = 1),
+      |q AS (SELECT vec_id AS qid, v AS qv, cent_id AS cell
+      |      FROM asg WHERE vec_id < 10 AND crn <= 2),
+      |sims AS (
+      |  SELECT DISTINCT q.qid, c.vec_id AS cid,
+      |    list_dot_product(q.qv, c.v)
+      |      / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.v, c.v))) AS sim
+      |  FROM q JOIN assigned c ON c.cell = q.cell AND c.vec_id <> q.qid),
+      |ranked AS (
+      |  SELECT qid, cid, sim,
+      |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rank
+      |  FROM sims)
+      |SELECT qid, rank, cid, round(sim, 4) AS sim
+      |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+
+  /** q111: sign-random-projection LSH with ORACLE-EXPRESSIBLE planes —
+    * ±1 weights from md5("p|j") parity instead of murmur3, 4 bands × 4
+    * planes, multi-probe depth 1 ({0,1,2,4,8} code flips). The
+    * projection fold is `aggregate(zip_with(...))` == DuckDB
+    * list_dot_product (bit-identical, q36's proof), so sign, bucket
+    * code, probe set, candidate join and final scoring all restate in
+    * SQL — the ANN-LSH geometry (q39's) is hash-graded; q39 stays the
+    * murmur3 fast path. */
+  def q111AnnMd5(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def wgt(p: Int, j: Column): Column =
+      when(pmod(conv(substring(md5(concat(lit(p.toString), lit("|"),
+        j.cast("string"))), 1, 2), 16, 10).cast("long"), lit(2)) === 0,
+        lit(1.0)).otherwise(lit(-1.0))
+    def bucket(v: Column, band: Int): Column =
+      (0 until LshPlanesPerBand).map { i =>
+        val p = band * LshPlanesPerBand + i
+        val proj = aggregate(
+          zip_with(v, transform(sequence(lit(0), size(v) - 1), j => wgt(p, j)),
+            (x, w) => x * w),
+          lit(0.0), (acc, x) => acc + x)
+        when(proj > 0, lit(1 << i)).otherwise(lit(0))
+      }.reduce(_ + _)
+    val e = vecs(s, dir)
+      .withColumn("bb", explode(array((0 until LshBands).map(b =>
+        struct(lit(b).as("band"), bucket($"v", b).cast("int").as("bkt"))): _*)))
+      .select($"vec_id", $"v", $"bb.band", $"bb.bkt")
+    val q = e.filter($"vec_id" < 10)
+      .withColumn("probe", explode(array(Seq(0, 1, 2, 4, 8).map(lit): _*)))
+      .select($"vec_id".as("qid"), $"v".as("qv"), $"band",
+        $"bkt".bitwiseXOR($"probe").as("bkt"))
+    val c = e.select($"vec_id".as("cid"), $"v".as("cv"),
+      $"band".as("cband"), $"bkt".as("cbkt"))
+    val w = Window.partitionBy($"qid").orderBy($"sim".desc, $"cid".asc)
+    c.join(broadcast(q), $"cband" === $"band" && $"cbkt" === $"bkt" && $"cid" =!= $"qid")
+      .select($"qid", $"qv", $"cid", $"cv").dropDuplicates("qid", "cid")
+      .withColumn("sim", graft.functions.CosineSim.cosine(s, $"qv", $"cv"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 5)
+      .select($"qid", $"rank", $"cid", round($"sim", 4).as("sim"))
+      .orderBy($"qid", $"rank")
+  }
+
+  val q111Sql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |proj AS (
+      |  SELECT vec_id, u.p,
+      |    list_dot_product(v,
+      |      [ CASE WHEN ('0x' || substr(md5(CAST(u.p AS VARCHAR) || '|' || CAST(j AS VARCHAR)), 1, 2))::INT % 2 = 0
+      |             THEN 1.0 ELSE -1.0 END
+      |        FOR j IN generate_series(0, len(v) - 1) ]) AS pr
+      |  FROM e, unnest(generate_series(0, 15)) AS u(p)),
+      |codes AS (
+      |  SELECT vec_id, CAST(p // 4 AS INT) AS band,
+      |    CAST(sum(CASE WHEN pr > 0 THEN 1 << (p % 4) ELSE 0 END) AS INT) AS bkt
+      |  FROM proj GROUP BY vec_id, p // 4),
+      |withv AS (SELECT c.vec_id, c.band, c.bkt, e.v FROM codes c JOIN e USING (vec_id)),
+      |q AS (
+      |  SELECT w.vec_id AS qid, w.v AS qv, w.band, xor(w.bkt, f.f) AS bkt
+      |  FROM withv w, unnest([0, 1, 2, 4, 8]) AS f(f)
+      |  WHERE w.vec_id < 10),
+      |sims AS (
+      |  SELECT DISTINCT q.qid, c.vec_id AS cid,
+      |    list_dot_product(q.qv, c.v)
+      |      / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.v, c.v))) AS sim
+      |  FROM q JOIN withv c ON c.band = q.band AND c.bkt = q.bkt AND c.vec_id <> q.qid),
+      |ranked AS (
+      |  SELECT qid, cid, sim,
+      |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rank
+      |  FROM sims)
+      |SELECT qid, rank, cid, round(sim, 4) AS sim
+      |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+
   /** q104: embedding-cosine near-dup pairs — the vector-space member of
     * the dedup family (exact q29, MinHash q46, SimHash q47, n-gram
     * Jaccard q34): pairs whose cosine clears a threshold, blocked by
@@ -289,6 +394,7 @@ object Similarity {
     "q39_ann_lsh"        -> (q39AnnLsh _),
     "q66_ann_ivf"        -> (q66AnnIvf _),
     "q104_cosine_dups"   -> (q104CosineDups _),
+    "q111_ann_md5"       -> (q111AnnMd5 _),
   )
 
   /** q39 omitted: LSH bucketing is not SQL-expressible (murmur3 seed
@@ -297,6 +403,8 @@ object Similarity {
     "q36_cosine_topk"    -> q36Sql,
     "q37_vec_norms"      -> q37Sql,
     "q38_label_centroid" -> q38Sql,
+    "q66_ann_ivf"        -> q66Sql,
     "q104_cosine_dups"   -> q104Sql,
+    "q111_ann_md5"       -> q111Sql,
   )
 }
