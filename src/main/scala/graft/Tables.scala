@@ -34,12 +34,21 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, d, "events")
-      .withColumn("ts",
-        // integral `div`, not `/`: double division loses precision on
-        // ~1.7e18 nanosecond values (53-bit mantissa) and rounds up.
-        timestamp_micros(expr("ts div 1000"))
-          .cast(org.apache.spark.sql.types.TimestampNTZType))
+    val raw = t(s, d, "events")
+    raw.schema("ts").dataType match {
+      // TIMESTAMP(NANOS) surfaced as long by the legacy conf:
+      // integral `div`, not `/` — double division loses precision on
+      // ~1.7e18 nanosecond values (53-bit mantissa) and rounds up.
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts",
+          timestamp_micros(expr("ts div 1000"))
+            .cast(org.apache.spark.sql.types.TimestampNTZType))
+      // a rewritten feed (e.g. tools/make_scaled.py output) is already
+      // micros-typed — same value domain, no nanos dance needed
+      case _ =>
+        raw.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampNTZType))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")

@@ -88,7 +88,10 @@ object Pipeline {
     * the two share stages 1–3 and 5 verbatim. */
   def q108CurationMd5(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val en = enCorpus(s, dir)
+    // deterministic 1-in-2 sample (q107's convention): the twin grades
+    // the funnel COMPOSITION, not corpus-scale md5 throughput — q87
+    // stays the full-corpus path
+    val en = enCorpus(s, dir).filter($"doc_id" % 2 === 0)
     val sh = en.select($"doc_id", Dedup.shingles($"toks").as("sh"))
       .persist() // feeds the signature pass and both verify sides (lazily)
     val losers = Dedup.verifyJaccard(
@@ -115,7 +118,8 @@ object Pipeline {
       |  FROM tok WHERE len(toks) >= 20),
       |en AS (
       |  SELECT * FROM scored
-      |  WHERE len(regexp_extract_all(lower(text), '\b(the|a|of|and|is|to)\b')) >
+      |  WHERE doc_id % 2 = 0
+      |    AND len(regexp_extract_all(lower(text), '\b(the|a|of|and|is|to)\b')) >
       |        len(regexp_extract_all(lower(text), '\b(der|die|das|und|le|la|el|los)\b'))),
       |sh AS (
       |  SELECT doc_id, list_distinct([
