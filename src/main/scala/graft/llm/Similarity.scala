@@ -125,17 +125,30 @@ object Similarity {
   val LshBands = 4
   val LshPlanesPerBand = 4
 
-  /** Deterministic ±1 hyperplane weights: sign of murmur3(plane, dim).
-    * No RNG, so the bucketing is reproducible across runs and engines. */
-  private def planeWeight(p: Int, j: Column): Column =
-    when(pmod(hash(lit(p), j), lit(2)) === 0, lit(1.0)).otherwise(lit(-1.0))
+  /** Deterministic ±1 hyperplane weights — md5("p|j") byte parity —
+    * PRECOMPUTED once driver-side and embedded as literal arrays. At
+    * scale the hyperplane table is a broadcast constant: the earlier
+    * shape (a hash expression per (row, plane, dim)) burned O(N·P·D)
+    * hash evaluations on the corpus side for values that never change.
+    * Same bytes → same md5 in the JVM, Spark SQL and DuckDB, so the
+    * banding is also directly oracle-expressible (q39/q111 share one
+    * SQL restatement). Supports dim ≤ MaxDim (= 512). */
+  private val MaxDim = 512
+  private lazy val md5Planes: IndexedSeq[Array[Double]] =
+    (0 until LshBands * LshPlanesPerBand).map { p =>
+      (0 until MaxDim).map { j =>
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$p|$j".getBytes("UTF-8"))
+        if ((d(0) & 1) == 0) 1.0 else -1.0
+      }.toArray
+    }
 
   private def bandBucket(v: Column, band: Int): Column = {
     val bits = (0 until LshPlanesPerBand).map { i =>
       val p = band * LshPlanesPerBand + i
+      val w = typedLit(md5Planes(p))
       val proj = aggregate(
-        zip_with(v, transform(sequence(lit(0), size(v) - 1), j => planeWeight(p, j)),
-          (x, w) => x * w),
+        zip_with(v, slice(w, lit(1), size(v)), (x, ww) => x * ww),
         lit(0.0), (acc, x) => acc + x)
       when(proj > 0, lit(1 << i)).otherwise(lit(0))
     }
@@ -250,10 +263,9 @@ object Similarity {
 
   /** q66 oracle: the IVF build is fully deterministic (stride-sampled
     * centroids, no RNG) and `CosineSim`'s fold is bit-identical to
-    * DuckDB's list_dot_product (proved by q36), so unlike the
-    * murmur3-seeded LSH paths the WHOLE IVF pipeline — seeding, cell
-    * assignment, nprobe=2 probing, scoring — restates in SQL and is
-    * hash-graded, not rows-only. */
+    * DuckDB's list_dot_product (proved by q36), so the WHOLE IVF
+    * pipeline — seeding, cell assignment, nprobe=2 probing, scoring —
+    * restates in SQL and is hash-graded, not rows-only. */
   val q66Sql: String =
     """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       |cents AS (SELECT vec_id AS cent_id, v AS cv0 FROM e WHERE vec_id % 31 = 0),
@@ -280,48 +292,14 @@ object Similarity {
       |SELECT qid, rank, cid, round(sim, 4) AS sim
       |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
 
-  /** q111: sign-random-projection LSH with ORACLE-EXPRESSIBLE planes —
-    * ±1 weights from md5("p|j") parity instead of murmur3, 4 bands × 4
-    * planes, multi-probe depth 1 ({0,1,2,4,8} code flips). The
-    * projection fold is `aggregate(zip_with(...))` == DuckDB
-    * list_dot_product (bit-identical, q36's proof), so sign, bucket
-    * code, probe set, candidate join and final scoring all restate in
-    * SQL — the ANN-LSH geometry (q39's) is hash-graded; q39 stays the
-    * murmur3 fast path. */
-  def q111AnnMd5(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    def wgt(p: Int, j: Column): Column =
-      when(pmod(conv(substring(md5(concat(lit(p.toString), lit("|"),
-        j.cast("string"))), 1, 2), 16, 10).cast("long"), lit(2)) === 0,
-        lit(1.0)).otherwise(lit(-1.0))
-    def bucket(v: Column, band: Int): Column =
-      (0 until LshPlanesPerBand).map { i =>
-        val p = band * LshPlanesPerBand + i
-        val proj = aggregate(
-          zip_with(v, transform(sequence(lit(0), size(v) - 1), j => wgt(p, j)),
-            (x, w) => x * w),
-          lit(0.0), (acc, x) => acc + x)
-        when(proj > 0, lit(1 << i)).otherwise(lit(0))
-      }.reduce(_ + _)
-    val e = vecs(s, dir)
-      .withColumn("bb", explode(array((0 until LshBands).map(b =>
-        struct(lit(b).as("band"), bucket($"v", b).cast("int").as("bkt"))): _*)))
-      .select($"vec_id", $"v", $"bb.band", $"bb.bkt")
-    val q = e.filter($"vec_id" < 10)
-      .withColumn("probe", explode(array(Seq(0, 1, 2, 4, 8).map(lit): _*)))
-      .select($"vec_id".as("qid"), $"v".as("qv"), $"band",
-        $"bkt".bitwiseXOR($"probe").as("bkt"))
-    val c = e.select($"vec_id".as("cid"), $"v".as("cv"),
-      $"band".as("cband"), $"bkt".as("cbkt"))
-    val w = Window.partitionBy($"qid").orderBy($"sim".desc, $"cid".asc)
-    c.join(broadcast(q), $"cband" === $"band" && $"cbkt" === $"bkt" && $"cid" =!= $"qid")
-      .select($"qid", $"qv", $"cid", $"cv").dropDuplicates("qid", "cid")
-      .withColumn("sim", graft.functions.CosineSim.cosine(s, $"qv", $"cv"))
-      .withColumn("rank", row_number().over(w))
-      .filter($"rank" <= 5)
-      .select($"qid", $"rank", $"cid", round($"sim", 4).as("sim"))
-      .orderBy($"qid", $"rank")
-  }
+  /** q111: the ANN-LSH pipeline pinned at multi-probe depth 1 — now
+    * that the hyperplanes are driver-precomputed md5 parities, this is
+    * the SAME geometry as q39 (sign, bucket code, {0,1,2,4,8} probe
+    * set, candidate join, scoring) and both hash-grade against one SQL
+    * restatement; q111 stays registered as the fixed-parameter twin
+    * while q39 follows the session's multiprobe knob. */
+  def q111AnnMd5(s: SparkSession, dir: String): DataFrame =
+    annLshFrom(vecs(s, dir), multiProbe = 1)
 
   val q111Sql: String =
     """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -397,12 +375,14 @@ object Similarity {
     "q111_ann_md5"       -> (q111AnnMd5 _),
   )
 
-  /** q39 omitted: LSH bucketing is not SQL-expressible (murmur3 seed
-    * parity) — driver records rows-only. */
   val oracle: Map[String, String] = Map(
     "q36_cosine_topk"    -> q36Sql,
     "q37_vec_norms"      -> q37Sql,
     "q38_label_centroid" -> q38Sql,
+    // q39 shares q111's SQL: with driver-precomputed md5 hyperplanes
+    // the production LSH path is itself oracle-expressible (at the
+    // default multiprobe=1 the two queries are the same plan)
+    "q39_ann_lsh"        -> q111Sql,
     "q66_ann_ivf"        -> q66Sql,
     "q104_cosine_dups"   -> q104Sql,
     "q111_ann_md5"       -> q111Sql,
