@@ -47,6 +47,23 @@ object Dedup {
     array((0 until k).map(seed =>
       array_min(transform(sh, x => xxhash64(lit(seed), x)))): _*)
 
+  /** K-element minhash signatures of a (doc_id, sh) table via an
+    * EXPLODED pass: higher-order `transform` is CodegenFallback in
+    * Spark, so xxhash64 inside the lambda evaluates interpreted, per
+    * element, K times. Exploding shingles to rows keeps all K hashes
+    * inside whole-stage codegen, and map-side partial `min` reduces
+    * the aggregation shuffle to K longs per doc. Semantics identical
+    * to `minhashSig` (shingle arrays are never empty: `shingles`
+    * always emits >= 1 element, so explode drops no doc). */
+  def minhashSigs(sh: DataFrame, k: Int = MinhashK): DataFrame = {
+    val s = sh.sparkSession
+    import s.implicits._
+    val mins = (0 until k).map(seed => min(xxhash64(lit(seed), $"s")).as(s"m$seed"))
+    sh.select($"doc_id", explode($"sh").as("s"))
+      .groupBy($"doc_id").agg(mins.head, mins.tail: _*)
+      .select($"doc_id", array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
+  }
+
   /** (band, bucket) candidates from a signature column. */
   private def bandBuckets(sig: Column): Column =
     array((0 until Bands).map(b =>
@@ -117,8 +134,7 @@ object Dedup {
     val sh = toks(s, dir)
       .select($"doc_id", shingles($"toks").as("sh"))
       .persist() // feeds the signature pass and both verify sides (lazily)
-    val sigs = sh.select($"doc_id", minhashSig($"sh").as("sig"))
-    verifyJaccard(lshCandidates(sigs), sh, 0.5)
+    verifyJaccard(lshCandidates(minhashSigs(sh)), sh, 0.5)
       .orderBy($"id1", $"id2")
   }
 
@@ -174,13 +190,18 @@ object Dedup {
     * remains the xxhash64 fast path. */
   def q109SimhashMd5(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // pre-group to (doc, tok, cnt) — md5 once per DISTINCT (doc, token)
+    // and count-weighted bit-sums (Σ over occurrences = Σ cnt·sign);
+    // the md5 hex is computed once and both halves sliced from it
     val hashed = toks(s, dir)
       .select($"doc_id", explode($"toks").as("tok"))
-      .withColumn("h1", conv(substring(md5($"tok"), 1, 8), 16, 10).cast("long"))
-      .withColumn("h2", conv(substring(md5($"tok"), 9, 8), 16, 10).cast("long"))
+      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("cnt"))
+      .withColumn("m", md5($"tok"))
+      .withColumn("h1", conv(substring($"m", 1, 8), 16, 10).cast("long"))
+      .withColumn("h2", conv(substring($"m", 9, 8), 16, 10).cast("long"))
     val bitSums = (0 until 64).map { j =>
       val src = if (j < 32) $"h1" else $"h2"
-      sum(when(shiftright(src, j % 32).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j")
+      sum(when(shiftright(src, j % 32).bitwiseAND(1) === 1, $"cnt").otherwise(-$"cnt")).as(s"b$j")
     }
     val agg = hashed.groupBy($"doc_id").agg(bitSums.head, bitSums.tail: _*)
     val chunkCols = (0 until 4).map { c =>
@@ -426,8 +447,13 @@ object Dedup {
     def mdh(seed: Int, x: Column): Column =
       conv(substring(md5(concat(lit(seed.toString), lit("|"), x)), 1, 8), 16, 10)
         .cast("long")
-    val sigs = sh.select($"doc_id",
-      array((0 until K).map(k => array_min(transform($"sh", x => mdh(k, x)))): _*).as("sig"))
+    // exploded signature pass (see minhashSigs): keeps the 8 md5s per
+    // shingle inside whole-stage codegen instead of a CodegenFallback
+    // transform() lambda; partial min makes the shuffle K longs per doc
+    val mins = (0 until K).map(k => min(mdh(k, $"s")).as(s"m$k"))
+    val sigs = sh.select($"doc_id", explode($"sh").as("s"))
+      .groupBy($"doc_id").agg(mins.head, mins.tail: _*)
+      .select($"doc_id", array((0 until K).map(i => col(s"m$i")): _*).as("sig"))
     val banded0 = sigs.select($"doc_id",
         explode(array((0 until K / R).map(b =>
           struct(lit(b).as("band"),

@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -29,15 +29,21 @@ object Pipeline {
     * persist: the result feeds BOTH the LSH candidate build and the
     * final anti-join — without it the whole funnel lineage runs twice.
     * Lazy (no blocking job); swept by Bench/Verify after the query. */
-  private def enCorpus(s: SparkSession, dir: String): DataFrame = {
+  private def enCorpus(s: SparkSession, dir: String,
+                       sample: Column = lit(true)): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, dir)
 
-    // 1. exact dedup on normalized text (keep the smallest doc_id)
+    // 1. exact dedup on normalized text (keep the smallest doc_id).
+    // `sample` applies directly after this stage: the dedup groupBy must
+    // see the whole corpus (min(doc_id) per fingerprint), but the later
+    // stages are row-wise, so a doc_id predicate commutes with them —
+    // and the persist() below would otherwise stop Catalyst from
+    // pushing it past the funnel.
     val fp = docs.withColumn("fp",
       md5(trim(regexp_replace(lower($"text"), "\\s+", " "))))
     val keepers = fp.groupBy($"fp").agg(min($"doc_id").as("doc_id"))
-    val deduped = fp.join(keepers, Seq("fp", "doc_id"))
+    val deduped = fp.join(keepers, Seq("fp", "doc_id")).filter(sample)
 
     // 2. quality gate
     val stop = "('the','a','an','of','and','to','in','is','it','for')"
@@ -74,8 +80,7 @@ object Pipeline {
     //    then drop the higher doc_id of any confirmed near-dup pair
     val sh = en.select($"doc_id", Dedup.shingles($"toks").as("sh"))
       .persist() // feeds the signature pass and both verify sides (lazily)
-    val sigs = sh.select($"doc_id", Dedup.minhashSig($"sh").as("sig"))
-    val losers = Dedup.verifyJaccard(Dedup.lshCandidates(sigs), sh, 0.5)
+    val losers = Dedup.verifyJaccard(Dedup.lshCandidates(Dedup.minhashSigs(sh)), sh, 0.5)
       .select($"id2".as("doc_id")).distinct()
     emit(en, losers)
   }
@@ -91,7 +96,7 @@ object Pipeline {
     // deterministic 1-in-2 sample (q107's convention): the twin grades
     // the funnel COMPOSITION, not corpus-scale md5 throughput — q87
     // stays the full-corpus path
-    val en = enCorpus(s, dir).filter($"doc_id" % 2 === 0)
+    val en = enCorpus(s, dir, $"doc_id" % 2 === 0)
     val sh = en.select($"doc_id", Dedup.shingles($"toks").as("sh"))
       .persist() // feeds the signature pass and both verify sides (lazily)
     val losers = Dedup.verifyJaccard(

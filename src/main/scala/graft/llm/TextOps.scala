@@ -147,6 +147,7 @@ object TextOps {
       .select($"doc_id", $"source",
         array_distinct(regexp_extract_all(lower($"text"), lit("\\S+"), lit(0))).as("toks"))
       .withColumn("n", size($"toks"))
+      .persist() // tokenization read 3×: dfreq, ordered, both verify sides
     // global document frequency — the canonical order (vocabulary-sized)
     val dfreq = docs.select(explode($"toks").as("tok"))
       .groupBy($"tok").agg(count(lit(1)).as("df"))
@@ -158,6 +159,7 @@ object TextOps {
       .withColumn("plen", ($"n" - ceil($"n" * t) + 1).cast("int"))
       .select($"source", $"doc_id", $"n",
         explode(transform(slice($"ord", lit(1), $"plen"), p => p("tok"))).as("tok"))
+      .persist() // read twice: both sides of the prefix self-join
     val a = ordered.select($"source", $"doc_id".as("id1"), $"n".as("n1"), $"tok")
     val b = ordered.select($"source".as("s2"), $"doc_id".as("id2"), $"n".as("n2"),
       $"tok".as("tok2"))
