@@ -41,22 +41,24 @@ object Extra2 {
     * comparator cannot sort array-typed columns), which still exercises
     * every array op while keeping the output hash-comparable.
     *
-    * Quantization parity: `round(double, 3)` diverges between engines on
-    * float-origin doubles at representation boundaries, so every graded
-    * value is instead CAST to DECIMAL(18,3) — the exactly-rounded decimal
-    * of the binary double — identically on both sides. */
+    * Value parity: every graded value is a PASS-THROUGH of an input
+    * float widened to double (slice / reverse / element_at / min / max do
+    * no arithmetic), and float→double widening is exact in IEEE 754 — so
+    * both engines hold bit-identical doubles. Any quantization on top
+    * (round(x,3) or CAST AS DECIMAL) only *introduces* divergence: Spark
+    * rounds the double's shortest decimal string while DuckDB rounds the
+    * exact binary value, and they disagree at .0005 boundaries. Grade raw. */
   def q69ArrayFuncs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val q3 = (x: org.apache.spark.sql.Column) => x.cast("decimal(18,3)")
     Tables.embeddings(s, dir)
       .select($"vec_id",
         transform($"embedding", x => x.cast("double")).as("v"))
       .select($"vec_id",
         size($"v").as("dim"),
-        transform(slice($"v", 1, 4), q3).as("f4"),
-        reverse(transform(slice($"v", 1, 4), q3)).as("r4"),
-        q3(array_max($"v")).as("mx"),
-        q3(array_min($"v")).as("mn"))
+        slice($"v", 1, 4).as("f4"),
+        reverse(slice($"v", 1, 4)).as("r4"),
+        array_max($"v").as("mx"),
+        array_min($"v").as("mn"))
       .select($"vec_id", $"dim", $"mx", $"mn", $"r4",
         posexplode($"f4").as(Seq("pos", "fv")))
       .withColumn("rv", element_at($"r4", $"pos" + 1))
@@ -69,11 +71,11 @@ object Extra2 {
       |FROM (
       |  SELECT vec_id,
       |    CAST(len(v) AS INT) AS dim,
-      |    CAST(list_max(v) AS DECIMAL(18,3)) AS mx,
-      |    CAST(list_min(v) AS DECIMAL(18,3)) AS mn,
-      |    list_reverse(list_transform(v[1:4], x -> CAST(x AS DECIMAL(18,3)))) AS r4,
+      |    list_max(v) AS mx,
+      |    list_min(v) AS mn,
+      |    list_reverse(v[1:4]) AS r4,
       |    generate_subscripts(v[1:4], 1) - 1 AS pos,
-      |    unnest(list_transform(v[1:4], x -> CAST(x AS DECIMAL(18,3)))) AS fv
+      |    unnest(v[1:4]) AS fv
       |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) t) u
       |ORDER BY vec_id, pos""".stripMargin
 
