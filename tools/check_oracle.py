@@ -62,10 +62,20 @@ def main():
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_ok = n_bad = 0
 
-    def record(name, rows=None, hash_match=None, err=None, oracle_rows=None):
+    def record(name, rows=None, hash_match=None, err=None, oracle_rows=None,
+               rows_match=None, schema_match=None):
+        # Every compared query MUST end up in `results` exactly once —
+        # including the early-FAIL modes (columns/type-category/rowcount),
+        # which previously `continue`d without recording and so vanished
+        # from the --out artifact entirely.
+        if hash_match is not None:
+            if rows_match is None:
+                rows_match = hash_match or rows == oracle_rows
+            if schema_match is None:
+                schema_match = True
         results[name] = {
-            "rows_match": None if hash_match is None else hash_match or rows == oracle_rows,
-            "schema_match": None if hash_match is None else hash_match is not None,
+            "rows_match": rows_match,
+            "schema_match": schema_match,
             "hash_match": hash_match, "spark_rows": rows,
             "oracle_rows": oracle_rows, "err": err}
 
@@ -91,6 +101,10 @@ def main():
                                  [list(r.values()) for r in duck.to_pylist()])
         if scols != dcols:
             print(f"FAIL {name}: columns differ spark={scols} duck={dcols}")
+            record(name, rows=tab.num_rows, hash_match=False,
+                   rows_match=tab.num_rows == duck.num_rows, schema_match=False,
+                   oracle_rows=duck.num_rows,
+                   err=f"columns_differ spark={scols} duck={dcols}")
             n_bad += 1
             continue
         # Driver hashes raw arrow values, so a DuckDB HUGEINT (decimal128)
@@ -112,10 +126,15 @@ def main():
                 for c in scols if tcat(sfield[c]) != tcat(dfield[c])]
         if tbad:
             print(f"FAIL {name}: arrow type-category mismatch {tbad}")
+            record(name, rows=len(srows), hash_match=False,
+                   rows_match=len(srows) == len(drows), schema_match=False,
+                   oracle_rows=len(drows), err=f"type_category {tbad}")
             n_bad += 1
             continue
         if len(srows) != len(drows):
             print(f"FAIL {name}: rowcount spark={len(srows)} duck={len(drows)}")
+            record(name, rows=len(srows), hash_match=False, rows_match=False,
+                   schema_match=True, oracle_rows=len(drows), err="rowcount")
             n_bad += 1
             continue
         max_fdiff = 0.0
