@@ -18,12 +18,28 @@ object Ckpt {
   private val pinnedIds = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
 
   /** Eager localCheckpoint whose blocks survive `sweep` — use ONLY for
-    * DataFrames memoized across queries. */
-  def pinned(df: DataFrame): DataFrame = synchronized {
-    val sc = df.sparkSession.sparkContext
-    val before = sc.getPersistentRDDs.keySet
+    * DataFrames memoized across queries.
+    *
+    * Pins by the checkpointed DataFrame's OWN rdd id: `localCheckpoint`
+    * returns a Dataset whose analyzed plan is the `LogicalRDD` wrapping
+    * exactly the persisted RDD, so that id is read off the plan. (The
+    * previous implementation diffed `getPersistentRDDs` around the call,
+    * which permanently pinned any `.persist()` issued by a concurrent
+    * thread during the window.) `LogicalRDD.rdd` is `private[sql]`,
+    * which erases to a public accessor in bytecode — reflection reaches
+    * it without copying Spark internals. */
+  def pinned(df: DataFrame): DataFrame = {
     val out = df.localCheckpoint(true)
-    (sc.getPersistentRDDs.keySet -- before).foreach(id => pinnedIds.add(id))
+    val plan = out.queryExecution.analyzed
+    val rdd =
+      try plan.getClass.getMethod("rdd").invoke(plan)
+        .asInstanceOf[org.apache.spark.rdd.RDD[_]]
+      catch {
+        case e: Exception => throw new IllegalStateException(
+          s"Ckpt.pinned: expected a LogicalRDD plan from localCheckpoint, " +
+            s"got ${plan.getClass.getName}", e)
+      }
+    pinnedIds.add(rdd.id)
     out
   }
 

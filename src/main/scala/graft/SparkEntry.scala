@@ -58,5 +58,6 @@ object SparkEntry {
     queue.Derived.oracle ++
     llm.Dedup.oracle ++
     plans.TopK.oracle ++
-    llm.Pipeline.oracle
+    llm.Pipeline.oracle ++
+    llm.Multimodal.oracle
 }

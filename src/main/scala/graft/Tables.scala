@@ -33,21 +33,39 @@ object Tables {
     */
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = t(s, d, "events")
+    // The engine's canonical `ts` domain is NTZ micros = the UTC wall
+    // clock (what DuckDB's TIMESTAMP_NS → TIMESTAMP cast yields). Each
+    // source representation is matched EXPLICITLY — a blanket `case _`
+    // cast would silently TZ-shift an isAdjustedToUTC=true file on any
+    // session not pinned to UTC.
     raw.schema("ts").dataType match {
       // TIMESTAMP(NANOS) surfaced as long by the legacy conf:
       // integral `div`, not `/` — double division loses precision on
       // ~1.7e18 nanosecond values (53-bit mantissa) and rounds up.
-      case org.apache.spark.sql.types.LongType =>
+      case LongType =>
         raw.withColumn("ts",
-          timestamp_micros(expr("ts div 1000"))
-            .cast(org.apache.spark.sql.types.TimestampNTZType))
-      // a rewritten feed (e.g. tools/make_scaled.py output) is already
-      // micros-typed — same value domain, no nanos dance needed
-      case _ =>
-        raw.withColumn("ts",
-          col("ts").cast(org.apache.spark.sql.types.TimestampNTZType))
+          timestamp_micros(expr("ts div 1000")).cast(TimestampNTZType))
+      // a rewritten feed (e.g. tools/make_scaled.py output) already in
+      // the canonical type — no-op
+      case TimestampNTZType => raw
+      // isAdjustedToUTC=true parquet (instant semantics): the NTZ cast
+      // renders the instant in the SESSION time zone, so it equals the
+      // UTC wall clock only when the session is pinned to UTC — which
+      // every run config does. Assert it instead of assuming it: a
+      // non-UTC session would silently shift every event.
+      case TimestampType =>
+        val tz = s.conf.get("spark.sql.session.timeZone")
+        require(tz == "UTC",
+          s"events.ts is instant-typed (isAdjustedToUTC=true parquet); " +
+            s"reading it requires spark.sql.session.timeZone=UTC, got '$tz'")
+        raw.withColumn("ts", col("ts").cast(TimestampNTZType))
+      case other =>
+        throw new IllegalArgumentException(
+          s"events.ts: unsupported source type $other (expected " +
+            "TIMESTAMP(NANOS)-as-long, TimestampNTZ, or Timestamp)")
     }
   }
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")

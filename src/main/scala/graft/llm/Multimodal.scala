@@ -131,8 +131,75 @@ object Multimodal {
       .orderBy($"media_id")
   }
 
+  /** q112: the deterministic multimodal path, oracle-graded — everything
+    * around the codec stub: the media-table derivation (kind cycle,
+    * width/height/duration metadata), payload byte length, and the
+    * frame-selection arithmetic, restated in DuckDB over `documents`.
+    * Only `FakeCodec.features` (the histogram that a real decoder
+    * replaces) stays outside the oracle; its plumbing columns
+    * (media_id, kind, n_bytes) are exactly the ones graded here, so a
+    * regression in the q52/q53 shape can no longer hide behind the
+    * rows-only check. Reference analogue: the nested report type in
+    * `agents/output-processor.md:35-61`. */
+  def q112MediaMeta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val m = mediaTable(s, dir).toDF()
+    val frames = sampleFrames(mediaTable(s, dir))
+      .groupBy($"media_id")
+      .agg(count(lit(1)).as("n_frames"), max($"frame_ms").as("last_frame_ms"))
+    m.select($"media_id", $"kind", $"width", $"height", $"sample_rate",
+        $"duration_ms", $"format", length($"content").as("n_bytes"))
+      .join(frames, Seq("media_id"), "left")
+      .select($"media_id", $"kind", $"width", $"height", $"sample_rate",
+        $"duration_ms", $"format", $"n_bytes",
+        coalesce($"n_frames", lit(0L)).as("n_frames"), $"last_frame_ms")
+      .orderBy($"media_id")
+  }
+
+  val q112Sql: String =
+    """WITH m AS (
+      |  SELECT doc_id AS media_id,
+      |    (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS kind,
+      |    CAST((doc_id % 640) + 16 AS INT) AS width,
+      |    CAST((doc_id % 480) + 16 AS INT) AS height,
+      |    CAST(16000 AS INT) AS sample_rate,
+      |    n_chars * 40 AS duration_ms,
+      |    'fake/v1' AS format,
+      |    CAST(octet_length(encode(text)) AS INT) AS n_bytes
+      |  FROM documents),
+      |f AS (
+      |  SELECT media_id, count(*) AS n_frames, max(frame_ms) AS last_frame_ms
+      |  FROM (SELECT media_id,
+      |          unnest(generate_series(0, greatest(duration_ms - 1, 0), 1000)) AS frame_ms
+      |        FROM m WHERE kind = 'video') t
+      |  GROUP BY media_id)
+      |SELECT m.media_id, m.kind, m.width, m.height, m.sample_rate,
+      |  m.duration_ms, m.format, m.n_bytes,
+      |  coalesce(f.n_frames, 0) AS n_frames, f.last_frame_ms
+      |FROM m LEFT JOIN f USING (media_id) ORDER BY m.media_id""".stripMargin
+
+  /** q53's own oracle: frame sampling is pure metadata arithmetic
+    * (sequence over duration_ms) — directly SQL-expressible. */
+  val q53Sql: String =
+    """WITH m AS (
+      |  SELECT doc_id AS media_id,
+      |    (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS kind,
+      |    n_chars * 40 AS duration_ms
+      |  FROM documents)
+      |SELECT media_id, count(*) AS n_frames, max(frame_ms) AS last_frame_ms
+      |FROM (SELECT media_id,
+      |        unnest(generate_series(0, greatest(duration_ms - 1, 0), 1000)) AS frame_ms
+      |      FROM m WHERE kind = 'video') t
+      |GROUP BY media_id ORDER BY media_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q52_media_features" -> (q52MediaFeatures _),
     "q53_frame_sample"   -> (q53FrameSample _),
+    "q112_media_meta"    -> (q112MediaMeta _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q53_frame_sample" -> q53Sql,
+    "q112_media_meta"  -> q112Sql,
   )
 }

@@ -152,7 +152,17 @@ object Similarity {
         lit(0.0), (acc, x) => acc + x)
       when(proj > 0, lit(1 << i)).otherwise(lit(0))
     }
-    bits.reduce(_ + _)
+    // Fail fast past MaxDim. Without this guard, zip_with null-pads the
+    // 512-element plane against a longer vector, the aggregate fold goes
+    // null, when(proj > 0) is false for EVERY plane, and every vector
+    // lands in bucket 0 of every band — one silent mega-bucket, O(N²)
+    // candidates, exactly the failure that "runs fine at sf0.1" and
+    // melts at 100 TB. A wrong-dim corpus must error, not degrade.
+    when(size(v) > MaxDim,
+      raise_error(concat(
+        lit("graft LSH bandBucket: embedding dim "), size(v).cast("string"),
+        lit(s" exceeds MaxDim=$MaxDim; enlarge Similarity.MaxDim (md5Planes) for this corpus"))))
+      .otherwise(bits.reduce(_ + _))
   }
 
   /** (band, bucket) pairs for a vector — exploded so candidate generation
@@ -160,6 +170,22 @@ object Similarity {
   private def bandedBuckets(v: Column): Column =
     array((0 until LshBands).map(b =>
       struct(lit(b).as("band"), bandBucket(v, b).as("bkt"))): _*)
+
+  /** XOR probe codes for a multi-probe depth over `LshPlanesPerBand` sign
+    * bits: the query's own bucket (0), plus every single-bit flip at
+    * depth ≥ 1, plus every double-bit flip at depth ≥ 2. The SINGLE
+    * source of truth for both the Spark plan (`annLshFrom`) and the
+    * generated oracle SQL (`annLshSql`) — so q39's registered oracle can
+    * never drift from whatever `spark.graft.lsh.multiprobe` the session
+    * runs with. */
+  def probeCodes(multiProbe: Int): Seq[Int] = {
+    val bits = 0 until LshPlanesPerBand
+    val one = if (multiProbe >= 1) bits.map(1 << _) else Seq.empty
+    val two = if (multiProbe >= 2)
+      (for (i <- bits; j <- bits if i < j) yield (1 << i) | (1 << j))
+    else Seq.empty
+    0 +: (one ++ two)
+  }
 
   /** LSH-banded approximate top-k over an arbitrary (vec_id, v) set.
     *
@@ -179,16 +205,7 @@ object Similarity {
     val e = e0
       .withColumn("bb", explode(bandedBuckets($"v")))
       .select($"vec_id", $"v", $"bb.band".as("band"), $"bb.bkt".as("bkt"))
-    // probe set per query band: own bucket + single-bit (and, for
-    // multiProbe=2, double-bit) flips of the sign code
-    val flips: Seq[Column] = {
-      val bits = 0 until LshPlanesPerBand
-      val one = if (multiProbe >= 1) bits.map(i => lit(1 << i)) else Seq.empty
-      val two = if (multiProbe >= 2)
-        (for (i <- bits; j <- bits if i < j) yield lit((1 << i) | (1 << j)))
-      else Seq.empty
-      lit(0) +: (one ++ two)
-    }
+    val flips: Seq[Column] = probeCodes(multiProbe).map(lit(_))
     val q = e.filter($"vec_id" < nq)
       .withColumn("probe", explode(array(flips: _*)))
       .select($"vec_id".as("qid"), $"v".as("qv"), $"band",
@@ -294,15 +311,20 @@ object Similarity {
 
   /** q111: the ANN-LSH pipeline pinned at multi-probe depth 1 — now
     * that the hyperplanes are driver-precomputed md5 parities, this is
-    * the SAME geometry as q39 (sign, bucket code, {0,1,2,4,8} probe
-    * set, candidate join, scoring) and both hash-grade against one SQL
-    * restatement; q111 stays registered as the fixed-parameter twin
-    * while q39 follows the session's multiprobe knob. */
+    * the SAME geometry as q39 (sign, bucket code, probe set, candidate
+    * join, scoring) and both hash-grade against one SQL template;
+    * q111 stays registered as the fixed-parameter twin while q39
+    * follows the session's multiprobe knob — including in its oracle,
+    * which is generated from the same `probeCodes`. */
   def q111AnnMd5(s: SparkSession, dir: String): DataFrame =
     annLshFrom(vecs(s, dir), multiProbe = 1)
 
-  val q111Sql: String =
-    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+  /** DuckDB restatement of `annLshFrom` at a given multi-probe depth —
+    * the probe list is interpolated from `probeCodes`, the same code the
+    * Spark plan explodes, so plan and oracle move together. */
+  def annLshSql(multiProbe: Int): String = {
+    val probes = probeCodes(multiProbe).mkString(", ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       |proj AS (
       |  SELECT vec_id, u.p,
       |    list_dot_product(v,
@@ -317,7 +339,7 @@ object Similarity {
       |withv AS (SELECT c.vec_id, c.band, c.bkt, e.v FROM codes c JOIN e USING (vec_id)),
       |q AS (
       |  SELECT w.vec_id AS qid, w.v AS qv, w.band, xor(w.bkt, f.f) AS bkt
-      |  FROM withv w, unnest([0, 1, 2, 4, 8]) AS f(f)
+      |  FROM withv w, unnest([$probes]) AS f(f)
       |  WHERE w.vec_id < 10),
       |sims AS (
       |  SELECT DISTINCT q.qid, c.vec_id AS cid,
@@ -330,6 +352,18 @@ object Similarity {
       |  FROM sims)
       |SELECT qid, rank, cid, round(sim, 4) AS sim
       |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+  }
+
+  val q111Sql: String = annLshSql(1)
+
+  /** The multiprobe depth q39 will actually run with on the active
+    * session (default 1) — `oracle` is a def and Verify materializes it
+    * AFTER the session is up, so the dumped q39 SQL always carries the
+    * probe set of the conf that produced the q39 parquet. */
+  private def sessionMultiProbe: Int =
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .flatMap(_.conf.getOption("spark.graft.lsh.multiprobe"))
+      .map(_.trim.toInt).getOrElse(1)
 
   /** q104: embedding-cosine near-dup pairs — the vector-space member of
     * the dedup family (exact q29, MinHash q46, SimHash q47, n-gram
@@ -375,14 +409,16 @@ object Similarity {
     "q111_ann_md5"       -> (q111AnnMd5 _),
   )
 
-  val oracle: Map[String, String] = Map(
+  // def, not val: q39's oracle SQL is synthesized from the ACTIVE
+  // session's multiprobe conf via the shared probeCodes generator, so a
+  // harness overriding spark.graft.lsh.multiprobe still hash-matches
+  // (previously the entry was pinned to depth 1 and any other depth made
+  // q39 spuriously fail).
+  def oracle: Map[String, String] = Map(
     "q36_cosine_topk"    -> q36Sql,
     "q37_vec_norms"      -> q37Sql,
     "q38_label_centroid" -> q38Sql,
-    // q39 shares q111's SQL: with driver-precomputed md5 hyperplanes
-    // the production LSH path is itself oracle-expressible (at the
-    // default multiprobe=1 the two queries are the same plan)
-    "q39_ann_lsh"        -> q111Sql,
+    "q39_ann_lsh"        -> annLshSql(sessionMultiProbe),
     "q66_ann_ivf"        -> q66Sql,
     "q104_cosine_dups"   -> q104Sql,
     "q111_ann_md5"       -> q111Sql,

@@ -52,6 +52,27 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("q112 twin agrees with q52/q53 on the shared deterministic columns") {
+    val meta = Multimodal.q112MediaMeta(spark, sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // n_bytes and kind are the q52 plumbing columns
+    Multimodal.q52MediaFeatures(spark, sf).collect().foreach { r =>
+      val m = meta(r.getLong(0))
+      assert(m.getAs[String]("kind") == r.getAs[String]("kind"))
+      assert(m.getAs[Int]("n_bytes") == r.getAs[Int]("n_bytes"))
+    }
+    // frame arithmetic equals q53 for videos, zero frames otherwise
+    val frames = Multimodal.q53FrameSample(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    meta.foreach { case (id, m) =>
+      if (m.getAs[String]("kind") == "video") {
+        assert((m.getAs[Long]("n_frames"), m.getAs[Long]("last_frame_ms")) == frames(id))
+      } else {
+        assert(m.getAs[Long]("n_frames") == 0L && m.isNullAt(m.fieldIndex("last_frame_ms")))
+      }
+    }
+  }
+
   test("features feed similarity: cosine over media vectors runs") {
     import org.apache.spark.sql.functions._
     val feats = Multimodal.extractFeatures(Multimodal.mediaTable(spark, sf)).toDF()

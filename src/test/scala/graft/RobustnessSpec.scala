@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Guards for the latent-at-scale failure modes the sf0.001 fixtures
+  * never trip on their own: LSH dim overflow, oracle/conf drift,
+  * instant-typed parquet timestamps, and checkpoint-pin races. */
+class RobustnessSpec extends AnyFunSuite {
+  import SparkTestSession.{spark, sf}
+
+  private def vecsDf(n: Int, dim: Int) = {
+    import spark.implicits._
+    (0 until n).map { i =>
+      (i.toLong, "x", Array.tabulate(dim)(j => 0.001 + 0.01 * (((i + 7) * (j + 3)) % 13)))
+    }.toDF("vec_id", "label", "v")
+  }
+
+  test("LSH bandBucket fails fast past MaxDim instead of collapsing to one bucket") {
+    val e = vecsDf(n = 20, dim = 513)
+    val ex = intercept[Throwable] {
+      llm.Similarity.annLshFrom(e).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("exceeds MaxDim=512")),
+      s"expected an explicit MaxDim error, got: ${msgs(ex).mkString(" | ")}")
+  }
+
+  test("LSH bandBucket still works at exactly MaxDim") {
+    val e = vecsDf(n = 30, dim = 512)
+    assert(llm.Similarity.annLshFrom(e).count() > 0)
+  }
+
+  test("q39 oracle SQL follows the multiprobe conf") {
+    val key = "spark.graft.lsh.multiprobe"
+    def probeList = llm.Similarity.oracle("q39_ann_lsh")
+    def expectList(mp: Int) =
+      s"unnest([${llm.Similarity.probeCodes(mp).mkString(", ")}]) AS f(f)"
+    try {
+      spark.conf.set(key, "0")
+      assert(probeList.contains(expectList(0)), "depth-0 oracle should probe only [0]")
+      spark.conf.set(key, "2")
+      assert(probeList.contains(expectList(2)),
+        "depth-2 oracle should carry single- and double-bit flips")
+      assert(llm.Similarity.probeCodes(2).toSet ==
+        Set(0, 1, 2, 4, 8, 3, 5, 9, 6, 10, 12))
+      spark.conf.unset(key)
+      // default depth (1): q39 and the fixed twin q111 are the same plan
+      val a = llm.Similarity.q39AnnLsh(spark, sf).collect().toSeq
+      val b = llm.Similarity.q111AnnMd5(spark, sf).collect().toSeq
+      assert(a == b, "q39 at default conf must equal the fixed-depth twin q111")
+      assert(probeList == llm.Similarity.q111Sql)
+    } finally spark.conf.unset(key)
+  }
+
+  test("events reader handles an instant-typed (isAdjustedToUTC=true) parquet file") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ts").toString
+    val t0 = java.sql.Timestamp.from(java.time.Instant.parse("2026-01-02T03:04:05.123456Z"))
+    // TIMESTAMP_MICROS output = int64 micros with isAdjustedToUTC=true —
+    // the exact shape the old `case _` fallback would TZ-shift silently
+    val tsTypeKey = "spark.sql.parquet.outputTimestampType"
+    val prev = spark.conf.get(tsTypeKey)
+    try {
+      spark.conf.set(tsTypeKey, "TIMESTAMP_MICROS")
+      Seq((1L, t0)).toDF("event_id", "ts")
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    } finally spark.conf.set(tsTypeKey, prev)
+    val out = Tables.events(spark, dir)
+    assert(out.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampNTZType)
+    val got = out.select($"ts".cast("string")).head().getString(0)
+    assert(got == "2026-01-02 03:04:05.123456", s"got $got")
+  }
+
+  test("events reader refuses instant-typed input on a non-UTC session") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ts2").toString
+    val tsTypeKey = "spark.sql.parquet.outputTimestampType"
+    val prev = spark.conf.get(tsTypeKey)
+    try {
+      spark.conf.set(tsTypeKey, "TIMESTAMP_MICROS")
+      Seq((1L, new java.sql.Timestamp(1700000000000L))).toDF("event_id", "ts")
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    } finally spark.conf.set(tsTypeKey, prev)
+    val tzKey = "spark.sql.session.timeZone"
+    try {
+      spark.conf.set(tzKey, "America/New_York")
+      val ex = intercept[IllegalArgumentException] { Tables.events(spark, dir) }
+      assert(ex.getMessage.contains("UTC"))
+    } finally spark.conf.set(tzKey, "UTC")
+  }
+
+  test("events reader rejects an unsupported ts type explicitly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ts3").toString
+    Seq((1L, "not-a-time")).toDF("event_id", "ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val ex = intercept[IllegalArgumentException] { Tables.events(spark, dir) }
+    assert(ex.getMessage.contains("unsupported source type"))
+  }
+
+  test("Ckpt.pinned survives sweep; concurrent un-pinned checkpoints do not leak into the pin set") {
+    import spark.implicits._
+    val sc = spark.sparkContext
+    Ckpt.sweep(spark)
+    val base = sc.getPersistentRDDs.keySet // pins from other specs
+    // another thread continuously takes UN-pinned local checkpoints —
+    // under the old before/after-diff implementation any of these
+    // landing inside pinned()'s window was pinned forever
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val churner = new Thread(() => {
+      while (!stop.get()) spark.range(50).toDF("x").localCheckpoint(true)
+    })
+    churner.setDaemon(true)
+    churner.start()
+    val pinnedDfs = (1 to 8).map(i => Ckpt.pinned(spark.range(100L + i).toDF("y")))
+    stop.set(true)
+    churner.join(30000)
+    Ckpt.sweep(spark)
+    val after = sc.getPersistentRDDs.keySet
+    assert((after -- base).size == pinnedDfs.size,
+      s"sweep left ${(after -- base).size} new blocks for ${pinnedDfs.size} pins — " +
+        "a concurrent checkpoint leaked into the pin set")
+    // pinned data stays readable after the sweep (lineage is truncated,
+    // so the blocks must really be there)
+    pinnedDfs.zipWithIndex.foreach { case (df, i) =>
+      assert(df.count() == 100L + (i + 1))
+    }
+  }
+}

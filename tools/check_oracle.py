@@ -165,9 +165,16 @@ def main():
             record(name, rows=len(srows), hash_match=False, oracle_rows=len(drows))
             n_bad += 1
     if out_json:
-        # queries Verify dumped but with no oracle entry = rows-only
-        for path in sorted(glob.glob(f"{out_dir}/q*")):
-            name = path.rsplit("/", 1)[-1]
+        # queries Verify dumped but with no oracle entry = rows-only.
+        # ALL subdirectories count, not just q*-named ones — a dumped
+        # result with an unconventional name must still land in the
+        # artifact (the 'every query is recorded' guarantee).
+        import os
+        for entry in sorted(os.listdir(out_dir)):
+            path = os.path.join(out_dir, entry)
+            if not os.path.isdir(path):
+                continue  # oracle_sql.json etc.
+            name = entry
             if name not in oracle and name not in results:
                 tab = load_spark_result(path)
                 results[name] = {

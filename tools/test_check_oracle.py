@@ -14,7 +14,22 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 HERE = os.path.dirname(os.path.abspath(__file__))
-SF_DIR = "/root/testdata/sf0.001"  # real tables; only view creation touches them
+
+# check_oracle.py binds read_parquet views for every engine table at
+# connect time, so the self-test fabricates one-row placeholders rather
+# than depending on /root/testdata existing (the test SQL never reads
+# them — they only have to parse as parquet).
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def make_sf_dir(tmp):
+    sf_dir = os.path.join(tmp, "sf")
+    os.makedirs(sf_dir)
+    for t in TABLES:
+        pq.write_table(pa.table({"id": pa.array([1], pa.int64())}),
+                       os.path.join(sf_dir, f"{t}.parquet"))
+    return sf_dir
 
 
 def write_result(out_dir, name, table):
@@ -25,6 +40,7 @@ def write_result(out_dir, name, table):
 
 def main():
     with tempfile.TemporaryDirectory() as tmp:
+        sf_dir = make_sf_dir(tmp)
         out_dir = os.path.join(tmp, "verify_out")
         os.makedirs(out_dir)
         oracle = {
@@ -45,22 +61,25 @@ def main():
         write_result(out_dir, "t03_types", pa.table({"a": pa.array([1], i64)}))
         write_result(out_dir, "t04_rows", pa.table({"a": pa.array([1, 1], i64)}))
         write_result(out_dir, "t05_vals", pa.table({"a": pa.array([1], i64)}))
-        # a dumped result with no oracle entry → no_oracle row
+        # a dumped result with no oracle entry → no_oracle row — one
+        # q*-named and one with an unconventional name (the sweep walks
+        # every subdirectory, not just the q* glob)
         write_result(out_dir, "q_noracle", pa.table({"a": pa.array([1], i64)}))
+        write_result(out_dir, "x_oddname", pa.table({"a": pa.array([1], i64)}))
         with open(os.path.join(out_dir, "oracle_sql.json"), "w") as f:
             json.dump(oracle, f)
 
         out_json = os.path.join(tmp, "correctness.json")
         proc = subprocess.run(
             [sys.executable, os.path.join(HERE, "check_oracle.py"),
-             SF_DIR, out_dir, "--out", out_json],
+             sf_dir, out_dir, "--out", out_json],
             capture_output=True, text=True)
         assert proc.returncode == 1, f"expected rc=1 (failures present), got {proc.returncode}\n{proc.stdout}{proc.stderr}"
         res = json.load(open(out_json))
 
         # Every query — including every early-FAIL mode — must be present.
         expect = {"t01_pass", "t02_cols", "t03_types", "t04_rows", "t05_vals",
-                  "q_noracle"}
+                  "q_noracle", "x_oddname"}
         missing = expect - set(res)
         assert not missing, f"queries missing from artifact: {missing}"
 
@@ -80,6 +99,8 @@ def main():
         assert r["hash_match"] is False and r["rows_match"] is True, r
         assert r["err"] is None, r
         r = res["q_noracle"]
+        assert r["err"] == "no_oracle" and r["spark_rows"] == 1, r
+        r = res["x_oddname"]
         assert r["err"] == "no_oracle" and r["spark_rows"] == 1, r
 
         print("test_check_oracle: all assertions passed")
