@@ -1,0 +1,204 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.classic.Strategy
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, JoinedRow, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
+
+/** Native backward as-of join (SURVEY.md §7.3 "no Spark built-in"; the
+  * second whole-operator custom tier after [[TopKPerGroup]]).
+  *
+  * Semantics: for every left row, the single right row with the same
+  * key whose `rightTime <= leftTime` and which is LAST under
+  * (rightTime ASC, tieBreak ASC) — i.e. the latest right row at or
+  * before the left timestamp, ties resolved toward the largest
+  * tieBreak. Inner semantics: unmatched left rows (and null keys or
+  * times on either side) are dropped.
+  *
+  * Why an operator instead of the join+window formulation: the
+  * `key = key AND rt <= lt` join fans out to a left row × that key's
+  * ENTIRE earlier history before row_number() discards all but one —
+  * a heavy key (one user with millions of orders) turns into a
+  * multiplicative blowup at exactly the scale where it hurts. This
+  * exec instead requires both children clustered by key and sorted by
+  * (key, time): one shuffle per side, then a single O(n + m) merge
+  * pass per partition holding ONE candidate row — no fanout, no
+  * per-group sort, heap memory O(1). A skewed key costs its linear
+  * scan share and nothing more (measured in PERF.md §as-of).
+  *
+  * Reference analogue: matching each plan event to the latest
+  * preceding status snapshot (`agents/orbiter.md:85-90` pick-latest
+  * discipline applied across two feeds).
+  */
+case class AsOfJoin(
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTime: Expression,
+    rightTime: Expression,
+    tieBreak: Seq[Expression],
+    left: LogicalPlan,
+    right: LogicalPlan) extends BinaryNode {
+  require(leftKeys.length == rightKeys.length && leftKeys.nonEmpty,
+    "as-of join needs matching non-empty key lists")
+  require(leftKeys.map(_.dataType) == rightKeys.map(_.dataType),
+    "as-of join key types must match exactly (cast first)")
+  require(leftTime.dataType == rightTime.dataType,
+    "as-of join time types must match exactly (cast first)")
+  override def output: Seq[Attribute] = left.output ++ right.output
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): LogicalPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+case class AsOfJoinExec(
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTime: Expression,
+    rightTime: Expression,
+    tieBreak: Seq[Expression],
+    left: SparkPlan,
+    right: SparkPlan) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] = left.output ++ right.output
+
+  /** Same-key rows of both sides must meet in one partition — Catalyst
+    * inserts (or reuses) the hash exchanges, co-partitioned the same
+    * way it co-partitions a sort-merge join. */
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+
+  /** The merge needs both sides sorted by (key, time) — and the right
+    * additionally by tieBreak so "last consumed" IS the tie winner.
+    * Catalyst inserts the sorts; an already-sorted child (bucketed
+    * table, previous sort) satisfies them for free. */
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTime, Ascending),
+    rightKeys.map(SortOrder(_, Ascending)) ++
+      (SortOrder(rightTime, Ascending) +: tieBreak.map(SortOrder(_, Ascending))))
+
+  /** One output row per matched left row, emitted in left order — the
+    * left child's clustering and ordering both survive. */
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val keyTypes = leftKeys.map(_.dataType)
+    val timeType = leftTime.dataType
+    val (lOut, rOut) = (left.output, right.output)
+    val (lk, rk, lt, rt) = (leftKeys, rightKeys, leftTime, rightTime)
+    val outAttrs = output
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lKeyProj = UnsafeProjection.create(lk, lOut)
+      val rKeyProj = UnsafeProjection.create(rk, rOut)
+      val lTimeProj = UnsafeProjection.create(Seq(lt), lOut)
+      val rTimeProj = UnsafeProjection.create(Seq(rt), rOut)
+      val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
+      val timeOrd = RowOrdering.createNaturalAscendingOrdering(Seq(timeType))
+      val result = UnsafeProjection.create(outAttrs, lOut ++ rOut)
+      val joined = new JoinedRow
+
+      new Iterator[InternalRow] {
+        // Child iterators reuse their row buffers, so anything retained
+        // across an advance is copied: the one candidate row (`best`)
+        // and the small projected key/time rows of the right cursor.
+        private var rRow: InternalRow = _
+        private var rKey: UnsafeRow = _
+        private var rTime: UnsafeRow = _
+        private var best: InternalRow = _
+        private var bestKey: UnsafeRow = _
+        private var ready: InternalRow = _
+
+        private def advanceRight(): Unit = {
+          // null right keys/times can never match any left row — skip
+          // them here so they cannot wedge the consume loop (they sort
+          // NULLS FIRST, i.e. ahead of every real row of their key)
+          var ok = false
+          while (!ok && rIter.hasNext) {
+            rRow = rIter.next()
+            val k = rKeyProj(rRow)
+            if (!k.anyNull) {
+              val t = rTimeProj(rRow)
+              if (!t.anyNull) { rKey = k.copy(); rTime = t.copy(); ok = true }
+            }
+          }
+          if (!ok) { rRow = null; rKey = null; rTime = null }
+        }
+        advanceRight()
+
+        override def hasNext: Boolean = {
+          while (ready == null && lIter.hasNext) {
+            val lRow = lIter.next()
+            val lKey = lKeyProj(lRow)
+            if (!lKey.anyNull) {
+              val lTimeRow = lTimeProj(lRow)
+              if (!lTimeRow.anyNull) {
+                // discard right rows of keys already passed
+                while (rRow != null && keyOrd.compare(rKey, lKey) < 0) advanceRight()
+                // consume this key's rows up to the left timestamp; the
+                // LAST consumed is the as-of winner (time, then tieBreak)
+                while (rRow != null && keyOrd.compare(rKey, lKey) == 0 &&
+                    timeOrd.compare(rTime, lTimeRow) <= 0) {
+                  best = rRow.copy(); bestKey = rKey
+                  advanceRight()
+                }
+                // left times only grow within a key, so `best` stays the
+                // latest candidate for every subsequent same-key left row
+                if (best != null && keyOrd.compare(bestKey, lKey) == 0) {
+                  ready = result(joined(lRow, best))
+                }
+              }
+            }
+          }
+          ready != null
+        }
+
+        override def next(): InternalRow = {
+          if (ready == null && !hasNext) throw new NoSuchElementException
+          val r = ready; ready = null; r
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): SparkPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+object AsOfStrategy extends Strategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoin(lk, rk, lt, rtm, tb, l, r) =>
+      AsOfJoinExec(lk, rk, lt, rtm, tb, planLater(l), planLater(r)) :: Nil
+    case _ => Nil
+  }
+}
+
+object AsOf {
+  /** Backward as-of join of `left` to `right`: every left row paired
+    * with its key's latest right row at or before `leftTimeCol`, ties
+    * toward the largest `tieBreak` columns; unmatched left rows drop.
+    * Columns are resolved by name; key and time types must already
+    * match between the sides. Registers the strategy idempotently. */
+  def join(left: DataFrame, right: DataFrame,
+           leftKeys: Seq[String], rightKeys: Seq[String],
+           leftTimeCol: String, rightTimeCol: String,
+           tieBreak: Seq[String] = Nil): DataFrame = {
+    val spark = left.sparkSession
+    if (!spark.experimental.extraStrategies.contains(AsOfStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfStrategy
+    }
+    val (lp, rp) = (left.queryExecution.analyzed, right.queryExecution.analyzed)
+    def attr(p: LogicalPlan, n: String) = p.output.find(_.name == n).getOrElse(
+      throw new IllegalArgumentException(
+        s"column $n not in ${p.output.map(_.name).mkString(", ")}"))
+    org.apache.spark.sql.graftshim.GraftSqlShim.ofRows(spark, AsOfJoin(
+      leftKeys.map(attr(lp, _): Expression), rightKeys.map(attr(rp, _): Expression),
+      attr(lp, leftTimeCol), attr(rp, rightTimeCol),
+      tieBreak.map(attr(rp, _): Expression), lp, rp))
+  }
+}

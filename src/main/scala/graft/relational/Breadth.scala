@@ -267,59 +267,30 @@ object Breadth {
       |GROUP BY s.event_id ORDER BY signup_id""".stripMargin
 
   /** q21: as-of join — each event matched to its user's latest order at
-    * or before the event time (SURVEY.md §7.3: no Spark built-in).
-    * Deterministic tiebreak on order key.
+    * or before the event time (SURVEY.md §7.3: no Spark built-in),
+    * deterministic tiebreak on order key.
     *
-    * Scale shape: the naive `user match AND date <= ts` join fans out to
-    * every earlier order of the user (a heavy user's whole history per
-    * event). Coarse month-bucket prefilter instead:
-    *  A. within-bucket candidates join on (user, month) EQUALITY —
-    *     fanout = orders in the event's own month;
-    *  B. for the fallback, a bucket-level as-of over the per-(user,
-    *     month) LATEST order — fanout = months per user, a constant
-    *     (~tens) no matter how many orders the user has.
-    * The winner is A if any order of the event's month is <= ts, else
-    * B's latest earlier-month order — identical semantics (all dates of
-    * a later month sort after all dates of an earlier one), proved by
-    * the unchanged oracle SQL still hash-matching. */
+    * Replanned through the native [[graft.plans.AsOfJoinExec]] operator
+    * (round 6; the join+window formulation with a month-bucket prefilter
+    * served rounds 1–5). The operator clusters both sides by user, sorts
+    * by (user, time), and does one O(n + m) merge pass holding a single
+    * candidate row — no per-event fanout into the user's order history
+    * at all, so a heavy user costs its linear scan share and nothing
+    * more (skew measurement in PERF.md §as-of). Hash parity vs the
+    * unchanged q21Sql window oracle proves the semantics. */
   def q21AsOfJoin(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val ev = Tables.events(s, dir)
-      .select($"event_id", $"user_id", $"ts")
-      .withColumn("eb", date_trunc("month", $"ts"))
+    val ev = Tables.events(s, dir).select($"event_id", $"user_id", $"ts")
     val ord = Tables.orders(s, dir)
-      .select($"o_orderkey", $"o_custkey", $"o_orderdate")
-      .withColumn("ob", date_trunc("month", $"o_orderdate"))
-
-    // A: latest order within the event's own month, at or before ts
-    val wA = Window.partitionBy($"event_id")
-      .orderBy($"o_orderdate".desc, $"o_orderkey".desc)
-    val inBucket = ev
-      .join(ord, $"user_id" === $"o_custkey" && $"eb" === $"ob" && $"o_orderdate" <= $"ts")
-      .withColumn("rn", row_number().over(wA))
-      .filter($"rn" === 1)
-      .select($"event_id", $"o_orderkey".as("a_key"))
-
-    // per-(user, month) latest order — the bucket summary B joins against
-    val wB = Window.partitionBy($"o_custkey", $"ob")
-      .orderBy($"o_orderdate".desc, $"o_orderkey".desc)
-    val bucketBest = ord
-      .withColumn("rn", row_number().over(wB))
-      .filter($"rn" === 1)
-      .select($"o_custkey".as("bc"), $"ob", $"o_orderkey".as("b_key"))
-
-    // B: latest month strictly before the event's month
-    val wC = Window.partitionBy($"event_id").orderBy($"ob".desc)
-    val before = ev
-      .join(bucketBest, $"user_id" === $"bc" && $"ob" < $"eb")
-      .withColumn("rn", row_number().over(wC))
-      .filter($"rn" === 1)
-      .select($"event_id", $"b_key")
-
-    ev.join(inBucket, Seq("event_id"), "left")
-      .join(before, Seq("event_id"), "left")
-      .withColumn("o_orderkey", coalesce($"a_key", $"b_key"))
-      .filter($"o_orderkey".isNotNull) // events with no prior order: inner-join semantics
+      .select($"o_orderkey", $"o_custkey",
+        // events.ts is TimestampNTZ micros (Tables.events); the operator
+        // requires identical time types on both sides
+        $"o_orderdate".cast(org.apache.spark.sql.types.TimestampNTZType)
+          .as("o_orderdate"))
+    graft.plans.AsOf.join(ev, ord,
+        leftKeys = Seq("user_id"), rightKeys = Seq("o_custkey"),
+        leftTimeCol = "ts", rightTimeCol = "o_orderdate",
+        tieBreak = Seq("o_orderkey"))
       .select($"event_id", $"o_orderkey")
       .orderBy($"event_id")
   }

@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class AsOfJoinSpec extends AnyFunSuite {
+  import SparkTestSession.{spark, sf}
+  import spark.implicits._
+
+  /** Reference semantics: the join+window formulation the operator
+    * replaces — fanout join then keep the per-left-row winner under
+    * (rt DESC, tie DESC). */
+  private def windowAsOf(left: DataFrame, right: DataFrame): DataFrame = {
+    val w = Window.partitionBy($"lid").orderBy($"rt".desc, $"rid".desc)
+    left.join(right, $"lk" === $"rk" && $"rt" <= $"lt")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"lid", $"rid")
+  }
+
+  private def nativeAsOf(left: DataFrame, right: DataFrame): DataFrame =
+    plans.AsOf.join(left, right,
+        leftKeys = Seq("lk"), rightKeys = Seq("rk"),
+        leftTimeCol = "lt", rightTimeCol = "rt", tieBreak = Seq("rid"))
+      .select($"lid", $"rid")
+
+  private def pairs(df: DataFrame): Set[(Long, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("native as-of equals the window formulation on a mixed corpus") {
+    val left = (0 until 500).map(i =>
+      (i.toLong, (i % 13).toLong, ((i * 37) % 100).toLong)).toDF("lid", "lk", "lt")
+    val right = (0 until 300).map(j =>
+      ((j + 1000).toLong, (j % 17).toLong, ((j * 29) % 100).toLong)).toDF("rid", "rk", "rt")
+    val expected = pairs(windowAsOf(left, right))
+    val got = pairs(nativeAsOf(left, right))
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
+  test("ties at equal time resolve toward the largest tieBreak") {
+    val left = Seq((1L, 7L, 50L)).toDF("lid", "lk", "lt")
+    val right = Seq((10L, 7L, 50L), (11L, 7L, 50L), (9L, 7L, 49L))
+      .toDF("rid", "rk", "rt")
+    assert(pairs(nativeAsOf(left, right)) == Set((1L, 11L)))
+  }
+
+  test("null keys and times never match; unmatched left rows drop (inner semantics)") {
+    val left = Seq(
+      (1L, Some(7L), Some(50L)),  // matches
+      (2L, None, Some(50L)),      // null key → dropped
+      (3L, Some(7L), None),       // null time → dropped
+      (4L, Some(8L), Some(50L))   // no right rows for key → dropped
+    ).toDF("lid", "lk", "lt")
+    val right = Seq(
+      (10L, Some(7L), Some(40L)),
+      (11L, Some(7L), None),      // null time → never a candidate
+      (12L, None, Some(40L))      // null key → never a candidate
+    ).toDF("rid", "rk", "rt")
+    assert(pairs(nativeAsOf(left, right)) == Set((1L, 10L)))
+  }
+
+  test("strictly-later right rows never match (backward as-of)") {
+    val left = Seq((1L, 7L, 50L)).toDF("lid", "lk", "lt")
+    val right = Seq((10L, 7L, 51L)).toDF("rid", "rk", "rt")
+    assert(pairs(nativeAsOf(left, right)).isEmpty)
+  }
+
+  test("skewed key: native matches the window formulation and avoids the fanout") {
+    // one hot key carrying most of the right side — the case where the
+    // join+window trick fans out left×history before discarding
+    val hot = 7L
+    val left = ((0 until 200).map(i => (i.toLong, hot, (i * 211 % 5000).toLong)) ++
+      (200 until 260).map(i => (i.toLong, (i % 5).toLong, (i * 17 % 5000).toLong)))
+      .toDF("lid", "lk", "lt")
+    val right = ((0 until 50000).map(j => ((j + 100000).toLong, hot, (j % 5000).toLong)) ++
+      (0 until 500).map(j => ((j + 900000).toLong, (j % 5).toLong, (j * 13 % 5000).toLong)))
+      .toDF("rid", "rk", "rt")
+    val t0 = System.nanoTime()
+    val expected = pairs(windowAsOf(left, right))
+    val tWindow = (System.nanoTime() - t0) / 1e9
+    val t1 = System.nanoTime()
+    val got = pairs(nativeAsOf(left, right))
+    val tNative = (System.nanoTime() - t1) / 1e9
+    info(f"skewed 50k-row key: window=$tWindow%.2fs native=$tNative%.2fs")
+    assert(got == expected)
+  }
+
+  test("q21 plans through AsOfJoinExec with no fanout join") {
+    val planStr = relational.Breadth.q21AsOfJoin(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(planStr.contains("AsOfJoin"), planStr.take(2000))
+    assert(!planStr.contains("SortMergeJoin") && !planStr.contains("BroadcastHashJoin"),
+      "q21 should not contain a fanout join anymore")
+  }
+
+  test("operator preserves clustering: downstream same-key groupBy adds no exchange") {
+    val left = (0 until 100).map(i => (i.toLong, (i % 7).toLong, i.toLong))
+      .toDF("lid", "lk", "lt")
+    val right = (0 until 100).map(j => ((j + 1000).toLong, (j % 7).toLong, (j % 50).toLong))
+      .toDF("rid", "rk", "rt")
+    val joinedAgg = plans.AsOf.join(left, right,
+        Seq("lk"), Seq("rk"), "lt", "rt", Seq("rid"))
+      .groupBy($"lk").agg(count(lit(1)).as("n"))
+    val nExchanges = joinedAgg.queryExecution.executedPlan.toString
+      .linesIterator.count(_.contains("Exchange"))
+    // two input shuffles only — the groupBy on lk reuses the join's clustering
+    assert(nExchanges == 2, s"expected 2 exchanges, got $nExchanges")
+    assert(joinedAgg.count() > 0)
+  }
+}
