@@ -39,6 +39,7 @@ object SparkEntry {
     queue.TranscriptEtl.queries ++
     llm.Multimodal.queries ++
     plans.TopK.queries ++
+    plans.AsOf.queries ++
     llm.Pipeline.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -58,6 +59,7 @@ object SparkEntry {
     queue.Derived.oracle ++
     llm.Dedup.oracle ++
     plans.TopK.oracle ++
+    plans.AsOf.oracle ++
     llm.Pipeline.oracle ++
     llm.Multimodal.oracle
 }

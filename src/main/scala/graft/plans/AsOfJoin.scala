@@ -201,4 +201,44 @@ object AsOf {
       attr(lp, leftTimeCol), attr(rp, rightTimeCol),
       tieBreak.map(attr(rp, _): Expression), lp, rp))
   }
+
+  /** q113: the operator's second graded shape (as q106 is to q86) —
+    * attribution: every non-signup event matched to its user's latest
+    * signup at or before the event time. Same exec as q21 but a
+    * self-derived split (the two sides come from one feed), different
+    * sizes and selectivity; hash-graded against the window-SQL
+    * restatement. This is the "attach the session opener to every
+    * action" shape a behavioral pipeline runs at 100 TB, where the
+    * fanout formulation pays each user's full signup history per
+    * action. */
+  def q113AsofAttribution(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = graft.Tables.events(s, dir)
+    val actions = ev.filter($"event_type" =!= "signup")
+      .select($"event_id", $"user_id", $"ts")
+    val signups = ev.filter($"event_type" === "signup")
+      .select($"event_id".as("signup_id"), $"user_id".as("su"), $"ts".as("su_ts"))
+    join(actions, signups,
+        leftKeys = Seq("user_id"), rightKeys = Seq("su"),
+        leftTimeCol = "ts", rightTimeCol = "su_ts",
+        tieBreak = Seq("signup_id"))
+      .select($"event_id", $"signup_id")
+      .orderBy($"event_id")
+  }
+
+  val q113Sql: String =
+    """WITH ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events)
+      |SELECT event_id, signup_id FROM (
+      |  SELECT a.event_id, s.event_id AS signup_id,
+      |    row_number() OVER (PARTITION BY a.event_id
+      |      ORDER BY s.ts DESC, s.event_id DESC) AS rn
+      |  FROM ev a JOIN ev s
+      |    ON s.user_id = a.user_id AND s.event_type = 'signup' AND s.ts <= a.ts
+      |  WHERE a.event_type <> 'signup') t
+      |WHERE rn = 1 ORDER BY event_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q113_asof_attribution" -> (q113AsofAttribution _))
+  val oracle: Map[String, String] = Map(
+    "q113_asof_attribution" -> q113Sql)
 }

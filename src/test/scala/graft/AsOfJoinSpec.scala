@@ -96,6 +96,28 @@ class AsOfJoinSpec extends AnyFunSuite {
       "q21 should not contain a fanout join anymore")
   }
 
+  test("AQE partition coalescing keeps both shuffles zip-compatible") {
+    // aggressive coalescing on asymmetric sides: if AQE chose different
+    // coalesced specs per shuffle, zipPartitions would throw at runtime
+    val aqeKeys = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1048576")
+    val saved = aqeKeys.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      aqeKeys.foreach { case (k, v) => spark.conf.set(k, v) }
+      val left = (0 until 50).map(i => (i.toLong, (i % 7).toLong, i.toLong))
+        .toDF("lid", "lk", "lt")
+      val right = (0 until 200000).map(j =>
+        ((j + 1000).toLong, (j % 7).toLong, (j % 500).toLong)).toDF("rid", "rk", "rt")
+      val expected = pairs(windowAsOf(left, right))
+      assert(pairs(nativeAsOf(left, right)) == expected)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("operator preserves clustering: downstream same-key groupBy adds no exchange") {
     val left = (0 until 100).map(i => (i.toLong, (i % 7).toLong, i.toLong))
       .toDF("lid", "lk", "lt")

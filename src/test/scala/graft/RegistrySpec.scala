@@ -32,6 +32,7 @@ class RegistrySpec extends AnyFunSuite {
       "queue.TranscriptEtl"  -> queue.TranscriptEtl.queries.keySet,
       "llm.Multimodal"       -> llm.Multimodal.queries.keySet,
       "plans.TopK"           -> plans.TopK.queries.keySet,
+      "plans.AsOf"           -> plans.AsOf.queries.keySet,
       "llm.Pipeline"         -> llm.Pipeline.queries.keySet)
     val dups = moduleMaps.flatMap { case (m, ks) => ks.map(_ -> m) }
       .groupBy(_._1).filter(_._2.length > 1)
