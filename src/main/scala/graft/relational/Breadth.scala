@@ -305,19 +305,41 @@ object Breadth {
       |WHERE rn = 1 ORDER BY event_id""".stripMargin
 
   /** q54: sketch aggregation — HyperLogLog approx_count_distinct next to
-    * the exact count (rows-only: HLL estimates are engine-specific).
-    * At 100 TB the approx path is the one you actually run: it's a
-    * constant-size sketch mergeable across partitions, no dedup shuffle. */
+    * the exact count. At 100 TB the approx path is the one you actually
+    * run: a constant-size sketch mergeable across partitions, no dedup
+    * shuffle.
+    *
+    * Hash-graded since round 6: raw HLL estimates are engine-specific
+    * (Spark's and DuckDB's sketches differ), so the graded columns are
+    * the exact counts plus a BOUNDED-ACCURACY check — each engine
+    * asserts its own estimate lands within 10% of its own exact count
+    * (2× the default 5% rsd, deterministic for fixed data). That grades
+    * the semantic contract of the sketch ("close to exact") without
+    * pinning implementation bits; the raw estimate path stays covered by
+    * the unit spec's exact cross-check. */
   def q54ApproxDistinct(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.lineitem(s, dir)
       .groupBy($"l_returnflag")
       .agg(
-        approx_count_distinct($"l_partkey").as("approx_parts"),
         countDistinct($"l_partkey").as("exact_parts"),
-        approx_count_distinct($"l_orderkey").as("approx_orders"))
+        countDistinct($"l_orderkey").as("exact_orders"),
+        (abs(approx_count_distinct($"l_partkey") - countDistinct($"l_partkey")) <=
+          countDistinct($"l_partkey") * 0.10).as("approx_ok_parts"),
+        (abs(approx_count_distinct($"l_orderkey") - countDistinct($"l_orderkey")) <=
+          countDistinct($"l_orderkey") * 0.10).as("approx_ok_orders"))
       .orderBy($"l_returnflag")
   }
+
+  val q54Sql: String =
+    """SELECT l_returnflag,
+      |  count(DISTINCT l_partkey) AS exact_parts,
+      |  count(DISTINCT l_orderkey) AS exact_orders,
+      |  abs(approx_count_distinct(l_partkey) - count(DISTINCT l_partkey))
+      |    <= count(DISTINCT l_partkey) * 0.10 AS approx_ok_parts,
+      |  abs(approx_count_distinct(l_orderkey) - count(DISTINCT l_orderkey))
+      |    <= count(DISTINCT l_orderkey) * 0.10 AS approx_ok_orders
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q54_approx_distinct" -> (q54ApproxDistinct _),
@@ -346,5 +368,6 @@ object Breadth {
     "q19_selfjoin_deps" -> q19Sql,
     "q20_range_join"    -> q20Sql,
     "q21_asof_join"     -> q21Sql,
+    "q54_approx_distinct" -> q54Sql,
   )
 }
