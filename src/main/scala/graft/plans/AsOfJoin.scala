@@ -9,15 +9,18 @@ import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
 
-/** Native backward as-of join (SURVEY.md §7.3 "no Spark built-in"; the
-  * second whole-operator custom tier after [[TopKPerGroup]]).
+/** Native as-of join (SURVEY.md §7.3 "no Spark built-in"; the second
+  * whole-operator custom tier after [[TopKPerGroup]]).
   *
-  * Semantics: for every left row, the single right row with the same
-  * key whose `rightTime <= leftTime` and which is LAST under
-  * (rightTime ASC, tieBreak ASC) — i.e. the latest right row at or
-  * before the left timestamp, ties resolved toward the largest
-  * tieBreak. Inner semantics: unmatched left rows (and null keys or
-  * times on either side) are dropped.
+  * Semantics, backward (default): for every left row, the single right
+  * row with the same key whose `rightTime <= leftTime` and which is
+  * LAST under (rightTime ASC, tieBreak ASC) — i.e. the latest right
+  * row at or before the left timestamp, ties resolved toward the
+  * largest tieBreak. Forward (`forward = true`): the FIRST right row
+  * with `rightTime >= leftTime` under the same ordering — the earliest
+  * at-or-after match, ties toward the smallest tieBreak (pandas
+  * merge_asof direction parity). Inner semantics either way: unmatched
+  * left rows (and null keys or times on either side) are dropped.
   *
   * Why an operator instead of the join+window formulation: the
   * `key = key AND rt <= lt` join fans out to a left row × that key's
@@ -40,6 +43,7 @@ case class AsOfJoin(
     leftTime: Expression,
     rightTime: Expression,
     tieBreak: Seq[Expression],
+    forward: Boolean,
     left: LogicalPlan,
     right: LogicalPlan) extends BinaryNode {
   require(leftKeys.length == rightKeys.length && leftKeys.nonEmpty,
@@ -60,6 +64,7 @@ case class AsOfJoinExec(
     leftTime: Expression,
     rightTime: Expression,
     tieBreak: Seq[Expression],
+    forward: Boolean,
     left: SparkPlan,
     right: SparkPlan) extends BinaryExecNode {
 
@@ -136,19 +141,34 @@ case class AsOfJoinExec(
             if (!lKey.anyNull) {
               val lTimeRow = lTimeProj(lRow)
               if (!lTimeRow.anyNull) {
-                // discard right rows of keys already passed
-                while (rRow != null && keyOrd.compare(rKey, lKey) < 0) advanceRight()
-                // consume this key's rows up to the left timestamp; the
-                // LAST consumed is the as-of winner (time, then tieBreak)
-                while (rRow != null && keyOrd.compare(rKey, lKey) == 0 &&
-                    timeOrd.compare(rTime, lTimeRow) <= 0) {
-                  best = rRow.copy(); bestKey = rKey
-                  advanceRight()
-                }
-                // left times only grow within a key, so `best` stays the
-                // latest candidate for every subsequent same-key left row
-                if (best != null && keyOrd.compare(bestKey, lKey) == 0) {
-                  ready = result(joined(lRow, best))
+                if (forward) {
+                  // forward: winner is the FIRST right row of the key at
+                  // or after the left time — skip everything earlier
+                  // (later left rows of the key have even larger times,
+                  // so the skipped rows can never match again) and emit
+                  // the cursor WITHOUT advancing: the same right row may
+                  // serve several left rows.
+                  while (rRow != null && (keyOrd.compare(rKey, lKey) < 0 ||
+                      (keyOrd.compare(rKey, lKey) == 0 &&
+                        timeOrd.compare(rTime, lTimeRow) < 0))) advanceRight()
+                  if (rRow != null && keyOrd.compare(rKey, lKey) == 0) {
+                    ready = result(joined(lRow, rRow))
+                  }
+                } else {
+                  // discard right rows of keys already passed
+                  while (rRow != null && keyOrd.compare(rKey, lKey) < 0) advanceRight()
+                  // consume this key's rows up to the left timestamp; the
+                  // LAST consumed is the as-of winner (time, then tieBreak)
+                  while (rRow != null && keyOrd.compare(rKey, lKey) == 0 &&
+                      timeOrd.compare(rTime, lTimeRow) <= 0) {
+                    best = rRow.copy(); bestKey = rKey
+                    advanceRight()
+                  }
+                  // left times only grow within a key, so `best` stays the
+                  // latest candidate for every subsequent same-key left row
+                  if (best != null && keyOrd.compare(bestKey, lKey) == 0) {
+                    ready = result(joined(lRow, best))
+                  }
                 }
               }
             }
@@ -171,22 +191,31 @@ case class AsOfJoinExec(
 
 object AsOfStrategy extends Strategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(lk, rk, lt, rtm, tb, l, r) =>
-      AsOfJoinExec(lk, rk, lt, rtm, tb, planLater(l), planLater(r)) :: Nil
+    case AsOfJoin(lk, rk, lt, rtm, tb, fwd, l, r) =>
+      AsOfJoinExec(lk, rk, lt, rtm, tb, fwd, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
 
 object AsOf {
-  /** Backward as-of join of `left` to `right`: every left row paired
-    * with its key's latest right row at or before `leftTimeCol`, ties
-    * toward the largest `tieBreak` columns; unmatched left rows drop.
-    * Columns are resolved by name; key and time types must already
-    * match between the sides. Registers the strategy idempotently. */
+  /** As-of join of `left` to `right`: every left row paired with its
+    * key's latest right row at or before `leftTimeCol` (backward,
+    * default — ties toward the largest `tieBreak`), or its earliest
+    * right row at or after it (`direction = "forward"` — ties toward
+    * the smallest); unmatched left rows drop. Columns are resolved by
+    * name; key and time types must already match between the sides.
+    * Registers the strategy idempotently. */
   def join(left: DataFrame, right: DataFrame,
            leftKeys: Seq[String], rightKeys: Seq[String],
            leftTimeCol: String, rightTimeCol: String,
-           tieBreak: Seq[String] = Nil): DataFrame = {
+           tieBreak: Seq[String] = Nil,
+           direction: String = "backward"): DataFrame = {
+    val forward = direction match {
+      case "backward" => false
+      case "forward"  => true
+      case other => throw new IllegalArgumentException(
+        s"as-of direction must be backward or forward, got $other")
+    }
     val spark = left.sparkSession
     if (!spark.experimental.extraStrategies.contains(AsOfStrategy)) {
       spark.experimental.extraStrategies =
@@ -199,7 +228,7 @@ object AsOf {
     org.apache.spark.sql.graftshim.GraftSqlShim.ofRows(spark, AsOfJoin(
       leftKeys.map(attr(lp, _): Expression), rightKeys.map(attr(rp, _): Expression),
       attr(lp, leftTimeCol), attr(rp, rightTimeCol),
-      tieBreak.map(attr(rp, _): Expression), lp, rp))
+      tieBreak.map(attr(rp, _): Expression), forward, lp, rp))
   }
 
   /** q113: the operator's second graded shape (as q106 is to q86) —
@@ -237,8 +266,39 @@ object AsOf {
       |  WHERE a.event_type <> 'signup') t
       |WHERE rn = 1 ORDER BY event_id""".stripMargin
 
+  /** q114: the forward direction under the oracle gate — every order
+    * matched to its customer's FIRST event at or after the order date
+    * ("next touch after purchase"). Distinct from q21/q113 in direction
+    * AND join selectivity (only custkeys that are also event users
+    * match); hash-graded against the ascending window restatement. */
+  def q114AsofForward(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ord = graft.Tables.orders(s, dir)
+      .select($"o_orderkey", $"o_custkey",
+        $"o_orderdate".cast(org.apache.spark.sql.types.TimestampNTZType)
+          .as("o_orderdate"))
+    val ev = graft.Tables.events(s, dir).select($"event_id", $"user_id", $"ts")
+    join(ord, ev,
+        leftKeys = Seq("o_custkey"), rightKeys = Seq("user_id"),
+        leftTimeCol = "o_orderdate", rightTimeCol = "ts",
+        tieBreak = Seq("event_id"), direction = "forward")
+      .select($"o_orderkey", $"event_id")
+      .orderBy($"o_orderkey")
+  }
+
+  val q114Sql: String =
+    """SELECT o_orderkey, event_id FROM (
+      |  SELECT o.o_orderkey, e.event_id,
+      |    row_number() OVER (PARTITION BY o.o_orderkey
+      |      ORDER BY e.ts ASC, e.event_id ASC) AS rn
+      |  FROM orders o JOIN events e
+      |    ON e.user_id = o.o_custkey AND CAST(e.ts AS TIMESTAMP) >= o.o_orderdate) t
+      |WHERE rn = 1 ORDER BY o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q113_asof_attribution" -> (q113AsofAttribution _))
+    "q113_asof_attribution" -> (q113AsofAttribution _),
+    "q114_asof_forward"     -> (q114AsofForward _))
   val oracle: Map[String, String] = Map(
-    "q113_asof_attribution" -> q113Sql)
+    "q113_asof_attribution" -> q113Sql,
+    "q114_asof_forward"     -> q114Sql)
 }

@@ -96,6 +96,38 @@ class AsOfJoinSpec extends AnyFunSuite {
       "q21 should not contain a fanout join anymore")
   }
 
+  private def windowAsOfForward(left: DataFrame, right: DataFrame): DataFrame = {
+    val w = Window.partitionBy($"lid").orderBy($"rt".asc, $"rid".asc)
+    left.join(right, $"lk" === $"rk" && $"rt" >= $"lt")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"lid", $"rid")
+  }
+
+  test("forward direction equals the ascending window formulation") {
+    val left = (0 until 400).map(i =>
+      (i.toLong, (i % 11).toLong, ((i * 31) % 90).toLong)).toDF("lid", "lk", "lt")
+    val right = (0 until 250).map(j =>
+      ((j + 1000).toLong, (j % 13).toLong, ((j * 23) % 90).toLong)).toDF("rid", "rk", "rt")
+    val expected = pairs(windowAsOfForward(left, right))
+    val got = pairs(plans.AsOf.join(left, right, Seq("lk"), Seq("rk"),
+        "lt", "rt", Seq("rid"), direction = "forward")
+      .select($"lid", $"rid"))
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
+  test("forward: equal-time rows match, earlier rows never do, ties to smallest tieBreak") {
+    val left = Seq((1L, 7L, 50L), (2L, 7L, 60L)).toDF("lid", "lk", "lt")
+    val right = Seq((10L, 7L, 49L), (12L, 7L, 50L), (11L, 7L, 50L))
+      .toDF("rid", "rk", "rt")
+    val got = pairs(plans.AsOf.join(left, right, Seq("lk"), Seq("rk"),
+        "lt", "rt", Seq("rid"), direction = "forward")
+      .select($"lid", $"rid"))
+    // lid=1 matches at rt=50, smallest rid wins; lid=2 has nothing >= 60
+    assert(got == Set((1L, 11L)))
+  }
+
   test("AQE partition coalescing keeps both shuffles zip-compatible") {
     // aggressive coalescing on asymmetric sides: if AQE chose different
     // coalesced specs per shuffle, zipPartitions would throw at runtime
