@@ -395,9 +395,68 @@ object TextOps {
       |    '\b\d{3}-\d{4}\b', '[PHONE]', 'g')) AS redacted_md5
       |FROM r ORDER BY doc_id""".stripMargin
 
+  /** q115: repetition / boilerplate detection — the duplicate-n-gram
+    * quality filter every pretraining corpus pipeline runs (the
+    * Gopher/C4-style "fraction of duplicated 3-grams" rule): documents
+    * dominated by repeated phrasing (templated pages, scraper echo,
+    * keyword stuffing) get flagged before they poison dedup and
+    * training. Per doc: total trigrams, duplicate-trigram fraction
+    * (1 − distinct/total), top-trigram share, and the boilerplate flag.
+    * One narrow scan → explode → two hash aggregations by doc — fully
+    * distributed, no driver state; at 100 TB the trigram explode is
+    * ~sequence-length×, the same shape q46's shingling already proves
+    * out. Docs under 3 tokens carry no trigram signal and drop.
+    *
+    * Trigram construction is `zip_with` over three shifted `slice`s of
+    * the token array — measured 10× faster than the indexed-lambda
+    * `transform(sequence(…), i -> toks[i-1] …)` formulation (0.8 s vs
+    * 7.7 s at sf0.1): per-element array indexing inside a higher-order
+    * lambda pays interpreted GetArrayItem per access, while slice+zip
+    * walks each array once. */
+  def q115Repetition(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .withColumn("toks", regexp_extract_all(lower($"text"), lit("\\S+"), lit(0)))
+      .filter(size($"toks") >= 3)
+      .withColumn("grams", expr(
+        "zip_with(slice(toks, 1, size(toks) - 2), " +
+          "zip_with(slice(toks, 2, size(toks) - 2), slice(toks, 3, size(toks) - 2), " +
+          "(b, c) -> concat(b, ' ', c)), (a, bc) -> concat(a, ' ', bc))"))
+      .select($"doc_id", explode($"grams").as("g"))
+      .groupBy($"doc_id", $"g").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id")
+      .agg(sum($"c").as("n_grams"), count(lit(1)).as("n_distinct"),
+        max($"c").as("top_count"))
+      .select($"doc_id",
+        $"n_grams".cast("int").as("n_grams"),
+        round(lit(1.0) - $"n_distinct".cast("double") / $"n_grams", 4).as("dup_frac"),
+        round($"top_count".cast("double") / $"n_grams", 4).as("top_frac"),
+        (round(lit(1.0) - $"n_distinct".cast("double") / $"n_grams", 4) > 0.2)
+          .as("boilerplate"))
+      .orderBy($"doc_id")
+  }
+
+  val q115Sql: String =
+    """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks FROM documents),
+      |g AS (
+      |  SELECT doc_id,
+      |    unnest([concat_ws(' ', toks[i], toks[i+1], toks[i+2])
+      |            FOR i IN generate_series(1, len(toks) - 2)]) AS g
+      |  FROM t WHERE len(toks) >= 3),
+      |c AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY doc_id, g),
+      |a AS (SELECT doc_id, CAST(sum(c) AS INT) AS n_grams,
+      |        count(*) AS n_distinct, max(c) AS top_count
+      |      FROM c GROUP BY doc_id)
+      |SELECT doc_id, n_grams,
+      |  round(1.0 - CAST(n_distinct AS DOUBLE) / n_grams, 4) AS dup_frac,
+      |  round(CAST(top_count AS DOUBLE) / n_grams, 4) AS top_frac,
+      |  round(1.0 - CAST(n_distinct AS DOUBLE) / n_grams, 4) > 0.2 AS boilerplate
+      |FROM a ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q102_chunking"     -> (q102Chunking _),
     "q103_pii_redaction" -> (q103PiiRedaction _),
+    "q115_repetition"   -> (q115Repetition _),
     "q67_bpe_tokens"    -> (q67BpeTokens _),
     "q29_dedup_exact"   -> (q29DedupExact _),
     "q30_token_count"   -> (q30TokenCount _),
@@ -413,6 +472,7 @@ object TextOps {
   val oracle: Map[String, String] = Map(
     "q102_chunking"     -> q102Sql,
     "q103_pii_redaction" -> q103Sql,
+    "q115_repetition"   -> q115Sql,
     "q67_bpe_tokens"    -> q67Sql,
     "q29_dedup_exact"   -> q29Sql,
     "q30_token_count"   -> q30Sql,

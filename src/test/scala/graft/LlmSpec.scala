@@ -101,6 +101,23 @@ class LlmSpec extends AnyFunSuite {
     assert(recall >= 0.8, f"IVF recall $recall%.2f below the 0.8 floor")
   }
 
+  test("q115 repetition metrics are coherent fractions and the flag follows dup_frac") {
+    val rows = llm.TextOps.q115Repetition(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getInt(r.fieldIndex("n_grams"))
+      val dup = r.getDouble(r.fieldIndex("dup_frac"))
+      val top = r.getDouble(r.fieldIndex("top_frac"))
+      val flag = r.getBoolean(r.fieldIndex("boilerplate"))
+      assert(n >= 1)
+      assert(dup >= 0.0 && dup < 1.0, s"dup_frac $dup out of range")
+      // the most frequent trigram accounts for at least its fair share
+      // (5e-5 slack: top_frac is rounded to 4 decimals, 1/n is not)
+      assert(top >= 1.0 / n - 5e-5 && top <= 1.0)
+      assert(flag == (dup > 0.2))
+    }
+  }
+
   test("q35 langid guesses are from the closed set") {
     val langs = llm.TextOps.q35LangId(spark, sf)
       .select("guess").distinct().collect().map(_.getString(0)).toSet
