@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -453,10 +454,56 @@ object TextOps {
       |  round(1.0 - CAST(n_distinct AS DOUBLE) / n_grams, 4) > 0.2 AS boilerplate
       |FROM a ORDER BY doc_id""".stripMargin
 
+  /** q116: sequence packing — assemble documents into token-budgeted
+    * training packs (the step between curation and the trainer: group
+    * docs so each pack holds ~`budget` tokens). Streaming-greedy
+    * assignment: a doc's pack is `floor(tokens-before-it / budget)`
+    * within its shard, so packs fill to the budget and the straddling
+    * doc overflows into position 1 of the next — the standard
+    * approximation real pipelines use, deterministic and
+    * window-expressible.
+    *
+    * Scale shape: packing is a running sum, which is inherently
+    * sequential — so it runs PER SHARD (hash of doc_id), one window
+    * partition each, embarrassingly parallel across shards. A single
+    * global ordering would serialize 100 TB through one partition; the
+    * shard is the unit a trainer consumes anyway. */
+  def q116SeqPacking(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val budget = 512
+    val w = Window.partitionBy($"shard").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(s, dir)
+      .select($"doc_id", pmod($"doc_id", lit(8)).as("shard"),
+        size(regexp_extract_all(lower($"text"), lit("\\S+"), lit(0))).as("n_tok"))
+      .withColumn("cum_before", coalesce(sum($"n_tok").over(w), lit(0L)))
+      .withColumn("pack_id", floor($"cum_before" / budget).cast("int"))
+      .groupBy($"shard", $"pack_id")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"),
+        min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
+      .orderBy($"shard", $"pack_id")
+  }
+
+  val q116Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, doc_id % 8 AS shard,
+      |    CAST(len(regexp_extract_all(lower(text), '\S+')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |p AS (
+      |  SELECT doc_id, shard, n_tok,
+      |    CAST(floor(coalesce(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512.0) AS INT) AS pack_id
+      |  FROM d)
+      |SELECT shard, pack_id, count(*) AS n_docs,
+      |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+      |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      |FROM p GROUP BY shard, pack_id ORDER BY shard, pack_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q102_chunking"     -> (q102Chunking _),
     "q103_pii_redaction" -> (q103PiiRedaction _),
     "q115_repetition"   -> (q115Repetition _),
+    "q116_seq_packing"  -> (q116SeqPacking _),
     "q67_bpe_tokens"    -> (q67BpeTokens _),
     "q29_dedup_exact"   -> (q29DedupExact _),
     "q30_token_count"   -> (q30TokenCount _),
@@ -473,6 +520,7 @@ object TextOps {
     "q102_chunking"     -> q102Sql,
     "q103_pii_redaction" -> q103Sql,
     "q115_repetition"   -> q115Sql,
+    "q116_seq_packing"  -> q116Sql,
     "q67_bpe_tokens"    -> q67Sql,
     "q29_dedup_exact"   -> q29Sql,
     "q30_token_count"   -> q30Sql,

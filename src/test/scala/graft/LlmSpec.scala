@@ -118,6 +118,29 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("q116 packing matches a driver-side greedy replay") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        size(regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0))).as("n"))
+      .collect().map(r => (r.getLong(0), r.getInt(1).toLong)).sortBy(_._1)
+    // replay the streaming-greedy rule per shard in plain Scala
+    val expected = docs.groupBy { case (id, _) => id % 8 }.toSeq.flatMap {
+      case (shard, ds) =>
+        var cum = 0L
+        ds.sortBy(_._1).map { case (id, n) =>
+          val pack = cum / 512; cum += n; ((shard, pack), (id, n))
+        }
+    }.groupBy(_._1).map { case ((shard, pack), rows) =>
+      (shard, pack, rows.size.toLong, rows.map(_._2._2).sum,
+        rows.map(_._2._1).min, rows.map(_._2._1).max)
+    }.toSet
+    val got = llm.TextOps.q116SeqPacking(spark, sf).collect().map(r =>
+      (r.getLong(0), r.getInt(1).toLong, r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(got == expected)
+  }
+
   test("q35 langid guesses are from the closed set") {
     val langs = llm.TextOps.q35LangId(spark, sf)
       .select("guess").distinct().collect().map(_.getString(0)).toSet
