@@ -28,8 +28,17 @@ object FoldSelfCosine extends Rule[LogicalPlan] {
     }
 }
 
+/** One-stop library installation: optimizer rule + both custom planner
+  * strategies (per-group top-k, as-of join). A session built with
+  * `.withExtensions(new GraftExtensions)` (or
+  * `spark.sql.extensions=graft.functions.GraftExtensions`) plans
+  * `TopKPerGroup` and `AsOfJoin` nodes without the DataFrame helpers'
+  * call-time registration — the helpers keep their idempotent
+  * `experimental.extraStrategies` fallback so either path works. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => FoldSelfCosine)
+    e.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
+    e.injectPlannerStrategy(_ => graft.plans.AsOfStrategy)
   }
 }

@@ -15,4 +15,14 @@ object GraftSqlShim {
 
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     ClassicDataset.ofRows(spark.asInstanceOf[ClassicSession], plan)
+
+  /** Test hooks into `private[sql]` extension builders: what a session
+    * constructed with these extensions would actually install. */
+  def plannerStrategies(e: org.apache.spark.sql.SparkSessionExtensions,
+                        spark: SparkSession) =
+    e.buildPlannerStrategies(spark)
+
+  def optimizerRules(e: org.apache.spark.sql.SparkSessionExtensions,
+                     spark: SparkSession) =
+    e.buildOptimizerRules(spark)
 }

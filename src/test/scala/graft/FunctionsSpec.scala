@@ -9,6 +9,16 @@ class FunctionsSpec extends AnyFunSuite {
   import SparkTestSession.{spark, sf}
   import spark.implicits._
 
+  test("GraftExtensions installs the optimizer rule and both planner strategies") {
+    import org.apache.spark.sql.graftshim.GraftSqlShim
+    val e = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.functions.GraftExtensions().apply(e)
+    val strategies = GraftSqlShim.plannerStrategies(e, spark)
+    assert(strategies.contains(graft.plans.TopKStrategy))
+    assert(strategies.contains(graft.plans.AsOfStrategy))
+    assert(GraftSqlShim.optimizerRules(e, spark).contains(FoldSelfCosine))
+  }
+
   test("FoldSelfCosine rule rewrites graft_cosine(x,x) to literal 1.0") {
     spark.experimental.extraOptimizations =
       spark.experimental.extraOptimizations :+ FoldSelfCosine
