@@ -134,36 +134,44 @@ object Derived {
     val p = plans(s, dir)
     val files = Tables.lineitem(s, dir)
       .select($"l_orderkey".as("id"), $"l_partkey".as("file")).distinct()
-    val pf = files.join(p.select($"id", $"project", $"created_at"), Seq("id"))
     // dependent (left) side restricted to queued plans: only their
     // eligibility and unblock counts matter, and the cut shrinks the
     // (project, file) self-join ~3x — the 100 TB version of "filter
     // before the expensive join", not after it
     val pfQueued = files.join(
       p.filter($"status" === "queued").select($"id", $"project", $"created_at"), Seq("id"))
-    val b = pf.select($"id".as("id2"), $"project".as("proj2"),
-      $"created_at".as("created2"), $"file".as("file2"))
-    // Both consumers of the dependency pairs need only EXISTENCE — "has
-    // an unmet dep" and "is depended upon" — so the pair stream is never
-    // pair-deduplicated (that distinct was the single biggest shuffle of
-    // the query); each side collapses to a one-column distinct instead.
-    val deps = pfQueued.join(b,
-        $"file" === $"file2" && $"project" === $"proj2" &&
-        ($"created2" < $"created_at" ||
-         ($"created2" === $"created_at" && $"id2" < $"id")))
-      .select($"id".as("plan_id"), $"id2".as("depends_on"))
-      .persist() // feeds both the unmet filter and unblock flags (lazily)
-
-    val completed = p.filter($"status" === "completed").select($"id".as("cid"))
-    val unmetIds = deps.join(completed, $"depends_on" === $"cid", "left_anti")
-      .select($"plan_id").distinct()
+    // Round 6: the dependency pair stream is GONE. A pair (a depends on
+    // b) requires struct(b.created, b.id) < struct(a.created, a.id) on
+    // the same (project, file), and both consumers only ask EXISTS:
+    //  - "a has an unmet dep" ⇔ the MIN (created, id) among OPEN
+    //    (non-completed) plans of a's (project, file) precedes a's —
+    //    a pair to a completed plan is exactly what the old anti-join
+    //    discarded, so open-only targets make every hit unmet;
+    //  - "b is depended upon" ⇔ the MAX (created, id) among QUEUED
+    //    plans of b's (project, file) succeeds b's.
+    // Two hash aggregations + equality joins replace the candidate-pair
+    // self-join: O(rows) where the pair stream was O(Σ_group pairs) —
+    // a hot (project, file) now costs its scan share, not its square.
+    // Lexicographic struct min/max/compare = the pair condition exactly.
+    val open = files.join(
+      p.filter($"status" =!= "completed").select($"id", $"project", $"created_at"),
+      Seq("id"))
+    val minOpen = open.groupBy($"project", $"file")
+      .agg(min(struct($"created_at", $"id")).as("min_open"))
+    val unmetIds = pfQueued.join(minOpen, Seq("project", "file"))
+      .filter($"min_open" < struct($"created_at", $"id"))
+      .select($"id".as("plan_id")).distinct()
     val elig = p.filter($"status" === "queued")
       .join(unmetIds, $"id" === $"plan_id", "left_anti")
 
     val nph = Tables.lineitem(s, dir)
       .groupBy($"l_orderkey".as("nid"))
       .agg(countDistinct($"l_linenumber").as("n_phases"))
-    val unblockedIds = deps.select($"depends_on".as("uid")).distinct()
+    val maxQueued = pfQueued.groupBy($"project", $"file")
+      .agg(max(struct($"created_at", $"id")).as("max_q"))
+    val unblockedIds = open.join(maxQueued, Seq("project", "file"))
+      .filter(struct($"created_at", $"id") < $"max_q")
+      .select($"id".as("uid")).distinct()
 
     val asOfUs = java.sql.Timestamp.valueOf(AsOf).getTime * 1000L
     elig.join(nph, $"id" === $"nid")

@@ -118,4 +118,54 @@ class StratifySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("q42 min/max-aggregation dependency sets equal the pair-join replay") {
+    // The round-6 q42 rewrite replaced the (project, file) candidate
+    // pair self-join with per-group min/max struct aggregations. The
+    // driver oracle only hashes the single winning row, so replay the
+    // original pair semantics here and compare the FULL unmet and
+    // depended-upon id sets.
+    import org.apache.spark.sql.functions._
+    val sf = SparkTestSession.sf
+    val p = queue.Derived.plans(spark, sf)
+      .select(col("id"), col("project"), col("status"), col("created_at"))
+    val files = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").as("id"), col("l_partkey").as("file")).distinct()
+    val pf = files.join(p, Seq("id"))
+    val queued = pf.filter(col("status") === "queued")
+    val b = pf.select(col("id").as("id2"), col("project").as("proj2"),
+      col("status").as("status2"), col("created_at").as("created2"),
+      col("file").as("file2"))
+    val pairs = queued.join(b,
+      col("file") === col("file2") && col("project") === col("proj2") &&
+        (col("created2") < col("created_at") ||
+          (col("created2") === col("created_at") && col("id2") < col("id"))))
+    // pair-join truth, exactly as rounds 1-5 computed it
+    val completed = p.filter(col("status") === "completed").select(col("id").as("cid"))
+    val unmetPairs = pairs.join(completed, col("id2") === col("cid"), "left_anti")
+      .select("id").distinct().collect().map(_.getLong(0)).toSet
+    val dependedPairs = pairs.select("id2").distinct()
+      .collect().map(_.getLong(0)).toSet
+    // aggregation-form recomputation (mirrors q42's internals)
+    val open = pf.filter(col("status") =!= "completed")
+    val minOpen = open.groupBy(col("project"), col("file"))
+      .agg(min(struct(col("created_at"), col("id"))).as("m"))
+    val unmetAgg = queued.join(minOpen, Seq("project", "file"))
+      .filter(col("m") < struct(col("created_at"), col("id")))
+      .select("id").distinct().collect().map(_.getLong(0)).toSet
+    val maxQ = queued.groupBy(col("project"), col("file"))
+      .agg(max(struct(col("created_at"), col("id"))).as("mx"))
+    val dependedAgg = open.join(maxQ, Seq("project", "file"))
+      .filter(struct(col("created_at"), col("id")) < col("mx"))
+      .select("id").distinct().collect().map(_.getLong(0)).toSet
+    assert(unmetAgg == unmetPairs, "unmet-dependency sets diverge")
+    // pair form counts targets of ANY status; the aggregation form
+    // restricts to open targets, which is the subset the priority flag
+    // can actually consult (it joins against queued plans only)
+    val dependedOpenPairs = pairs.filter(col("status2") =!= "completed")
+      .select("id2").distinct().collect().map(_.getLong(0)).toSet
+    assert(dependedAgg == dependedOpenPairs, "depended-upon sets diverge")
+    assert(dependedOpenPairs.subsetOf(dependedPairs))
+    assert(unmetPairs.nonEmpty && dependedOpenPairs.nonEmpty)
+  }
 }
