@@ -51,7 +51,7 @@ class CosineSimSpec extends AnyFunSuite {
       CosineSim.cosine(spark,
         array(lit(0.0)), array(lit(0.0))).as("zz"),
       CosineSim.cosine(spark,
-        array().cast("array<double>"), array(lit(1.0))).as("ea")).head()
+        array().cast("array<double>"), array().cast("array<double>")).as("ee")).head()
     assert(r.getDouble(0) == 0.0 && r.getDouble(1) == 0.0 && r.getDouble(2) == 0.0)
     // a zero vector must not win a similarity top-k (NaN sorts greatest)
     val sims = Seq((1L, Array(1.0, 0.0)), (2L, Array(0.0, 0.0)))
@@ -59,6 +59,23 @@ class CosineSimSpec extends AnyFunSuite {
       .select($"id", CosineSim.cosine(spark, $"v", array(lit(1.0), lit(0.0))).as("sim"))
       .orderBy($"sim".desc).collect()
     assert(sims.head.getLong(0) == 1L)
+  }
+
+  test("mismatched vector dims error out instead of degrading to a prefix cosine") {
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    // codegen path: dims differ per-row inside a plan
+    val exPlan = intercept[Throwable] {
+      Seq((1L, Array(1.0, 2.0, 3.0))).toDF("id", "v")
+        .select(CosineSim.cosine(spark, $"v", array(lit(1.0), lit(2.0))))
+        .collect()
+    }
+    assert(msgs(exPlan).exists(_.contains("vector dims differ")), msgs(exPlan).mkString(" | "))
+    // interpreted path: constant folding evaluates eval() driver-side
+    val exFold = intercept[Throwable] {
+      spark.sql("SELECT graft_cosine(array(1.0d), array(1.0d, 2.0d))").head()
+    }
+    assert(msgs(exFold).exists(_.contains("vector dims differ")), msgs(exFold).mkString(" | "))
   }
 
   test("non-double-array inputs are rejected at analysis time") {
