@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.scalatest.funsuite.AnyFunSuite
 import graft.model.ToolEvent
-import graft.streaming.{Lifecycle, Streams}
+import graft.streaming.{Lifecycle, Streams, TemporalJoin}
 
 class StreamingSpec extends AnyFunSuite {
   import SparkTestSession.{spark, sf}
@@ -204,5 +204,50 @@ class StreamingSpec extends AnyFunSuite {
 
     cache.invalidate()
     assert(!cache.isFresh)
+  }
+
+  test("temporal as-of enrichment: watermark-final matches, out-of-order both sides") {
+    implicit val sqlCtx = spark.sqlContext
+    val evMem = MemoryStream[(String, Timestamp, String)]
+    val upMem = MemoryStream[(String, Timestamp, String)]
+    val out = TemporalJoin.enrich(
+      evMem.toDS().toDF("key", "ts", "data"),
+      upMem.toDS().toDF("key", "ts", "data"),
+      watermarkDelay = "0 seconds")
+    val q = out.writeStream.format("memory").queryName("temporal_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: out-of-order on both sides; nothing ripe yet (wm = 0)
+      upMem.addData(("a", ts("2026-01-01 10:20:00"), "v2"),
+                    ("a", ts("2026-01-01 10:10:00"), "v1"))
+      evMem.addData(("a", ts("2026-01-01 10:25:00"), "e3"),
+                    ("a", ts("2026-01-01 10:15:00"), "e1"),
+                    ("b", ts("2026-01-01 10:12:00"), "e2"))
+      q.processAllAvailable()
+      // batch 2: advance the watermark past 10:15/10:12 but not 10:25 —
+      // BOTH sides must move: the global watermark is the min across
+      // the two inputs (an idle update stream legitimately holds back
+      // finality)
+      evMem.addData(("c", ts("2026-01-01 10:25:00"), "wm-push"))
+      upMem.addData(("c", ts("2026-01-01 10:25:00"), "uv"))
+      q.processAllAvailable()
+      val mid = spark.table("temporal_out").as[TemporalJoin.TOut].collect()
+        .map(o => o.data -> o.asof_data).toMap
+      assert(mid("e1").contains("v1"), s"e1 should match v1, got $mid")
+      assert(mid.get("e2").exists(_.isEmpty), "keyless-history event must emit None")
+      assert(!mid.contains("e3"), "event at the watermark must not be final yet")
+      // batch 3: push the watermark past 10:25 — e3 becomes final with v2
+      evMem.addData(("c", ts("2026-01-01 11:00:00"), "wm-push2"))
+      upMem.addData(("c", ts("2026-01-01 11:00:00"), "uv2"))
+      q.processAllAvailable()
+      // the EventTimeTimeout may need one more trigger to fire
+      evMem.addData(("c", ts("2026-01-01 11:30:00"), "wm-push3"))
+      upMem.addData(("c", ts("2026-01-01 11:30:00"), "uv3"))
+      q.processAllAvailable()
+      val fin = spark.table("temporal_out").as[TemporalJoin.TOut].collect()
+        .map(o => o.data -> o.asof_data).toMap
+      assert(fin("e3").contains("v2"), s"e3 should match the latest update v2, got $fin")
+      assert(fin("e1").contains("v1"))
+    } finally q.stop()
   }
 }
