@@ -38,6 +38,7 @@ object SparkEntry {
     llm.Dedup.queries ++
     queue.TranscriptEtl.queries ++
     llm.Multimodal.queries ++
+    llm.Corpus.queries ++
     plans.TopK.queries ++
     plans.AsOf.queries ++
     llm.Pipeline.queries
@@ -61,5 +62,6 @@ object SparkEntry {
     plans.TopK.oracle ++
     plans.AsOf.oracle ++
     llm.Pipeline.oracle ++
-    llm.Multimodal.oracle
+    llm.Multimodal.oracle ++
+    llm.Corpus.oracle
 }

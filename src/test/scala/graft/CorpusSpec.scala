@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class CorpusSpec extends AnyFunSuite {
+  import SparkTestSession.{spark, sf}
+
+  test("q117 TF-IDF: known toy ranking — distinguishing term beats ubiquitous term") {
+    import spark.implicits._
+    // 4 docs, 2 sources; "common" is in every doc (idf = ln(5/5) = 0),
+    // "rare" only in srcA's docs — must outrank it there.
+    val docs = Seq(
+      (1L, "common rare rare", "en", "srcA", 16L),
+      (2L, "common rare", "en", "srcA", 11L),
+      (3L, "common alpha", "en", "srcB", 12L),
+      (4L, "common beta", "en", "srcB", 11L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // restate q117's pipeline on the toy frame (the query itself reads
+    // Tables.documents; the algebra is identical)
+    val terms = docs.select($"doc_id", $"source",
+      explode(split(lower($"text"), "\\s+")).as("term"))
+    val n = docs.count().toDouble
+    val df = terms.groupBy("term").agg(countDistinct($"doc_id").as("df"))
+    val tf = terms.groupBy("source", "term").agg(count(lit(1)).as("tf"))
+    val scored = tf.join(df, "term")
+      .withColumn("score", $"tf" * log((lit(n) + 1.0) / ($"df" + 1.0)))
+      .filter($"source" === "srcA")
+      .orderBy($"score".desc)
+      .select($"term").as[String].collect()
+    assert(scored.head == "rare")
+    // ubiquitous term scores exactly 0: ln((N+1)/(N+1))
+    val common = tf.join(df, "term")
+      .withColumn("score", $"tf" * log((lit(n) + 1.0) / ($"df" + 1.0)))
+      .filter($"term" === "common").select($"score").as[Double].collect()
+    assert(common.forall(math.abs(_) < 1e-12))
+  }
+
+  test("q117 on testdata: 10 ranked terms per source, scores non-increasing") {
+    val out = llm.Corpus.q117TfIdf(spark, sf).collect()
+    val bySrc = out.groupBy(_.getString(0))
+    assert(bySrc.nonEmpty)
+    bySrc.foreach { case (_, rows) =>
+      assert(rows.length == 10)
+      assert(rows.map(_.getInt(1)).toSeq == (1 to 10))
+      val scores = rows.sortBy(_.getInt(1)).map(_.getDouble(3)).toSeq
+      assert(scores == scores.sorted.reverse, s"scores not non-increasing: $scores")
+    }
+  }
+
+  test("q118 mixture rebalance: smallest source keeps everything, kept <= total") {
+    val out = llm.Corpus.q118MixtureRebalance(spark, sf).collect()
+    assert(out.nonEmpty)
+    val minDocs = out.map(_.getLong(1)).min
+    out.foreach { r =>
+      val (nDocs, nKept, rate) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(nKept <= nDocs)
+      assert(rate > 0.0 && rate <= 1.0)
+      // the smallest source has keep_rate 1.0 and keeps every doc (the
+      // 6-hex-digit fraction is strictly below 1.0 for every doc_id)
+      if (nDocs == minDocs) { assert(rate == 1.0); assert(nKept == nDocs) }
+      // hash-uniform keep: observed kept within a loose binomial band of
+      // rate * n (6 sigma) — catches a broken hash→fraction mapping
+      val sigma = math.sqrt(nDocs * rate * (1 - rate))
+      assert(math.abs(nKept - rate * nDocs) <= 6 * sigma + 1,
+        s"kept $nKept far from expectation ${rate * nDocs}")
+    }
+  }
+
+  test("q119 quantization: known vector quantizes exactly, max_err bounded by scale/2") {
+    import spark.implicits._
+    // exactly-representable floats: absmax = 127 -> scale = 1.0;
+    // round-half-up: 0.5 -> 1, -63.5 -> -63 (toward +inf on the tie)
+    val v = Seq((1L, Seq(127.0f, -63.5f, 0.5f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val out = v.select($"vec_id",
+        transform($"embedding", x => x.cast("double")).as("v"))
+      .withColumn("scale", array_max(transform($"v", x => abs(x))) / 127.0)
+      .withColumn("safe", when($"scale" === 0.0, 1.0).otherwise($"scale"))
+      .withColumn("codes", transform($"v", x => floor(x / $"safe" + 0.5)))
+      .select($"codes").as[Seq[Long]].collect().head
+    assert(out == Seq(127L, -63L, 1L, 0L), s"got $out")
+
+    val audited = llm.Corpus.q119QuantizeAudit(spark, sf).collect()
+    assert(audited.nonEmpty)
+    audited.foreach { r =>
+      val (scale, maxErr) = (r.getDouble(2), r.getDouble(4))
+      // round-half-up rounding error can never exceed half a step
+      // (+5e-7: max_err itself is reported rounded to 6 decimals)
+      assert(maxErr <= scale / 2 + 5e-7,
+        s"vec ${r.getLong(0)}: max_err $maxErr > scale/2 ${scale / 2}")
+      assert(scale > 0.0)
+    }
+  }
+
+  test("q119 zero vector takes the safe-scale branch: all-zero codes, zero error") {
+    import spark.implicits._
+    val out = Seq((1L, Seq(0.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
+      .withColumn("scale", array_max(transform($"v", x => abs(x))) / 127.0)
+      .withColumn("safe", when($"scale" === 0.0, 1.0).otherwise($"scale"))
+      .withColumn("codes", transform($"v", x => floor(x / $"safe" + 0.5)))
+      .select($"scale", $"codes").collect().head
+    assert(out.getDouble(0) == 0.0)
+    assert(out.getSeq[Long](1).forall(_ == 0L))
+  }
+}

@@ -31,6 +31,7 @@ class RegistrySpec extends AnyFunSuite {
       "llm.Dedup"            -> llm.Dedup.queries.keySet,
       "queue.TranscriptEtl"  -> queue.TranscriptEtl.queries.keySet,
       "llm.Multimodal"       -> llm.Multimodal.queries.keySet,
+      "llm.Corpus"           -> llm.Corpus.queries.keySet,
       "plans.TopK"           -> plans.TopK.queries.keySet,
       "plans.AsOf"           -> plans.AsOf.queries.keySet,
       "llm.Pipeline"         -> llm.Pipeline.queries.keySet)
