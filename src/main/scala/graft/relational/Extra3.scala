@@ -121,12 +121,47 @@ object Extra3 {
       |FROM lineitem WHERE l_orderkey % 97 < 10
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** q120: unpivot/melt — the inverse of q56's pivot: a wide per-group
+    * metrics row melted into (group, metric, value) long form (the shape
+    * metric stores and plotting layers consume). Spark's native
+    * `Dataset.unpivot` (an Expand node — each input row fans out to
+    * one row per value column, no shuffle beyond the source agg);
+    * metrics are cast to a common double type first, as unpivot
+    * requires. The decimal-backed `dsum` keeps the money sums
+    * order-independent before the one rounding. */
+  def q120Unpivot(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .groupBy($"o_orderpriority")
+      .agg(
+        count(lit(1)).cast("double").as("n_orders"),
+        round(dsum($"o_totalprice"), 2).as("total_value"),
+        round(dsum($"o_totalprice") / count(lit(1)), 2).as("avg_value"))
+      .unpivot(
+        Array($"o_orderpriority"),
+        Array($"n_orders", $"total_value", $"avg_value"),
+        "metric", "value")
+      .orderBy($"o_orderpriority", $"metric")
+  }
+
+  val q120Sql: String =
+    """WITH a AS (
+      |  SELECT o_orderpriority,
+      |    CAST(count(*) AS DOUBLE) AS n_orders,
+      |    round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS total_value,
+      |    round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / count(*), 2) AS avg_value
+      |  FROM orders GROUP BY o_orderpriority)
+      |SELECT o_orderpriority, metric, value
+      |FROM a UNPIVOT (value FOR metric IN (n_orders, total_value, avg_value))
+      |ORDER BY o_orderpriority, metric""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q81_value_windows" -> (q81ValueWindows _),
     "q82_string_suite"  -> (q82StringSuite _),
     "q83_histogram"     -> (q83Histogram _),
     "q84_time_bucket"   -> (q84TimeBucket _),
     "q85_sampling"      -> (q85Sampling _),
+    "q120_unpivot"      -> (q120Unpivot _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -135,5 +170,6 @@ object Extra3 {
     "q83_histogram"     -> q83Sql,
     "q84_time_bucket"   -> q84Sql,
     "q85_sampling"      -> q85Sql,
+    "q120_unpivot"      -> q120Sql,
   )
 }

@@ -100,4 +100,43 @@ class ScaleSpec extends AnyFunSuite {
       assert(spilled == win)
     } finally spark.conf.unset("spark.graft.topk.maxGroupsPerPartition")
   }
+
+  test("AQE splits a skewed sort-merge join partition at runtime") {
+    // One hot key holds ~83% of the left side — the shape that strands a
+    // 100 TB join on one straggler task. With the skew thresholds scaled
+    // down to this fixture's size (the ratios, not the mechanism, are
+    // what's tuned), AQE must re-plan the SMJ with skew=true splits and
+    // still produce exactly the unsplit join's result.
+    val saved = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32KB")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val left = spark.range(0, 120000).select(
+        when($"id" < 100000, lit(7L)).otherwise(pmod($"id", lit(100)) + 50).as("k"),
+        $"id".as("lv"))
+      val right = spark.range(0, 200).select($"id".as("rk"), ($"id" * 2).as("rv"))
+      val j = left.join(right, $"k" === $"rk")
+      // execute THIS dataset (count() would plan its own agg tree and
+      // leave j's adaptive plan unfinalized)
+      val n = j.collect().length
+      assert(n == 120000, s"expected every left row matched once, got $n")
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not mark the hot partition for skew split:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
 }
