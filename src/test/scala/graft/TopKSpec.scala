@@ -38,6 +38,18 @@ class TopKSpec extends AnyFunSuite {
       s"expected hash exchange on the group key:\n$plan")
   }
 
+  test("q121 group sample: 5 per source, deterministic across runs, via the custom exec") {
+    val df = graft.plans.TopK.q121GroupSample(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerGroup"), s"custom exec missing:\n$plan")
+    val rows = df.collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.groupBy(_._1).forall(_._2.length == 5))
+    // pure function of doc_id: a second run returns the identical sample
+    val again = graft.plans.TopK.q121GroupSample(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.toSeq == again.toSeq)
+  }
+
   test("k larger than any group returns everything") {
     val o = Tables.orders(spark, sf).select($"o_custkey", $"o_orderkey")
     val all = TopK.perGroup(o, Seq("o_custkey"), Seq(Ord("o_orderkey")), 1000000).count()
