@@ -2,6 +2,7 @@ package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables
 
 /** Near-duplicate detection for the training-data pipeline (north star):
@@ -520,6 +521,53 @@ object Dedup {
       |        / len(list_distinct(list_concat(x.shs, y.shs))), 4) >= 0.5
       |ORDER BY id1, id2""".stripMargin
 
+  /** q122: incremental dedup — the PRODUCTION shape of exact dedup at
+    * 100 TB: a new ingest batch (doc_id ≥ 250 here) is deduped against
+    * the historical fingerprint STORE (doc_id < 250) and within itself,
+    * instead of re-deduping the whole corpus per ingest. Per source:
+    * batch size, how many died against the store, how many were
+    * in-batch echoes, how many survive to ingestion.
+    *
+    * Scale shape: the store side is a one-column distinct fingerprint
+    * scan (in production a bucketed fp table, making the anti-join
+    * co-partitioned and shuffle-free on the store side); the batch pays
+    * one fp-keyed window for in-batch dedup and one left join. Work is
+    * proportional to the BATCH, not the corpus — the whole point. */
+  def q122IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir).withColumn("fp",
+      md5(trim(regexp_replace(lower($"text"), "\\s+", " "))))
+    val store = docs.filter($"doc_id" < 250).select($"fp".as("sfp")).distinct()
+    val w = Window.partitionBy($"fp").orderBy($"doc_id")
+    docs.filter($"doc_id" >= 250)
+      .withColumn("rn", row_number().over(w))
+      .join(store, $"fp" === $"sfp", "left")
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_batch"),
+        sum(when($"sfp".isNotNull, 1L).otherwise(0L)).as("n_dup_vs_store"),
+        sum(when($"sfp".isNull && $"rn" > 1, 1L).otherwise(0L)).as("n_dup_in_batch"),
+        sum(when($"sfp".isNull && $"rn" === 1, 1L).otherwise(0L)).as("n_kept"))
+      .orderBy($"source")
+  }
+
+  val q122Sql: String =
+    """WITH f AS (
+      |  SELECT doc_id, source,
+      |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+      |  FROM documents),
+      |store AS (SELECT DISTINCT fp AS sfp FROM f WHERE doc_id < 250),
+      |batch AS (
+      |  SELECT doc_id, source, fp,
+      |    row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+      |  FROM f WHERE doc_id >= 250)
+      |SELECT b.source, count(*) AS n_batch,
+      |  CAST(sum(CASE WHEN s.sfp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_vs_store,
+      |  CAST(sum(CASE WHEN s.sfp IS NULL AND b.rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_in_batch,
+      |  CAST(sum(CASE WHEN s.sfp IS NULL AND b.rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+      |FROM batch b LEFT JOIN store s ON b.fp = s.sfp
+      |GROUP BY b.source ORDER BY b.source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q46_minhash_pairs" -> (q46MinhashPairs _),
     "q47_simhash_pairs" -> (q47SimhashPairs _),
@@ -529,6 +577,7 @@ object Dedup {
     "q107_minhash_md5"  -> (q107MinhashMd5 _),
     "q109_simhash_md5"  -> (q109SimhashMd5 _),
     "q110_rollingfp_md5" -> (q110RollingFpMd5 _),
+    "q122_incremental_dedup" -> (q122IncrementalDedup _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -537,5 +586,6 @@ object Dedup {
     "q107_minhash_md5" -> q107Sql,
     "q109_simhash_md5" -> q109Sql,
     "q110_rollingfp_md5" -> q110Sql,
+    "q122_incremental_dedup" -> q122Sql,
   )
 }

@@ -105,6 +105,20 @@ class DedupSpec extends AnyFunSuite {
     // measured recall trade-off: only boilerplate pairs were sacrificed
     assert((uncapped -- capped).forall { case (a, b) => a >= 100L && b >= 100L })
   }
+
+  test("q122 incremental dedup: verdicts partition the batch exactly") {
+    val out = Dedup.q122IncrementalDedup(spark, sf).collect()
+    assert(out.nonEmpty)
+    // every batch doc gets exactly one verdict: store-dup, batch-dup, kept
+    out.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2) + r.getLong(3) + r.getLong(4),
+        s"${r.getString(0)}: ${r.getLong(1)} != ${r.getLong(2)}+${r.getLong(3)}+${r.getLong(4)}")
+    }
+    // totals cover the whole batch slice
+    val batchTotal = Tables.documents(spark, sf)
+      .filter(col("doc_id") >= 250).count()
+    assert(out.map(_.getLong(1)).sum == batchTotal)
+  }
 }
 
 class EtlSpec extends AnyFunSuite {
@@ -132,4 +146,5 @@ class EtlSpec extends AnyFunSuite {
       .map(r => r.getInt(1) -> r.getAs[String]("executor")).toMap
     assert(routed == Map(1 -> "heavy", 2 -> "heavy", 3 -> "light", 4 -> "light"))
   }
+
 }
