@@ -41,26 +41,31 @@ object Tables {
     // source representation is matched EXPLICITLY — a blanket `case _`
     // cast would silently TZ-shift an isAdjustedToUTC=true file on any
     // session not pinned to UTC.
+    // Instant→NTZ casts render the instant in the SESSION time zone, so
+    // they equal the UTC wall clock only when the session is pinned to
+    // UTC (every run config does). Both the nanos-as-long branch
+    // (timestamp_micros yields an instant) and the TimestampType branch
+    // go through such a cast — assert UTC up front instead of assuming
+    // it; a non-UTC session would silently shift every event.
+    def requireUtc(): Unit = {
+      val tz = s.conf.get("spark.sql.session.timeZone")
+      require(tz == "UTC",
+        s"events.ts conversion to NTZ requires spark.sql.session.timeZone=UTC, got '$tz'")
+    }
     raw.schema("ts").dataType match {
       // TIMESTAMP(NANOS) surfaced as long by the legacy conf:
       // integral `div`, not `/` — double division loses precision on
       // ~1.7e18 nanosecond values (53-bit mantissa) and rounds up.
       case LongType =>
+        requireUtc()
         raw.withColumn("ts",
           timestamp_micros(expr("ts div 1000")).cast(TimestampNTZType))
       // a rewritten feed (e.g. tools/make_scaled.py output) already in
       // the canonical type — no-op
       case TimestampNTZType => raw
-      // isAdjustedToUTC=true parquet (instant semantics): the NTZ cast
-      // renders the instant in the SESSION time zone, so it equals the
-      // UTC wall clock only when the session is pinned to UTC — which
-      // every run config does. Assert it instead of assuming it: a
-      // non-UTC session would silently shift every event.
+      // isAdjustedToUTC=true parquet (instant semantics)
       case TimestampType =>
-        val tz = s.conf.get("spark.sql.session.timeZone")
-        require(tz == "UTC",
-          s"events.ts is instant-typed (isAdjustedToUTC=true parquet); " +
-            s"reading it requires spark.sql.session.timeZone=UTC, got '$tz'")
+        requireUtc()
         raw.withColumn("ts", col("ts").cast(TimestampNTZType))
       case other =>
         throw new IllegalArgumentException(

@@ -178,8 +178,14 @@ object Multimodal {
     * `agents/output-processor.md:35-61`. */
   def q112MediaMeta(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val m = mediaTable(s, dir).toDF()
-    val frames = sampleFrames(mediaTable(s, dir))
+    // one mediaTable instance feeds both branches. The physical plan
+    // still scans twice (the branches share no exchange, so Catalyst
+    // has nothing to ReusedExchange) — deliberate, same trade as q117:
+    // both scans are column-pruned and a second columnar read beats
+    // persisting a corpus-sized derived table at 100 TB.
+    val mt = mediaTable(s, dir)
+    val m = mt.toDF()
+    val frames = sampleFrames(mt)
       .groupBy($"media_id")
       .agg(count(lit(1)).as("n_frames"), max($"frame_ms").as("last_frame_ms"))
     m.select($"media_id", $"kind", $"width", $"height", $"sample_rate",

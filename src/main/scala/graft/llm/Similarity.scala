@@ -229,9 +229,11 @@ object Similarity {
     * (band, bucket) cell, turning the O(N²) similarity join into a
     * bucket-equality shuffle join; pairs found by several bands are
     * deduped before scoring. Multi-probe depth via
-    * `spark.graft.lsh.multiprobe` (default 1). Rows-only driver check;
-    * recall vs the brute-force q36 is unit tested in LlmSpec with an
-    * asserted ≥0.8 floor on a clustered corpus. */
+    * `spark.graft.lsh.multiprobe` (default 1). Hash-graded: the oracle
+    * entry is synthesized from the SAME `probeCodes` at the session's
+    * multiprobe depth (see `oracle` below), and recall vs the
+    * brute-force q36 is unit tested in LlmSpec with an asserted ≥0.8
+    * floor on a clustered corpus. */
   def q39AnnLsh(s: SparkSession, dir: String): DataFrame = {
     val mp = s.conf.getOption("spark.graft.lsh.multiprobe")
       .map(_.toInt).getOrElse(1)

@@ -42,8 +42,17 @@ object TemporalJoin {
       updates: List[(Long, String)],      // (ts micros, data) ascending
       pending: List[(Long, String)])      // events awaiting the watermark
 
-  private def us(t: Timestamp): Long = t.getTime * 1000L
-  private def fromUs(u: Long): Timestamp = new Timestamp(u / 1000L)
+  /** Exact micros: getTime carries only millis; the sub-millisecond
+    * part lives in getNanos (which ALSO contains the millis — hence the
+    * % 1_000_000). Truncating to getTime*1000 would merge an event at
+    * .000400 with an update at .000900 and enrich it with its future. */
+  private[streaming] def us(t: Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos % 1000000L) / 1000L
+  private[streaming] def fromUs(u: Long): Timestamp = {
+    val t = new Timestamp(u / 1000L)
+    t.setNanos(((u % 1000000L) * 1000L).toInt)
+    t
+  }
 
   /** Enrich `events` (key, ts, data) with the latest row of `updates`
     * (key, ts, data) at or before each event's time. Both inputs get

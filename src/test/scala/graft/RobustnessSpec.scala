@@ -92,6 +92,22 @@ class RobustnessSpec extends AnyFunSuite {
     } finally spark.conf.set(tzKey, "UTC")
   }
 
+  test("events reader refuses the nanos-long path on a non-UTC session too") {
+    import spark.implicits._
+    // the LongType branch ALSO goes instant→NTZ (timestamp_micros yields
+    // an instant), so it must carry the same UTC guard as the
+    // TimestampType branch — this was the one gap after the r6 fix
+    val dir = java.nio.file.Files.createTempDirectory("graft-ts4").toString
+    Seq((1L, 1700000000000000000L)).toDF("event_id", "ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val tzKey = "spark.sql.session.timeZone"
+    try {
+      spark.conf.set(tzKey, "America/New_York")
+      val ex = intercept[IllegalArgumentException] { Tables.events(spark, dir) }
+      assert(ex.getMessage.contains("UTC"))
+    } finally spark.conf.set(tzKey, "UTC")
+  }
+
   test("events reader rejects an unsupported ts type explicitly") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-ts3").toString
