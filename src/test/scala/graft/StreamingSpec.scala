@@ -250,4 +250,37 @@ class StreamingSpec extends AnyFunSuite {
       assert(fin("e1").contains("v1"))
     } finally q.stop()
   }
+
+  test("temporal as-of enrichment is microsecond-exact below the millisecond") {
+    implicit val sqlCtx = spark.sqlContext
+    val evMem = MemoryStream[(String, Timestamp, String)]
+    val upMem = MemoryStream[(String, Timestamp, String)]
+    val out = TemporalJoin.enrich(
+      evMem.toDS().toDF("key", "ts", "data"),
+      upMem.toDS().toDF("key", "ts", "data"),
+      watermarkDelay = "0 seconds")
+    val q = out.writeStream.format("memory").queryName("temporal_us_out")
+      .outputMode("append").start()
+    try {
+      // both updates and the event share one MILLISECOND; a conversion
+      // that truncates to millis would match the event to the update
+      // 500 microseconds in its future
+      upMem.addData(("k", ts("2026-01-01 10:00:00.000100"), "early"),
+                    ("k", ts("2026-01-01 10:00:00.000900"), "late"))
+      evMem.addData(("k", ts("2026-01-01 10:00:00.000400"), "ev"))
+      q.processAllAvailable()
+      // push the watermark far past the event on both inputs
+      evMem.addData(("z", ts("2026-01-01 11:00:00"), "wm"))
+      upMem.addData(("z", ts("2026-01-01 11:00:00"), "wm"))
+      q.processAllAvailable()
+      val got = spark.table("temporal_us_out").as[TemporalJoin.TOut].collect()
+        .filter(_.data == "ev")
+      assert(got.nonEmpty, "event never emitted")
+      assert(got.head.asof_data.contains("early"),
+        s"expected the .000100 update, got ${got.head.asof_data}")
+      // the emitted timestamps keep their sub-millisecond digits
+      assert(got.head.ts == ts("2026-01-01 10:00:00.000400"))
+      assert(got.head.asof_ts.contains(ts("2026-01-01 10:00:00.000100")))
+    } finally q.stop()
+  }
 }
