@@ -27,22 +27,36 @@ object Bench {
       .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
     val qs = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
+    // Materialize through the built-in `noop` sink, NOT count():
+    // under count(1) Catalyst prunes every unreferenced projection
+    // (q33's md5 fingerprint would never run) and eliminates final
+    // sorts, so narrow per-row queries would be timed as little more
+    // than parquet scans. The noop write evaluates every column of
+    // every row and discards them — the work the query claims to do
+    // is the work the clock sees.
+    def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Boolean =
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+      catch { case _: Throwable => false }
     // warmup: JIT + codegen caches + parquet footers
     qs.foreach { case (_, fn) =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      run(fn)
       Ckpt.sweep(spark) // free per-query blocks; memo caches are pinned
     }
     val results = qs.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val ok = run(fn)
       val dt = (System.nanoTime() - t0) / 1e9
       Ckpt.sweep(spark) // outside the timed window
-      name -> dt
+      // a failed query must be visibly failed, not a plausible duration
+      name -> (if (ok) dt else -1.0)
     }
+    val failed = results.collect { case (k, v) if v < 0 => k }
+    failed.foreach(n => System.err.println(s"BENCH FAILED: $n"))
     val qjson = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"sf":"$sfDir"}""")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val fjson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"failed":$fjson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -15,7 +15,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * truncated and therefore cannot be recomputed if their blocks vanish.
   */
 object Ckpt {
-  private val pinnedIds = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+  // Pins are scoped by applicationId: a bare rdd-id set would grow
+  // monotonically across sessions, and a stale id from a dead context
+  // could collide with (and wrongly protect) a live context's rdd.
+  private val pinnedIds =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(String, Int)]()
 
   /** Eager localCheckpoint whose blocks survive `sweep` — use ONLY for
     * DataFrames memoized across queries.
@@ -39,7 +43,7 @@ object Ckpt {
           s"Ckpt.pinned: expected a LogicalRDD plan from localCheckpoint, " +
             s"got ${plan.getClass.getName}", e)
       }
-    pinnedIds.add(rdd.id)
+    pinnedIds.add((rdd.context.applicationId, rdd.id))
     out
   }
 
@@ -49,8 +53,13 @@ object Ckpt {
     * localCheckpoint RDDs are unpersisted only when not pinned. */
   def sweep(spark: SparkSession): Unit = {
     spark.catalog.clearCache()
-    spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
-      if (!pinnedIds.contains(id)) rdd.unpersist(blocking = false)
+    val app = spark.sparkContext.applicationId
+    val live = spark.sparkContext.getPersistentRDDs
+    live.foreach { case (id, rdd) =>
+      if (!pinnedIds.contains((app, id))) rdd.unpersist(blocking = false)
     }
+    // prune pins whose blocks are gone (unpersisted elsewhere, or from
+    // this app's earlier life) so the set stays bounded by live pins
+    pinnedIds.removeIf(p => p._1 == app && !live.contains(p._2))
   }
 }

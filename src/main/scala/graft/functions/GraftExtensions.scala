@@ -1,30 +1,46 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSessionExtensions
-import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.catalyst.expressions.{ArrayExists, EqualTo, If, IsNull, LambdaFunction, Literal, NamedLambdaVariable, Not}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.DoubleType
 
-/** Catalyst optimizer rule: `graft_cosine(x, x)` ≡ 1.0 — self-similarity
-  * folds to a literal, eliminating the whole dot-product loop when a
-  * query joins a vector table to itself without excluding the diagonal.
+/** Catalyst optimizer rule: `graft_cosine(x, x)` self-similarity folds
+  * away the whole dot-product loop when a query joins a vector table to
+  * itself without excluding the diagonal.
+  *
+  * The rewrite preserves the expression's semantics — an optimizer
+  * rule must never change results:
+  *  - NULL vector → NULL (BinaryExpression null-intolerance) — exact;
+  *  - zero/empty vector → 0.0 (CosineSim's guarded denominator) — exact;
+  *  - otherwise → 1.0, the mathematically true self-cosine. The
+  *    computed path lands within 1 ULP of it (dot/(√n·√n) when n's
+  *    square root is inexact), so this branch is bit-exact only when
+  *    the norm is exactly representable — the deviation IS the
+  *    optimization (matching bits would mean walking the norms anyway)
+  *    and 1.0 is the more correct answer of the two.
+  * So it folds to `if (isnull(x)) null else if (exists(x, e -> e != 0))
+  * 1.0 else 0.0` — one short-circuiting pass with no multiplies and no
+  * second norm walk, instead of a bare literal 1.0 that would turn NULL
+  * and zero-vector rows into 1.0.
   *
   * Deliberately small: it demonstrates the engine's optimizer-extension
   * tier (SURVEY.md §4: custom `Rule` slot) with a semantically safe
   * rewrite. Registered through `SparkSessionExtensions`
   * (`.withExtensions(new GraftExtensions)`) or
   * `spark.sql.extensions=graft.functions.GraftExtensions`.
-  *
-  * Caveat: cosine(x,x) is NaN for a zero vector while this folds to 1.0;
-  * embeddings are validated non-zero upstream (q37 norms), matching the
-  * engine contract.
   */
 object FoldSelfCosine extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
       case CosineSim(a, b) if a.semanticEquals(b) && a.deterministic =>
-        Literal(1.0, DoubleType)
+        val elem = NamedLambdaVariable("x", DoubleType, nullable = true)
+        val nonZero = LambdaFunction(
+          Not(EqualTo(elem, Literal(0.0, DoubleType))), Seq(elem))
+        If(IsNull(a), Literal(null, DoubleType),
+          If(ArrayExists(a, nonZero), Literal(1.0, DoubleType),
+            Literal(0.0, DoubleType)))
     }
 }
 

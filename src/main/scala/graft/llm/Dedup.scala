@@ -345,57 +345,83 @@ object Dedup {
 
   /** Memoized q34 pair set per (session, dir): q105 builds its edge
     * list from the near-dup pairs without paying for them twice in one
-    * bench/verify run (same pattern as Stratify's strata cache). */
-  private val pairCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+    * bench/verify run (same pattern as Stratify's strata cache).
+    * Dead-session entries are purged on access ([[graft.SessionCache]]). */
+  private val pairCache = new graft.SessionCache[DataFrame]
 
-  /** q105: dedup clusters — connected components over the near-dup
-    * pair graph, the step that turns PAIRS into an actionable dedup
-    * decision: every member of a component is a near-dup (possibly
-    * transitively) of the others; the canonical survivor is the
-    * min doc_id (== the cluster id), everything else is droppable.
+  /** Connected components by min-label propagation WITH pointer
+    * halving, as a DataFrame fixpoint. Each round every node takes
+    * (a) the min label among itself and its neighbors, then (b) its
+    * label's own label (`cluster ← label(cluster)`) — the path-halving
+    * step of union-find. (a) alone converges in O(component diameter)
+    * rounds — a 10⁹-doc near-dup graph with a long templated-drift
+    * chain can exceed any fixed cap; (b) collapses chains
+    * exponentially, so the fixpoint lands in O(log diameter) rounds
+    * (the MapReduce-CC trick of Kiveris et al., "Connected Components
+    * in MapReduce and Beyond"). Correctness: labels stay within the
+    * component and monotonically decrease, and any neighbor-stable
+    * labeling is uniform per component, so the fixpoint is exact.
     *
-    * Iterative min-label propagation as a DataFrame fixpoint (the
-    * third iterative operator next to Stratify and IVF): each round
-    * every node takes the min label among itself and its neighbors;
-    * terminates in O(component diameter) rounds. All work is joins +
-    * aggregations keyed by doc — 10⁹ docs cluster exactly like 500,
-    * and `localCheckpoint` keeps the loop's lineage O(1). Singleton
-    * docs keep their own id, so the output is a total map
-    * doc → canonical. */
-  def q105DedupClusters(s: SparkSession, dir: String): DataFrame = {
+    * If the loop hits `maxIter` rounds still changing it THROWS —
+    * wrong cluster ids must never be returned silently (same fail-fast
+    * contract as bandBucket's dim guard).
+    *
+    * `nodes`: one `doc_id` per row; `edges`: undirected pairs already
+    * symmetrized as (src, dst). All work is joins + aggregations keyed
+    * by doc; `localCheckpoint` keeps the loop's lineage O(1). */
+  def minLabelComponents(nodes: DataFrame, edges: DataFrame,
+      maxIter: Int = 50): DataFrame = {
+    val s = nodes.sparkSession
     import s.implicits._
-    val pairs = {
-      val cached = pairCache.get((s, dir))
-      if (cached != null) cached
-      else {
-        val p = graft.Ckpt.pinned(
-          TextOps.q34JaccardPairs(s, dir).select($"id1", $"id2"))
-        pairCache.put((s, dir), p)
-        p
-      }
-    }
-    val edges = pairs.select($"id1".as("src"), $"id2".as("dst"))
-      .union(pairs.select($"id2".as("src"), $"id1".as("dst")))
+    val e = edges.localCheckpoint(true)
+    var labels = nodes.select($"doc_id", $"doc_id".as("cluster"))
       .localCheckpoint(true)
-    var labels = Tables.documents(s, dir)
-      .select($"doc_id", $"doc_id".as("cluster")).localCheckpoint(true)
     var changed = true
     var i = 0
-    while (changed && i < 30) {
-      val viaNeighbor = edges
+    while (changed && i < maxIter) {
+      val viaNeighbor = e
         .join(labels.select($"doc_id".as("dst"), $"cluster".as("ncl")), Seq("dst"))
         .groupBy($"src".as("doc_id"))
         .agg(min($"ncl").as("best"))
-      val next = labels.join(viaNeighbor, Seq("doc_id"), "left")
+      val stepped = labels.join(viaNeighbor, Seq("doc_id"), "left")
         .select($"doc_id", least($"cluster", coalesce($"best", $"cluster")).as("cluster"))
+      // pointer halving: follow the label one hop (labels are doc_ids,
+      // so the self-join always resolves; left+coalesce for safety)
+      val parents = stepped
+        .select($"doc_id".as("cluster"), $"cluster".as("pcl"))
+      val next = stepped.join(parents, Seq("cluster"), "left")
+        .select($"doc_id", coalesce($"pcl", $"cluster").as("cluster"))
         .localCheckpoint(true)
       changed = next.join(labels.withColumnRenamed("cluster", "old"), Seq("doc_id"))
         .filter($"cluster" =!= $"old").limit(1).count() > 0
       labels = next
       i += 1
     }
-    labels.orderBy($"doc_id")
+    if (changed)
+      throw new IllegalStateException(
+        s"minLabelComponents did not converge in $maxIter rounds — " +
+        "component structure deeper than expected; raise maxIter")
+    labels
+  }
+
+  /** q105: dedup clusters — connected components over the near-dup
+    * pair graph, the step that turns PAIRS into an actionable dedup
+    * decision: every member of a component is a near-dup (possibly
+    * transitively) of the others; the canonical survivor is the
+    * min doc_id (== the cluster id), everything else is droppable.
+    * Fixpoint via `minLabelComponents` (log-round pointer halving;
+    * throws rather than returning wrong labels on non-convergence).
+    * Singleton docs keep their own id, so the output is a total map
+    * doc → canonical. */
+  def q105DedupClusters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = pairCache.getOrElseUpdate(s, dir,
+      graft.Ckpt.pinned(
+        TextOps.q34JaccardPairs(s, dir).select($"id1", $"id2")))
+    val edges = pairs.select($"id1".as("src"), $"id2".as("dst"))
+      .union(pairs.select($"id2".as("src"), $"id1".as("dst")))
+    val nodes = Tables.documents(s, dir).select($"doc_id")
+    minLabelComponents(nodes, edges).orderBy($"doc_id")
   }
 
   /** Oracle: transitive closure by recursive CTE over the same exact

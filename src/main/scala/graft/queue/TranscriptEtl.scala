@@ -36,9 +36,12 @@ object TranscriptEtl {
       .withColumn("files_modified",
         array_distinct(expr(
           "transform(regexp_extract_all(transcript, '(?:Created|Modified|Updated|Wrote|Edited)\\\\s+(\\\\S+\\\\.\\\\w+)', 1), x -> x)")))
-      // commit detection (:82-87)
+      // commit detection (:82-87) — require the bracketed [hash] form.
+      // (A bare \b hex \b with an OPTIONAL ]-lookahead constrained
+      // nothing: any 7+-char hex-alphabet word — 'deadbeef', a color
+      // code — was reported as a commit.)
       .withColumn("commits",
-        regexp_extract_all($"transcript", lit("\\b([0-9a-f]{7,40})\\b(?=\\s*\\])?"), lit(1)))
+        regexp_extract_all($"transcript", lit("\\[([0-9a-f]{7,40})\\]"), lit(1)))
       .withColumnRenamed("tp", "tests_passed")
       .withColumnRenamed("tf", "tests_failed")
       // error lines (:89-95)

@@ -60,13 +60,21 @@ object Stratify {
       depth = next
       i += 1
     }
+    // A DAG deeper than maxIter means the returned rounds are NOT a
+    // valid stratification — fail fast rather than hand the scheduler
+    // silently-wrong strata (same contract as bandBucket's dim guard:
+    // a structural assumption violation must error, not degrade).
+    if (changed)
+      throw new IllegalStateException(
+        s"stratify did not converge in $maxIter rounds — dependency " +
+        "chains deeper than maxIter; raise maxIter")
     depth
   }
 
   /** Memoized q40 result per (session, dir): q41 reuses q40's strata
-    * instead of re-running the fixpoint. */
-  private val strataCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+    * instead of re-running the fixpoint. Dead-session entries are
+    * purged on access (see [[graft.SessionCache]]). */
+  private val strataCache = new graft.SessionCache[DataFrame]
 
   /** q40: round stratification over a derived phase DAG from `lineitem`:
     * plan = order, phase = line number, and a dependency edge j→i when
@@ -77,8 +85,12 @@ object Stratify {
     * (ref `commands/nova.md:488-489`). */
   def q40RoundStrata(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val cached = strataCache.get((s, dir))
-    if (cached != null) return cached.orderBy($"plan", $"phase")
+    strataCache.getOrElseUpdate(s, dir, buildStrata(s, dir))
+      .orderBy($"plan", $"phase")
+  }
+
+  private def buildStrata(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val li = Tables.lineitem(s, dir)
       .select($"l_orderkey".as("plan"), $"l_linenumber".as("phase"),
         $"l_partkey", $"l_suppkey")
@@ -95,9 +107,7 @@ object Stratify {
     // pinned: the memoized strata survive Bench/Verify's between-query
     // block sweep (the loop's per-iteration checkpoints do not, and
     // should not — they are garbage once the fixpoint converges)
-    val strata = graft.Ckpt.pinned(stratify(nodes, edges))
-    strataCache.put((s, dir), strata)
-    strata.orderBy($"plan", $"phase")
+    graft.Ckpt.pinned(stratify(nodes, edges))
   }
 
   val q40Sql: String =

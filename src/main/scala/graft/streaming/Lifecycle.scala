@@ -101,15 +101,26 @@ object Lifecycle {
             state.update(stalled)
             Iterator.single(toStatus(key, stalled))
           } else {
-            val sorted = it.toSeq.sortBy(e => (e.at.getTime, e.kind))
+            // Sort at MICROSECOND precision: Timestamp.getTime truncates to
+            // millis, which would let the kind-string tiebreak reorder two
+            // events 800 µs apart (a stop before the tool it follows) —
+            // the same truncation class TemporalJoin.us() exists to avoid.
+            val sorted = it.toSeq.sortBy(e => (TemporalJoin.us(e.at), e.kind))
             val init: Option[PhaseState] = state.getOption
             val fin = sorted.foldLeft(init)(step)
             fin match {
               case Some(s) =>
                 state.update(s)
                 if (!isTerminal(s.status) && s.status != "stalled") {
+                  // Clamp to just past the watermark: an allowed-late event
+                  // (watermarkDelay > StallMinutes) can have updatedAt +
+                  // stall below the current watermark, and
+                  // setTimeoutTimestamp rejects timestamps <= watermark —
+                  // uncaught, that kills the whole streaming query. The
+                  // clamp makes such a key stall on the next batch instead.
+                  val target = s.updatedAt.getTime + StallMinutes * 60000L
                   state.setTimeoutTimestamp(
-                    s.updatedAt.getTime + StallMinutes * 60000L)
+                    math.max(target, state.getCurrentWatermarkMs() + 1L))
                 }
                 Iterator.single(toStatus(key, s))
               case None => Iterator.empty
@@ -127,7 +138,8 @@ object Lifecycle {
     events
       .groupByKey(e => (e.plan_id, e.phase, e.project))
       .flatMapGroups { (key, it) =>
-        val sorted = it.toSeq.sortBy(e => (e.at.getTime, e.kind))
+        // micros, not getTime millis — see statusStream
+        val sorted = it.toSeq.sortBy(e => (TemporalJoin.us(e.at), e.kind))
         sorted.foldLeft(Option.empty[PhaseState])(step)
           .map(s => toStatus(key, s)).iterator
       }

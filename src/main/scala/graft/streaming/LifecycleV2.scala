@@ -34,14 +34,20 @@ class LifecycleProcessor
       key: (String, Int, String),
       rows: Iterator[ToolEvent],
       timerValues: TimerValues): Iterator[PhaseStatus] = {
-    val sorted = rows.toSeq.sortBy(e => (e.at.getTime, e.kind))
+    // micros, not getTime millis — see Lifecycle.statusStream
+    val sorted = rows.toSeq.sortBy(e => (TemporalJoin.us(e.at), e.kind))
     val init = Option(state.get())
     sorted.foldLeft(init)(step) match {
       case Some(s) =>
         state.update(s)
         if (!isTerminal(s.status) && s.status != "stalled") {
           getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
-          getHandle.registerTimer(s.updatedAt.getTime + StallMinutes * 60000L)
+          // clamp past the watermark like Lifecycle.statusStream: a timer
+          // at-or-below it would fire immediately (or be rejected),
+          // stalling a key that just made progress via a late event
+          getHandle.registerTimer(math.max(
+            s.updatedAt.getTime + StallMinutes * 60000L,
+            timerValues.getCurrentWatermarkInMs() + 1L))
         }
         Iterator.single(toStatus(key, s))
       case None => Iterator.empty

@@ -45,7 +45,9 @@ class ToolHistoryProcessor
       key: (String, Int),
       rows: Iterator[ToolEvent],
       timerValues: TimerValues): Iterator[ToolStats] = {
-    val tools = rows.toSeq.sortBy(_.at.getTime)
+    // micros, not getTime millis — keeps `recent` in true arrival order
+    // for events under 1 ms apart (see Lifecycle.statusStream)
+    val tools = rows.toSeq.sortBy(e => TemporalJoin.us(e.at))
       .filter(e => e.kind == "tool" && e.tool != null && e.tool.nonEmpty)
     if (tools.isEmpty) return Iterator.empty
     tools.foreach { e =>

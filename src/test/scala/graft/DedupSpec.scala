@@ -77,6 +77,28 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.forall { case (a, b) => out(a) == out(b) })
   }
 
+  test("minLabelComponents: long chain converges in log rounds, or throws") {
+    // A 120-link chain needs 119 rounds under plain neighbor-min
+    // propagation — far past the 50-round cap — so this passing at all
+    // proves the pointer-halving step is collapsing paths
+    // exponentially. Pre-fix, the loop exited silently at its cap with
+    // wrong labels for exactly this shape (templated docs drifting
+    // gradually, each adjacent pair a near-dup).
+    val n = 120L
+    val nodes = (0L until n).toDF("doc_id")
+    val fwd = (0L until n - 1).map(i => (i, i + 1))
+    val edges = (fwd ++ fwd.map(_.swap)).toDF("src", "dst")
+    val out = Dedup.minLabelComponents(nodes, edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size == n && out.values.forall(_ == 0L),
+      "every chain member must collapse to the min label 0")
+    // and an impossible iteration budget must error, never return
+    val e = intercept[IllegalStateException] {
+      Dedup.minLabelComponents(nodes, edges, maxIter = 1).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("bucket-width cap drops boilerplate buckets, keeps genuine near-dup pairs") {
     // 100 verbatim copies of one template (one giant bucket per band)
     // plus the 1<->2 near-dup pair from distinct text.
@@ -136,6 +158,18 @@ class EtlSpec extends AnyFunSuite {
     assert(out(1L).getAs[Int]("tests_passed") == 12)
     assert(out(2L).getAs[Int]("tests_failed") == 2)
     assert(out(1L).getAs[scala.collection.Seq[String]]("commits").contains("a1b2c3d"))
+  }
+
+  test("S24 commit detection requires the bracketed [hash] form") {
+    val df = Seq(
+      (1L, "deadbeef decade off abcdef01"),      // bare hex words: NOT commits
+      (2L, "Committed [a1b2c3d] and [0123456789abcdef0123456789abcdef01234567]"))
+      .toDF("id", "transcript")
+    val out = TranscriptEtl.parse(df).collect()
+      .map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[String]]("commits")).toMap
+    assert(out(1L).isEmpty, s"bare hex words extracted as commits: ${out(1L)}")
+    assert(out(2L).toSeq ==
+      Seq("a1b2c3d", "0123456789abcdef0123456789abcdef01234567"))
   }
 
   test("S10 model routing: High/Medium -> heavy, Low -> light") {

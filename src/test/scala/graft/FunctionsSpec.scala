@@ -19,7 +19,7 @@ class FunctionsSpec extends AnyFunSuite {
     assert(GraftSqlShim.optimizerRules(e, spark).contains(FoldSelfCosine))
   }
 
-  test("FoldSelfCosine rule rewrites graft_cosine(x,x) to literal 1.0") {
+  test("FoldSelfCosine rule folds graft_cosine(x,x) away") {
     spark.experimental.extraOptimizations =
       spark.experimental.extraOptimizations :+ FoldSelfCosine
     try {
@@ -30,6 +30,47 @@ class FunctionsSpec extends AnyFunSuite {
       assert(!optimized.contains("graft_cosine"),
         s"rule did not fire:\n$optimized")
       assert(df.distinct().collect().map(_.getDouble(0)).toSeq == Seq(1.0))
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == FoldSelfCosine)
+    }
+  }
+
+  test("FoldSelfCosine preserves NULL and zero-vector semantics") {
+    // The unoptimized expression returns NULL for a NULL vector
+    // (BinaryExpression null-intolerance) and 0.0 for a zero/empty
+    // vector (guarded denominator). An optimizer rule must not change
+    // results, so the fold must reproduce both — a bare literal 1.0
+    // would turn these rows into false self-similarity.
+    val rows = Seq(
+      (1L, Some(Seq(3.0, 4.0))),    // exact norm (5.0): bit-parity case
+      (2L, Some(Seq(0.5, -0.25))),  // inexact norm: computed path is 1±ulp
+      (3L, Some(Seq(0.0, 0.0))),    // zero vector
+      (4L, None),                   // NULL vector
+      (5L, Some(Seq.empty[Double]))) // empty vector
+    // repartition keeps the source out of ConvertToLocalRelation's
+    // reach — over a bare local Seq that rule computes the projection
+    // EAGERLY (before extraOptimizations), so the fold would never run
+    // and the plan assertion would pass vacuously on a LocalRelation
+    def src = rows.toDF("id", "v").repartition(1)
+    val df = src
+      .select($"id", CosineSim.cosine(spark, $"v", $"v").as("c"))
+    val unopt = df.collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ FoldSelfCosine
+    try {
+      val folded = src
+        .select($"id", CosineSim.cosine(spark, $"v", $"v").as("c"))
+      assert(!folded.queryExecution.optimizedPlan.toString.contains("graft_cosine"))
+      val opt = folded.collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+      // NULL / zero / empty must fold EXACTLY; the nonzero branch folds
+      // to true 1.0, within 1 ULP of the computed dot/(√n·√n)
+      assert(opt(1L) == 1.0 && unopt(1L) == 1.0)
+      assert(opt(2L) == 1.0 &&
+        math.abs(unopt(2L).asInstanceOf[Double] - 1.0) < 1e-12)
+      assert(opt(3L) == 0.0 && unopt(3L) == 0.0)
+      assert(opt(4L) == null && unopt(4L) == null)
+      assert(opt(5L) == 0.0 && unopt(5L) == 0.0)
     } finally {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations.filterNot(_ == FoldSelfCosine)

@@ -83,6 +83,23 @@ class StratifySpec extends AnyFunSuite {
     assert(out == Map(1 -> 1, 2 -> 1, 3 -> 2))
   }
 
+  test("stratify throws on non-convergence instead of silently capping") {
+    // a 12-deep chain cannot stratify in 5 rounds — wrong strata must
+    // never be returned silently (the pre-fix loop exited at the cap
+    // with `changed` still true and handed the scheduler bogus rounds)
+    val n = 12
+    val nodes = (1 to n).map(("p", _)).toDF("plan", "phase")
+    val edges = (2 to n).map(i => ("p", i, i - 1)).toDF("plan", "phase", "dep")
+    val e = intercept[IllegalStateException] {
+      rounds.Stratify.stratify(nodes, edges, maxIter = 5).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+    // and with enough iterations the same input converges exactly
+    val out = rounds.Stratify.stratify(nodes, edges, maxIter = n + 1).collect()
+      .map(r => r.getInt(1) -> r.getInt(2)).toMap
+    assert(out == (1 to n).map(i => i -> i).toMap)
+  }
+
   test("stratify: chain of n phases gives n rounds") {
     val n = 6
     val nodes = (1 to n).map(("p", _)).toDF("plan", "phase")

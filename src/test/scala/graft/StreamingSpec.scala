@@ -59,6 +59,25 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("batch replay orders events at microsecond precision") {
+    // tool at .000100s, stop at .000900s — same millisecond, so a
+    // getTime-based sort fell back to the kind tiebreak, applied the
+    // stop FIRST, and the terminal state absorbed the tool event
+    // (tool_count 0). Micros-precision ordering applies them in true
+    // arrival order.
+    def at(nanos: Int) = {
+      val t = ts("2026-01-01 12:00:00"); t.setNanos(nanos); t
+    }
+    val events = Seq(
+      ToolEvent("p", 1, "proj", "Edit", Some("a.ts"), "tool", at(100000)),
+      ToolEvent("p", 1, "proj", "", None, "stop_completed", at(900000)))
+    val out = Lifecycle.replayBatch(spark.createDataset(events)).collect()
+    assert(out.length == 1)
+    assert(out.head.status == "completed")
+    assert(out.head.tool_count == 1,
+      "sub-millisecond tool event was absorbed by a reordered stop")
+  }
+
   test("batch replay matches reference guards (fixture log)") {
     val statuses = Lifecycle.replayBatch(queue.Fixtures.toolEvents(spark))
       .collect().map(s => (s.plan_id, s.phase) -> s).toMap
