@@ -90,8 +90,11 @@ object Multimodal {
       // per-partition decoder handle would be created HERE in a real codec
       val codec = FakeCodec
       it.map { r =>
-        MediaFeatures(r.media_id, r.kind, r.content.length,
-          codec.features(r.content).toSeq)
+        // a NULL payload (e.g. a null text column cast to binary) is
+        // empty media, not a per-row NPE in the executor
+        val bytes = if (r.content == null) Array.emptyByteArray else r.content
+        MediaFeatures(r.media_id, r.kind, bytes.length,
+          codec.features(bytes).toSeq)
       }
     }
   }
@@ -132,18 +135,24 @@ object Multimodal {
   /** q52 oracle: byte histogram restated over `documents`. Bins with no
     * bytes are absent from the grouped rows; `+0.0` is the identity for
     * the non-negative bin values, so `list_sum` over the present bins in
-    * bin order equals Spark's 16-element left fold bit-for-bit. */
+    * bin order equals Spark's 16-element left fold bit-for-bit.
+    * Byte-exact, not char-exact: n and the bins come from the UTF-8
+    * encoding (`octet_length(encode(..))` + hex-pair extraction), the
+    * same bytes Spark's `cast(text AS binary)` feeds the codec — a
+    * `length(text)`/`ord()` restatement would diverge on the first
+    * multi-byte character. */
   val q52Sql: String =
     """WITH m AS (
       |  SELECT doc_id AS media_id,
       |    (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS kind,
-      |    text, length(text) AS n
+      |    hex(encode(text)) AS hx, octet_length(encode(text)) AS n
       |  FROM documents),
-      |pos AS (SELECT media_id, text, n,
+      |pos AS (SELECT media_id, hx, n,
       |          unnest(generate_series(1, CAST(n AS INT))) AS i FROM m),
       |bins AS (
       |  SELECT media_id, bin, CAST(count(*) AS DOUBLE) / any_value(n) AS v
-      |  FROM (SELECT media_id, ord(substr(text, CAST(i AS INT), 1)) // 16 AS bin, n
+      |  FROM (SELECT media_id,
+      |          ('0x' || substr(hx, 2 * CAST(i AS INT) - 1, 2))::INT // 16 AS bin, n
       |        FROM pos) b
       |  GROUP BY media_id, bin),
       |h AS (
@@ -157,13 +166,21 @@ object Multimodal {
       |  coalesce(h.f0, 0.0) AS f0, coalesce(h.f6, 0.0) AS f6
       |FROM m LEFT JOIN h USING (media_id) ORDER BY m.media_id""".stripMargin
 
+  /** Frames-per-video accounting shared by q53 and q112 — one
+    * definition so the two graded shapes cannot silently diverge from
+    * their common oracle arithmetic. */
+  private def frameStats(media: Dataset[MediaRow]): DataFrame = {
+    val s = media.sparkSession
+    import s.implicits._
+    sampleFrames(media)
+      .groupBy($"media_id")
+      .agg(count(lit(1)).as("n_frames"), max($"frame_ms").as("last_frame_ms"))
+  }
+
   /** q53: frame sampling — frames per video at 1 fps equivalent. */
   def q53FrameSample(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    sampleFrames(mediaTable(s, dir))
-      .groupBy($"media_id")
-      .agg(count(lit(1)).as("n_frames"), max($"frame_ms").as("last_frame_ms"))
-      .orderBy($"media_id")
+    frameStats(mediaTable(s, dir)).orderBy($"media_id")
   }
 
   /** q112: the deterministic multimodal path, oracle-graded — everything
@@ -185,9 +202,7 @@ object Multimodal {
     // persisting a corpus-sized derived table at 100 TB.
     val mt = mediaTable(s, dir)
     val m = mt.toDF()
-    val frames = sampleFrames(mt)
-      .groupBy($"media_id")
-      .agg(count(lit(1)).as("n_frames"), max($"frame_ms").as("last_frame_ms"))
+    val frames = frameStats(mt)
     m.select($"media_id", $"kind", $"width", $"height", $"sample_rate",
         $"duration_ms", $"format", length($"content").as("n_bytes"))
       .join(frames, Seq("media_id"), "left")

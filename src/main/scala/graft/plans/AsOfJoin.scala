@@ -222,6 +222,17 @@ object AsOf {
         spark.experimental.extraStrategies :+ AsOfStrategy
     }
     val (lp, rp) = (left.queryExecution.analyzed, right.queryExecution.analyzed)
+    // Self-joins built from the same base plan carry the SAME attribute
+    // exprIds on both sides; the output projection would then bind every
+    // right column to its left twin and silently emit left values in
+    // right columns. Fail fast instead — the caller aliases one side
+    // (select with new names), exactly what q113/q21 do.
+    val shared = lp.outputSet.intersect(rp.outputSet)
+    if (shared.nonEmpty) throw new IllegalArgumentException(
+      "as-of join sides share column identities (" +
+        shared.map(_.name).mkString(", ") +
+        ") — a self-join must rename one side first " +
+        "(e.g. right.select(col(\"c\").as(\"c2\"), ...))")
     def attr(p: LogicalPlan, n: String) = p.output.find(_.name == n).getOrElse(
       throw new IllegalArgumentException(
         s"column $n not in ${p.output.map(_.name).mkString(", ")}"))

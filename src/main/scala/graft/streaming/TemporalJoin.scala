@@ -21,7 +21,20 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * watermark, plus the update history pruned to the single
   * floor-update at-or-below the watermark (the only one an un-arrived
   * event could still need) and everything above it. At 100 TB-rates
-  * that is O(in-flight watermark window) per key, not O(history).
+  * that is O(in-flight watermark window) per key, not O(history) —
+  * but note the floor update itself must outlive the window: any
+  * FUTURE event for the key still matches it, so true as-of semantics
+  * keep one update per key for as long as the key lives. On an
+  * unbounded key space that is the state-growth dimension; cap it
+  * with `idleRetentionMs` — a key receiving no traffic for that long
+  * (event time) is dropped, and a later event for it matches None
+  * (the same idle-state-retention trade Flink's temporal join offers;
+  * default None = exact as-of forever).
+  *
+  * Ties: two updates with the same (key, microsecond) are ordered by
+  * data value, largest winning — the same explicit tie-break contract
+  * as the batch operator, so replays and arrival order cannot flip
+  * the match.
   *
   * Reference analogue: the pulse/status freshness rule (S17,
   * `agents/orbiter.md:158-242`) — "answer with the latest snapshot not
@@ -49,9 +62,32 @@ object TemporalJoin {
   private[streaming] def us(t: Timestamp): Long =
     t.getTime * 1000L + (t.getNanos % 1000000L) / 1000L
   private[streaming] def fromUs(u: Long): Timestamp = {
-    val t = new Timestamp(u / 1000L)
-    t.setNanos(((u % 1000000L) * 1000L).toInt)
+    // floorDiv/floorMod, not / and %: Java's % is sign-preserving, so
+    // a pre-epoch timestamp with a fractional second (e.g. -1000 µs =
+    // 23:59:59.999) would call setNanos(negative) and throw
+    val sec = Math.floorDiv(u, 1000000L)
+    val micros = Math.floorMod(u, 1000000L)
+    val t = new Timestamp(sec * 1000L)
+    t.setNanos((micros * 1000L).toInt)
     t
+  }
+
+  /** Merge two (ts, data)-sorted sequences into one sorted list —
+    * O(n+m) versus re-sorting the whole state list every microbatch. */
+  private def mergeSorted(a: List[(Long, String)],
+      b: Seq[(Long, String)]): List[(Long, String)] = {
+    if (b.isEmpty) a
+    else {
+      val ord = implicitly[Ordering[(Long, String)]]
+      val buf = scala.collection.mutable.ListBuffer.empty[(Long, String)]
+      var (x, y) = (a, b.toList)
+      while (x.nonEmpty && y.nonEmpty) {
+        if (ord.lteq(x.head, y.head)) { buf += x.head; x = x.tail }
+        else { buf += y.head; y = y.tail }
+      }
+      buf ++= x; buf ++= y
+      buf.toList
+    }
   }
 
   /** Enrich `events` (key, ts, data) with the latest row of `updates`
@@ -59,7 +95,8 @@ object TemporalJoin {
     * `watermarkDelay` event-time watermarks; output rows appear once
     * the watermark passes the event (Append-mode friendly). */
   def enrich(events: DataFrame, updates: DataFrame,
-             watermarkDelay: String = "10 minutes"): Dataset[TOut] = {
+             watermarkDelay: String = "10 minutes",
+             idleRetentionMs: Option[Long] = None): Dataset[TOut] = {
     val s = events.sparkSession
     import s.implicits._
     val e = events.select($"key", $"ts", $"data")
@@ -75,17 +112,26 @@ object TemporalJoin {
         case (key, rows, state: GroupState[TState]) =>
           val st0 = state.getOption.getOrElse(TState(Nil, Nil))
           val (newU, newE) = rows.toSeq.partition(_.side == "u")
-          val updatesAll =
-            (st0.updates ++ newU.map(r => (us(r.ts), r.data))).sortBy(_._1)
-          val pendingAll =
-            (st0.pending ++ newE.map(r => (us(r.ts), r.data))).sortBy(_._1)
+          // state lists are kept sorted by (ts, data) — merge the sorted
+          // news in O(n+m) instead of re-sorting the whole list, and the
+          // data tiebreak makes equal-ts matches deterministic
+          val updatesAll = mergeSorted(st0.updates,
+            newU.map(r => (us(r.ts), r.data)).sorted)
+          val pendingAll = mergeSorted(st0.pending,
+            newE.map(r => (us(r.ts), r.data)).sorted)
           // watermark is in millis; -1 when no watermark yet
           val wmUs = math.max(state.getCurrentWatermarkMs(), 0L) * 1000L
           // emit every pending event the watermark has passed: its
           // match can no longer change
           val (ripe, stillPending) = pendingAll.partition(_._1 < wmUs)
+          // ripe and updates are both ts-ascending: one two-pointer pass
+          // finds every event's floor update in O(U + P) total, instead
+          // of a takeWhile rescan from the head per event
+          val uarr = updatesAll.toArray
+          var ui = 0
           val out = ripe.map { case (ets, edata) =>
-            val m = updatesAll.takeWhile(_._1 <= ets).lastOption
+            while (ui < uarr.length && uarr(ui)._1 <= ets) ui += 1
+            val m = if (ui == 0) None else Some(uarr(ui - 1))
             TOut(key, fromUs(ets), edata, m.map(_._2), m.map(t => fromUs(t._1)))
           }
           // prune update history: drop everything strictly below the
@@ -94,14 +140,40 @@ object TemporalJoin {
           val floorIdx = updatesAll.lastIndexWhere(_._1 <= wmUs)
           val keptUpdates =
             if (floorIdx <= 0) updatesAll else updatesAll.drop(floorIdx)
+          val retentionExpired = state.hasTimedOut && ripe.isEmpty &&
+            newU.isEmpty && newE.isEmpty
           if (stillPending.isEmpty && keptUpdates.isEmpty) {
+            state.remove()
+          } else if (stillPending.isEmpty && idleRetentionMs.isDefined && retentionExpired) {
+            // the idle-retention timer fired with nothing in flight:
+            // drop the key's floor update — a later event matches None
             state.remove()
           } else {
             state.update(TState(keptUpdates, stillPending))
-            // wake when the watermark passes the next pending event even
-            // if no further rows arrive for this key
-            stillPending.headOption.foreach { case (ets, _) =>
-              state.setTimeoutTimestamp(ets / 1000L + 1L)
+            stillPending.headOption match {
+              case Some((ets, _)) =>
+                // wake when the watermark passes the next pending event
+                // even if no further rows arrive for this key
+                state.setTimeoutTimestamp(ets / 1000L + 1L)
+              case None =>
+                // nothing pending: without a timer this key's state
+                // would live forever (setTimeoutTimestamp is cleared on
+                // every invocation). Arm the idle-retention timer when
+                // configured; with None the floor update is retained
+                // indefinitely — exact as-of, documented above.
+                // "Idle" counts from the key's last activity (its
+                // newest kept update / emitted event), floored at the
+                // watermark so the timer is always legal to set —
+                // counting from the watermark alone would expire keys
+                // ingested before the watermark first advanced.
+                idleRetentionMs.foreach { ttl =>
+                  val lastActivityMs =
+                    (keptUpdates.map(_._1) ++ ripe.map(_._1))
+                      .maxOption.map(_ / 1000L).getOrElse(0L)
+                  val base = math.max(
+                    math.max(state.getCurrentWatermarkMs(), 0L), lastActivityMs)
+                  state.setTimeoutTimestamp(base + ttl)
+                }
             }
           }
           out.iterator

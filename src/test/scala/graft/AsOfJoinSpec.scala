@@ -47,6 +47,26 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(pairs(nativeAsOf(left, right)) == Set((1L, 11L)))
   }
 
+  test("self-join with shared column identities fails fast instead of emitting wrong data") {
+    // both sides from the SAME analyzed plan share attribute exprIds;
+    // the output projection would bind right columns to their left
+    // twins and silently return left values — the operator must refuse
+    val base = (0 until 10).map(i =>
+      (i.toLong, (i % 3).toLong, i.toLong)).toDF("lid", "lk", "lt")
+    val e = intercept[IllegalArgumentException] {
+      plans.AsOf.join(base, base,
+        leftKeys = Seq("lk"), rightKeys = Seq("lk"),
+        leftTimeCol = "lt", rightTimeCol = "lt")
+    }
+    assert(e.getMessage.contains("share column identities"))
+    // and the documented remedy — renaming one side — works
+    val renamed = base.select($"lid".as("rid"), $"lk".as("rk"), $"lt".as("rt"))
+    val ok = plans.AsOf.join(base, renamed,
+      leftKeys = Seq("lk"), rightKeys = Seq("rk"),
+      leftTimeCol = "lt", rightTimeCol = "rt", tieBreak = Seq("rid"))
+    assert(ok.count() == 10)
+  }
+
   test("null keys and times never match; unmatched left rows drop (inner semantics)") {
     val left = Seq(
       (1L, Some(7L), Some(50L)),  // matches

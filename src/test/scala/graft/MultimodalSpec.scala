@@ -29,6 +29,17 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("null payload is empty media, not an executor NPE") {
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "image", null, 16, 16, 16000, 0L, "fake/v1"),
+      Multimodal.MediaRow(2L, "image", Array[Byte](1, 2), 16, 16, 16000, 0L, "fake/v1"))
+    val out = Multimodal.extractFeatures(spark.createDataset(rows))
+      .collect().map(f => f.media_id -> f).toMap
+    assert(out(1L).n_bytes == 0)
+    assert(out(1L).features.forall(_ == 0.0))
+    assert(out(2L).n_bytes == 2)
+  }
+
   test("resize stub keeps id and payload, changes dims only") {
     val r = Multimodal.mediaTable(spark, sf).head()
     val resized = Multimodal.FakeCodec.resize(r, 128, 64)

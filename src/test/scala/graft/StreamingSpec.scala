@@ -302,4 +302,74 @@ class StreamingSpec extends AnyFunSuite {
       assert(got.head.asof_ts.contains(ts("2026-01-01 10:00:00.000100")))
     } finally q.stop()
   }
+
+  test("temporal as-of enrichment: equal-timestamp updates break ties deterministically") {
+    implicit val sqlCtx = spark.sqlContext
+    val evMem = MemoryStream[(String, Timestamp, String)]
+    val upMem = MemoryStream[(String, Timestamp, String)]
+    val out = TemporalJoin.enrich(
+      evMem.toDS().toDF("key", "ts", "data"),
+      upMem.toDS().toDF("key", "ts", "data"),
+      watermarkDelay = "0 seconds")
+    val q = out.writeStream.format("memory").queryName("temporal_tie_out")
+      .outputMode("append").start()
+    try {
+      // two updates at the SAME microsecond, fed largest-first: without
+      // the (ts, data) tie-break the winner depends on arrival order —
+      // the batch operator pins this with an explicit tieBreak, and the
+      // streaming twin must match (largest data wins)
+      upMem.addData(("k", ts("2026-01-01 10:00:00"), "v2"),
+                    ("k", ts("2026-01-01 10:00:00"), "v1"))
+      evMem.addData(("k", ts("2026-01-01 10:05:00"), "ev"))
+      q.processAllAvailable()
+      evMem.addData(("z", ts("2026-01-01 11:00:00"), "wm"))
+      upMem.addData(("z", ts("2026-01-01 11:00:00"), "wm"))
+      q.processAllAvailable()
+      val got = spark.table("temporal_tie_out").as[TemporalJoin.TOut].collect()
+        .filter(_.data == "ev")
+      assert(got.nonEmpty && got.head.asof_data.contains("v2"),
+        s"equal-ts tie must resolve to the largest data value, got ${got.map(_.asof_data).toSeq}")
+    } finally q.stop()
+  }
+
+  test("temporal as-of enrichment: idle retention drops a quiet key's floor update") {
+    implicit val sqlCtx = spark.sqlContext
+    def run(retention: Option[Long], name: String): Option[String] = {
+      val evMem = MemoryStream[(String, Timestamp, String)]
+      val upMem = MemoryStream[(String, Timestamp, String)]
+      val out = TemporalJoin.enrich(
+        evMem.toDS().toDF("key", "ts", "data"),
+        upMem.toDS().toDF("key", "ts", "data"),
+        watermarkDelay = "0 seconds", idleRetentionMs = retention)
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        // k's only update, then nothing on k while the watermark moves
+        // 30 min (>> the 1 min retention)
+        upMem.addData(("k", ts("2026-01-01 10:00:00"), "u1"))
+        evMem.addData(("z", ts("2026-01-01 10:00:00"), "wm0"))
+        q.processAllAvailable()
+        evMem.addData(("z", ts("2026-01-01 10:30:00"), "wm1"))
+        upMem.addData(("z", ts("2026-01-01 10:30:00"), "wm1"))
+        q.processAllAvailable()
+        // extra tick so the retention timer (if armed) actually fires
+        evMem.addData(("z", ts("2026-01-01 10:35:00"), "wm2"))
+        upMem.addData(("z", ts("2026-01-01 10:35:00"), "wm2"))
+        q.processAllAvailable()
+        // now an event for k well after the idle window
+        evMem.addData(("k", ts("2026-01-01 10:40:00"), "late-ev"))
+        q.processAllAvailable()
+        evMem.addData(("z", ts("2026-01-01 11:30:00"), "wm3"))
+        upMem.addData(("z", ts("2026-01-01 11:30:00"), "wm3"))
+        q.processAllAvailable()
+        spark.table(name).as[TemporalJoin.TOut].collect()
+          .find(_.data == "late-ev").flatMap(_.asof_data)
+      } finally q.stop()
+    }
+    // default (no retention): the floor update is kept forever → match
+    assert(run(None, "temporal_keep_out").contains("u1"))
+    // 1-minute idle retention: state dropped before the event → None
+    assert(run(Some(60000L), "temporal_ttl_out").isEmpty,
+      "idle-retention key must be dropped and the late event match None")
+  }
 }

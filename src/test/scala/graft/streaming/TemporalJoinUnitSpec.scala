@@ -23,6 +23,22 @@ class TemporalJoinUnitSpec extends AnyFunSuite {
     }
   }
 
+  test("us/fromUs round-trips pre-epoch fractional seconds") {
+    // Java's % is sign-preserving: -1000 µs naively splits into
+    // (0 s, -1000 µs) and setNanos(-1000000) throws. floorDiv/floorMod
+    // split it into (-1 s, +999000 µs) = 23:59:59.999.
+    val cases = Seq(
+      "1969-12-31 23:59:59.999",
+      "1969-12-31 23:59:59.000001",
+      "1969-12-31 23:59:59.9999",
+      "1969-06-15 12:00:00.5",
+      "1900-01-01 00:00:00.123456")
+    cases.foreach { c =>
+      val t = Timestamp.valueOf(c)
+      assert(TemporalJoin.fromUs(TemporalJoin.us(t)) == t, s"round trip broke for $c")
+    }
+  }
+
   test("sub-millisecond ordering survives the conversion") {
     val ev = Timestamp.valueOf("2026-01-01 10:00:00.000400")
     val up = Timestamp.valueOf("2026-01-01 10:00:00.000900")
