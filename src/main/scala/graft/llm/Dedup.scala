@@ -562,7 +562,7 @@ object Dedup {
   def q122IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, dir).withColumn("fp",
-      md5(trim(regexp_replace(lower($"text"), "\\s+", " "))))
+      TextOps.normFp($"text"))
     val store = docs.filter($"doc_id" < 250).select($"fp".as("sfp")).distinct()
     val w = Window.partitionBy($"fp").orderBy($"doc_id")
     docs.filter($"doc_id" >= 250)

@@ -40,18 +40,18 @@ object Pipeline {
     // stages are row-wise, so a doc_id predicate commutes with them —
     // and the persist() below would otherwise stop Catalyst from
     // pushing it past the funnel.
-    val fp = docs.withColumn("fp",
-      md5(trim(regexp_replace(lower($"text"), "\\s+", " "))))
+    val fp = docs.withColumn("fp", TextOps.normFp($"text"))
     val keepers = fp.groupBy($"fp").agg(min($"doc_id").as("doc_id"))
     val deduped = fp.join(keepers, Seq("fp", "doc_id")).filter(sample)
 
-    // 2. quality gate
-    val stop = "('the','a','an','of','and','to','in','is','it','for')"
+    // 2. quality gate — fingerprint and stopword set shared with
+    // q33/q32 via TextOps so the funnel cannot drift from the graded
+    // single-stage queries
     val scored = deduped
       .withColumn("toks", regexp_extract_all(lower($"text"), lit("\\S+"), lit(0)))
       .withColumn("n_tokens", size($"toks"))
       .withColumn("stop_ratio",
-        size(expr(s"filter(toks, x -> x IN $stop)")).cast("double") / $"n_tokens")
+        size(expr(s"filter(toks, x -> x IN ${TextOps.stopSqlList})")).cast("double") / $"n_tokens")
       .filter($"n_tokens" >= 20)
 
     // 3. language filter (marker-word heuristic, en only)
@@ -106,7 +106,7 @@ object Pipeline {
   }
 
   val q108Sql: String =
-    """WITH fp AS (
+    raw"""WITH fp AS (
       |  SELECT doc_id, text, lang, source,
       |         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
       |  FROM documents),
@@ -118,7 +118,7 @@ object Pipeline {
       |scored AS (
       |  SELECT doc_id, text, lang, source, fp, toks,
       |    CAST(len(toks) AS INT) AS n_tokens,
-      |    CAST(len(list_filter(toks, x -> x IN ('the','a','an','of','and','to','in','is','it','for'))) AS DOUBLE)
+      |    CAST(len(list_filter(toks, x -> x IN ${TextOps.stopSqlList})) AS DOUBLE)
       |      / len(toks) AS stop_ratio
       |  FROM tok WHERE len(toks) >= 20),
       |en AS (

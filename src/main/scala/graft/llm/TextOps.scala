@@ -23,6 +23,21 @@ import graft.Tables
   */
 object TextOps {
 
+  /** The content-identity fingerprint shared by q33, the curation
+    * funnel's stage-1 dedup (Pipeline) and the incremental dedup store
+    * (Dedup.q122) — ONE definition so the three graded surfaces cannot
+    * drift apart. DuckDB restatement:
+    * `md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))`. */
+  def normFp(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    md5(trim(regexp_replace(lower(text), "\\s+", " ")))
+
+  /** The quality-gate stopword set, shared by q32 and the curation
+    * funnel — the oracle SQL strings interpolate [[stopSqlList]] so the
+    * Spark and DuckDB sides move together by construction. */
+  val Stopwords: Seq[String] =
+    Seq("the", "a", "an", "of", "and", "to", "in", "is", "it", "for")
+  val stopSqlList: String = Stopwords.mkString("('", "','", "')")
+
   /** q29: exact deduplication — hash-groupBy on full text (`dropDuplicates`
     * in keep-first form). Output keyed by content hash. */
   def q29DedupExact(s: SparkSession, dir: String): DataFrame = {
@@ -79,11 +94,10 @@ object TextOps {
     * quality filter). */
   def q32QualityScore(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val stop = "('the','a','an','of','and','to','in','is','it','for')"
     Tables.documents(s, dir)
       .withColumn("toks", regexp_extract_all(lower($"text"), lit("\\S+"), lit(0)))
       .withColumn("n_tokens", size($"toks"))
-      .withColumn("n_stop", size(expr(s"filter(toks, x -> x IN $stop)")))
+      .withColumn("n_stop", size(expr(s"filter(toks, x -> x IN $stopSqlList)")))
       .withColumn("stop_ratio",
         round($"n_stop".cast("double") / $"n_tokens", 4))
       .withColumn("tier",
@@ -95,7 +109,7 @@ object TextOps {
   }
 
   val q32Sql: String =
-    """SELECT doc_id, n_tokens, n_stop,
+    raw"""SELECT doc_id, n_tokens, n_stop,
       |  round(CAST(n_stop AS DOUBLE) / n_tokens, 4) AS stop_ratio,
       |  CASE WHEN n_tokens < 20 THEN 'too_short'
       |       WHEN round(CAST(n_stop AS DOUBLE) / n_tokens, 4) > 0.05 THEN 'fluent'
@@ -103,7 +117,7 @@ object TextOps {
       |FROM (
       |  SELECT doc_id,
       |    CAST(len(toks) AS INT) AS n_tokens,
-      |    CAST(len(list_filter(toks, x -> x IN ('the','a','an','of','and','to','in','is','it','for'))) AS INT) AS n_stop
+      |    CAST(len(list_filter(toks, x -> x IN $stopSqlList)) AS INT) AS n_stop
       |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks
       |        FROM documents) raw) t
       |ORDER BY doc_id""".stripMargin
@@ -114,8 +128,7 @@ object TextOps {
   def q33Fingerprint(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, dir)
-      .select($"doc_id",
-        md5(trim(regexp_replace(lower($"text"), "\\s+", " "))).as("fp"))
+      .select($"doc_id", normFp($"text").as("fp"))
       .orderBy($"doc_id")
   }
 
@@ -144,6 +157,12 @@ object TextOps {
   def q34JaccardPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val t = 0.6
+    // Candidate generation must be derived from the threshold the
+    // VERIFICATION actually applies: the final filter accepts
+    // round(J, 4) >= 0.6, i.e. true J >= 0.59995 — pruning with a bare
+    // 0.6 would let a pair in the [0.59995, 0.6) rounding window pass
+    // the oracle but lose its prefix/length-ratio guarantee here.
+    val tGen = t - 0.5e-4
     val docs = Tables.documents(s, dir)
       .select($"doc_id", $"source",
         array_distinct(regexp_extract_all(lower($"text"), lit("\\S+"), lit(0))).as("toks"))
@@ -157,7 +176,7 @@ object TextOps {
       .join(broadcast(dfreq), Seq("tok"))
       .groupBy($"source", $"doc_id", $"n")
       .agg(array_sort(collect_list(struct($"df", $"tok"))).as("ord"))
-      .withColumn("plen", ($"n" - ceil($"n" * t) + 1).cast("int"))
+      .withColumn("plen", ($"n" - ceil($"n" * tGen) + 1).cast("int"))
       .select($"source", $"doc_id", $"n",
         explode(transform(slice($"ord", lit(1), $"plen"), p => p("tok"))).as("tok"))
       .persist() // read twice: both sides of the prefix self-join
@@ -165,7 +184,7 @@ object TextOps {
     val b = ordered.select($"source".as("s2"), $"doc_id".as("id2"), $"n".as("n2"),
       $"tok".as("tok2"))
     val cand = a.join(b, $"source" === $"s2" && $"tok" === $"tok2" && $"id1" < $"id2" &&
-        least($"n1", $"n2") >= lit(t) * greatest($"n1", $"n2"))
+        least($"n1", $"n2") >= lit(tGen) * greatest($"n1", $"n2"))
       .select($"id1", $"id2").distinct()
     val full = docs.select($"doc_id", $"toks")
     cand

@@ -173,7 +173,13 @@ object Derived {
       .filter(struct($"created_at", $"id") < $"max_q")
       .select($"id".as("uid")).distinct()
 
-    val asOfUs = java.sql.Timestamp.valueOf(AsOf).getTime * 1000L
+    // Parse AsOf as UTC EXPLICITLY: Timestamp.valueOf uses the JVM
+    // default timezone, which nothing pins — on a JVM east of UTC every
+    // waited_days bucket would shift an hour and diverge from the
+    // oracle's epoch_us(TIMESTAMP '...'), which the UTC session governs.
+    val asOfUs = java.time.LocalDateTime
+      .parse(AsOf.replace(' ', 'T'))
+      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L
     elig.join(nph, $"id" === $"nid")
       .join(unblockedIds, $"id" === $"uid", "left")
       .withColumn("base",
@@ -342,10 +348,16 @@ object Derived {
         .when($"event_type" === "view", "Read")
         .otherwise("").as("tool"),
       lit(null).cast("string").as("file"),
+      // fail fast on an unknown event_type: a silent `otherwise("tool")`
+      // would count the row into tool_count on the Spark side while the
+      // q44 oracle's arg_max sees an empty tool name — a regenerated or
+      // scaled feed with a new type must error, not hash-diverge
       when($"event_type" === "signup", "start")
         .when($"event_type" === "purchase", "stop_completed")
         .when($"event_type" === "error", "stop_failed")
-        .otherwise("tool").as("kind"),
+        .when($"event_type".isin("click", "view"), "tool")
+        .otherwise(raise_error(concat(
+          lit("toolEvents: unknown event_type "), $"event_type"))).as("kind"),
       timestamp_seconds(lit(1767225600L) + $"event_id").as("at"))
       .as[ToolEvent]
   }

@@ -68,7 +68,6 @@ object QueueOps {
     plans.filter($"status" === "queued")
       .join(unmet.select($"plan_id").distinct(),
         $"id" === $"plan_id", "left_anti")
-      .drop("plan_id")
   }
 
   /** S7 — priority assignment: type base map + adjustments (unblocks
@@ -188,8 +187,23 @@ object QueueOps {
   def resolveNamespaces(board: Dataset[BoardEntry], configs: DataFrame): DataFrame = {
     val s = board.sparkSession
     import s.implicits._
-    board.join(configs,
-        board("projectPath") === configs("cfgPath"), "left")
+    // one mapping per path: a duplicate cfgPath row (a stale rename
+    // left next to the current mapping) would fan every matching board
+    // entry out into contradictory duplicates. The schema carries no
+    // recency column to arbitrate with, so picking one silently would
+    // be a guess — error instead (same fail-fast contract as
+    // bandBucket's dim guard); evaluated lazily, so clean configs pay
+    // one window count and no extra job.
+    val cfg = configs
+      .withColumn("n_cfg", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"cfgPath")))
+      .withColumn("cfgProject",
+        when($"n_cfg" > 1, raise_error(concat(
+          lit("resolveNamespaces: duplicate config rows for path "), $"cfgPath")))
+          .otherwise($"cfgProject"))
+      .drop("n_cfg")
+    board.join(cfg,
+        board("projectPath") === cfg("cfgPath"), "left")
       .withColumn("resolved_project",
         coalesce($"cfgProject", board("project")))
       .withColumn("renamed", $"cfgProject".isNotNull && ($"cfgProject" =!= board("project")))

@@ -67,6 +67,24 @@ class QueueSpec extends AnyFunSuite {
     assert(res("plan-20260106-0900") == ("alpha", true))   // was alpha-old
     assert(res("plan-20260105-1530") == ("alpha", false))  // already right
   }
+
+  test("S21 namespace resolution: duplicate config rows error, never fan out") {
+    import spark.implicits._
+    // a stale mapping next to the current one for the SAME path: with a
+    // bare join every matching board entry would emit twice with
+    // contradictory resolutions; with no recency column to arbitrate,
+    // the operator must refuse rather than guess
+    val cfg = Seq(
+      ("/home/dev/alpha", "alpha"),
+      ("/home/dev/alpha", "alpha-old")).toDF("cfgPath", "cfgProject")
+    val e = intercept[Exception] {
+      QueueOps.resolveNamespaces(Fixtures.board(spark), cfg).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("duplicate config rows")),
+      s"expected the duplicate-path error, got: ${msgs(e)}")
+  }
 }
 
 class StratifySpec extends AnyFunSuite {
