@@ -34,8 +34,19 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    // Scope the legacy conf to THIS read: it is consulted when the
+    // relation is resolved (schema inference at read time — verified),
+    // so restoring right after keeps an unrelated TIMESTAMP(NANOS)
+    // parquet read elsewhere in the session failing loudly instead of
+    // silently loading longs.
+    val prev = s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = t(s, d, "events")
+    val raw =
+      try t(s, d, "events")
+      finally prev match {
+        case Some(v) => s.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
+        case None => s.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+      }
     // The engine's canonical `ts` domain is NTZ micros = the UTC wall
     // clock (what DuckDB's TIMESTAMP_NS → TIMESTAMP cast yields). Each
     // source representation is matched EXPLICITLY — a blanket `case _`

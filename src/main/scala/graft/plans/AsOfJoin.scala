@@ -233,9 +233,17 @@ object AsOf {
         shared.map(_.name).mkString(", ") +
         ") — a self-join must rename one side first " +
         "(e.g. right.select(col(\"c\").as(\"c2\"), ...))")
-    def attr(p: LogicalPlan, n: String) = p.output.find(_.name == n).getOrElse(
-      throw new IllegalArgumentException(
-        s"column $n not in ${p.output.map(_.name).mkString(", ")}"))
+    // session resolver (case-insensitive by default) with an explicit
+    // ambiguity error — same contract as TopK.perGroup
+    val resolver = spark.sessionState.conf.resolver
+    def attr(p: LogicalPlan, n: String) =
+      p.output.filter(a => resolver(a.name, n)) match {
+        case Seq(one) => one
+        case Seq() => throw new IllegalArgumentException(
+          s"column $n not in ${p.output.map(_.name).mkString(", ")}")
+        case many => throw new IllegalArgumentException(
+          s"column $n is ambiguous: matches ${many.map(_.name).mkString(", ")}")
+      }
     org.apache.spark.sql.graftshim.GraftSqlShim.ofRows(spark, AsOfJoin(
       leftKeys.map(attr(lp, _): Expression), rightKeys.map(attr(rp, _): Expression),
       attr(lp, leftTimeCol), attr(rp, rightTimeCol),

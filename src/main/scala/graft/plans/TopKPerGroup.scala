@@ -31,6 +31,12 @@ case class TopKPerGroup(
     k: Int,
     child: LogicalPlan) extends UnaryNode {
   require(k > 0, "k must be positive")
+  // ClusteredDistribution(Nil) fails deep inside Spark's planner with an
+  // internal require — reject the unsupported shape here with a usable
+  // message instead
+  require(groupExprs.nonEmpty,
+    "TopKPerGroup requires at least one group expression; " +
+      "for global top-k use orderBy(...).limit(k)")
   override def output = child.output
   override protected def withNewChildInternal(newChild: LogicalPlan): LogicalPlan =
     copy(child = newChild)
@@ -177,10 +183,30 @@ object TopK {
         spark.experimental.extraStrategies :+ TopKStrategy
     }
     val child = df.queryExecution.analyzed
-    def attr(n: String) = child.output.find(_.name == n).getOrElse(
-      throw new IllegalArgumentException(
-        s"column $n not in ${child.output.map(_.name).mkString(", ")}"))
-    val g = groupBy.map(attr(_): Expression)
+    // resolve like the rest of Spark does: the session's resolver
+    // (case-insensitive by default), with an explicit ambiguity error
+    // instead of silently taking the first duplicate-named column
+    val resolver = spark.sessionState.conf.resolver
+    def attr(n: String) = child.output.filter(a => resolver(a.name, n)) match {
+      case Seq(one) => one
+      case Seq() => throw new IllegalArgumentException(
+        s"column $n not in ${child.output.map(_.name).mkString(", ")}")
+      case many => throw new IllegalArgumentException(
+        s"column $n is ambiguous: matches ${many.map(_.name).mkString(", ")}")
+    }
+    // Group keys must be normalized for floating types: the exec
+    // identifies groups by raw UnsafeRow bytes AND hash-partitions on
+    // these expressions, so -0.0 vs 0.0 (and non-canonical NaN bit
+    // patterns) would otherwise split one semantic group across byte
+    // keys — and possibly across partitions — diverging from the
+    // PARTITION BY oracle, which normalizes (NormalizeFloatingNumbers).
+    def norm(e: Expression): Expression = e.dataType match {
+      case org.apache.spark.sql.types.FloatType |
+           org.apache.spark.sql.types.DoubleType =>
+        org.apache.spark.sql.catalyst.optimizer.NormalizeNaNAndZero(e)
+      case _ => e
+    }
+    val g = groupBy.map(n => norm(attr(n)): Expression)
     val o = orderBy.map(s =>
       SortOrder(attr(s.name), if (s.asc) Ascending else Descending))
     GraftSqlShim.ofRows(spark, TopKPerGroup(g, o, k, child))

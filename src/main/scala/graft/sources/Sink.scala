@@ -25,6 +25,12 @@ object Sink {
     require(rowsPerFile > 0, "rowsPerFile must be positive")
     val n = rows.getOrElse(df.count())
     val nFiles = math.max(1L, (n + rowsPerFile - 1) / rowsPerFile)
+    // repartition takes an Int: a file count past Int.MaxValue would
+    // silently wrap negative — error with guidance instead (a layout
+    // that needs billions of files wants partitionBy, not one flat dir)
+    require(nFiles <= Int.MaxValue,
+      s"writeSized: $n rows at $rowsPerFile rows/file needs $nFiles files " +
+        "(> Int.MaxValue) — raise rowsPerFile or use writePartitioned")
     df.repartition(nFiles.toInt)
       .write.mode("overwrite")
       .option("maxRecordsPerFile", rowsPerFile)

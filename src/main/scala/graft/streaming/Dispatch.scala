@@ -23,19 +23,30 @@ object Dispatch {
   def executeRounds(strata: DataFrame, work: (Long, Int) => String): DataFrame = {
     val spark = strata.sparkSession
     import spark.implicits._
-    val rounds = strata.select($"round").distinct()
-      .orderBy($"round").collect().map(_.getInt(0))
-    // driver iterates only over round *numbers* (bounded by DAG depth);
-    // each round's phase set stays distributed
-    val logs = rounds.zipWithIndex.map { case (r, seq) =>
-      strata.filter($"round" === r)
-        .select($"plan".cast("long").as("plan"), $"phase".cast("int").as("phase"))
-        .as[(Long, Int)]
-        .map { case (plan, phase) => (plan, phase, r, seq, work(plan, phase)) }
-        .toDF("plan", "phase", "round", "job_seq", "result")
-        .localCheckpoint(true) // run the round NOW, before the next starts
-    }
-    logs.reduce(_ unionByName _)
+    // persist: the strata lineage is evaluated once for the round list
+    // and once per round's filter — without this an expensive upstream
+    // plan recomputes R+1 times
+    val st = strata.persist()
+    try {
+      val rounds = st.select($"round").distinct()
+        .orderBy($"round").collect().map(_.getInt(0))
+      // driver iterates only over round *numbers* (bounded by DAG depth);
+      // each round's phase set stays distributed
+      val logs = rounds.zipWithIndex.map { case (r, seq) =>
+        st.filter($"round" === r)
+          .select($"plan".cast("long").as("plan"), $"phase".cast("int").as("phase"))
+          .as[(Long, Int)]
+          .map { case (plan, phase) => (plan, phase, r, seq, work(plan, phase)) }
+          .toDF("plan", "phase", "round", "job_seq", "result")
+          .localCheckpoint(true) // run the round NOW, before the next starts
+      }
+      if (logs.isEmpty)
+        // zero rounds is a legal input (a plan with no phases) — an
+        // empty log, not an empty.reduce crash
+        Seq.empty[(Long, Int, Int, Int, String)]
+          .toDF("plan", "phase", "round", "job_seq", "result")
+      else logs.reduce(_ unionByName _)
+    } finally st.unpersist(blocking = false)
   }
 
   /** S26 — bounded retry (max 2, ref `commands/pulsar.md:677-683`):
@@ -45,8 +56,11 @@ object Dispatch {
     var result: Option[T] = None
     while (result.isEmpty && attempt <= maxRetries) {
       attempt += 1
+      // NonFatal only: a bare `case _: Exception` would swallow
+      // InterruptedException and keep retrying through a task
+      // cancellation instead of propagating it
       try result = Some(work())
-      catch { case _: Exception => () } // exhausting the budget -> (n, None)
+      catch { case scala.util.control.NonFatal(_) => () } // budget exhausted -> (n, None)
     }
     (attempt, result)
   }
@@ -60,12 +74,17 @@ object Dispatch {
     queue.writeStream
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // foreachBatch is at-least-once: a batch replayed after a
+        // partial failure must not double-dispatch. Writing each batch
+        // to its own batch_id=N directory with overwrite makes the
+        // replay idempotent (the retry truncates its own directory);
+        // readers see batch_id as a partition column via discovery.
         batch
           .withColumn("pid", lit(batchId))
           .withColumn("dispatched_at", current_timestamp())
           .withColumn("log", concat(lit("dispatched "), col("id"),
             lit(" for "), col("project")))
-          .write.mode("append").json(outDir)
+          .write.mode("overwrite").json(s"$outDir/batch_id=$batchId")
         ()
       }
       .start()

@@ -71,8 +71,16 @@ object Streams {
       .groupBy(session_window(col("ts"), gap), col("user_id"))
       .agg(count(lit(1)).as("n_events"))
 
-  /** Streaming dedup within the watermark — claim-CAS shape S12: first
-    * record per key wins, duplicates dropped. */
+  /** Streaming dedup, claim-CAS shape S12: the FIRST record per
+    * (user_id, event_type) wins, duplicates dropped — forever. State
+    * is one entry per distinct key retained for the stream's lifetime
+    * (the event-time column is not among the dedup keys, so the
+    * watermark does NOT evict this state — that is deliberate: a claim
+    * must never become re-claimable just because time passed). The
+    * scale contract is therefore a BOUNDED KEY SPACE (plans × phases,
+    * set by the workload, not by stream length); for unbounded key
+    * spaces use [[dedupWithinWatermark]], which trades permanent
+    * claims for watermark-bounded state. */
   def dedupFirst(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
     events
       .withWatermark("ts", watermark)

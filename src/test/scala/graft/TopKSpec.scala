@@ -50,6 +50,39 @@ class TopKSpec extends AnyFunSuite {
     assert(rows.toSeq == again.toSeq)
   }
 
+  test("float group keys: -0.0 and 0.0 land in one group (normalized like SQL)") {
+    // the exec identifies groups by raw UnsafeRow bytes and partitions
+    // by the group exprs — without normalization the two zero sign bits
+    // split one semantic group in two, diverging from PARTITION BY
+    // (which normalizes floats), and k=1 would return two zero rows
+    val df = Seq((0.0, 1L), (-0.0, 2L), (1.5, 3L)).toDF("g", "v")
+      .repartition(2) // keep it out of ConvertToLocalRelation
+    val out = TopK.perGroup(df, Seq("g"), Seq(Ord("v")), 1).collect()
+    assert(out.length == 2, s"expected 2 groups, got ${out.toSeq}")
+    assert(out.map(_.getLong(1)).toSet == Set(1L, 3L),
+      "the merged zero group must keep its overall smallest v")
+  }
+
+  test("column resolution is case-insensitive with an ambiguity guard") {
+    val df = Seq((1L, 2L)).toDF("key", "v").repartition(1)
+    // default spark.sql.caseSensitive=false: KEY resolves like any
+    // other Spark API
+    assert(TopK.perGroup(df, Seq("KEY"), Seq(Ord("V")), 1).count() == 1)
+    val dup = df.select($"key", $"v".as("key"))
+    val e = intercept[IllegalArgumentException] {
+      TopK.perGroup(dup, Seq("key"), Seq(Ord("key")), 1)
+    }
+    assert(e.getMessage.contains("ambiguous"))
+  }
+
+  test("empty groupBy is rejected with a usable message") {
+    val df = Seq((1L, 2L)).toDF("key", "v")
+    val e = intercept[IllegalArgumentException] {
+      TopK.perGroup(df, Seq.empty, Seq(Ord("v")), 1)
+    }
+    assert(e.getMessage.contains("orderBy(...).limit(k)"))
+  }
+
   test("k larger than any group returns everything") {
     val o = Tables.orders(spark, sf).select($"o_custkey", $"o_orderkey")
     val all = TopK.perGroup(o, Seq("o_custkey"), Seq(Ord("o_orderkey")), 1000000).count()
