@@ -47,6 +47,17 @@ object Ckpt {
     out
   }
 
+  /** Free one localCheckpoint's blocks NOW — for iterative fixpoints
+    * that supersede a checkpointed table every round: without this, a
+    * k-round loop holds k full table copies in executor storage until
+    * the post-query sweep. No-op on non-checkpoint plans. */
+  def free(df: DataFrame): Unit = {
+    val plan = df.queryExecution.analyzed
+    try plan.getClass.getMethod("rdd").invoke(plan)
+      .asInstanceOf[org.apache.spark.rdd.RDD[_]].unpersist(false)
+    catch { case _: Exception => () }
+  }
+
   /** Free all persisted blocks except pinned ones. Dataset-level caches
     * (`.persist()`) are cleared via the cache manager first — those have
     * full lineage and recompute gracefully if ever re-used; truncated

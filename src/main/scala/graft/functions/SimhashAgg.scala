@@ -15,11 +15,15 @@ import org.apache.spark.sql.expressions.Aggregator
   * Produces bit-for-bit the same signature as `llm.Dedup.simhash64`
   * (the 64-conditional-aggregate formulation); equivalence is tested.
   */
-object SimhashAgg extends Aggregator[Long, Array[Int], Long] {
+object SimhashAgg extends Aggregator[Long, Array[Long], Long] {
 
-  override def zero: Array[Int] = new Array[Int](64)
+  // Long counters, matching simhash64's LongType sums: Int would wrap
+  // negative past ~2.1e9 same-bit inputs in one group (plausible when
+  // grouping by corpus slice at scale, not per doc) and silently flip
+  // that signature bit relative to the column-wise formulation.
+  override def zero: Array[Long] = new Array[Long](64)
 
-  override def reduce(buf: Array[Int], tokenHash: Long): Array[Int] = {
+  override def reduce(buf: Array[Long], tokenHash: Long): Array[Long] = {
     var j = 0
     while (j < 64) {
       if (((tokenHash >>> j) & 1L) == 1L) buf(j) += 1 else buf(j) -= 1
@@ -28,13 +32,13 @@ object SimhashAgg extends Aggregator[Long, Array[Int], Long] {
     buf
   }
 
-  override def merge(a: Array[Int], b: Array[Int]): Array[Int] = {
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
     var j = 0
     while (j < 64) { a(j) += b(j); j += 1 }
     a
   }
 
-  override def finish(buf: Array[Int]): Long = {
+  override def finish(buf: Array[Long]): Long = {
     var out = 0L
     var j = 0
     while (j < 64) {
@@ -44,7 +48,7 @@ object SimhashAgg extends Aggregator[Long, Array[Int], Long] {
     out
   }
 
-  override def bufferEncoder: Encoder[Array[Int]] =
-    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Int]]()
+  override def bufferEncoder: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
   override def outputEncoder: Encoder[Long] = Encoders.scalaLong
 }

@@ -34,7 +34,7 @@ object Dedup {
     import s.implicits._
     Tables.documents(s, dir)
       .select($"doc_id",
-        regexp_extract_all(lower($"text"), lit("\\S+"), lit(0)).as("toks"))
+        TextOps.tokens($"text").as("toks"))
   }
 
   /** w-word shingles of a token array column. */
@@ -160,7 +160,14 @@ object Dedup {
 
   /** q47: SimHash near-dup pairs — candidates agree on one of four
     * 16-bit chunks (the standard rotation trick), verified by Hamming
-    * distance ≤ 6. Rows-only driver check; unit-tested. */
+    * distance ≤ 6. Rows-only driver check; unit-tested.
+    *
+    * Chunk buckets wider than `MaxBucketWidth` are DROPPED before the
+    * self-join — the same boilerplate-skew cap as `lshCandidates`: one
+    * templated slice giving N docs an identical simhash would otherwise
+    * put all N in every chunk bucket and materialize ~4·N²/2 join rows
+    * (the quadratic blowup the file's skew analysis describes). Docs in
+    * a dropped bucket can still pair through their three other chunks. */
   def q47SimhashPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val sh = simhash64(toks(s, dir), "doc_id", "toks")
@@ -168,6 +175,8 @@ object Dedup {
         struct(lit(c).as("c"),
           shiftright($"simhash", c * 16).bitwiseAND(0xFFFFL).as("v"))): _*)))
       .select($"doc_id", $"simhash", $"chunk.c", $"chunk.v")
+      .withColumn("w", count(lit(1)).over(Window.partitionBy($"c", $"v")))
+      .filter($"w" <= MaxBucketWidth).drop("w")
     val a = chunked.select($"doc_id".as("id1"), $"simhash".as("s1"), $"c", $"v")
     val b = chunked.select($"doc_id".as("id2"), $"simhash".as("s2"),
       $"c".as("c2"), $"v".as("v2"))
@@ -215,6 +224,10 @@ object Dedup {
     val chunked = sig.withColumn("cc", explode(array((0 until 4).map(c =>
         struct(lit(c).as("c"), col(s"v$c").as("v"))): _*)))
       .select($"doc_id", $"v0", $"v1", $"v2", $"v3", $"cc.c", $"cc.v")
+      // same boilerplate-skew cap as q47/lshCandidates, mirrored in the
+      // oracle SQL below so the graded results move together
+      .withColumn("w", count(lit(1)).over(Window.partitionBy($"c", $"v")))
+      .filter($"w" <= MaxBucketWidth).drop("w")
     val a = chunked.select($"doc_id".as("id1"), $"v0".as("x0"), $"v1".as("x1"),
       $"v2".as("x2"), $"v3".as("x3"), $"c", $"v")
     val b = chunked.select($"doc_id".as("id2"), $"v0".as("y0"), $"v1".as("y1"),
@@ -256,10 +269,14 @@ object Dedup {
        |  SELECT doc_id,
        |    $chunks
        |  FROM b),
-       |c AS (
+       |c0 AS (
        |  SELECT doc_id, v0, v1, v2, v3, u.c,
        |    CASE u.c WHEN 0 THEN v0 WHEN 1 THEN v1 WHEN 2 THEN v2 ELSE v3 END AS vv
        |  FROM v, unnest(generate_series(0, 3)) AS u(c)),
+       |c AS (
+       |  SELECT doc_id, v0, v1, v2, v3, c, vv FROM (
+       |    SELECT c0.*, count(*) OVER (PARTITION BY c, vv) AS w FROM c0) t
+       |  WHERE w <= $MaxBucketWidth),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
        |  FROM c a JOIN c b ON a.c = b.c AND a.vv = b.vv AND a.doc_id < b.doc_id)
@@ -394,9 +411,14 @@ object Dedup {
         .localCheckpoint(true)
       changed = next.join(labels.withColumnRenamed("cluster", "old"), Seq("doc_id"))
         .filter($"cluster" =!= $"old").limit(1).count() > 0
+      // the superseded round's checkpoint blocks are garbage the moment
+      // `next` exists — free them now, or a k-round loop holds k label
+      // tables in executor storage simultaneously
+      graft.Ckpt.free(labels)
       labels = next
       i += 1
     }
+    graft.Ckpt.free(e)
     if (changed)
       throw new IllegalStateException(
         s"minLabelComponents did not converge in $maxIter rounds — " +
@@ -465,7 +487,13 @@ object Dedup {
     * signatures in 4 bands of 2 (bucket = the band's two minhash values
     * verbatim) restate in DuckDB SQL step for step. `maxWidth <= 0`
     * disables the skew cap (q107 grades pure banding); q108 passes
-    * `MaxBucketWidth` to mirror the production path's cap. */
+    * `MaxBucketWidth` to mirror the production path's cap.
+    *
+    * DELIBERATE asymmetry vs `lshCandidates`: the uncapped path here
+    * does NOT drop width-1 buckets — that drop is a pure optimization
+    * (width-1 buckets pair nothing) whose width aggregation would be
+    * pure extra cost in a twin whose oracle doesn't restate it; results
+    * are identical either way. */
   def md5Candidates(sh: DataFrame, maxWidth: Int = 0): DataFrame = {
     val s = sh.sparkSession
     import s.implicits._

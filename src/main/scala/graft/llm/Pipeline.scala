@@ -48,7 +48,7 @@ object Pipeline {
     // q33/q32 via TextOps so the funnel cannot drift from the graded
     // single-stage queries
     val scored = deduped
-      .withColumn("toks", regexp_extract_all(lower($"text"), lit("\\S+"), lit(0)))
+      .withColumn("toks", TextOps.tokens($"text"))
       .withColumn("n_tokens", size($"toks"))
       .withColumn("stop_ratio",
         size(expr(s"filter(toks, x -> x IN ${TextOps.stopSqlList})")).cast("double") / $"n_tokens")

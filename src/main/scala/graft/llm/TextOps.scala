@@ -38,6 +38,13 @@ object TextOps {
     Seq("the", "a", "an", "of", "and", "to", "in", "is", "it", "for")
   val stopSqlList: String = Stopwords.mkString("('", "','", "')")
 
+  /** The whitespace tokenizer every text/dedup operator shares (oracle
+    * restatement: `regexp_extract_all(lower(text), '\S+')`) — one
+    * Spark-side definition so a tokenization change cannot land in one
+    * family and silently desynchronize the others. */
+  def tokens(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_extract_all(lower(text), lit("\\S+"), lit(0))
+
   /** q29: exact deduplication — hash-groupBy on full text (`dropDuplicates`
     * in keep-first form). Output keyed by content hash. */
   def q29DedupExact(s: SparkSession, dir: String): DataFrame = {

@@ -118,7 +118,13 @@ object Analytics {
   def q79ScalarSubquery(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val o = Tables.orders(s, dir)
-    val globalAvg = o.agg(avg($"o_totalprice").as("ga"))
+    // The average gates ROW MEMBERSHIP, so it must be bit-identical on
+    // both engines: a plain double avg() accumulates in partition order
+    // (Spark) vs sequentially (DuckDB) and a price within a few ulps of
+    // the mean would flip sides. Decimal sum → double, then divide —
+    // order-independent, same bits everywhere (the dsum rule).
+    val globalAvg = o.agg(
+      (dsum($"o_totalprice") / count(lit(1))).as("ga"))
     o.crossJoin(broadcast(globalAvg))
       .filter($"o_totalprice" > $"ga")
       .groupBy($"o_orderstatus")
@@ -129,7 +135,8 @@ object Analytics {
   val q79Sql: String =
     """SELECT o_orderstatus, count(*) AS n_above
       |FROM orders
-      |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+      |WHERE o_totalprice > (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+      |                             / count(*) FROM orders)
       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
   /** q80: bag-semantics set ops — EXCEPT ALL / INTERSECT ALL preserve

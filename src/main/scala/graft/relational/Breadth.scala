@@ -162,8 +162,12 @@ object Breadth {
   def q16Correlated(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val o = Tables.orders(s, dir)
+    // decimal-sum average (dsum rule): the threshold gates row
+    // membership, so it must be accumulation-order-independent — a
+    // plain double avg can differ between engines by a few ulps and
+    // flip rows near the boundary (same class as q79)
     val avgPerCust = o.groupBy($"o_custkey".as("ck"))
-      .agg(avg($"o_totalprice").as("avg_price"))
+      .agg((dsum($"o_totalprice") / count(lit(1))).as("avg_price"))
     o.join(avgPerCust, $"o_custkey" === $"ck")
       .filter($"o_totalprice" > $"avg_price" * 1.5)
       .select($"o_orderkey", $"o_custkey")
@@ -172,7 +176,8 @@ object Breadth {
 
   val q16Sql: String =
     """SELECT o_orderkey, o_custkey FROM orders o
-      |WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders i
+      |WHERE o_totalprice > 1.5 * (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+      |                                   / count(*) FROM orders i
       |                            WHERE i.o_custkey = o.o_custkey)
       |ORDER BY o_orderkey""".stripMargin
 

@@ -129,20 +129,24 @@ object Extra2 {
       |FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) t
       |ORDER BY vec_id""".stripMargin
 
-  /** q72: lateral explode with position (generator/UDTF shape). */
+  /** q72: lateral explode with position (generator/UDTF shape). Graded
+    * RAW per q69's pass-through rule: x is a float widened to double
+    * (exact), so both engines hold identical bits — a round() on top
+    * would only INTRODUCE divergence (Spark rounds the shortest decimal
+    * string, DuckDB the exact binary value; they disagree at .00005
+    * boundaries). */
   def q72Lateral(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.embeddings(s, dir)
       .filter($"vec_id" < 5)
       .select($"vec_id", posexplode(transform($"embedding", x => x.cast("double")))
         .as(Seq("pos", "x")))
-      .select($"vec_id", $"pos", round($"x", 4).as("x"))
       .orderBy($"vec_id", $"pos")
   }
 
   val q72Sql: String =
     """SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
-      |       round(unnest(CAST(embedding AS DOUBLE[])), 4) AS x
+      |       unnest(CAST(embedding AS DOUBLE[])) AS x
       |FROM embeddings WHERE vec_id < 5
       |ORDER BY vec_id, pos""".stripMargin
 

@@ -57,7 +57,8 @@ object Extra3 {
       |  lpad(n_name, 12, '_') AS padded,
       |  regexp_replace(n_name, '_', '-', 'g') AS dashed,
       |  translate(n_name, 'AEIOU', 'aeiou') AS lowered_vowels,
-      |  upper(substr(lower(n_name), 1, 1)) || substr(lower(n_name), 2) AS title,
+      |  array_to_string(list_transform(string_split(lower(n_name), ' '),
+      |    w -> upper(substr(w, 1, 1)) || substr(w, 2)), ' ') AS title,
       |  reverse(n_name) AS rev,
       |  CAST(instr(n_name, '_') AS INT) AS uspos
       |FROM nation ORDER BY n_nationkey""".stripMargin

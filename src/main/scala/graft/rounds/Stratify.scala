@@ -57,9 +57,13 @@ object Stratify {
         Seq("plan", "phase"))
         .filter($"round" =!= $"old").limit(1).count()
       changed = delta > 0
+      // free the superseded round's checkpoint blocks (see
+      // Dedup.minLabelComponents — k rounds must not hold k copies)
+      graft.Ckpt.free(depth)
       depth = next
       i += 1
     }
+    graft.Ckpt.free(e)
     // A DAG deeper than maxIter means the returned rounds are NOT a
     // valid stratification — fail fast rather than hand the scheduler
     // silently-wrong strata (same contract as bandBucket's dim guard:

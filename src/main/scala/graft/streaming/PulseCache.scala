@@ -24,7 +24,7 @@ class TtlCache(
     ttlMs: Long = TtlCache.DefaultTtlMs,
     clock: () => Long = () => System.currentTimeMillis()) {
 
-  private var entry: Option[(DataFrame, Long)] = None
+  private var entry: Option[(DataFrame, Long, Int)] = None
   private var computes = 0
 
   /** How many times the underlying compute actually ran (metrics/tests). */
@@ -32,26 +32,33 @@ class TtlCache(
 
   /** True iff a cached copy exists and is younger than the TTL. */
   def isFresh: Boolean = synchronized {
-    entry.exists { case (_, at) => clock() - at < ttlMs }
+    entry.exists { case (_, at, _) => clock() - at < ttlMs }
   }
 
-  /** The cached DataFrame if fresh, else recompute, persist, stamp. */
+  /** The cached DataFrame if fresh AND semantically the same query,
+    * else recompute, persist, stamp. Building `compute`'s plan is lazy
+    * and cheap (no job runs until an action), so the semantic hash can
+    * be taken up front — without it, a second caller passing a
+    * DIFFERENT source within the TTL would silently receive the first
+    * caller's rollup. */
   def get(compute: => DataFrame): DataFrame = synchronized {
     val now = clock()
+    val fresh = compute
+    val key = fresh.queryExecution.analyzed.canonicalized.semanticHash()
     entry match {
-      case Some((df, at)) if now - at < ttlMs => df
+      case Some((df, at, k)) if now - at < ttlMs && k == key => df
       case stale =>
-        stale.foreach { case (df, _) => df.unpersist() }
-        val df = compute.persist()
+        stale.foreach { case (df, _, _) => df.unpersist() }
+        val df = fresh.persist()
         computes += 1
-        entry = Some((df, now))
+        entry = Some((df, now, key))
         df
     }
   }
 
   /** Drop the cached copy (e.g. after a known mutation). */
   def invalidate(): Unit = synchronized {
-    entry.foreach { case (df, _) => df.unpersist() }
+    entry.foreach { case (df, _, _) => df.unpersist() }
     entry = None
   }
 }
