@@ -34,17 +34,24 @@ object Bench {
     // than parquet scans. The noop write evaluates every column of
     // every row and discards them — the work the query claims to do
     // is the work the clock sees.
-    def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Boolean =
+    def run(name: String,
+            fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Boolean =
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-      catch { case _: Throwable => false }
+      catch { case t: Throwable =>
+        // keep the bench loop alive, but leave the cause diagnosable:
+        // class + message + top frames on stderr next to BENCH FAILED
+        System.err.println(s"BENCH ERROR [$name]: ${t.getClass.getName}: ${t.getMessage}")
+        t.getStackTrace.take(5).foreach(f => System.err.println(s"  at $f"))
+        false
+      }
     // warmup: JIT + codegen caches + parquet footers
-    qs.foreach { case (_, fn) =>
-      run(fn)
+    qs.foreach { case (name, fn) =>
+      run(name, fn)
       Ckpt.sweep(spark) // free per-query blocks; memo caches are pinned
     }
     val results = qs.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      val ok = run(fn)
+      val ok = run(name, fn)
       val dt = (System.nanoTime() - t0) / 1e9
       Ckpt.sweep(spark) // outside the timed window
       // a failed query must be visibly failed, not a plausible duration
@@ -56,7 +63,21 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val fjson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"failed":$fjson,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"failed":$fjson,"sf":"$sfDir"}"""
+    println(json)
+    // The driver's BENCH_r*.json keeps only a tail of the stdout line, so
+    // early-alphabet queries vanish from the per-round record. Persist the
+    // complete JSON to a repo file the round snapshot (and status.py) can
+    // read in full.
+    val fullPath = sys.env.getOrElse(
+      "SPARK_GRAFT_BENCH_OUT",
+      java.nio.file.Paths.get(sys.props("user.dir"), "BENCH_local_full.json").toString)
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(fullPath),
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case t: Throwable =>
+      System.err.println(s"BENCH WARN: could not write $fullPath: ${t.getMessage}")
+    }
     spark.stop()
   }
 }

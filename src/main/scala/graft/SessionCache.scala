@@ -14,8 +14,14 @@ import org.apache.spark.sql.SparkSession
   * anywhere in the JVM. (A WeakHashMap can't do this: the cached
   * DataFrame value strongly references its session key, which defeats
   * weak-key collection.)
+  *
+  * `onDiscard` runs on a value that lost a concurrent-build race (its
+  * `putIfAbsent` was beaten) — for values holding external resources,
+  * e.g. `Ckpt.pinned` DataFrames whose checkpoint blocks would
+  * otherwise stay pinned for the session's lifetime, pass
+  * `graft.Ckpt.free`.
   */
-final class SessionCache[V >: Null] {
+final class SessionCache[V >: Null](onDiscard: V => Unit = (_: V) => ()) {
   private val m =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), V]()
 
@@ -27,8 +33,11 @@ final class SessionCache[V >: Null] {
   }
 
   /** Memoized lookup. `build` runs outside any map lock (it may launch
-    * Spark jobs); a concurrent duplicate build is benign — last write
-    * wins, both values are equivalent. */
+    * Spark jobs, which must not serialize behind a CHM bin lock); two
+    * concurrent callers may both build, but only the first `putIfAbsent`
+    * is kept — the loser's value is released via `onDiscard` and the
+    * winner returned, so both callers observe the SAME cached value and
+    * no resource leaks. */
   def getOrElseUpdate(s: SparkSession, dir: String, build: => V): V = {
     purge()
     val k = (s, dir)
@@ -36,8 +45,8 @@ final class SessionCache[V >: Null] {
     if (cur != null) cur
     else {
       val v = build
-      m.put(k, v)
-      v
+      val prior = m.putIfAbsent(k, v)
+      if (prior != null) { onDiscard(v); prior } else v
     }
   }
 

@@ -26,27 +26,28 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame    = t(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = t(s, d, "lineitem")
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader rejects
-    * ([PARQUET_TYPE_ILLEGAL]). Read nanos as long (legacy conf), then
-    * convert to a micros TimestampType column — same truncation DuckDB
-    * applies when casting TIMESTAMP_NS → TIMESTAMP, so oracle parity
-    * holds as long as oracle SQL also casts `ts` to TIMESTAMP.
+    * ([PARQUET_TYPE_ILLEGAL]). Read nanos as long, then convert to a
+    * micros TimestampType column — same truncation DuckDB applies when
+    * casting TIMESTAMP_NS → TIMESTAMP, so oracle parity holds as long
+    * as oracle SQL also casts `ts` to TIMESTAMP.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
-    // Scope the legacy conf to THIS read: it is consulted when the
-    // relation is resolved (schema inference at read time — verified),
-    // so restoring right after keeps an unrelated TIMESTAMP(NANOS)
-    // parquet read elsewhere in the session failing loudly instead of
-    // silently loading longs.
-    val prev = s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw =
-      try t(s, d, "events")
-      finally prev match {
-        case Some(v) => s.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
-        case None => s.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
-      }
+    // Schema inference consults only the SESSION-global legacy conf
+    // (spark.sql.legacy.parquet.nanosAsLong — per-read options are
+    // ignored for it, verified empirically), and a set/restore of that
+    // conf races every concurrent parquet read on the session. So skip
+    // inference instead: convert the file footer's own schema with an
+    // explicit nanosAsLong=true and hand it to the reader, which makes
+    // the read self-contained and thread-safe. The per-read option
+    // below covers the executor-side row-group converters.
+    val path = s"$d/events.parquet"
+    val schema = org.apache.spark.sql.graftshim.GraftSqlShim
+      .parquetFooterSchema(s, path, nanosAsLong = true)
+    val raw = s.read.schema(schema)
+      .option("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .parquet(path)
     // The engine's canonical `ts` domain is NTZ micros = the UTC wall
     // clock (what DuckDB's TIMESTAMP_NS → TIMESTAMP cast yields). Each
     // source representation is matched EXPLICITLY — a blanket `case _`

@@ -1,10 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSessionExtensions
-import org.apache.spark.sql.catalyst.expressions.{ArrayExists, EqualTo, If, IsNull, LambdaFunction, Literal, NamedLambdaVariable, Not}
+import org.apache.spark.sql.catalyst.expressions.{ArrayExists, EqualTo, Expression, If, IsNull, LambdaFunction, Literal, NamedLambdaVariable, Not}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{ArrayType, DoubleType}
 
 /** Catalyst optimizer rule: `graft_cosine(x, x)` self-similarity folds
   * away the whole dot-product loop when a query joins a vector table to
@@ -32,9 +32,24 @@ import org.apache.spark.sql.types.DoubleType
   * `spark.sql.extensions=graft.functions.GraftExtensions`.
   */
 object FoldSelfCosine extends Rule[LogicalPlan] {
+  /** The rewrite is only applied to arrays whose type proves the
+    * elements non-null: with a nullable element the two paths diverge —
+    * `CosineSim.nullSafeEval` reads `getDouble` on the null slot (0.0
+    * under UnsafeArrayData, NPE on a generic array) while the folded
+    * `ArrayExists` evaluates under three-valued logic. Element-level
+    * nulls are outside the engine's vector contract anyway (the dim
+    * guard takes the same stance for lengths), but an optimizer rule
+    * must not CHANGE what such inputs produce — so it simply declines
+    * them. */
+  private def elementsNonNull(e: Expression): Boolean = e.dataType match {
+    case ArrayType(_, containsNull) => !containsNull
+    case _ => false
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
-      case CosineSim(a, b) if a.semanticEquals(b) && a.deterministic =>
+      case CosineSim(a, b)
+          if a.semanticEquals(b) && a.deterministic && elementsNonNull(a) =>
         val elem = NamedLambdaVariable("x", DoubleType, nullable = true)
         val nonZero = LambdaFunction(
           Not(EqualTo(elem, Literal(0.0, DoubleType))), Seq(elem))

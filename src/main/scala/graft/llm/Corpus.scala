@@ -42,7 +42,7 @@ object Corpus {
     import s.implicits._
     val docs = Tables.documents(s, dir)
     val terms = docs.select($"doc_id", $"source",
-        explode(regexp_extract_all(lower($"text"), lit("\\S+"), lit(0))).as("term"))
+        explode(TextOps.tokens($"text")).as("term"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val df = terms.groupBy($"term").agg(countDistinct($"doc_id").as("df"))
     val tf = terms.groupBy($"source", $"term").agg(count(lit(1)).as("tf"))

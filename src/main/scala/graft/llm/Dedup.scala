@@ -99,8 +99,19 @@ object Dedup {
       .withColumn("bb", explode(bandBuckets(col("sig"))))
       .select($"doc_id", $"bb.band", $"bb.bkt")
       .persist()
+    // pre-filter widths carry the drop observability (DropMetrics):
+    // what the skew cap removes is counted on the same pass that
+    // computes the widths — no extra job, and the q87 pipeline logs it
+    DropMetrics.ensureListener(s)
     val okBuckets = banded.groupBy($"band", $"bkt")
       .agg(count(lit(1)).as("w"))
+      .observe(DropMetrics.LshDrops,
+        sum(when($"w" > maxWidth, 1L).otherwise(0L)).as("dropped_buckets"),
+        sum(when($"w" > maxWidth, $"w").otherwise(0L)).as("dropped_rows"),
+        // w·(w−1)/2 in integer math (shiftright, not `/`: SQL division
+        // is double and would lose exactness on giant buckets)
+        sum(when($"w" > maxWidth, shiftright($"w" * ($"w" - 1L), 1)).otherwise(0L))
+          .as("dropped_pairs"))
       .filter($"w" > 1 && $"w" <= maxWidth)
       .select($"band", $"bkt")
     val capped = banded.join(okBuckets, Seq("band", "bkt"))
@@ -171,11 +182,19 @@ object Dedup {
   def q47SimhashPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val sh = simhash64(toks(s, dir), "doc_id", "toks")
+    DropMetrics.ensureListener(s)
     val chunked = sh.withColumn("chunk", explode(array((0 until 4).map(c =>
         struct(lit(c).as("c"),
           shiftright($"simhash", c * 16).bitwiseAND(0xFFFFL).as("v"))): _*)))
       .select($"doc_id", $"simhash", $"chunk.c", $"chunk.v")
       .withColumn("w", count(lit(1)).over(Window.partitionBy($"c", $"v")))
+      // per-row accounting over the window output: Σ_rows (w−1) over a
+      // dropped bucket = w·(w−1), so half the sum is the bucket's pair
+      // mass — same monitored-cap contract as lshCandidates
+      .observe(DropMetrics.SimhashDrops,
+        sum(when($"w" > MaxBucketWidth, 1L).otherwise(0L)).as("dropped_rows"),
+        shiftright(sum(when($"w" > MaxBucketWidth, $"w" - 1L).otherwise(0L)), 1)
+          .as("dropped_pairs"))
       .filter($"w" <= MaxBucketWidth).drop("w")
     val a = chunked.select($"doc_id".as("id1"), $"simhash".as("s1"), $"c", $"v")
     val b = chunked.select($"doc_id".as("id2"), $"simhash".as("s2"),
@@ -364,7 +383,7 @@ object Dedup {
     * list from the near-dup pairs without paying for them twice in one
     * bench/verify run (same pattern as Stratify's strata cache).
     * Dead-session entries are purged on access ([[graft.SessionCache]]). */
-  private val pairCache = new graft.SessionCache[DataFrame]
+  private val pairCache = new graft.SessionCache[DataFrame](graft.Ckpt.free)
 
   /** Connected components by min-label propagation WITH pointer
     * halving, as a DataFrame fixpoint. Each round every node takes
@@ -517,8 +536,14 @@ object Dedup {
               element_at($"sig", b * R + 2).cast("string")).as("bkt"))): _*)).as("bb"))
       .select($"doc_id", $"bb.band", $"bb.bkt")
     val banded = if (maxWidth <= 0) banded0 else {
+      DropMetrics.ensureListener(s)
       val bp = banded0.persist() // read twice: widths + the capped join
       val ok = bp.groupBy($"band", $"bkt").agg(count(lit(1)).as("w"))
+        .observe(DropMetrics.Md5Drops,
+          sum(when($"w" > maxWidth, 1L).otherwise(0L)).as("dropped_buckets"),
+          sum(when($"w" > maxWidth, $"w").otherwise(0L)).as("dropped_rows"),
+          sum(when($"w" > maxWidth, shiftright($"w" * ($"w" - 1L), 1)).otherwise(0L))
+            .as("dropped_pairs"))
         .filter($"w" > 1 && $"w" <= maxWidth)
         .select($"band", $"bkt")
       bp.join(ok, Seq("band", "bkt"))

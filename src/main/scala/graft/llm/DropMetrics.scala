@@ -1,0 +1,69 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.util.QueryExecutionListener
+
+/** Observability for the dedup skew caps (`Dedup.MaxBucketWidth`).
+  *
+  * The caps are the right 100 TB guard — one boilerplate bucket would
+  * otherwise contribute O(w²) candidate pairs — but a SILENT cap turns
+  * a boilerplate flood into silently-lowered near-dup recall with no
+  * signal. Every capped path therefore carries a named
+  * `observe(...)` aggregate over the pre-filter widths: the metrics
+  * ride the existing pass (CollectMetrics adds no job and no shuffle)
+  * and surface
+  *   - `dropped_buckets` / `dropped_rows` — how many buckets (and rows
+  *     in them) the cap removed this run;
+  *   - `dropped_pairs` — Σ w·(w−1)/2, the candidate mass the cap
+  *     suppressed: the recall-relevant number to alert on.
+  *
+  * `ensureListener` wires a per-session QueryExecutionListener that
+  * logs any `graft_*` observation after each action, so a pipeline run
+  * (q87/q108) reports its drop counts in the driver log without the
+  * caller collecting anything. For programmatic access after an
+  * action, read `df.queryExecution.observedMetrics`.
+  */
+object DropMetrics {
+  val LshDrops = "graft_lsh_bucket_drops"
+  val Md5Drops = "graft_md5_bucket_drops"
+  val SimhashDrops = "graft_simhash_bucket_drops"
+
+  private val marker = "graft.dropMetrics.listenerInstalled"
+  private val log = org.slf4j.LoggerFactory.getLogger("graft.llm.DropMetrics")
+
+  /** Idempotently register the logging listener on this session. A
+    * lost race registers the listener twice — two log lines, no other
+    * effect — so a conf-flag check is enough. */
+  def ensureListener(spark: SparkSession): Unit = {
+    if (!spark.conf.getOption(marker).contains("true")) {
+      spark.conf.set(marker, "true")
+      spark.listenerManager.register(new QueryExecutionListener {
+        private def report(qe: QueryExecution): Unit =
+          qe.observedMetrics.foreach { case (name, row) =>
+            if (name.startsWith("graft_")) {
+              val kv = row.schema.fieldNames.zip(row.toSeq)
+                .map { case (k, v) => s"$k=$v" }.mkString(", ")
+              log.info(s"$name: $kv")
+            }
+          }
+        override def onSuccess(funcName: String, qe: QueryExecution,
+                               durationNs: Long): Unit = report(qe)
+        override def onFailure(funcName: String, qe: QueryExecution,
+                               exception: Exception): Unit = ()
+      })
+    }
+  }
+
+  /** The named observation's values from a COMPLETED query (null-safe:
+    * empty map when the action hasn't run or the name is absent). */
+  def read(df: DataFrame, name: String): Map[String, Long] =
+    df.queryExecution.observedMetrics.get(name) match {
+      case Some(row) =>
+        row.schema.fieldNames.zip(row.toSeq).collect {
+          case (k, v: Long) => k -> v
+          case (k, v: Int)  => k -> v.toLong
+        }.toMap
+      case None => Map.empty
+    }
+}

@@ -19,8 +19,22 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
   * largest tieBreak. Forward (`forward = true`): the FIRST right row
   * with `rightTime >= leftTime` under the same ordering — the earliest
   * at-or-after match, ties toward the smallest tieBreak (pandas
-  * merge_asof direction parity). Inner semantics either way: unmatched
+  * merge_asof direction parity). Inner semantics by default: unmatched
   * left rows (and null keys or times on either side) are dropped.
+  *
+  * `leftOuter = true` keeps every left row instead (pandas merge_asof's
+  * DEFAULT row semantics, and SQL LEFT JOIN parity): an unmatched left
+  * row — including one with a null key or time, exactly as a LEFT JOIN
+  * keeps null-key rows — is emitted with nulls in every right column.
+  *
+  * `tolerance = Some(t)` bounds the match's staleness (merge_asof's
+  * `tolerance` window): backward requires `leftTime - rightTime <= t`,
+  * forward `rightTime - leftTime <= t`; a candidate outside the window
+  * is no match at all (dropped, or nulls under leftOuter). `t` is in
+  * the time column's NATIVE internal unit — microseconds for
+  * TIMESTAMP/TIMESTAMP_NTZ, days for DATE, the raw value for integral
+  * types — and must be >= 0 (0 = exact-time matches only, like
+  * merge_asof).
   *
   * Why an operator instead of the join+window formulation: the
   * `key = key AND rt <= lt` join fans out to a left row × that key's
@@ -44,6 +58,8 @@ case class AsOfJoin(
     rightTime: Expression,
     tieBreak: Seq[Expression],
     forward: Boolean,
+    leftOuter: Boolean,
+    tolerance: Option[Long],
     left: LogicalPlan,
     right: LogicalPlan) extends BinaryNode {
   require(leftKeys.length == rightKeys.length && leftKeys.nonEmpty,
@@ -52,10 +68,24 @@ case class AsOfJoin(
     "as-of join key types must match exactly (cast first)")
   require(leftTime.dataType == rightTime.dataType,
     "as-of join time types must match exactly (cast first)")
-  override def output: Seq[Attribute] = left.output ++ right.output
+  require(tolerance.forall(_ >= 0), "as-of tolerance must be >= 0")
+  require(tolerance.isEmpty || AsOfJoin.toleranceTypes(leftTime.dataType),
+    s"as-of tolerance needs a long-comparable time type " +
+      s"(timestamp/date/integral), got ${leftTime.dataType}")
+  override def output: Seq[Attribute] =
+    left.output ++ (if (leftOuter) right.output.map(_.withNullability(true))
+                    else right.output)
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): LogicalPlan =
     copy(left = newLeft, right = newRight)
+}
+
+object AsOfJoin {
+  import org.apache.spark.sql.types._
+  /** Time types whose internal value is a plain long/int — the ones a
+    * numeric tolerance window is well-defined over. */
+  val toleranceTypes: Set[DataType] = Set(
+    TimestampType, TimestampNTZType, DateType, LongType, IntegerType, ShortType)
 }
 
 case class AsOfJoinExec(
@@ -65,10 +95,14 @@ case class AsOfJoinExec(
     rightTime: Expression,
     tieBreak: Seq[Expression],
     forward: Boolean,
+    leftOuter: Boolean,
+    tolerance: Option[Long],
     left: SparkPlan,
     right: SparkPlan) extends BinaryExecNode {
 
-  override def output: Seq[Attribute] = left.output ++ right.output
+  override def output: Seq[Attribute] =
+    left.output ++ (if (leftOuter) right.output.map(_.withNullability(true))
+                    else right.output)
 
   /** Same-key rows of both sides must meet in one partition — Catalyst
     * inserts (or reuses) the hash exchanges, co-partitioned the same
@@ -96,6 +130,8 @@ case class AsOfJoinExec(
     val (lOut, rOut) = (left.output, right.output)
     val (lk, rk, lt, rt) = (leftKeys, rightKeys, leftTime, rightTime)
     val outAttrs = output
+    val outer = leftOuter
+    val tol = tolerance
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKeyProj = UnsafeProjection.create(lk, lOut)
       val rKeyProj = UnsafeProjection.create(rk, rOut)
@@ -103,8 +139,29 @@ case class AsOfJoinExec(
       val rTimeProj = UnsafeProjection.create(Seq(rt), rOut)
       val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
       val timeOrd = RowOrdering.createNaturalAscendingOrdering(Seq(timeType))
-      val result = UnsafeProjection.create(outAttrs, lOut ++ rOut)
+      // Under leftOuter the right-side columns are fed nulls for
+      // unmatched rows — the projection must bind them NULLABLE or
+      // codegen would skip the null check and read garbage zeros.
+      val rBind = if (outer) rOut.map(_.withNullability(true)) else rOut
+      val result = UnsafeProjection.create(outAttrs, lOut ++ rBind)
       val joined = new JoinedRow
+      val nullRight: InternalRow =
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(rOut.length)
+      // tolerance window: compare times as their internal long value
+      // (micros for timestamps, days for dates, raw for integral) —
+      // types outside this set were rejected at the logical node
+      import org.apache.spark.sql.types._
+      val timeVal: InternalRow => Long =
+        if (tol.isEmpty) null
+        else timeType match {
+          case TimestampType | TimestampNTZType | LongType => _.getLong(0)
+          case DateType | IntegerType => _.getInt(0).toLong
+          case ShortType => _.getShort(0).toLong
+          case other => throw new IllegalStateException(
+            s"tolerance over unsupported time type $other")
+        }
+      def withinTol(earlier: InternalRow, later: InternalRow): Boolean =
+        tol.forall(t => timeVal(later) - timeVal(earlier) <= t)
 
       new Iterator[InternalRow] {
         // Child iterators reuse their row buffers, so anything retained
@@ -115,6 +172,7 @@ case class AsOfJoinExec(
         private var rTime: UnsafeRow = _
         private var best: InternalRow = _
         private var bestKey: UnsafeRow = _
+        private var bestTime: UnsafeRow = _
         private var ready: InternalRow = _
 
         private def advanceRight(): Unit = {
@@ -137,6 +195,8 @@ case class AsOfJoinExec(
         override def hasNext: Boolean = {
           while (ready == null && lIter.hasNext) {
             val lRow = lIter.next()
+            // the single matched right row for this left row, if any
+            var matched: InternalRow = null
             val lKey = lKeyProj(lRow)
             if (!lKey.anyNull) {
               val lTimeRow = lTimeProj(lRow)
@@ -151,8 +211,9 @@ case class AsOfJoinExec(
                   while (rRow != null && (keyOrd.compare(rKey, lKey) < 0 ||
                       (keyOrd.compare(rKey, lKey) == 0 &&
                         timeOrd.compare(rTime, lTimeRow) < 0))) advanceRight()
-                  if (rRow != null && keyOrd.compare(rKey, lKey) == 0) {
-                    ready = result(joined(lRow, rRow))
+                  if (rRow != null && keyOrd.compare(rKey, lKey) == 0 &&
+                      withinTol(lTimeRow, rTime)) {
+                    matched = rRow
                   }
                 } else {
                   // discard right rows of keys already passed
@@ -161,17 +222,25 @@ case class AsOfJoinExec(
                   // LAST consumed is the as-of winner (time, then tieBreak)
                   while (rRow != null && keyOrd.compare(rKey, lKey) == 0 &&
                       timeOrd.compare(rTime, lTimeRow) <= 0) {
-                    best = rRow.copy(); bestKey = rKey
+                    best = rRow.copy(); bestKey = rKey; bestTime = rTime
                     advanceRight()
                   }
                   // left times only grow within a key, so `best` stays the
-                  // latest candidate for every subsequent same-key left row
-                  if (best != null && keyOrd.compare(bestKey, lKey) == 0) {
-                    ready = result(joined(lRow, best))
+                  // latest candidate for every subsequent same-key left row.
+                  // A best outside the tolerance window is NO match — and
+                  // since it is the key's LATEST at-or-before row, no other
+                  // candidate could be closer.
+                  if (best != null && keyOrd.compare(bestKey, lKey) == 0 &&
+                      withinTol(bestTime, lTimeRow)) {
+                    matched = best
                   }
                 }
               }
             }
+            if (matched != null) ready = result(joined(lRow, matched))
+            // LEFT JOIN parity: an unmatched left row — null key/time
+            // included — survives with nulls in every right column
+            else if (outer) ready = result(joined(lRow, nullRight))
           }
           ready != null
         }
@@ -191,8 +260,9 @@ case class AsOfJoinExec(
 
 object AsOfStrategy extends Strategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(lk, rk, lt, rtm, tb, fwd, l, r) =>
-      AsOfJoinExec(lk, rk, lt, rtm, tb, fwd, planLater(l), planLater(r)) :: Nil
+    case AsOfJoin(lk, rk, lt, rtm, tb, fwd, outer, tol, l, r) =>
+      AsOfJoinExec(lk, rk, lt, rtm, tb, fwd, outer, tol,
+        planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -202,25 +272,35 @@ object AsOf {
     * key's latest right row at or before `leftTimeCol` (backward,
     * default — ties toward the largest `tieBreak`), or its earliest
     * right row at or after it (`direction = "forward"` — ties toward
-    * the smallest); unmatched left rows drop. Columns are resolved by
-    * name; key and time types must already match between the sides.
-    * Registers the strategy idempotently. */
+    * the smallest). Unmatched left rows drop (`joinType = "inner"`,
+    * default) or survive with nulls in the right columns
+    * (`joinType = "left_outer"` — pandas merge_asof's row semantics).
+    * `tolerance` caps the match distance in the time column's native
+    * internal unit (micros for timestamps, days for dates, raw for
+    * integral types); a candidate farther than that is no match.
+    * Columns are resolved by name; key and time types must already
+    * match between the sides. Registers the strategy idempotently. */
   def join(left: DataFrame, right: DataFrame,
            leftKeys: Seq[String], rightKeys: Seq[String],
            leftTimeCol: String, rightTimeCol: String,
            tieBreak: Seq[String] = Nil,
-           direction: String = "backward"): DataFrame = {
+           direction: String = "backward",
+           joinType: String = "inner",
+           tolerance: Option[Long] = None): DataFrame = {
     val forward = direction match {
       case "backward" => false
       case "forward"  => true
       case other => throw new IllegalArgumentException(
         s"as-of direction must be backward or forward, got $other")
     }
-    val spark = left.sparkSession
-    if (!spark.experimental.extraStrategies.contains(AsOfStrategy)) {
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ AsOfStrategy
+    val leftOuter = joinType match {
+      case "inner"      => false
+      case "left_outer" => true
+      case other => throw new IllegalArgumentException(
+        s"as-of joinType must be inner or left_outer, got $other")
     }
+    val spark = left.sparkSession
+    Strategies.ensure(spark, AsOfStrategy)
     val (lp, rp) = (left.queryExecution.analyzed, right.queryExecution.analyzed)
     // Self-joins built from the same base plan carry the SAME attribute
     // exprIds on both sides; the output projection would then bind every
@@ -247,7 +327,7 @@ object AsOf {
     org.apache.spark.sql.graftshim.GraftSqlShim.ofRows(spark, AsOfJoin(
       leftKeys.map(attr(lp, _): Expression), rightKeys.map(attr(rp, _): Expression),
       attr(lp, leftTimeCol), attr(rp, rightTimeCol),
-      tieBreak.map(attr(rp, _): Expression), forward, lp, rp))
+      tieBreak.map(attr(rp, _): Expression), forward, leftOuter, tolerance, lp, rp))
   }
 
   /** q113: the operator's second graded shape (as q106 is to q86) —
@@ -314,10 +394,83 @@ object AsOf {
       |    ON e.user_id = o.o_custkey AND CAST(e.ts AS TIMESTAMP) >= o.o_orderdate) t
       |WHERE rn = 1 ORDER BY o_orderkey""".stripMargin
 
+  /** q123: q113's attribution under LEFT-OUTER semantics — every
+    * non-signup event keeps a row; one whose user has no signup at or
+    * before it carries a null signup_id. This is the enrichment shape
+    * real pipelines default to ("attach last-known profile, keep the
+    * event either way" — pandas merge_asof's default), and it grades
+    * the null-emission path of the operator against a LEFT JOIN +
+    * window oracle. */
+  def q123AsofOuter(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = graft.Tables.events(s, dir)
+    val actions = ev.filter($"event_type" =!= "signup")
+      .select($"event_id", $"user_id", $"ts")
+    val signups = ev.filter($"event_type" === "signup")
+      .select($"event_id".as("signup_id"), $"user_id".as("su"), $"ts".as("su_ts"))
+    join(actions, signups,
+        leftKeys = Seq("user_id"), rightKeys = Seq("su"),
+        leftTimeCol = "ts", rightTimeCol = "su_ts",
+        tieBreak = Seq("signup_id"), joinType = "left_outer")
+      .select($"event_id", $"signup_id")
+      .orderBy($"event_id")
+  }
+
+  val q123Sql: String =
+    """WITH ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events)
+      |SELECT event_id, signup_id FROM (
+      |  SELECT a.event_id, s.event_id AS signup_id,
+      |    row_number() OVER (PARTITION BY a.event_id
+      |      ORDER BY s.ts DESC, s.event_id DESC) AS rn
+      |  FROM ev a LEFT JOIN ev s
+      |    ON s.user_id = a.user_id AND s.event_type = 'signup' AND s.ts <= a.ts
+      |  WHERE a.event_type <> 'signup') t
+      |WHERE rn = 1 ORDER BY event_id""".stripMargin
+
+  /** Tolerance for q124: 7 days in microseconds (the time columns are
+    * micros-backed timestamps). */
+  val Q124TolUs: Long = 7L * 24 * 3600 * 1000000L
+
+  /** q124: q114's forward match bounded by a 7-day tolerance window and
+    * kept LEFT-OUTER — "next touch within a week of purchase, keep the
+    * order either way". Grades tolerance and null-emission together:
+    * an order whose customer's next event is later than 7 days out gets
+    * a null, same as one with no event at all. */
+  def q124AsofTolerance(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ord = graft.Tables.orders(s, dir)
+      .select($"o_orderkey", $"o_custkey",
+        $"o_orderdate".cast(org.apache.spark.sql.types.TimestampNTZType)
+          .as("o_orderdate"))
+    val ev = graft.Tables.events(s, dir).select($"event_id", $"user_id", $"ts")
+    join(ord, ev,
+        leftKeys = Seq("o_custkey"), rightKeys = Seq("user_id"),
+        leftTimeCol = "o_orderdate", rightTimeCol = "ts",
+        tieBreak = Seq("event_id"), direction = "forward",
+        joinType = "left_outer", tolerance = Some(Q124TolUs))
+      .select($"o_orderkey", $"event_id")
+      .orderBy($"o_orderkey")
+  }
+
+  val q124Sql: String =
+    """SELECT o_orderkey, event_id FROM (
+      |  SELECT o.o_orderkey, e.event_id,
+      |    row_number() OVER (PARTITION BY o.o_orderkey
+      |      ORDER BY e.ts ASC, e.event_id ASC) AS rn
+      |  FROM orders o LEFT JOIN events e
+      |    ON e.user_id = o.o_custkey
+      |      AND CAST(e.ts AS TIMESTAMP) >= CAST(o.o_orderdate AS TIMESTAMP)
+      |      AND CAST(e.ts AS TIMESTAMP) <= CAST(o.o_orderdate AS TIMESTAMP) + INTERVAL 7 DAY) t
+      |WHERE rn = 1 ORDER BY o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q113_asof_attribution" -> (q113AsofAttribution _),
-    "q114_asof_forward"     -> (q114AsofForward _))
+    "q114_asof_forward"     -> (q114AsofForward _),
+    "q123_asof_outer"       -> (q123AsofOuter _),
+    "q124_asof_tolerance"   -> (q124AsofTolerance _))
   val oracle: Map[String, String] = Map(
     "q113_asof_attribution" -> q113Sql,
-    "q114_asof_forward"     -> q114Sql)
+    "q114_asof_forward"     -> q114Sql,
+    "q123_asof_outer"       -> q123Sql,
+    "q124_asof_tolerance"   -> q124Sql)
 }

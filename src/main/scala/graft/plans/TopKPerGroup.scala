@@ -178,10 +178,7 @@ object TopK {
     * idempotently on the session. */
   def perGroup(df: DataFrame, groupBy: Seq[String], orderBy: Seq[Ord], k: Int): DataFrame = {
     val spark = df.sparkSession
-    if (!spark.experimental.extraStrategies.contains(TopKStrategy)) {
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ TopKStrategy
-    }
+    Strategies.ensure(spark, TopKStrategy)
     val child = df.queryExecution.analyzed
     // resolve like the rest of Spark does: the session's resolver
     // (case-insensitive by default), with an explicit ambiguity error

@@ -25,4 +25,56 @@ object GraftSqlShim {
   def optimizerRules(e: org.apache.spark.sql.SparkSessionExtensions,
                      spark: SparkSession) =
     e.buildOptimizerRules(spark)
+
+  /** A sibling session on `base`'s SparkContext built with the given
+    * extensions — what `.withExtensions(...)` would produce if the JVM
+    * didn't already hold a default session. Test-only: lets specs
+    * exercise the extensions installation path end-to-end (plan through
+    * an injected strategy with `experimental` untouched) without
+    * tearing down the shared test session. */
+  def sessionWithExtensions(base: SparkSession,
+                            f: org.apache.spark.sql.SparkSessionExtensions => Unit,
+                            options: Map[String, String] = Map.empty): SparkSession = {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    f(ext)
+    // the 6-arg primary constructor is Scala-private though public in
+    // bytecode — reach it reflectively (same pattern as Ckpt's
+    // LogicalRDD.rdd accessor; forwards only, no Spark code copied)
+    val ctor = classOf[ClassicSession].getConstructor(
+      classOf[org.apache.spark.SparkContext], classOf[Option[_]],
+      classOf[Option[_]], classOf[org.apache.spark.sql.SparkSessionExtensions],
+      classOf[Map[_, _]], classOf[Map[_, _]])
+    ctor.newInstance(base.sparkContext, None, None, ext, options,
+      Map.empty[String, String])
+  }
+
+  /** Spark schema of one parquet file's footer, converted with Spark's
+    * own `ParquetToSparkSchemaConverter` and an explicit `nanosAsLong`.
+    * This is how `graft.Tables.events` reads TIMESTAMP(NANOS) files
+    * WITHOUT mutating the session-global
+    * `spark.sql.legacy.parquet.nanosAsLong` conf (schema inference
+    * consults only the session conf, so a per-read option cannot do it,
+    * and the set/restore window races concurrent reads on the same
+    * session). `path` may be a data file or a directory of part files;
+    * footers are assumed uniform (single-writer dataset — true of every
+    * driver-generated table). Named arguments keep the call safe
+    * against constructor-parameter reordering across Spark versions. */
+  def parquetFooterSchema(spark: SparkSession, path: String,
+                          nanosAsLong: Boolean): org.apache.spark.sql.types.StructType = {
+    val hconf = spark.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(hconf)
+    val file =
+      if (!fs.getFileStatus(p).isDirectory) p
+      else fs.listStatus(p).collectFirst {
+        case st if st.isFile && !st.getPath.getName.startsWith("_") &&
+          !st.getPath.getName.startsWith(".") => st.getPath
+      }.getOrElse(throw new IllegalArgumentException(s"no data files under $path"))
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, hconf))
+    val message =
+      try reader.getFooter.getFileMetaData.getSchema finally reader.close()
+    new org.apache.spark.sql.execution.datasources.parquet.ParquetToSparkSchemaConverter(
+      nanosAsLong = nanosAsLong).convert(message)
+  }
 }

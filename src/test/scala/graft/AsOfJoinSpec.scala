@@ -148,6 +148,106 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(got == Set((1L, 11L)))
   }
 
+  // merge_asof parity surface: left-outer row semantics + tolerance window
+
+  private def pairsOpt(df: DataFrame): Set[(Long, Option[Long])] =
+    df.collect().map(r =>
+      (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSet
+
+  test("left_outer keeps unmatched left rows — nulls in right columns (LEFT JOIN parity)") {
+    val left = Seq(
+      (1L, Some(7L), Some(50L)),  // matches
+      (2L, None, Some(50L)),      // null key → kept with null rid
+      (3L, Some(7L), None),       // null time → kept with null rid
+      (4L, Some(8L), Some(50L))   // no right rows for key → kept with null rid
+    ).toDF("lid", "lk", "lt")
+    val right = Seq((10L, Some(7L), Some(40L))).toDF("rid", "rk", "rt")
+    val got = pairsOpt(plans.AsOf.join(left, right, Seq("lk"), Seq("rk"),
+        "lt", "rt", Seq("rid"), joinType = "left_outer")
+      .select($"lid", $"rid"))
+    assert(got == Set((1L, Some(10L)), (2L, None), (3L, None), (4L, None)))
+  }
+
+  test("left_outer equals the LEFT JOIN window formulation on a mixed corpus") {
+    val left = (0 until 500).map(i =>
+      (i.toLong, (i % 13).toLong, ((i * 37) % 100).toLong)).toDF("lid", "lk", "lt")
+    val right = (0 until 300).map(j =>
+      ((j + 1000).toLong, (j % 17).toLong, ((j * 29) % 100).toLong)).toDF("rid", "rk", "rt")
+    val w = Window.partitionBy($"lid").orderBy($"rt".desc, $"rid".desc)
+    val expected = pairsOpt(left
+      .join(right, $"lk" === $"rk" && $"rt" <= $"lt", "left_outer")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"lid", $"rid"))
+    val got = pairsOpt(plans.AsOf.join(left, right, Seq("lk"), Seq("rk"),
+        "lt", "rt", Seq("rid"), joinType = "left_outer")
+      .select($"lid", $"rid"))
+    assert(got == expected)
+    assert(got.exists(_._2.isEmpty) && got.exists(_._2.nonEmpty),
+      "corpus should exercise both matched and unmatched rows")
+  }
+
+  test("tolerance bounds backward staleness; boundary is inclusive; tol=0 means exact-time") {
+    val left = Seq((1L, 7L, 50L), (2L, 7L, 80L), (3L, 7L, 41L)).toDF("lid", "lk", "lt")
+    val right = Seq((10L, 7L, 40L), (11L, 7L, 41L)).toDF("rid", "rk", "rt")
+    def run(tol: Long, jt: String) = plans.AsOf.join(left, right,
+        Seq("lk"), Seq("rk"), "lt", "rt", Seq("rid"),
+        joinType = jt, tolerance = Some(tol))
+      .select($"lid", $"rid")
+    // tol=9: lid=1 (50-41=9, boundary) matches; lid=2 (80-41=39) too stale
+    assert(pairs(run(9L, "inner")) == Set((1L, 11L), (3L, 11L)))
+    // the stale row is NO match, not a fallback to an even-older row
+    assert(pairsOpt(run(9L, "left_outer")) ==
+      Set((1L, Some(11L)), (2L, None), (3L, Some(11L))))
+    // tol=0: only the exact-time hit survives
+    assert(pairs(run(0L, "inner")) == Set((3L, 11L)))
+  }
+
+  test("tolerance bounds forward distance symmetrically") {
+    val left = Seq((1L, 7L, 50L), (2L, 7L, 10L)).toDF("lid", "lk", "lt")
+    val right = Seq((10L, 7L, 55L), (11L, 7L, 90L)).toDF("rid", "rk", "rt")
+    val got = pairsOpt(plans.AsOf.join(left, right,
+        Seq("lk"), Seq("rk"), "lt", "rt", Seq("rid"),
+        direction = "forward", joinType = "left_outer", tolerance = Some(5L))
+      .select($"lid", $"rid"))
+    // lid=1: 55-50=5 boundary match; lid=2: nearest is 45 out → null
+    assert(got == Set((1L, Some(10L)), (2L, None)))
+  }
+
+  test("tolerance equals the bounded LEFT JOIN window formulation (backward, mixed corpus)") {
+    val tol = 7L
+    val left = (0 until 500).map(i =>
+      (i.toLong, (i % 13).toLong, ((i * 37) % 100).toLong)).toDF("lid", "lk", "lt")
+    val right = (0 until 300).map(j =>
+      ((j + 1000).toLong, (j % 17).toLong, ((j * 29) % 100).toLong)).toDF("rid", "rk", "rt")
+    val w = Window.partitionBy($"lid").orderBy($"rt".desc, $"rid".desc)
+    val expected = pairsOpt(left
+      .join(right,
+        $"lk" === $"rk" && $"rt" <= $"lt" && $"rt" >= $"lt" - tol, "left_outer")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"lid", $"rid"))
+    val got = pairsOpt(plans.AsOf.join(left, right, Seq("lk"), Seq("rk"),
+        "lt", "rt", Seq("rid"), joinType = "left_outer", tolerance = Some(tol))
+      .select($"lid", $"rid"))
+    assert(got == expected)
+  }
+
+  test("tolerance over a non-numeric time type is rejected at the logical node") {
+    val left = Seq((1L, 7L, "a")).toDF("lid", "lk", "lt")
+    val right = Seq((10L, 7L, "a")).toDF("rid", "rk", "rt")
+    val e = intercept[IllegalArgumentException] {
+      plans.AsOf.join(left, right, Seq("lk"), Seq("rk"), "lt", "rt",
+        tolerance = Some(5L))
+    }
+    assert(e.getMessage.contains("long-comparable"))
+    val e2 = intercept[IllegalArgumentException] {
+      plans.AsOf.join(left, right, Seq("lk"), Seq("rk"), "lt", "rt",
+        joinType = "full_outer")
+    }
+    assert(e2.getMessage.contains("inner or left_outer"))
+  }
+
   test("AQE partition coalescing keeps both shuffles zip-compatible") {
     // aggressive coalescing on asymmetric sides: if AQE chose different
     // coalesced specs per shuffle, zipPartitions would throw at runtime

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.llm.Dedup
+import graft.llm.{Dedup, DropMetrics}
 import graft.queue.TranscriptEtl
 
 class DedupSpec extends AnyFunSuite {
@@ -126,6 +126,35 @@ class DedupSpec extends AnyFunSuite {
     assert(capped.contains((1L, 2L)) && uncapped.contains((1L, 2L)))
     // measured recall trade-off: only boilerplate pairs were sacrificed
     assert((uncapped -- capped).forall { case (a, b) => a >= 100L && b >= 100L })
+  }
+
+  test("bucket-width cap drops are observable: flooded bucket reports its mass") {
+    // same flood shape as above — the cap must now COUNT what it drops
+    // (VERDICT r6: a silent cap would lower recall with no signal at
+    // 100 TB), via the graft_lsh_bucket_drops observation riding the
+    // width aggregate
+    val boiler = (100L until 200L).map(i =>
+      (i, "identical boilerplate template text repeated across many documents verbatim every time"))
+    val docs = (Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and runs far away home tonight"),
+      (2L, "the quick brown fox jumps over the lazy cat and runs far away home tonight")) ++ boiler)
+      .toDF("doc_id", "text")
+      .withColumn("toks", regexp_extract_all(lower($"text"), lit("\\S+"), lit(0)))
+    val sigs = docs
+      .withColumn("sh", Dedup.shingles($"toks"))
+      .select($"doc_id", Dedup.minhashSig($"sh").as("sig"))
+    val pairsDf = Dedup.lshCandidates(sigs, maxWidth = 64)
+    pairsDf.collect()
+    val m = DropMetrics.read(pairsDf, DropMetrics.LshDrops)
+    // all 8 bands hold the same 100-doc boilerplate bucket
+    assert(m("dropped_buckets") == 8L, m.toString)
+    assert(m("dropped_rows") == 800L, m.toString)
+    assert(m("dropped_pairs") == 8L * (100L * 99L / 2L), m.toString)
+    // and an uncapped run reports zero drops
+    val un = Dedup.lshCandidates(sigs, maxWidth = Int.MaxValue)
+    un.collect()
+    val m2 = DropMetrics.read(un, DropMetrics.LshDrops)
+    assert(m2("dropped_buckets") == 0L && m2("dropped_pairs") == 0L, m2.toString)
   }
 
   test("q122 incremental dedup: verdicts partition the batch exactly") {

@@ -19,12 +19,38 @@ class FunctionsSpec extends AnyFunSuite {
     assert(GraftSqlShim.optimizerRules(e, spark).contains(FoldSelfCosine))
   }
 
+  test("extensions-built session plans AsOf.join without touching experimental") {
+    import org.apache.spark.sql.graftshim.GraftSqlShim
+    val s2 = GraftSqlShim.sessionWithExtensions(
+      spark, new graft.functions.GraftExtensions().apply(_),
+      Map("spark.sql.shuffle.partitions" -> "4",
+          "spark.sql.session.timeZone" -> "UTC"))
+    import s2.implicits._
+    val l = Seq((1L, 10L), (1L, 20L)).toDF("k", "t")
+    val r = Seq((1L, 5L, "a"), (1L, 15L, "b")).toDF("k2", "t2", "v")
+    val joined = graft.plans.AsOf.join(l, r,
+      Seq("k"), Seq("k2"), "t", "t2")
+    assert(s2.experimental.extraStrategies.isEmpty,
+      "extensions session must not grow an experimental entry")
+    assert(joined.queryExecution.executedPlan.toString.contains("AsOfJoin"),
+      joined.queryExecution.executedPlan.toString)
+    assert(joined.select($"t", $"v").collect().map(x => (x.getLong(0), x.getString(1)))
+      .toSet == Set((10L, "a"), (20L, "b")))
+    // (the experimental-fallback entry style is exercised end-to-end by
+    // AsOfJoinSpec on the plain shared session)
+  }
+
   test("FoldSelfCosine rule folds graft_cosine(x,x) away") {
     spark.experimental.extraOptimizations =
       spark.experimental.extraOptimizations :+ FoldSelfCosine
     try {
+      // coalesce makes the element type provably non-null — the rule
+      // requires containsNull=false (parquet list elements are nullable
+      // by default, and on a nullable slot the fold and the raw
+      // expression diverge; see the guard's scaladoc)
       val df = Tables.embeddings(spark, sf)
-        .select(transform($"embedding", x => x.cast("double")).as("v"))
+        .select(transform($"embedding",
+          x => coalesce(x.cast("double"), lit(0.0))).as("v"))
         .select(CosineSim.cosine(spark, $"v", $"v").as("c"))
       val optimized = df.queryExecution.optimizedPlan.toString
       assert(!optimized.contains("graft_cosine"),
@@ -34,6 +60,19 @@ class FunctionsSpec extends AnyFunSuite {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations.filterNot(_ == FoldSelfCosine)
     }
+  }
+
+  test("FoldSelfCosine declines arrays with nullable elements") {
+    // transform over a parquet-sourced array keeps containsNull=true;
+    // the rewrite's ArrayExists path and CosineSim's getDouble on a
+    // null slot disagree there, so the rule must leave the expression
+    // in place rather than change what those inputs produce
+    val plan = Tables.embeddings(spark, sf)
+      .select(transform($"embedding", x => x.cast("double")).as("v"))
+      .select(CosineSim.cosine(spark, $"v", $"v").as("c"))
+      .queryExecution.analyzed
+    assert(FoldSelfCosine(plan).toString.contains("graft_cosine"),
+      "rule must not rewrite a containsNull=true array")
   }
 
   test("FoldSelfCosine preserves NULL and zero-vector semantics") {

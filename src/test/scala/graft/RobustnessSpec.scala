@@ -108,6 +108,23 @@ class RobustnessSpec extends AnyFunSuite {
     } finally spark.conf.set(tzKey, "UTC")
   }
 
+  test("events reader leaves the session-global nanosAsLong conf untouched") {
+    // the TIMESTAMP(NANOS) read goes through the footer-converted
+    // explicit schema, NOT a set/restore of the session conf — so a
+    // concurrent parquet read on the same session can never observe
+    // the legacy setting mid-flight
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val before = spark.conf.getOption(key)
+    val out = Tables.events(spark, sf)
+    assert(spark.conf.getOption(key) == before, "session conf mutated")
+    assert(out.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampNTZType)
+    // nanos truncate toward micros exactly as before (DuckDB cast parity)
+    import spark.implicits._
+    val ts = out.orderBy($"event_id").select($"ts".cast("string")).head().getString(0)
+    assert(ts.startsWith("20"), s"implausible ts $ts")
+  }
+
   test("events reader rejects an unsupported ts type explicitly") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-ts3").toString
