@@ -67,16 +67,33 @@ object Bench {
     println(json)
     // The driver's BENCH_r*.json keeps only a tail of the stdout line, so
     // early-alphabet queries vanish from the per-round record. Persist the
-    // complete JSON to a repo file the round snapshot (and status.py) can
-    // read in full.
+    // complete JSON to a repo file (git-tracked, so each round's commit
+    // preserves it), and ALSO round-stamp a copy — BENCH_full_r{N}.json,
+    // N = 1 + the highest driver tail present — so a later round's run
+    // can't erase this round's full record. status.py prefers the
+    // stamped snapshots over the truncated tails.
+    def persist(path: String): Unit =
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get(path),
+        json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch { case t: Throwable =>
+        System.err.println(s"BENCH WARN: could not write $path: ${t.getMessage}")
+      }
+    val cwd = sys.props("user.dir")
     val fullPath = sys.env.getOrElse(
       "SPARK_GRAFT_BENCH_OUT",
-      java.nio.file.Paths.get(sys.props("user.dir"), "BENCH_local_full.json").toString)
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get(fullPath),
-      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch { case t: Throwable =>
-      System.err.println(s"BENCH WARN: could not write $fullPath: ${t.getMessage}")
+      java.nio.file.Paths.get(cwd, "BENCH_local_full.json").toString)
+    persist(fullPath)
+    // Only a COMPLETE catalog run may claim a round snapshot — a
+    // SPARK_GRAFT_ONLY-filtered iteration run must not shadow one.
+    if (only.isEmpty) {
+      val tails = Option(new java.io.File(cwd).list()).getOrElse(Array.empty)
+        .flatMap { n =>
+          val m = "BENCH_r(\\d+)\\.json".r
+          n match { case m(d) => Some(d.toInt); case _ => None }
+        }
+      val round = if (tails.isEmpty) 1 else tails.max + 1
+      persist(java.nio.file.Paths.get(cwd, f"BENCH_full_r$round%02d.json").toString)
     }
     spark.stop()
   }

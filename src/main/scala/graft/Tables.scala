@@ -39,15 +39,14 @@ object Tables {
     // ignored for it, verified empirically), and a set/restore of that
     // conf races every concurrent parquet read on the session. So skip
     // inference instead: convert the file footer's own schema with an
-    // explicit nanosAsLong=true and hand it to the reader, which makes
-    // the read self-contained and thread-safe. The per-read option
-    // below covers the executor-side row-group converters.
+    // explicit nanosAsLong=true and hand it to the reader. The explicit
+    // footer-derived LongType schema alone makes the read self-contained
+    // and thread-safe — the row-group readers decode INT64-backed nanos
+    // into the requested LongType without consulting the legacy conf.
     val path = s"$d/events.parquet"
     val schema = org.apache.spark.sql.graftshim.GraftSqlShim
       .parquetFooterSchema(s, path, nanosAsLong = true)
-    val raw = s.read.schema(schema)
-      .option("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .parquet(path)
+    val raw = s.read.schema(schema).parquet(path)
     // The engine's canonical `ts` domain is NTZ micros = the UTC wall
     // clock (what DuckDB's TIMESTAMP_NS → TIMESTAMP cast yields). Each
     // source representation is matched EXPLICITLY — a blanket `case _`

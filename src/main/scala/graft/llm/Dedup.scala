@@ -179,23 +179,40 @@ object Dedup {
     * put all N in every chunk bucket and materialize ~4·N²/2 join rows
     * (the quadratic blowup the file's skew analysis describes). Docs in
     * a dropped bucket can still pair through their three other chunks. */
-  def q47SimhashPairs(s: SparkSession, dir: String): DataFrame = {
+  def q47SimhashPairs(s: SparkSession, dir: String): DataFrame =
+    simhashChunkPairs(simhash64(toks(s, dir), "doc_id", "toks"))
+
+  /** Chunk-banded SimHash near-dup pairs from a (doc_id, simhash)
+    * table — the cap/observe/join core of q47, factored out so the
+    * monitored-cap contract is floodable in a unit test. */
+  def simhashChunkPairs(sh: DataFrame): DataFrame = {
+    val s = sh.sparkSession
     import s.implicits._
-    val sh = simhash64(toks(s, dir), "doc_id", "toks")
     DropMetrics.ensureListener(s)
     val chunked = sh.withColumn("chunk", explode(array((0 until 4).map(c =>
         struct(lit(c).as("c"),
           shiftright($"simhash", c * 16).bitwiseAND(0xFFFFL).as("v"))): _*)))
       .select($"doc_id", $"simhash", $"chunk.c", $"chunk.v")
       .withColumn("w", count(lit(1)).over(Window.partitionBy($"c", $"v")))
-      // per-row accounting over the window output: Σ_rows (w−1) over a
-      // dropped bucket = w·(w−1), so half the sum is the bucket's pair
-      // mass — same monitored-cap contract as lshCandidates
+      // rn=1 marks one representative row per bucket, so bucket counts
+      // come out of per-row accounting without a DISTINCT aggregate
+      // (CollectMetrics forbids those); the ordered window rides the
+      // same (c, v) shuffle the width count already pays for.
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"c", $"v").orderBy($"doc_id")))
+      // per-row accounting over the window output, aligned with the
+      // lshCandidates schema: dropped_buckets = over-wide (c, v)
+      // buckets; dropped_rows = Σ w = exploded (doc, chunk) rows in
+      // them (a doc in k over-wide chunk buckets counts k times — same
+      // unit as LSH's (doc, band) rows); dropped_pairs = Σ_rows (w−1)
+      // over a dropped bucket = w·(w−1), halved = the pair mass.
       .observe(DropMetrics.SimhashDrops,
+        sum(when($"w" > MaxBucketWidth && $"rn" === 1, 1L).otherwise(0L))
+          .as("dropped_buckets"),
         sum(when($"w" > MaxBucketWidth, 1L).otherwise(0L)).as("dropped_rows"),
         shiftright(sum(when($"w" > MaxBucketWidth, $"w" - 1L).otherwise(0L)), 1)
           .as("dropped_pairs"))
-      .filter($"w" <= MaxBucketWidth).drop("w")
+      .filter($"w" <= MaxBucketWidth).drop("w", "rn")
     val a = chunked.select($"doc_id".as("id1"), $"simhash".as("s1"), $"c", $"v")
     val b = chunked.select($"doc_id".as("id2"), $"simhash".as("s2"),
       $"c".as("c2"), $"v".as("v2"))

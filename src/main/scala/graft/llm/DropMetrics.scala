@@ -18,6 +18,13 @@ import org.apache.spark.sql.util.QueryExecutionListener
   *   - `dropped_pairs` — Σ w·(w−1)/2, the candidate mass the cap
   *     suppressed: the recall-relevant number to alert on.
   *
+  * The schema is UNIFORM across the three observations. One unit note:
+  * `dropped_rows` counts rows of the EXPLODED bucket table (LSH:
+  * (doc, band) rows; simhash: (doc, chunk) rows) — a document present
+  * in k over-wide buckets counts k times. That is the join-input mass
+  * the cap removed, which is the capacity-relevant number; per-document
+  * impact is bounded by it.
+  *
   * `ensureListener` wires a per-session QueryExecutionListener that
   * logs any `graft_*` observation after each action, so a pipeline run
   * (q87/q108) reports its drop counts in the driver log without the

@@ -93,12 +93,55 @@ object TemporalJoin {
   /** Enrich `events` (key, ts, data) with the latest row of `updates`
     * (key, ts, data) at or before each event's time. Both inputs get
     * `watermarkDelay` event-time watermarks; output rows appear once
-    * the watermark passes the event (Append-mode friendly). */
+    * the watermark passes the event (Append-mode friendly).
+    *
+    * `joinType` and `toleranceUs` mirror the batch operator's knobs
+    * (`plans.AsOf.join`) so a pipeline prototyped in batch promotes to
+    * streaming with the SAME row semantics:
+    *   - `joinType = "left_outer"` (default — the enrichment shape this
+    *     operator has always had, and pandas merge_asof's default):
+    *     every ripe event is emitted, unmatched ones with None in the
+    *     asof columns. `"inner"` drops unmatched events instead, the
+    *     batch operator's default. The streaming default differs from
+    *     batch deliberately: TOut's Option-typed asof columns make
+    *     emit-with-None the natural streaming contract, and round-7
+    *     callers depend on it — batch callers promoting an inner
+    *     pipeline pass the knob explicitly.
+    *   - `toleranceUs = Some(t)` bounds match staleness in MICROSECONDS
+    *     (the native unit of the streaming `ts` columns, matching the
+    *     batch operator's native-internal-unit contract for timestamp
+    *     time columns): a floor update older than `eventTs - t` is no
+    *     match at all — the event drops under inner, or emits None
+    *     under left_outer. Exactly q124's batch semantics.
+    *
+    * A tolerance also BOUNDS STATE independently of `idleRetentionMs`:
+    * any future event has `ts >= watermark`, so a match needs
+    * `updateTs >= watermark - t` — updates older than that are pruned
+    * outright instead of keeping the key's floor update alive forever.
+    * With a tolerance set, per-key state is O(watermark window + t) even
+    * on an unbounded key space.
+    *
+    * (Only the backward direction is offered in streaming: a forward
+    * match is not watermark-final when the event ripens — the earliest
+    * at-or-after update can still be superseded by a late arrival until
+    * the watermark passes the MATCH's timestamp, a different emission
+    * discipline. Batch `direction = "forward"` pipelines don't promote;
+    * the operator rejects nothing here because there is no knob to
+    * misuse.) */
   def enrich(events: DataFrame, updates: DataFrame,
              watermarkDelay: String = "10 minutes",
-             idleRetentionMs: Option[Long] = None): Dataset[TOut] = {
+             idleRetentionMs: Option[Long] = None,
+             joinType: String = "left_outer",
+             toleranceUs: Option[Long] = None): Dataset[TOut] = {
     val s = events.sparkSession
     import s.implicits._
+    val inner = joinType match {
+      case "left_outer" => false
+      case "inner"      => true
+      case other => throw new IllegalArgumentException(
+        s"temporal join joinType must be inner or left_outer, got $other")
+    }
+    require(toleranceUs.forall(_ >= 0L), "temporal join tolerance must be >= 0")
     val e = events.select($"key", $"ts", $"data")
       .withWatermark("ts", watermarkDelay)
       .select($"key", $"ts", lit("e").as("side"), $"data").as[TIn]
@@ -129,17 +172,31 @@ object TemporalJoin {
           // of a takeWhile rescan from the head per event
           val uarr = updatesAll.toArray
           var ui = 0
-          val out = ripe.map { case (ets, edata) =>
+          val out = ripe.flatMap { case (ets, edata) =>
             while (ui < uarr.length && uarr(ui)._1 <= ets) ui += 1
-            val m = if (ui == 0) None else Some(uarr(ui - 1))
-            TOut(key, fromUs(ets), edata, m.map(_._2), m.map(t => fromUs(t._1)))
+            val floor = if (ui == 0) None else Some(uarr(ui - 1))
+            // tolerance: the floor is the key's LATEST at-or-before row,
+            // so a floor outside the window means no candidate is inside
+            // it — same reasoning as the batch exec
+            val m = floor.filter { case (uts, _) =>
+              toleranceUs.forall(t => ets - uts <= t) }
+            if (m.isEmpty && inner) None
+            else Some(TOut(key, fromUs(ets), edata,
+              m.map(_._2), m.map(t => fromUs(t._1))))
           }
           // prune update history: drop everything strictly below the
           // floor update at-or-below the watermark — the only row an
-          // event still above the watermark could reach back to
+          // event still above the watermark could reach back to. Under
+          // a tolerance even the floor is droppable once it falls out of
+          // every future event's window (future events have ets >= wm,
+          // so a match needs uts >= wm - t).
           val floorIdx = updatesAll.lastIndexWhere(_._1 <= wmUs)
-          val keptUpdates =
+          val afterFloor =
             if (floorIdx <= 0) updatesAll else updatesAll.drop(floorIdx)
+          val keptUpdates = toleranceUs match {
+            case Some(t) => afterFloor.filter(_._1 >= wmUs - t)
+            case None    => afterFloor
+          }
           val retentionExpired = state.hasTimedOut && ripe.isEmpty &&
             newU.isEmpty && newE.isEmpty
           if (stillPending.isEmpty && keptUpdates.isEmpty) {

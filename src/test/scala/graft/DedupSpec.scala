@@ -157,6 +157,26 @@ class DedupSpec extends AnyFunSuite {
     assert(m2("dropped_buckets") == 0L && m2("dropped_pairs") == 0L, m2.toString)
   }
 
+  test("simhash chunk cap drops are observable with the uniform schema") {
+    // 100 identical simhashes flood all four 16-bit chunk buckets past
+    // MaxBucketWidth=64; two near-dup signatures (1 bit apart) survive.
+    // Asserts the SAME field contract as graft_lsh_bucket_drops:
+    // dropped_buckets / dropped_rows (exploded (doc, chunk) rows) /
+    // dropped_pairs (Σ w·(w−1)/2).
+    val boiler = (100L until 200L).map(i => (i, 0x0123456789ABCDEFL))
+    val sh = (Seq((1L, 0x7777000011112222L), (2L, 0x7777000011112223L)) ++ boiler)
+      .toDF("doc_id", "simhash")
+    val pairs = Dedup.simhashChunkPairs(sh)
+    val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the genuine near-pair survives; boilerplate self-pairs are capped out
+    assert(got.contains((1L, 2L)), got.toString)
+    assert(got.forall { case (a, b) => a < 100L || b < 100L }, got.toString)
+    val m = DropMetrics.read(pairs, DropMetrics.SimhashDrops)
+    assert(m("dropped_buckets") == 4L, m.toString)
+    assert(m("dropped_rows") == 400L, m.toString)
+    assert(m("dropped_pairs") == 4L * (100L * 99L / 2L), m.toString)
+  }
+
   test("q122 incremental dedup: verdicts partition the batch exactly") {
     val out = Dedup.q122IncrementalDedup(spark, sf).collect()
     assert(out.nonEmpty)

@@ -270,6 +270,111 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("temporal as-of tolerance + inner/left_outer mirror the batch knobs (q123/q124 semantics)") {
+    implicit val sqlCtx = spark.sqlContext
+    // same feed through both join types: left_outer emits every ripe
+    // event (None when the floor is missing OR out-of-window — q124's
+    // batch contract), inner drops exactly those rows (batch default)
+    def run(joinType: String, sink: String): Map[String, Option[String]] = {
+      val evMem = MemoryStream[(String, Timestamp, String)]
+      val upMem = MemoryStream[(String, Timestamp, String)]
+      val out = TemporalJoin.enrich(
+        evMem.toDS().toDF("key", "ts", "data"),
+        upMem.toDS().toDF("key", "ts", "data"),
+        watermarkDelay = "0 seconds",
+        joinType = joinType,
+        toleranceUs = Some(60L * 1000000L)) // 60 s window
+      val q = out.writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try {
+        upMem.addData(("k", ts("2026-01-01 10:00:00"), "u1"))
+        evMem.addData(("k", ts("2026-01-01 10:00:30"), "near"),   // 30s stale: in window
+                      ("k", ts("2026-01-01 10:05:00"), "far"),    // 5min stale: out
+                      ("x", ts("2026-01-01 10:01:00"), "nokey"))  // no floor at all
+        q.processAllAvailable()
+        // ripen everything on both inputs
+        evMem.addData(("z", ts("2026-01-01 11:00:00"), "wm"))
+        upMem.addData(("z", ts("2026-01-01 11:00:00"), "wm"))
+        q.processAllAvailable()
+        evMem.addData(("z", ts("2026-01-01 11:30:00"), "wm2"))
+        upMem.addData(("z", ts("2026-01-01 11:30:00"), "wm2"))
+        q.processAllAvailable()
+        spark.table(sink).as[TemporalJoin.TOut].collect()
+          .filter(o => Set("near", "far", "nokey")(o.data))
+          .map(o => o.data -> o.asof_data).toMap
+      } finally q.stop()
+    }
+    val outer = run("left_outer", "temporal_tol_outer")
+    assert(outer("near").contains("u1"), s"in-window event must match: $outer")
+    assert(outer.get("far").exists(_.isEmpty),
+      s"out-of-window event must emit None under left_outer: $outer")
+    assert(outer.get("nokey").exists(_.isEmpty), s"floorless event must emit None: $outer")
+    val inner = run("inner", "temporal_tol_inner")
+    assert(inner == Map("near" -> Some("u1")),
+      s"inner must drop out-of-window and floorless events, got $inner")
+    intercept[IllegalArgumentException] {
+      TemporalJoin.enrich(
+        MemoryStream[(String, Timestamp, String)].toDS().toDF("key", "ts", "data"),
+        MemoryStream[(String, Timestamp, String)].toDS().toDF("key", "ts", "data"),
+        joinType = "full_outer")
+    }
+  }
+
+  test("temporal as-of: ripening event matches before tolerance pruning evicts its floor") {
+    implicit val sqlCtx = spark.sqlContext
+    // watermark-expiry vs tolerance: an event whose floor update is
+    // in-window for IT but already older than (watermark - tolerance)
+    // when it ripens must still match — matching runs before the
+    // tolerance prune within the batch. A later out-of-window event
+    // then sees the pruned state and gets None, which tolerance
+    // semantics would dictate anyway: pruning is invisible to results.
+    val evMem = MemoryStream[(String, Timestamp, String)]
+    val upMem = MemoryStream[(String, Timestamp, String)]
+    val out = TemporalJoin.enrich(
+      evMem.toDS().toDF("key", "ts", "data"),
+      upMem.toDS().toDF("key", "ts", "data"),
+      watermarkDelay = "0 seconds",
+      toleranceUs = Some(30L * 60 * 1000000L)) // 30 min window
+    val q = out.writeStream.format("memory").queryName("temporal_tol_prune")
+      .outputMode("append").start()
+    try {
+      upMem.addData(("k", ts("2026-01-01 10:00:00"), "u1"))
+      evMem.addData(("z", ts("2026-01-01 10:20:00"), "wm"))
+      upMem.addData(("z", ts("2026-01-01 10:20:00"), "wm"))
+      q.processAllAvailable()
+      // event 25 min after u1 (in-window); still pending at wm=10:20
+      evMem.addData(("k", ts("2026-01-01 10:25:00"), "in-window"))
+      q.processAllAvailable()
+      // push the watermark to 11:00 — when the event ripens, u1 is
+      // 60 min < wm, i.e. outside EVERY future event's window and due
+      // for eviction, but it is still the ripening event's valid match
+      evMem.addData(("z", ts("2026-01-01 11:00:00"), "wm2"))
+      upMem.addData(("z", ts("2026-01-01 11:00:00"), "wm2"))
+      q.processAllAvailable()
+      evMem.addData(("z", ts("2026-01-01 11:30:00"), "wm3"))
+      upMem.addData(("z", ts("2026-01-01 11:30:00"), "wm3"))
+      q.processAllAvailable()
+      val got = spark.table("temporal_tol_prune").as[TemporalJoin.TOut].collect()
+      val inWindow = got.find(_.data == "in-window")
+      assert(inWindow.exists(_.asof_data.contains("u1")),
+        s"ripening event must match its in-window floor, got ${got.toSeq}")
+      // a later event far outside the window: None (floor evicted AND
+      // out-of-window — both paths agree)
+      evMem.addData(("k", ts("2026-01-01 11:40:00"), "late"))
+      q.processAllAvailable()
+      evMem.addData(("z", ts("2026-01-01 12:30:00"), "wm4"))
+      upMem.addData(("z", ts("2026-01-01 12:30:00"), "wm4"))
+      q.processAllAvailable()
+      evMem.addData(("z", ts("2026-01-01 13:00:00"), "wm5"))
+      upMem.addData(("z", ts("2026-01-01 13:00:00"), "wm5"))
+      q.processAllAvailable()
+      val late = spark.table("temporal_tol_prune").as[TemporalJoin.TOut].collect()
+        .find(_.data == "late")
+      assert(late.exists(_.asof_data.isEmpty),
+        s"out-of-window late event must emit None, got $late")
+    } finally q.stop()
+  }
+
   test("temporal as-of enrichment is microsecond-exact below the millisecond") {
     implicit val sqlCtx = spark.sqlContext
     val evMem = MemoryStream[(String, Timestamp, String)]
