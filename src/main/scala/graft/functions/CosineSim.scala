@@ -102,12 +102,28 @@ case class CosineSim(left: Expression, right: Expression)
 object CosineSim {
   val FnName = "graft_cosine"
 
-  /** Idempotently register the function in the session's registry and
-    * return a Column invoking it (avoids depending on Column↔Expression
-    * internals, which moved in the Spark 4 sql-api split). */
-  def cosine(s: SparkSession, a: Column, b: Column): Column = {
+  /** Registry builder with an arity check — the registry path (SQL
+    * text) can pass any argument count; type errors are handled by
+    * `checkInputDataTypes` at analysis. */
+  def build(exprs: Seq[Expression]): Expression = exprs match {
+    case Seq(a, b) => CosineSim(a, b)
+    case other => throw new IllegalArgumentException(
+      s"$FnName takes exactly 2 arguments, got ${other.length}")
+  }
+
+  /** Idempotently register the function in the session's SQL registry —
+    * after this, `SELECT graft_cosine(a, b)` works in plain SQL text on
+    * this session (the extensions path `GraftExtensions` installs the
+    * same builder at session build time). */
+  def register(s: SparkSession): Unit =
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
-      FnName, exprs => CosineSim(exprs.head, exprs(1)), "built-in")
+      FnName, build, "built-in")
+
+  /** Register and return a Column invoking the function (avoids
+    * depending on Column↔Expression internals, which moved in the
+    * Spark 4 sql-api split). */
+  def cosine(s: SparkSession, a: Column, b: Column): Column = {
+    register(s)
     call_function(FnName, a, b)
   }
 }

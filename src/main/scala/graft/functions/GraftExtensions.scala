@@ -60,16 +60,25 @@ object FoldSelfCosine extends Rule[LogicalPlan] {
 }
 
 /** One-stop library installation: optimizer rule + both custom planner
-  * strategies (per-group top-k, as-of join). A session built with
-  * `.withExtensions(new GraftExtensions)` (or
-  * `spark.sql.extensions=graft.functions.GraftExtensions`) plans
-  * `TopKPerGroup` and `AsOfJoin` nodes without the DataFrame helpers'
-  * call-time registration — the helpers keep their idempotent
-  * `experimental.extraStrategies` fallback so either path works. */
+  * strategies (per-group top-k, as-of join) + the SQL function registry
+  * entries. A session built with `.withExtensions(new GraftExtensions)`
+  * (or `spark.sql.extensions=graft.functions.GraftExtensions`) plans
+  * `TopKPerGroup` and `AsOfJoin` nodes and resolves `graft_cosine` from
+  * plain SQL text without the DataFrame helpers' call-time
+  * registration — the helpers keep their idempotent fallbacks
+  * (`experimental.extraStrategies`, `createOrReplaceTempFunction`) so
+  * either path works. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => FoldSelfCosine)
     e.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
     e.injectPlannerStrategy(_ => graft.plans.AsOfStrategy)
+    // SQL front door for the codegen expression: a SQL-first session
+    // reaches the engine's similarity kernel as `graft_cosine(a, b)`
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier(CosineSim.FnName),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[CosineSim].getCanonicalName, CosineSim.FnName),
+      CosineSim.build _))
   }
 }

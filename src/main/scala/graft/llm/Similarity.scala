@@ -401,6 +401,49 @@ object Similarity {
       |      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.35
       |ORDER BY id1, id2""".stripMargin
 
+  /** q125: the SQL FRONT DOOR to the codegen cosine kernel — the whole
+    * query is SQL TEXT calling `graft_cosine` (registered in the
+    * session's function registry; a session built with
+    * `GraftExtensions` has it from birth, any other session gets it
+    * from the idempotent `CosineSim.register`). Grades that the
+    * registry path and the Column path bind the same expression: the
+    * top-20 most similar vector pairs among vec_id < 50, ranked before
+    * rounding with a full (sim, id1, id2) tie-break.
+    *
+    * The global (un-partitioned) rank is a single-task sort of the
+    * ~1.2k pair rows AFTER the per-pair kernel ran distributed — fine
+    * here and at 100 TB only because the pair set is pre-bounded; an
+    * unbounded version would use `TopK.perGroup` (q86/q106's operator)
+    * instead of a global window. */
+  def q125CosineSqlPairs(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.CosineSim.register(s)
+    vecs(s, dir).select(col("vec_id"), col("v")).filter(col("vec_id") < 50)
+      .createOrReplaceTempView("graft_q125_vecs")
+    s.sql(
+      """SELECT rn AS rank, id1, id2, round(sim, 4) AS sim FROM (
+        |  SELECT id1, id2, sim,
+        |    row_number() OVER (ORDER BY sim DESC, id1 ASC, id2 ASC) AS rn
+        |  FROM (
+        |    SELECT a.vec_id AS id1, b.vec_id AS id2, graft_cosine(a.v, b.v) AS sim
+        |    FROM graft_q125_vecs a JOIN graft_q125_vecs b ON a.vec_id < b.vec_id) p) t
+        |WHERE rn <= 20 ORDER BY rank""".stripMargin)
+  }
+
+  val q125Sql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      |           FROM embeddings WHERE vec_id < 50),
+      |p AS (
+      |  SELECT a.vec_id AS id1, b.vec_id AS id2,
+      |    list_dot_product(a.v, b.v)
+      |      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS sim
+      |  FROM e a JOIN e b ON a.vec_id < b.vec_id),
+      |ranked AS (
+      |  SELECT id1, id2, sim,
+      |    row_number() OVER (ORDER BY sim DESC, id1 ASC, id2 ASC) AS rn
+      |  FROM p)
+      |SELECT rn AS rank, id1, id2, round(sim, 4) AS sim
+      |FROM ranked WHERE rn <= 20 ORDER BY rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q36_cosine_topk"    -> (q36CosineTopk _),
     "q37_vec_norms"      -> (q37VecNorms _),
@@ -409,6 +452,7 @@ object Similarity {
     "q66_ann_ivf"        -> (q66AnnIvf _),
     "q104_cosine_dups"   -> (q104CosineDups _),
     "q111_ann_md5"       -> (q111AnnMd5 _),
+    "q125_cosine_sql"    -> (q125CosineSqlPairs _),
   )
 
   // def, not val: q39's oracle SQL is synthesized from the ACTIVE
@@ -424,5 +468,6 @@ object Similarity {
     "q66_ann_ivf"        -> q66Sql,
     "q104_cosine_dups"   -> q104Sql,
     "q111_ann_md5"       -> q111Sql,
+    "q125_cosine_sql"    -> q125Sql,
   )
 }

@@ -102,7 +102,7 @@ object TextOps {
   def q32QualityScore(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, dir)
-      .withColumn("toks", regexp_extract_all(lower($"text"), lit("\\S+"), lit(0)))
+      .withColumn("toks", tokens($"text"))
       .withColumn("n_tokens", size($"toks"))
       .withColumn("n_stop", size(expr(s"filter(toks, x -> x IN $stopSqlList)")))
       .withColumn("stop_ratio",
@@ -171,8 +171,9 @@ object TextOps {
     // the oracle but lose its prefix/length-ratio guarantee here.
     val tGen = t - 0.5e-4
     val docs = Tables.documents(s, dir)
-      .select($"doc_id", $"source",
-        array_distinct(regexp_extract_all(lower($"text"), lit("\\S+"), lit(0))).as("toks"))
+      // the SHARED tokenizer (tokens) — q34's token domain must move in
+      // lockstep with every other tokenizing query and its oracle SQL
+      .select($"doc_id", $"source", array_distinct(tokens($"text")).as("toks"))
       .withColumn("n", size($"toks"))
       .persist() // tokenization read 3×: dfreq, ordered, both verify sides
     // global document frequency — the canonical order (vocabulary-sized)
@@ -316,8 +317,7 @@ object TextOps {
   def q101Decontamination(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val sh = Tables.documents(s, dir)
-      .select($"doc_id", $"source",
-        regexp_extract_all(lower($"text"), lit("\\S+"), lit(0)).as("toks"))
+      .select($"doc_id", $"source", tokens($"text").as("toks"))
       .select($"doc_id", $"source", explode(Dedup.shingles($"toks")).as("sh"))
     val bench = sh.filter($"source" === "src0").select($"sh".as("bsh")).distinct()
     sh.filter($"source" =!= "src0")
@@ -443,7 +443,7 @@ object TextOps {
   def q115Repetition(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, dir)
-      .withColumn("toks", regexp_extract_all(lower($"text"), lit("\\S+"), lit(0)))
+      .withColumn("toks", tokens($"text"))
       .filter(size($"toks") >= 3)
       .withColumn("grams", expr(
         "zip_with(slice(toks, 1, size(toks) - 2), " +
@@ -501,7 +501,7 @@ object TextOps {
       .rowsBetween(Window.unboundedPreceding, -1)
     Tables.documents(s, dir)
       .select($"doc_id", pmod($"doc_id", lit(8)).as("shard"),
-        size(regexp_extract_all(lower($"text"), lit("\\S+"), lit(0))).as("n_tok"))
+        size(tokens($"text")).as("n_tok"))
       .withColumn("cum_before", coalesce(sum($"n_tok").over(w), lit(0L)))
       .withColumn("pack_id", floor($"cum_before" / budget).cast("int"))
       .groupBy($"shard", $"pack_id")

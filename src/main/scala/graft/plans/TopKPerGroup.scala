@@ -240,8 +240,7 @@ object TopK {
     import org.apache.spark.sql.functions._
     val stop = "('the','a','an','of','and','to','in','is','it','for')"
     val scored = graft.Tables.documents(s, dir)
-      .withColumn("toks",
-        expr("regexp_extract_all(lower(text), '\\\\S+', 0)"))
+      .withColumn("toks", graft.llm.TextOps.tokens(col("text")))
       .withColumn("stop_ratio",
         round(expr(s"size(filter(toks, x -> x IN $stop))").cast("double") /
           size(col("toks")), 4))

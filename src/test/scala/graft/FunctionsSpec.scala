@@ -40,6 +40,30 @@ class FunctionsSpec extends AnyFunSuite {
     // AsOfJoinSpec on the plain shared session)
   }
 
+  test("extensions-built session resolves graft_cosine from pure SQL text") {
+    import org.apache.spark.sql.graftshim.GraftSqlShim
+    val s2 = GraftSqlShim.sessionWithExtensions(
+      spark, new graft.functions.GraftExtensions().apply(_),
+      Map("spark.sql.shuffle.partitions" -> "4"))
+    // no CosineSim.register / cosine() call on s2 — the injectFunction
+    // entry alone must make the SQL text resolve
+    val got = s2.sql(
+      "SELECT graft_cosine(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c")
+      .collect().head.getDouble(0)
+    assert(got == 1.0)
+    // arity errors surface at analysis with the function's own message
+    val err = intercept[Exception] {
+      s2.sql("SELECT graft_cosine(array(1.0D))").collect()
+    }
+    assert(err.getMessage.contains("2 arguments"), err.getMessage)
+    // the plain shared session is untouched by s2's registry: the
+    // fallback path (register) still governs it
+    graft.functions.CosineSim.register(spark)
+    assert(spark.sql(
+      "SELECT graft_cosine(array(0.0D, 2.0D), array(0.0D, 1.0D)) AS c")
+      .collect().head.getDouble(0) == 1.0)
+  }
+
   test("FoldSelfCosine rule folds graft_cosine(x,x) away") {
     spark.experimental.extraOptimizations =
       spark.experimental.extraOptimizations :+ FoldSelfCosine
