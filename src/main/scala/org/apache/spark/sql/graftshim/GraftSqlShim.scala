@@ -55,25 +55,49 @@ object GraftSqlShim {
     * `spark.sql.legacy.parquet.nanosAsLong` conf (schema inference
     * consults only the session conf, so a per-read option cannot do it,
     * and the set/restore window races concurrent reads on the same
-    * session). `path` may be a data file or a directory of part files;
-    * footers are assumed uniform (single-writer dataset — true of every
-    * driver-generated table). Named arguments keep the call safe
-    * against constructor-parameter reordering across Spark versions. */
+    * session). `path` may be a data file or a flat directory of part
+    * files. The flat-uniform assumption is CHECKED, not trusted: a
+    * directory with subdirectories (a partitioned layout, which needs
+    * partition discovery this fast path deliberately skips) is rejected
+    * outright, and when several data files exist a second footer is
+    * sampled and must match the first — a schema-evolved dataset fails
+    * loudly instead of silently winning with whichever file listed
+    * first. Named arguments keep the call safe against
+    * constructor-parameter reordering across Spark versions. */
   def parquetFooterSchema(spark: SparkSession, path: String,
                           nanosAsLong: Boolean): org.apache.spark.sql.types.StructType = {
     val hconf = spark.sessionState.newHadoopConf()
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(hconf)
-    val file =
-      if (!fs.getFileStatus(p).isDirectory) p
-      else fs.listStatus(p).collectFirst {
-        case st if st.isFile && !st.getPath.getName.startsWith("_") &&
-          !st.getPath.getName.startsWith(".") => st.getPath
-      }.getOrElse(throw new IllegalArgumentException(s"no data files under $path"))
-    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
-      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, hconf))
-    val message =
+    val (file, sampled) =
+      if (!fs.getFileStatus(p).isDirectory) (p, None)
+      else {
+        val visible = fs.listStatus(p).filterNot { st =>
+          val n = st.getPath.getName
+          n.startsWith("_") || n.startsWith(".")
+        }
+        val dirs = visible.filter(_.isDirectory)
+        if (dirs.nonEmpty) throw new IllegalArgumentException(
+          s"$path contains subdirectories (e.g. ${dirs.head.getPath.getName}): " +
+            "partitioned layouts need partition discovery — read them with " +
+            "spark.read.parquet and session-level conf instead of the footer fast path")
+        val data = visible.filter(_.isFile).map(_.getPath)
+        if (data.isEmpty) throw new IllegalArgumentException(s"no data files under $path")
+        (data.head, if (data.length > 1) Some(data.last) else None)
+      }
+    def footer(f: org.apache.hadoop.fs.Path) = {
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, hconf))
       try reader.getFooter.getFileMetaData.getSchema finally reader.close()
+    }
+    val message = footer(file)
+    sampled.foreach { f2 =>
+      val m2 = footer(f2)
+      if (m2 != message) throw new IllegalArgumentException(
+        s"non-uniform parquet footers under $path (${file.getName} vs " +
+          s"${f2.getName}): schema-evolved datasets need mergeSchema, " +
+          "not the footer fast path")
+    }
     new org.apache.spark.sql.execution.datasources.parquet.ParquetToSparkSchemaConverter(
       nanosAsLong = nanosAsLong).convert(message)
   }

@@ -270,6 +270,59 @@ class AsOfJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("every direction × joinType × tolerance combination matches the window " +
+      "formulation on duplicate-heavy timestamps under AQE coalescing") {
+    // the round-7 surface's interplay audit: duplicate (key, time) rows
+    // on BOTH sides (≈12 left rows and ≈8 right rows per (key, time)
+    // cell), keys spanning partition boundaries, AQE coalescing active —
+    // all 8 knob combinations against the generalized window reference
+    def windowRef(left: DataFrame, right: DataFrame, forward: Boolean,
+                  outer: Boolean, tol: Option[Long]): DataFrame = {
+      val dir = if (forward) $"rt" >= $"lt" else $"rt" <= $"lt"
+      val win = tol.map(t =>
+        if (forward) $"rt" <= $"lt" + t else $"rt" >= $"lt" - t)
+        .getOrElse(lit(true))
+      val ord = if (forward) Seq($"rt".asc, $"rid".asc) else Seq($"rt".desc, $"rid".desc)
+      val w = Window.partitionBy($"lid").orderBy(ord: _*)
+      left.join(right, $"lk" === $"rk" && dir && win,
+          if (outer) "left_outer" else "inner")
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"lid", $"rid")
+    }
+    val aqeKeys = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1048576")
+    val saved = aqeKeys.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      aqeKeys.foreach { case (k, v) => spark.conf.set(k, v) }
+      val left = (0 until 600).map(i =>
+        (i.toLong, (i % 5).toLong, ((i * 7) % 10).toLong)).toDF("lid", "lk", "lt")
+      val right = (0 until 400).map(j =>
+        ((j + 1000).toLong, (j % 7).toLong, ((j * 3) % 10).toLong)).toDF("rid", "rk", "rt")
+      for {
+        forward <- Seq(false, true)
+        outer <- Seq(false, true)
+        tol <- Seq(None, Some(2L))
+      } {
+        val expected = pairsOpt(windowRef(left, right, forward, outer, tol))
+        val got = pairsOpt(plans.AsOf.join(left, right,
+            Seq("lk"), Seq("rk"), "lt", "rt", Seq("rid"),
+            direction = if (forward) "forward" else "backward",
+            joinType = if (outer) "left_outer" else "inner",
+            tolerance = tol)
+          .select($"lid", $"rid"))
+        assert(got == expected,
+          s"forward=$forward outer=$outer tol=$tol: " +
+            s"missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+      }
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("operator preserves clustering: downstream same-key groupBy adds no exchange") {
     val left = (0 until 100).map(i => (i.toLong, (i % 7).toLong, i.toLong))
       .toDF("lid", "lk", "lt")

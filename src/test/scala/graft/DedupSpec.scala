@@ -177,6 +177,43 @@ class DedupSpec extends AnyFunSuite {
     assert(m("dropped_pairs") == 4L * (100L * 99L / 2L), m.toString)
   }
 
+  test("drop metrics stay single-counted when the observed subtree is duplicated " +
+      "(exchange reuse disabled)") {
+    // The capped bucket table feeds BOTH sides of the self-join, so the
+    // observe subtree appears twice in the plan. With exchange reuse on,
+    // one copy executes; with it OFF, both copies execute — but each
+    // planned copy carries its OWN accumulator and observedMetrics is
+    // name-keyed, so the reported value is a single execution's count
+    // either way. This pins that no plan shape double-reports the
+    // monitored-cap contract.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.exchange.reuse", "false")
+    import s2.implicits._
+    val boiler = (100L until 200L).map(i =>
+      (i, "identical boilerplate template text repeated across many documents verbatim every time"))
+    val docs = (Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and runs far away home tonight"),
+      (2L, "the quick brown fox jumps over the lazy cat and runs far away home tonight")) ++ boiler)
+      .toDF("doc_id", "text")
+      .withColumn("toks", regexp_extract_all(lower($"text"), lit("\\S+"), lit(0)))
+    val sigs = docs
+      .withColumn("sh", Dedup.shingles($"toks"))
+      .select($"doc_id", Dedup.minhashSig($"sh").as("sig"))
+    val pairsDf = Dedup.lshCandidates(sigs, maxWidth = 64)
+    pairsDf.collect()
+    val m = DropMetrics.read(pairsDf, DropMetrics.LshDrops)
+    assert(m("dropped_buckets") == 8L && m("dropped_rows") == 800L &&
+      m("dropped_pairs") == 39600L, m.toString)
+    val sh2 = (Seq((1L, 0x7777000011112222L), (2L, 0x7777000011112223L)) ++
+      (100L until 200L).map(i => (i, 0x0123456789ABCDEFL)))
+      .toDF("doc_id", "simhash")
+    val p2 = Dedup.simhashChunkPairs(sh2)
+    p2.collect()
+    val m2 = DropMetrics.read(p2, DropMetrics.SimhashDrops)
+    assert(m2("dropped_buckets") == 4L && m2("dropped_rows") == 400L &&
+      m2("dropped_pairs") == 19800L, m2.toString)
+  }
+
   test("q122 incremental dedup: verdicts partition the batch exactly") {
     val out = Dedup.q122IncrementalDedup(spark, sf).collect()
     assert(out.nonEmpty)

@@ -125,6 +125,33 @@ class RobustnessSpec extends AnyFunSuite {
     assert(ts.startsWith("20"), s"implausible ts $ts")
   }
 
+  test("footer fast path: uniform multi-file ok; partitioned and schema-evolved layouts rejected") {
+    import org.apache.spark.sql.graftshim.GraftSqlShim
+    import spark.implicits._
+    // uniform multi-file directory: fine (and the second footer sampled)
+    val uni = java.nio.file.Files.createTempDirectory("graft-fp1").toString + "/t.parquet"
+    Seq((1L, 10L), (2L, 20L)).toDF("id", "v").repartition(2)
+      .write.mode("overwrite").parquet(uni)
+    val sch = GraftSqlShim.parquetFooterSchema(spark, uni, nanosAsLong = true)
+    assert(sch.fieldNames.toSet == Set("id", "v"))
+    // partitioned layout (subdirectories): rejected, not silently mis-schemad
+    val part = java.nio.file.Files.createTempDirectory("graft-fp2").toString + "/t.parquet"
+    Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("id", "p", "v")
+      .write.partitionBy("p").mode("overwrite").parquet(part)
+    val e1 = intercept[IllegalArgumentException] {
+      GraftSqlShim.parquetFooterSchema(spark, part, nanosAsLong = true)
+    }
+    assert(e1.getMessage.contains("subdirectories"), e1.getMessage)
+    // schema drift across part files: the sampled second footer catches it
+    val drift = java.nio.file.Files.createTempDirectory("graft-fp3").toString + "/t.parquet"
+    Seq((1L, 10L)).toDF("id", "v").write.mode("overwrite").parquet(drift)
+    Seq((2L, "s")).toDF("id", "v").repartition(1).write.mode("append").parquet(drift)
+    val e2 = intercept[IllegalArgumentException] {
+      GraftSqlShim.parquetFooterSchema(spark, drift, nanosAsLong = true)
+    }
+    assert(e2.getMessage.contains("non-uniform"), e2.getMessage)
+  }
+
   test("events reader rejects an unsupported ts type explicitly") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-ts3").toString
