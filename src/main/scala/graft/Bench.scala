@@ -84,9 +84,16 @@ object Bench {
       "SPARK_GRAFT_BENCH_OUT",
       java.nio.file.Paths.get(cwd, "BENCH_local_full.json").toString)
     persist(fullPath)
-    // Only a COMPLETE catalog run may claim a round snapshot — a
-    // SPARK_GRAFT_ONLY-filtered iteration run must not shadow one.
-    if (only.isEmpty) {
+    // Only a CANONICAL complete-catalog run may claim a round snapshot:
+    // not a SPARK_GRAFT_ONLY-filtered iteration run, not a redirected
+    // (SPARK_GRAFT_BENCH_OUT) run, and not a run against a non-default
+    // dataset (e.g. the make_scaled.py 3x study) — any of those stamping
+    // BENCH_full_r{N}.json would poison the round's record with numbers
+    // that are not the round's sf0.1 catalog timings.
+    val canonical = only.isEmpty &&
+      sys.env.get("SPARK_GRAFT_BENCH_OUT").isEmpty &&
+      sfDir == "/root/testdata/sf0.1"
+    if (canonical) {
       val tails = Option(new java.io.File(cwd).list()).getOrElse(Array.empty)
         .flatMap { n =>
           val m = "BENCH_r(\\d+)\\.json".r

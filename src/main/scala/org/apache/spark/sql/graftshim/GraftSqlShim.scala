@@ -59,18 +59,21 @@ object GraftSqlShim {
     * files. The flat-uniform assumption is CHECKED, not trusted: a
     * directory with subdirectories (a partitioned layout, which needs
     * partition discovery this fast path deliberately skips) is rejected
-    * outright, and when several data files exist a second footer is
-    * sampled and must match the first — a schema-evolved dataset fails
-    * loudly instead of silently winning with whichever file listed
-    * first. Named arguments keep the call safe against
-    * constructor-parameter reordering across Spark versions. */
+    * outright, and the other data files' footers must match the
+    * first — ALL of them when the directory holds up to 16 files (every
+    * driver table), else 16 evenly-spaced samples (a bounded driver-side
+    * cost on huge directories; a drift the sampling misses is possible
+    * there, which is the documented residual trade versus mergeSchema).
+    * Named arguments keep the call safe against constructor-parameter
+    * reordering across Spark versions. */
   def parquetFooterSchema(spark: SparkSession, path: String,
                           nanosAsLong: Boolean): org.apache.spark.sql.types.StructType = {
     val hconf = spark.sessionState.newHadoopConf()
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(hconf)
     val (file, sampled) =
-      if (!fs.getFileStatus(p).isDirectory) (p, None)
+      if (!fs.getFileStatus(p).isDirectory)
+        (p, Seq.empty[org.apache.hadoop.fs.Path])
       else {
         val visible = fs.listStatus(p).filterNot { st =>
           val n = st.getPath.getName
@@ -83,7 +86,14 @@ object GraftSqlShim {
             "spark.read.parquet and session-level conf instead of the footer fast path")
         val data = visible.filter(_.isFile).map(_.getPath)
         if (data.isEmpty) throw new IllegalArgumentException(s"no data files under $path")
-        (data.head, if (data.length > 1) Some(data.last) else None)
+        // uniformity witnesses: every file for small directories, 16
+        // evenly-spaced (first + last included) for large ones
+        val maxChecks = 16
+        val others =
+          if (data.length <= maxChecks) data.tail.toSeq
+          else (1 until maxChecks).map(i =>
+            data(((i.toLong * (data.length - 1)) / (maxChecks - 1)).toInt))
+        (data.head, others)
       }
     def footer(f: org.apache.hadoop.fs.Path) = {
       val reader = org.apache.parquet.hadoop.ParquetFileReader.open(

@@ -142,10 +142,13 @@ class RobustnessSpec extends AnyFunSuite {
       GraftSqlShim.parquetFooterSchema(spark, part, nanosAsLong = true)
     }
     assert(e1.getMessage.contains("subdirectories"), e1.getMessage)
-    // schema drift across part files: the sampled second footer catches it
+    // schema drift across part files is caught WHEREVER the drifted
+    // file lists (all footers are checked at this directory size): one
+    // drifted writer among three, in arbitrary listing order
     val drift = java.nio.file.Files.createTempDirectory("graft-fp3").toString + "/t.parquet"
     Seq((1L, 10L)).toDF("id", "v").write.mode("overwrite").parquet(drift)
     Seq((2L, "s")).toDF("id", "v").repartition(1).write.mode("append").parquet(drift)
+    Seq((3L, 30L)).toDF("id", "v").repartition(1).write.mode("append").parquet(drift)
     val e2 = intercept[IllegalArgumentException] {
       GraftSqlShim.parquetFooterSchema(spark, drift, nanosAsLong = true)
     }
