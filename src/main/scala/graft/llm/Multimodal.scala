@@ -8,13 +8,21 @@ import graft.Tables
   * image/audio/video as opaque `binary` columns with typed metadata,
   * plus decode / feature-extract / resize / frame-sample operators.
   *
-  * The actual codec call is STUBBED (this container has no image/audio
-  * libraries): `FakeCodec` derives deterministic "pixels" from the
-  * payload bytes. Everything around the stub — the media schema, the
-  * `mapPartitions` batch shape (decoder state amortized per partition,
-  * exactly how a JNI/FFI codec would be held), the feature-vector
-  * output feeding `Similarity`, and the metadata transforms — is real
-  * Spark plumbing and is tested.
+  * The codec is REAL (round-8; previously an honest stub): image rows
+  * carry binary PPM (P6) containers and audio rows RIFF/WAV PCM16,
+  * built and parsed by the zero-dependency [[MediaCodec]]. Features
+  * come from the DECODED payload region — the PPM pixel block after a
+  * fully-parsed header, the WAV `data` chunk located by walking the
+  * RIFF chunk list — so a corrupted header fails loudly instead of
+  * averaging header bytes into features. Video rows stay raw payloads
+  * (`raw/v1`): no sane video container is pure-JVM-decodable, and the
+  * frame operators are metadata arithmetic anyway.
+  *
+  * The payload regions are deterministic functions of the document
+  * text (pixels = the text's UTF-8 bytes truncated to 3·⌊n/3⌋, PCM =
+  * truncated to 2·⌊n/2⌋), which keeps q52 DIRECTLY hash-graded: the
+  * DuckDB oracle rebuilds the container arithmetic (header sizes,
+  * payload slices) without needing to hex-decode actual binaries.
   *
   * Scale: payloads stay opaque bytes end-to-end (no driver collect, no
   * string conversion); per-partition decoding keeps codec init off the
@@ -26,78 +34,87 @@ object Multimodal {
   case class MediaRow(
       media_id: Long,
       kind: String,          // image | audio | video
-      content: Array[Byte],  // opaque payload
+      content: Array[Byte],  // real container bytes (PPM / WAV / raw)
       width: Int, height: Int,
       sample_rate: Int, duration_ms: Long, format: String)
 
   case class MediaFeatures(
       media_id: Long,
       kind: String,
-      n_bytes: Int,
-      features: Seq[Double]) // FeatureDim-bin normalized byte histogram
+      n_bytes: Int,          // container size, header included
+      features: Seq[Double]) // FeatureDim-bin histogram of DECODED payload
 
-  val FeatureDim = 16
+  val FeatureDim: Int = MediaCodec.FeatureDim
 
-  /** STUB — deterministic stand-in for the real decoder. A production
-    * build replaces this object with an FFI codec (libjpeg/ffmpeg …)
-    * initialized once per partition; the call signature (bytes in,
-    * fixed-width features out) and determinism contract are the real
-    * interface. */
-  object FakeCodec {
-    /** "Decode" = normalized 16-bin histogram of payload bytes. */
-    def features(bytes: Array[Byte]): Array[Double] = {
-      val hist = new Array[Double](FeatureDim)
-      var i = 0
-      while (i < bytes.length) {
-        hist((bytes(i) & 0xFF) * FeatureDim / 256) += 1.0
-        i += 1
-      }
-      val n = math.max(bytes.length, 1).toDouble
-      hist.map(_ / n)
-    }
-
-    /** "Resize" = metadata-only transform (a real codec would re-encode;
-      * the engine-side contract — new dims, same id — is identical). */
-    def resize(r: MediaRow, w: Int, h: Int): MediaRow =
-      r.copy(width = w, height = h)
-  }
-
-  /** Build a deterministic media table from the documents corpus: the
-    * text bytes are the opaque payload (varying, reproducible), kind
-    * cycles image/audio/video, metadata derived from n_chars. */
+  /** Build a deterministic media table from the documents corpus: real
+    * containers whose payload derives from the text bytes (varying,
+    * reproducible), kind cycling image/audio/video by doc_id. Image
+    * dims are the REAL container dims (⌊n/3⌋ × 1); audio duration is
+    * the REAL sample count at 16 kHz; video keeps the synthetic
+    * display metadata its frame operators consume. */
   def mediaTable(s: SparkSession, dir: String): Dataset[MediaRow] = {
     import s.implicits._
     Tables.documents(s, dir)
-      .select($"doc_id".as("media_id"),
-        element_at(array(lit("image"), lit("audio"), lit("video")),
-          (pmod($"doc_id", lit(3)) + 1).cast("int")).as("kind"),
-        $"text".cast("binary").as("content"),
-        (pmod($"doc_id", lit(640)) + 16).cast("int").as("width"),
-        (pmod($"doc_id", lit(480)) + 16).cast("int").as("height"),
-        lit(16000).as("sample_rate"),
-        ($"n_chars" * 40).as("duration_ms"),
-        lit("fake/v1").as("format"))
-      .as[MediaRow]
+      .select($"doc_id", $"text", $"n_chars")
+      .as[(Long, String, Long)]
+      .map { case (id, text, nChars) =>
+        val bytes =
+          if (text == null) Array.emptyByteArray
+          else text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        (id % 3) match {
+          case 0 =>
+            val w = bytes.length / 3
+            val content = MediaCodec.encodePpm(
+              java.util.Arrays.copyOf(bytes, w * 3), w, 1)
+            MediaRow(id, "image", content, w, 1, 16000, nChars * 40, "ppm/p6")
+          case 1 =>
+            val dataLen = bytes.length / 2 * 2
+            val content = MediaCodec.encodeWav(
+              java.util.Arrays.copyOf(bytes, dataLen), 16000)
+            val durMs = (dataLen / 2).toLong * 1000L / 16000L
+            MediaRow(id, "audio", content, 0, 0, 16000, durMs, "wav/pcm16")
+          case _ =>
+            MediaRow(id, "video", bytes,
+              (id % 640 + 16).toInt, (id % 480 + 16).toInt,
+              16000, nChars * 40, "raw/v1")
+        }
+      }
   }
 
-  /** Decode + feature-extract via mapPartitions: the decoder is touched
-    * once per partition (amortized init), rows stream through in one
-    * pass. */
+  /** Decode + feature-extract via mapPartitions: rows stream through in
+    * one pass (an FFI codec would hold its per-partition handle here).
+    * Empty/null content is empty media (all-zero features); a MALFORMED
+    * container errors with the media_id — quarantine-routing, not
+    * silent feature garbage. */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     val s = media.sparkSession
     import s.implicits._
     media.mapPartitions { it =>
-      // per-partition decoder handle would be created HERE in a real codec
-      val codec = FakeCodec
       it.map { r =>
-        // a NULL payload (e.g. a null text column cast to binary) is
-        // empty media, not a per-row NPE in the executor
         val bytes = if (r.content == null) Array.emptyByteArray else r.content
+        val payload =
+          if (bytes.isEmpty) bytes
+          else try r.kind match {
+            case "image" => MediaCodec.decodePpm(bytes).pixels
+            case "audio" => MediaCodec.decodeWav(bytes).data
+            case _       => bytes
+          } catch {
+            case e: IllegalArgumentException => throw new IllegalArgumentException(
+              s"media_id=${r.media_id} (${r.kind}): ${e.getMessage}", e)
+          }
         MediaFeatures(r.media_id, r.kind, bytes.length,
-          codec.features(bytes).toSeq)
+          MediaCodec.histogram(payload).toSeq)
       }
     }
   }
+
+  /** Resize an image row: decode → nearest-neighbor resample →
+    * re-encode (a REAL pixel transform); non-image rows keep their
+    * payload and only update the display metadata. */
+  def resize(r: MediaRow, w: Int, h: Int): MediaRow =
+    if (r.kind == "image")
+      r.copy(content = MediaCodec.resizePpm(r.content, w, h), width = w, height = h)
+    else r.copy(width = w, height = h)
 
   /** Frame sampling for video rows: one output row per sampled frame at
     * `fps`-spaced timestamps — pure relational explode on metadata, no
@@ -113,15 +130,16 @@ object Multimodal {
       .select($"media_id", $"frame_ms", $"width", $"height")
   }
 
-  /** q52: media feature extraction over the derived corpus. The corpus
-    * payloads are ASCII text bytes, which makes even the codec stub's
-    * output SQL-expressible — so q52 is DIRECTLY hash-graded (round 6),
-    * not rows-only: the oracle recomputes the byte histogram per doc in
-    * DuckDB (ord() per position == UTF-8 byte for ASCII). `f6` (bytes
-    * 96–111, the a–o lowercase range) varies per document and carries
-    * the grading signal; `feat_sum`/`f0` pin normalization and the
-    * empty-bin path. A real binary corpus loses the oracle but keeps
-    * MultimodalSpec's determinism/normalization invariants. */
+  /** q52: media feature extraction over the derived corpus — now
+    * through the REAL codec: the features histogram the decoded payload
+    * region (PPM pixel block / WAV data chunk), and n_bytes is the
+    * whole container. Still DIRECTLY hash-graded: the payload regions
+    * are deterministic text-byte slices and the header sizes are pure
+    * arithmetic (PPM: 10 + digits(⌊n/3⌋); WAV: 44), so the oracle
+    * restates both without hex-decoding binaries. `f6` (bytes 96–111,
+    * the a–o lowercase range) varies per document and carries the
+    * grading signal; `feat_sum`/`f0` pin normalization and the
+    * empty-bin path. */
   def q52MediaFeatures(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     extractFeatures(mediaTable(s, dir)).toDF()
@@ -132,27 +150,37 @@ object Multimodal {
       .orderBy($"media_id")
   }
 
-  /** q52 oracle: byte histogram restated over `documents`. Bins with no
-    * bytes are absent from the grouped rows; `+0.0` is the identity for
-    * the non-negative bin values, so `list_sum` over the present bins in
-    * bin order equals Spark's 16-element left fold bit-for-bit.
-    * Byte-exact, not char-exact: n and the bins come from the UTF-8
-    * encoding (`octet_length(encode(..))` + hex-pair extraction), the
-    * same bytes Spark's `cast(text AS binary)` feeds the codec — a
-    * `length(text)`/`ord()` restatement would diverge on the first
-    * multi-byte character. */
+  /** q52 oracle: the container arithmetic restated over `documents`.
+    * Per kind: image payload = first 3·⌊n/3⌋ text bytes inside a PPM
+    * whose header is `P6\n<w> 1\n255\n` (10 + digits(w) bytes); audio
+    * payload = first 2·⌊n/2⌋ bytes after the canonical 44-byte WAV
+    * header; video = the raw n bytes. Features histogram the PAYLOAD
+    * slice only — exactly what the decoder hands the kernel. Bins with
+    * no bytes are absent from the grouped rows; `+0.0` is the identity
+    * for the non-negative bin values, so `list_sum` over present bins
+    * in bin order equals Spark's 16-element left fold bit-for-bit.
+    * Byte-exact via `hex(encode(text))` slicing, not char functions. */
   val q52Sql: String =
     """WITH m AS (
       |  SELECT doc_id AS media_id,
       |    (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS kind,
       |    hex(encode(text)) AS hx, octet_length(encode(text)) AS n
       |  FROM documents),
-      |pos AS (SELECT media_id, hx, n,
-      |          unnest(generate_series(1, CAST(n AS INT))) AS i FROM m),
+      |d AS (
+      |  SELECT media_id, kind, hx,
+      |    CASE kind WHEN 'image' THEN 3 * (n // 3)
+      |              WHEN 'audio' THEN 2 * (n // 2)
+      |              ELSE n END AS data_len,
+      |    CASE kind WHEN 'image' THEN 10 + length(CAST(n // 3 AS VARCHAR)) + 3 * (n // 3)
+      |              WHEN 'audio' THEN 44 + 2 * (n // 2)
+      |              ELSE n END AS n_bytes
+      |  FROM m),
+      |pos AS (SELECT media_id, hx, data_len,
+      |          unnest(generate_series(1, CAST(data_len AS INT))) AS i FROM d),
       |bins AS (
-      |  SELECT media_id, bin, CAST(count(*) AS DOUBLE) / any_value(n) AS v
+      |  SELECT media_id, bin, CAST(count(*) AS DOUBLE) / any_value(data_len) AS v
       |  FROM (SELECT media_id,
-      |          ('0x' || substr(hx, 2 * CAST(i AS INT) - 1, 2))::INT // 16 AS bin, n
+      |          ('0x' || substr(hx, 2 * CAST(i AS INT) - 1, 2))::INT // 16 AS bin, data_len
       |        FROM pos) b
       |  GROUP BY media_id, bin),
       |h AS (
@@ -161,10 +189,10 @@ object Multimodal {
       |    round(coalesce(max(CASE WHEN bin = 0 THEN v END), 0.0), 6) AS f0,
       |    round(coalesce(max(CASE WHEN bin = 6 THEN v END), 0.0), 6) AS f6
       |  FROM bins GROUP BY media_id)
-      |SELECT m.media_id, m.kind, CAST(m.n AS INT) AS n_bytes,
+      |SELECT d.media_id, d.kind, CAST(d.n_bytes AS INT) AS n_bytes,
       |  coalesce(h.feat_sum, 0.0) AS feat_sum,
       |  coalesce(h.f0, 0.0) AS f0, coalesce(h.f6, 0.0) AS f6
-      |FROM m LEFT JOIN h USING (media_id) ORDER BY m.media_id""".stripMargin
+      |FROM d LEFT JOIN h USING (media_id) ORDER BY d.media_id""".stripMargin
 
   /** Frames-per-video accounting shared by q53 and q112 — one
     * definition so the two graded shapes cannot silently diverge from
@@ -183,16 +211,13 @@ object Multimodal {
     frameStats(mediaTable(s, dir)).orderBy($"media_id")
   }
 
-  /** q112: the deterministic multimodal path, oracle-graded — everything
-    * around the codec stub: the media-table derivation (kind cycle,
-    * width/height/duration metadata), payload byte length, and the
-    * frame-selection arithmetic, restated in DuckDB over `documents`.
-    * Only `FakeCodec.features` (the histogram that a real decoder
-    * replaces) stays outside the oracle; its plumbing columns
-    * (media_id, kind, n_bytes) are exactly the ones graded here, so a
-    * regression in the q52/q53 shape can no longer hide behind the
-    * rows-only check. Reference analogue: the nested report type in
-    * `agents/output-processor.md:35-61`. */
+  /** q112: the deterministic multimodal path, oracle-graded — the
+    * media-table derivation (kind cycle, per-kind container metadata:
+    * real PPM dims, real WAV duration, video display metadata),
+    * container byte length, and the frame-selection arithmetic,
+    * restated in DuckDB over `documents`. A regression in the q52/q53
+    * shape cannot hide behind a rows-only check. Reference analogue:
+    * the nested report type in `agents/output-processor.md:35-61`. */
   def q112MediaMeta(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // one mediaTable instance feeds both branches. The physical plan
@@ -213,16 +238,29 @@ object Multimodal {
   }
 
   val q112Sql: String =
-    """WITH m AS (
-      |  SELECT doc_id AS media_id,
+    """WITH raw AS (
+      |  SELECT doc_id,
       |    (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS kind,
-      |    CAST((doc_id % 640) + 16 AS INT) AS width,
-      |    CAST((doc_id % 480) + 16 AS INT) AS height,
-      |    CAST(16000 AS INT) AS sample_rate,
-      |    n_chars * 40 AS duration_ms,
-      |    'fake/v1' AS format,
-      |    CAST(octet_length(encode(text)) AS INT) AS n_bytes
+      |    n_chars, octet_length(encode(text)) AS n
       |  FROM documents),
+      |m AS (
+      |  SELECT doc_id AS media_id, kind,
+      |    CAST(CASE kind WHEN 'image' THEN n // 3
+      |                   WHEN 'audio' THEN 0
+      |                   ELSE (doc_id % 640) + 16 END AS INT) AS width,
+      |    CAST(CASE kind WHEN 'image' THEN 1
+      |                   WHEN 'audio' THEN 0
+      |                   ELSE (doc_id % 480) + 16 END AS INT) AS height,
+      |    CAST(16000 AS INT) AS sample_rate,
+      |    CASE kind WHEN 'audio' THEN ((n // 2) * 1000) // 16000
+      |              ELSE n_chars * 40 END AS duration_ms,
+      |    CASE kind WHEN 'image' THEN 'ppm/p6'
+      |              WHEN 'audio' THEN 'wav/pcm16'
+      |              ELSE 'raw/v1' END AS format,
+      |    CAST(CASE kind WHEN 'image' THEN 10 + length(CAST(n // 3 AS VARCHAR)) + 3 * (n // 3)
+      |                   WHEN 'audio' THEN 44 + 2 * (n // 2)
+      |                   ELSE n END AS INT) AS n_bytes
+      |  FROM raw),
       |f AS (
       |  SELECT media_id, count(*) AS n_frames, max(frame_ms) AS last_frame_ms
       |  FROM (SELECT media_id,

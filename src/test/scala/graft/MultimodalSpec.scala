@@ -1,7 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import graft.llm.Multimodal
+import graft.llm.{MediaCodec, Multimodal}
 
 class MultimodalSpec extends AnyFunSuite {
   import SparkTestSession.{spark, sf}
@@ -30,22 +30,85 @@ class MultimodalSpec extends AnyFunSuite {
   }
 
   test("null payload is empty media, not an executor NPE") {
+    val ppm = MediaCodec.encodePpm(Array[Byte](20, 25, 30), 1, 1)
     val rows = Seq(
-      Multimodal.MediaRow(1L, "image", null, 16, 16, 16000, 0L, "fake/v1"),
-      Multimodal.MediaRow(2L, "image", Array[Byte](1, 2), 16, 16, 16000, 0L, "fake/v1"))
+      Multimodal.MediaRow(1L, "image", null, 0, 0, 16000, 0L, "ppm/p6"),
+      Multimodal.MediaRow(2L, "image", ppm, 1, 1, 16000, 0L, "ppm/p6"))
     val out = Multimodal.extractFeatures(spark.createDataset(rows))
       .collect().map(f => f.media_id -> f).toMap
     assert(out(1L).n_bytes == 0)
     assert(out(1L).features.forall(_ == 0.0))
-    assert(out(2L).n_bytes == 2)
+    assert(out(2L).n_bytes == ppm.length)
+    // features histogram the three DECODED pixel bytes, not the header
+    assert(math.abs(out(2L).features.sum - 1.0) < 1e-9)
+    assert(out(2L).features(1) == 1.0) // 20, 25, 30 all land in bin 1 (16-31)
   }
 
-  test("resize stub keeps id and payload, changes dims only") {
-    val r = Multimodal.mediaTable(spark, sf).head()
-    val resized = Multimodal.FakeCodec.resize(r, 128, 64)
+  test("malformed container fails loudly with the media_id, not silent feature garbage") {
+    val rows = Seq(Multimodal.MediaRow(
+      7L, "image", Array[Byte]('X', 'Y', 1, 2, 3), 1, 1, 16000, 0L, "ppm/p6"))
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.extractFeatures(spark.createDataset(rows)).collect()
+    }
+    val root = e.getCause
+    assert(root != null && root.getMessage.contains("media_id=7"), s"got $root")
+    assert(root.getMessage.contains("bad magic"), root.getMessage)
+  }
+
+  test("resize re-encodes image pixels (real nearest-neighbor), metadata-only otherwise") {
+    val r = Multimodal.mediaTable(spark, sf).filter($"kind" === "image").head()
+    val resized = Multimodal.resize(r, 8, 4)
     assert(resized.media_id == r.media_id)
-    assert((resized.width, resized.height) == (128, 64))
-    assert(resized.content.sameElements(r.content))
+    assert((resized.width, resized.height) == (8, 4))
+    val dec = MediaCodec.decodePpm(resized.content)
+    assert((dec.width, dec.height) == (8, 4))
+    assert(dec.pixels.length == 8 * 4 * 3)
+    // resampled pixels come from the source image
+    val src = MediaCodec.decodePpm(r.content)
+    assert(dec.pixels.toSet.subsetOf(src.pixels.toSet + 0.toByte))
+    val a = Multimodal.mediaTable(spark, sf).filter($"kind" === "audio").head()
+    val ra = Multimodal.resize(a, 128, 64)
+    assert(ra.content.sameElements(a.content) && (ra.width, ra.height) == (128, 64))
+  }
+
+  test("MediaCodec: PPM round-trip, comment headers, corrupt inputs") {
+    val px = Array.tabulate[Byte](2 * 3 * 3)(i => (i * 7).toByte)
+    val enc = MediaCodec.encodePpm(px, 2, 3)
+    val dec = MediaCodec.decodePpm(enc)
+    assert((dec.width, dec.height, dec.maxVal) == (2, 3, 255))
+    assert(dec.pixels.sameElements(px))
+    // a header with comments and extra whitespace still parses (real grammar)
+    val commented = ("P6\n# made by a tool\n2 # width\n 3\n255\n".getBytes("US-ASCII") ++ px)
+    val dec2 = MediaCodec.decodePpm(commented)
+    assert((dec2.width, dec2.height) == (2, 3) && dec2.pixels.sameElements(px))
+    // truncated pixel block and bad magic both fail with precise messages
+    assert(intercept[IllegalArgumentException] {
+      MediaCodec.decodePpm(enc.dropRight(1))
+    }.getMessage.contains("truncated"))
+    assert(intercept[IllegalArgumentException] {
+      MediaCodec.decodePpm("P5\n1 1\n255\n".getBytes("US-ASCII"))
+    }.getMessage.contains("magic"))
+  }
+
+  test("MediaCodec: WAV round-trip, unknown chunks skipped, non-PCM rejected") {
+    val data = Array.tabulate[Byte](20)(i => (i * 13).toByte)
+    val enc = MediaCodec.encodeWav(data, 16000)
+    val dec = MediaCodec.decodeWav(enc)
+    assert((dec.sampleRate, dec.channels, dec.bitsPerSample) == (16000, 1, 16))
+    assert(dec.data.sameElements(data))
+    // splice an unknown odd-sized LIST chunk between fmt and data — the
+    // walker must skip it (and its pad byte) and still find the samples
+    val head = enc.take(36)            // RIFF..fmt chunk end
+    val tail = enc.drop(36)            // data chunk
+    val listChunk = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](3, 0, 0, 0) ++ Array[Byte](1, 2, 3, 0) // size 3 + pad
+    val spliced = head ++ listChunk ++ tail
+    assert(MediaCodec.decodeWav(spliced).data.sameElements(data))
+    // compressed (non-PCM) WAV is rejected, not mis-decoded
+    val mutated = enc.clone(); mutated(20) = 2 // audioFormat = 2 (ADPCM)
+    assert(intercept[IllegalArgumentException] {
+      MediaCodec.decodeWav(mutated)
+    }.getMessage.contains("PCM"))
   }
 
   test("frame sampling: frames only for video, count = duration/step + 1") {
