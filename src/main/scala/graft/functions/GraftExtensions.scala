@@ -73,12 +73,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectOptimizerRule(_ => FoldSelfCosine)
     e.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
     e.injectPlannerStrategy(_ => graft.plans.AsOfStrategy)
-    // SQL front door for the codegen expression: a SQL-first session
-    // reaches the engine's similarity kernel as `graft_cosine(a, b)`
+    // SQL front door for the codegen expressions: a SQL-first session
+    // reaches the engine's similarity and overlap kernels by name
     e.injectFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier(CosineSim.FnName),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[CosineSim].getCanonicalName, CosineSim.FnName),
       CosineSim.build _))
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier(SortedOverlapCount.FnName),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[SortedOverlapCount].getCanonicalName, SortedOverlapCount.FnName),
+      SortedOverlapCount.build _))
   }
 }

@@ -148,6 +148,55 @@ class FunctionsSpec extends AnyFunSuite {
     assert(FoldSelfCosine(plan).toString.contains("graft_cosine"))
   }
 
+  test("SortedOverlapCount equals size(array_intersect) on sorted distinct arrays") {
+    import graft.functions.SortedOverlapCount
+    // randomized-but-deterministic corpus: token sets of varied overlap
+    val rows = (0 until 200).map { i =>
+      val a = (0 until 20).map(k => s"t${(i * 7 + k * 3) % 60}").distinct
+      val b = (0 until 25).map(k => s"t${(i * 11 + k * 5) % 60}").distinct
+      (i.toLong, a, b)
+    }
+    val df = rows.toDF("id", "a", "b")
+      .select($"id",
+        array_sort(array_distinct($"a")).as("sa"),
+        array_sort(array_distinct($"b")).as("sb"))
+    val got = df.select($"id",
+        SortedOverlapCount.overlap(spark, $"sa", $"sb").as("o"),
+        size(array_intersect($"sa", $"sb")).as("ref"))
+      .collect()
+    got.foreach(r => assert(r.getInt(1) == r.getInt(2), s"id=${r.getLong(0)}"))
+    assert(got.exists(_.getInt(1) > 0) && got.exists(r => r.getInt(1) < 20))
+    // null-intolerance: null ARRAY → null out (BinaryExpression), but a
+    // null ELEMENT is corruption and must error
+    val withNullArr = Seq((1L, null.asInstanceOf[Seq[String]], Seq("x")))
+      .toDF("id", "a", "b")
+    assert(withNullArr.select(SortedOverlapCount.overlap(spark, $"a", $"b"))
+      .collect().head.isNullAt(0))
+    // the guard fires on VISITED slots — pair the null against a
+    // longer other side so the merge reaches it
+    val withNullElem = Seq((1L, Seq("a", null), Seq("a", "b"))).toDF("id", "a", "b")
+      // repartition keeps ConvertToLocalRelation from folding the
+      // projection before the assertion can observe the throw
+      .repartition(1)
+    val e = intercept[Exception] {
+      withNullElem.select(SortedOverlapCount.overlap(spark, $"a", $"b")).collect()
+    }
+    assert(e.getMessage != null)
+    // analysis-time type check
+    val typeErr = intercept[Exception] {
+      spark.range(1).select(SortedOverlapCount.overlap(spark,
+        array(lit(1), lit(2)), array(lit("x")))).collect()
+    }
+    assert(typeErr.getMessage.contains("array<string>"), typeErr.getMessage)
+    // SQL front door via the extensions-built session
+    import org.apache.spark.sql.graftshim.GraftSqlShim
+    val s2 = GraftSqlShim.sessionWithExtensions(
+      spark, new graft.functions.GraftExtensions().apply(_), Map.empty)
+    assert(s2.sql(
+      "SELECT graft_sorted_overlap(array('a','b','c'), array('b','c','d')) AS o")
+      .collect().head.getInt(0) == 2)
+  }
+
   test("SimhashAgg aggregator matches the column-wise simhash64 bit-for-bit") {
     val docs = Tables.documents(spark, sf).limit(50)
       .select($"doc_id", regexp_extract_all(lower($"text"), lit("\\S+"), lit(0)).as("toks"))
