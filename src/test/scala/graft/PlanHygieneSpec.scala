@@ -18,7 +18,9 @@ class PlanHygieneSpec extends AnyFunSuite {
     "q66_ann_ivf",         // broadcast of ~16 centroids
     "q79_scalar_subquery", // broadcast of a 1-row global average
     "q117_tfidf_terms",    // broadcast of the 1-row corpus doc count
-    "q118_mixture_rebalance") // broadcast of the 1-row min source size
+    "q118_mixture_rebalance", // broadcast of the 1-row min source size
+    "q125_cosine_sql")     // pre-bounded 50-row all-pairs self-join (q36's
+                           // brute-force shape through the SQL front door)
 
   test("no unintended cartesian products across the whole catalog") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
