@@ -49,13 +49,29 @@ object Bench {
       run(name, fn)
       Ckpt.sweep(spark) // free per-query blocks; memo caches are pinned
     }
+    // Median-of-N timing (default 3). A single-shot clock on a shared
+    // single-JVM box records whatever the GC/JIT/page-cache happened to
+    // do during that one pass — round 8's record carried four phantom
+    // ≥1.5x "regressions" that solo reruns showed were pure noise. The
+    // median of three passes discards the one disturbed run while still
+    // charging real, repeatable slowness all three times. Reps run
+    // back-to-back per query (not pass-by-pass over the catalog) so each
+    // query's three samples see the same cache/JIT state.
+    val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").map(_.toInt).getOrElse(3)
+      .max(1)
     val results = qs.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = run(name, fn)
-      val dt = (System.nanoTime() - t0) / 1e9
-      Ckpt.sweep(spark) // outside the timed window
-      // a failed query must be visibly failed, not a plausible duration
-      name -> (if (ok) dt else -1.0)
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        val ok = run(name, fn)
+        val dt = (System.nanoTime() - t0) / 1e9
+        Ckpt.sweep(spark) // outside the timed window
+        // a failed query must be visibly failed, not a plausible duration
+        if (ok) dt else -1.0
+      }
+      val dt =
+        if (times.exists(_ < 0)) -1.0
+        else times.sorted.apply(times.length / 2)
+      name -> dt
     }
     val failed = results.collect { case (k, v) if v < 0 => k }
     failed.foreach(n => System.err.println(s"BENCH FAILED: $n"))
