@@ -85,5 +85,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[SortedOverlapCount].getCanonicalName, SortedOverlapCount.FnName),
       SortedOverlapCount.build _))
+    // SQL front door for the whole-operator tiers: table-valued
+    // `graft_asof(...)` / `graft_topk(...)` resolve from query text to
+    // the custom logical nodes (and thence, via the strategies injected
+    // above, to AsOfJoinExec / TopKPerGroupExec)
+    graft.plans.GraftTableFunctions.descriptions.foreach(e.injectTableFunction)
   }
 }

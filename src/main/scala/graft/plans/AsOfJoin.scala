@@ -463,14 +463,64 @@ object AsOf {
       |      AND CAST(e.ts AS TIMESTAMP) <= CAST(o.o_orderdate AS TIMESTAMP) + INTERVAL 7 DAY) t
       |WHERE rn = 1 ORDER BY o_orderkey""".stripMargin
 
+  /** q126: the SQL FRONT DOOR to the as-of operator — the join itself is
+    * SQL TEXT through the `graft_asof` table function (q125's completion
+    * for the whole-operator tier): q113's attribution shape, so the
+    * text path is hash-graded against the same window-SQL oracle that
+    * grades the Scala path. Default knobs (backward, inner) exercised
+    * deliberately — the TVF's optional-argument tail is the contract
+    * under test; q128 grades the fully-specified tail. */
+  def q126AsofSql(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    GraftTableFunctions.register(s)
+    val ev = graft.Tables.events(s, dir)
+    ev.filter($"event_type" =!= "signup")
+      .select($"event_id", $"user_id", $"ts")
+      .createOrReplaceTempView("graft_q126_actions")
+    ev.filter($"event_type" === "signup")
+      .select($"event_id".as("signup_id"), $"user_id".as("su"), $"ts".as("su_ts"))
+      .createOrReplaceTempView("graft_q126_signups")
+    s.sql(
+      """SELECT event_id, signup_id
+        |FROM graft_asof('graft_q126_actions', 'graft_q126_signups',
+        |                'user_id', 'su', 'ts', 'su_ts', 'signup_id')
+        |ORDER BY event_id""".stripMargin)
+  }
+
+  /** q128: the front door with every knob spelled out in the text —
+    * q124's forward + left_outer + 7-day tolerance shape through
+    * `graft_asof`, so direction/joinType/tolerance all flow from SQL
+    * literals into the exec and are hash-graded against q124's oracle. */
+  def q128AsofSqlKnobs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    GraftTableFunctions.register(s)
+    graft.Tables.orders(s, dir)
+      .select($"o_orderkey", $"o_custkey",
+        $"o_orderdate".cast(org.apache.spark.sql.types.TimestampNTZType)
+          .as("o_orderdate"))
+      .createOrReplaceTempView("graft_q128_orders")
+    graft.Tables.events(s, dir).select($"event_id", $"user_id", $"ts")
+      .createOrReplaceTempView("graft_q128_events")
+    s.sql(
+      s"""SELECT o_orderkey, event_id
+         |FROM graft_asof('graft_q128_orders', 'graft_q128_events',
+         |                'o_custkey', 'user_id', 'o_orderdate', 'ts',
+         |                'event_id', 'forward', 'left_outer', $Q124TolUs)
+         |ORDER BY o_orderkey""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q113_asof_attribution" -> (q113AsofAttribution _),
     "q114_asof_forward"     -> (q114AsofForward _),
     "q123_asof_outer"       -> (q123AsofOuter _),
-    "q124_asof_tolerance"   -> (q124AsofTolerance _))
+    "q124_asof_tolerance"   -> (q124AsofTolerance _),
+    "q126_asof_sql"         -> (q126AsofSql _),
+    "q128_asof_sql_knobs"   -> (q128AsofSqlKnobs _))
   val oracle: Map[String, String] = Map(
     "q113_asof_attribution" -> q113Sql,
     "q114_asof_forward"     -> q114Sql,
     "q123_asof_outer"       -> q123Sql,
-    "q124_asof_tolerance"   -> q124Sql)
+    "q124_asof_tolerance"   -> q124Sql,
+    "q126_asof_sql"         -> q113Sql,
+    "q128_asof_sql_knobs"   -> q124Sql)
 }

@@ -292,12 +292,33 @@ object TopK {
       |  FROM documents) t
       |WHERE rn <= 5 ORDER BY source, h""".stripMargin
 
+  /** q127: the SQL FRONT DOOR to the per-group top-k operator — q86's
+    * shape with the operator invocation itself as SQL TEXT through the
+    * `graft_topk` table function, hash-graded against the same
+    * row_number() oracle as the Scala path. Order directions ride the
+    * text ('desc' on the price, default-asc tiebreak), so the orderSpec
+    * mini-grammar is under the gate too. */
+  def q127TopkSql(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    GraftTableFunctions.register(s)
+    graft.Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .createOrReplaceTempView("graft_q127_orders")
+    s.sql(
+      """SELECT o_custkey, o_orderkey, o_totalprice
+        |FROM graft_topk('graft_q127_orders', 3, 'o_custkey',
+        |                'o_totalprice desc, o_orderkey')
+        |ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q86_custom_topk"  -> (q86CustomTopk _),
     "q106_quality_topk" -> (q106QualityTopk _),
-    "q121_group_sample" -> (q121GroupSample _))
+    "q121_group_sample" -> (q121GroupSample _),
+    "q127_topk_sql"     -> (q127TopkSql _))
   val oracle: Map[String, String] = Map(
     "q86_custom_topk"  -> q86Sql,
     "q106_quality_topk" -> q106Sql,
-    "q121_group_sample" -> q121Sql)
+    "q121_group_sample" -> q121Sql,
+    "q127_topk_sql"     -> q86Sql)
 }

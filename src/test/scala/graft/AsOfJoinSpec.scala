@@ -337,4 +337,68 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(nExchanges == 2, s"expected 2 exchanges, got $nExchanges")
     assert(joinedAgg.count() > 0)
   }
+
+  // ---- SQL front door: the graft_asof table function ----
+
+  test("q126 SQL-text front door plans through AsOfJoinExec and matches the Scala path") {
+    val viaSql = plans.AsOf.q126AsofSql(spark, sf)
+    val planStr = viaSql.queryExecution.executedPlan.toString
+    assert(planStr.contains("AsOfJoin"), planStr.take(2000))
+    assert(!planStr.contains("SortMergeJoin") && !planStr.contains("BroadcastHashJoin"),
+      "the TVF must reach the native exec, not a fanout join")
+    val viaScala = plans.AsOf.q113AsofAttribution(spark, sf)
+    assert(viaSql.collect().toSeq == viaScala.collect().toSeq)
+  }
+
+  test("graft_asof passes direction/joinType/tolerance from SQL literals to the exec") {
+    val viaSql = plans.AsOf.q128AsofSqlKnobs(spark, sf)
+    assert(viaSql.queryExecution.executedPlan.toString.contains("AsOfJoin"))
+    val viaScala = plans.AsOf.q124AsofTolerance(spark, sf)
+    assert(viaSql.collect().toSeq == viaScala.collect().toSeq)
+  }
+
+  test("graft_asof self-join via two views over ONE plan re-aliases instead of mis-binding") {
+    // both views derive from the same analyzed plan, so without the
+    // TVF's right-side re-alias they would share attribute exprIds —
+    // the shape AsOf.join refuses because right columns would silently
+    // bind to their left twins. Through the TVF the join must run AND
+    // the right-side values must be genuinely the right row's.
+    plans.GraftTableFunctions.register(spark)
+    val base = Seq((1L, 7L, 5L), (2L, 7L, 10L)).toDF("id", "k", "t")
+    base.filter($"t" >= 10).createOrReplaceTempView("graft_asof_self_l")
+    base.filter($"t" < 10).createOrReplaceTempView("graft_asof_self_r")
+    val rows = spark.sql(
+      """SELECT * FROM graft_asof('graft_asof_self_l', 'graft_asof_self_r',
+        |                         'k', 'k', 't', 't')""".stripMargin).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert((r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(5)) ==
+      (2L, 10L, 1L, 5L), r.toString)
+  }
+
+  test("graft_asof argument errors carry the position and the usable hint") {
+    plans.GraftTableFunctions.register(spark)
+    Seq((1L, 1L)).toDF("a", "b").createOrReplaceTempView("graft_asof_args_t")
+    val badDir = intercept[Exception] {
+      spark.sql("""SELECT * FROM graft_asof('graft_asof_args_t', 'graft_asof_args_t',
+                  |  'a', 'a', 'b', 'b', '', 'sideways')""".stripMargin).collect()
+    }
+    assert(badDir.getMessage.contains("backward"), badDir.getMessage)
+    val noView = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_asof('graft_no_such_view', 'graft_asof_args_t', 'a', 'a', 'b', 'b')")
+        .collect()
+    }
+    assert(noView.getMessage.contains("graft_no_such_view"), noView.getMessage)
+    val nonLiteral = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_asof(a, 'graft_asof_args_t', 'a', 'a', 'b', 'b')")
+        .collect()
+    }
+    // either our "must be a string literal" or Spark's own unresolved error
+    assert(nonLiteral.getMessage != null)
+    val badArity = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_asof('graft_asof_args_t')").collect()
+    }
+    assert(badArity.getMessage.contains("6-10") ||
+      badArity.getMessage.toLowerCase.contains("argument"), badArity.getMessage)
+  }
 }

@@ -64,6 +64,25 @@ class FunctionsSpec extends AnyFunSuite {
       .collect().head.getDouble(0) == 1.0)
   }
 
+  test("extensions-built session resolves the graft_topk/graft_asof TVFs from pure SQL text") {
+    import org.apache.spark.sql.graftshim.GraftSqlShim
+    val s2 = GraftSqlShim.sessionWithExtensions(
+      spark, new graft.functions.GraftExtensions().apply(_),
+      Map("spark.sql.shuffle.partitions" -> "4"))
+    import s2.implicits._
+    // no GraftTableFunctions.register on s2 — injectTableFunction alone
+    // must make the text resolve, and the injected strategies must plan it
+    Seq((1L, 10L), (1L, 20L), (2L, 5L)).toDF("g", "v")
+      .createOrReplaceTempView("graft_ext_tvf_t")
+    val top = s2.sql(
+      "SELECT g, v FROM graft_topk('graft_ext_tvf_t', 1, 'g', 'v desc') ORDER BY g")
+    assert(top.queryExecution.executedPlan.toString.contains("TopKPerGroup"))
+    assert(top.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 20L), (2L, 5L)))
+    assert(s2.experimental.extraStrategies.isEmpty,
+      "extensions session must not grow an experimental entry")
+  }
+
   test("FoldSelfCosine rule folds graft_cosine(x,x) away") {
     spark.experimental.extraOptimizations =
       spark.experimental.extraOptimizations :+ FoldSelfCosine

@@ -95,4 +95,30 @@ class TopKSpec extends AnyFunSuite {
       Seq(Ord("o_orderdate"), Ord("o_orderkey")), 1)
     assert(top1.count() == o.select($"o_custkey").distinct().count())
   }
+
+  // ---- SQL front door: the graft_topk table function ----
+
+  test("q127 SQL-text front door plans through TopKPerGroupExec and matches the Scala path") {
+    val viaSql = plans.TopK.q127TopkSql(spark, sf)
+    val planStr = viaSql.queryExecution.executedPlan.toString
+    assert(planStr.contains("TopKPerGroup"), planStr.take(2000))
+    assert(!planStr.contains("Window"),
+      "the TVF must reach the native exec, not the window formulation")
+    assert(viaSql.collect().toSeq == plans.TopK.q86CustomTopk(spark, sf).collect().toSeq)
+  }
+
+  test("graft_topk rejects a malformed order spec and a non-integer k") {
+    plans.GraftTableFunctions.register(spark)
+    Seq((1L, 2L)).toDF("g", "v").createOrReplaceTempView("graft_topk_args_t")
+    val badSpec = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_topk('graft_topk_args_t', 1, 'g', 'v sideways')")
+        .collect()
+    }
+    assert(badSpec.getMessage.contains("asc|desc"), badSpec.getMessage)
+    val badK = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_topk('graft_topk_args_t', 'one', 'g', 'v')")
+        .collect()
+    }
+    assert(badK.getMessage.contains("integer"), badK.getMessage)
+  }
 }
