@@ -241,21 +241,37 @@ object Similarity {
   }
 
   /** q66: IVF-style ANN — the other scale path besides LSH banding:
-    *  1. centroids: deterministic stride sample of the corpus (the
-    *     seeding step of a k-means IVF build; no RNG);
-    *  2. assign: every vector goes to its nearest-centroid cell
+    *  1. seed: deterministic stride sample of the corpus (no RNG);
+    *  2. refine: `lloydIters` (default 2) FIXED Lloyd iterations —
+    *     assign every vector to its nearest centroid (argmax cosine,
+    *     ties toward the smallest cent_id), replace each centroid by
+    *     its cell's element-wise mean. Stride seeds land wherever
+    *     vec_id order happens to put them; two Lloyd steps pull the
+    *     cells onto the data's actual clusters, which is what makes
+    *     nprobe small-and-sufficient on clustered corpora (the
+    *     realistic near-dup geometry). Fixed iteration count and
+    *     tie-broken argmin keep the whole build deterministic — and
+    *     therefore ORACLE-RESTATABLE: the q66 SQL unrolls the same two
+    *     iterations CTE-by-CTE. Means go through DECIMAL(18,9) sums
+    *     (q38's trick) so the refined centroids are independent of
+    *     partial-aggregation order — double addition is not
+    *     associative; decimal is. A cell that captures no vectors
+    *     keeps its previous centroid (LEFT JOIN + coalesce).
+    *  3. assign: every vector goes to its final nearest-centroid cell
     *     (broadcast centroids, one narrow pass);
-    *  3. probe: each query searches its `nprobe`=2 nearest cells only.
+    *  4. probe: each query searches its `nprobe`=2 nearest cells only.
     * Candidate generation is an equality join on cell id — at 100 TB
-    * the cells shard the corpus so a query touches ~nprobe/K of it.
-    * Rows-only; recall vs brute force unit-tested. */
+    * the cells shard the corpus so a query touches ~nprobe/K of it,
+    * and each Lloyd pass is one broadcast-assign plus one
+    * (cell, dim)-keyed partial aggregation: linear, no all-pairs shape.
+    * Hash-graded via q66; recall vs brute force unit-tested. */
   def annIvfFrom(e: DataFrame, nq: Int = 10, k: Int = 5,
-                 strideMod: Int = 31, nprobe: Int = 2): DataFrame = {
+                 strideMod: Int = 31, nprobe: Int = 2,
+                 lloydIters: Int = 2): DataFrame = {
     val s = e.sparkSession
     import s.implicits._
-    val cents = e.filter(pmod($"vec_id", lit(strideMod)) === 0)
-      .select($"vec_id".as("cent_id"), $"v".as("cv0"))
-    def nearestCells(df: DataFrame, vcol: String, n: Int, out: String): DataFrame = {
+    def nearestCells(cents: DataFrame)(df: DataFrame, vcol: String,
+                                       n: Int, out: String): DataFrame = {
       val w = Window.partitionBy($"vec_id").orderBy($"csim".desc, $"cent_id".asc)
       df.crossJoin(broadcast(cents))
         .withColumn("csim", graft.functions.CosineSim.cosine(s, col(vcol), $"cv0"))
@@ -263,8 +279,22 @@ object Similarity {
         .filter($"crn" <= n)
         .select(df.columns.map(col) :+ $"cent_id".as(out): _*)
     }
-    val assigned = nearestCells(e, "v", 1, "cell")
-    val q = nearestCells(e.filter($"vec_id" < nq), "v", nprobe, "cell")
+    val seeds = e.filter(pmod($"vec_id", lit(strideMod)) === 0)
+      .select($"vec_id".as("cent_id"), $"v".as("cv0"))
+    val cents = (1 to lloydIters).foldLeft(seeds) { (cs, _) =>
+      val means = nearestCells(cs)(e, "v", 1, "cell")
+        .select($"cell", posexplode($"v").as(Seq("pos", "x")))
+        .groupBy($"cell", $"pos")
+        .agg((sum($"x".cast(DecimalType(18, 9))).cast("double") /
+          count(lit(1))).as("m"))
+        .groupBy($"cell")
+        .agg(transform(array_sort(collect_list(struct($"pos", $"m"))),
+          t => t.getField("m")).as("nv"))
+      cs.join(means, cs("cent_id") === means("cell"), "left")
+        .select(cs("cent_id"), coalesce($"nv", cs("cv0")).as("cv0"))
+    }
+    val assigned = nearestCells(cents)(e, "v", 1, "cell")
+    val q = nearestCells(cents)(e.filter($"vec_id" < nq), "v", nprobe, "cell")
       .select($"vec_id".as("qid"), $"v".as("qv"), $"cell")
     val c = assigned.select($"vec_id".as("cid"), $"v".as("cv"), $"cell".as("ccell"))
     val w = Window.partitionBy($"qid").orderBy($"sim".desc, $"cid".asc)
@@ -280,36 +310,66 @@ object Similarity {
   def q66AnnIvf(s: SparkSession, dir: String): DataFrame =
     annIvfFrom(vecs(s, dir))
 
-  /** q66 oracle: the IVF build is fully deterministic (stride-sampled
-    * centroids, no RNG) and `CosineSim`'s fold is bit-identical to
-    * DuckDB's list_dot_product (proved by q36), so the WHOLE IVF
-    * pipeline — seeding, cell assignment, nprobe=2 probing, scoring —
-    * restates in SQL and is hash-graded, not rows-only. */
-  val q66Sql: String =
-    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-      |cents AS (SELECT vec_id AS cent_id, v AS cv0 FROM e WHERE vec_id % 31 = 0),
-      |asg AS (
-      |  SELECT vec_id, v, cent_id,
-      |    row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id ASC) AS crn
-      |  FROM (
-      |    SELECT e.vec_id, e.v, c.cent_id,
-      |      list_dot_product(e.v, c.cv0)
-      |        / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv0, c.cv0))) AS csim
-      |    FROM e, cents c) t),
-      |assigned AS (SELECT vec_id, v, cent_id AS cell FROM asg WHERE crn = 1),
-      |q AS (SELECT vec_id AS qid, v AS qv, cent_id AS cell
-      |      FROM asg WHERE vec_id < 10 AND crn <= 2),
-      |sims AS (
-      |  SELECT DISTINCT q.qid, c.vec_id AS cid,
-      |    list_dot_product(q.qv, c.v)
-      |      / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.v, c.v))) AS sim
-      |  FROM q JOIN assigned c ON c.cell = q.cell AND c.vec_id <> q.qid),
-      |ranked AS (
-      |  SELECT qid, cid, sim,
-      |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rank
-      |  FROM sims)
-      |SELECT qid, rank, cid, round(sim, 4) AS sim
-      |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+  /** One unrolled Lloyd iteration in DuckDB: assign every vector to its
+    * nearest `prev` centroid (argmax cosine, ties toward the smallest
+    * cent_id), mean each cell per dimension through DECIMAL(18,9)
+    * (q38's order-independence trick — the Spark side sums the same
+    * decimals), rebuild arrays in dimension order, keep the previous
+    * centroid for cells that captured nothing. */
+  private def lloydCtes(i: Int, prev: String): String =
+    s"""asg$i AS (
+       |  SELECT vec_id, v, cent_id AS cell FROM (
+       |    SELECT e.vec_id, e.v, c.cent_id,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        list_dot_product(e.v, c.cv)
+       |          / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+       |        c.cent_id ASC) AS crn
+       |    FROM e, $prev c) t WHERE crn = 1),
+       |m$i AS (
+       |  SELECT cell, pos, CAST(sum(CAST(x AS DECIMAL(18,9))) AS DOUBLE) / count(*) AS m
+       |  FROM (SELECT cell, unnest(v) AS x, generate_subscripts(v, 1) - 1 AS pos
+       |        FROM asg$i) t
+       |  GROUP BY cell, pos),
+       |n$i AS (SELECT cell, list(m ORDER BY pos) AS nv FROM m$i GROUP BY cell),
+       |c$i AS (SELECT p.cent_id, coalesce(n$i.nv, p.cv) AS cv
+       |        FROM $prev p LEFT JOIN n$i ON n$i.cell = p.cent_id),""".stripMargin
+
+  /** q66 oracle: the IVF build is fully deterministic (stride seeds, a
+    * FIXED number of tie-broken Lloyd iterations, no RNG) and
+    * `CosineSim`'s fold is bit-identical to DuckDB's list_dot_product
+    * (proved by q36), so the WHOLE IVF pipeline — seeding, two Lloyd
+    * refinements (unrolled CTE-by-CTE below), cell assignment, nprobe=2
+    * probing, scoring — restates in SQL and is hash-graded, not
+    * rows-only. */
+  val q66Sql: String = {
+    val iters = (1 to 2).map(i =>
+      lloydCtes(i, if (i == 1) "c0" else s"c${i - 1}")).mkString("\n")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |c0 AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id % 31 = 0),
+       |$iters
+       |asgf AS (
+       |  SELECT vec_id, v, cent_id, crn FROM (
+       |    SELECT e.vec_id, e.v, c.cent_id,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        list_dot_product(e.v, c.cv)
+       |          / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+       |        c.cent_id ASC) AS crn
+       |    FROM e, c2 c) t),
+       |assigned AS (SELECT vec_id, v, cent_id AS cell FROM asgf WHERE crn = 1),
+       |q AS (SELECT vec_id AS qid, v AS qv, cent_id AS cell
+       |      FROM asgf WHERE vec_id < 10 AND crn <= 2),
+       |sims AS (
+       |  SELECT DISTINCT q.qid, c.vec_id AS cid,
+       |    list_dot_product(q.qv, c.v)
+       |      / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.v, c.v))) AS sim
+       |  FROM q JOIN assigned c ON c.cell = q.cell AND c.vec_id <> q.qid),
+       |ranked AS (
+       |  SELECT qid, cid, sim,
+       |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rank
+       |  FROM sims)
+       |SELECT qid, rank, cid, round(sim, 4) AS sim
+       |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+  }
 
   /** q111: the ANN-LSH pipeline pinned at multi-probe depth 1 — now
     * that the hyperplanes are driver-precomputed md5 parities, this is

@@ -90,15 +90,22 @@ class LlmSpec extends AnyFunSuite {
     assert(rProbed >= 0.8, f"multi-probe LSH recall $rProbed%.2f below the 0.8 floor")
   }
 
-  test("ANN recall floor: IVF nprobe=2 >= 0.8 on a clustered corpus") {
+  test("ANN recall floor: IVF nprobe=2 >= 0.95 on a clustered corpus, and Lloyd must not hurt") {
     val e = clusteredVecs(nClusters = 10, perCluster = 50, dim = 16)
     def pairs(df: org.apache.spark.sql.DataFrame) =
       df.select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val brute = pairs(llm.Similarity.bruteTopkFrom(e))
+    val seeded = pairs(llm.Similarity.annIvfFrom(e, lloydIters = 0))
     val ivf = pairs(llm.Similarity.annIvfFrom(e))
+    val rSeeded = (seeded & brute).size.toDouble / brute.size
     val recall = (ivf & brute).size.toDouble / brute.size
-    info(f"clustered IVF recall@5: $recall%.2f")
-    assert(recall >= 0.8, f"IVF recall $recall%.2f below the 0.8 floor")
+    info(f"clustered IVF recall@5: seeds-only=$rSeeded%.2f lloyd=$recall%.2f")
+    // Lloyd refinement is the reason the floor moved 0.8 -> 0.95: stride
+    // seeds land wherever vec_id order puts them, two Lloyd passes pull
+    // the cells onto the actual clusters (measured 1.00 here vs 0.8-class
+    // for seeds-only)
+    assert(recall >= rSeeded, "Lloyd refinement must not lose recall vs raw seeds")
+    assert(recall >= 0.95, f"IVF recall $recall%.2f below the 0.95 floor")
   }
 
   test("q115 repetition metrics are coherent fractions and the flag follows dup_frac") {
