@@ -127,6 +127,73 @@ object MediaCodec {
     encodePpm(out, newW, newH)
   }
 
+  // ------------------------------------------------- PNG/JPEG (ImageIO)
+
+  /** Encode RGB pixels as PNG via the JDK's built-in ImageIO codec —
+    * pure JVM, zero new dependencies. PNG is LOSSLESS, so
+    * `decodeImage(encodePng(p, w, h)).pixels == p` byte-for-byte; that
+    * exactness is what lets the real-world-container path stay
+    * oracle-graded (q129) instead of rows-only. */
+  def encodePng(pixels: Array[Byte], width: Int, height: Int): Array[Byte] = {
+    require(width > 0 && height > 0 && pixels.length == width * height * 3,
+      s"PNG encode: ${pixels.length} bytes != $width x $height x 3")
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val buf = img.getRaster.getDataBuffer
+      .asInstanceOf[java.awt.image.DataBufferByte].getData
+    var i = 0
+    while (i < width * height) { // RGB in, BGR raster order
+      buf(i * 3) = pixels(i * 3 + 2)
+      buf(i * 3 + 1) = pixels(i * 3 + 1)
+      buf(i * 3 + 2) = pixels(i * 3)
+      i += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    if (!javax.imageio.ImageIO.write(img, "png", out))
+      throw new IllegalStateException("PNG encode: no ImageIO png writer in this JRE")
+    out.toByteArray
+  }
+
+  /** Sniff + decode any supported image container to RGB: PPM (P6) via
+    * the hand-rolled parser, PNG/JPEG via ImageIO. Unknown magic or an
+    * undecodable stream fails with a precise message — same
+    * quarantine-not-degradation contract as the PPM/WAV paths. */
+  def decodeImage(bytes: Array[Byte]): Ppm = {
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"image decode: $msg")
+    if (bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6')
+      return decodePpm(bytes)
+    val isPng = bytes.length >= 8 && (bytes(0) & 0xFF) == 0x89 &&
+      bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G'
+    val isJpeg = bytes.length >= 2 && (bytes(0) & 0xFF) == 0xFF &&
+      (bytes(1) & 0xFF) == 0xD8
+    if (!isPng && !isJpeg) fail("unknown magic (want P6, PNG or JPEG)")
+    val name = if (isPng) "PNG" else "JPEG"
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case e: java.io.IOException => fail(s"$name stream: ${e.getMessage}") }
+    if (img == null) fail(s"undecodable $name container")
+    val (w, h) = (img.getWidth, img.getHeight)
+    // normalize whatever color model ImageIO produced to packed RGB
+    val rgb = new Array[Byte](w * h * 3)
+    val row = new Array[Int](w)
+    var y = 0
+    while (y < h) {
+      img.getRGB(0, y, w, 1, row, 0, w)
+      var x = 0
+      while (x < w) {
+        val p = row(x)
+        val d = (y * w + x) * 3
+        rgb(d) = ((p >> 16) & 0xFF).toByte
+        rgb(d + 1) = ((p >> 8) & 0xFF).toByte
+        rgb(d + 2) = (p & 0xFF).toByte
+        x += 1
+      }
+      y += 1
+    }
+    Ppm(w, h, 255, rgb)
+  }
+
   // ---------------------------------------------------------------- WAV
 
   final case class Wav(sampleRate: Int, channels: Int, bitsPerSample: Int,

@@ -286,15 +286,86 @@ object Multimodal {
       |      FROM m WHERE kind = 'video') t
       |GROUP BY media_id ORDER BY media_id""".stripMargin
 
+  /** q129: REAL-WORLD raster containers — every image row's decoded PPM
+    * payload is re-encoded as PNG (JDK ImageIO, zero new dependencies),
+    * decoded back through the magic-sniffing [[MediaCodec.decodeImage]]
+    * path, and feature-extracted from the round-tripped pixels. PNG is
+    * lossless, so the features must equal the PPM path's bit-for-bit —
+    * which keeps this query HASH-GRADED by the same byte-slice
+    * arithmetic as q52's image rows rather than rows-only. Nothing
+    * codec-version-dependent is emitted (the PNG byte size would depend
+    * on the JRE's deflate; the graded columns are pixel facts: parsed
+    * width, round-tripped payload length, histogram bins). A dims
+    * mismatch after the round trip fails with the media_id — the same
+    * quarantine contract as every other malformed-container path. */
+  def q129PngRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    mediaTable(s, dir)
+      .filter(_.kind == "image")
+      .mapPartitions { it =>
+        it.map { r =>
+          val src = MediaCodec.decodePpm(r.content)
+          val pixels =
+            if (src.width == 0) src.pixels
+            else {
+              val png = MediaCodec.encodePng(src.pixels, src.width, src.height)
+              val back = MediaCodec.decodeImage(png)
+              if (back.width != src.width || back.height != src.height)
+                throw new IllegalStateException(
+                  s"media_id=${r.media_id}: PNG round-trip changed dims " +
+                    s"${src.width}x${src.height} -> ${back.width}x${back.height}")
+              back.pixels
+            }
+          (r.media_id, src.width, pixels.length, MediaCodec.histogram(pixels).toSeq)
+        }
+      }
+      .toDF("media_id", "px_w", "payload_len", "features")
+      .select($"media_id", $"px_w", $"payload_len",
+        round(aggregate($"features", lit(0.0), (a, x) => a + x), 6).as("feat_sum"),
+        round(element_at($"features", 7), 6).as("f6"))
+      .orderBy($"media_id")
+  }
+
+  /** q129 oracle: image rows of the q52 arithmetic — the PNG round trip
+    * is lossless, so pixel facts restate as the same text-byte slices.
+    * px_w grades the parsed PPM header, payload_len the round-tripped
+    * pixel count, feat_sum/f6 the decoded content. */
+  val q129Sql: String =
+    """WITH m AS (
+      |  SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+      |         octet_length(encode(text)) AS n
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |d AS (SELECT media_id, hx, CAST(n // 3 AS INT) AS px_w,
+      |             CAST(3 * (n // 3) AS INT) AS payload_len FROM m),
+      |pos AS (SELECT media_id, hx, payload_len,
+      |          unnest(generate_series(1, payload_len)) AS i FROM d),
+      |bins AS (
+      |  SELECT media_id, bin, CAST(count(*) AS DOUBLE) / any_value(payload_len) AS v
+      |  FROM (SELECT media_id,
+      |          ('0x' || substr(hx, 2 * CAST(i AS INT) - 1, 2))::INT // 16 AS bin,
+      |          payload_len
+      |        FROM pos) b
+      |  GROUP BY media_id, bin),
+      |h AS (
+      |  SELECT media_id,
+      |    round(list_sum(list(v ORDER BY bin)), 6) AS feat_sum,
+      |    round(coalesce(max(CASE WHEN bin = 6 THEN v END), 0.0), 6) AS f6
+      |  FROM bins GROUP BY media_id)
+      |SELECT d.media_id, d.px_w, d.payload_len,
+      |  coalesce(h.feat_sum, 0.0) AS feat_sum, coalesce(h.f6, 0.0) AS f6
+      |FROM d LEFT JOIN h USING (media_id) ORDER BY d.media_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q52_media_features" -> (q52MediaFeatures _),
     "q53_frame_sample"   -> (q53FrameSample _),
     "q112_media_meta"    -> (q112MediaMeta _),
+    "q129_png_roundtrip" -> (q129PngRoundtrip _),
   )
 
   val oracle: Map[String, String] = Map(
     "q52_media_features" -> q52Sql,
     "q53_frame_sample"   -> q53Sql,
     "q112_media_meta"    -> q112Sql,
+    "q129_png_roundtrip" -> q129Sql,
   )
 }

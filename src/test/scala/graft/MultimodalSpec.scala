@@ -147,6 +147,51 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("MediaCodec: PNG round-trip is lossless, JPEG decodes structurally, bad streams quarantine") {
+    // deterministic RGB pixels, no RNG
+    val (w, h) = (13, 7)
+    val pixels = Array.tabulate(w * h * 3)(i => ((i * 37 + 11) % 256).toByte)
+    val png = llm.MediaCodec.encodePng(pixels, w, h)
+    assert((png(0) & 0xFF) == 0x89 && png(1) == 'P' && png(2) == 'N' && png(3) == 'G')
+    val back = llm.MediaCodec.decodeImage(png)
+    assert(back.width == w && back.height == h)
+    assert(back.pixels.sameElements(pixels), "PNG must round-trip RGB byte-for-byte")
+    // decodeImage sniffs magic: the same bytes as PPM still decode
+    val ppm = llm.MediaCodec.encodePpm(pixels, w, h)
+    assert(llm.MediaCodec.decodeImage(ppm).pixels.sameElements(pixels))
+    // JPEG: lossy, so structural checks only — dims survive, bytes decode
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", out))
+    val jb = llm.MediaCodec.decodeImage(out.toByteArray)
+    assert(jb.width == w && jb.height == h && jb.pixels.length == w * h * 3)
+    // quarantine contract: unknown magic and a truncated PNG both fail loudly
+    val unknown = intercept[IllegalArgumentException] {
+      llm.MediaCodec.decodeImage(Array[Byte](1, 2, 3, 4))
+    }
+    assert(unknown.getMessage.contains("magic"), unknown.getMessage)
+    val truncated = intercept[IllegalArgumentException] {
+      llm.MediaCodec.decodeImage(java.util.Arrays.copyOf(png, 20))
+    }
+    assert(truncated.getMessage.toLowerCase.contains("png"), truncated.getMessage)
+  }
+
+  test("q129 PNG round-trip features equal the PPM path's (lossless-ness end to end)") {
+    val viaPng = Multimodal.q129PngRoundtrip(spark, sf).collect()
+    assert(viaPng.nonEmpty)
+    // the PPM-path features for the same image rows (q52 columns)
+    val viaPpm = Multimodal.q52MediaFeatures(spark, sf)
+      .filter($"kind" === "image")
+      .select($"media_id", $"feat_sum", $"f6").collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    viaPng.foreach { r =>
+      val id = r.getLong(0)
+      assert((r.getAs[Double]("feat_sum"), r.getAs[Double]("f6")) == viaPpm(id),
+        s"media_id=$id: PNG-path features diverge from the PPM path")
+    }
+  }
+
   test("features feed similarity: cosine over media vectors runs") {
     import org.apache.spark.sql.functions._
     val feats = Multimodal.extractFeatures(Multimodal.mediaTable(spark, sf)).toDF()
