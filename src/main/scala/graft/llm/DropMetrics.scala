@@ -46,8 +46,14 @@ object DropMetrics {
     if (!spark.conf.getOption(marker).contains("true")) {
       spark.conf.set(marker, "true")
       spark.listenerManager.register(new QueryExecutionListener {
+        // the shim's exhaustive walk, not qe.observedMetrics: Spark's
+        // built-in collection can return empty under AQE wrapper
+        // nesting (seen at the 100x scaling point), and a cap monitor
+        // that vanishes exactly at scale is worse than none
         private def report(qe: QueryExecution): Unit =
-          qe.observedMetrics.foreach { case (name, row) =>
+          org.apache.spark.sql.graftshim.GraftSqlShim
+            .collectObservedMetrics(qe.executedPlan)
+            .foreach { case (name, row) =>
             if (name.startsWith("graft_")) {
               val kv = row.schema.fieldNames.zip(row.toSeq)
                 .map { case (k, v) => s"$k=$v" }.mkString(", ")
@@ -63,9 +69,11 @@ object DropMetrics {
   }
 
   /** The named observation's values from a COMPLETED query (null-safe:
-    * empty map when the action hasn't run or the name is absent). */
+    * empty map when the action hasn't run or the name is absent).
+    * Same exhaustive walk as the listener — see ensureListener. */
   def read(df: DataFrame, name: String): Map[String, Long] =
-    df.queryExecution.observedMetrics.get(name) match {
+    org.apache.spark.sql.graftshim.GraftSqlShim
+      .collectObservedMetrics(df.queryExecution.executedPlan).get(name) match {
       case Some(row) =>
         row.schema.fieldNames.zip(row.toSeq).collect {
           case (k, v: Long) => k -> v

@@ -48,6 +48,89 @@ object GraftSqlShim {
       Map.empty[String, String])
   }
 
+  /** Drain the async listener bus. `QueryExecutionListener` callbacks
+    * (observed-metrics collection) dispatch on a separate thread, so a
+    * caller reading metrics right after an action races them unless the
+    * bus is drained first (`waitUntilEmpty` is `private[spark]`, hence
+    * the shim seat). Forwards only. */
+  def drainListenerBus(spark: SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
+
+  /** Exhaustive `observe(...)` metric collection over an executed plan.
+    *
+    * `QueryExecution.observedMetrics` delegates to
+    * `CollectMetricsExec.collect`, whose traversal (4.1.2) can return
+    * EMPTY for plans it doesn't descend — seen in practice at the 100×
+    * scaling point, where the q46 metric node sits under AQE wrapper
+    * nesting the built-in walk misses while the same query at 1×/10×
+    * reports fine. A skew-cap monitor that vanishes exactly at the
+    * scale it guards is worse than none, so this walk descends EVERY
+    * wrapper that hides a subtree from `children`: adaptive roots
+    * (current `executedPlan`), materialized query stages (`plan`),
+    * cached relations (`cachedPlan`), reused exchanges/subqueries
+    * (their targets), plus expression-held subquery plans. Duplicate
+    * names keep the row with the most non-null/non-zero content (the
+    * self-join shape plans the same observe twice; only one copy's
+    * accumulator received this run's task updates). */
+  def collectObservedMetrics(plan: org.apache.spark.sql.execution.SparkPlan)
+      : Map[String, org.apache.spark.sql.Row] = {
+    import org.apache.spark.sql.execution.{CollectMetricsExec, SparkPlan}
+    val found = scala.collection.mutable.Map.empty[String, org.apache.spark.sql.Row]
+    val seen = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[SparkPlan, java.lang.Boolean]())
+    // prefer populated accumulators: a node copy whose stage never ran
+    // reads [null,...]; the executed copy reads real values (zeros
+    // included — a genuine all-zero row outranks an untouched one)
+    def score(r: org.apache.spark.sql.Row): Int =
+      if (r == null) -1
+      else (0 until r.length).map { i =>
+        if (r.isNullAt(i)) 0
+        else if (r.get(i) == 0L || r.get(i) == 0) 1
+        else 2
+      }.sum
+    def walk(p: SparkPlan): Unit = if (p != null && seen.add(p)) {
+      p match {
+        case c: CollectMetricsExec =>
+          val row = c.collectedMetrics
+          if (!found.contains(c.name) || score(row) > score(found(c.name)))
+            found(c.name) = row
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          walk(a.executedPlan)
+          // ALSO the initial plan and the materialized-stage cache:
+          // AQE's empty-relation propagation can REPLACE the subtree
+          // holding a CollectMetricsExec in the final plan (seen at the
+          // 100× point: every LSH bucket capped → empty join input →
+          // empty result). The initial tree keeps the node's SHAPE (a
+          // copy with an untouched accumulator, so at least the name
+          // surfaces), and the stage cache keeps the COPY THAT RAN —
+          // its accumulator carries the real counts; score() prefers it.
+          walk(a.initialPlan)
+          try {
+            val ctx = a.context
+            ctx.getClass.getMethod("stageCache").invoke(ctx)
+              .asInstanceOf[scala.collection.concurrent.TrieMap[_, _]]
+              .values.foreach {
+                case sp: org.apache.spark.sql.execution.SparkPlan => walk(sp)
+                case _ =>
+              }
+          } catch { case _: ReflectiveOperationException => }
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          walk(q.plan)
+        case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+          walk(s.relation.cachedPlan)
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+          walk(r.child)
+        case s: org.apache.spark.sql.execution.ReusedSubqueryExec =>
+          walk(s.child)
+        case _ =>
+      }
+      p.children.foreach(walk)
+      p.subqueries.foreach(walk)
+    }
+    walk(plan)
+    found.toMap
+  }
+
   /** Spark schema of one parquet file's footer, converted with Spark's
     * own `ParquetToSparkSchemaConverter` and an explicit `nanosAsLong`.
     * This is how `graft.Tables.events` reads TIMESTAMP(NANOS) files

@@ -214,6 +214,31 @@ class DedupSpec extends AnyFunSuite {
       m2("dropped_pairs") == 19800L, m2.toString)
   }
 
+  test("drop counters survive AQE empty-relation propagation (everything capped)") {
+    // 100×-study regression: when EVERY bucket exceeds the cap the
+    // candidate set is empty, AQE can replace the observed subtree with
+    // an EmptyRelation in the final plan, and Spark's built-in
+    // observedMetrics collection then returns NOTHING — the shim walk
+    // (initial plan + materialized-stage cache,
+    // GraftSqlShim.collectObservedMetrics) must still surface the
+    // counts: a cap monitor that vanishes exactly when the cap ate the
+    // whole workload is the silent-recall-loss failure mode it exists
+    // to catch.
+    val boiler = (0L until 100L).map(i =>
+      (i, "identical boilerplate template text repeated across many documents verbatim every time"))
+    val docs = boiler.toDF("doc_id", "text")
+      .withColumn("toks", regexp_extract_all(lower($"text"), lit("\\S+"), lit(0)))
+    val sigs = docs
+      .withColumn("sh", Dedup.shingles($"toks"))
+      .select($"doc_id", Dedup.minhashSig($"sh").as("sig"))
+    val pairsDf = Dedup.lshCandidates(sigs, maxWidth = 64)
+    assert(pairsDf.collect().isEmpty, "every bucket is over-cap: no candidates may survive")
+    val m = DropMetrics.read(pairsDf, DropMetrics.LshDrops)
+    assert(m("dropped_buckets") == 8L, m.toString)
+    assert(m("dropped_rows") == 800L, m.toString)
+    assert(m("dropped_pairs") == 8L * (100L * 99L / 2L), m.toString)
+  }
+
   test("q122 incremental dedup: verdicts partition the batch exactly") {
     val out = Dedup.q122IncrementalDedup(spark, sf).collect()
     assert(out.nonEmpty)
