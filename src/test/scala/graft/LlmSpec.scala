@@ -108,6 +108,30 @@ class LlmSpec extends AnyFunSuite {
     assert(recall >= 0.95, f"IVF recall $recall%.2f below the 0.95 floor")
   }
 
+  test("Lloyd refinement: a cell that captures no vectors keeps its centroid (no NaN, no loss)") {
+    import spark.implicits._
+    // two tight directions; strideMod=5 seeds cells at vec_ids 0, 5, 10.
+    // Every A-direction vector assigns to cell 0 (equal cosine to seeds
+    // 0 and 5 — the tie-break picks the smaller cent_id), so cell 5
+    // captures NOTHING in iteration 1 and must coalesce to its previous
+    // centroid instead of averaging an empty set into null/NaN.
+    val a = (0L until 10L).map(i => (i, "a", Array(1.0, 0.0, 0.0)))
+    val b = Seq((10L, "b", Array(0.0, 1.0, 0.0)))
+    val e = (a ++ b).toDF("vec_id", "label", "v")
+    val out = llm.Similarity.annIvfFrom(e, nq = 2, k = 3, strideMod = 5,
+      nprobe = 2, lloydIters = 2).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val sim = r.getAs[Double]("sim")
+      assert(!sim.isNaN, s"NaN similarity in $r")
+    }
+    // queries 0 and 1 are A-direction: their top neighbors are the other
+    // A vectors at cosine 1.0 — probing through the refined cells must
+    // not lose them to the empty-cell edge
+    val top = out.filter(r => r.getAs[Long]("qid") == 0L && r.getAs[Int]("rank") == 1)
+    assert(top.nonEmpty && top.head.getAs[Double]("sim") == 1.0, top.mkString(","))
+  }
+
   test("q115 repetition metrics are coherent fractions and the flag follows dup_frac") {
     val rows = llm.TextOps.q115Repetition(spark, sf).collect()
     assert(rows.nonEmpty)

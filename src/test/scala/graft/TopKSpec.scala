@@ -120,5 +120,11 @@ class TopKSpec extends AnyFunSuite {
         .collect()
     }
     assert(badK.getMessage.contains("integer"), badK.getMessage)
+    // k=0 reaches the operator's own positive-k contract
+    val zeroK = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_topk('graft_topk_args_t', 0, 'g', 'v')")
+        .collect()
+    }
+    assert(zeroK.getMessage.contains("positive"), zeroK.getMessage)
   }
 }
