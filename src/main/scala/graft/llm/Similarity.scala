@@ -272,12 +272,27 @@ object Similarity {
     import s.implicits._
     def nearestCells(cents: DataFrame)(df: DataFrame, vcol: String,
                                        n: Int, out: String): DataFrame = {
-      val w = Window.partitionBy($"vec_id").orderBy($"csim".desc, $"cent_id".asc)
-      df.crossJoin(broadcast(cents))
+      val scored = df.crossJoin(broadcast(cents))
         .withColumn("csim", graft.functions.CosineSim.cosine(s, col(vcol), $"cv0"))
-        .withColumn("crn", row_number().over(w))
-        .filter($"crn" <= n)
-        .select(df.columns.map(col) :+ $"cent_id".as(out): _*)
+      if (n == 1) {
+        // argmax as an aggregation, not a window: the broadcast fan-out
+        // is N×K rows, and a window must SHUFFLE all of them by vec_id
+        // before ranking — at corpus scale that is K extra copies of
+        // the id column through the exchange every Lloyd pass. max_by
+        // with a (csim, -cent_id) struct ordering gets partial
+        // map-side aggregation (the shuffle carries one row per vec_id
+        // per partition) and the same winner: highest cosine, ties to
+        // the SMALLEST cent_id (negation flips the max to a min).
+        scored
+          .groupBy(df.columns.map(col): _*)
+          .agg(max_by($"cent_id", struct($"csim", -$"cent_id")).as(out))
+      } else {
+        val w = Window.partitionBy($"vec_id").orderBy($"csim".desc, $"cent_id".asc)
+        scored
+          .withColumn("crn", row_number().over(w))
+          .filter($"crn" <= n)
+          .select(df.columns.map(col) :+ $"cent_id".as(out): _*)
+      }
     }
     val seeds = e.filter(pmod($"vec_id", lit(strideMod)) === 0)
       .select($"vec_id".as("cent_id"), $"v".as("cv0"))

@@ -107,12 +107,14 @@ object GraftSqlShim {
           walk(a.initialPlan)
           try {
             val ctx = a.context
-            ctx.getClass.getMethod("stageCache").invoke(ctx)
-              .asInstanceOf[scala.collection.concurrent.TrieMap[_, _]]
-              .values.foreach {
-                case sp: org.apache.spark.sql.execution.SparkPlan => walk(sp)
-                case _ =>
-              }
+            Seq("stageCache", "subqueryCache").foreach { cache =>
+              ctx.getClass.getMethod(cache).invoke(ctx)
+                .asInstanceOf[scala.collection.concurrent.TrieMap[_, _]]
+                .values.foreach {
+                  case sp: org.apache.spark.sql.execution.SparkPlan => walk(sp)
+                  case _ =>
+                }
+            }
           } catch { case _: ReflectiveOperationException => }
         case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
           walk(q.plan)
