@@ -274,25 +274,22 @@ object Similarity {
                                        n: Int, out: String): DataFrame = {
       val scored = df.crossJoin(broadcast(cents))
         .withColumn("csim", graft.functions.CosineSim.cosine(s, col(vcol), $"cv0"))
-      if (n == 1) {
-        // argmax as an aggregation, not a window: the broadcast fan-out
-        // is N×K rows, and a window must SHUFFLE all of them by vec_id
-        // before ranking — at corpus scale that is K extra copies of
-        // the id column through the exchange every Lloyd pass. max_by
-        // with a (csim, -cent_id) struct ordering gets partial
-        // map-side aggregation (the shuffle carries one row per vec_id
-        // per partition) and the same winner: highest cosine, ties to
-        // the SMALLEST cent_id (negation flips the max to a min).
-        scored
-          .groupBy(df.columns.map(col): _*)
-          .agg(max_by($"cent_id", struct($"csim", -$"cent_id")).as(out))
-      } else {
-        val w = Window.partitionBy($"vec_id").orderBy($"csim".desc, $"cent_id".asc)
-        scored
-          .withColumn("crn", row_number().over(w))
-          .filter($"crn" <= n)
-          .select(df.columns.map(col) :+ $"cent_id".as(out): _*)
-      }
+      // Ranking formulation MEASURED, not assumed (sf0.1, local[32],
+      // solo): the row_number window (1.7 s whole-query) beats both
+      // argmax-as-aggregation alternatives — max_by grouped by every df
+      // column (4.5 s: an array grouping key forces sort-based
+      // aggregation over the full N×K fan-out) and max_by grouped by
+      // vec_id with the vector carried through the aggregation buffer
+      // (3.1 s: ObjectHashAggregate pays per-row array copies into the
+      // buffer twice, partial + final). The window shuffles the N×K
+      // fan-out once and ranks it in one pass; Catalyst prunes the
+      // centroid vector before the exchange, so the carried weight is
+      // the same row the aggregation would buffer anyway.
+      val w = Window.partitionBy($"vec_id").orderBy($"csim".desc, $"cent_id".asc)
+      scored
+        .withColumn("crn", row_number().over(w))
+        .filter($"crn" <= n)
+        .select(df.columns.map(col) :+ $"cent_id".as(out): _*)
     }
     val seeds = e.filter(pmod($"vec_id", lit(strideMod)) === 0)
       .select($"vec_id".as("cent_id"), $"v".as("cv0"))
