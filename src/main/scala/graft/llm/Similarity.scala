@@ -291,7 +291,18 @@ object Similarity {
         .filter($"crn" <= n)
         .select(df.columns.map(col) :+ $"cent_id".as(out): _*)
     }
-    val seeds = e.filter(pmod($"vec_id", lit(strideMod)) === 0)
+    // Adaptive seed stride: a FIXED stride makes K ∝ N centroids, and
+    // the assignment pass (N×K broadcast fan-out) silently turns
+    // quadratic as the corpus grows — the classic IVF sizing is
+    // K ≈ √N, i.e. stride ≈ √N, which keeps the build N·√N and the
+    // per-query probe touching ~nprobe·√N vectors. max(strideMod, ⌊√N⌋)
+    // keeps small corpora (tests, sf0.01 — where √N < 31) bit-identical
+    // to the historical fixed stride, and the arithmetic (one exact
+    // count, one IEEE sqrt, one floor) restates verbatim in the oracle's
+    // scalar subquery, so the build stays hash-graded at every SF.
+    val stride = math.max(strideMod.toLong,
+      math.floor(math.sqrt(e.count().toDouble)).toLong)
+    val seeds = e.filter(pmod($"vec_id", lit(stride)) === 0)
       .select($"vec_id".as("cent_id"), $"v".as("cv0"))
     val cents = (1 to lloydIters).foldLeft(seeds) { (cs, _) =>
       val means = nearestCells(cs)(e, "v", 1, "cell")
@@ -357,7 +368,8 @@ object Similarity {
     val iters = (1 to 2).map(i =>
       lloydCtes(i, if (i == 1) "c0" else s"c${i - 1}")).mkString("\n")
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |c0 AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id % 31 = 0),
+       |c0 AS (SELECT vec_id AS cent_id, v AS cv FROM e
+       |       WHERE vec_id % (SELECT greatest(31, CAST(floor(sqrt(count(*))) AS BIGINT)) FROM e) = 0),
        |$iters
        |asgf AS (
        |  SELECT vec_id, v, cent_id, crn FROM (
