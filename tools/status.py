@@ -217,8 +217,10 @@ def cmd_bench_gate(args):
         # clear both; a 0.7->1.2s wobble clears neither meaningfully)
         ratio = new[name] / ref[name] if ref[name] > 0 else float("inf")
         if ratio > 1.5 and new[name] - ref[name] > 0.75:
-            note = (" [prior flag on this query adjudicated as noise — "
-                    "verify with a solo rerun before acting]"
+            # surface the RECORDED adjudication, not a canned phrase —
+            # "prior flag was noise" and "this delta is deliberate" need
+            # opposite responses from the reader
+            note = (f" [adjudicated: {ADJUDICATIONS[name]}]"
                     if name in ADJUDICATIONS else "")
             bad.append(
                 f"{name}: {ref[name]:.2f}s -> {new[name]:.2f}s ({ratio:.2f}x){note}")
