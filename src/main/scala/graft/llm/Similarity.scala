@@ -35,6 +35,14 @@ object Similarity {
         transform($"embedding", x => x.cast("double")).as("v"))
   }
 
+  /** IVF seed stride for an N-vector corpus: max(minStride, ⌊√N⌋), so
+    * K ≈ √N cells past the floor and exactly the historical fixed
+    * stride below it. Mirrored verbatim by the q66 oracle's scalar
+    * subquery (`greatest(31, floor(sqrt(count(*))))`) — both sides
+    * compute one exact count, one IEEE sqrt, one floor. */
+  private[graft] def ivfStride(n: Long, minStride: Int): Long =
+    math.max(minStride.toLong, math.floor(math.sqrt(n.toDouble)).toLong)
+
   private def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
@@ -300,8 +308,7 @@ object Similarity {
     // to the historical fixed stride, and the arithmetic (one exact
     // count, one IEEE sqrt, one floor) restates verbatim in the oracle's
     // scalar subquery, so the build stays hash-graded at every SF.
-    val stride = math.max(strideMod.toLong,
-      math.floor(math.sqrt(e.count().toDouble)).toLong)
+    val stride = Similarity.ivfStride(e.count(), strideMod)
     val seeds = e.filter(pmod($"vec_id", lit(stride)) === 0)
       .select($"vec_id".as("cent_id"), $"v".as("cv0"))
     val cents = (1 to lloydIters).foldLeft(seeds) { (cs, _) =>

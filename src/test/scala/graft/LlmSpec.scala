@@ -108,6 +108,18 @@ class LlmSpec extends AnyFunSuite {
     assert(recall >= 0.95, f"IVF recall $recall%.2f below the 0.95 floor")
   }
 
+  test("IVF seed stride: fixed below the floor, sqrt(N) above it, oracle arithmetic") {
+    // the oracle mirrors this with greatest(31, floor(sqrt(count(*)))) —
+    // any drift here is a silent hash mismatch at exactly one SF
+    assert(llm.Similarity.ivfStride(0L, 31) == 31L)
+    assert(llm.Similarity.ivfStride(600L, 31) == 31L)   // sf0.01 regime
+    assert(llm.Similarity.ivfStride(961L, 31) == 31L)   // boundary: sqrt = 31 exactly
+    assert(llm.Similarity.ivfStride(1024L, 31) == 32L)  // first step past the floor
+    assert(llm.Similarity.ivfStride(2000L, 31) == 44L)  // sf0.1 regime
+    assert(llm.Similarity.ivfStride(200000L, 31) == 447L) // the 100x study point
+    assert(llm.Similarity.ivfStride(11L, 5) == 5L)      // custom floor (unit corpus)
+  }
+
   test("Lloyd refinement: a cell that captures no vectors keeps its centroid (no NaN, no loss)") {
     import spark.implicits._
     // two tight directions; strideMod=5 seeds cells at vec_ids 0, 5, 10.
