@@ -59,27 +59,63 @@ object Bench {
     // query's three samples see the same cache/JIT state.
     val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").map(_.toInt).getOrElse(3)
       .max(1)
-    val results = qs.map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
+    // Process-wide stop-the-world time so far (ms across all collectors)
+    // — the delta over a query's reps is that query's GC bill.
+    def gcMillis(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(b => math.max(b.getCollectionTime, 0L)).sum
+    }
+    // Per-query rep spread: median-of-3 discards ONE disturbed rep, but
+    // sustained catalog-context pressure (GC debt from earlier queries,
+    // page-cache churn) hits all reps and the median faithfully reports
+    // a number a solo rerun won't reproduce — r9's q34 read 11.7s in the
+    // catalog run vs 5.15s solo and needed a judge rerun to adjudicate.
+    // Recording min/median/max and the GC bill makes the record
+    // self-adjudicating: min-of-reps is the contention-resistant claim
+    // the bench-gate compares, and a wide (min,max) spread next to a fat
+    // gc entry says "context, not code" from the record alone.
+    final case class Spread(med: Double, min: Double, max: Double, gc: Double)
+    val results: Seq[(String, Double, Option[Spread])] = qs.map { case (name, fn) =>
+      val gc0 = gcMillis()
+      // iterate-while-ok instead of a fixed map: one failed rep already
+      // decides the query's verdict (-1.0), so further reps only
+      // triple the failure cost and stderr noise
+      val times = Iterator.continually(()).take(reps).map { _ =>
         val t0 = System.nanoTime()
         val ok = run(name, fn)
         val dt = (System.nanoTime() - t0) / 1e9
         Ckpt.sweep(spark) // outside the timed window
         // a failed query must be visibly failed, not a plausible duration
         if (ok) dt else -1.0
+      }.takeWhile(_ >= 0).toSeq
+      if (times.length < reps) (name, -1.0, None)
+      else {
+        val sorted = times.sorted
+        // true median: average the two middle samples when reps is even
+        // (sorted(n/2) alone is the upper-middle, biased high)
+        val med =
+          if (sorted.length % 2 == 1) sorted(sorted.length / 2)
+          else (sorted(sorted.length / 2 - 1) + sorted(sorted.length / 2)) / 2.0
+        val gc = (gcMillis() - gc0) / 1e3
+        (name, med, Some(Spread(med, sorted.head, sorted.last, gc)))
       }
-      val dt =
-        if (times.exists(_ < 0)) -1.0
-        else times.sorted.apply(times.length / 2)
-      name -> dt
     }
-    val failed = results.collect { case (k, v) if v < 0 => k }
+    val failed = results.collect { case (k, v, _) if v < 0 => k }
     failed.foreach(n => System.err.println(s"BENCH FAILED: $n"))
-    val qjson = results.map { case (k, v) => "\"" + k + "\":" + v }
+    def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qjson = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // sibling "spread" map — the scalar "queries" map above stays exactly
+    // what the driver parses; consumers that know about spreads (the
+    // bench-gate) prefer them
+    val sjson = results.collect { case (k, _, Some(sp)) =>
+      "\"" + k + "\":{\"med\":" + r3(sp.med) + ",\"min\":" + r3(sp.min) +
+        ",\"max\":" + r3(sp.max) + ",\"gc\":" + r3(sp.gc) + "}"
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val fjson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"failed":$fjson,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"spread":$sjson,"failed":$fjson,"sf":"$sfDir"}"""
     println(json)
     // The driver's BENCH_r*.json keeps only a tail of the stdout line, so
     // early-alphabet queries vanish from the per-round record. Persist the
