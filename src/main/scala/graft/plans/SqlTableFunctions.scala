@@ -42,10 +42,17 @@ object GraftTableFunctions {
     throw new IllegalArgumentException(
       s"$fn: argument ${pos + 1} must be $want, got $got")
 
+  // The builders run during ANALYSIS, so an argument expression may be
+  // unresolved (e.g. a bare column reference `graft_asof(a, ...)` — there
+  // is no input relation for it to bind against). `foldable`/`dataType`
+  // THROW UnresolvedException on such expressions; guarding on
+  // `e.resolved` first keeps the user-facing error the function's own
+  // positional "must be a ... literal" message instead of Spark's
+  // internal-invariant wording.
   private def strArg(fn: String, args: Seq[Expression], pos: Int,
                      what: String): String = {
     val e = args(pos)
-    if (!e.foldable || e.dataType != StringType)
+    if (!e.resolved || !e.foldable || e.dataType != StringType)
       fail(fn, pos, s"a string literal ($what)", e.sql)
     val v = e.eval()
     if (v == null) fail(fn, pos, s"a non-NULL string ($what)", "NULL")
@@ -61,7 +68,7 @@ object GraftTableFunctions {
   private def intArg(fn: String, args: Seq[Expression], pos: Int,
                      what: String): Int = {
     val e = args(pos)
-    val ok = e.foldable &&
+    val ok = e.resolved && e.foldable &&
       (e.dataType == IntegerType || e.dataType == LongType || e.dataType == ShortType)
     if (!ok) fail(fn, pos, s"an integer literal ($what)", e.sql)
     e.eval() match {
@@ -78,7 +85,7 @@ object GraftTableFunctions {
   private def longOptArg(fn: String, args: Seq[Expression], pos: Int,
                          what: String): Option[Long] = {
     val e = args(pos)
-    if (!e.foldable) fail(fn, pos, s"a literal ($what)", e.sql)
+    if (!e.resolved || !e.foldable) fail(fn, pos, s"a literal ($what)", e.sql)
     if (e.dataType == NullType) return None
     if (e.dataType != LongType && e.dataType != IntegerType && e.dataType != ShortType)
       fail(fn, pos, s"a bigint literal or NULL ($what)", e.sql)

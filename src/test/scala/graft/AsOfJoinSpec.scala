@@ -393,8 +393,19 @@ class AsOfJoinSpec extends AnyFunSuite {
       spark.sql("SELECT * FROM graft_asof(a, 'graft_asof_args_t', 'a', 'a', 'b', 'b')")
         .collect()
     }
-    // either our "must be a string literal" or Spark's own unresolved error
-    assert(nonLiteral.getMessage != null)
+    // a bare column reference as a TVF argument must surface a USER
+    // error naming the column or the argument position — never Spark's
+    // internal UnresolvedException invariant wording. In practice the
+    // analyzer reports UNRESOLVED_COLUMN before ever invoking the
+    // builder (TVF args resolve first); the builders additionally guard
+    // on e.resolved so that if resolution order ever changes, the
+    // fallback is our positional message, not foldable/dataType throwing
+    assert(
+      nonLiteral.getMessage.contains("cannot be resolved") ||
+        nonLiteral.getMessage.contains("argument 1 must be a string literal"),
+      nonLiteral.getMessage)
+    assert(!nonLiteral.getMessage.contains("Invalid call to"),
+      s"internal UnresolvedException leaked: ${nonLiteral.getMessage}")
     val badArity = intercept[Exception] {
       spark.sql("SELECT * FROM graft_asof('graft_asof_args_t')").collect()
     }
