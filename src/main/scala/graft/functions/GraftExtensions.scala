@@ -85,6 +85,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[SortedOverlapCount].getCanonicalName, SortedOverlapCount.FnName),
       SortedOverlapCount.build _))
+    // ... and for the UDAF tier: `graft_simhash(hash)` aggregates from
+    // SQL text through the same ScalaAggregator the Column API binds
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier(SimhashAgg.FnName),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        SimhashAgg.getClass.getCanonicalName, SimhashAgg.FnName),
+      (exprs: Seq[Expression]) => {
+        if (exprs.length != 1) throw new IllegalArgumentException(
+          s"${SimhashAgg.FnName} takes 1 argument (token hash bigint), " +
+            s"got ${exprs.length}")
+        // the bare ScalaAggregator, NOT pre-wrapped in an
+        // AggregateExpression — the analyzer wraps registry-built
+        // aggregate functions itself (same contract as udf.register)
+        org.apache.spark.sql.graftshim.GraftSqlShim
+          .scalaAggregator(SimhashAgg.asUdaf, exprs)
+      }))
     // SQL front door for the whole-operator tiers: table-valued
     // `graft_asof(...)` / `graft_topk(...)` resolve from query text to
     // the custom logical nodes (and thence, via the strategies injected

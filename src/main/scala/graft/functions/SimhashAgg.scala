@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.{Encoder, Encoders, SparkSession, functions}
 import org.apache.spark.sql.expressions.Aggregator
 
 /** Typed `Aggregator` computing a 64-bit SimHash from a stream of token
@@ -51,4 +51,20 @@ object SimhashAgg extends Aggregator[Long, Array[Long], Long] {
   override def bufferEncoder: Encoder[Array[Long]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
   override def outputEncoder: Encoder[Long] = Encoders.scalaLong
+
+  /** SQL name — `graft_simhash(tokenHash)` aggregates a group's 64-bit
+    * token hashes into the group's SimHash signature from plain SQL
+    * text, completing the custom-tier front doors (`graft_cosine` for
+    * expressions, `graft_asof`/`graft_topk` for whole operators). */
+  val FnName = "graft_simhash"
+
+  /** The Aggregator wrapped as a UDAF — one shared instance so the SQL
+    * registry path and any Column-API caller bind the same function. */
+  lazy val asUdaf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    functions.udaf(SimhashAgg, Encoders.scalaLong)
+
+  /** Idempotent call-time registration for sessions built without
+    * `GraftExtensions` — the UDAF twin of `CosineSim.register`. */
+  def register(s: SparkSession): Unit =
+    s.udf.register(FnName, asUdaf)
 }

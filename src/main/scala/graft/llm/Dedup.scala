@@ -332,6 +332,69 @@ object Dedup {
        |ORDER BY id1, id2""".stripMargin
   }
 
+  /** q130: the SQL FRONT DOOR to the SimHash AGGREGATE — the whole
+    * pipeline is SQL TEXT, with the signature built by the registered
+    * `graft_simhash` UDAF (`functions.SimhashAgg` through the session
+    * function registry; a `GraftExtensions` session has it from birth,
+    * any other gets it from the idempotent `SimhashAgg.register`). This
+    * was the last custom tier without a SQL surface: expressions have
+    * `graft_cosine` (q125), whole-operators have `graft_asof`/
+    * `graft_topk` (q126-q128) — the reference's consumers are SQL-shaped
+    * queue queries (ref `agents/orbiter.md:85-90`).
+    *
+    * Semantics are EXACTLY q109's: the aggregator's per-row ±1 bit
+    * votes over each token OCCURRENCE equal q109's count-weighted votes
+    * over distinct tokens, and the packed 64-bit signature's chunk
+    * slices `(sig >> 16c) & 0xFFFF` equal q109's four chunk columns —
+    * the input hash packs q109's two md5 halves as `h1 | (h2 << 32)`,
+    * so aggregator bit j reads h1 bit j (j<32) / h2 bit j−32 (j≥32),
+    * the same source q109's bit sums read. The oracle is therefore
+    * q109's own SQL, verbatim — one oracle, two engines' front doors. */
+  def q130SimhashSql(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.SimhashAgg.register(s)
+    Tables.documents(s, dir).createOrReplaceTempView("graft_q130_docs")
+    s.sql(
+      s"""WITH t AS (
+         |  SELECT doc_id, tok
+         |  FROM graft_q130_docs
+         |  LATERAL VIEW explode(regexp_extract_all(lower(text), '\\\\S+', 0)) e AS tok),
+         |h AS (
+         |  SELECT doc_id,
+         |    CAST(conv(substring(md5(tok), 1, 8), 16, 10) AS BIGINT) AS h1,
+         |    CAST(conv(substring(md5(tok), 9, 8), 16, 10) AS BIGINT) AS h2
+         |  FROM t),
+         |sig AS (
+         |  SELECT doc_id, graft_simhash(h1 | shiftleft(h2, 32)) AS sh
+         |  FROM h GROUP BY doc_id),
+         |v AS (
+         |  SELECT doc_id,
+         |    CAST(sh & 65535 AS INT) AS v0,
+         |    CAST(shiftright(sh, 16) & 65535 AS INT) AS v1,
+         |    CAST(shiftright(sh, 32) & 65535 AS INT) AS v2,
+         |    CAST(shiftright(sh, 48) & 65535 AS INT) AS v3
+         |  FROM sig),
+         |c0 AS (
+         |  SELECT doc_id, v0, v1, v2, v3, c,
+         |    CASE c WHEN 0 THEN v0 WHEN 1 THEN v1 WHEN 2 THEN v2 ELSE v3 END AS vv
+         |  FROM v LATERAL VIEW explode(array(0, 1, 2, 3)) u AS c),
+         |cw AS (
+         |  SELECT doc_id, v0, v1, v2, v3, c, vv FROM (
+         |    SELECT c0.*, count(*) OVER (PARTITION BY c, vv) AS w FROM c0) x
+         |  WHERE w <= $MaxBucketWidth),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         |  FROM cw a JOIN cw b ON a.c = b.c AND a.vv = b.vv AND a.doc_id < b.doc_id)
+         |SELECT id1, id2, hamming FROM (
+         |  SELECT cd.id1, cd.id2,
+         |    CAST(bit_count(x.v0 ^ y.v0) + bit_count(x.v1 ^ y.v1) +
+         |         bit_count(x.v2 ^ y.v2) + bit_count(x.v3 ^ y.v3) AS INT) AS hamming
+         |  FROM cand cd
+         |  JOIN v x ON x.doc_id = cd.id1
+         |  JOIN v y ON y.doc_id = cd.id2) z
+         |WHERE hamming <= 6
+         |ORDER BY id1, id2""".stripMargin)
+  }
+
   /** Karp–Rabin rolling fingerprint over the token stream: a sequential
     * polynomial fold (h = h*B + tok_hash mod 2^31-1) — order-sensitive,
     * unlike the set-based md5 fingerprint (q33). The Mersenne-31 modulus
@@ -679,6 +742,7 @@ object Dedup {
     "q109_simhash_md5"  -> (q109SimhashMd5 _),
     "q110_rollingfp_md5" -> (q110RollingFpMd5 _),
     "q122_incremental_dedup" -> (q122IncrementalDedup _),
+    "q130_simhash_sql"  -> (q130SimhashSql _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -688,5 +752,7 @@ object Dedup {
     "q109_simhash_md5" -> q109Sql,
     "q110_rollingfp_md5" -> q110Sql,
     "q122_incremental_dedup" -> q122Sql,
+    // same output contract as q109 — one oracle grades both front doors
+    "q130_simhash_sql" -> q109Sql,
   )
 }

@@ -13,6 +13,20 @@ import org.apache.spark.sql.classic.{Dataset => ClassicDataset, ExpressionUtils,
 object GraftSqlShim {
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+
+  /** The bare `ScalaAggregator` AggregateFunction for a
+    * `functions.udaf`-wrapped Aggregator — what `udf.register` hands the
+    * function registry so the ANALYZER does the AggregateExpression
+    * wrapping (returning a pre-wrapped expression from a registry
+    * builder leaves the aggregate un-planned). `scalaAggregator` is
+    * `private[sql]`, hence the shim seat; forwards only. */
+  def scalaAggregator(u: org.apache.spark.sql.expressions.UserDefinedFunction,
+                      children: Seq[Expression]): Expression =
+    org.apache.spark.sql.execution.aggregate.ScalaAggregator(
+      u.asInstanceOf[org.apache.spark.sql.expressions.UserDefinedAggregator[_, _, _]],
+      children)
+
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     ClassicDataset.ofRows(spark.asInstanceOf[ClassicSession], plan)
 

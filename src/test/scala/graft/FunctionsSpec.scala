@@ -232,6 +232,40 @@ class FunctionsSpec extends AnyFunSuite {
     assert(viaAgg == colWise)
   }
 
+  test("graft_simhash resolves from SQL text on both registration paths") {
+    // extensions-built session: injectFunction alone must resolve the
+    // UDAF from text, and the plan must aggregate through the
+    // ScalaAggregator (the Aggregator tier, not a rewrite to something
+    // else) — the same plan-shape discipline as the TVF asserts
+    import org.apache.spark.sql.graftshim.GraftSqlShim
+    val s2 = GraftSqlShim.sessionWithExtensions(
+      spark, new graft.functions.GraftExtensions().apply(_),
+      Map("spark.sql.shuffle.partitions" -> "4"))
+    val data = Seq((1L, 1L), (1L, 2L), (2L, 3L))
+    s2.createDataFrame(data).toDF("g", "h")
+      .createOrReplaceTempView("graft_simhash_ext_t")
+    val viaExt = s2.sql(
+      "SELECT g, graft_simhash(h) AS sh FROM graft_simhash_ext_t GROUP BY g ORDER BY g")
+    assert(viaExt.queryExecution.executedPlan.toString.contains("simhashagg"),
+      viaExt.queryExecution.executedPlan.toString)
+    val extRows = viaExt.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // group 2 = single hash 3: bits 0,1 voted +1, all others -1 => 3L
+    assert(extRows(2L) == 3L)
+    // call-time registration on the shared session gives the same result
+    graft.functions.SimhashAgg.register(spark)
+    spark.createDataFrame(data).toDF("g", "h")
+      .createOrReplaceTempView("graft_simhash_reg_t")
+    val viaReg = spark.sql(
+      "SELECT g, graft_simhash(h) AS sh FROM graft_simhash_reg_t GROUP BY g ORDER BY g")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(viaReg == extRows)
+    // ... and both equal the typed Aggregator applied directly
+    val typed = data.toDS()
+      .groupByKey(_._1).mapValues(_._2).agg(SimhashAgg.toColumn)
+      .collect().toMap
+    assert(typed == extRows)
+  }
+
   test("q66 IVF ANN: runs, respects rank bounds, positive recall") {
     val brute = graft.llm.Similarity.q36CosineTopk(spark, sf)
       .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
