@@ -154,6 +154,42 @@ object MediaCodec {
     out.toByteArray
   }
 
+  /** Encode RGB pixels as baseline JPEG via the JDK's ImageIO codec.
+    * JPEG is LOSSY: the round trip preserves dimensions and payload
+    * length exactly but not pixel bytes — so JPEG paths grade
+    * structure (dims, length) exactly and content by bounded error
+    * (q131), never by hash. Quality is pinned (0.75, the ImageIO
+    * default made explicit) so the error band is reproducible. */
+  def encodeJpeg(pixels: Array[Byte], width: Int, height: Int): Array[Byte] = {
+    require(width > 0 && height > 0 && pixels.length == width * height * 3,
+      s"JPEG encode: ${pixels.length} bytes != $width x $height x 3")
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val buf = img.getRaster.getDataBuffer
+      .asInstanceOf[java.awt.image.DataBufferByte].getData
+    var i = 0
+    while (i < width * height) { // RGB in, BGR raster order
+      buf(i * 3) = pixels(i * 3 + 2)
+      buf(i * 3 + 1) = pixels(i * 3 + 1)
+      buf(i * 3 + 2) = pixels(i * 3)
+      i += 1
+    }
+    val writers = javax.imageio.ImageIO.getImageWritersByFormatName("jpg")
+    if (!writers.hasNext)
+      throw new IllegalStateException("JPEG encode: no ImageIO jpg writer in this JRE")
+    val writer = writers.next()
+    val params = writer.getDefaultWriteParam
+    params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    params.setCompressionQuality(0.75f)
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), params)
+    } finally { writer.dispose(); ios.close() }
+    out.toByteArray
+  }
+
   /** Sniff + decode any supported image container to RGB: PPM (P6) via
     * the hand-rolled parser, PNG/JPEG via ImageIO. Unknown magic or an
     * undecodable stream fails with a precise message — same

@@ -355,11 +355,73 @@ object Multimodal {
       |  coalesce(h.feat_sum, 0.0) AS feat_sum, coalesce(h.f6, 0.0) AS f6
       |FROM d LEFT JOIN h USING (media_id) ORDER BY d.media_id""".stripMargin
 
+  /** q131: the LOSSY real-world container — every image row's decoded
+    * PPM payload is re-encoded as baseline JPEG (JDK ImageIO, pinned
+    * quality 0.75), decoded back through the magic-sniffing
+    * [[MediaCodec.decodeImage]] path, and graded by what survives a
+    * lossy round trip: parsed dimensions and payload length EXACTLY
+    * (JPEG preserves geometry bit-for-bit), decoded content by a
+    * bounded mean-absolute-error check (`lossy_ok`) — measured max MAE
+    * on this corpus's ASCII-byte images is ~21 at the pinned 0.75
+    * quality (MultimodalSpec runs the query end-to-end and asserts
+    * every row in band), so the 32 threshold has real headroom while
+    * still failing loudly on garbage output or an all-zero decode
+    * (MAE 60+ on these images). Hash-graded: the oracle
+    * restates the exact columns and `true` for every row. A dims
+    * mismatch after the round trip fails with the media_id — the same
+    * quarantine contract as every other malformed-container path
+    * (q129's PNG twin grades the lossless path by full pixel facts). */
+  def q131JpegRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    mediaTable(s, dir)
+      .filter(_.kind == "image")
+      .map { r =>
+        val src = MediaCodec.decodePpm(r.content)
+        if (src.width == 0) (r.media_id, 0, 0, 0, true)
+        else {
+          val jpg = MediaCodec.encodeJpeg(src.pixels, src.width, src.height)
+          val back = MediaCodec.decodeImage(jpg)
+          if (back.width != src.width || back.height != src.height)
+            throw new IllegalStateException(
+              s"media_id=${r.media_id}: JPEG round-trip changed dims " +
+                s"${src.width}x${src.height} -> ${back.width}x${back.height}")
+          val n = src.pixels.length
+          var sum = 0L
+          var i = 0
+          while (i < n) {
+            sum += math.abs((src.pixels(i) & 0xFF) - (back.pixels(i) & 0xFF))
+            i += 1
+          }
+          (r.media_id, src.width, src.height, back.pixels.length,
+            sum.toDouble / n <= 32.0)
+        }
+      }
+      .toDF("media_id", "px_w", "px_h", "payload_len", "lossy_ok")
+      .orderBy($"media_id")
+  }
+
+  /** q131 oracle: geometry from the same text-byte arithmetic as q129
+    * (the PPM width is n//3, height 1, payload 3·(n//3)); `lossy_ok`
+    * is TRUE for every row — the Spark side EARNS that constant by
+    * actually decoding and bounding the error, the oracle states the
+    * contract. */
+  val q131Sql: String =
+    """WITH m AS (
+      |  SELECT doc_id AS media_id, octet_length(encode(text)) AS n
+      |  FROM documents WHERE doc_id % 3 = 0)
+      |SELECT media_id,
+      |  CAST(n // 3 AS INT) AS px_w,
+      |  CAST(CASE WHEN n // 3 = 0 THEN 0 ELSE 1 END AS INT) AS px_h,
+      |  CAST(CASE WHEN n // 3 = 0 THEN 0 ELSE 3 * (n // 3) END AS INT) AS payload_len,
+      |  TRUE AS lossy_ok
+      |FROM m ORDER BY media_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q52_media_features" -> (q52MediaFeatures _),
     "q53_frame_sample"   -> (q53FrameSample _),
     "q112_media_meta"    -> (q112MediaMeta _),
     "q129_png_roundtrip" -> (q129PngRoundtrip _),
+    "q131_jpeg_roundtrip" -> (q131JpegRoundtrip _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -367,5 +429,6 @@ object Multimodal {
     "q53_frame_sample"   -> q53Sql,
     "q112_media_meta"    -> q112Sql,
     "q129_png_roundtrip" -> q129Sql,
+    "q131_jpeg_roundtrip" -> q131Sql,
   )
 }

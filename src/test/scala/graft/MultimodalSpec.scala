@@ -177,6 +177,33 @@ class MultimodalSpec extends AnyFunSuite {
     assert(truncated.getMessage.toLowerCase.contains("png"), truncated.getMessage)
   }
 
+  test("encodeJpeg: dims/length survive exactly, corpus error stays inside the q131 band") {
+    // adversarial byte-noise (adjacent bytes differ by 131 mod 256 —
+    // maximal high-frequency content): structural facts must STILL
+    // survive exactly even when pixel error is large. Measured MAE here
+    // is ~66 — far outside q131's 32 band — which is the point: the
+    // band is a property of the CORPUS's ASCII-byte images (measured
+    // max ~21 at the pinned 0.75 quality), not of JPEG in general.
+    val (w, h) = (64, 9)
+    val pixels = Array.tabulate(w * h * 3)(i => ((i * 131 + 29) % 256).toByte)
+    val jpg = llm.MediaCodec.encodeJpeg(pixels, w, h)
+    assert((jpg(0) & 0xFF) == 0xFF && (jpg(1) & 0xFF) == 0xD8, "JPEG magic")
+    val back = llm.MediaCodec.decodeImage(jpg)
+    assert(back.width == w && back.height == h, "JPEG preserves dims exactly")
+    assert(back.pixels.length == pixels.length, "JPEG preserves payload length")
+    val mae = pixels.indices.map(i =>
+      math.abs((pixels(i) & 0xFF) - (back.pixels(i) & 0xFF))).sum.toDouble / pixels.length
+    assert(mae > 0.0, "a bit-exact JPEG round trip would mean the encoder is not lossy — suspicious")
+    assert(mae < 128.0, f"MAE $mae%.2f says the decode produced unrelated bytes")
+    // the q131 query end-to-end ON THE CORPUS: every image row inside
+    // the 32 band (measured headroom ~11), exact geometry throughout
+    val rows = Multimodal.q131JpegRoundtrip(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getBoolean(4)), "every corpus image must sit inside the error band")
+    assert(rows.forall(r => r.getInt(3) == 3 * r.getInt(1) * r.getInt(2)),
+      "payload_len must equal w*h*3 exactly")
+  }
+
   test("q129 PNG round-trip features equal the PPM path's (lossless-ness end to end)") {
     val viaPng = Multimodal.q129PngRoundtrip(spark, sf).collect()
     assert(viaPng.nonEmpty)
