@@ -60,27 +60,39 @@ object ScalingStudy {
     val qs = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => prefixes.exists(n.startsWith) }
     require(qs.nonEmpty, s"no query matches ${prefixes.mkString(",")}")
-    for (dir <- dirs; (name, fn) <- qs) {
-      def pass(): Double = {
-        val t0 = System.nanoTime()
-        fn(spark, dir).write.format("noop").mode("overwrite").save()
-        val dt = (System.nanoTime() - t0) / 1e9
-        Ckpt.sweep(spark)
-        dt
+    // a (dir, query) that throws must not abort the rest of the study —
+    // a multi-dir run losing all later points to one bad decade is the
+    // Bench-failure-marker lesson replayed here; the session stop rides
+    // a finally so an unexpected error cannot leak the JVM's executors
+    try {
+      for (dir <- dirs; (name, fn) <- qs) {
+        def pass(): Double = {
+          val t0 = System.nanoTime()
+          fn(spark, dir).write.format("noop").mode("overwrite").save()
+          val dt = (System.nanoTime() - t0) / 1e9
+          Ckpt.sweep(spark)
+          dt
+        }
+        try {
+          pass() // warmup: listing + codegen + JIT
+          // QueryExecutionListener callbacks fire asynchronously on a
+          // separate thread; the drain below waits for quiescence before
+          // the counters are read, and clearing here keeps a slow warmup
+          // callback from bleeding into the timed run's metric set
+          org.apache.spark.sql.graftshim.GraftSqlShim.drainListenerBus(spark)
+          metrics.clear()
+          val dt = pass()
+          org.apache.spark.sql.graftshim.GraftSqlShim.drainListenerBus(spark)
+          val kv = metrics.toSeq.sortBy(_._1)
+            .map { case (k, v) => s"$k=$v" }.mkString(" ")
+          println(f"STUDY dir=$dir query=$name sec=$dt%.2f $kv")
+        } catch {
+          case t: Throwable =>
+            System.err.println(
+              s"STUDY-FAILED dir=$dir query=$name: ${t.getClass.getName}: ${t.getMessage}")
+            t.getStackTrace.take(5).foreach(f => System.err.println(s"  at $f"))
+        }
       }
-      pass() // warmup: listing + codegen + JIT
-      // QueryExecutionListener callbacks fire asynchronously on a
-      // separate thread; the drain below waits for quiescence before
-      // the counters are read, and clearing here keeps a slow warmup
-      // callback from bleeding into the timed run's metric set
-      org.apache.spark.sql.graftshim.GraftSqlShim.drainListenerBus(spark)
-      metrics.clear()
-      val dt = pass()
-      org.apache.spark.sql.graftshim.GraftSqlShim.drainListenerBus(spark)
-      val kv = metrics.toSeq.sortBy(_._1)
-        .map { case (k, v) => s"$k=$v" }.mkString(" ")
-      println(f"STUDY dir=$dir query=$name sec=$dt%.2f $kv")
-    }
-    spark.stop()
+    } finally spark.stop()
   }
 }

@@ -43,6 +43,17 @@ object Similarity {
   private[graft] def ivfStride(n: Long, minStride: Int): Long =
     math.max(minStride.toLong, math.floor(math.sqrt(n.toDouble)).toLong)
 
+  /** Lloyd TRAINING stride: the refinement passes see only vectors with
+    * `vec_id % trainStride == 0` — a deterministic ≈8·K-vector sample
+    * (the faiss discipline: train the coarse quantizer on c·K points,
+    * then assign the full corpus ONCE). With K ≈ √N this caps each
+    * Lloyd pass at ~8√N·K ≈ 8N cosine evaluations — linear — where the
+    * r9 build paid the full N·K per pass (the measured ~36×/decade
+    * curve, PERF.md §ANN). One more modulo predicate, so the oracle
+    * restates it in the same scalar-subquery style as `ivfStride`. */
+  private[graft] def ivfTrainStride(stride: Long): Long =
+    math.max(1L, stride / 8)
+
   private def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
@@ -250,28 +261,35 @@ object Similarity {
 
   /** q66: IVF-style ANN — the other scale path besides LSH banding:
     *  1. seed: deterministic stride sample of the corpus (no RNG);
-    *  2. refine: `lloydIters` (default 2) FIXED Lloyd iterations —
-    *     assign every vector to its nearest centroid (argmax cosine,
-    *     ties toward the smallest cent_id), replace each centroid by
-    *     its cell's element-wise mean. Stride seeds land wherever
+    *  2. refine: `lloydIters` (default 2) FIXED Lloyd iterations over
+    *     the TRAINING SLICE only (`vec_id % trainStride == 0`, ≈8·K
+    *     vectors — see [[ivfTrainStride]]): assign each training
+    *     vector to its nearest centroid (argmax cosine, ties toward
+    *     the smallest cent_id), replace each centroid by its cell's
+    *     element-wise mean over the slice. Stride seeds land wherever
     *     vec_id order happens to put them; two Lloyd steps pull the
     *     cells onto the data's actual clusters, which is what makes
     *     nprobe small-and-sufficient on clustered corpora (the
     *     realistic near-dup geometry). Fixed iteration count and
     *     tie-broken argmin keep the whole build deterministic — and
-    *     therefore ORACLE-RESTATABLE: the q66 SQL unrolls the same two
-    *     iterations CTE-by-CTE. Means go through DECIMAL(18,9) sums
-    *     (q38's trick) so the refined centroids are independent of
-    *     partial-aggregation order — double addition is not
-    *     associative; decimal is. A cell that captures no vectors
-    *     keeps its previous centroid (LEFT JOIN + coalesce).
+    *     therefore ORACLE-RESTATABLE: the q66 SQL unrolls the same
+    *     iterations CTE-by-CTE over the same slice. Means go through
+    *     DECIMAL(18,9) sums (q38's trick) so the refined centroids are
+    *     independent of partial-aggregation order — double addition is
+    *     not associative; decimal is. A cell that captures no training
+    *     vectors keeps its previous centroid (LEFT JOIN + coalesce).
     *  3. assign: every vector goes to its final nearest-centroid cell
-    *     (broadcast centroids, one narrow pass);
-    *  4. probe: each query searches its `nprobe`=2 nearest cells only.
+    *     (broadcast centroids, ONE full N×K pass — the only
+    *     super-linear term left in the build);
+    *  4. probe: each query searches its `nprobe` (default 2) nearest
+    *     cells only.
     * Candidate generation is an equality join on cell id — at 100 TB
     * the cells shard the corpus so a query touches ~nprobe/K of it,
-    * and each Lloyd pass is one broadcast-assign plus one
-    * (cell, dim)-keyed partial aggregation: linear, no all-pairs shape.
+    * each Lloyd pass is ~8N cosines (linear), and the one remaining
+    * N×K pass is the irreducible cost of EXACT flat-IVF assignment.
+    * `nprobe`/`lloydIters` follow session confs `spark.graft.ivf.
+    * nprobe` / `spark.graft.ivf.lloyditers` in q66, with the oracle
+    * synthesized at the same values (the q39 multiprobe pattern).
     * Hash-graded via q66; recall vs brute force unit-tested. */
   def annIvfFrom(e: DataFrame, nq: Int = 10, k: Int = 5,
                  strideMod: Int = 31, nprobe: Int = 2,
@@ -311,8 +329,19 @@ object Similarity {
     val stride = Similarity.ivfStride(e.count(), strideMod)
     val seeds = e.filter(pmod($"vec_id", lit(stride)) === 0)
       .select($"vec_id".as("cent_id"), $"v".as("cv0"))
+    // Sampled Lloyd training: refinement sees only the deterministic
+    // ≈8·K-vector training slice, so each pass costs ~8N cosines
+    // (linear) instead of the full N×K fan-out — the r9 decade study
+    // measured that full-corpus Lloyd at ~36×/decade (N^1.5), and the
+    // 2-of-3 assignment passes it spent there were training, not the
+    // one final assignment the cells actually need. Cell means over a
+    // sample are still means through DECIMAL(18,9) — deterministic and
+    // order-independent, so the oracle unrolls identically with one
+    // more WHERE clause.
+    val trainStride = Similarity.ivfTrainStride(stride)
+    val train = e.filter(pmod($"vec_id", lit(trainStride)) === 0)
     val cents = (1 to lloydIters).foldLeft(seeds) { (cs, _) =>
-      val means = nearestCells(cs)(e, "v", 1, "cell")
+      val means = nearestCells(cs)(train, "v", 1, "cell")
         .select($"cell", posexplode($"v").as(Seq("pos", "x")))
         .groupBy($"cell", $"pos")
         .agg((sum($"x".cast(DecimalType(18, 9))).cast("double") /
@@ -338,14 +367,17 @@ object Similarity {
   }
 
   def q66AnnIvf(s: SparkSession, dir: String): DataFrame =
-    annIvfFrom(vecs(s, dir))
+    annIvfFrom(vecs(s, dir),
+      nprobe = sessionIvfNprobe(s), lloydIters = sessionIvfLloydIters(s))
 
-  /** One unrolled Lloyd iteration in DuckDB: assign every vector to its
-    * nearest `prev` centroid (argmax cosine, ties toward the smallest
-    * cent_id), mean each cell per dimension through DECIMAL(18,9)
-    * (q38's order-independence trick — the Spark side sums the same
-    * decimals), rebuild arrays in dimension order, keep the previous
-    * centroid for cells that captured nothing. */
+  /** One unrolled Lloyd iteration in DuckDB: assign every TRAINING
+    * vector (the `tr` CTE — the same `vec_id % trainStride` slice the
+    * Spark build refines on) to its nearest `prev` centroid (argmax
+    * cosine, ties toward the smallest cent_id), mean each cell per
+    * dimension through DECIMAL(18,9) (q38's order-independence trick —
+    * the Spark side sums the same decimals), rebuild arrays in
+    * dimension order, keep the previous centroid for cells that
+    * captured nothing. */
   private def lloydCtes(i: Int, prev: String): String =
     s"""asg$i AS (
        |  SELECT vec_id, v, cent_id AS cell FROM (
@@ -354,7 +386,7 @@ object Similarity {
        |        list_dot_product(e.v, c.cv)
        |          / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
        |        c.cent_id ASC) AS crn
-       |    FROM e, $prev c) t WHERE crn = 1),
+       |    FROM tr e, $prev c) t WHERE crn = 1),
        |m$i AS (
        |  SELECT cell, pos, CAST(sum(CAST(x AS DECIMAL(18,9))) AS DOUBLE) / count(*) AS m
        |  FROM (SELECT cell, unnest(v) AS x, generate_subscripts(v, 1) - 1 AS pos
@@ -364,19 +396,26 @@ object Similarity {
        |c$i AS (SELECT p.cent_id, coalesce(n$i.nv, p.cv) AS cv
        |        FROM $prev p LEFT JOIN n$i ON n$i.cell = p.cent_id),""".stripMargin
 
-  /** q66 oracle: the IVF build is fully deterministic (stride seeds, a
-    * FIXED number of tie-broken Lloyd iterations, no RNG) and
+  /** q66 oracle AT GIVEN KNOB VALUES: the IVF build is fully
+    * deterministic (stride seeds, a FIXED number of tie-broken Lloyd
+    * iterations over a deterministic training slice, no RNG) and
     * `CosineSim`'s fold is bit-identical to DuckDB's list_dot_product
-    * (proved by q36), so the WHOLE IVF pipeline — seeding, two Lloyd
-    * refinements (unrolled CTE-by-CTE below), cell assignment, nprobe=2
-    * probing, scoring — restates in SQL and is hash-graded, not
-    * rows-only. */
-  val q66Sql: String = {
-    val iters = (1 to 2).map(i =>
+    * (proved by q36), so the WHOLE IVF pipeline — seeding, sampled
+    * Lloyd refinement (unrolled CTE-by-CTE below), cell assignment,
+    * nprobe probing, scoring — restates in SQL and is hash-graded, not
+    * rows-only. The registered entry is synthesized from the SESSION's
+    * knob values (see `oracle`), so a harness overriding the confs
+    * still hash-matches — the q39 multiprobe discipline. */
+  def q66Sql(nprobe: Int, lloydIters: Int): String = {
+    val iters = (1 to lloydIters).map(i =>
       lloydCtes(i, if (i == 1) "c0" else s"c${i - 1}")).mkString("\n")
+    val cLast = s"c$lloydIters"
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |params AS (SELECT greatest(31, CAST(floor(sqrt(count(*))) AS BIGINT)) AS stride FROM e),
        |c0 AS (SELECT vec_id AS cent_id, v AS cv FROM e
-       |       WHERE vec_id % (SELECT greatest(31, CAST(floor(sqrt(count(*))) AS BIGINT)) FROM e) = 0),
+       |       WHERE vec_id % (SELECT stride FROM params) = 0),
+       |tr AS (SELECT vec_id, v FROM e
+       |       WHERE vec_id % (SELECT greatest(1, stride // 8) FROM params) = 0),
        |$iters
        |asgf AS (
        |  SELECT vec_id, v, cent_id, crn FROM (
@@ -385,10 +424,10 @@ object Similarity {
        |        list_dot_product(e.v, c.cv)
        |          / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
        |        c.cent_id ASC) AS crn
-       |    FROM e, c2 c) t),
+       |    FROM e, $cLast c) t),
        |assigned AS (SELECT vec_id, v, cent_id AS cell FROM asgf WHERE crn = 1),
        |q AS (SELECT vec_id AS qid, v AS qv, cent_id AS cell
-       |      FROM asgf WHERE vec_id < 10 AND crn <= 2),
+       |      FROM asgf WHERE vec_id < 10 AND crn <= $nprobe),
        |sims AS (
        |  SELECT DISTINCT q.qid, c.vec_id AS cid,
        |    list_dot_product(q.qv, c.v)
@@ -457,6 +496,21 @@ object Similarity {
     SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
       .flatMap(_.conf.getOption("spark.graft.lsh.multiprobe"))
       .map(_.trim.toInt).getOrElse(1)
+
+  /** IVF session knobs (q66): `spark.graft.ivf.nprobe` (default 2) and
+    * `spark.graft.ivf.lloyditers` (default 2) — runtime-tunable like
+    * LSH's multiprobe, with the oracle synthesized at the same values
+    * so no knob setting can desynchronize plan and grade. */
+  private def sessionIvfNprobe(s: SparkSession): Int =
+    s.conf.getOption("spark.graft.ivf.nprobe").map(_.trim.toInt).getOrElse(2)
+
+  private def sessionIvfLloydIters(s: SparkSession): Int =
+    s.conf.getOption("spark.graft.ivf.lloyditers").map(_.trim.toInt).getOrElse(2)
+
+  private def sessionIvf: (Int, Int) =
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .map(s => (sessionIvfNprobe(s), sessionIvfLloydIters(s)))
+      .getOrElse((2, 2))
 
   /** q104: embedding-cosine near-dup pairs — the vector-space member of
     * the dedup family (exact q29, MinHash q46, SimHash q47, n-gram
@@ -546,19 +600,22 @@ object Similarity {
     "q125_cosine_sql"    -> (q125CosineSqlPairs _),
   )
 
-  // def, not val: q39's oracle SQL is synthesized from the ACTIVE
-  // session's multiprobe conf via the shared probeCodes generator, so a
-  // harness overriding spark.graft.lsh.multiprobe still hash-matches
-  // (previously the entry was pinned to depth 1 and any other depth made
-  // q39 spuriously fail).
-  def oracle: Map[String, String] = Map(
-    "q36_cosine_topk"    -> q36Sql,
-    "q37_vec_norms"      -> q37Sql,
-    "q38_label_centroid" -> q38Sql,
-    "q39_ann_lsh"        -> annLshSql(sessionMultiProbe),
-    "q66_ann_ivf"        -> q66Sql,
-    "q104_cosine_dups"   -> q104Sql,
-    "q111_ann_md5"       -> q111Sql,
-    "q125_cosine_sql"    -> q125Sql,
-  )
+  // def, not val: q39's and q66's oracle SQL is synthesized from the
+  // ACTIVE session's conf values (multiprobe / nprobe / lloyditers) via
+  // the same generators the Spark plans use, so a harness overriding
+  // the knobs still hash-matches (previously q39 was pinned to depth 1
+  // and any other depth made it spuriously fail).
+  def oracle: Map[String, String] = {
+    val (np, li) = sessionIvf
+    Map(
+      "q36_cosine_topk"    -> q36Sql,
+      "q37_vec_norms"      -> q37Sql,
+      "q38_label_centroid" -> q38Sql,
+      "q39_ann_lsh"        -> annLshSql(sessionMultiProbe),
+      "q66_ann_ivf"        -> q66Sql(np, li),
+      "q104_cosine_dups"   -> q104Sql,
+      "q111_ann_md5"       -> q111Sql,
+      "q125_cosine_sql"    -> q125Sql,
+    )
+  }
 }

@@ -106,6 +106,39 @@ class LlmSpec extends AnyFunSuite {
     // for seeds-only)
     assert(recall >= rSeeded, "Lloyd refinement must not lose recall vs raw seeds")
     assert(recall >= 0.95, f"IVF recall $recall%.2f below the 0.95 floor")
+    // the floor must hold with SAMPLED Lloyd training (the linear-build
+    // path that replaced full-corpus refinement in r10) — annIvfFrom
+    // trains on the vec_id % trainStride slice by construction now, so
+    // `ivf` above already exercises it; this assert documents that the
+    // sample, not the full corpus, earned the 0.95
+    assert(llm.Similarity.ivfTrainStride(31) == 3,
+      "training slice must be a strict sample above trivial corpus sizes")
+    // non-default nprobe: widening the probe must not lose recall
+    val probed3 = pairs(llm.Similarity.annIvfFrom(e, nprobe = 3))
+    val r3 = (probed3 & brute).size.toDouble / brute.size
+    info(f"clustered IVF recall@5 at nprobe=3: $r3%.2f")
+    assert(r3 >= recall, "a wider probe must not lose recall")
+  }
+
+  test("IVF session knobs: q66 follows spark.graft.ivf.* and the oracle is synthesized at the same values") {
+    val prevN = spark.conf.getOption("spark.graft.ivf.nprobe")
+    val prevL = spark.conf.getOption("spark.graft.ivf.lloyditers")
+    try {
+      spark.conf.set("spark.graft.ivf.nprobe", "3")
+      spark.conf.set("spark.graft.ivf.lloyditers", "1")
+      val sql = llm.Similarity.oracle("q66_ann_ivf")
+      assert(sql.contains("crn <= 3"), "oracle must carry the session nprobe")
+      assert(sql.contains("c1 c") && !sql.contains("c2 c"),
+        "oracle must unroll exactly the session's Lloyd iteration count")
+      // the plan actually runs at those values (rank bound = k, rows exist)
+      val rows = llm.Similarity.q66AnnIvf(spark, sf).collect()
+      assert(rows.nonEmpty && rows.forall(_.getInt(1) <= 5))
+    } finally {
+      def restore(k: String, v: Option[String]): Unit =
+        v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+      restore("spark.graft.ivf.nprobe", prevN)
+      restore("spark.graft.ivf.lloyditers", prevL)
+    }
   }
 
   test("IVF seed stride: fixed below the floor, sqrt(N) above it, oracle arithmetic") {
