@@ -370,6 +370,105 @@ object Similarity {
     annIvfFrom(vecs(s, dir),
       nprobe = sessionIvfNprobe(s), lloydIters = sessionIvfLloydIters(s))
 
+  /** q132: HIERARCHICAL IVF — the linear-build scale path past q66.
+    *
+    * q66's one remaining super-linear term is the exact final
+    * assignment: every vector against every centroid, N×K = N^1.5 with
+    * the √N cell sizing (measured 23×/decade after sampled Lloyd,
+    * PERF.md §IVF r10). This twin coarse-quantizes the CENTROIDS
+    * (G ≈ √K supers — every ⌈K/G⌉-th centroid in cent_id rank order,
+    * assigned to their nearest super) and then assigns each vector in
+    * two hops: nearest super (N×G), then nearest centroid within that
+    * super (N×K/G avg) — ~2N·N^0.25 total, an IMI-style approximate
+    * assignment. Queries probe `nsupers` supers and then `nprobe`
+    * cells among those supers' centroids, so a boundary vector whose
+    * true cell landed one super over is still reachable. Every argmax
+    * is row_number + (sim DESC, id ASC) tie-broken, the super
+    * selection is rank arithmetic over `count(*) OVER ()` — all
+    * in-plan, no driver-side sizing action — so the WHOLE build
+    * restates in SQL and q132 is hash-graded like q66. Recall floor
+    * asserted on the clustered corpus in LlmSpec. */
+  def annIvf2From(e: DataFrame, nq: Int = 10, k: Int = 5,
+                  strideMod: Int = 31, nprobe: Int = 2,
+                  lloydIters: Int = 2, nsupers: Int = 2): DataFrame = {
+    val s = e.sparkSession
+    import s.implicits._
+    // nearest-n of `cands` (idCol, vecCol) for every row of df, ranked
+    // by the usual (cosine DESC, id ASC); emits df's columns + out/outRank
+    def nearestN(cands: DataFrame, idCol: String, vecCol: String)(
+        df: DataFrame, keyCol: String, vcol: String, n: Int,
+        out: String): DataFrame = {
+      val scored = df.crossJoin(broadcast(cands))
+        .withColumn("nsim", graft.functions.CosineSim.cosine(s, col(vcol), col(vecCol)))
+      val w = Window.partitionBy(col(keyCol)).orderBy($"nsim".desc, col(idCol).asc)
+      scored
+        .withColumn("nrn", row_number().over(w))
+        .filter($"nrn" <= n)
+        .select(df.columns.map(col) :+ col(idCol).as(out) :+ $"nrn".as(s"${out}_rn"): _*)
+    }
+    // seed + sampled-Lloyd refine: identical to q66's build
+    val stride = Similarity.ivfStride(e.count(), strideMod)
+    val trainStride = Similarity.ivfTrainStride(stride)
+    val seeds = e.filter(pmod($"vec_id", lit(stride)) === 0)
+      .select($"vec_id".as("cent_id"), $"v".as("cv0"))
+    val train = e.filter(pmod($"vec_id", lit(trainStride)) === 0)
+    val cents = (1 to lloydIters).foldLeft(seeds) { (cs, _) =>
+      val means = nearestN(cs, "cent_id", "cv0")(train, "vec_id", "v", 1, "cell")
+        .select($"cell", posexplode($"v").as(Seq("pos", "x")))
+        .groupBy($"cell", $"pos")
+        .agg((sum($"x".cast(DecimalType(18, 9))).cast("double") /
+          count(lit(1))).as("m"))
+        .groupBy($"cell")
+        .agg(transform(array_sort(collect_list(struct($"pos", $"m"))),
+          t => t.getField("m")).as("nv"))
+      cs.join(means, cs("cent_id") === means("cell"), "left")
+        .select(cs("cent_id"), coalesce($"nv", cs("cv0")).as("cv0"))
+    }
+    // coarse quantizer: G = max(1, ⌊√K⌋) supers = every ⌈K/G⌉-th
+    // centroid in cent_id rank order — rank arithmetic over a window
+    // count, no driver action, restates verbatim in SQL
+    val ranked = cents
+      .withColumn("rn", row_number().over(Window.orderBy($"cent_id")))
+      .withColumn("kk", count(lit(1)).over(Window.partitionBy(lit(1))))
+    val supers = ranked
+      .filter(($"rn" - 1) %
+        ceil($"kk".cast("double") / greatest(lit(1L), floor(sqrt($"kk")))).cast("long") === 0)
+      .select($"cent_id".as("super_id"), $"cv0".as("sv"))
+    // centroid -> super (K×G, tiny), vector -> super (N×G), then
+    // vector -> centroid within its super (N×K/G)
+    val centSup = nearestN(supers, "super_id", "sv")(
+      cents, "cent_id", "cv0", 1, "sup").drop("sup_rn")
+    val vecSup = nearestN(supers, "super_id", "sv")(
+      e, "vec_id", "v", 1, "vsup").drop("vsup_rn")
+    def cellsWithin(df: DataFrame, supCol: String, n: Int): DataFrame = {
+      val joined = df.join(centSup.select($"cent_id", $"cv0", $"sup"),
+        col(supCol) === $"sup")
+        .withColumn("csim", graft.functions.CosineSim.cosine(s, $"v", $"cv0"))
+      val w = Window.partitionBy($"vec_id").orderBy($"csim".desc, $"cent_id".asc)
+      joined.withColumn("crn", row_number().over(w)).filter($"crn" <= n)
+        .select($"vec_id", $"v", $"cent_id".as("cell"))
+    }
+    val assigned = cellsWithin(vecSup, "vsup", 1)
+    // queries: nsupers supers wide, then nprobe cells among their cents
+    val qSup = nearestN(supers, "super_id", "sv")(
+      e.filter($"vec_id" < nq), "vec_id", "v", nsupers, "qsup").drop("qsup_rn")
+    val q = cellsWithin(qSup, "qsup", nprobe)
+      .select($"vec_id".as("qid"), $"v".as("qv"), $"cell")
+    val c = assigned.select($"vec_id".as("cid"), $"v".as("cv"), $"cell".as("ccell"))
+    val w = Window.partitionBy($"qid").orderBy($"sim".desc, $"cid".asc)
+    c.join(broadcast(q), $"ccell" === $"cell" && $"cid" =!= $"qid")
+      .select($"qid", $"qv", $"cid", $"cv").dropDuplicates("qid", "cid")
+      .withColumn("sim", graft.functions.CosineSim.cosine(s, $"qv", $"cv"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= k)
+      .select($"qid", $"rank", $"cid", round($"sim", 4).as("sim"))
+      .orderBy($"qid", $"rank")
+  }
+
+  def q132AnnIvf2(s: SparkSession, dir: String): DataFrame =
+    annIvf2From(vecs(s, dir),
+      nprobe = sessionIvfNprobe(s), lloydIters = sessionIvfLloydIters(s))
+
   /** One unrolled Lloyd iteration in DuckDB: assign every TRAINING
     * vector (the `tr` CTE — the same `vec_id % trainStride` slice the
     * Spark build refines on) to its nearest `prev` centroid (argmax
@@ -433,6 +532,72 @@ object Similarity {
        |    list_dot_product(q.qv, c.v)
        |      / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.v, c.v))) AS sim
        |  FROM q JOIN assigned c ON c.cell = q.cell AND c.vec_id <> q.qid),
+       |ranked AS (
+       |  SELECT qid, cid, sim,
+       |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rank
+       |  FROM sims)
+       |SELECT qid, rank, cid, round(sim, 4) AS sim
+       |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+  }
+
+  private def cosSql(a: String, b: String): String =
+    s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+
+  /** q132 oracle: the hierarchical build is q66's sampled-Lloyd build
+    * plus three more deterministic argmax layers (super selection by
+    * rank arithmetic, centroid→super, vector→super→cell), every one
+    * row_number + tie-broken — so the whole two-level pipeline unrolls
+    * in SQL exactly like the flat one. */
+  def q132Sql(nprobe: Int, lloydIters: Int, nsupers: Int = 2): String = {
+    val iters = (1 to lloydIters).map(i =>
+      lloydCtes(i, if (i == 1) "c0" else s"c${i - 1}")).mkString("\n")
+    val cLast = s"c$lloydIters"
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |params AS (SELECT greatest(31, CAST(floor(sqrt(count(*))) AS BIGINT)) AS stride FROM e),
+       |c0 AS (SELECT vec_id AS cent_id, v AS cv FROM e
+       |       WHERE vec_id % (SELECT stride FROM params) = 0),
+       |tr AS (SELECT vec_id, v FROM e
+       |       WHERE vec_id % (SELECT greatest(1, stride // 8) FROM params) = 0),
+       |$iters
+       |kg AS (SELECT cent_id, cv, row_number() OVER (ORDER BY cent_id) AS rn,
+       |              count(*) OVER () AS kk FROM $cLast),
+       |sup AS (SELECT cent_id AS super_id, cv AS sv FROM kg
+       |        WHERE (rn - 1) % CAST(ceil(CAST(kk AS DOUBLE)
+       |          / greatest(1, CAST(floor(sqrt(CAST(kk AS DOUBLE))) AS BIGINT))) AS BIGINT) = 0),
+       |cs AS (
+       |  SELECT cent_id, cv, super_id AS sup FROM (
+       |    SELECT c.cent_id, c.cv, s.super_id,
+       |      row_number() OVER (PARTITION BY c.cent_id ORDER BY
+       |        ${cosSql("c.cv", "s.sv")} DESC, s.super_id ASC) AS srn
+       |    FROM $cLast c, sup s) t WHERE srn = 1),
+       |vsup AS (
+       |  SELECT vec_id, v, super_id AS vsup FROM (
+       |    SELECT e.vec_id, e.v, s.super_id,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        ${cosSql("e.v", "s.sv")} DESC, s.super_id ASC) AS srn
+       |    FROM e, sup s) t WHERE srn = 1),
+       |assigned AS (
+       |  SELECT vec_id, v, cell FROM (
+       |    SELECT vs.vec_id, vs.v, c.cent_id AS cell,
+       |      row_number() OVER (PARTITION BY vs.vec_id ORDER BY
+       |        ${cosSql("vs.v", "c.cv")} DESC, c.cent_id ASC) AS crn
+       |    FROM vsup vs JOIN cs c ON c.sup = vs.vsup) t WHERE crn = 1),
+       |qsup AS (
+       |  SELECT vec_id, v, super_id FROM (
+       |    SELECT e.vec_id, e.v, s.super_id,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        ${cosSql("e.v", "s.sv")} DESC, s.super_id ASC) AS srn
+       |    FROM e, sup s WHERE e.vec_id < 10) t WHERE srn <= $nsupers),
+       |qcells AS (
+       |  SELECT vec_id AS qid, v AS qv, cell FROM (
+       |    SELECT q.vec_id, q.v, c.cent_id AS cell,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        ${cosSql("q.v", "c.cv")} DESC, c.cent_id ASC) AS crn
+       |    FROM qsup q JOIN cs c ON c.sup = q.super_id) t WHERE crn <= $nprobe),
+       |sims AS (
+       |  SELECT DISTINCT q.qid, c.vec_id AS cid,
+       |    ${cosSql("q.qv", "c.v")} AS sim
+       |  FROM qcells q JOIN assigned c ON c.cell = q.cell AND c.vec_id <> q.qid),
        |ranked AS (
        |  SELECT qid, cid, sim,
        |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rank
@@ -595,6 +760,7 @@ object Similarity {
     "q38_label_centroid" -> (q38LabelCentroid _),
     "q39_ann_lsh"        -> (q39AnnLsh _),
     "q66_ann_ivf"        -> (q66AnnIvf _),
+    "q132_ann_ivf2"      -> (q132AnnIvf2 _),
     "q104_cosine_dups"   -> (q104CosineDups _),
     "q111_ann_md5"       -> (q111AnnMd5 _),
     "q125_cosine_sql"    -> (q125CosineSqlPairs _),
@@ -613,6 +779,7 @@ object Similarity {
       "q38_label_centroid" -> q38Sql,
       "q39_ann_lsh"        -> annLshSql(sessionMultiProbe),
       "q66_ann_ivf"        -> q66Sql(np, li),
+      "q132_ann_ivf2"      -> q132Sql(np, li),
       "q104_cosine_dups"   -> q104Sql,
       "q111_ann_md5"       -> q111Sql,
       "q125_cosine_sql"    -> q125Sql,

@@ -118,6 +118,13 @@ class LlmSpec extends AnyFunSuite {
     val r3 = (probed3 & brute).size.toDouble / brute.size
     info(f"clustered IVF recall@5 at nprobe=3: $r3%.2f")
     assert(r3 >= recall, "a wider probe must not lose recall")
+    // hierarchical twin (q132): the two-level approximate assignment
+    // must hold the same floor on clustered geometry — the nsupers=2
+    // probe is what makes boundary cells reachable
+    val ivf2 = pairs(llm.Similarity.annIvf2From(e))
+    val r2l = (ivf2 & brute).size.toDouble / brute.size
+    info(f"clustered hierarchical-IVF recall@5: $r2l%.2f")
+    assert(r2l >= 0.95, f"hierarchical IVF recall $r2l%.2f below the 0.95 floor")
   }
 
   test("IVF session knobs: q66 follows spark.graft.ivf.* and the oracle is synthesized at the same values") {
