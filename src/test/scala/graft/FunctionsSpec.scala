@@ -246,7 +246,7 @@ class FunctionsSpec extends AnyFunSuite {
       .createOrReplaceTempView("graft_simhash_ext_t")
     val viaExt = s2.sql(
       "SELECT g, graft_simhash(h) AS sh FROM graft_simhash_ext_t GROUP BY g ORDER BY g")
-    assert(viaExt.queryExecution.executedPlan.toString.contains("simhashagg"),
+    assert(viaExt.queryExecution.executedPlan.toString.contains("simhash"),
       viaExt.queryExecution.executedPlan.toString)
     val extRows = viaExt.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     // group 2 = single hash 3: bits 0,1 voted +1, all others -1 => 3L
@@ -264,6 +264,17 @@ class FunctionsSpec extends AnyFunSuite {
       .groupByKey(_._1).mapValues(_._2).agg(SimhashAgg.toColumn)
       .collect().toMap
     assert(typed == extRows)
+    // SQL NULL convention: a NULL hash is SKIPPED, not decoded to 0 and
+    // allowed to vote all 64 bits down (the primitive-encoder trap —
+    // group (1, NULL) must keep signature 1); a group with no non-null
+    // inputs yields NULL like sum/avg
+    val nullRows = spark.sql(
+      """SELECT g, graft_simhash(h) AS sh FROM VALUES
+        |  (1, CAST(1 AS BIGINT)), (1, CAST(NULL AS BIGINT)),
+        |  (2, CAST(NULL AS BIGINT)) AS t(g, h)
+        |GROUP BY g ORDER BY g""".stripMargin).collect()
+    assert(nullRows(0).getLong(1) == 1L, "NULL input must not vote")
+    assert(nullRows(1).isNullAt(1), "an all-NULL group must yield NULL")
   }
 
   test("q66 IVF ANN: runs, respects rank bounds, positive recall") {

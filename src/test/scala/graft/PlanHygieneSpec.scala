@@ -16,6 +16,8 @@ class PlanHygieneSpec extends AnyFunSuite {
     "q63_levenshtein",     // 25x25 nation pairs
     "q65_cross_join",      // region x status grid
     "q66_ann_ivf",         // broadcast of ~16 centroids
+    "q132_ann_ivf2",       // broadcast of ~sqrt(K) supers + per-super cents
+                           // — the hierarchical IVF fan-outs ARE the algorithm
     "q79_scalar_subquery", // broadcast of a 1-row global average
     "q117_tfidf_terms",    // broadcast of the 1-row corpus doc count
     "q118_mixture_rebalance", // broadcast of the 1-row min source size
