@@ -259,6 +259,85 @@ object Similarity {
     annLshFrom(vecs(s, dir), multiProbe = mp)
   }
 
+  /** Nearest-n of `cands` (idCol, vecCol) for every row of `df`, ranked
+    * by (cosine DESC, id ASC); emits df's columns plus `out` (the
+    * candidate id) and `out_rn` (its rank). The shared argmax kernel of
+    * the IVF family (flat assignment, Lloyd training, hierarchical
+    * hops, incremental batch assignment).
+    *
+    * Ranking formulation MEASURED, not assumed (sf0.1, local[32],
+    * solo): the row_number window (1.7 s whole-query) beats both
+    * argmax-as-aggregation alternatives — max_by grouped by every df
+    * column (4.5 s: an array grouping key forces sort-based
+    * aggregation over the full N×K fan-out) and max_by grouped by
+    * vec_id with the vector carried through the aggregation buffer
+    * (3.1 s: ObjectHashAggregate pays per-row array copies into the
+    * buffer twice, partial + final). The window shuffles the N×K
+    * fan-out once and ranks it in one pass; Catalyst prunes the
+    * candidate vector before the exchange, so the carried weight is
+    * the same row the aggregation would buffer anyway. */
+  private def nearestN(cands: DataFrame, idCol: String, vecCol: String)(
+      df: DataFrame, keyCol: String, vcol: String, n: Int,
+      out: String): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val scored = df.crossJoin(broadcast(cands))
+      .withColumn("nsim", graft.functions.CosineSim.cosine(s, col(vcol), col(vecCol)))
+    val w = Window.partitionBy(col(keyCol)).orderBy($"nsim".desc, col(idCol).asc)
+    scored
+      .withColumn("nrn", row_number().over(w))
+      .filter($"nrn" <= n)
+      .select(df.columns.map(col) :+ col(idCol).as(out) :+ $"nrn".as(s"${out}_rn"): _*)
+  }
+
+  /** Stride seeds + sampled-Lloyd refinement over `corpus` (vec_id, v)
+    * → the centroid table (cent_id, cv0). The one IVF build, shared by
+    * the flat (q66), hierarchical (q132) and incremental (q134) paths.
+    *
+    * Adaptive seed stride: a FIXED stride makes K ∝ N centroids, and
+    * the assignment pass (N×K broadcast fan-out) silently turns
+    * quadratic as the corpus grows — the classic IVF sizing is
+    * K ≈ √N, i.e. stride ≈ √N, which keeps the build N·√N and the
+    * per-query probe touching ~nprobe·√N vectors. max(strideMod, ⌊√N⌋)
+    * keeps small corpora (tests, sf0.01 — where √N < 31) bit-identical
+    * to the historical fixed stride, and the arithmetic (one exact
+    * count, one IEEE sqrt, one floor) restates verbatim in the oracle's
+    * scalar subquery, so the build stays hash-graded at every SF.
+    *
+    * Sampled Lloyd training: refinement sees only the deterministic
+    * ≈8·K-vector training slice (`vec_id % trainStride == 0`), so each
+    * pass costs ~8N cosines (linear) instead of the full N×K fan-out —
+    * the r9 decade study measured full-corpus Lloyd at ~36×/decade
+    * (N^1.5), and the 2-of-3 assignment passes it spent there were
+    * training, not the one final assignment the cells actually need.
+    * Cell means over a sample are still means through DECIMAL(18,9) —
+    * deterministic and order-independent, so the oracle unrolls
+    * identically with one more WHERE clause. A cell that captures no
+    * training vectors keeps its previous centroid (LEFT JOIN +
+    * coalesce). */
+  private def sampledLloydCents(corpus: DataFrame, strideMod: Int,
+                                lloydIters: Int): DataFrame = {
+    val s = corpus.sparkSession
+    import s.implicits._
+    val stride = Similarity.ivfStride(corpus.count(), strideMod)
+    val trainStride = Similarity.ivfTrainStride(stride)
+    val seeds = corpus.filter(pmod($"vec_id", lit(stride)) === 0)
+      .select($"vec_id".as("cent_id"), $"v".as("cv0"))
+    val train = corpus.filter(pmod($"vec_id", lit(trainStride)) === 0)
+    (1 to lloydIters).foldLeft(seeds) { (cs, _) =>
+      val means = nearestN(cs, "cent_id", "cv0")(train, "vec_id", "v", 1, "cell")
+        .select($"cell", posexplode($"v").as(Seq("pos", "x")))
+        .groupBy($"cell", $"pos")
+        .agg((sum($"x".cast(DecimalType(18, 9))).cast("double") /
+          count(lit(1))).as("m"))
+        .groupBy($"cell")
+        .agg(transform(array_sort(collect_list(struct($"pos", $"m"))),
+          t => t.getField("m")).as("nv"))
+      cs.join(means, cs("cent_id") === means("cell"), "left")
+        .select(cs("cent_id"), coalesce($"nv", cs("cv0")).as("cv0"))
+    }
+  }
+
   /** q66: IVF-style ANN — the other scale path besides LSH banding:
     *  1. seed: deterministic stride sample of the corpus (no RNG);
     *  2. refine: `lloydIters` (default 2) FIXED Lloyd iterations over
@@ -296,64 +375,11 @@ object Similarity {
                  lloydIters: Int = 2): DataFrame = {
     val s = e.sparkSession
     import s.implicits._
-    def nearestCells(cents: DataFrame)(df: DataFrame, vcol: String,
-                                       n: Int, out: String): DataFrame = {
-      val scored = df.crossJoin(broadcast(cents))
-        .withColumn("csim", graft.functions.CosineSim.cosine(s, col(vcol), $"cv0"))
-      // Ranking formulation MEASURED, not assumed (sf0.1, local[32],
-      // solo): the row_number window (1.7 s whole-query) beats both
-      // argmax-as-aggregation alternatives — max_by grouped by every df
-      // column (4.5 s: an array grouping key forces sort-based
-      // aggregation over the full N×K fan-out) and max_by grouped by
-      // vec_id with the vector carried through the aggregation buffer
-      // (3.1 s: ObjectHashAggregate pays per-row array copies into the
-      // buffer twice, partial + final). The window shuffles the N×K
-      // fan-out once and ranks it in one pass; Catalyst prunes the
-      // centroid vector before the exchange, so the carried weight is
-      // the same row the aggregation would buffer anyway.
-      val w = Window.partitionBy($"vec_id").orderBy($"csim".desc, $"cent_id".asc)
-      scored
-        .withColumn("crn", row_number().over(w))
-        .filter($"crn" <= n)
-        .select(df.columns.map(col) :+ $"cent_id".as(out): _*)
-    }
-    // Adaptive seed stride: a FIXED stride makes K ∝ N centroids, and
-    // the assignment pass (N×K broadcast fan-out) silently turns
-    // quadratic as the corpus grows — the classic IVF sizing is
-    // K ≈ √N, i.e. stride ≈ √N, which keeps the build N·√N and the
-    // per-query probe touching ~nprobe·√N vectors. max(strideMod, ⌊√N⌋)
-    // keeps small corpora (tests, sf0.01 — where √N < 31) bit-identical
-    // to the historical fixed stride, and the arithmetic (one exact
-    // count, one IEEE sqrt, one floor) restates verbatim in the oracle's
-    // scalar subquery, so the build stays hash-graded at every SF.
-    val stride = Similarity.ivfStride(e.count(), strideMod)
-    val seeds = e.filter(pmod($"vec_id", lit(stride)) === 0)
-      .select($"vec_id".as("cent_id"), $"v".as("cv0"))
-    // Sampled Lloyd training: refinement sees only the deterministic
-    // ≈8·K-vector training slice, so each pass costs ~8N cosines
-    // (linear) instead of the full N×K fan-out — the r9 decade study
-    // measured that full-corpus Lloyd at ~36×/decade (N^1.5), and the
-    // 2-of-3 assignment passes it spent there were training, not the
-    // one final assignment the cells actually need. Cell means over a
-    // sample are still means through DECIMAL(18,9) — deterministic and
-    // order-independent, so the oracle unrolls identically with one
-    // more WHERE clause.
-    val trainStride = Similarity.ivfTrainStride(stride)
-    val train = e.filter(pmod($"vec_id", lit(trainStride)) === 0)
-    val cents = (1 to lloydIters).foldLeft(seeds) { (cs, _) =>
-      val means = nearestCells(cs)(train, "v", 1, "cell")
-        .select($"cell", posexplode($"v").as(Seq("pos", "x")))
-        .groupBy($"cell", $"pos")
-        .agg((sum($"x".cast(DecimalType(18, 9))).cast("double") /
-          count(lit(1))).as("m"))
-        .groupBy($"cell")
-        .agg(transform(array_sort(collect_list(struct($"pos", $"m"))),
-          t => t.getField("m")).as("nv"))
-      cs.join(means, cs("cent_id") === means("cell"), "left")
-        .select(cs("cent_id"), coalesce($"nv", cs("cv0")).as("cv0"))
-    }
-    val assigned = nearestCells(cents)(e, "v", 1, "cell")
-    val q = nearestCells(cents)(e.filter($"vec_id" < nq), "v", nprobe, "cell")
+    val cents = sampledLloydCents(e, strideMod, lloydIters)
+    val assigned = nearestN(cents, "cent_id", "cv0")(
+      e, "vec_id", "v", 1, "cell").drop("cell_rn")
+    val q = nearestN(cents, "cent_id", "cv0")(
+      e.filter($"vec_id" < nq), "vec_id", "v", nprobe, "cell")
       .select($"vec_id".as("qid"), $"v".as("qv"), $"cell")
     val c = assigned.select($"vec_id".as("cid"), $"v".as("cv"), $"cell".as("ccell"))
     val w = Window.partitionBy($"qid").orderBy($"sim".desc, $"cid".asc)
@@ -393,37 +419,8 @@ object Similarity {
                   lloydIters: Int = 2, nsupers: Int = 2): DataFrame = {
     val s = e.sparkSession
     import s.implicits._
-    // nearest-n of `cands` (idCol, vecCol) for every row of df, ranked
-    // by the usual (cosine DESC, id ASC); emits df's columns + out/outRank
-    def nearestN(cands: DataFrame, idCol: String, vecCol: String)(
-        df: DataFrame, keyCol: String, vcol: String, n: Int,
-        out: String): DataFrame = {
-      val scored = df.crossJoin(broadcast(cands))
-        .withColumn("nsim", graft.functions.CosineSim.cosine(s, col(vcol), col(vecCol)))
-      val w = Window.partitionBy(col(keyCol)).orderBy($"nsim".desc, col(idCol).asc)
-      scored
-        .withColumn("nrn", row_number().over(w))
-        .filter($"nrn" <= n)
-        .select(df.columns.map(col) :+ col(idCol).as(out) :+ $"nrn".as(s"${out}_rn"): _*)
-    }
-    // seed + sampled-Lloyd refine: identical to q66's build
-    val stride = Similarity.ivfStride(e.count(), strideMod)
-    val trainStride = Similarity.ivfTrainStride(stride)
-    val seeds = e.filter(pmod($"vec_id", lit(stride)) === 0)
-      .select($"vec_id".as("cent_id"), $"v".as("cv0"))
-    val train = e.filter(pmod($"vec_id", lit(trainStride)) === 0)
-    val cents = (1 to lloydIters).foldLeft(seeds) { (cs, _) =>
-      val means = nearestN(cs, "cent_id", "cv0")(train, "vec_id", "v", 1, "cell")
-        .select($"cell", posexplode($"v").as(Seq("pos", "x")))
-        .groupBy($"cell", $"pos")
-        .agg((sum($"x".cast(DecimalType(18, 9))).cast("double") /
-          count(lit(1))).as("m"))
-        .groupBy($"cell")
-        .agg(transform(array_sort(collect_list(struct($"pos", $"m"))),
-          t => t.getField("m")).as("nv"))
-      cs.join(means, cs("cent_id") === means("cell"), "left")
-        .select(cs("cent_id"), coalesce($"nv", cs("cv0")).as("cv0"))
-    }
+    // seed + sampled-Lloyd refine: the SAME build as q66's
+    val cents = sampledLloydCents(e, strideMod, lloydIters)
     // coarse quantizer: G = max(1, ⌊√K⌋) supers = every ⌈K/G⌉-th
     // centroid in cent_id rank order — rank arithmetic over a window
     // count, no driver action, restates verbatim in SQL
@@ -616,12 +613,12 @@ object Similarity {
   def q111AnnMd5(s: SparkSession, dir: String): DataFrame =
     annLshFrom(vecs(s, dir), multiProbe = 1)
 
-  /** DuckDB restatement of `annLshFrom` at a given multi-probe depth —
-    * the probe list is interpolated from `probeCodes`, the same code the
-    * Spark plan explodes, so plan and oracle move together. */
-  def annLshSql(multiProbe: Int): String = {
-    val probes = probeCodes(multiProbe).mkString(", ")
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+  /** The md5-parity banding as DuckDB CTEs (e → proj → codes) — the
+    * shared geometry of every LSH-blocked oracle (q39/q111 ANN, q133
+    * near-dup): same hyperplane parities, same band/bucket codes as the
+    * Spark side's precomputed `md5Planes`. */
+  private val lshCodesCtes: String =
+    """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       |proj AS (
       |  SELECT vec_id, u.p,
       |    list_dot_product(v,
@@ -632,7 +629,14 @@ object Similarity {
       |codes AS (
       |  SELECT vec_id, CAST(p // 4 AS INT) AS band,
       |    CAST(sum(CASE WHEN pr > 0 THEN 1 << (p % 4) ELSE 0 END) AS INT) AS bkt
-      |  FROM proj GROUP BY vec_id, p // 4),
+      |  FROM proj GROUP BY vec_id, p // 4)""".stripMargin
+
+  /** DuckDB restatement of `annLshFrom` at a given multi-probe depth —
+    * the probe list is interpolated from `probeCodes`, the same code the
+    * Spark plan explodes, so plan and oracle move together. */
+  def annLshSql(multiProbe: Int): String = {
+    val probes = probeCodes(multiProbe).mkString(", ")
+    s"""WITH $lshCodesCtes,
       |withv AS (SELECT c.vec_id, c.band, c.bkt, e.v FROM codes c JOIN e USING (vec_id)),
       |q AS (
       |  SELECT w.vec_id AS qid, w.v AS qv, w.band, xor(w.bkt, f.f) AS bkt
@@ -711,6 +715,112 @@ object Similarity {
       |      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.35
       |ORDER BY id1, id2""".stripMargin
 
+  /** q133: embedding-cosine near-dup with LSH-BUCKET blocking — q104's
+    * own scaladoc names this as its 100 TB form ("the label block is
+    * replaced by LSH buckets — same join shape"); this query SHIPS it.
+    * Candidates form only inside a (band, bucket) cell of the
+    * md5-parity banding (q39's geometry — SQL-expressible, so the
+    * whole path stays hash-graded), pairs found by several bands are
+    * deduped, and the codegen cosine verifies the threshold. The band
+    * join carries ONLY (vec_id, band, bkt) — vectors never ride the
+    * ×Bands-exploded shuffle (q46's id-only discipline); they join
+    * back per candidate pair. Unlike the label block, this needs NO
+    * pre-existing partition key — the hash family manufactures one
+    * from the data, which is what an unlabeled 100 TB corpus requires.
+    * Recall vs the exhaustive all-pairs cut is banding-bounded (any
+    * pair agreeing on one band is found; LlmSpec asserts the clustered
+    * floor). */
+  def lshCosineDupsFrom(e: DataFrame, threshold: Double): DataFrame = {
+    val s = e.sparkSession
+    import s.implicits._
+    val banded = e
+      .withColumn("bb", explode(bandedBuckets($"v")))
+      .select($"vec_id", $"bb.band".as("band"), $"bb.bkt".as("bkt"))
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bkt") === col("b.bkt") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"))
+      .distinct()
+    val x = e.select($"vec_id".as("id1"), $"v".as("v1"))
+    val y = e.select($"vec_id".as("id2"), $"v".as("v2"))
+    cand.join(x, "id1").join(y, "id2")
+      .withColumn("cos", graft.functions.CosineSim.cosine(s, $"v1", $"v2"))
+      .filter($"cos" >= threshold)
+      .select($"id1", $"id2", round($"cos", 4).as("cos"))
+      .orderBy($"id1", $"id2")
+  }
+
+  def q133LshCosineDups(s: SparkSession, dir: String): DataFrame =
+    lshCosineDupsFrom(vecs(s, dir), 0.35)
+
+  /** q133 oracle: the same banding CTEs as q39/q111 plus the candidate
+    * self-join and threshold cut. */
+  val q133Sql: String =
+    s"""WITH $lshCodesCtes,
+      |cand AS (
+      |  SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+      |  FROM codes a JOIN codes b
+      |    ON a.band = b.band AND a.bkt = b.bkt AND a.vec_id < b.vec_id)
+      |SELECT id1, id2, round(cos, 4) AS cos FROM (
+      |  SELECT cd.id1, cd.id2, ${cosSql("x.v", "y.v")} AS cos
+      |  FROM cand cd
+      |  JOIN e x ON x.vec_id = cd.id1
+      |  JOIN e y ON y.vec_id = cd.id2) t
+      |WHERE cos >= 0.35
+      |ORDER BY id1, id2""".stripMargin
+
+  /** q134: INCREMENTAL IVF assignment — index maintenance without a
+    * rebuild, the ANN analogue of q122's incremental batch-vs-store
+    * dedup. The store (vec_id % 4 != 0) owns the index: centroids are
+    * built from store vectors only (the same stride-seed + sampled-
+    * Lloyd build as q66, sized by the STORE's count). An ingest batch
+    * (vec_id % 4 == 0) is then assigned to the EXISTING cells in one
+    * broadcast pass — work ∝ |batch|·K, independent of the store size,
+    * which is the property that makes nightly ingest viable against a
+    * 100 TB indexed corpus (rebuilds are amortized to rare compactions,
+    * exactly the faiss/IVF operational discipline). Output: per-cell
+    * arrival counts + first new id — the shape a capacity monitor
+    * consumes. Deterministic throughout, so the whole path (store
+    * split, store-sized build, batch argmax) restates in SQL and is
+    * hash-graded. */
+  def q134IvfIncrement(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = vecs(s, dir)
+    val store = e.filter(pmod($"vec_id", lit(4)) =!= 0)
+    val batch = e.filter(pmod($"vec_id", lit(4)) === 0)
+    val cents = sampledLloydCents(store, 31, 2)
+    nearestN(cents, "cent_id", "cv0")(batch, "vec_id", "v", 1, "cell")
+      .groupBy($"cell")
+      .agg(count(lit(1)).as("n_new"), min($"vec_id").as("first_new"))
+      .orderBy($"cell")
+  }
+
+  /** q134 oracle: store/batch split, store-sized params, the sampled
+    * Lloyd unroll (the `tr` slice is of the STORE), one batch argmax,
+    * per-cell counts. */
+  val q134Sql: String = {
+    val iters = (1 to 2).map(i =>
+      lloydCtes(i, if (i == 1) "c0" else s"c${i - 1}")).mkString("\n")
+    s"""WITH eall AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |store AS (SELECT vec_id, v FROM eall WHERE vec_id % 4 <> 0),
+       |batch AS (SELECT vec_id, v FROM eall WHERE vec_id % 4 = 0),
+       |params AS (SELECT greatest(31, CAST(floor(sqrt(count(*))) AS BIGINT)) AS stride FROM store),
+       |c0 AS (SELECT vec_id AS cent_id, v AS cv FROM store
+       |       WHERE vec_id % (SELECT stride FROM params) = 0),
+       |tr AS (SELECT vec_id, v FROM store
+       |       WHERE vec_id % (SELECT greatest(1, stride // 8) FROM params) = 0),
+       |$iters
+       |asg AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT b.vec_id, c.cent_id AS cell,
+       |      row_number() OVER (PARTITION BY b.vec_id ORDER BY
+       |        ${cosSql("b.v", "c.cv")} DESC, c.cent_id ASC) AS crn
+       |    FROM batch b, c2 c) t WHERE crn = 1)
+       |SELECT cell, count(*) AS n_new, min(vec_id) AS first_new
+       |FROM asg GROUP BY cell ORDER BY cell""".stripMargin
+  }
+
   /** q125: the SQL FRONT DOOR to the codegen cosine kernel — the whole
     * query is SQL TEXT calling `graft_cosine` (registered in the
     * session's function registry; a session built with
@@ -764,6 +874,8 @@ object Similarity {
     "q104_cosine_dups"   -> (q104CosineDups _),
     "q111_ann_md5"       -> (q111AnnMd5 _),
     "q125_cosine_sql"    -> (q125CosineSqlPairs _),
+    "q133_lsh_cosine_dups" -> (q133LshCosineDups _),
+    "q134_ivf_increment" -> (q134IvfIncrement _),
   )
 
   // def, not val: q39's and q66's oracle SQL is synthesized from the
@@ -783,6 +895,8 @@ object Similarity {
       "q104_cosine_dups"   -> q104Sql,
       "q111_ann_md5"       -> q111Sql,
       "q125_cosine_sql"    -> q125Sql,
+      "q133_lsh_cosine_dups" -> q133Sql,
+      "q134_ivf_increment" -> q134Sql,
     )
   }
 }

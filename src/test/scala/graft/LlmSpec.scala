@@ -127,6 +127,39 @@ class LlmSpec extends AnyFunSuite {
     assert(r2l >= 0.95, f"hierarchical IVF recall $r2l%.2f below the 0.95 floor")
   }
 
+  test("LSH-blocked cosine near-dup: subset of the exhaustive cut, high clustered recall") {
+    val e = clusteredVecs(nClusters = 8, perCluster = 25, dim = 16)
+    import spark.implicits._
+    // exhaustive threshold cut (the ground truth the blocking approximates)
+    val a = e.select($"vec_id".as("id1"), $"v".as("v1"))
+    val b = e.select($"vec_id".as("id2"), $"v".as("v2"))
+    val exhaustive = a.join(b, $"id1" < $"id2")
+      .withColumn("cos", graft.functions.CosineSim.cosine(spark, $"v1", $"v2"))
+      .filter($"cos" >= 0.5)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val blocked = llm.Similarity.lshCosineDupsFrom(e, 0.5)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(blocked.subsetOf(exhaustive),
+      "LSH blocking must never invent a pair the exhaustive cut rejects")
+    val recall = (blocked & exhaustive).size.toDouble / exhaustive.size.max(1)
+    info(f"LSH-blocked near-dup recall vs exhaustive: $recall%.2f (${exhaustive.size} true pairs)")
+    assert(recall >= 0.8, f"blocked near-dup recall $recall%.2f below the 0.8 floor")
+  }
+
+  test("incremental IVF assignment: batch-only work, counts conserve the batch") {
+    val rows = llm.Similarity.q134IvfIncrement(spark, sf).collect()
+    assert(rows.nonEmpty)
+    import spark.implicits._
+    val batchSize = Tables.embeddings(spark, sf)
+      .filter(pmod($"vec_id", lit(4)) === 0).count()
+    assert(rows.map(_.getLong(1)).sum == batchSize,
+      "every batch vector must land in exactly one cell")
+    // all first arrivals are batch members (vec_id % 4 == 0) — the store
+    // is never re-assigned by an ingest pass
+    assert(rows.forall(_.getLong(2) % 4 == 0),
+      "assignment output must contain only batch vectors")
+  }
+
   test("IVF session knobs: q66 follows spark.graft.ivf.* and the oracle is synthesized at the same values") {
     val prevN = spark.conf.getOption("spark.graft.ivf.nprobe")
     val prevL = spark.conf.getOption("spark.graft.ivf.lloyditers")
