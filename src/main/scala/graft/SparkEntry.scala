@@ -30,6 +30,7 @@ object SparkEntry {
     relational.Analytics.queries ++
     relational.Stats.queries ++
     relational.Extra3.queries ++
+    relational.Layout.queries ++
     llm.TextOps.queries ++
     llm.Similarity.queries ++
     rounds.Stratify.queries ++
@@ -54,6 +55,7 @@ object SparkEntry {
     relational.Analytics.oracle ++
     relational.Stats.oracle ++
     relational.Extra3.oracle ++
+    relational.Layout.oracle ++
     llm.TextOps.oracle ++
     llm.Similarity.oracle ++
     rounds.Stratify.oracle ++

@@ -85,6 +85,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[SortedOverlapCount].getCanonicalName, SortedOverlapCount.FnName),
       SortedOverlapCount.build _))
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier(BitInterleave16.FnName),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[BitInterleave16].getCanonicalName, BitInterleave16.FnName),
+      BitInterleave16.build _))
     // ... and for the UDAF tier: `graft_simhash(hash)` aggregates from
     // SQL text through the same ScalaAggregator the Column API binds
     e.injectFunction((

@@ -18,6 +18,9 @@ class PlanHygieneSpec extends AnyFunSuite {
     "q66_ann_ivf",         // broadcast of ~16 centroids
     "q132_ann_ivf2",       // broadcast of ~sqrt(K) supers + per-super cents
                            // — the hierarchical IVF fan-outs ARE the algorithm
+    "q134_ivf_increment",  // broadcast of the store's centroids over the
+                           // ingest batch — the one-pass assignment IS the op
+    "q137_zorder_layout",  // broadcast of the 1-row min/max extent
     "q79_scalar_subquery", // broadcast of a 1-row global average
     "q117_tfidf_terms",    // broadcast of the 1-row corpus doc count
     "q118_mixture_rebalance", // broadcast of the 1-row min source size
