@@ -732,6 +732,88 @@ object Dedup {
       |FROM batch b LEFT JOIN store s ON b.fp = s.sfp
       |GROUP BY b.source ORDER BY b.source""".stripMargin
 
+  // ---- q135: Bloom-prefiltered incremental dedup ----------------------
+
+  /** Bloom geometry. At catalog scale (≈250 store keys) 8192 bits × 4
+    * hashes gives fpp ≈ 2e-4 — essentially every non-duplicate batch
+    * row skips the store join. At 100 TB the single bitset does NOT
+    * broadcast whole (10^10 keys × 10 bits ≈ 12 GB): the production
+    * shape shards the filter by fp prefix — one independent bloom per
+    * fp-hash bucket, built and probed co-partitioned with the store's
+    * bucketed fp table — which this operator's math is unchanged by
+    * (each shard is exactly this build at 1/shards the keys). */
+  private[graft] val BloomBits = 8192L
+  private[graft] val BloomHashes = 4
+
+  /** The store's fingerprints folded into one bitset row:
+    * `bloom: map<long, long>` of 64-bit words, sparse (words with no
+    * bits set are absent). Pure codegen'd builtins — xxhash64 probes,
+    * bit_or word merge — so the build is one narrow mergeable
+    * aggregation over the store, no UDF, no driver collect. */
+  private[graft] def bloomWords(store: DataFrame, fpCol: String): DataFrame = {
+    val s = store.sparkSession
+    import s.implicits._
+    store.select(explode(array((0 until BloomHashes).map(i =>
+        pmod(xxhash64(lit(i), col(fpCol)), lit(BloomBits))): _*)).as("pos"))
+      .select(shiftright($"pos", 6).as("w"),
+        call_function("shiftleft", lit(1L), $"pos".bitwiseAND(lit(63L)).cast("int")).as("m"))
+      .groupBy($"w").agg(call_function("bit_or", $"m").as("bits"))
+      .agg(map_from_entries(collect_list(struct($"w", $"bits"))).as("bloom"))
+  }
+
+  /** Membership probe: all `BloomHashes` bits set. Missing words read
+    * as 0 (sparse map). False positives possible (they just pay the
+    * join), false negatives impossible — the property q135's result
+    * equality rests on, pinned in DedupSpec. */
+  private[graft] def bloomHit(bloom: Column, fp: Column): Column =
+    (0 until BloomHashes).map { i =>
+      val pos = pmod(xxhash64(lit(i), fp), lit(BloomBits))
+      val mask = call_function("shiftleft", lit(1L),
+        pos.bitwiseAND(lit(63L)).cast("int"))
+      coalesce(element_at(bloom, shiftright(pos, 6)), lit(0L))
+        .bitwiseAND(mask) =!= lit(0L)
+    }.reduce(_ && _)
+
+  /** q135: q122's incremental dedup with a Bloom prefilter in front of
+    * the store join — the JOIN-AVOIDANCE shape at 100 TB. q122 sends
+    * every batch row through the store anti-join; here the store's
+    * fingerprint set is summarized into a broadcast Bloom bitset, rows
+    * the filter proves absent bypass the join entirely (counted on the
+    * record via `observe` — `graft_bloom_prefilter`), and only the
+    * maybe-present remainder joins the store for the exact verdict.
+    * Because a Bloom filter has no false negatives, the final
+    * aggregate is IDENTICAL to q122's — the oracle is q122's SQL
+    * verbatim, so the driver hash-grades that the prefilter changed
+    * nothing but the work. */
+  def q135BloomIncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    DropMetrics.ensureListener(s)
+    val docs = Tables.documents(s, dir).withColumn("fp",
+      TextOps.normFp($"text"))
+    val store = docs.filter($"doc_id" < 250).select($"fp".as("sfp")).distinct()
+    val bloom = bloomWords(store, "sfp")
+    val w = Window.partitionBy($"fp").orderBy($"doc_id")
+    val batch = docs.filter($"doc_id" >= 250)
+      .withColumn("rn", row_number().over(w))
+      .crossJoin(broadcast(bloom))
+      .withColumn("hit", bloomHit($"bloom", $"fp"))
+    val probed = batch.filter($"hit")
+      .join(store, $"fp" === $"sfp", "left")
+      .select($"source", $"rn", $"sfp")
+    val skipped = batch.filter(!$"hit")
+      .select($"source", $"rn", lit(null).cast("string").as("sfp"))
+      .observe(DropMetrics.BloomSkips,
+        count(lit(1)).as("skipped_join_rows"))
+    skipped.unionByName(probed)
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_batch"),
+        sum(when($"sfp".isNotNull, 1L).otherwise(0L)).as("n_dup_vs_store"),
+        sum(when($"sfp".isNull && $"rn" > 1, 1L).otherwise(0L)).as("n_dup_in_batch"),
+        sum(when($"sfp".isNull && $"rn" === 1, 1L).otherwise(0L)).as("n_kept"))
+      .orderBy($"source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q46_minhash_pairs" -> (q46MinhashPairs _),
     "q47_simhash_pairs" -> (q47SimhashPairs _),
@@ -743,6 +825,7 @@ object Dedup {
     "q110_rollingfp_md5" -> (q110RollingFpMd5 _),
     "q122_incremental_dedup" -> (q122IncrementalDedup _),
     "q130_simhash_sql"  -> (q130SimhashSql _),
+    "q135_bloom_incremental" -> (q135BloomIncrementalDedup _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -754,5 +837,9 @@ object Dedup {
     "q122_incremental_dedup" -> q122Sql,
     // same output contract as q109 — one oracle grades both front doors
     "q130_simhash_sql" -> q109Sql,
+    // a Bloom filter has no false negatives, so the prefiltered plan
+    // must reproduce q122's aggregate bit-for-bit — graded by reusing
+    // q122's oracle verbatim
+    "q135_bloom_incremental" -> q122Sql,
   )
 }

@@ -35,6 +35,10 @@ object DropMetrics {
   val LshDrops = "graft_lsh_bucket_drops"
   val Md5Drops = "graft_md5_bucket_drops"
   val SimhashDrops = "graft_simhash_bucket_drops"
+  /** Not a drop counter: rows the Bloom prefilter proved ABSENT from
+    * the dedup store, which therefore skipped the store join entirely
+    * (`Dedup.q135`). Efficiency evidence, same transport. */
+  val BloomSkips = "graft_bloom_prefilter"
 
   private val marker = "graft.dropMetrics.listenerInstalled"
   private val log = org.slf4j.LoggerFactory.getLogger("graft.llm.DropMetrics")

@@ -252,6 +252,37 @@ class DedupSpec extends AnyFunSuite {
       .filter(col("doc_id") >= 250).count()
     assert(out.map(_.getLong(1)).sum == batchTotal)
   }
+
+  test("q135 bloom prefilter changes the work, not the answer") {
+    val base = Dedup.q122IncrementalDedup(spark, sf).collect().map(_.toSeq).toSeq
+    val df = Dedup.q135BloomIncrementalDedup(spark, sf)
+    val got = df.collect().map(_.toSeq).toSeq
+    assert(got == base, "bloom-prefiltered result must equal q122 exactly")
+    // efficiency evidence on the record: some rows provably skipped the
+    // store join (at this corpus nearly every non-dup row should)
+    val m = DropMetrics.read(df, DropMetrics.BloomSkips)
+    assert(m.getOrElse("skipped_join_rows", 0L) > 0, m.toString)
+  }
+
+  test("bloom has no false negatives over the store's own keys") {
+    import graft.llm.TextOps
+    val docs = Tables.documents(spark, sf)
+      .withColumn("fp", TextOps.normFp($"text"))
+    val store = docs.filter($"doc_id" < 250).select($"fp".as("sfp")).distinct()
+    val bloom = Dedup.bloomWords(store, "sfp")
+    // every key that went INTO the filter must probe as present — the
+    // property the q135 = q122 equality rests on
+    val misses = store.crossJoin(broadcast(bloom))
+      .filter(!Dedup.bloomHit($"bloom", $"sfp")).count()
+    assert(misses == 0L)
+    // and a fingerprint disjoint from the store overwhelmingly misses
+    // (sanity that the probe actually reads the bitset, not a constant)
+    val absent = spark.range(1000)
+      .select(concat(lit("absent-"), $"id".cast("string")).as("sfp"))
+    val hits = absent.crossJoin(broadcast(bloom))
+      .filter(Dedup.bloomHit($"bloom", $"sfp")).count()
+    assert(hits < 50, s"fpp implausibly high: $hits/1000")
+  }
 }
 
 class EtlSpec extends AnyFunSuite {

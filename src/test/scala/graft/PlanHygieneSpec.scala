@@ -20,6 +20,7 @@ class PlanHygieneSpec extends AnyFunSuite {
                            // — the hierarchical IVF fan-outs ARE the algorithm
     "q134_ivf_increment",  // broadcast of the store's centroids over the
                            // ingest batch — the one-pass assignment IS the op
+    "q135_bloom_incremental", // broadcast of the 1-row Bloom bitset
     "q137_zorder_layout",  // broadcast of the 1-row min/max extent
     "q79_scalar_subquery", // broadcast of a 1-row global average
     "q117_tfidf_terms",    // broadcast of the 1-row corpus doc count
