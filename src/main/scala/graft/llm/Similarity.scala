@@ -864,6 +864,117 @@ object Similarity {
       |SELECT rn AS rank, id1, id2, round(sim, 4) AS sim
       |FROM ranked WHERE rn <= 20 ORDER BY rank""".stripMargin
 
+  // ---- q136: scalar-quantized (int8) ANN with exact rerank ------------
+
+  /** q136: brute-force retrieval over SCALAR-QUANTIZED vectors with an
+    * exact rerank — the bandwidth side of the ANN family (IVF/LSH cut
+    * which vectors are scored; SQ cuts what scoring a vector COSTS).
+    *
+    * Build: per-dimension [lo, hi] extents (one tiny posexplode
+    * aggregate, broadcast back as two 64-element arrays — the corpus
+    * itself is never reshuffled), then each vector maps to integer
+    * codes `floor((x−lo)/(hi−lo)·255 + 0.5)` ∈ [0,255] in a single
+    * map-side transform. Codes carry 8 bits of information per
+    * dimension — a production table stores them as `tinyint` (8×
+    * smaller scan than float64, 4× smaller than float32); here they
+    * stay integer-VALUED doubles so the scoring kernel is the same
+    * codegen `graft_cosine` fused loop, and every intermediate stays
+    * EXACT (sums of products of ints ≤ 2^53), which is what licenses
+    * the DuckDB oracle: both engines compute identical integers, then
+    * identical IEEE divisions.
+    *
+    * Search: score all candidates in the quantized domain, keep the
+    * top-`SqRerank` per query by (simq DESC, cid ASC), then rerank
+    * just those with the EXACT cosine on the full vectors and emit the
+    * top-5 — q36's output contract, so LlmSpec measures recall against
+    * the brute-force baseline directly. Composes with IVF at 100 TB:
+    * the quantized scan runs inside probed cells only, and the rerank
+    * touches R·Q full vectors — the only rows that ever leave the
+    * quantized representation. */
+  val SqRerank = 20
+
+  private def sqCodes(e: DataFrame): DataFrame = {
+    val s = e.sparkSession
+    import s.implicits._
+    val ex = e.select(posexplode($"v").as(Seq("pos", "x")))
+    val ext = ex.groupBy($"pos").agg(min($"x").as("lo"), max($"x").as("hi"))
+      .agg(
+        transform(array_sort(collect_list(struct($"pos", $"lo"))),
+          p => p("lo")).as("los"),
+        transform(array_sort(collect_list(struct($"pos", $"hi"))),
+          p => p("hi")).as("his"))
+    e.crossJoin(broadcast(ext))
+      .withColumn("c", transform($"v", (x, i) => {
+        val lo = element_at($"los", i + 1)
+        val hi = element_at($"his", i + 1)
+        when(hi === lo, lit(0.0))
+          .otherwise(floor((x - lo) / (hi - lo) * 255 + 0.5).cast("double"))
+      }))
+      .select($"vec_id", $"v", $"c")
+  }
+
+  def q136AnnSq8(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val codes = sqCodes(vecs(s, dir))
+    val q = codes.filter($"vec_id" < 10)
+      .select($"vec_id".as("qid"), $"v".as("qv"), $"c".as("qc"))
+    val cand = codes.select($"vec_id".as("cid"), $"v".as("cv"), $"c".as("cc"))
+      .join(broadcast(q), $"cid" =!= $"qid")
+      .withColumn("simq", graft.functions.CosineSim.cosine(s, $"qc", $"cc"))
+    val wq = Window.partitionBy($"qid").orderBy($"simq".desc, $"cid".asc)
+    val shortlist = cand
+      .withColumn("rr", row_number().over(wq))
+      .filter($"rr" <= SqRerank)
+    val we = Window.partitionBy($"qid").orderBy($"sim".desc, $"cid".asc)
+    shortlist
+      .withColumn("sim", graft.functions.CosineSim.cosine(s, $"qv", $"cv"))
+      .withColumn("rank", row_number().over(we))
+      .filter($"rank" <= 5)
+      .select($"qid", $"rank", $"cid", round($"sim", 4).as("sim"))
+      .orderBy($"qid", $"rank")
+  }
+
+  /** The quantization restated CTE-by-CTE: same per-dim extents, same
+    * floor expression (identical IEEE op order), integer-exact dot
+    * products, the same two tie-broken windows. */
+  val q136Sql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |st AS (
+      |  SELECT pos, min(x) AS lo, max(x) AS hi
+      |  FROM (SELECT unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM e) t
+      |  GROUP BY pos),
+      |ext AS (SELECT list(lo ORDER BY pos) AS los, list(hi ORDER BY pos) AS his FROM st),
+      |cd AS (
+      |  SELECT vec_id, v,
+      |    [CASE WHEN his[i] = los[i] THEN 0.0
+      |          ELSE floor((v[i] - los[i]) / (his[i] - los[i]) * 255 + 0.5) END
+      |     FOR i IN generate_series(1, len(v))] AS c
+      |  FROM e, ext),
+      |scored AS (
+      |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+      |    CASE WHEN list_dot_product(q.c, q.c) = 0 OR list_dot_product(c.c, c.c) = 0
+      |         THEN 0.0
+      |         ELSE list_dot_product(q.c, c.c)
+      |           / (sqrt(list_dot_product(q.c, q.c)) * sqrt(list_dot_product(c.c, c.c))) END AS simq
+      |  FROM cd q JOIN cd c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+      |shortlist AS (
+      |  SELECT qid, cid FROM (
+      |    SELECT qid, cid,
+      |      row_number() OVER (PARTITION BY qid ORDER BY simq DESC, cid ASC) AS rr
+      |    FROM scored) t WHERE rr <= $SqRerank),
+      |rr AS (
+      |  SELECT s.qid, s.cid,
+      |    list_dot_product(eq.v, ec.v)
+      |      / (sqrt(list_dot_product(eq.v, eq.v)) * sqrt(list_dot_product(ec.v, ec.v))) AS sim
+      |  FROM shortlist s
+      |  JOIN e eq ON eq.vec_id = s.qid
+      |  JOIN e ec ON ec.vec_id = s.cid)
+      |SELECT qid, rank, cid, round(sim, 4) AS sim FROM (
+      |  SELECT qid, cid, sim,
+      |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rank
+      |  FROM rr) t
+      |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q36_cosine_topk"    -> (q36CosineTopk _),
     "q37_vec_norms"      -> (q37VecNorms _),
@@ -876,6 +987,7 @@ object Similarity {
     "q125_cosine_sql"    -> (q125CosineSqlPairs _),
     "q133_lsh_cosine_dups" -> (q133LshCosineDups _),
     "q134_ivf_increment" -> (q134IvfIncrement _),
+    "q136_ann_sq8"       -> (q136AnnSq8 _),
   )
 
   // def, not val: q39's and q66's oracle SQL is synthesized from the
@@ -897,6 +1009,7 @@ object Similarity {
       "q125_cosine_sql"    -> q125Sql,
       "q133_lsh_cosine_dups" -> q133Sql,
       "q134_ivf_increment" -> q134Sql,
+      "q136_ann_sq8"       -> q136Sql,
     )
   }
 }

@@ -56,6 +56,29 @@ class LlmSpec extends AnyFunSuite {
     assert(recall >= 0.8, f"LSH recall $recall%.2f below the 0.8 floor")
   }
 
+  test("q136 SQ8 ANN: quantized shortlist + exact rerank holds high recall") {
+    val brute = llm.Similarity.q36CosineTopk(spark, sf)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sq = llm.Similarity.q136AnnSq8(spark, sf).collect()
+    val got = sq.map(r => (r.getLong(0), r.getLong(2))).toSet
+    // output contract: exactly 5 per query, rank-dense
+    assert(sq.groupBy(_.getLong(0)).forall(_._2.map(_.getInt(1)).sorted.toSeq == Seq(1, 2, 3, 4, 5)))
+    val recall = (got & brute).size.toDouble / brute.size
+    info(f"SQ8 recall vs brute force: $recall%.2f")
+    // 8-bit codes lose almost nothing at dim 64; deterministic corpus →
+    // hard floor (measured 1.00 at sf0.001)
+    assert(recall >= 0.9, f"SQ8 recall $recall%.2f below the 0.9 floor")
+    // reranked similarities are the EXACT ones: any (qid,cid) shared
+    // with brute force must carry an identical rounded sim
+    val bruteSim = llm.Similarity.q36CosineTopk(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    sq.foreach { r =>
+      val k = (r.getLong(0), r.getLong(2))
+      bruteSim.get(k).foreach(exp =>
+        assert(r.getDouble(3) == exp, s"$k rerank sim drifted from exact"))
+    }
+  }
+
   /** Clustered corpus for recall floors: C centers with members = center
     * + small deterministic perturbation (hash-based, no RNG). On this —
     * the realistic near-dup geometry, unlike uniform-random vectors —

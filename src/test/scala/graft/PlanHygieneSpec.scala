@@ -21,6 +21,8 @@ class PlanHygieneSpec extends AnyFunSuite {
     "q134_ivf_increment",  // broadcast of the store's centroids over the
                            // ingest batch — the one-pass assignment IS the op
     "q135_bloom_incremental", // broadcast of the 1-row Bloom bitset
+    "q136_ann_sq8",        // broadcast 1-row extents + broadcast Q vs
+                           // quantized corpus (q36's shape, 8-bit codes)
     "q137_zorder_layout",  // broadcast of the 1-row min/max extent
     "q79_scalar_subquery", // broadcast of a 1-row global average
     "q117_tfidf_terms",    // broadcast of the 1-row corpus doc count
