@@ -268,8 +268,48 @@ object Stats {
       |FROM ranked WHERE rk <= 5
       |ORDER BY c_mktsegment, rk""".stripMargin
 
+  /** q139: quantile sketch next to the exact quantile — the q54 pattern
+    * for order statistics. At 100 TB exact per-group percentiles cost a
+    * sort (or a full collect per group); the approx sketch
+    * (Greenwald-Khanna in Spark, t-digest in DuckDB) is constant-size
+    * and MERGEABLE across partitions — a map-side partial like any sum,
+    * no sort, which is the only shape that survives a 1000-executor
+    * aggregation. Raw sketch outputs are engine-specific, so the graded
+    * columns are the exact quantiles (rounded; both engines define the
+    * continuous quantile by the same linear interpolation) plus each
+    * engine's own bounded-accuracy boolean: its sketch estimate lands
+    * within 5% of the group's value range of its own exact quantile —
+    * grading the sketch's semantic contract without pinning its bits. */
+  def q139QuantileSketch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.95)"), 4).as("p95"),
+        (abs(expr("approx_percentile(value, 0.5, 10000)") -
+          expr("percentile(value, 0.5)")) <=
+          (max($"value") - min($"value")) * 0.05).as("sketch_ok_p50"),
+        (abs(expr("approx_percentile(value, 0.95, 10000)") -
+          expr("percentile(value, 0.95)")) <=
+          (max($"value") - min($"value")) * 0.05).as("sketch_ok_p95"))
+      .orderBy($"event_type")
+  }
+
+  val q139Sql: String =
+    """SELECT event_type, count(*) AS n,
+      |  round(quantile_cont(value, 0.5), 4) AS p50,
+      |  round(quantile_cont(value, 0.95), 4) AS p95,
+      |  abs(approx_quantile(value, 0.5) - quantile_cont(value, 0.5))
+      |    <= (max(value) - min(value)) * 0.05 AS sketch_ok_p50,
+      |  abs(approx_quantile(value, 0.95) - quantile_cont(value, 0.95))
+      |    <= (max(value) - min(value)) * 0.05 AS sketch_ok_p95
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q98_bit_ops"        -> (q98BitOps _),
+    "q139_quantile_sketch" -> (q139QuantileSketch _),
     "q99_chained_cte"    -> (q99ChainedCte _),
     "q97_try_ops"        -> (q97TryOps _),
     "q88_grouped_exists" -> (q88GroupedExists _),
@@ -284,6 +324,7 @@ object Stats {
 
   val oracle: Map[String, String] = Map(
     "q98_bit_ops"        -> q98Sql,
+    "q139_quantile_sketch" -> q139Sql,
     "q99_chained_cte"    -> q99Sql,
     "q97_try_ops"        -> q97Sql,
     "q88_grouped_exists" -> q88Sql,

@@ -57,6 +57,17 @@ class RelationalSpec extends AnyFunSuite {
     assert(bad == 0, s"$bad as-of matches violate o_orderdate <= ts")
   }
 
+  test("q139 quantile sketch: estimates in-band, quantiles ordered") {
+    val rows = relational.Stats.q139QuantileSketch(spark, sf).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("sketch_ok_p50") && r.getAs[Boolean]("sketch_ok_p95"),
+        s"${r.getString(0)}: sketch out of band")
+      assert(r.getAs[Double]("p50") <= r.getAs[Double]("p95"),
+        s"${r.getString(0)}: p50 > p95")
+    }
+  }
+
   test("q06 outer join keeps every customer") {
     val n = Tables.customer(spark, sf).count()
     assert(relational.Core.q06OuterJoin(spark, sf).count() == n)
