@@ -975,6 +975,165 @@ object Similarity {
       |  FROM rr) t
       |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
 
+  // ---- q138: product-quantized ANN (asymmetric ADC + exact rerank) ----
+
+  /** q138: product quantization — the memory-compression end of the ANN
+    * family. The 64-dim space splits into `PqM`=8 subspaces of 8 dims;
+    * each subspace gets a 16-entry codebook (the subvectors of every
+    * ⌊N/16⌋-th vector — deterministic stride seeding, the `ivfStride`
+    * discipline), and a vector's representation collapses to 8 4-bit
+    * codes: 4 bytes instead of 512, a 128× in-memory shrink. Search is
+    * asymmetric (ADC): the query keeps full precision, candidates are
+    * scored against their RECONSTRUCTION (the concatenation of their
+    * chosen codebook entries), the top-`PqRerank` shortlist is reranked
+    * with the exact cosine, and the top-5 emitted — q36's contract, so
+    * recall is measured against brute force directly (LlmSpec).
+    *
+    * Every fold that crosses a partial-aggregation boundary (encoding
+    * distances, reconstruction dots, norms) runs in DECIMAL(18,9) — the
+    * q38 discipline: decimal addition is associative, so the result is
+    * independent of Spark's partial-agg order AND bit-identical to the
+    * DuckDB oracle's sums, which restate the whole build CTE-by-CTE
+    * (stride seeding, argmin encoding with j-ascending tie-break, ADC
+    * scoring, both tie-broken windows). Per-element products are single
+    * IEEE ops, identical in both engines by construction.
+    *
+    * Scale shape: encoding work is N · 16 · D rows — linear in the
+    * corpus with a constant fan — and one (vec_id, m)-keyed argmin;
+    * scoring fans Q · N · D with Q bounded by the query batch. The
+    * production form keeps codes as packed bytes and scores via an
+    * ADC lookup table (256 · M floats per query, built once); this
+    * relational twin exists to make those semantics hash-gradable
+    * end-to-end, and composes with IVF (q66/q132) the standard way:
+    * coarse cells prune N, PQ compresses what remains. */
+  val PqM = 8        // subspaces
+  val PqK = 16       // codebook entries per subspace (4-bit codes)
+  val PqRerank = 50
+
+  def q138AnnPq(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    annPqFrom(vecs(s, dir).select($"vec_id", $"v"))
+  }
+
+  /** PQ build + ADC search over an arbitrary (vec_id, v) set — the
+    * recall harness runs it on the clustered corpus (LlmSpec). */
+  def annPqFrom(e: DataFrame, nq: Int = 10, k: Int = 5): DataFrame = {
+    val s = e.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(18, 9)
+    val cnt = e.agg(greatest(lit(1L),
+      floor(count(lit(1)) / PqK).cast("long")).as("stride"))
+    // subspace width from the data's own dim (⌈dim/M⌉; 8 for the
+    // 64-dim embeddings table, mirrored by the oracle's `pos // 8`)
+    val sub = e.withColumn("sw", ceil(size($"v") / lit(PqM.toDouble)).cast("int"))
+      .select($"vec_id", $"sw", posexplode($"v").as(Seq("pos", "x")))
+      .withColumn("m", floor($"pos" / $"sw").cast("int")).drop("sw")
+    val cents = sub.crossJoin(broadcast(cnt))
+      .filter($"vec_id" % $"stride" === 0 && $"vec_id" < $"stride" * PqK)
+      .select(expr("vec_id div stride").as("j"), $"m", $"pos", $"x".as("c"))
+    // encode: per (vector, subspace) the L2-nearest codebook entry,
+    // ties toward the smallest j
+    val enc = sub.join(cents, Seq("m", "pos"))
+      .withColumn("sqd", (($"x" - $"c") * ($"x" - $"c")).cast(dec))
+      .groupBy($"vec_id", $"m", $"j").agg(sum($"sqd").as("d2"))
+    val wEnc = Window.partitionBy($"vec_id", $"m").orderBy($"d2".asc, $"j".asc)
+    val codes = enc.withColumn("rn", row_number().over(wEnc)).filter($"rn" === 1)
+      .select($"vec_id".as("cid"), $"m", $"j")
+    // candidate reconstruction norm and dims
+    val cn2m = cents.withColumn("c2", ($"c" * $"c").cast(dec))
+      .groupBy($"j", $"m").agg(sum($"c2").as("cn2m"))
+    val cn2 = codes.join(cn2m, Seq("j", "m"))
+      .groupBy($"cid").agg(sum($"cn2m").as("cn2"))
+    val cdims = codes.join(cents, Seq("j", "m")).select($"cid", $"pos", $"c")
+    // asymmetric scoring: full-precision query vs reconstruction
+    val qsub = sub.filter($"vec_id" < nq)
+      .select($"vec_id".as("qid"), $"pos", $"x".as("qx"))
+    val ddot = qsub.join(cdims, Seq("pos"))
+      .filter($"cid" =!= $"qid")
+      .withColumn("p", ($"qx" * $"c").cast(dec))
+      .groupBy($"qid", $"cid").agg(sum($"p").as("ddot"))
+    val qn2 = sub.filter($"vec_id" < nq)
+      .withColumn("x2", ($"x" * $"x").cast(dec))
+      .groupBy($"vec_id").agg(sum($"x2").as("qn2"))
+      .withColumnRenamed("vec_id", "qid")
+    val scored = ddot.join(qn2, "qid").join(cn2, "cid")
+      .withColumn("simpq",
+        when($"qn2" === 0 || $"cn2" === 0, lit(0.0))
+          .otherwise($"ddot".cast("double") /
+            (sqrt($"qn2".cast("double")) * sqrt($"cn2".cast("double")))))
+    val wq = Window.partitionBy($"qid").orderBy($"simpq".desc, $"cid".asc)
+    val shortlist = scored.withColumn("rr", row_number().over(wq))
+      .filter($"rr" <= PqRerank).select($"qid", $"cid")
+    val wr = Window.partitionBy($"qid").orderBy($"sim".desc, $"cid".asc)
+    shortlist
+      .join(e.select($"vec_id".as("qid"), $"v".as("qv")), Seq("qid"))
+      .join(e.select($"vec_id".as("cid"), $"v".as("cv")), Seq("cid"))
+      .withColumn("sim", graft.functions.CosineSim.cosine(s, $"qv", $"cv"))
+      .withColumn("rank", row_number().over(wr))
+      .filter($"rank" <= k)
+      .select($"qid", $"rank", $"cid", round($"sim", 4).as("sim"))
+      .orderBy($"qid", $"rank")
+  }
+
+  val q138Sql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |cnt AS (SELECT greatest(1, count(*) // $PqK) AS stride FROM e),
+      |sub AS (
+      |  SELECT vec_id, pos, x, pos // ${64 / PqM} AS m FROM (
+      |    SELECT vec_id, unnest(v) AS x, generate_subscripts(v, 1) - 1 AS pos
+      |    FROM e) t),
+      |cents AS (
+      |  SELECT vec_id // stride AS j, m, pos, x AS c FROM sub, cnt
+      |  WHERE vec_id % stride = 0 AND vec_id < stride * $PqK),
+      |enc AS (
+      |  SELECT s.vec_id, s.m, c.j,
+      |    sum(CAST((s.x - c.c) * (s.x - c.c) AS DECIMAL(18,9))) AS d2
+      |  FROM sub s JOIN cents c ON s.m = c.m AND s.pos = c.pos
+      |  GROUP BY 1, 2, 3),
+      |codes AS (
+      |  SELECT vec_id AS cid, m, j FROM (
+      |    SELECT vec_id, m, j,
+      |      row_number() OVER (PARTITION BY vec_id, m ORDER BY d2 ASC, j ASC) AS rn
+      |    FROM enc) t WHERE rn = 1),
+      |cn2m AS (
+      |  SELECT j, m, sum(CAST(c * c AS DECIMAL(18,9))) AS cn2m
+      |  FROM cents GROUP BY 1, 2),
+      |cn2 AS (
+      |  SELECT cid, sum(cn2m) AS cn2 FROM codes JOIN cn2m USING (j, m)
+      |  GROUP BY cid),
+      |cdims AS (SELECT cid, pos, c FROM codes JOIN cents USING (j, m)),
+      |qsub AS (SELECT vec_id AS qid, pos, x AS qx FROM sub WHERE vec_id < 10),
+      |ddot AS (
+      |  SELECT qid, cid, sum(CAST(qx * c AS DECIMAL(18,9))) AS ddot
+      |  FROM qsub JOIN cdims USING (pos) WHERE cid <> qid GROUP BY 1, 2),
+      |qn2 AS (
+      |  SELECT vec_id AS qid, sum(CAST(x * x AS DECIMAL(18,9))) AS qn2
+      |  FROM sub WHERE vec_id < 10 GROUP BY 1),
+      |scored AS (
+      |  SELECT d.qid, d.cid,
+      |    CASE WHEN q.qn2 = 0 OR c2.cn2 = 0 THEN 0.0
+      |         ELSE CAST(d.ddot AS DOUBLE)
+      |           / (sqrt(CAST(q.qn2 AS DOUBLE)) * sqrt(CAST(c2.cn2 AS DOUBLE))) END AS simpq
+      |  FROM ddot d JOIN qn2 q USING (qid) JOIN cn2 c2 USING (cid)),
+      |short AS (
+      |  SELECT qid, cid FROM (
+      |    SELECT qid, cid,
+      |      row_number() OVER (PARTITION BY qid ORDER BY simpq DESC, cid ASC) AS rr
+      |    FROM scored) t WHERE rr <= $PqRerank),
+      |rr AS (
+      |  SELECT s.qid, s.cid,
+      |    list_dot_product(eq.v, ec.v)
+      |      / (sqrt(list_dot_product(eq.v, eq.v)) * sqrt(list_dot_product(ec.v, ec.v))) AS sim
+      |  FROM short s
+      |  JOIN e eq ON eq.vec_id = s.qid
+      |  JOIN e ec ON ec.vec_id = s.cid)
+      |SELECT qid, rank, cid, round(sim, 4) AS sim FROM (
+      |  SELECT qid, cid, sim,
+      |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rank
+      |  FROM rr) t
+      |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q36_cosine_topk"    -> (q36CosineTopk _),
     "q37_vec_norms"      -> (q37VecNorms _),
@@ -988,6 +1147,7 @@ object Similarity {
     "q133_lsh_cosine_dups" -> (q133LshCosineDups _),
     "q134_ivf_increment" -> (q134IvfIncrement _),
     "q136_ann_sq8"       -> (q136AnnSq8 _),
+    "q138_ann_pq"        -> (q138AnnPq _),
   )
 
   // def, not val: q39's and q66's oracle SQL is synthesized from the
@@ -1010,6 +1170,7 @@ object Similarity {
       "q133_lsh_cosine_dups" -> q133Sql,
       "q134_ivf_increment" -> q134Sql,
       "q136_ann_sq8"       -> q136Sql,
+      "q138_ann_pq"        -> q138Sql,
     )
   }
 }

@@ -79,6 +79,28 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("q138 PQ ANN: 4-byte codes + exact rerank keep usable recall") {
+    val brute = llm.Similarity.q36CosineTopk(spark, sf)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = llm.Similarity.q138AnnPq(spark, sf).collect()
+    val got = pq.map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(pq.groupBy(_.getLong(0)).forall(_._2.map(_.getInt(1)).sorted.toSeq == Seq(1, 2, 3, 4, 5)))
+    val recall = (got & brute).size.toDouble / brute.size
+    info(f"PQ recall vs brute force: $recall%.2f")
+    // uniform-random vectors are PQ's worst case (no structure for the
+    // codebooks to exploit; measured 0.54 at sf0.001) — the floor here
+    // guards against breakage; the REPRESENTATIVE number is the
+    // clustered-corpus floor below
+    assert(recall >= 0.4, f"PQ recall $recall%.2f below the floor")
+    // reranked sims are exact: shared pairs carry identical values
+    val bruteSim = llm.Similarity.q36CosineTopk(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    pq.foreach { r =>
+      val k = (r.getLong(0), r.getLong(2))
+      bruteSim.get(k).foreach(exp => assert(r.getDouble(3) == exp))
+    }
+  }
+
   /** Clustered corpus for recall floors: C centers with members = center
     * + small deterministic perturbation (hash-based, no RNG). On this —
     * the realistic near-dup geometry, unlike uniform-random vectors —
@@ -111,6 +133,17 @@ class LlmSpec extends AnyFunSuite {
     info(f"clustered recall@5: plain=$rPlain%.2f multiprobe=$rProbed%.2f")
     assert(rProbed >= rPlain, "multi-probe must not lose recall")
     assert(rProbed >= 0.8, f"multi-probe LSH recall $rProbed%.2f below the 0.8 floor")
+  }
+
+  test("ANN recall floor: PQ holds a high floor on a clustered corpus") {
+    val e = clusteredVecs(nClusters = 10, perCluster = 50, dim = 16)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairs(llm.Similarity.bruteTopkFrom(e))
+    val pq = pairs(llm.Similarity.annPqFrom(e))
+    val recall = (pq & brute).size.toDouble / brute.size
+    info(f"clustered PQ recall@5: $recall%.2f")
+    assert(recall >= 0.8, f"PQ clustered recall $recall%.2f below the 0.8 floor")
   }
 
   test("ANN recall floor: IVF nprobe=2 >= 0.95 on a clustered corpus, and Lloyd must not hurt") {
