@@ -31,6 +31,7 @@ object SparkEntry {
     relational.Stats.queries ++
     relational.Extra3.queries ++
     relational.Layout.queries ++
+    relational.Graph.queries ++
     llm.TextOps.queries ++
     llm.Similarity.queries ++
     rounds.Stratify.queries ++
@@ -56,6 +57,7 @@ object SparkEntry {
     relational.Stats.oracle ++
     relational.Extra3.oracle ++
     relational.Layout.oracle ++
+    relational.Graph.oracle ++
     llm.TextOps.oracle ++
     llm.Similarity.oracle ++
     rounds.Stratify.oracle ++

@@ -1,0 +1,132 @@
+package graft.relational
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+
+/** Iterative graph analytics over entity graphs derived from the
+  * relational tables. The dedup family already has the undirected case
+  * (connected components, `llm/Dedup.minLabelComponents`); this module
+  * adds the directed-centrality case: PageRank over the nation trade
+  * graph, with the iterations UNROLLED and decimal-summed so the whole
+  * algorithm stays DuckDB-hash-gradable — the q66 discipline applied
+  * to a graph fixpoint.
+  */
+object Graph {
+
+  /** q140: two weighted-PageRank iterations over the nation trade graph
+    * (supplier nation → customer nation, edge weight = lineitem count).
+    *
+    * Semantics pinned for grading: damping 0.85; uniform 1/N init;
+    * per-source shares w_uv / Σw_u as doubles; each iteration
+    * r'_v = 0.15/N + 0.85·(Σ_u r_u·share_uv + D/N) where D is the
+    * total rank mass on DANGLING nodes (nations with no suppliers at
+    * small SF), redistributed uniformly — the classic correction, so
+    * each iteration conserves total mass exactly (pinned in
+    * RelationalSpec). Both Σs run in DECIMAL(18,9) (associative ⇒
+    * independent of partial-agg order AND bit-identical to the
+    * oracle's sums); self-loops kept. Ranks order by the ROUNDED
+    * score so an ulp cannot flip a rank across engines, ties by name.
+    *
+    * Scale shape: each iteration is one join of the rank vector (N
+    * rows) against the edge list and one keyed aggregation — the
+    * standard distributed-PageRank step, shuffle-bounded by |E|; the
+    * edge derivation itself is the star-join the optimizer already
+    * broadcasts. Two iterations keep the oracle finite; a production
+    * run loops the same `step` to convergence (the fixpoint loop is
+    * `rounds.Stratify`'s pattern). */
+  def q140PageRank(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dec = DecimalType(18, 9)
+    val edges = Tables.lineitem(s, dir).select($"l_orderkey", $"l_suppkey")
+      .join(Tables.supplier(s, dir).select($"s_suppkey", $"s_nationkey"),
+        $"l_suppkey" === $"s_suppkey")
+      .join(Tables.orders(s, dir).select($"o_orderkey", $"o_custkey"),
+        $"l_orderkey" === $"o_orderkey")
+      .join(Tables.customer(s, dir).select($"c_custkey", $"c_nationkey"),
+        $"o_custkey" === $"c_custkey")
+      .select($"s_nationkey".as("src"), $"c_nationkey".as("dst"))
+      .groupBy($"src", $"dst").agg(count(lit(1)).as("w"))
+    val outw = edges.groupBy($"src").agg(sum($"w").as("outw"))
+    val shares = edges.join(outw, "src")
+      .select($"src", $"dst",
+        ($"w".cast("double") / $"outw".cast("double")).as("share"))
+    val nodes = Tables.nation(s, dir).select($"n_nationkey".as("v"), $"n_name")
+    val nDf = nodes.agg(count(lit(1)).cast("double").as("nn"))
+    val r0 = nodes.crossJoin(broadcast(nDf))
+      .select($"v", (lit(1.0) / $"nn").as("r"))
+    def step(r: DataFrame): DataFrame = {
+      val contrib = r.join(shares, $"v" === $"src")
+        .withColumn("p", ($"r" * $"share").cast(dec))
+        .groupBy($"dst").agg(sum($"p").as("csum"))
+      val dangling = r.join(outw.select($"src"), $"v" === $"src", "left_anti")
+        .agg(coalesce(sum($"r".cast(dec)), lit(0).cast(dec)).as("dm"))
+      nodes.crossJoin(broadcast(nDf)).crossJoin(broadcast(dangling))
+        .join(contrib, $"v" === $"dst", "left")
+        .select($"v",
+          (lit(0.15) / $"nn" + lit(0.85) *
+            (coalesce($"csum".cast("double"), lit(0.0)) +
+              $"dm".cast("double") / $"nn")).as("r"))
+    }
+    val r2 = step(step(r0))
+    val wr = Window.orderBy($"pr".desc, $"nation".asc)
+    r2.join(nodes, "v")
+      .select($"n_name".as("nation"), round($"r", 8).as("pr"))
+      .withColumn("rank", row_number().over(wr))
+      .orderBy($"rank")
+  }
+
+  val q140Sql: String =
+    """WITH edges AS (
+      |  SELECT s_nationkey AS src, c_nationkey AS dst, count(*) AS w
+      |  FROM lineitem
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1, 2),
+      |outw AS (SELECT src, sum(w) AS outw FROM edges GROUP BY src),
+      |shares AS (
+      |  SELECT e.src, e.dst, CAST(e.w AS DOUBLE) / CAST(o.outw AS DOUBLE) AS share
+      |  FROM edges e JOIN outw o ON e.src = o.src),
+      |nn AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM nation),
+      |r0 AS (SELECT n_nationkey AS v, 1.0 / nn AS r FROM nation, nn),
+      |c1 AS (
+      |  SELECT s.dst, sum(CAST(r.r * s.share AS DECIMAL(18,9))) AS csum
+      |  FROM r0 r JOIN shares s ON r.v = s.src GROUP BY s.dst),
+      |d1 AS (
+      |  SELECT coalesce(sum(CAST(r AS DECIMAL(18,9))), 0) AS dm
+      |  FROM r0 WHERE v NOT IN (SELECT src FROM outw)),
+      |r1 AS (
+      |  SELECT n.n_nationkey AS v,
+      |    0.15 / nn + 0.85 * (coalesce(CAST(c.csum AS DOUBLE), 0.0)
+      |      + CAST(d.dm AS DOUBLE) / nn) AS r
+      |  FROM nation n CROSS JOIN nn CROSS JOIN d1 d
+      |  LEFT JOIN c1 c ON n.n_nationkey = c.dst),
+      |c2 AS (
+      |  SELECT s.dst, sum(CAST(r.r * s.share AS DECIMAL(18,9))) AS csum
+      |  FROM r1 r JOIN shares s ON r.v = s.src GROUP BY s.dst),
+      |d2 AS (
+      |  SELECT coalesce(sum(CAST(r AS DECIMAL(18,9))), 0) AS dm
+      |  FROM r1 WHERE v NOT IN (SELECT src FROM outw)),
+      |r2 AS (
+      |  SELECT n.n_nationkey AS v,
+      |    0.15 / nn + 0.85 * (coalesce(CAST(c.csum AS DOUBLE), 0.0)
+      |      + CAST(d.dm AS DOUBLE) / nn) AS r
+      |  FROM nation n CROSS JOIN nn CROSS JOIN d2 d
+      |  LEFT JOIN c2 c ON n.n_nationkey = c.dst)
+      |SELECT nation, pr, rank FROM (
+      |  SELECT n.n_name AS nation, round(r2.r, 8) AS pr,
+      |    row_number() OVER (ORDER BY round(r2.r, 8) DESC, n.n_name ASC) AS rank
+      |  FROM r2 JOIN nation n ON n.n_nationkey = r2.v) t
+      |ORDER BY rank""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q140_pagerank" -> (q140PageRank _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q140_pagerank" -> q140Sql
+  )
+}

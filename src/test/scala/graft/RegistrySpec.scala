@@ -24,6 +24,7 @@ class RegistrySpec extends AnyFunSuite {
       "relational.Stats"     -> relational.Stats.queries.keySet,
       "relational.Extra3"    -> relational.Extra3.queries.keySet,
       "relational.Layout"    -> relational.Layout.queries.keySet,
+      "relational.Graph"     -> relational.Graph.queries.keySet,
       "llm.TextOps"          -> llm.TextOps.queries.keySet,
       "llm.Similarity"       -> llm.Similarity.queries.keySet,
       "rounds.Stratify"      -> rounds.Stratify.queries.keySet,

@@ -68,6 +68,18 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("q140 pagerank: probability mass conserved, ranks dense, scores positive") {
+    val rows = relational.Graph.q140PageRank(spark, sf).collect()
+    val n = Tables.nation(spark, sf).count().toInt
+    assert(rows.length == n)
+    assert(rows.map(_.getInt(2)).sorted.toSeq == (1 to n))
+    assert(rows.forall(_.getDouble(1) > 0.0))
+    // dangling-mass redistribution makes each iteration conserve total
+    // mass: 0.15 + 0.85·Σr = 1 (up to the decimal-sum rounding)
+    val mass = rows.map(_.getDouble(1)).sum
+    assert(math.abs(mass - 1.0) < 1e-5, s"rank mass $mass drifted from 1")
+  }
+
   test("q06 outer join keeps every customer") {
     val n = Tables.customer(spark, sf).count()
     assert(relational.Core.q06OuterJoin(spark, sf).count() == n)
