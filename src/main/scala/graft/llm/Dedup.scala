@@ -797,6 +797,7 @@ object Dedup {
       .withColumn("rn", row_number().over(w))
       .crossJoin(broadcast(bloom))
       .withColumn("hit", bloomHit($"bloom", $"fp"))
+      .persist() // read by both branches (skip + probe); swept per-query
     val probed = batch.filter($"hit")
       .join(store, $"fp" === $"sfp", "left")
       .select($"source", $"rn", $"sfp")

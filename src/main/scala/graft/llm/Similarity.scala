@@ -915,7 +915,9 @@ object Similarity {
 
   def q136AnnSq8(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val codes = sqCodes(vecs(s, dir))
+    // persisted: the query side and the candidate side both read it,
+    // and each read would otherwise repeat the extent pass
+    val codes = sqCodes(vecs(s, dir)).persist()
     val q = codes.filter($"vec_id" < 10)
       .select($"vec_id".as("qid"), $"v".as("qv"), $"c".as("qc"))
     val cand = codes.select($"vec_id".as("cid"), $"v".as("cv"), $"c".as("cc"))
@@ -1029,6 +1031,7 @@ object Similarity {
     val sub = e.withColumn("sw", ceil(size($"v") / lit(PqM.toDouble)).cast("int"))
       .select($"vec_id", $"sw", posexplode($"v").as(Seq("pos", "x")))
       .withColumn("m", floor($"pos" / $"sw").cast("int")).drop("sw")
+      .persist() // feeds cents, encoding, the query side, and the norms
     val cents = sub.crossJoin(broadcast(cnt))
       .filter($"vec_id" % $"stride" === 0 && $"vec_id" < $"stride" * PqK)
       .select(expr("vec_id div stride").as("j"), $"m", $"pos", $"x".as("c"))

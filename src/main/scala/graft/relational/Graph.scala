@@ -50,9 +50,12 @@ object Graph {
       .select($"s_nationkey".as("src"), $"c_nationkey".as("dst"))
       .groupBy($"src", $"dst").agg(count(lit(1)).as("w"))
     val outw = edges.groupBy($"src").agg(sum($"w").as("outw"))
+      .persist() // read per iteration (dangling anti-join) — N² rows max
     val shares = edges.join(outw, "src")
       .select($"src", $"dst",
         ($"w".cast("double") / $"outw".cast("double")).as("share"))
+      .persist() // each iteration re-reads the edge list; the 4-way
+                 // star join behind it must not replay per step
     val nodes = Tables.nation(s, dir).select($"n_nationkey".as("v"), $"n_name")
     val nDf = nodes.agg(count(lit(1)).cast("double").as("nn"))
     val r0 = nodes.crossJoin(broadcast(nDf))
