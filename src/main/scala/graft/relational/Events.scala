@@ -194,8 +194,115 @@ object Events {
        |       round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS total_value
        |FROM ev GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** q141: cohort retention — the standard product-analytics readout
+    * and, for a training-data engine, the shape of "how much of week
+    * W's crawl is still active k weeks later". Users cohort by the ISO
+    * week of their FIRST event (date_trunc('week') is Monday-anchored
+    * in both engines); for every (cohort, k) the retained distinct
+    * users and the retained fraction of the cohort. k is exact integer
+    * arithmetic (day difference of two week-truncations is a multiple
+    * of 7 by construction).
+    *
+    * Scale shape: two keyed aggregations over the event stream (first
+    * event per user; distinct user-weeks) and one broadcast-size join
+    * on the cohort dimension — no self-join, no window over the full
+    * stream. */
+  def q141CohortRetention(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wk = ev(s, dir).select($"user_id", date_trunc("week", $"ts").as("w"))
+    val firsts = wk.groupBy($"user_id").agg(min($"w").as("cw"))
+    val active = wk.distinct()
+    val perK = active.join(firsts, "user_id")
+      .withColumn("k", (datediff($"w", $"cw") / 7).cast("int"))
+      .groupBy($"cw", $"k").agg(countDistinct($"user_id").as("n_users"))
+    val cohorts = firsts.groupBy($"cw").agg(countDistinct($"user_id").as("cohort_n"))
+    perK.join(cohorts, "cw")
+      .withColumn("retention", round($"n_users" / $"cohort_n", 4))
+      .select($"cw".cast("date").as("cohort_week"), $"k", $"n_users", $"retention")
+      .orderBy($"cohort_week", $"k")
+  }
+
+  val q141Sql: String =
+    s"""$evCte,
+       |wk AS (SELECT user_id, date_trunc('week', ts) AS w FROM ev),
+       |firsts AS (SELECT user_id, min(w) AS cw FROM wk GROUP BY user_id),
+       |active AS (SELECT DISTINCT user_id, w FROM wk),
+       |perk AS (
+       |  SELECT f.cw, CAST(date_diff('day', f.cw, a.w) / 7 AS INT) AS k,
+       |    count(DISTINCT a.user_id) AS n_users
+       |  FROM active a JOIN firsts f ON a.user_id = f.user_id
+       |  GROUP BY 1, 2),
+       |cohorts AS (SELECT cw, count(DISTINCT user_id) AS cohort_n
+       |            FROM firsts GROUP BY cw)
+       |SELECT CAST(p.cw AS DATE) AS cohort_week, p.k, p.n_users,
+       |  round(p.n_users / c.cohort_n, 4) AS retention
+       |FROM perk p JOIN cohorts c ON p.cw = c.cw
+       |ORDER BY cohort_week, k""".stripMargin
+
+  /** q142: staged conversion funnel — view → click → purchase with
+    * STRICTLY INCREASING timestamps per user (a later stage only
+    * counts if it happens after the user's earliest qualifying
+    * previous stage), segmented by market segment. The ordered-
+    * sequence constraint is what separates a funnel from three
+    * filters; each stage is one keyed min-aggregation over the
+    * events that survive the previous stage's timestamp — no window
+    * over the full stream, no self-join explosion.
+    *
+    * Users outside the customer dimension do not funnel (inner join —
+    * defined and graded). Rates are round(stage_n / prev_n, 4), with
+    * the zero-denominator guard explicit on both sides. */
+  def q142EventFunnel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = ev(s, dir).select($"user_id", $"event_type", $"ts")
+    val v = e.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"ts").as("t1"))
+    val c = e.filter($"event_type" === "click").join(v, "user_id")
+      .filter($"ts" > $"t1")
+      .groupBy($"user_id").agg(min($"ts").as("t2"))
+    val p = e.filter($"event_type" === "purchase").join(c, "user_id")
+      .filter($"ts" > $"t2")
+      .groupBy($"user_id").agg(min($"ts").as("t3"))
+    v.join(Tables.customer(s, dir).select($"c_custkey", $"c_mktsegment"),
+        $"user_id" === $"c_custkey")
+      .join(c.select($"user_id".as("u2")), $"user_id" === $"u2", "left")
+      .join(p.select($"user_id".as("u3")), $"user_id" === $"u3", "left")
+      .groupBy($"c_mktsegment")
+      .agg(
+        count(lit(1)).as("n_view"),
+        sum(when($"u2".isNotNull, 1L).otherwise(0L)).as("n_click"),
+        sum(when($"u3".isNotNull, 1L).otherwise(0L)).as("n_purchase"))
+      .withColumn("r_click", round($"n_click" / $"n_view", 4))
+      .withColumn("r_purchase",
+        round(when($"n_click" > 0, $"n_purchase" / $"n_click").otherwise(0.0), 4))
+      .orderBy($"c_mktsegment")
+  }
+
+  val q142Sql: String =
+    s"""$evCte,
+       |v AS (SELECT user_id, min(ts) AS t1 FROM ev
+       |      WHERE event_type = 'view' GROUP BY user_id),
+       |c AS (SELECT e.user_id, min(e.ts) AS t2 FROM ev e JOIN v ON e.user_id = v.user_id
+       |      WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id),
+       |p AS (SELECT e.user_id, min(e.ts) AS t3 FROM ev e JOIN c ON e.user_id = c.user_id
+       |      WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id)
+       |SELECT cu.c_mktsegment, count(*) AS n_view,
+       |  CAST(sum(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+       |  CAST(sum(CASE WHEN p.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+       |  round(CAST(sum(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |        / count(*), 4) AS r_click,
+       |  round(CASE WHEN sum(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END) > 0
+       |    THEN CAST(sum(CASE WHEN p.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |      / sum(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END)
+       |    ELSE 0.0 END, 4) AS r_purchase
+       |FROM v JOIN customer cu ON v.user_id = cu.c_custkey
+       |LEFT JOIN c ON v.user_id = c.user_id
+       |LEFT JOIN p ON v.user_id = p.user_id
+       |GROUP BY cu.c_mktsegment ORDER BY cu.c_mktsegment""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q22_tumbling_window" -> (q22Tumbling _),
+    "q141_cohort_retention" -> (q141CohortRetention _),
+    "q142_event_funnel"   -> (q142EventFunnel _),
     "q23_session_window"  -> (q23Sessions _),
     "q24_dedup_first"     -> (q24DedupFirst _),
     "q25_stall_detect"    -> (q25StallDetect _),
@@ -206,6 +313,8 @@ object Events {
 
   val oracle: Map[String, String] = Map(
     "q22_tumbling_window" -> q22Sql,
+    "q141_cohort_retention" -> q141Sql,
+    "q142_event_funnel"   -> q142Sql,
     "q23_session_window"  -> q23Sql,
     "q24_dedup_first"     -> q24Sql,
     "q25_stall_detect"    -> q25Sql,

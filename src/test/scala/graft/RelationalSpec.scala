@@ -80,6 +80,39 @@ class RelationalSpec extends AnyFunSuite {
     assert(math.abs(mass - 1.0) < 1e-5, s"rank mass $mass drifted from 1")
   }
 
+  test("q141 cohort retention: k=0 is always 1.0 and retention never exceeds it") {
+    val rows = relational.Events.q141CohortRetention(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byCohort = rows.groupBy(_.getDate(0).toString)
+    byCohort.foreach { case (cw, rs) =>
+      val k0 = rs.find(_.getInt(1) == 0)
+      assert(k0.isDefined, s"cohort $cw missing k=0")
+      assert(k0.get.getDouble(3) == 1.0, s"cohort $cw k=0 retention != 1")
+      rs.foreach(r => assert(r.getDouble(3) <= 1.0 && r.getDouble(3) > 0.0))
+    }
+  }
+
+  test("q142 funnel: stage counts are monotone and ordered in time") {
+    val rows = relational.Events.q142EventFunnel(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (v, c, p) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(v >= c && c >= p, s"${r.getString(0)}: funnel not monotone ($v,$c,$p)")
+    }
+    // the ordering constraint is real: a click BEFORE the first view
+    // must not count. Synthetic: user 1 clicks at t=1, views at t=2.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.min
+    val e = Seq((1L, "click", java.sql.Timestamp.valueOf("2026-01-01 00:00:01")),
+      (1L, "view", java.sql.Timestamp.valueOf("2026-01-01 00:00:02")))
+      .toDF("user_id", "event_type", "ts")
+    val v1 = e.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"ts").as("t1"))
+    val c1 = e.filter($"event_type" === "click").join(v1, "user_id")
+      .filter($"ts" > $"t1")
+    assert(c1.count() == 0, "pre-view click leaked into the funnel")
+  }
+
   test("q06 outer join keeps every customer") {
     val n = Tables.customer(spark, sf).count()
     assert(relational.Core.q06OuterJoin(spark, sf).count() == n)
