@@ -509,18 +509,77 @@ object AsOf {
          |ORDER BY o_orderkey""".stripMargin)
   }
 
+  /** q143: time-series resampling with forward-fill — each user's
+    * event stream re-sampled onto an hourly grid carrying the LAST
+    * value known at each grid point (null before the first event).
+    * The grid is `sequence(h0, h1, 1 hour)` per user (both engines'
+    * series are end-inclusive), events are pre-deduplicated per
+    * (user, ts) so the as-of match is unique without a tie-break, and
+    * the fill itself IS the custom operator: one backward left-outer
+    * `AsOfJoinExec` of grid against events. The DuckDB oracle uses
+    * DuckDB's own native `ASOF LEFT JOIN` — the one catalog entry
+    * where both engines run their first-class as-of operator and must
+    * agree row-for-row.
+    *
+    * Scale shape: grid rows = users × span-hours (generated, never
+    * shuffled wide), and the as-of merge is the O(1)-state
+    * co-clustered pass — the resample never materializes a
+    * grid × events product. */
+  def q143ResampleFfill(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.functions.{date_trunc, explode, expr, max, min, round, sequence}
+    val base = graft.Tables.events(s, dir).filter($"user_id" < 20)
+    // both time columns normalized to TimestampType explicitly — the
+    // operator requires exact time-type equality (events `ts` is NTZ,
+    // `sequence` emits LTZ; under the UTC session they are the same
+    // wall clock)
+    val ev = base.groupBy($"user_id", $"ts").agg(max($"value").as("v"))
+      .select($"user_id".as("eu"), $"ts".cast("timestamp").as("ets"), $"v")
+    val grid = base.groupBy($"user_id")
+      .agg(date_trunc("hour", min($"ts")).as("h0"),
+        date_trunc("hour", max($"ts")).as("h1"))
+      .select($"user_id",
+        explode(sequence($"h0", $"h1", expr("INTERVAL 1 HOUR"))).as("h0h"))
+      .select($"user_id", $"h0h".cast("timestamp").as("h"))
+    join(grid, ev,
+        leftKeys = Seq("user_id"), rightKeys = Seq("eu"),
+        leftTimeCol = "h", rightTimeCol = "ets",
+        joinType = "left_outer")
+      .select($"user_id", $"h".as("hour"), round($"v", 2).as("last_value"))
+      .orderBy($"user_id", $"hour")
+  }
+
+  val q143Sql: String =
+    """WITH ev0 AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+      |  FROM events WHERE user_id < 20),
+      |ev AS (SELECT user_id, ts, max(value) AS v FROM ev0 GROUP BY 1, 2),
+      |spans AS (
+      |  SELECT user_id, date_trunc('hour', min(ts)) AS h0,
+      |         date_trunc('hour', max(ts)) AS h1
+      |  FROM ev0 GROUP BY user_id),
+      |grid AS (
+      |  SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+      |  FROM spans)
+      |SELECT g.user_id, g.h AS hour, round(e.v, 2) AS last_value
+      |FROM grid g ASOF LEFT JOIN ev e
+      |  ON g.user_id = e.user_id AND g.h >= e.ts
+      |ORDER BY g.user_id, hour""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q113_asof_attribution" -> (q113AsofAttribution _),
     "q114_asof_forward"     -> (q114AsofForward _),
     "q123_asof_outer"       -> (q123AsofOuter _),
     "q124_asof_tolerance"   -> (q124AsofTolerance _),
     "q126_asof_sql"         -> (q126AsofSql _),
-    "q128_asof_sql_knobs"   -> (q128AsofSqlKnobs _))
+    "q128_asof_sql_knobs"   -> (q128AsofSqlKnobs _),
+    "q143_resample_ffill"   -> (q143ResampleFfill _))
   val oracle: Map[String, String] = Map(
     "q113_asof_attribution" -> q113Sql,
     "q114_asof_forward"     -> q114Sql,
     "q123_asof_outer"       -> q123Sql,
     "q124_asof_tolerance"   -> q124Sql,
     "q126_asof_sql"         -> q113Sql,
-    "q128_asof_sql_knobs"   -> q124Sql)
+    "q128_asof_sql_knobs"   -> q124Sql,
+    "q143_resample_ffill"   -> q143Sql)
 }

@@ -412,4 +412,26 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(badArity.getMessage.contains("6-10") ||
       badArity.getMessage.toLowerCase.contains("argument"), badArity.getMessage)
   }
+
+  test("q143 resample: plans through AsOfJoinExec and forward-fills correctly") {
+    val df = graft.plans.AsOf.q143ResampleFfill(spark, sf)
+    assert(df.queryExecution.executedPlan.toString.contains("AsOfJoin"),
+      "resample must run through the custom exec")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // per user: the sampled series is a step function — each hour's value
+    // equals the true last event value at or before that hour
+    import org.apache.spark.sql.functions.{col, max => fmax}
+    val ev = Tables.events(spark, sf).filter(col("user_id") < 20)
+      .groupBy(col("user_id"), col("ts").cast("timestamp").as("ts"))
+      .agg(fmax(col("value")).as("v"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getDouble(2)))
+    rows.foreach { r =>
+      val (u, h) = (r.getLong(0), r.getTimestamp(1).getTime)
+      val expected = ev.filter(e => e._1 == u && e._2 <= h)
+        .sortBy(_._2).lastOption.map(e => math.rint(e._3 * 100) / 100)
+      val got = if (r.isNullAt(2)) None else Some(r.getDouble(2))
+      assert(got == expected, s"user $u hour $h: got $got expected $expected")
+    }
+  }
 }
