@@ -299,10 +299,55 @@ object Events {
        |LEFT JOIN p ON v.user_id = p.user_id
        |GROUP BY cu.c_mktsegment ORDER BY cu.c_mktsegment""".stripMargin
 
+  /** q144: sliding-window spike detection — per event type, each
+    * hourly bucket against its trailing 24 HOURS (a true RANGE frame
+    * over epoch seconds, not "last 24 observed rows": gap hours
+    * shrink the window's population, and the n24 column reports it).
+    * The spike predicate is pure integer arithmetic — `n·n24 > 2·Σ`
+    * ⟺ "count exceeds 2× the trailing mean" — so the flag cannot be
+    * flipped by a floating rounding difference between engines; the
+    * warm-up guard (n24 ≥ 12) keeps half-empty windows from flagging.
+    *
+    * Scale shape: one keyed aggregation to hourly buckets (the only
+    * shuffle — output is |types|×|hours|, tiny regardless of input
+    * scale), then one partitioned range-frame window over it. */
+  def q144SpikeDetect(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hourly = ev(s, dir)
+      .groupBy($"event_type", date_trunc("hour", $"ts").as("hour"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("he", unix_timestamp($"hour".cast("timestamp")))
+    val w = Window.partitionBy($"event_type").orderBy($"he")
+      .rangeBetween(-82800, 0)
+    hourly
+      .withColumn("s24", sum($"n").over(w))
+      .withColumn("n24", count(lit(1)).over(w))
+      .withColumn("spike", $"n24" >= 12 && $"n" * $"n24" > $"s24" * 2)
+      .select($"event_type", $"hour".cast("timestamp").as("hour"),
+        $"n", $"s24", $"n24", $"spike")
+      .orderBy($"event_type", $"hour")
+  }
+
+  val q144Sql: String =
+    s"""$evCte,
+       |hourly AS (
+       |  SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n
+       |  FROM ev GROUP BY 1, 2),
+       |he AS (SELECT *, CAST(epoch(hour) AS BIGINT) AS he FROM hourly)
+       |SELECT event_type, hour, n,
+       |  CAST(sum(n) OVER w AS BIGINT) AS s24,
+       |  count(*) OVER w AS n24,
+       |  (count(*) OVER w >= 12 AND n * count(*) OVER w > sum(n) OVER w * 2) AS spike
+       |FROM he
+       |WINDOW w AS (PARTITION BY event_type ORDER BY he
+       |             RANGE BETWEEN 82800 PRECEDING AND CURRENT ROW)
+       |ORDER BY event_type, hour""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q22_tumbling_window" -> (q22Tumbling _),
     "q141_cohort_retention" -> (q141CohortRetention _),
     "q142_event_funnel"   -> (q142EventFunnel _),
+    "q144_spike_detect"   -> (q144SpikeDetect _),
     "q23_session_window"  -> (q23Sessions _),
     "q24_dedup_first"     -> (q24DedupFirst _),
     "q25_stall_detect"    -> (q25StallDetect _),
@@ -315,6 +360,7 @@ object Events {
     "q22_tumbling_window" -> q22Sql,
     "q141_cohort_retention" -> q141Sql,
     "q142_event_funnel"   -> q142Sql,
+    "q144_spike_detect"   -> q144Sql,
     "q23_session_window"  -> q23Sql,
     "q24_dedup_first"     -> q24Sql,
     "q25_stall_detect"    -> q25Sql,

@@ -113,6 +113,42 @@ class RelationalSpec extends AnyFunSuite {
     assert(c1.count() == 0, "pre-view click leaked into the funnel")
   }
 
+  test("q144 spike flag is the integer predicate, and a synthetic burst trips it") {
+    val rows = relational.Events.q144SpikeDetect(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, s24, n24, spike) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5))
+      assert(spike == (n24 >= 12 && n * n24 > s24 * 2),
+        s"${r.getString(0)} @ ${r.getTimestamp(1)}: flag inconsistent")
+      assert(n24 >= 1 && s24 >= n)
+    }
+    // synthetic: 25 quiet hours at 1 event/hour, then a 10-event burst
+    // — the burst hour must flag, the quiet hours must not
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{count => fcount, lit => flit, sum => fsum}
+    val base = java.time.Instant.parse("2026-01-01T00:00:00Z")
+    val quiet = (0 until 25).map(h =>
+      ("e", java.sql.Timestamp.from(base.plusSeconds(h * 3600L))))
+    val burst = (0 until 10).map(i =>
+      ("e", java.sql.Timestamp.from(base.plusSeconds(25 * 3600L + i))))
+    val hourly = (quiet ++ burst).toDF("event_type", "ts")
+      .groupBy($"event_type", org.apache.spark.sql.functions.date_trunc("hour", $"ts").as("hour"))
+      .agg(fcount(flit(1)).as("n"))
+      .withColumn("he", org.apache.spark.sql.functions.unix_timestamp($"hour"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"event_type").orderBy($"he").rangeBetween(-82800, 0)
+    val flagged = hourly
+      .withColumn("s24", fsum($"n").over(w))
+      .withColumn("n24", fcount(flit(1)).over(w))
+      .withColumn("spike", $"n24" >= 12 && $"n" * $"n24" > $"s24" * 2)
+      .collect().map(r => r.getAs[java.sql.Timestamp]("hour").getTime ->
+        r.getAs[Boolean]("spike")).toMap
+    val burstHour = base.plusSeconds(25 * 3600L).toEpochMilli
+    assert(flagged(burstHour), "burst hour must flag")
+    assert(flagged.filter(_._1 != burstHour).values.forall(!_), "quiet hours must not flag")
+  }
+
   test("q06 outer join keeps every customer") {
     val n = Tables.customer(spark, sf).count()
     assert(relational.Core.q06OuterJoin(spark, sf).count() == n)
