@@ -48,6 +48,32 @@ class LayoutSpec extends AnyFunSuite {
     assert(err.getMessage.contains("integral"), err.getMessage)
   }
 
+  test("z-order clustered write: real files carry prunable envelopes in both dims") {
+    val li = Tables.lineitem(spark, sf).select($"l_partkey", $"l_suppkey")
+    val out = "/tmp/graft_zorder_write"
+    Layout.zorderWrite(li, "l_partkey", "l_suppkey", files = 64, path = out)
+    val rd = spark.read.parquet(out).withColumn("f", input_file_name())
+    val files = rd.groupBy($"f").agg(
+      (max($"l_partkey") - min($"l_partkey")).as("ps"),
+      (max($"l_suppkey") - min($"l_suppkey")).as("ss"),
+      count(lit(1)).as("n")).collect()
+    assert(files.length >= 16, s"expected many files, got ${files.length}")
+    val ext = li.agg(
+      (max($"l_partkey") - min($"l_partkey")).as("p"),
+      (max($"l_suppkey") - min($"l_suppkey")).as("s")).collect().head
+    val (ps, ss) = (ext.getLong(0), ext.getLong(1))
+    // repartitionByRange samples boundaries, so they are not bit-aligned:
+    // a file can straddle one high-bit cell edge and pay a wide envelope
+    // in one dimension. The MEDIAN file is cell-interior — that is the
+    // honest per-file pruning claim — and row counts must conserve.
+    def med(xs: Seq[Long]): Long = xs.sorted.apply(xs.length / 2)
+    val medPs = med(files.map(_.getLong(1)).toSeq)
+    val medSs = med(files.map(_.getLong(2)).toSeq)
+    assert(medPs <= ps / 8.0 * 1.2 + 2, s"median pk envelope $medPs vs global $ps")
+    assert(medSs <= ss / 8.0 * 1.2 + 2, s"median sk envelope $medSs vs global $ss")
+    assert(files.map(_.getLong(3)).sum == li.count())
+  }
+
   test("q137 buckets are tight rectangles in BOTH dimensions") {
     val rows = Layout.q137ZorderLayout(spark, sf).collect()
     assert(rows.length > 8, s"expected many z-ranges, got ${rows.length}")
