@@ -156,8 +156,91 @@ object Extra3 {
       |FROM a UNPIVOT (value FOR metric IN (n_orders, total_value, avg_value))
       |ORDER BY o_orderpriority, metric""".stripMargin
 
+  /** q145: SCD2 interval construction — the warehouse upsert shape: a
+    * per-user change stream collapses to slowly-changing-dimension
+    * version rows with [valid_from, valid_to) validity and a current
+    * flag. Consecutive duplicates are suppressed BEFORE interval
+    * assembly (a change row opens a version; a repeat extends it), and
+    * valid_to is the NEXT change's valid_from — so intervals tile each
+    * user's timeline exactly, no gaps, no overlaps (pinned in
+    * RelationalSpec). Ties at equal ts break by event_id on both
+    * sides. One window pass for change detection, one for the
+    * interval close — both partitioned by user, no self-join. */
+  def q145Scd2Intervals(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .select($"user_id", $"event_id", $"event_type",
+        $"ts".cast("timestamp").as("ts"))
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val changes = ev
+      .withColumn("prev", lag($"event_type", 1).over(w))
+      .filter($"prev".isNull || $"prev" =!= $"event_type")
+    val w2 = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    changes
+      .withColumn("valid_to", lead($"ts", 1).over(w2))
+      .select($"user_id", $"event_type".as("state"),
+        $"ts".as("valid_from"), $"valid_to",
+        $"valid_to".isNull.as("is_current"))
+      .orderBy($"user_id", $"valid_from")
+  }
+
+  val q145Sql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+      |  FROM events),
+      |changes AS (
+      |  SELECT * FROM (
+      |    SELECT user_id, event_id, event_type, ts,
+      |      lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |    FROM ev) t
+      |  WHERE prev IS NULL OR prev <> event_type)
+      |SELECT user_id, event_type AS state, ts AS valid_from,
+      |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+      |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+      |FROM changes
+      |ORDER BY user_id, valid_from""".stripMargin
+
+  /** q146: join-key skew report — the diagnostic you run BEFORE sizing
+    * a 100 TB join: the 20 heaviest l_partkey values with their share
+    * of total rows and the running cumulative share (in rank order, so
+    * the fold is deterministic). One keyed count (map-side combined),
+    * one broadcast total, one 20-row window — the report costs one
+    * scan regardless of input size. */
+  def q146SkewReport(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir)
+    val total = li.agg(count(lit(1)).as("total"))
+    val wr = Window.orderBy($"cnt".desc, $"l_partkey".asc)
+    val wc = Window.orderBy($"cnt".desc, $"l_partkey".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    li.groupBy($"l_partkey").agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(wr))
+      .filter($"rank" <= 20)
+      .withColumn("share", round($"cnt" / $"total", 6))
+      .withColumn("cum_share", round(sum($"cnt").over(wc) / $"total", 6))
+      .select($"rank", $"l_partkey", $"cnt", $"share", $"cum_share")
+      .orderBy($"rank")
+  }
+
+  val q146Sql: String =
+    """WITH c AS (SELECT l_partkey, count(*) AS cnt FROM lineitem GROUP BY 1),
+      |t AS (SELECT count(*) AS total FROM lineitem),
+      |ranked AS (
+      |  SELECT l_partkey, cnt, total,
+      |    row_number() OVER (ORDER BY cnt DESC, l_partkey ASC) AS rank,
+      |    sum(cnt) OVER (ORDER BY cnt DESC, l_partkey ASC
+      |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM c, t)
+      |SELECT rank, l_partkey, cnt,
+      |  round(cnt / total, 6) AS share,
+      |  round(cum / total, 6) AS cum_share
+      |FROM ranked WHERE rank <= 20 ORDER BY rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q81_value_windows" -> (q81ValueWindows _),
+    "q145_scd2_intervals" -> (q145Scd2Intervals _),
+    "q146_skew_report"  -> (q146SkewReport _),
     "q82_string_suite"  -> (q82StringSuite _),
     "q83_histogram"     -> (q83Histogram _),
     "q84_time_bucket"   -> (q84TimeBucket _),
@@ -167,6 +250,8 @@ object Extra3 {
 
   val oracle: Map[String, String] = Map(
     "q81_value_windows" -> q81Sql,
+    "q145_scd2_intervals" -> q145Sql,
+    "q146_skew_report"  -> q146Sql,
     "q82_string_suite"  -> q82Sql,
     "q83_histogram"     -> q83Sql,
     "q84_time_bucket"   -> q84Sql,

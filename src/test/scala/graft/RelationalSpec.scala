@@ -149,6 +149,34 @@ class RelationalSpec extends AnyFunSuite {
     assert(flagged.filter(_._1 != burstHour).values.forall(!_), "quiet hours must not flag")
   }
 
+  test("q145 SCD2 intervals tile each user's timeline exactly") {
+    val rows = relational.Extra3.q145Scd2Intervals(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (u, rs) =>
+      val sorted = rs.sortBy(_.getTimestamp(2).getTime)
+      // exactly one open (current) version, and it is the last one
+      assert(sorted.count(_.getBoolean(4)) == 1, s"user $u: current-count != 1")
+      assert(sorted.last.getBoolean(4), s"user $u: current is not last")
+      // each version closes exactly where the next opens; states alternate
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getTimestamp(3) == b.getTimestamp(2), s"user $u: gap/overlap")
+          assert(a.getString(1) != b.getString(1), s"user $u: non-change version")
+        case _ =>
+      }
+    }
+  }
+
+  test("q146 skew report: shares coherent and cumulative share monotone") {
+    val rows = relational.Extra3.q146SkewReport(spark, sf).collect()
+    assert(rows.length == 20)
+    val cums = rows.map(_.getDouble(4))
+    assert(cums.zip(cums.tail).forall { case (a, b) => b >= a }, "cum not monotone")
+    val counts = rows.map(_.getLong(2))
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b }, "not rank-ordered")
+    rows.foreach(r => assert(r.getDouble(3) > 0 && r.getDouble(3) <= r.getDouble(4)))
+  }
+
   test("q06 outer join keeps every customer") {
     val n = Tables.customer(spark, sf).count()
     assert(relational.Core.q06OuterJoin(spark, sf).count() == n)
