@@ -598,7 +598,9 @@ object Dedup {
     * (width-1 buckets pair nothing) whose width aggregation would be
     * pure extra cost in a twin whose oracle doesn't restate it; results
     * are identical either way. */
-  def md5Candidates(sh: DataFrame, maxWidth: Int = 0): DataFrame = {
+  /** (doc_id, band, bkt) — the md5-parity banding shared by the graded
+    * twins (q107's self-join and q147's cross-set incremental join). */
+  private[graft] def md5Bands(sh: DataFrame): DataFrame = {
     val s = sh.sparkSession
     import s.implicits._
     val K = 8
@@ -613,13 +615,19 @@ object Dedup {
     val sigs = sh.select($"doc_id", explode($"sh").as("s"))
       .groupBy($"doc_id").agg(mins.head, mins.tail: _*)
       .select($"doc_id", array((0 until K).map(i => col(s"m$i")): _*).as("sig"))
-    val banded0 = sigs.select($"doc_id",
+    sigs.select($"doc_id",
         explode(array((0 until K / R).map(b =>
           struct(lit(b).as("band"),
             concat_ws(",",
               element_at($"sig", b * R + 1).cast("string"),
               element_at($"sig", b * R + 2).cast("string")).as("bkt"))): _*)).as("bb"))
       .select($"doc_id", $"bb.band", $"bb.bkt")
+  }
+
+  def md5Candidates(sh: DataFrame, maxWidth: Int = 0): DataFrame = {
+    val s = sh.sparkSession
+    import s.implicits._
+    val banded0 = md5Bands(sh)
     val banded = if (maxWidth <= 0) banded0 else {
       DropMetrics.ensureListener(s)
       val bp = banded0.persist() // read twice: widths + the capped join
@@ -815,6 +823,67 @@ object Dedup {
       .orderBy($"source")
   }
 
+  /** q147: incremental NEAR-dup — the LSH member of the incremental
+    * family (exact: q122, Bloom-prefiltered: q135, IVF cells: q134).
+    * An ingest batch (doc_id ≥ 250) is checked for near-duplicates
+    * against the historical STORE (doc_id < 250) by joining the
+    * batch's band table against the store's band table — ONLY
+    * cross-set pairs ever form, so the work is proportional to the
+    * batch's bands times matching store buckets, never store × store
+    * (in production the store's band table is the persisted index the
+    * ingest job probes). Candidates verify with the exact
+    * sorted-merge Jaccard at ≥ 0.5. md5-parity signatures keep the
+    * whole path hash-gradable (q107's discipline; shared banding via
+    * `md5Bands`). */
+  def q147LshIncrement(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh = toks(s, dir)
+      .select($"doc_id", shingles($"toks").as("sh"))
+      .persist() // banding pass + both verify sides
+    val store = md5Bands(sh.filter($"doc_id" < 250))
+      .select($"doc_id".as("id1"), $"band", $"bkt")
+    val batch = md5Bands(sh.filter($"doc_id" >= 250))
+      .select($"doc_id".as("id2"), $"band".as("b2"), $"bkt".as("k2"))
+    val cand = store.join(batch, $"band" === $"b2" && $"bkt" === $"k2")
+      .select($"id1", $"id2").distinct()
+    verifyJaccard(cand, sh, 0.5)
+      .orderBy($"id1", $"id2")
+  }
+
+  val q147Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, list_distinct([
+      |    concat_ws(' ', toks[i], toks[i+1], toks[i+2])
+      |    FOR i IN generate_series(1, greatest(len(toks) - 2, 1))]) AS shs
+      |  FROM t),
+      |mh AS (
+      |  SELECT doc_id,
+      |    [ list_min([ ('0x' || substr(md5(CAST(k AS VARCHAR) || '|' || s), 1, 8))::BIGINT
+      |                 FOR s IN shs ])
+      |      FOR k IN generate_series(0, 7) ] AS sig
+      |  FROM sh),
+      |banded AS (
+      |  SELECT doc_id, b AS band,
+      |    CAST(sig[2*b + 1] AS VARCHAR) || ',' || CAST(sig[2*b + 2] AS VARCHAR) AS bkt
+      |  FROM mh, unnest(generate_series(0, 3)) AS u(b)),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+      |  FROM banded a JOIN banded b
+      |    ON a.band = b.band AND a.bkt = b.bkt
+      |   AND a.doc_id < 250 AND b.doc_id >= 250)
+      |SELECT c.id1, c.id2,
+      |  round(CAST(len(list_intersect(x.shs, y.shs)) AS DOUBLE)
+      |        / len(list_distinct(list_concat(x.shs, y.shs))), 4) AS jaccard
+      |FROM cand c
+      |JOIN sh x ON x.doc_id = c.id1
+      |JOIN sh y ON y.doc_id = c.id2
+      |WHERE round(CAST(len(list_intersect(x.shs, y.shs)) AS DOUBLE)
+      |        / len(list_distinct(list_concat(x.shs, y.shs))), 4) >= 0.5
+      |ORDER BY id1, id2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q46_minhash_pairs" -> (q46MinhashPairs _),
     "q47_simhash_pairs" -> (q47SimhashPairs _),
@@ -827,6 +896,7 @@ object Dedup {
     "q122_incremental_dedup" -> (q122IncrementalDedup _),
     "q130_simhash_sql"  -> (q130SimhashSql _),
     "q135_bloom_incremental" -> (q135BloomIncrementalDedup _),
+    "q147_lsh_increment" -> (q147LshIncrement _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -842,5 +912,6 @@ object Dedup {
     // must reproduce q122's aggregate bit-for-bit — graded by reusing
     // q122's oracle verbatim
     "q135_bloom_incremental" -> q122Sql,
+    "q147_lsh_increment" -> q147Sql,
   )
 }

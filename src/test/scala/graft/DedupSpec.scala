@@ -264,6 +264,16 @@ class DedupSpec extends AnyFunSuite {
     assert(m.getOrElse("skipped_join_rows", 0L) > 0, m.toString)
   }
 
+  test("q147 incremental LSH: only cross-set pairs, all above threshold") {
+    val rows = Dedup.q147LshIncrement(spark, sf).collect()
+    assert(rows.nonEmpty, "corpus has exact clones across the 250 split; pairs expected")
+    rows.foreach { r =>
+      assert(r.getLong(0) < 250 && r.getLong(1) >= 250,
+        s"pair (${r.getLong(0)}, ${r.getLong(1)}) is not store x batch")
+      assert(r.getDouble(2) >= 0.5)
+    }
+  }
+
   test("bloom has no false negatives over the store's own keys") {
     import graft.llm.TextOps
     val docs = Tables.documents(spark, sf)
