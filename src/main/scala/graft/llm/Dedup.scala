@@ -884,6 +884,41 @@ object Dedup {
       |        / len(list_distinct(list_concat(x.shs, y.shs))), 4) >= 0.5
       |ORDER BY id1, id2""".stripMargin
 
+  /** q148: incremental AGGREGATE maintenance — the materialized-view
+    * member of the incremental family: per-source corpus statistics
+    * kept as MERGEABLE state (count / sum / min / max partials), with
+    * an ingest batch folded in by partial-merge instead of a store
+    * rescan. The merge is union-of-partials + one re-aggregation —
+    * exactly Spark's own partial-agg contract lifted to the
+    * batch-vs-store boundary — and the derived mean divides only at
+    * read time (a mean is not mergeable; sum and count are). Graded
+    * against the oracle that scans the FULL corpus in one pass: the
+    * hash equality IS the proof that merge(store, batch) = recompute.
+    */
+  def q148AggIncrement(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir).select($"source", $"doc_id", $"n_chars")
+    def partial(df: DataFrame): DataFrame =
+      df.groupBy($"source").agg(
+        count(lit(1)).as("n"), sum($"n_chars").as("sc"),
+        min($"n_chars").as("mn"), max($"n_chars").as("mx"))
+    val store = partial(docs.filter($"doc_id" < 250))
+    val batch = partial(docs.filter($"doc_id" >= 250))
+    store.unionByName(batch)
+      .groupBy($"source")
+      .agg(sum($"n").as("n_docs"), sum($"sc").as("sum_chars"),
+        min($"mn").as("min_chars"), max($"mx").as("max_chars"))
+      .withColumn("avg_chars", round($"sum_chars" / $"n_docs", 4))
+      .orderBy($"source")
+  }
+
+  val q148Sql: String =
+    """SELECT source, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |  min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+      |  round(CAST(sum(n_chars) AS BIGINT) / count(*), 4) AS avg_chars
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q46_minhash_pairs" -> (q46MinhashPairs _),
     "q47_simhash_pairs" -> (q47SimhashPairs _),
@@ -897,6 +932,7 @@ object Dedup {
     "q130_simhash_sql"  -> (q130SimhashSql _),
     "q135_bloom_incremental" -> (q135BloomIncrementalDedup _),
     "q147_lsh_increment" -> (q147LshIncrement _),
+    "q148_agg_increment" -> (q148AggIncrement _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -913,5 +949,6 @@ object Dedup {
     // q122's oracle verbatim
     "q135_bloom_incremental" -> q122Sql,
     "q147_lsh_increment" -> q147Sql,
+    "q148_agg_increment" -> q148Sql,
   )
 }
