@@ -1037,7 +1037,9 @@ object Similarity {
       .select(expr("vec_id div stride").as("j"), $"m", $"pos", $"x".as("c"))
     // encode: per (vector, subspace) the L2-nearest codebook entry,
     // ties toward the smallest j
-    val enc = sub.join(cents, Seq("m", "pos"))
+    // the codebook is K·D rows (~1k) — broadcast it so the N·K·D
+    // encoding fan never shuffles the exploded corpus
+    val enc = sub.join(broadcast(cents), Seq("m", "pos"))
       .withColumn("sqd", (($"x" - $"c") * ($"x" - $"c")).cast(dec))
       .groupBy($"vec_id", $"m", $"j").agg(sum($"sqd").as("d2"))
     val wEnc = Window.partitionBy($"vec_id", $"m").orderBy($"d2".asc, $"j".asc)
@@ -1046,9 +1048,9 @@ object Similarity {
     // candidate reconstruction norm and dims
     val cn2m = cents.withColumn("c2", ($"c" * $"c").cast(dec))
       .groupBy($"j", $"m").agg(sum($"c2").as("cn2m"))
-    val cn2 = codes.join(cn2m, Seq("j", "m"))
+    val cn2 = codes.join(broadcast(cn2m), Seq("j", "m"))
       .groupBy($"cid").agg(sum($"cn2m").as("cn2"))
-    val cdims = codes.join(cents, Seq("j", "m")).select($"cid", $"pos", $"c")
+    val cdims = codes.join(broadcast(cents), Seq("j", "m")).select($"cid", $"pos", $"c")
     // asymmetric scoring: full-precision query vs reconstruction
     val qsub = sub.filter($"vec_id" < nq)
       .select($"vec_id".as("qid"), $"pos", $"x".as("qx"))
