@@ -237,10 +237,64 @@ object Extra3 {
       |  round(cum / total, 6) AS cum_share
       |FROM ranked WHERE rank <= 20 ORDER BY rank""".stripMargin
 
+  /** q149: point-in-time dimension lookup — `FOR SYSTEM_TIME AS OF`
+    * semantics: each purchase enriched with the SCD2 state (q145's
+    * versions) valid AT the purchase's own timestamp. Because q145's
+    * intervals tile each user's timeline (pinned in RelationalSpec),
+    * interval containment is EQUIVALENT to a backward as-of on
+    * valid_from — so the engine runs one `AsOfJoinExec` pass (O(1)
+    * candidate state, no event × versions range-join blowup) while
+    * the oracle states the containment predicate directly
+    * (`valid_from ≤ ts < valid_to`): two different formulations that
+    * must agree row-for-row, which is the grading value.
+    *
+    * Tie note: two versions sharing (user, valid_from) would make the
+    * backward match ambiguous where containment is not (the earlier
+    * one's interval is empty). Impossible here — version starts are
+    * microsecond event times and the corpus has zero same-user
+    * same-ts change pairs (checked) — but a source with coarser time
+    * granularity must pre-collapse same-instant changes to the last
+    * one (by event_id) before interval assembly. */
+  def q149PitLookup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dim = q145Scd2Intervals(s, dir)
+      .select($"user_id".as("du"), $"state", $"valid_from")
+    val ev = Tables.events(s, dir)
+      .filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts".cast("timestamp").as("ts"))
+    graft.plans.AsOf.join(ev, dim,
+        leftKeys = Seq("user_id"), rightKeys = Seq("du"),
+        leftTimeCol = "ts", rightTimeCol = "valid_from")
+      .select($"event_id", $"state")
+      .orderBy($"event_id")
+  }
+
+  val q149Sql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+      |  FROM events),
+      |changes AS (
+      |  SELECT * FROM (
+      |    SELECT user_id, event_id, event_type, ts,
+      |      lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |    FROM ev) t
+      |  WHERE prev IS NULL OR prev <> event_type),
+      |versions AS (
+      |  SELECT user_id, event_type AS state, ts AS valid_from,
+      |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+      |  FROM changes)
+      |SELECT e.event_id, v.state
+      |FROM ev e JOIN versions v
+      |  ON e.user_id = v.user_id AND v.valid_from <= e.ts
+      | AND (v.valid_to IS NULL OR e.ts < v.valid_to)
+      |WHERE e.event_type = 'purchase'
+      |ORDER BY e.event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q81_value_windows" -> (q81ValueWindows _),
     "q145_scd2_intervals" -> (q145Scd2Intervals _),
     "q146_skew_report"  -> (q146SkewReport _),
+    "q149_pit_lookup"   -> (q149PitLookup _),
     "q82_string_suite"  -> (q82StringSuite _),
     "q83_histogram"     -> (q83Histogram _),
     "q84_time_bucket"   -> (q84TimeBucket _),
@@ -252,6 +306,7 @@ object Extra3 {
     "q81_value_windows" -> q81Sql,
     "q145_scd2_intervals" -> q145Sql,
     "q146_skew_report"  -> q146Sql,
+    "q149_pit_lookup"   -> q149Sql,
     "q82_string_suite"  -> q82Sql,
     "q83_histogram"     -> q83Sql,
     "q84_time_bucket"   -> q84Sql,

@@ -177,6 +177,30 @@ class RelationalSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getDouble(3) > 0 && r.getDouble(3) <= r.getDouble(4)))
   }
 
+  test("q149 PIT lookup: as-of result equals interval containment, totals conserved") {
+    val out = relational.Extra3.q149PitLookup(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val nPurchases = Tables.events(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("event_type") === "purchase").count()
+    assert(out.size == nPurchases, "every purchase must enrich exactly once")
+    // driver-side containment recompute over the versions
+    val versions = relational.Extra3.q145Scd2Intervals(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2).getTime,
+        Option(r.getTimestamp(3)).map(_.getTime)))
+    val purchases = Tables.events(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("event_type") === "purchase")
+      .select(org.apache.spark.sql.functions.col("event_id"),
+        org.apache.spark.sql.functions.col("user_id"),
+        org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2).getTime))
+    purchases.take(200).foreach { case (eid, u, t) =>
+      val contained = versions.filter(v =>
+        v._1 == u && v._3 <= t && v._4.forall(t < _)).map(_._2)
+      assert(contained.length == 1 && out(eid) == contained.head,
+        s"event $eid: asof=${out(eid)} containment=${contained.mkString(",")}")
+    }
+  }
+
   test("q06 outer join keeps every customer") {
     val n = Tables.customer(spark, sf).count()
     assert(relational.Core.q06OuterJoin(spark, sf).count() == n)
