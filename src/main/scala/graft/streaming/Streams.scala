@@ -117,6 +117,47 @@ object Streams {
     * rollup {phases by status, total tools, last update, stalled count}
     * (ref `agents/orbiter.md:198-242`). Works on batch or streaming
     * status Datasets (complete output mode when streaming). */
+  /** Streaming incremental ingest — the q122/q135 batch loop promoted
+    * to Structured Streaming. Per micro-batch of documents:
+    *  1. fingerprint (`TextOps.normFp`),
+    *  2. dedupe WITHIN the batch (smallest doc_id wins),
+    *  3. anti-join against the persistent fingerprint STORE (parquet),
+    *  4. append the survivors — so the store stays exactly the set of
+    *     unique fingerprints ever ingested and per-batch work is
+    *     proportional to the BATCH (the 100 TB ingest contract; at
+    *     scale the store is a bucketed fp table and step 3 is the
+    *     co-partitioned anti-join, with q135's Bloom prefilter in
+    *     front).
+    *
+    * `foreachBatch` because the store is both read and appended each
+    * batch — a cross-batch self-dependency no continuous operator
+    * expresses. Restart safety: on recovery foreachBatch can re-run
+    * the LAST batch; the anti-join then drops every fingerprint the
+    * interrupted run already appended, so the append is IDEMPOTENT —
+    * exactly-once store contents from at-least-once batch delivery
+    * (pinned in StreamingSpec by replaying a batch verbatim). */
+  def incrementalIngest(docs: DataFrame, storeDir: String,
+                        checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val fps = batch.select($"doc_id",
+          graft.llm.TextOps.normFp($"text").as("fp"))
+        val w = Window.partitionBy($"fp").orderBy($"doc_id")
+        val inBatch = fps.withColumn("rn", row_number().over(w))
+          .filter($"rn" === 1).select($"fp")
+        val novel =
+          if (new java.io.File(storeDir).exists())
+            inBatch.join(s.read.parquet(storeDir), Seq("fp"), "left_anti")
+          else inBatch
+        novel.write.mode("append").parquet(storeDir)
+        ()
+      }
+      .start()
+
   def pulse(statuses: Dataset[PhaseStatus]): DataFrame = {
     val spark = statuses.sparkSession
     import spark.implicits._

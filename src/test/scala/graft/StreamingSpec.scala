@@ -477,4 +477,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(run(Some(60000L), "temporal_ttl_out").isEmpty,
       "idle-retention key must be dropped and the late event match None")
   }
+
+  test("incremental ingest: store stays unique; replayed content appends nothing") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_ingest").toFile
+    val store = new java.io.File(dir, "store").getPath
+    val ckpt = new java.io.File(dir, "ckpt").getPath
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDS().toDF("doc_id", "text")
+    val q = Streams.incrementalIngest(docs, store, ckpt)
+    try {
+      // batch 1: two uniques + one in-batch duplicate
+      mem.addData((1L, "alpha text"), (2L, "beta text"), (3L, "alpha text"))
+      q.processAllAvailable()
+      val s1 = spark.read.parquet(store).collect().map(_.getString(0))
+      assert(s1.length == 2 && s1.distinct.length == 2, s1.mkString(","))
+      // batch 2: one cross-batch duplicate + one novel
+      mem.addData((4L, "beta text"), (5L, "gamma text"))
+      q.processAllAvailable()
+      assert(spark.read.parquet(store).count() == 3)
+      // replay semantics (the restart-idempotence claim): the same
+      // content arriving again appends nothing
+      mem.addData((6L, "alpha text"), (7L, "gamma text"))
+      q.processAllAvailable()
+      assert(spark.read.parquet(store).count() == 3)
+    } finally q.stop()
+  }
 }
