@@ -174,15 +174,209 @@ object Corpus {
       |                  FOR i IN generate_series(1, len(v))]), 6) AS max_err
       |FROM q ORDER BY vec_id""".stripMargin
 
+  /** q152: deterministic shard manifest — the EXPORT step of a training
+    * pipeline: every document is assigned to one of 32 shards by a pure
+    * hash of its id (no RNG, no global coordination — any executor can
+    * compute any row's shard), ordered within its shard by the same
+    * hash (the "deterministic global shuffle" that decorrelates
+    * neighboring training examples), and the manifest grades the
+    * assignment exactly: per shard, doc/token totals plus an
+    * ORDER-SENSITIVE integer checksum Σ doc_id·rank — associative,
+    * overflow-free, and any reordering or misassignment moves it.
+    *
+    * Scale shape: the shard key is one narrow hash projection (no
+    * shuffle); the within-shard rank is a window partitioned BY SHARD,
+    * i.e. 32 independent sorts that are exactly the sort the shard
+    * writer itself performs (`repartition($"shard")
+    * .sortWithinPartitions($"h")` writes these files) — never a single
+    * global ordering. CorpusSpec writes the real partitioned layout and
+    * pins that file contents match the manifest's assignment. */
+  def q152ShardManifest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val S = 32
+    Tables.documents(s, dir)
+      .select($"doc_id",
+        size(TextOps.tokens($"text")).as("n_tokens"),
+        md5($"doc_id".cast("string")).as("h"))
+      .withColumn("shard",
+        (conv(substring($"h", 1, 6), 16, 10).cast("long") % S).cast("int"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"shard").orderBy($"h", $"doc_id")))
+      .groupBy($"shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_tokens").cast("long").as("n_tokens"),
+        sum($"doc_id").as("sum_id"),
+        sum($"doc_id" * $"rk").as("ord_checksum"))
+      .orderBy($"shard")
+  }
+
+  val q152Sql: String =
+    """WITH h AS (
+      |  SELECT doc_id,
+      |    CAST(len(regexp_extract_all(lower(text), '\S+')) AS BIGINT) AS n_tokens,
+      |    md5(CAST(doc_id AS VARCHAR)) AS h
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, n_tokens,
+      |    CAST(('0x' || substr(h, 1, 6))::BIGINT % 32 AS INT) AS shard,
+      |    row_number() OVER (
+      |      PARTITION BY ('0x' || substr(h, 1, 6))::BIGINT % 32
+      |      ORDER BY h, doc_id) AS rk
+      |  FROM h)
+      |SELECT shard, count(*) AS n_docs,
+      |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+      |  CAST(sum(doc_id) AS BIGINT) AS sum_id,
+      |  CAST(sum(doc_id * rk) AS BIGINT) AS ord_checksum
+      |FROM sh GROUP BY shard ORDER BY shard""".stripMargin
+
+  /** q156: vocabulary-coverage / OOV audit — the tokenizer-fit check a
+    * pipeline runs before committing a vocabulary: build the top-K
+    * corpus vocabulary (by frequency, ties by token — a total order so
+    * the vocab is reproducible), then measure per source how many token
+    * OCCURRENCES and distinct token TYPES fall outside it. K = 10 on
+    * this corpus (≈30 types) so the out-of-vocabulary mass is real.
+    *
+    * Scale: one exploded-token scan feeding two aggregations; the
+    * vocabulary is top-K of the token-frequency table (rows = |types|,
+    * which is vocabulary-scale, not corpus-scale — the global ranking
+    * window runs AFTER the count aggregation) and broadcasts back as a
+    * K-row join. Work is one shuffle on token plus one on source. */
+  def q156VocabCoverage(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val K = 10
+    val tok = Tables.documents(s, dir)
+      .select($"source", explode(TextOps.tokens($"text")).as("t"))
+      .persist() // vocab build + coverage join
+    val vocab = tok.groupBy($"t").agg(count(lit(1)).as("c"))
+      .withColumn("rk", row_number().over(Window.orderBy($"c".desc, $"t".asc)))
+      .filter($"rk" <= K).select($"t".as("vt"))
+    tok.join(broadcast(vocab), $"t" === $"vt", "left_outer")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when($"vt".isNull, 1L).otherwise(0L)).as("n_oov"),
+        countDistinct(when($"vt".isNull, $"t")).as("oov_types"))
+      .withColumn("oov_rate", round($"n_oov" / $"n_tokens", 4))
+      .orderBy($"source")
+  }
+
+  val q156Sql: String =
+    """WITH tok AS (
+      |  SELECT source, unnest(regexp_extract_all(lower(text), '\S+')) AS t
+      |  FROM documents),
+      |v AS (
+      |  SELECT t AS vt FROM (
+      |    SELECT t, row_number() OVER (ORDER BY count(*) DESC, t ASC) AS rk
+      |    FROM tok GROUP BY t) r WHERE rk <= 10),
+      |j AS (SELECT tok.source, tok.t, v.vt FROM tok LEFT JOIN v ON tok.t = v.vt)
+      |SELECT source, count(*) AS n_tokens,
+      |  CAST(sum(CASE WHEN vt IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+      |  count(DISTINCT CASE WHEN vt IS NULL THEN t END) AS oov_types,
+      |  round(CAST(sum(CASE WHEN vt IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |        / count(*), 4) AS oov_rate
+      |FROM j GROUP BY source ORDER BY source""".stripMargin
+
+  /** BM25 relevance scores for a fixed term set — shared by q157 (the
+    * scored ranking) and q159 (rank fusion). Classic Okapi BM25 with
+    * k1 = 1.2, b = 0.75: idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)),
+    * score(d) = Σ_t idf · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)).
+    *
+    * Determinism: every input to the float expression is an exact
+    * integer (tf, df, N, dl) or an exact ratio of integers (avgdl),
+    * the expression tree is written identically in the oracle, and the
+    * per-doc Σ adds at most |terms| = 2 doubles (IEEE addition of two
+    * operands is commutative, so partial-agg order cannot change the
+    * sum). Scores are ROUNDED before any ranking consumes them.
+    *
+    * Scale: tf is one token-filtered scan + groupBy; df/N/avgdl are
+    * term- or corpus-level scalars broadcast back (q117's pattern) —
+    * no corpus-side blowup anywhere. */
+  private[llm] def bm25Scores(s: SparkSession, dir: String,
+      terms: Seq[String]): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+      .select($"doc_id", TextOps.tokens($"text").as("toks"))
+    val dl = docs.select($"doc_id", size($"toks").cast("long").as("dl"))
+      .persist() // scalar pass + per-doc join
+    val scal = dl.agg(count(lit(1)).cast("double").as("nd"),
+      (sum($"dl").cast("double") / count(lit(1))).as("avgdl"))
+    val tf = docs
+      .select($"doc_id", explode($"toks").as("t"))
+      .filter($"t".isin(terms: _*))
+      .groupBy($"doc_id", $"t").agg(count(lit(1)).cast("double").as("tf"))
+    val df = tf.groupBy($"t").agg(count(lit(1)).cast("double").as("df"))
+      .select($"t".as("dt"), $"df")
+    tf.join(broadcast(df), $"t" === $"dt")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(scal))
+      .withColumn("part",
+        log(lit(1.0) + ($"nd" - $"df" + 0.5) / ($"df" + 0.5)) *
+          ($"tf" * 2.2) /
+          ($"tf" + lit(1.2) * (lit(0.25) + lit(0.75) * $"dl" / $"avgdl")))
+      .groupBy($"doc_id")
+      .agg(round(sum($"part"), 4).as("score"))
+  }
+
+  /** Oracle CTE block for `bm25Scores` (same fixed terms). */
+  private[llm] val bm25Cte: String =
+    """d AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks
+      |  FROM documents),
+      |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM d),
+      |scal AS (SELECT CAST(count(*) AS DOUBLE) AS nd,
+      |                CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+      |tf AS (
+      |  SELECT doc_id, t, CAST(count(*) AS DOUBLE) AS tf
+      |  FROM (SELECT doc_id, unnest(toks) AS t FROM d) x
+      |  WHERE t IN ('join', 'vector') GROUP BY doc_id, t),
+      |df AS (SELECT t AS dt, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY t),
+      |bm AS (
+      |  SELECT tf.doc_id,
+      |    round(sum(
+      |      ln(1.0 + (scal.nd - df.df + 0.5) / (df.df + 0.5)) *
+      |        (tf.tf * 2.2) /
+      |        (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / scal.avgdl))), 4) AS score
+      |  FROM tf JOIN df ON tf.t = df.dt
+      |  JOIN dl ON tf.doc_id = dl.doc_id
+      |  CROSS JOIN scal
+      |  GROUP BY tf.doc_id)""".stripMargin
+
+  /** q157: BM25 ranked retrieval — the lexical half of a retrieval
+    * stack (the dense half is the ANN family): Okapi BM25 over the
+    * fixed two-term query, top 30 by rounded score (rank ties broken
+    * by doc_id so the ranking is a total order in both engines). */
+  def q157Bm25(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    bm25Scores(s, dir, Seq("join", "vector"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy($"score".desc, $"doc_id".asc)))
+      .filter($"rk" <= 30)
+      .select($"rk", $"doc_id", $"score")
+      .orderBy($"rk")
+  }
+
+  val q157Sql: String =
+    s"""WITH $bm25Cte,
+       |ranked AS (
+       |  SELECT doc_id, score,
+       |    row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rk
+       |  FROM bm)
+       |SELECT rk, doc_id, score FROM ranked WHERE rk <= 30 ORDER BY rk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q117_tfidf_terms"       -> (q117TfIdf _),
     "q118_mixture_rebalance" -> (q118MixtureRebalance _),
     "q119_quantize_audit"    -> (q119QuantizeAudit _),
+    "q152_shard_manifest"    -> (q152ShardManifest _),
+    "q156_vocab_coverage"    -> (q156VocabCoverage _),
+    "q157_bm25"              -> (q157Bm25 _),
   )
 
   val oracle: Map[String, String] = Map(
     "q117_tfidf_terms"       -> q117Sql,
     "q118_mixture_rebalance" -> q118Sql,
     "q119_quantize_audit"    -> q119Sql,
+    "q152_shard_manifest"    -> q152Sql,
+    "q156_vocab_coverage"    -> q156Sql,
+    "q157_bm25"              -> q157Sql,
   )
 }

@@ -919,6 +919,78 @@ object Dedup {
       |  round(CAST(sum(n_chars) AS BIGINT) / count(*), 4) AS avg_chars
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
+  /** q150: SUBSTRING-span dedup — duplication graded below document
+    * granularity (the "exact substring" family of training-data dedup:
+    * find repeated spans across documents, not just near-identical
+    * whole documents — ref motivation `SURVEY.md §2.2 LLM: dedup`).
+    * Every W-token window of every document is emitted WITH its
+    * position; a window is duplicated when its text occurs in >= 2
+    * distinct documents; per document we then report how many window
+    * positions are duplicated, how many maximal consecutive runs they
+    * form (gaps-and-islands: pos − row_number is constant within a
+    * run), and the longest duplicated span in tokens (a run of R
+    * consecutive duplicated W-windows covers R+W−1 tokens).
+    *
+    * 100 TB shape: the span table is one narrow codegen scan (no
+    * shuffle until the groupBy on the span text — the same
+    * hash-partitioned shuffle as exact dedup, with map-side partial
+    * aggregation), the duplicated-span set joins back by equality
+    * (candidate-proportional), and the island windows partition by
+    * doc_id, so no stage ever holds more than one document's hits in
+    * a sort. In production the join key would be xxhash64(span) to
+    * avoid carrying span text through the shuffle; the string key is
+    * kept here so the oracle restates the build verbatim. */
+  def q150SubstringDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val W = 5
+    val spans = Tables.documents(s, dir)
+      .select($"doc_id", TextOps.tokens($"text").as("toks"))
+      .filter(size($"toks") >= W)
+      .select($"doc_id", posexplode(transform(
+        sequence(lit(1), size($"toks") - (W - 1)),
+        i => concat_ws(" ", slice($"toks", i, lit(W))))))
+      .toDF("doc_id", "off", "sh")
+      .select($"doc_id", ($"off" + 1).cast("long").as("pos"), $"sh")
+      .persist() // read twice: the duplicated-span build + the join back
+    val dup = spans.groupBy($"sh")
+      .agg(countDistinct($"doc_id").as("nd"))
+      .filter($"nd" >= 2).select($"sh")
+    val hits = spans.join(dup, "sh").select($"doc_id", $"pos")
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"pos")
+    hits
+      .withColumn("grp", $"pos" - row_number().over(wOrd))
+      .groupBy($"doc_id", $"grp").agg(count(lit(1)).as("run"))
+      .groupBy($"doc_id")
+      .agg(sum($"run").as("n_dup_pos"),
+        count(lit(1)).as("n_runs"),
+        (max($"run") + (W - 1)).as("max_span_tokens"))
+      .orderBy($"doc_id")
+  }
+
+  val q150Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks
+      |  FROM documents),
+      |pos AS (
+      |  SELECT doc_id, unnest(generate_series(1, len(toks) - 4)) AS pos, toks
+      |  FROM tok WHERE len(toks) >= 5),
+      |sh AS (
+      |  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+      |    concat_ws(' ', toks[pos], toks[pos+1], toks[pos+2],
+      |              toks[pos+3], toks[pos+4]) AS sh
+      |  FROM pos),
+      |dup AS (SELECT sh FROM sh GROUP BY sh HAVING count(DISTINCT doc_id) >= 2),
+      |hits AS (SELECT s.doc_id, s.pos FROM sh s JOIN dup d USING (sh)),
+      |runs AS (
+      |  SELECT doc_id,
+      |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      |  FROM hits),
+      |r2 AS (SELECT doc_id, grp, count(*) AS run FROM runs GROUP BY doc_id, grp)
+      |SELECT doc_id, CAST(sum(run) AS BIGINT) AS n_dup_pos,
+      |  count(*) AS n_runs, CAST(max(run) + 4 AS BIGINT) AS max_span_tokens
+      |FROM r2 GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q46_minhash_pairs" -> (q46MinhashPairs _),
     "q47_simhash_pairs" -> (q47SimhashPairs _),
@@ -933,6 +1005,7 @@ object Dedup {
     "q135_bloom_incremental" -> (q135BloomIncrementalDedup _),
     "q147_lsh_increment" -> (q147LshIncrement _),
     "q148_agg_increment" -> (q148AggIncrement _),
+    "q150_substring_dedup" -> (q150SubstringDedup _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -950,5 +1023,6 @@ object Dedup {
     "q135_bloom_incremental" -> q122Sql,
     "q147_lsh_increment" -> q147Sql,
     "q148_agg_increment" -> q148Sql,
+    "q150_substring_dedup" -> q150Sql,
   )
 }

@@ -1139,8 +1139,79 @@ object Similarity {
       |  FROM rr) t
       |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
 
+  /** q159: reciprocal-rank fusion — the HYBRID-retrieval join of the
+    * two ranking families this engine ships: the lexical BM25 ranking
+    * (q157, `Corpus.bm25Scores`) and a dense cosine ranking against a
+    * fixed probe vector (vec_id 0 — doc ids and vec ids share one id
+    * space in this corpus). Each list is truncated to its top-100, the
+    * lists FULL-OUTER join on document id (a doc ranked by only one
+    * retriever still fuses), and RRF scores sum 1/(60+rank) over the
+    * lists a doc appears in — rank arithmetic on exact integers, so
+    * the fused score is bit-identical across engines by construction.
+    *
+    * Scale: both rankings window over AGGREGATED score tables (docs
+    * containing query terms; candidate similarity rows) — never raw
+    * corpus rows; the fusion join carries ≤ |lists|·100 rows. The
+    * dense side broadcasts the 1-row probe and streams candidates
+    * through the codegen CosineSim kernel without a shuffle until the
+    * final ranking. */
+  def q159HybridRrf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val L = 100
+    val e = vecs(s, dir)
+    val probe = e.filter($"vec_id" === 0).select($"v".as("qv"))
+    val vecRank = e.filter($"vec_id" =!= 0)
+      .crossJoin(broadcast(probe))
+      .withColumn("sim", graft.functions.CosineSim.cosine(s, $"qv", $"v"))
+      .withColumn("rk_v", row_number().over(
+        Window.orderBy($"sim".desc, $"vec_id".asc)))
+      .filter($"rk_v" <= L)
+      .select($"vec_id".as("vid"), $"rk_v")
+    val textRank = Corpus.bm25Scores(s, dir, Seq("join", "vector"))
+      .withColumn("rk_t", row_number().over(
+        Window.orderBy($"score".desc, $"doc_id".asc)))
+      .filter($"rk_t" <= L)
+      .select($"doc_id".as("tid"), $"rk_t")
+    textRank.join(vecRank, $"tid" === $"vid", "full_outer")
+      .select(coalesce($"tid", $"vid").as("doc_id"), $"rk_t", $"rk_v",
+        round(coalesce(lit(1.0) / (lit(60) + $"rk_t"), lit(0.0)) +
+              coalesce(lit(1.0) / (lit(60) + $"rk_v"), lit(0.0)), 8).as("rrf"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy($"rrf".desc, $"doc_id".asc)))
+      .filter($"rank" <= 30)
+      .orderBy($"rank")
+  }
+
+  val q159Sql: String =
+    s"""WITH ${Corpus.bm25Cte},
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+       |vr AS (
+       |  SELECT vec_id AS vid,
+       |    row_number() OVER (ORDER BY
+       |      list_dot_product(qv, v)
+       |        / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) DESC,
+       |      vec_id ASC) AS rk_v
+       |  FROM e CROSS JOIN q WHERE vec_id <> 0),
+       |vrl AS (SELECT vid, rk_v FROM vr WHERE rk_v <= 100),
+       |tr AS (
+       |  SELECT doc_id AS tid,
+       |    row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rk_t
+       |  FROM bm),
+       |trl AS (SELECT tid, rk_t FROM tr WHERE rk_t <= 100),
+       |f AS (
+       |  SELECT coalesce(tid, vid) AS doc_id, rk_t, rk_v,
+       |    round(coalesce(CAST(1 AS DOUBLE) / (60 + rk_t), 0) +
+       |          coalesce(CAST(1 AS DOUBLE) / (60 + rk_v), 0), 8) AS rrf
+       |  FROM trl FULL OUTER JOIN vrl ON tid = vid)
+       |SELECT doc_id, rk_t, rk_v, rrf, rank FROM (
+       |  SELECT f.*, row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS rank
+       |  FROM f) t
+       |WHERE rank <= 30 ORDER BY rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q36_cosine_topk"    -> (q36CosineTopk _),
+    "q159_hybrid_rrf"    -> (q159HybridRrf _),
     "q37_vec_norms"      -> (q37VecNorms _),
     "q38_label_centroid" -> (q38LabelCentroid _),
     "q39_ann_lsh"        -> (q39AnnLsh _),
@@ -1176,6 +1247,7 @@ object Similarity {
       "q134_ivf_increment" -> q134Sql,
       "q136_ann_sq8"       -> q136Sql,
       "q138_ann_pq"        -> q138Sql,
+      "q159_hybrid_rrf"    -> q159Sql,
     )
   }
 }

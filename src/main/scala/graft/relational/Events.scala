@@ -343,8 +343,42 @@ object Events {
        |             RANGE BETWEEN 82800 PRECEDING AND CURRENT ROW)
        |ORDER BY event_type, hour""".stripMargin
 
+  /** q153: HOPPING (sliding) window aggregation — the third window kind
+    * next to tumbling (q22/q84) and session (q23): 2-hour windows
+    * sliding every 30 minutes, so each event contributes to exactly 4
+    * overlapping windows (the smoothing cadence of a monitoring pulse
+    * that must not jump at bucket edges — streaming form:
+    * `groupBy(window($"ts","2 hours","30 minutes"))`). Spark's `window`
+    * with a slide expands each row to its duration/slide windows
+    * BEFORE the aggregation — the fan-out is a narrow Expand (no extra
+    * shuffle; one hash aggregation over 4× the rows), which is the
+    * right 100 TB shape: cost scales with the overlap factor, never
+    * with window count. The oracle restates the expansion explicitly:
+    * window starts are the 30-minute `time_bucket` minus k slides,
+    * k ∈ 0..3 (same epoch alignment q84 pins for tumbling buckets). */
+  def q153HoppingWindow(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    ev(s, dir)
+      .groupBy(window($"ts", "2 hours", "30 minutes"), $"event_type")
+      .agg(count(lit(1)).as("n"), round(dsum($"value"), 2).as("total_value"))
+      .select($"window.start".as("win_start"), $"event_type", $"n", $"total_value")
+      .orderBy($"win_start", $"event_type")
+  }
+
+  val q153Sql: String =
+    s"""$evCte,
+       |w AS (
+       |  SELECT event_type, value,
+       |    time_bucket(INTERVAL 30 MINUTE, ts) - k * (INTERVAL 30 MINUTE) AS win_start
+       |  FROM ev, unnest(generate_series(0, 3)) AS u(k))
+       |SELECT CAST(win_start AS TIMESTAMP) AS win_start, event_type,
+       |  count(*) AS n,
+       |  round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS total_value
+       |FROM w GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q22_tumbling_window" -> (q22Tumbling _),
+    "q153_hopping_window" -> (q153HoppingWindow _),
     "q141_cohort_retention" -> (q141CohortRetention _),
     "q142_event_funnel"   -> (q142EventFunnel _),
     "q144_spike_detect"   -> (q144SpikeDetect _),
@@ -358,6 +392,7 @@ object Events {
 
   val oracle: Map[String, String] = Map(
     "q22_tumbling_window" -> q22Sql,
+    "q153_hopping_window" -> q153Sql,
     "q141_cohort_retention" -> q141Sql,
     "q142_event_funnel"   -> q142Sql,
     "q144_spike_detect"   -> q144Sql,

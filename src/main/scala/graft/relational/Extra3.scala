@@ -290,8 +290,82 @@ object Extra3 {
       |WHERE e.event_type = 'purchase'
       |ORDER BY e.event_id""".stripMargin
 
+  /** q154: CDC MERGE apply — the lakehouse upsert: a snapshot plus a
+    * keyed change stream (multiple versions per key, each an update or
+    * a delete) folded into the next snapshot by LATEST-WINS semantics.
+    * The change stream here is derived from lineitem (key = order,
+    * version = line number, returnflag R ⇒ delete else update-price) so
+    * both engines see the same deterministic deltas. Two stages, both
+    * the canonical scale shape: (1) latest-per-key — row_number over
+    * (key ORDER BY version DESC), the same hash shuffle any MERGE pays;
+    * (2) one FULL OUTER equality join of snapshot vs latest deltas ON
+    * THE SAME KEY — co-partitioned with stage 1's exchange, so the
+    * merge adds no second shuffle. Untouched rows pass through
+    * (op IS NULL), latest-delete drops the row, latest-update rewrites
+    * the payload, and a delta key absent from the snapshot inserts
+    * (empty on this corpus — lineitem keys ⊆ orders — but the outer
+    * join IS the general contract). Graded as per-month row counts,
+    * decimal-exact totals, and an integer key checksum that any wrong
+    * keep/drop/update decision moves. */
+  def q154CdcApply(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.orders(s, dir)
+      .select($"o_orderkey".as("k"), $"o_totalprice".as("price"), $"o_orderdate")
+    val cdc = Tables.lineitem(s, dir)
+      .filter(pmod($"l_orderkey", lit(4)) === 0)
+      .select($"l_orderkey".as("ck"), $"l_linenumber".as("seq"),
+        when($"l_returnflag" === "R", "D").otherwise("U").as("op"),
+        $"l_extendedprice".as("new_price"))
+    // The version stamp is NOT unique in this corpus (duplicate
+    // (orderkey, linenumber) pairs exist), so the winner is picked by a
+    // TOTAL order on (version, payload): equal-version events fall back
+    // to op then price. Fully-identical events then yield an identical
+    // outcome whichever row wins — merge determinism that survives a
+    // real CDC stream's duplicated version stamps.
+    val latest = cdc
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"ck")
+          .orderBy($"seq".desc, $"op".asc, $"new_price".desc)))
+      .filter($"rn" === 1)
+    base.join(latest, $"k" === $"ck", "full_outer")
+      .filter($"op".isNull || $"op" === "U")
+      .select(coalesce($"k", $"ck").as("okey"),
+        when($"op" === "U", $"new_price").otherwise($"price").as("price"),
+        $"o_orderdate")
+      .groupBy(trunc($"o_orderdate", "month").as("month"))
+      .agg(count(lit(1)).as("n_rows"),
+        round(dsum($"price"), 2).as("total_price"),
+        sum($"okey").as("key_checksum"))
+      .orderBy($"month")
+  }
+
+  val q154Sql: String =
+    """WITH base AS (
+      |  SELECT o_orderkey AS k, o_totalprice AS price, o_orderdate FROM orders),
+      |cdc AS (
+      |  SELECT l_orderkey AS ck, l_linenumber AS seq,
+      |    CASE WHEN l_returnflag = 'R' THEN 'D' ELSE 'U' END AS op,
+      |    l_extendedprice AS new_price
+      |  FROM lineitem WHERE l_orderkey % 4 = 0),
+      |latest AS (
+      |  SELECT * FROM (
+      |    SELECT cdc.*, row_number() OVER (
+      |      PARTITION BY ck ORDER BY seq DESC, op ASC, new_price DESC) AS rn
+      |    FROM cdc) t WHERE rn = 1),
+      |m AS (
+      |  SELECT coalesce(k, ck) AS okey,
+      |    CASE WHEN op = 'U' THEN new_price ELSE price END AS price,
+      |    o_orderdate
+      |  FROM base FULL OUTER JOIN latest ON k = ck
+      |  WHERE op IS NULL OR op = 'U')
+      |SELECT date_trunc('month', o_orderdate) AS month, count(*) AS n_rows,
+      |  round(CAST(sum(CAST(price AS DECIMAL(18,4))) AS DOUBLE), 2) AS total_price,
+      |  CAST(sum(okey) AS BIGINT) AS key_checksum
+      |FROM m GROUP BY 1 ORDER BY month""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q81_value_windows" -> (q81ValueWindows _),
+    "q154_cdc_apply"    -> (q154CdcApply _),
     "q145_scd2_intervals" -> (q145Scd2Intervals _),
     "q146_skew_report"  -> (q146SkewReport _),
     "q149_pit_lookup"   -> (q149PitLookup _),
@@ -304,6 +378,7 @@ object Extra3 {
 
   val oracle: Map[String, String] = Map(
     "q81_value_windows" -> q81Sql,
+    "q154_cdc_apply"    -> q154Sql,
     "q145_scd2_intervals" -> q145Sql,
     "q146_skew_report"  -> q146Sql,
     "q149_pit_lookup"   -> q149Sql,

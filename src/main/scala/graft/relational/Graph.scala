@@ -125,11 +125,78 @@ object Graph {
       |  FROM r2 JOIN nation n ON n.n_nationkey = r2.v) t
       |ORDER BY rank""".stripMargin
 
+  /** q155: triangle counting — the motif/clustering member of the graph
+    * family (centrality = q140 PageRank, components = q105). Graph: a
+    * user co-occurrence graph from events (two users connected when
+    * they fire the same event type in the same hour on ≥ 3 distinct
+    * occasions — the co-visitation graph an abuse/community pipeline
+    * builds), per-user triangle participation as output.
+    *
+    * The formulation IS the distributed algorithm: every undirected
+    * edge is stored ONCE, oriented low-id → high-id, so each triangle
+    * a<b<c materializes exactly once as wedge (a→b, b→c) closed by
+    * edge (a→c) — no ÷6 correction, no double counting. Cost is
+    * shuffle-bounded by the wedge count Σ_v C(deg⁺(v), 2); the closure
+    * probe joins the wedge stream back to the edge list by equality —
+    * broadcast here (the edge list is the small post-threshold side),
+    * a co-partitioned shuffle join at the scale where it isn't. The
+    * id-orientation keeps the build oracle-restatable; the production
+    * knob is DEGREE-ordered orientation (orient toward the
+    * higher-degree endpoint), which provably minimizes Σ C(deg⁺, 2)
+    * on skewed graphs without changing a single output row. */
+  def q155Triangles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val b = Tables.events(s, dir)
+      .select($"user_id", $"event_type", date_trunc("hour", $"ts").as("hr"))
+      .distinct()
+    val e = b.as("x").join(b.as("y"),
+        $"x.event_type" === $"y.event_type" && $"x.hr" === $"y.hr" &&
+          $"x.user_id" < $"y.user_id")
+      .groupBy($"x.user_id".as("u1"), $"y.user_id".as("u2"))
+      .agg(count(lit(1)).as("w"))
+      .filter($"w" >= 3)
+      .select($"u1", $"u2")
+      .persist() // read three times: both wedge legs + the closure probe
+    val tri = e.as("e1")
+      .join(e.as("e2"), $"e1.u2" === $"e2.u1")
+      .join(broadcast(e.as("e3")),
+        $"e3.u1" === $"e1.u1" && $"e3.u2" === $"e2.u2")
+      .select($"e1.u1".as("a"), $"e1.u2".as("b"), $"e2.u2".as("c"))
+    tri.select(explode(array($"a", $"b", $"c")).as("user_id"))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_tri"))
+      .orderBy($"user_id")
+  }
+
+  val q155Sql: String =
+    """WITH b AS (
+      |  SELECT DISTINCT user_id, event_type,
+      |    CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS hr
+      |  FROM events),
+      |e AS (
+      |  SELECT x.user_id AS u1, y.user_id AS u2
+      |  FROM b x JOIN b y
+      |    ON x.event_type = y.event_type AND x.hr = y.hr
+      |   AND x.user_id < y.user_id
+      |  GROUP BY 1, 2 HAVING count(*) >= 3),
+      |tri AS (
+      |  SELECT e1.u1 AS a, e1.u2 AS b, e2.u2 AS c
+      |  FROM e e1 JOIN e e2 ON e1.u2 = e2.u1
+      |  JOIN e e3 ON e3.u1 = e1.u1 AND e3.u2 = e2.u2),
+      |p AS (
+      |  SELECT a AS user_id FROM tri
+      |  UNION ALL SELECT b FROM tri
+      |  UNION ALL SELECT c FROM tri)
+      |SELECT user_id, count(*) AS n_tri
+      |FROM p GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q140_pagerank" -> (q140PageRank _)
+    "q140_pagerank" -> (q140PageRank _),
+    "q155_triangles" -> (q155Triangles _)
   )
 
   val oracle: Map[String, String] = Map(
-    "q140_pagerank" -> q140Sql
+    "q140_pagerank" -> q140Sql,
+    "q155_triangles" -> q155Sql
   )
 }

@@ -2,6 +2,7 @@ package graft.relational
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables
 
 /** Statistical and selector aggregates wave: stddev/variance/corr,
@@ -307,9 +308,133 @@ object Stats {
       |    <= (max(value) - min(value)) * 0.05 AS sketch_ok_p95
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** q151: count-min-sketch heavy hitters — the frequency member of the
+    * sketch family (HLL q54 distincts, GK/t-digest q139 quantiles, Bloom
+    * q135 membership; count-min completes the set). At 100 TB the exact
+    * per-key count behind a "top offenders" report is a full
+    * hash-partitioned shuffle; the count-min sketch is a CONSTANT-SIZE
+    * (depth × width counters) MERGEABLE partial — each executor folds its
+    * partition into a local sketch and the driver merges depth×width
+    * integers, never the keys — which is the only shape that gives
+    * frequency estimates from one narrow pass with no shuffle at all.
+    * Like q54/q139 the raw sketch is engine-specific, so the graded
+    * columns are the exact ranked top-20 (hash-compared) plus this
+    * engine's own accuracy boolean for the sketch's two-sided contract:
+    * est ≥ true (count-min never undercounts) and est ≤ true + ε·N with
+    * confidence δ (ε = 1e-4, δ = 0.99, fixed seed ⇒ deterministic here).
+    * The only driver-side values are the sketch bytes and the 20 ranked
+    * keys — both constant-size by construction, never data-proportional.
+    */
+  def q151HeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val eps = 0.0001
+    val li = Tables.lineitem(s, dir).select($"l_suppkey")
+    val sketchBytes = li
+      .select(expr(s"count_min_sketch(l_suppkey, ${eps}d, 0.99d, 42)").as("sk"))
+      .head.getAs[Array[Byte]](0)
+    val cms = org.apache.spark.util.sketch.CountMinSketch
+      .readFrom(new java.io.ByteArrayInputStream(sketchBytes))
+    val exact = li.groupBy($"l_suppkey").agg(count(lit(1)).as("n")).persist()
+    val total = exact.agg(sum($"n")).head.getLong(0)
+    val ranked = exact
+      .withColumn("rk", row_number().over(
+        Window.orderBy($"n".desc, $"l_suppkey"))) // 1 row/key post-agg: tiny
+      .filter($"rk" <= 20)
+    val keys = ranked.select($"l_suppkey").collect().map(_.getLong(0))
+    val estDf = keys.toSeq.map(k => (k, cms.estimateCount(k))).toDF("k", "est")
+    val slack = math.ceil(eps * total).toLong
+    ranked.join(broadcast(estDf), $"l_suppkey" === $"k")
+      .select($"l_suppkey", $"n", $"rk",
+        ($"est" >= $"n" && $"est" <= $"n" + slack).as("cms_ok"))
+      .orderBy($"rk")
+  }
+
+  val q151Sql: String =
+    """WITH c AS (SELECT l_suppkey, count(*) AS n FROM lineitem GROUP BY l_suppkey),
+      |r AS (SELECT l_suppkey, n,
+      |        row_number() OVER (ORDER BY n DESC, l_suppkey) AS rk FROM c)
+      |SELECT l_suppkey, n, rk, TRUE AS cms_ok
+      |FROM r WHERE rk <= 20 ORDER BY rk""".stripMargin
+
+  /** q158: ANALYZE-style column profile — the statistics pass an engine
+    * runs to feed its cost-based optimizer (and a data pipeline runs as
+    * its schema-drift sentinel): per column, row count, null count,
+    * exact NDV, and min/max rendered to a canonical string. ONE scan
+    * computes every stat as parallel aggregates (Spark expands the
+    * multi-distinct agg internally — map-side partials per column), and
+    * the wide 1-row result melts to one row per column via `stack` (an
+    * Expand projection, no extra shuffle). Numerics render through
+    * DECIMAL(18,2) so both engines print identical strings (raw
+    * double→string formatting is engine-specific); dates/strings render
+    * natively. At 100 TB the same plan holds with NDV switched to the
+    * HLL sketch (q54's contract) — exact NDV is kept here because it is
+    * what the oracle can grade. */
+  def q158ColumnStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir)
+    def nulls(c: String) = sum(when(col(c).isNull, 1L).otherwise(0L))
+    def decs(c: String) = col(c).cast("decimal(18,2)").cast("string")
+    val wide = li.agg(
+      count(lit(1)).as("n"),
+      nulls("l_quantity").as("nq"), countDistinct($"l_quantity").as("dq"),
+      min(decs("l_quantity")).as("miq"), max(decs("l_quantity")).as("maq"),
+      nulls("l_extendedprice").as("np"), countDistinct($"l_extendedprice").as("dp"),
+      min(decs("l_extendedprice")).as("mip"), max(decs("l_extendedprice")).as("map"),
+      nulls("l_discount").as("nd"), countDistinct($"l_discount").as("dd"),
+      min(decs("l_discount")).as("mid"), max(decs("l_discount")).as("mad"),
+      nulls("l_shipdate").as("ns"), countDistinct($"l_shipdate").as("ds"),
+      min($"l_shipdate".cast("string")).as("mis"), max($"l_shipdate".cast("string")).as("mas"),
+      nulls("l_returnflag").as("nf"), countDistinct($"l_returnflag").as("df"),
+      min($"l_returnflag").as("mif"), max($"l_returnflag").as("maf"))
+    wide.selectExpr("n", """stack(5,
+        'l_quantity',      nq, dq, miq, maq,
+        'l_extendedprice', np, dp, mip, map,
+        'l_discount',      nd, dd, mid, mad,
+        'l_shipdate',      ns, ds, mis, mas,
+        'l_returnflag',    nf, df, mif, maf)
+        AS (col_name, n_nulls, ndv, min_s, max_s)""")
+      .select($"col_name", $"n", $"n_nulls", $"ndv", $"min_s", $"max_s")
+      .orderBy($"col_name")
+  }
+
+  val q158Sql: String =
+    """WITH s AS (
+      |  SELECT count(*) AS n,
+      |    sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS nq,
+      |    count(DISTINCT l_quantity) AS dq,
+      |    min(CAST(CAST(l_quantity AS DECIMAL(18,2)) AS VARCHAR)) AS miq,
+      |    max(CAST(CAST(l_quantity AS DECIMAL(18,2)) AS VARCHAR)) AS maq,
+      |    sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS np,
+      |    count(DISTINCT l_extendedprice) AS dp,
+      |    min(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR)) AS mip,
+      |    max(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR)) AS map,
+      |    sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS nd,
+      |    count(DISTINCT l_discount) AS dd,
+      |    min(CAST(CAST(l_discount AS DECIMAL(18,2)) AS VARCHAR)) AS mid,
+      |    max(CAST(CAST(l_discount AS DECIMAL(18,2)) AS VARCHAR)) AS mad,
+      |    sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS ns,
+      |    count(DISTINCT l_shipdate) AS ds,
+      |    min(CAST(l_shipdate AS VARCHAR)) AS mis,
+      |    max(CAST(l_shipdate AS VARCHAR)) AS mas,
+      |    sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS nf,
+      |    count(DISTINCT l_returnflag) AS df,
+      |    min(l_returnflag) AS mif, max(l_returnflag) AS maf
+      |  FROM lineitem)
+      |SELECT col_name, n, CAST(n_nulls AS BIGINT) AS n_nulls,
+      |       ndv, min_s, max_s
+      |FROM (
+      |  SELECT n, 'l_quantity' AS col_name, nq AS n_nulls, dq AS ndv, miq AS min_s, maq AS max_s FROM s
+      |  UNION ALL SELECT n, 'l_extendedprice', np, dp, mip, map FROM s
+      |  UNION ALL SELECT n, 'l_discount', nd, dd, mid, mad FROM s
+      |  UNION ALL SELECT n, 'l_shipdate', ns, ds, mis, mas FROM s
+      |  UNION ALL SELECT n, 'l_returnflag', nf, df, mif, maf FROM s) t
+      |ORDER BY col_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q98_bit_ops"        -> (q98BitOps _),
     "q139_quantile_sketch" -> (q139QuantileSketch _),
+    "q151_heavy_hitters" -> (q151HeavyHitters _),
+    "q158_column_stats"  -> (q158ColumnStats _),
     "q99_chained_cte"    -> (q99ChainedCte _),
     "q97_try_ops"        -> (q97TryOps _),
     "q88_grouped_exists" -> (q88GroupedExists _),
@@ -325,6 +450,8 @@ object Stats {
   val oracle: Map[String, String] = Map(
     "q98_bit_ops"        -> q98Sql,
     "q139_quantile_sketch" -> q139Sql,
+    "q151_heavy_hitters" -> q151Sql,
+    "q158_column_stats"  -> q158Sql,
     "q99_chained_cte"    -> q99Sql,
     "q97_try_ops"        -> q97Sql,
     "q88_grouped_exists" -> q88Sql,

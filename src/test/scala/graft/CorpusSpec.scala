@@ -93,6 +93,34 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("q152 shard manifest: complete partition, and the REAL sharded write matches it") {
+    import spark.implicits._
+    val m = llm.Corpus.q152ShardManifest(spark, sf).collect()
+    assert(m.length == 32, s"expected 32 shards, got ${m.length}")
+    assert(m.map(_.getAs[Int]("shard")).toSet == (0 until 32).toSet)
+    val totalDocs = Tables.documents(spark, sf).count()
+    assert(m.map(_.getAs[Long]("n_docs")).sum == totalDocs,
+      "shard doc counts must partition the corpus")
+    // The manifest describes a real layout: perform the write it claims
+    // (hash-bucket shard dirs, hash-sorted within) and re-derive the
+    // per-shard membership from the FILES — it must match the manifest.
+    val out = "/tmp/graft_shard_write"
+    val sharded = Tables.documents(spark, sf)
+      .select($"doc_id", md5($"doc_id".cast("string")).as("h"))
+      .withColumn("shard",
+        (conv(substring($"h", 1, 6), 16, 10).cast("long") % 32).cast("int"))
+    sharded.repartition($"shard").sortWithinPartitions($"h", $"doc_id")
+      .write.mode("overwrite").partitionBy("shard").parquet(out)
+    val back = spark.read.parquet(out)
+      .groupBy($"shard").agg(count(lit(1)).as("n"), sum($"doc_id").as("sid"))
+      .collect().map(r => r.getAs[Int]("shard") -> (r.getAs[Long]("n"), r.getAs[Long]("sid"))).toMap
+    m.foreach { r =>
+      val (n, sid) = back(r.getAs[Int]("shard"))
+      assert(n == r.getAs[Long]("n_docs") && sid == r.getAs[Long]("sum_id"),
+        s"shard ${r.getAs[Int]("shard")} files disagree with manifest")
+    }
+  }
+
   test("q119 zero vector takes the safe-scale branch: all-zero codes, zero error") {
     import spark.implicits._
     val out = Seq((1L, Seq(0.0f, 0.0f, 0.0f)))

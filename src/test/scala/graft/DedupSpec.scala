@@ -293,7 +293,42 @@ class DedupSpec extends AnyFunSuite {
       .filter(Dedup.bloomHit($"bloom", $"sfp")).count()
     assert(hits < 50, s"fpp implausibly high: $hits/1000")
   }
+  test("q150 substring dedup: runs merge adjacent duplicated windows, spans bound them") {
+    val out = Dedup.q150SubstringDedup(spark, SparkTestSession.sf).collect()
+    assert(out.nonEmpty, "corpus has no cross-doc duplicated 5-token span")
+    // Duplication is symmetric: a span shared across docs implicates >= 2.
+    assert(out.length >= 2)
+    out.foreach { r =>
+      val (nPos, nRuns, span) = (r.getAs[Long]("n_dup_pos"),
+        r.getAs[Long]("n_runs"), r.getAs[Long]("max_span_tokens"))
+      assert(nPos >= nRuns, "each run holds >= 1 duplicated position")
+      assert(span >= 5, "a single duplicated 5-window spans 5 tokens")
+      assert(span <= nPos + 4, "longest run cannot exceed total dup positions")
+    }
+    // Gaps-and-islands ground truth on a constructed pair: doc A repeats
+    // doc B's 7-token prefix => 3 consecutive duplicated 5-windows in
+    // both, i.e. ONE run of 3 spanning 7 tokens — not three runs.
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta THEN something else entirely"),
+      (2L, "alpha beta gamma delta epsilon zeta eta totally different tail here"))
+      .toDF("doc_id", "text")
+    docs.createOrReplaceTempView("tmp_q150")
+    val spans = docs
+      .select($"doc_id", graft.llm.TextOps.tokens($"text").as("toks"))
+      .select($"doc_id", posexplode(transform(
+        sequence(lit(1), size($"toks") - 4),
+        i => concat_ws(" ", slice($"toks", i, lit(5))))))
+      .toDF("doc_id", "off", "sh")
+    val dup = spans.groupBy($"sh").agg(countDistinct($"doc_id").as("nd"))
+      .filter($"nd" >= 2)
+    assert(dup.count() == 3, "7 shared tokens = 3 shared 5-windows")
+    val hits = spans.join(dup.select($"sh"), "sh")
+      .filter($"doc_id" === 1L).select($"off").collect().map(_.getInt(0)).sorted
+    assert(hits.toSeq == Seq(0, 1, 2), "the duplicated windows are consecutive")
+  }
+
 }
+
 
 class EtlSpec extends AnyFunSuite {
   import SparkTestSession.spark

@@ -215,4 +215,67 @@ class RelationalSpec extends AnyFunSuite {
     val anti = cust.join(open, cust("c_custkey") === open("o_custkey"), "left_anti").count()
     assert(semi + anti == cust.count())
   }
+
+  test("q151 heavy hitters: sketch contract holds and ranks are a permutation") {
+    import org.apache.spark.sql.functions._
+    val out = relational.Stats.q151HeavyHitters(spark, sf).collect()
+    assert(out.nonEmpty && out.length <= 20)
+    assert(out.map(_.getAs[Int]("rk")).toSeq == (1 to out.length))
+    assert(out.forall(_.getAs[Boolean]("cms_ok")),
+      "count-min estimate left its [true, true + eps*N] band")
+    // counts non-increasing with rank
+    val ns = out.map(_.getAs[Long]("n")).toSeq
+    assert(ns == ns.sorted.reverse)
+  }
+
+  test("q153 hopping windows: every event lands in exactly duration/slide windows") {
+    import org.apache.spark.sql.functions._
+    val out = relational.Events.q153HoppingWindow(spark, sf)
+    val windowedRows = out.agg(sum(col("n"))).head().getLong(0)
+    val events = Tables.events(spark, sf).count()
+    assert(windowedRows == 4 * events,
+      s"2h/30min hop must fan each event to 4 windows: $windowedRows vs 4*$events")
+  }
+
+  test("q154 CDC apply: row conservation — base - deletes + inserts") {
+    import org.apache.spark.sql.functions._
+    val out = relational.Extra3.q154CdcApply(spark, sf)
+    val merged = out.agg(sum(col("n_rows"))).head().getLong(0)
+    val base = Tables.orders(spark, sf).count()
+    // independent recount of latest-op deletes (keys are all in base here)
+    // via struct-max under the SAME total order the merge uses:
+    // (seq DESC, op ASC, price DESC) == max of (seq, isDelete, price).
+    val li = Tables.lineitem(spark, sf)
+      .filter(pmod(col("l_orderkey"), lit(4)) === 0)
+      .groupBy(col("l_orderkey"))
+      .agg(max(struct(col("l_linenumber"),
+        when(col("l_returnflag") === "R", 1).otherwise(0).as("isdel"),
+        col("l_extendedprice"))).as("w"))
+    val deletes = li.filter(col("w.isdel") === 1).count()
+    assert(merged == base - deletes,
+      s"merged $merged != base $base - latest-deletes $deletes")
+  }
+
+  test("q155 triangles: participation equals 3x the brute-force triangle count") {
+    import org.apache.spark.sql.functions._
+    val out = relational.Graph.q155Triangles(spark, sf).collect()
+    val participation = out.map(_.getAs[Long]("n_tri")).sum
+    assert(participation % 3 == 0, "each triangle has exactly 3 corners")
+    // Brute force on the tiny sf0.001 graph: collect edges, count in Scala.
+    val b = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+      .distinct()
+    val edges = b.as("x").join(b.as("y"),
+        col("x.event_type") === col("y.event_type") &&
+        col("x.hr") === col("y.hr") && col("x.user_id") < col("y.user_id"))
+      .groupBy(col("x.user_id").as("u1"), col("y.user_id").as("u2"))
+      .agg(count(lit(1)).as("w")).filter(col("w") >= 3)
+      .select("u1", "u2").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = edges.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val brute = edges.map { case (a, bb) =>
+      adj.getOrElse(a, Set.empty).intersect(adj.getOrElse(bb, Set.empty)).size
+    }.sum
+    assert(participation == 3L * brute,
+      s"participation $participation != 3 * brute $brute")
+  }
 }
