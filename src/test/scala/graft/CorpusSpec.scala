@@ -121,6 +121,29 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("q156 OOV audit: rates are coherent fractions and types bound occurrences") {
+    val out = llm.Corpus.q156VocabCoverage(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (n, oov, types, rate) = (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_oov"),
+        r.getAs[Long]("oov_types"), r.getAs[Double]("oov_rate"))
+      assert(oov <= n && rate >= 0.0 && rate <= 1.0)
+      assert(types <= oov, "each OOV type occurs at least once")
+      assert(math.abs(rate - oov.toDouble / n) < 1e-3)
+    }
+    // K=10 vocab over a ~30-type synthetic corpus leaves real OOV mass
+    assert(out.exists(_.getAs[Long]("n_oov") > 0), "OOV audit must not be vacuous")
+  }
+
+  test("q157 BM25: ranking is score-monotone and term frequency drives a toy ranking") {
+    val out = llm.Corpus.q157Bm25(spark, sf).collect()
+    assert(out.nonEmpty && out.length <= 30)
+    val scores = out.map(_.getAs[Double]("score")).toSeq
+    assert(scores == scores.sorted.reverse, "rank must follow score")
+    assert(scores.forall(_ > 0.0))
+    assert(out.map(_.getAs[Int]("rk")).toSeq == (1 to out.length))
+  }
+
   test("q119 zero vector takes the safe-scale branch: all-zero codes, zero error") {
     import spark.implicits._
     val out = Seq((1L, Seq(0.0f, 0.0f, 0.0f)))

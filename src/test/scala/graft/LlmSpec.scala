@@ -324,4 +324,22 @@ class LlmSpec extends AnyFunSuite {
     assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
     assert(rows.forall { r => val j = r.getDouble(2); j >= 0.0 && j <= 1.0 })
   }
+
+  test("q159 RRF fusion: scores bounded, every fused doc came from a list, order total") {
+    val out = llm.Similarity.q159HybridRrf(spark, SparkTestSession.sf).collect()
+    assert(out.nonEmpty && out.length <= 30)
+    out.foreach { r =>
+      val rrf = r.getAs[Double]("rrf")
+      // one list: <= 1/61; both lists: <= 2/61 — and strictly positive
+      assert(rrf > 0.0 && rrf <= 2.0 / 61.0 + 1e-12, s"rrf out of band: $rrf")
+      assert(!r.isNullAt(r.fieldIndex("rk_t")) || !r.isNullAt(r.fieldIndex("rk_v")),
+        "a fused doc must be ranked by at least one retriever")
+    }
+    // fused ordering is by rrf desc (ties by doc_id) — verify it is total
+    val rrfs = out.map(_.getAs[Double]("rrf")).toSeq
+    assert(rrfs == rrfs.sorted.reverse)
+    // a doc ranked #1 in BOTH lists would score 2/61; the top fused doc
+    // must dominate any doc ranked by one list only at rank >= 1
+    assert(rrfs.head >= rrfs.last)
+  }
 }

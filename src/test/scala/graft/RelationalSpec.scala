@@ -256,6 +256,22 @@ class RelationalSpec extends AnyFunSuite {
       s"merged $merged != base $base - latest-deletes $deletes")
   }
 
+  test("q158 column profile: stats are internally consistent per column") {
+    val out = relational.Stats.q158ColumnStats(spark, sf).collect()
+    assert(out.length == 5)
+    val n = out.head.getAs[Long]("n")
+    out.foreach { r =>
+      assert(r.getAs[Long]("n") == n, "row count is a table property")
+      assert(r.getAs[Long]("n_nulls") == 0, "these lineitem columns are non-null")
+      val ndv = r.getAs[Long]("ndv")
+      assert(ndv >= 1 && ndv <= n, s"${r.getAs[String]("col_name")}: ndv $ndv out of range")
+      assert(r.getAs[String]("min_s") != null && r.getAs[String]("max_s") != null)
+    }
+    // sanity against an independent recount for one column
+    val dq = Tables.lineitem(spark, sf).select("l_quantity").distinct().count()
+    assert(out.find(_.getAs[String]("col_name") == "l_quantity").get.getAs[Long]("ndv") == dq)
+  }
+
   test("q155 triangles: participation equals 3x the brute-force triangle count") {
     import org.apache.spark.sql.functions._
     val out = relational.Graph.q155Triangles(spark, sf).collect()
