@@ -546,7 +546,61 @@ object TextOps {
       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
       |FROM p GROUP BY shard, pack_id ORDER BY shard, pack_id""".stripMargin
 
+  /** q160: distribution-relative quality filtering — the C4-style
+    * curation gate that keeps the middle of the quality DISTRIBUTION
+    * rather than applying a fixed threshold (fixed thresholds drift as
+    * the corpus mix changes; percentile bands do not): per language,
+    * docs rank by stop-ratio (q32's fluency proxy) under percent_rank,
+    * and the band [0.1, 0.9] survives — trimming both the stopword-free
+    * junk tail and the stopword-saturated boilerplate tail.
+    *
+    * Determinism: percent_rank is (rank−1)/(n−1) — exact integer
+    * arithmetic over a total order (ratio, doc_id) → identical doubles
+    * in both engines. Scale: one per-language window sort; at 100 TB
+    * the band EDGES come from the mergeable quantile sketch instead
+    * (q139's contract) and the filter becomes a narrow scan against
+    * two broadcast thresholds — the exact window form is kept here
+    * because it is what the oracle can grade bit-for-bit. */
+  def q160QualityBand(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val scored = Tables.documents(s, dir)
+      .withColumn("toks", tokens($"text"))
+      .withColumn("n_tokens", size($"toks"))
+      .withColumn("n_stop", size(expr(s"filter(toks, x -> x IN $stopSqlList)")))
+      .withColumn("ratio", round($"n_stop".cast("double") / $"n_tokens", 6))
+      .withColumn("pr", percent_rank().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"lang").orderBy($"ratio", $"doc_id")))
+    scored
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"pr" >= 0.1 && $"pr" <= 0.9, 1L).otherwise(0L)).as("n_kept"),
+        round(min(when($"pr" >= 0.1 && $"pr" <= 0.9, $"ratio")), 6).as("band_lo"),
+        round(max(when($"pr" >= 0.1 && $"pr" <= 0.9, $"ratio")), 6).as("band_hi"),
+        sum(when($"pr" >= 0.1 && $"pr" <= 0.9, $"doc_id")).as("kept_checksum"))
+      .orderBy($"lang")
+  }
+
+  val q160Sql: String =
+    raw"""WITH scored AS (
+      |  SELECT doc_id, lang,
+      |    round(CAST(len(list_filter(toks, x -> x IN $stopSqlList)) AS DOUBLE)
+      |          / len(toks), 6) AS ratio
+      |  FROM (SELECT doc_id, lang, regexp_extract_all(lower(text), '\S+') AS toks
+      |        FROM documents) t),
+      |pr AS (
+      |  SELECT lang, doc_id, ratio,
+      |    percent_rank() OVER (PARTITION BY lang ORDER BY ratio, doc_id) AS pr
+      |  FROM scored)
+      |SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN pr >= 0.1 AND pr <= 0.9 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  round(min(CASE WHEN pr >= 0.1 AND pr <= 0.9 THEN ratio END), 6) AS band_lo,
+      |  round(max(CASE WHEN pr >= 0.1 AND pr <= 0.9 THEN ratio END), 6) AS band_hi,
+      |  CAST(sum(CASE WHEN pr >= 0.1 AND pr <= 0.9 THEN doc_id END) AS BIGINT) AS kept_checksum
+      |FROM pr GROUP BY lang ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q160_quality_band" -> (q160QualityBand _),
     "q102_chunking"     -> (q102Chunking _),
     "q103_pii_redaction" -> (q103PiiRedaction _),
     "q115_repetition"   -> (q115Repetition _),
@@ -564,6 +618,7 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q160_quality_band" -> q160Sql,
     "q102_chunking"     -> q102Sql,
     "q103_pii_redaction" -> q103Sql,
     "q115_repetition"   -> q115Sql,

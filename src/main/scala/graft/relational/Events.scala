@@ -376,9 +376,77 @@ object Events {
        |  round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS total_value
        |FROM w GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin
 
+  /** q162: session PATH mining — the product-analytics sequel to q23's
+    * sessionization: each user session becomes an ordered event-type
+    * path, paths decompose into their 3-step sub-paths (trigrams), and
+    * the output ranks the 20 most common navigation patterns by the
+    * number of SESSIONS containing them (distinct-per-session, so one
+    * looping session cannot dominate the ranking).
+    *
+    * Determinism: session assembly orders by (ts, event_id) — a total
+    * order — in both engines; trigram extraction reuses the dedup
+    * family's shingle builder; ranking ties break by path text.
+    * Scale: sessionization is a per-user window (the q23 shuffle), the
+    * path aggregation rides the same partitioning, and the trigram
+    * count is one hash aggregation over |sessions|·|path|-ish rows —
+    * nothing pairwise anywhere. */
+  def q162PathMining(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wOrd = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val paths = ev(s, dir)
+      .withColumn("prev_ts", lag($"ts", 1).over(wOrd))
+      .withColumn("new_sess",
+        when($"prev_ts".isNull ||
+          unix_micros($"ts".cast("timestamp")) - unix_micros($"prev_ts".cast("timestamp")) > 30L * 60 * 1000000, 1)
+          .otherwise(0))
+      .withColumn("sess_id", sum($"new_sess")
+        .over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy($"user_id", $"sess_id")
+      .agg(array_sort(collect_list(struct($"ts", $"event_id", $"event_type"))).as("evs"))
+      .select(transform($"evs", e => e.getField("event_type")).as("steps"))
+      .filter(size($"steps") >= 3)
+    paths
+      .select(explode(graft.llm.Dedup.shingles($"steps", 3)).as("trigram"))
+      .groupBy($"trigram").agg(count(lit(1)).as("n_sessions"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy($"n_sessions".desc, $"trigram".asc)))
+      .filter($"rk" <= 20)
+      .select($"rk", $"trigram", $"n_sessions")
+      .orderBy($"rk")
+  }
+
+  val q162Sql: String =
+    s"""$evCte,
+       |flagged AS (
+       |  SELECT user_id, event_id, ts, event_type,
+       |    CASE WHEN lag(ts) OVER w IS NULL
+       |           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess
+       |  FROM ev
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |sess AS (
+       |  SELECT user_id, event_id, ts, event_type,
+       |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_id
+       |  FROM flagged),
+       |paths AS (
+       |  SELECT list(event_type ORDER BY ts, event_id) AS steps
+       |  FROM sess GROUP BY user_id, sess_id
+       |  HAVING count(*) >= 3),
+       |tri AS (
+       |  SELECT unnest(list_distinct([
+       |    concat_ws(' ', steps[i], steps[i+1], steps[i+2])
+       |    FOR i IN generate_series(1, len(steps) - 2)])) AS trigram
+       |  FROM paths),
+       |c AS (SELECT trigram, count(*) AS n_sessions FROM tri GROUP BY trigram),
+       |r AS (SELECT trigram, n_sessions,
+       |        row_number() OVER (ORDER BY n_sessions DESC, trigram ASC) AS rk
+       |      FROM c)
+       |SELECT rk, trigram, n_sessions FROM r WHERE rk <= 20 ORDER BY rk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q22_tumbling_window" -> (q22Tumbling _),
     "q153_hopping_window" -> (q153HoppingWindow _),
+    "q162_path_mining"    -> (q162PathMining _),
     "q141_cohort_retention" -> (q141CohortRetention _),
     "q142_event_funnel"   -> (q142EventFunnel _),
     "q144_spike_detect"   -> (q144SpikeDetect _),
@@ -396,6 +464,7 @@ object Events {
     "q141_cohort_retention" -> q141Sql,
     "q142_event_funnel"   -> q142Sql,
     "q144_spike_detect"   -> q144Sql,
+    "q162_path_mining"    -> q162Sql,
     "q23_session_window"  -> q23Sql,
     "q24_dedup_first"     -> q24Sql,
     "q25_stall_detect"    -> q25Sql,

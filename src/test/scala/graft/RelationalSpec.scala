@@ -256,6 +256,33 @@ class RelationalSpec extends AnyFunSuite {
       s"merged $merged != base $base - latest-deletes $deletes")
   }
 
+  test("q160 quality band keeps ~80% per language and orders its bounds") {
+    val out = llm.TextOps.q160QualityBand(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (n, kept) = (r.getAs[Long]("n_docs"), r.getAs[Long]("n_kept"))
+      assert(kept < n, "band must trim both tails")
+      // percent_rank band [0.1, 0.9] keeps ~80%, discretization slack
+      assert(kept.toDouble / n > 0.6 && kept.toDouble / n <= 0.92,
+        s"kept $kept of $n is far from the 80% band")
+      assert(r.getAs[Double]("band_lo") <= r.getAs[Double]("band_hi"))
+    }
+  }
+
+  test("q162 path mining: trigrams are 3-step paths from the event-type alphabet") {
+    val out = relational.Events.q162PathMining(spark, sf).collect()
+    assert(out.nonEmpty && out.length <= 20)
+    val types = Tables.events(spark, sf).select("event_type").distinct()
+      .collect().map(_.getString(0)).toSet
+    out.foreach { r =>
+      val steps = r.getAs[String]("trigram").split(" ")
+      assert(steps.length == 3, s"not a trigram: ${r.getAs[String]("trigram")}")
+      assert(steps.forall(types.contains), "steps must be real event types")
+    }
+    val ns = out.map(_.getAs[Long]("n_sessions")).toSeq
+    assert(ns == ns.sorted.reverse)
+  }
+
   test("q158 column profile: stats are internally consistent per column") {
     val out = relational.Stats.q158ColumnStats(spark, sf).collect()
     assert(out.length == 5)
