@@ -449,11 +449,77 @@ object Stats {
       |  UNION ALL SELECT n, 'l_returnflag', nf, df, mif, maf FROM s) t
       |ORDER BY col_name""".stripMargin
 
+  /** q163: constraint audit — the data-quality gate a pipeline runs on
+    * every ingest (the dbt-test / CHECK-constraint surface this engine
+    * otherwise lacks): primary-key uniqueness, foreign-key orphan
+    * detection in BOTH directions (child→parent orphans, childless
+    * parents), and a domain CHECK — each constraint one row with its
+    * violation count, so a scheduler can gate on `violations = 0`
+    * without parsing anything.
+    *
+    * Scale shapes are the constraint-checking canon: PK uniqueness is
+    * one keyed count (map-side partial), orphan checks are left-anti /
+    * left-semi joins on the FK (broadcast when the parent key set fits,
+    * shuffle otherwise — Spark picks per stats), and the domain CHECK
+    * is a narrow predicate scan. Nothing here holds state beyond one
+    * key's counts. */
+  def q163ConstraintAudit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val orders = Tables.orders(s, dir)
+    val cust = Tables.customer(s, dir)
+    val li = Tables.lineitem(s, dir)
+    def cnt(name: String, df: DataFrame) = {
+      import df.sparkSession.implicits._
+      df.agg(count(lit(1)).as("violations"))
+        .select(lit(name).as("constraint_name"), $"violations")
+    }
+    val pkDup = orders.groupBy($"o_orderkey").agg(count(lit(1)).as("c"))
+      .filter($"c" > 1)
+    val fkOrphanOrders = orders.join(cust,
+      orders("o_custkey") === cust("c_custkey"), "left_anti")
+    val fkOrphanLines = li.join(orders,
+      li("l_orderkey") === orders("o_orderkey"), "left_anti")
+    val childlessOrders = orders.join(li,
+      orders("o_orderkey") === li("l_orderkey"), "left_anti")
+    val domain = li.filter($"l_discount" < 0.0 || $"l_discount" > 1.0 ||
+      $"l_quantity" <= 0.0 || $"l_tax" < 0.0 || $"l_shipdate".isNull)
+    cnt("pk_orders_unique", pkDup)
+      .unionByName(cnt("fk_orders_customer", fkOrphanOrders))
+      .unionByName(cnt("fk_lineitem_orders", fkOrphanLines))
+      .unionByName(cnt("orders_have_lines", childlessOrders))
+      .unionByName(cnt("check_lineitem_domain", domain))
+      .orderBy($"constraint_name")
+  }
+
+  val q163Sql: String =
+    """SELECT * FROM (
+      |  SELECT 'pk_orders_unique' AS constraint_name, count(*) AS violations
+      |  FROM (SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING count(*) > 1) t
+      |  UNION ALL
+      |  SELECT 'fk_orders_customer', count(*)
+      |  FROM orders o WHERE NOT EXISTS
+      |    (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+      |  UNION ALL
+      |  SELECT 'fk_lineitem_orders', count(*)
+      |  FROM lineitem l WHERE NOT EXISTS
+      |    (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+      |  UNION ALL
+      |  SELECT 'orders_have_lines', count(*)
+      |  FROM orders o WHERE NOT EXISTS
+      |    (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+      |  UNION ALL
+      |  SELECT 'check_lineitem_domain', count(*)
+      |  FROM lineitem
+      |  WHERE l_discount < 0.0 OR l_discount > 1.0 OR l_quantity <= 0.0
+      |     OR l_tax < 0.0 OR l_shipdate IS NULL) u
+      |ORDER BY constraint_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q98_bit_ops"        -> (q98BitOps _),
     "q139_quantile_sketch" -> (q139QuantileSketch _),
     "q151_heavy_hitters" -> (q151HeavyHitters _),
     "q158_column_stats"  -> (q158ColumnStats _),
+    "q163_constraint_audit" -> (q163ConstraintAudit _),
     "q99_chained_cte"    -> (q99ChainedCte _),
     "q97_try_ops"        -> (q97TryOps _),
     "q88_grouped_exists" -> (q88GroupedExists _),
@@ -471,6 +537,7 @@ object Stats {
     "q139_quantile_sketch" -> q139Sql,
     "q151_heavy_hitters" -> q151Sql,
     "q158_column_stats"  -> q158Sql,
+    "q163_constraint_audit" -> q163Sql,
     "q99_chained_cte"    -> q99Sql,
     "q97_try_ops"        -> q97Sql,
     "q88_grouped_exists" -> q88Sql,

@@ -256,6 +256,20 @@ class RelationalSpec extends AnyFunSuite {
       s"merged $merged != base $base - latest-deletes $deletes")
   }
 
+  test("q163 constraint audit: clean corpus audits clean, violations are countable") {
+    import org.apache.spark.sql.functions._
+    val out = relational.Stats.q163ConstraintAudit(spark, sf).collect()
+      .map(r => r.getAs[String]("constraint_name") -> r.getAs[Long]("violations")).toMap
+    assert(out.size == 5)
+    // this corpus satisfies PK/FK/domain constraints — the audit must agree
+    assert(out("pk_orders_unique") == 0 && out("fk_orders_customer") == 0 &&
+      out("fk_lineitem_orders") == 0 && out("check_lineitem_domain") == 0)
+    // and the childless-parent count matches an independent recount
+    val childless = Tables.orders(spark, sf).select(col("o_orderkey"))
+      .except(Tables.lineitem(spark, sf).select(col("l_orderkey"))).count()
+    assert(out("orders_have_lines") == childless)
+  }
+
   test("q160 quality band keeps ~80% per language and orders its bounds") {
     val out = llm.TextOps.q160QualityBand(spark, sf).collect()
     assert(out.nonEmpty)
