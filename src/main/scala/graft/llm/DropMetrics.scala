@@ -35,6 +35,12 @@ object DropMetrics {
   val LshDrops = "graft_lsh_bucket_drops"
   val Md5Drops = "graft_md5_bucket_drops"
   val SimhashDrops = "graft_simhash_bucket_drops"
+  /** Co-visitation bucket cap (`relational.Graph.coVisitEdges`): a
+    * bucket with B users contributes B·(B−1)/2 candidate edges, so the
+    * graph build caps bucket width exactly like the LSH band join —
+    * and counts what it drops on the same widths pass. */
+  val CoVisitDrops = "graft_covisit_bucket_drops"
+
   /** Not a drop counter: rows the Bloom prefilter proved ABSENT from
     * the dedup store, which therefore skipped the store join entirely
     * (`Dedup.q135`). Efficiency evidence, same transport. */

@@ -313,6 +313,32 @@ class RelationalSpec extends AnyFunSuite {
     assert(out.find(_.getAs[String]("col_name") == "l_quantity").get.getAs[Long]("ndv") == dq)
   }
 
+  test("coVisitEdges cap: flooded bucket dropped and counted, clean edges survive") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    val t1 = java.sql.Timestamp.valueOf("2024-01-01 11:00:00")
+    val t2 = java.sql.Timestamp.valueOf("2024-01-01 12:00:00")
+    // users 1,2 share three clean buckets (edge at minW=3); users
+    // 100..299 flood one bucket past the 128 cap
+    val clean = Seq((1L, "view", t0), (2L, "view", t0),
+      (1L, "view", t1), (2L, "view", t1), (1L, "view", t2), (2L, "view", t2))
+    val flood = (100L until 300L).map(u => (u, "click", t0))
+    val b = (clean ++ flood).toDF("user_id", "event_type", "hr")
+    val e = relational.Graph.coVisitEdges(b, minW = 3)
+    val edges = e.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(edges == Set((1L, 2L)), s"unexpected edges: $edges")
+    val m = graft.llm.DropMetrics.read(e, graft.llm.DropMetrics.CoVisitDrops)
+    assert(m("dropped_buckets") == 1L, m.toString)
+    assert(m("dropped_rows") == 200L, m.toString)
+    assert(m("dropped_pairs") == 200L * 199L / 2L, m.toString)
+    // at the test SF the cap binds nowhere: zero drops on the real build
+    val real = relational.Graph.q155Triangles(spark, sf)
+    real.collect()
+    val m2 = graft.llm.DropMetrics.read(real, graft.llm.DropMetrics.CoVisitDrops)
+    assert(m2("dropped_buckets") == 0L && m2("dropped_pairs") == 0L, m2.toString)
+  }
+
   test("q155 triangles: participation equals 3x the brute-force triangle count") {
     import org.apache.spark.sql.functions._
     val out = relational.Graph.q155Triangles(spark, sf).collect()
