@@ -234,13 +234,86 @@ object Graph {
       |SELECT user_id, count(*) AS n_tri
       |FROM p GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** q161: multi-source BFS hop distance — the traversal member of the
+    * graph family (centrality q140, components q105, motifs q155):
+    * from seed users (user_id ≡ 0 mod 50) over the same co-visitation
+    * graph as q155, three UNROLLED relaxation rounds of
+    * d'(v) = min(d(v), min over in-edges (u,v) of d(u)+1 — the
+    * distributed Bellman-Ford/BFS step, one edge join + one keyed min
+    * per round, the exact shape a frontier-based engine runs to a
+    * fixpoint (`rounds.Stratify`'s loop). Distances stay in integer
+    * arithmetic with 999 as the not-yet-reached sentinel, so the whole
+    * computation is oracle-restatable round by round. Output is the
+    * hop histogram with min/Σ id checksums per level. */
+  def q161BfsHops(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val b = Tables.events(s, dir)
+      .select($"user_id", $"event_type", date_trunc("hour", $"ts").as("hr"))
+      .distinct()
+    val users = b.select($"user_id").distinct().persist() // one frame per round
+    val e = coVisitEdges(b, minW = 3)
+      .persist() // both directions, three rounds
+    val ed = e.select($"u1".as("src"), $"u2".as("dst"))
+      .unionByName(e.select($"u2".as("src"), $"u1".as("dst")))
+    val d0 = users.select($"user_id",
+      when(pmod($"user_id", lit(50)) === 0, 0L).otherwise(999L).as("d"))
+    def relax(d: DataFrame): DataFrame = {
+      val nd = ed.join(d.select($"user_id".as("src_u"), $"d".as("sd")),
+          $"src" === $"src_u")
+        .groupBy($"dst").agg(min($"sd" + 1L).as("nd"))
+      d.join(nd, $"user_id" === $"dst", "left_outer")
+        .select($"user_id", least($"d", coalesce($"nd", lit(999L))).as("d"))
+    }
+    relax(relax(relax(d0)))
+      .groupBy($"d".as("hops"))
+      .agg(count(lit(1)).as("n_users"),
+        min($"user_id").as("min_user"),
+        sum($"user_id").as("user_checksum"))
+      .orderBy($"hops")
+  }
+
+  val q161Sql: String =
+    """WITH b AS (
+      |  SELECT DISTINCT user_id, event_type,
+      |    CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS hr
+      |  FROM events),
+      |users AS (SELECT DISTINCT user_id FROM b),
+      |e AS (
+      |  SELECT x.user_id AS u1, y.user_id AS u2
+      |  FROM b x JOIN b y
+      |    ON x.event_type = y.event_type AND x.hr = y.hr
+      |   AND x.user_id < y.user_id
+      |  GROUP BY 1, 2 HAVING count(*) >= 3),
+      |ed AS (SELECT u1 AS src, u2 AS dst FROM e
+      |       UNION ALL SELECT u2, u1 FROM e),
+      |d0 AS (SELECT user_id,
+      |         CASE WHEN user_id % 50 = 0 THEN 0 ELSE 999 END AS d
+      |       FROM users),
+      |s1 AS (SELECT dst, min(d0.d + 1) AS nd FROM ed
+      |       JOIN d0 ON ed.src = d0.user_id GROUP BY dst),
+      |d1 AS (SELECT d0.user_id, least(d0.d, coalesce(s1.nd, 999)) AS d
+      |       FROM d0 LEFT JOIN s1 ON d0.user_id = s1.dst),
+      |s2 AS (SELECT dst, min(d1.d + 1) AS nd FROM ed
+      |       JOIN d1 ON ed.src = d1.user_id GROUP BY dst),
+      |d2 AS (SELECT d1.user_id, least(d1.d, coalesce(s2.nd, 999)) AS d
+      |       FROM d1 LEFT JOIN s2 ON d1.user_id = s2.dst),
+      |s3 AS (SELECT dst, min(d2.d + 1) AS nd FROM ed
+      |       JOIN d2 ON ed.src = d2.user_id GROUP BY dst),
+      |d3 AS (SELECT d2.user_id, least(d2.d, coalesce(s3.nd, 999)) AS d
+      |       FROM d2 LEFT JOIN s3 ON d2.user_id = s3.dst)
+      |SELECT CAST(d AS BIGINT) AS hops, count(*) AS n_users,
+      |  min(user_id) AS min_user, CAST(sum(user_id) AS BIGINT) AS user_checksum
+      |FROM d3 GROUP BY d ORDER BY hops""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q140_pagerank" -> (q140PageRank _),
-    "q155_triangles" -> (q155Triangles _)
+    "q155_triangles" -> (q155Triangles _),
+    "q161_bfs_hops" -> (q161BfsHops _)
   )
 
   val oracle: Map[String, String] = Map(
     "q140_pagerank" -> q140Sql,
-    "q155_triangles" -> q155Sql
+    "q155_triangles" -> q155Sql,
+    "q161_bfs_hops" -> q161Sql
   )
 }

@@ -313,6 +313,18 @@ class RelationalSpec extends AnyFunSuite {
     assert(out.find(_.getAs[String]("col_name") == "l_quantity").get.getAs[Long]("ndv") == dq)
   }
 
+  test("q161 BFS: seeds at hop 0, levels within bound, totals partition the users") {
+    val out = relational.Graph.q161BfsHops(spark, sf).collect()
+      .map(r => r.getAs[Long]("hops") -> r.getAs[Long]("n_users")).toMap
+    val users = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(out.values.sum == users, "every user lands in exactly one level")
+    assert(out.keySet.forall(h => (h >= 0 && h <= 3) || h == 999),
+      s"levels out of bound: ${out.keySet}")
+    val seeds = Tables.events(spark, sf).select("user_id").distinct()
+      .filter(org.apache.spark.sql.functions.expr("user_id % 50 = 0")).count()
+    assert(out.getOrElse(0L, 0L) == seeds, "hop 0 must be exactly the seed set")
+  }
+
   test("coVisitEdges cap: flooded bucket dropped and counted, clean edges survive") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
