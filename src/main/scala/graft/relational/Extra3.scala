@@ -363,9 +363,79 @@ object Extra3 {
       |  CAST(sum(okey) AS BIGINT) AS key_checksum
       |FROM m GROUP BY 1 ORDER BY month""".stripMargin
 
+  /** q164: date-spine gap filling — the calendar-dimension operator a
+    * reporting layer needs because "days with zero orders" do not
+    * exist as rows: generate the full day spine between the data's
+    * min and max date, left-join the daily aggregate onto it, and
+    * report per month the active/zero day split plus the LONGEST
+    * zero-day run (gaps-and-islands on the day ordinal, windowed per
+    * month). The spine generation is one `sequence()` explode off a
+    * 1-row extent aggregate — rows ∝ calendar days, never data — and
+    * everything after is one left join + keyed aggregation. */
+  def q164DateSpine(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val orders = Tables.orders(s, dir)
+    val daily = orders.groupBy($"o_orderdate".as("day"))
+      .agg(count(lit(1)).as("n"))
+    val spine = orders
+      .agg(min($"o_orderdate").as("lo"), max($"o_orderdate").as("hi"))
+      .select(explode(sequence($"lo", $"hi")).as("day"))
+    val j = spine.join(daily, Seq("day"), "left_outer")
+      .select($"day", coalesce($"n", lit(0L)).as("n"))
+      .persist() // month rollup + zero-run islands
+    val gaps = j.filter($"n" === 0)
+      .withColumn("grp",
+        datediff($"day", lit("1970-01-01").cast("date")) -
+          row_number().over(Window
+            .partitionBy(trunc($"day", "month")).orderBy($"day")))
+      .groupBy(trunc($"day", "month").as("month"), $"grp")
+      .agg(count(lit(1)).as("run"))
+      .groupBy($"month").agg(max($"run").as("max_gap"))
+    j.groupBy(trunc($"day", "month").as("month"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(when($"n" > 0, 1L).otherwise(0L)).as("active_days"),
+        sum(when($"n" === 0, 1L).otherwise(0L)).as("zero_days"),
+        sum($"n").as("n_orders"))
+      .join(gaps, Seq("month"), "left_outer")
+      .select($"month", $"n_days", $"active_days", $"zero_days", $"n_orders",
+        coalesce($"max_gap", lit(0L)).as("max_gap"))
+      .orderBy($"month")
+  }
+
+  val q164Sql: String =
+    """WITH daily AS (
+      |  SELECT o_orderdate AS day, count(*) AS n FROM orders GROUP BY 1),
+      |ext AS (SELECT min(o_orderdate) AS lo, max(o_orderdate) AS hi FROM orders),
+      |spine AS (
+      |  SELECT CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+      |           CAST(hi AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+      |  FROM ext),
+      |j AS (SELECT spine.day, coalesce(daily.n, 0) AS n
+      |      FROM spine LEFT JOIN daily ON spine.day = daily.day),
+      |z AS (
+      |  SELECT CAST(date_trunc('month', day) AS DATE) AS month,
+      |    (day - DATE '1970-01-01')
+      |      - row_number() OVER (PARTITION BY date_trunc('month', day)
+      |                           ORDER BY day) AS grp
+      |  FROM j WHERE n = 0),
+      |runs AS (SELECT month, grp, count(*) AS run FROM z GROUP BY month, grp),
+      |gaps AS (SELECT month, max(run) AS max_gap FROM runs GROUP BY month),
+      |m AS (
+      |  SELECT CAST(date_trunc('month', day) AS DATE) AS month,
+      |    count(*) AS n_days,
+      |    CAST(sum(CASE WHEN n > 0 THEN 1 ELSE 0 END) AS BIGINT) AS active_days,
+      |    CAST(sum(CASE WHEN n = 0 THEN 1 ELSE 0 END) AS BIGINT) AS zero_days,
+      |    CAST(sum(n) AS BIGINT) AS n_orders
+      |  FROM j GROUP BY 1)
+      |SELECT m.month, m.n_days, m.active_days, m.zero_days, m.n_orders,
+      |  coalesce(gaps.max_gap, 0) AS max_gap
+      |FROM m LEFT JOIN gaps ON m.month = gaps.month
+      |ORDER BY m.month""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q81_value_windows" -> (q81ValueWindows _),
     "q154_cdc_apply"    -> (q154CdcApply _),
+    "q164_date_spine"   -> (q164DateSpine _),
     "q145_scd2_intervals" -> (q145Scd2Intervals _),
     "q146_skew_report"  -> (q146SkewReport _),
     "q149_pit_lookup"   -> (q149PitLookup _),
@@ -379,6 +449,7 @@ object Extra3 {
   val oracle: Map[String, String] = Map(
     "q81_value_windows" -> q81Sql,
     "q154_cdc_apply"    -> q154Sql,
+    "q164_date_spine"   -> q164Sql,
     "q145_scd2_intervals" -> q145Sql,
     "q146_skew_report"  -> q146Sql,
     "q149_pit_lookup"   -> q149Sql,

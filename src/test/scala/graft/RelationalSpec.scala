@@ -313,6 +313,27 @@ class RelationalSpec extends AnyFunSuite {
     assert(out.find(_.getAs[String]("col_name") == "l_quantity").get.getAs[Long]("ndv") == dq)
   }
 
+  test("q164 date spine: calendar complete, splits partition days, gap bounded") {
+    import org.apache.spark.sql.functions._
+    val out = relational.Extra3.q164DateSpine(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (days, act, zero) = (r.getAs[Long]("n_days"),
+        r.getAs[Long]("active_days"), r.getAs[Long]("zero_days"))
+      assert(act + zero == days, "active/zero must partition the month")
+      assert(days >= 1 && days <= 31)
+      assert(r.getAs[Long]("max_gap") <= zero, "a run cannot exceed its zero mass")
+    }
+    // spine covers the full extent: Σ n_days == datediff(max,min)+1
+    val span = Tables.orders(spark, sf)
+      .agg((datediff(max(col("o_orderdate")), min(col("o_orderdate"))) + 1)
+        .cast("long")).head().getLong(0)
+    assert(out.map(_.getAs[Long]("n_days")).sum == span)
+    // and order totals are conserved through the spine join
+    assert(out.map(_.getAs[Long]("n_orders")).sum ==
+      Tables.orders(spark, sf).count())
+  }
+
   test("q161 BFS: seeds at hop 0, levels within bound, totals partition the users") {
     val out = relational.Graph.q161BfsHops(spark, sf).collect()
       .map(r => r.getAs[Long]("hops") -> r.getAs[Long]("n_users")).toMap
