@@ -599,8 +599,59 @@ object TextOps {
       |  CAST(sum(CASE WHEN pr >= 0.1 AND pr <= 0.9 THEN doc_id END) AS BIGINT) AS kept_checksum
       |FROM pr GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** q165: cross-source contamination MATRIX — q101 generalized from
+    * "benchmark vs rest" to every source pair: distinct 3-token
+    * shingles per source, pairwise intersection via one equality join
+    * on the shingle, union by inclusion–exclusion |A|+|B|−|A∩B| (exact
+    * integers — no distinct-over-union pass needed), Jaccard as the
+    * one rounded division. The report a curation pipeline reads to
+    * find which sources are actually the same crawl twice.
+    *
+    * Scale: the (source, shingle) distinct table is the only
+    * corpus-sized structure (one shuffle); the pair join is
+    * shingle-keyed equality — candidate-proportional, never |A|·|B| —
+    * and per-source totals are a broadcast side table. */
+  def q165SourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh = Tables.documents(s, dir)
+      .select($"source", explode(Dedup.shingles(tokens($"text"))).as("sh"))
+      .distinct()
+      .persist() // totals + both join sides
+    val tot = sh.groupBy($"source").agg(count(lit(1)).as("n"))
+    val inter = sh.as("a").join(sh.as("b"),
+        $"a.sh" === $"b.sh" && $"a.source" < $"b.source")
+      .groupBy($"a.source".as("src_a"), $"b.source".as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    inter
+      .join(broadcast(tot.select($"source".as("ta"), $"n".as("na"))), $"src_a" === $"ta")
+      .join(broadcast(tot.select($"source".as("tb"), $"n".as("nb"))), $"src_b" === $"tb")
+      .select($"src_a", $"src_b", $"n_shared", $"na", $"nb",
+        round($"n_shared" / ($"na" + $"nb" - $"n_shared"), 6).as("jaccard"))
+      .orderBy($"src_a", $"src_b")
+  }
+
+  val q165Sql: String =
+    """WITH sh AS (
+      |  SELECT DISTINCT source, unnest(list_distinct([
+      |    concat_ws(' ', toks[i], toks[i+1], toks[i+2])
+      |    FOR i IN generate_series(1, greatest(len(toks) - 2, 1))])) AS sh
+      |  FROM (SELECT source, regexp_extract_all(lower(text), '\S+') AS toks
+      |        FROM documents) t),
+      |tot AS (SELECT source, count(*) AS n FROM sh GROUP BY source),
+      |inter AS (
+      |  SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+      |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.source < b.source
+      |  GROUP BY 1, 2)
+      |SELECT i.src_a, i.src_b, i.n_shared, ta.n AS na, tb.n AS nb,
+      |  round(i.n_shared / (ta.n + tb.n - i.n_shared), 6) AS jaccard
+      |FROM inter i
+      |JOIN tot ta ON i.src_a = ta.source
+      |JOIN tot tb ON i.src_b = tb.source
+      |ORDER BY src_a, src_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q160_quality_band" -> (q160QualityBand _),
+    "q165_source_overlap" -> (q165SourceOverlap _),
     "q102_chunking"     -> (q102Chunking _),
     "q103_pii_redaction" -> (q103PiiRedaction _),
     "q115_repetition"   -> (q115Repetition _),
@@ -619,6 +670,7 @@ object TextOps {
 
   val oracle: Map[String, String] = Map(
     "q160_quality_band" -> q160Sql,
+    "q165_source_overlap" -> q165Sql,
     "q102_chunking"     -> q102Sql,
     "q103_pii_redaction" -> q103Sql,
     "q115_repetition"   -> q115Sql,

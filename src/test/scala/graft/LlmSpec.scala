@@ -325,6 +325,21 @@ class LlmSpec extends AnyFunSuite {
     assert(rows.forall { r => val j = r.getDouble(2); j >= 0.0 && j <= 1.0 })
   }
 
+  test("q165 source overlap: jaccard coherent, intersection bounded by either side") {
+    val out = llm.TextOps.q165SourceOverlap(spark, SparkTestSession.sf).collect()
+    assert(out.nonEmpty)
+    val k = Tables.documents(spark, SparkTestSession.sf)
+      .select("source").distinct().count()
+    assert(out.length <= k * (k - 1) / 2)
+    out.foreach { r =>
+      val (sh, na, nb) = (r.getAs[Long]("n_shared"), r.getAs[Long]("na"), r.getAs[Long]("nb"))
+      assert(sh >= 1 && sh <= math.min(na, nb))
+      val j = r.getAs[Double]("jaccard")
+      assert(j > 0.0 && j <= 1.0)
+      assert(r.getAs[String]("src_a") < r.getAs[String]("src_b"))
+    }
+  }
+
   test("q159 RRF fusion: scores bounded, every fused doc came from a list, order total") {
     val out = llm.Similarity.q159HybridRrf(spark, SparkTestSession.sf).collect()
     assert(out.nonEmpty && out.length <= 30)
