@@ -30,8 +30,12 @@ class PlanHygieneSpec extends AnyFunSuite {
     "q79_scalar_subquery", // broadcast of a 1-row global average
     "q117_tfidf_terms",    // broadcast of the 1-row corpus doc count
     "q118_mixture_rebalance", // broadcast of the 1-row min source size
-    "q125_cosine_sql")     // pre-bounded 50-row all-pairs self-join (q36's
+    "q125_cosine_sql",     // pre-bounded 50-row all-pairs self-join (q36's
                            // brute-force shape through the SQL front door)
+    "q157_bm25",           // broadcast of the 1-row N/avgdl scalars (q117's
+                           // corpus-count pattern)
+    "q159_hybrid_rrf")     // same BM25 scalar graft + broadcast 1-row probe
+                           // vector vs candidates (q36's brute-force shape)
 
   test("no unintended cartesian products across the whole catalog") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
