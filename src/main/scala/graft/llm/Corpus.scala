@@ -362,6 +362,56 @@ object Corpus {
        |  FROM bm)
        |SELECT rk, doc_id, score FROM ranked WHERE rk <= 30 ORDER BY rk""".stripMargin
 
+  /** q166: inverted-index build — the INDEX artifact behind q157's
+    * scoring (a retrieval stack materializes term → postings once and
+    * scores against it, not against raw text): per term, document
+    * frequency, total term frequency, and the posting list's HEAD
+    * (first 10 doc ids in id order) plus an order-sensitive postings
+    * checksum Σ doc_id·pos that pins the WHOLE list without shipping
+    * it to the verifier.
+    *
+    * Scale: one exploded-token pass → one (term, doc) aggregation →
+    * one per-term aggregation; the posting array is built per term by
+    * sort_array(collect_list) — bounded by that term's df, the same
+    * bound the index file itself has. Hot terms at corpus scale would
+    * shard postings by doc-range (the standard index partitioning);
+    * the checksum formulation is shard-mergeable as-is. */
+  def q166InvertedIndex(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val td = Tables.documents(s, dir)
+      .select($"doc_id", explode(TextOps.tokens($"text")).as("t"))
+      .groupBy($"t", $"doc_id").agg(count(lit(1)).as("tf"))
+    td.groupBy($"t")
+      .agg(count(lit(1)).as("df"),
+        sum($"tf").as("total_tf"),
+        sort_array(collect_list($"doc_id")).as("postings"))
+      .select($"t", $"df", $"total_tf",
+        concat_ws(",", slice($"postings", 1, 10)).as("head10"),
+        aggregate(
+          zip_with($"postings",
+            sequence(lit(1L), size($"postings").cast("long")),
+            (d, p) => d * p),
+          lit(0L), (acc, x) => acc + x).as("postings_checksum"))
+      .orderBy($"t")
+  }
+
+  val q166Sql: String =
+    """WITH td AS (
+      |  SELECT t, doc_id, count(*) AS tf FROM (
+      |    SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS t
+      |    FROM documents) x
+      |  GROUP BY t, doc_id),
+      |idx AS (
+      |  SELECT t, count(*) AS df, CAST(sum(tf) AS BIGINT) AS total_tf,
+      |    list(doc_id ORDER BY doc_id) AS postings
+      |  FROM td GROUP BY t)
+      |SELECT t, df, total_tf,
+      |  array_to_string(postings[1:10], ',') AS head10,
+      |  CAST(list_sum([postings[i] * i
+      |        FOR i IN generate_series(1, len(postings))]) AS BIGINT)
+      |    AS postings_checksum
+      |FROM idx ORDER BY t""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q117_tfidf_terms"       -> (q117TfIdf _),
     "q118_mixture_rebalance" -> (q118MixtureRebalance _),
@@ -369,6 +419,7 @@ object Corpus {
     "q152_shard_manifest"    -> (q152ShardManifest _),
     "q156_vocab_coverage"    -> (q156VocabCoverage _),
     "q157_bm25"              -> (q157Bm25 _),
+    "q166_inverted_index"    -> (q166InvertedIndex _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -378,5 +429,6 @@ object Corpus {
     "q152_shard_manifest"    -> q152Sql,
     "q156_vocab_coverage"    -> q156Sql,
     "q157_bm25"              -> q157Sql,
+    "q166_inverted_index"    -> q166Sql,
   )
 }

@@ -432,10 +432,61 @@ object Extra3 {
       |FROM m LEFT JOIN gaps ON m.month = gaps.month
       |ORDER BY m.month""".stripMargin
 
+  /** q167: per-month order-volume TREND — least-squares slope of daily
+    * order counts against the day ordinal, the "is this metric rising"
+    * primitive behind every monitoring dashboard. The whole regression
+    * is four integer sums (Σx, Σy, Σxy, Σx² over exact BIGINTs — all
+    * far below 2^63 at any month size) folded map-side like any sum;
+    * the closed form (n·Σxy − Σx·Σy)/(n·Σx² − (Σx)²) divides ONCE at
+    * the end, so the slope is a ratio of exact integers — identical
+    * doubles in both engines with no decimal scaffolding (q141's
+    * determinism-by-arithmetic-class discipline). Single-active-day
+    * months have a zero denominator and report NULL explicitly. */
+  def q167TrendSlope(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.orders(s, dir)
+      .groupBy($"o_orderdate".cast("date").as("day"))
+      .agg(count(lit(1)).as("y"))
+      .withColumn("x",
+        datediff($"day", lit("1970-01-01").cast("date")).cast("long"))
+    daily.groupBy(trunc($"day", "month").as("month"))
+      .agg(count(lit(1)).as("n"),
+        sum($"y").as("sy"),
+        sum($"x").as("sx"),
+        sum($"x" * $"y").as("sxy"),
+        sum($"x" * $"x").as("sxx"))
+      .select($"month", $"n", $"sy".as("n_orders"),
+        when($"n" * $"sxx" - $"sx" * $"sx" === 0, lit(null))
+          .otherwise(round(
+            ($"n" * $"sxy" - $"sx" * $"sy").cast("double") /
+              ($"n" * $"sxx" - $"sx" * $"sx"), 6)).as("slope"))
+      .orderBy($"month")
+  }
+
+  val q167Sql: String =
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS y
+      |  FROM orders GROUP BY 1),
+      |xy AS (
+      |  SELECT CAST(date_trunc('month', day) AS DATE) AS month,
+      |    CAST(day - DATE '1970-01-01' AS BIGINT) AS x, y
+      |  FROM daily),
+      |m AS (
+      |  SELECT month, count(*) AS n, CAST(sum(y) AS BIGINT) AS sy,
+      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(x * y) AS BIGINT) AS sxy,
+      |    CAST(sum(x * x) AS BIGINT) AS sxx
+      |  FROM xy GROUP BY month)
+      |SELECT month, n, sy AS n_orders,
+      |  CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+      |       ELSE round(CAST(n * sxy - sx * sy AS DOUBLE)
+      |                  / (n * sxx - sx * sx), 6) END AS slope
+      |FROM m ORDER BY month""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q81_value_windows" -> (q81ValueWindows _),
     "q154_cdc_apply"    -> (q154CdcApply _),
     "q164_date_spine"   -> (q164DateSpine _),
+    "q167_trend_slope"  -> (q167TrendSlope _),
     "q145_scd2_intervals" -> (q145Scd2Intervals _),
     "q146_skew_report"  -> (q146SkewReport _),
     "q149_pit_lookup"   -> (q149PitLookup _),
@@ -450,6 +501,7 @@ object Extra3 {
     "q81_value_windows" -> q81Sql,
     "q154_cdc_apply"    -> q154Sql,
     "q164_date_spine"   -> q164Sql,
+    "q167_trend_slope"  -> q167Sql,
     "q145_scd2_intervals" -> q145Sql,
     "q146_skew_report"  -> q146Sql,
     "q149_pit_lookup"   -> q149Sql,

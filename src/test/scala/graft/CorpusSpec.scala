@@ -135,6 +135,27 @@ class CorpusSpec extends AnyFunSuite {
     assert(out.exists(_.getAs[Long]("n_oov") > 0), "OOV audit must not be vacuous")
   }
 
+  test("q166 inverted index: postings sorted, df/checksum consistent, recount agrees") {
+    val out = llm.Corpus.q166InvertedIndex(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (df, tf) = (r.getAs[Long]("df"), r.getAs[Long]("total_tf"))
+      assert(tf >= df, "each posting holds >= 1 occurrence")
+      val head = r.getAs[String]("head10").split(",").map(_.toLong)
+      assert(head.toSeq == head.sorted.toSeq, "posting head must be id-ordered")
+      assert(head.length == math.min(df, 10L))
+      // Σ id·pos >= Σ id with pos >= 1, equality iff df <= 1
+      val cs = r.getAs[Long]("postings_checksum")
+      assert(cs >= head.sum)
+    }
+    // independent recount for one term
+    val t = out.head.getAs[String]("t")
+    val df = Tables.documents(spark, sf)
+      .select(col("doc_id"), explode(llm.TextOps.tokens(col("text"))).as("tk"))
+      .filter(col("tk") === t).select(col("doc_id")).distinct().count()
+    assert(out.head.getAs[Long]("df") == df)
+  }
+
   test("q157 BM25: ranking is score-monotone and term frequency drives a toy ranking") {
     val out = llm.Corpus.q157Bm25(spark, sf).collect()
     assert(out.nonEmpty && out.length <= 30)

@@ -313,6 +313,31 @@ class RelationalSpec extends AnyFunSuite {
     assert(out.find(_.getAs[String]("col_name") == "l_quantity").get.getAs[Long]("ndv") == dq)
   }
 
+  test("q167 trend slope matches Spark's regr_slope within float tolerance") {
+    import org.apache.spark.sql.functions._
+    val ours = relational.Extra3.q167TrendSlope(spark, sf).collect()
+      .map(r => r.getAs[java.sql.Date]("month").toString ->
+        Option(r.get(r.fieldIndex("slope"))).map(_.asInstanceOf[Double])).toMap
+    val ref = Tables.orders(spark, sf)
+      .groupBy(col("o_orderdate").cast("date").as("day"))
+      .agg(count(lit(1)).as("y"))
+      .withColumn("x", datediff(col("day"), lit("1970-01-01").cast("date")).cast("double"))
+      .groupBy(trunc(col("day"), "month").as("month"))
+      .agg(expr("regr_slope(y, x)").as("s"), count(lit(1)).as("n"))
+      .collect()
+    assert(ours.nonEmpty && ours.size == ref.length)
+    ref.foreach { r =>
+      val m = r.getAs[java.sql.Date]("month").toString
+      (ours(m), Option(r.get(r.fieldIndex("s")))) match {
+        case (Some(a), Some(b)) =>
+          assert(math.abs(a - b.asInstanceOf[Double]) < 1e-4,
+            s"$m: ours $a vs regr_slope $b")
+        case (a, b) => assert(a.isEmpty == b.isEmpty ||
+          r.getAs[Long]("n") == 1, s"$m: null disagreement ($a vs $b)")
+      }
+    }
+  }
+
   test("q164 date spine: calendar complete, splits partition days, gap bounded") {
     import org.apache.spark.sql.functions._
     val out = relational.Extra3.q164DateSpine(spark, sf).collect()
