@@ -443,10 +443,41 @@ object Events {
        |      FROM c)
        |SELECT rk, trigram, n_sessions FROM r WHERE rk <= 20 ORDER BY rk""".stripMargin
 
+  /** q169: per-window approximate distinct — the sketch family pushed
+    * into the windowing surface: daily active users as BOTH the exact
+    * count (hash-graded) and each engine's own HLL estimate asserted
+    * within 10% of its own exact value (q54's bounded-accuracy
+    * contract, per window). At 100 TB the exact per-window distinct
+    * is a full (day, user) shuffle; the HLL partial is constant-size
+    * per window and MERGEABLE — the only shape a streaming DAU
+    * counter can hold in state — which is why the sketch column is
+    * the one a production dashboard reads and the exact column is the
+    * one the oracle can grade. */
+  def q169WindowApproxDistinct(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    ev(s, dir)
+      .groupBy(date_trunc("day", $"ts").as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct($"user_id").as("exact_users"),
+        (abs(approx_count_distinct($"user_id") - countDistinct($"user_id")) <=
+          countDistinct($"user_id") * 0.10).as("approx_ok"))
+      .orderBy($"day")
+  }
+
+  val q169Sql: String =
+    s"""$evCte
+       |SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       |  count(*) AS n_events,
+       |  count(DISTINCT user_id) AS exact_users,
+       |  abs(approx_count_distinct(user_id) - count(DISTINCT user_id))
+       |    <= count(DISTINCT user_id) * 0.10 AS approx_ok
+       |FROM ev GROUP BY 1 ORDER BY day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q22_tumbling_window" -> (q22Tumbling _),
     "q153_hopping_window" -> (q153HoppingWindow _),
     "q162_path_mining"    -> (q162PathMining _),
+    "q169_window_approx_distinct" -> (q169WindowApproxDistinct _),
     "q141_cohort_retention" -> (q141CohortRetention _),
     "q142_event_funnel"   -> (q142EventFunnel _),
     "q144_spike_detect"   -> (q144SpikeDetect _),
@@ -465,6 +496,7 @@ object Events {
     "q142_event_funnel"   -> q142Sql,
     "q144_spike_detect"   -> q144Sql,
     "q162_path_mining"    -> q162Sql,
+    "q169_window_approx_distinct" -> q169Sql,
     "q23_session_window"  -> q23Sql,
     "q24_dedup_first"     -> q24Sql,
     "q25_stall_detect"    -> q25Sql,

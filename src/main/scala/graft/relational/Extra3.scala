@@ -482,11 +482,70 @@ object Extra3 {
       |                  / (n * sxx - sx * sx), 6) END AS slope
       |FROM m ORDER BY month""".stripMargin
 
+  /** q168: NULL join-key semantics — the three ways an engine can
+    * treat NULL keys at a join, graded side by side on the same
+    * deliberately-small keyed slices (null-key populations CROSS
+    * under null-safe equality, so a production pipeline either
+    * filters or sentinels them — which is exactly what this report
+    * makes visible): plain equality (NULL matches nothing),
+    * null-safe equality (Spark `<=>` ≡ DuckDB IS NOT DISTINCT FROM:
+    * NULL matches NULL), and coalesce-to-sentinel (the workaround
+    * pattern, equivalent to null-safe when the sentinel is free).
+    * One (kind, n_rows, checksum) row per semantics. */
+  def q168NullSafeJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val a = Tables.orders(s, dir)
+      .filter(pmod($"o_orderkey", lit(13)) === 0)
+      .select($"o_orderkey",
+        when(pmod($"o_orderkey", lit(7)) === 0, lit(null))
+          .otherwise(pmod($"o_orderkey", lit(100))).as("ka"))
+    val b = Tables.customer(s, dir)
+      .filter(pmod($"c_custkey", lit(11)) === 0)
+      .select($"c_custkey",
+        when(pmod($"c_custkey", lit(5)) === 0, lit(null))
+          .otherwise(pmod($"c_custkey", lit(100))).as("kb"))
+    def report(kind: String, j: DataFrame): DataFrame =
+      j.agg(count(lit(1)).as("n_rows"),
+          coalesce(sum($"o_orderkey" + $"c_custkey"), lit(0L)).as("checksum"))
+        .select(lit(kind).as("join_kind"), $"n_rows", $"checksum")
+    report("equality", a.join(b, $"ka" === $"kb"))
+      .unionByName(report("null_safe", a.join(b, $"ka" <=> $"kb")))
+      .unionByName(report("sentinel",
+        a.join(b, coalesce($"ka", lit(-1)) === coalesce($"kb", lit(-1)))))
+      .orderBy($"join_kind")
+  }
+
+  val q168Sql: String =
+    """WITH a AS (
+      |  SELECT o_orderkey,
+      |    CASE WHEN o_orderkey % 7 = 0 THEN NULL
+      |         ELSE o_orderkey % 100 END AS ka
+      |  FROM orders WHERE o_orderkey % 13 = 0),
+      |b AS (
+      |  SELECT c_custkey,
+      |    CASE WHEN c_custkey % 5 = 0 THEN NULL
+      |         ELSE c_custkey % 100 END AS kb
+      |  FROM customer WHERE c_custkey % 11 = 0)
+      |SELECT * FROM (
+      |  SELECT 'equality' AS join_kind, count(*) AS n_rows,
+      |    CAST(coalesce(sum(o_orderkey + c_custkey), 0) AS BIGINT) AS checksum
+      |  FROM a JOIN b ON a.ka = b.kb
+      |  UNION ALL
+      |  SELECT 'null_safe', count(*),
+      |    CAST(coalesce(sum(o_orderkey + c_custkey), 0) AS BIGINT)
+      |  FROM a JOIN b ON a.ka IS NOT DISTINCT FROM b.kb
+      |  UNION ALL
+      |  SELECT 'sentinel', count(*),
+      |    CAST(coalesce(sum(o_orderkey + c_custkey), 0) AS BIGINT)
+      |  FROM a JOIN b ON coalesce(a.ka, -1) = coalesce(b.kb, -1)) u
+      |ORDER BY join_kind""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q81_value_windows" -> (q81ValueWindows _),
     "q154_cdc_apply"    -> (q154CdcApply _),
     "q164_date_spine"   -> (q164DateSpine _),
     "q167_trend_slope"  -> (q167TrendSlope _),
+    "q168_nullsafe_join" -> (q168NullSafeJoin _),
     "q145_scd2_intervals" -> (q145Scd2Intervals _),
     "q146_skew_report"  -> (q146SkewReport _),
     "q149_pit_lookup"   -> (q149PitLookup _),
@@ -502,6 +561,7 @@ object Extra3 {
     "q154_cdc_apply"    -> q154Sql,
     "q164_date_spine"   -> q164Sql,
     "q167_trend_slope"  -> q167Sql,
+    "q168_nullsafe_join" -> q168Sql,
     "q145_scd2_intervals" -> q145Sql,
     "q146_skew_report"  -> q146Sql,
     "q149_pit_lookup"   -> q149Sql,

@@ -313,6 +313,27 @@ class RelationalSpec extends AnyFunSuite {
     assert(out.find(_.getAs[String]("col_name") == "l_quantity").get.getAs[Long]("ndv") == dq)
   }
 
+  test("q168 null-key semantics: sentinel == null-safe, equality is the floor") {
+    val out = relational.Extra3.q168NullSafeJoin(spark, sf).collect()
+      .map(r => r.getAs[String]("join_kind") ->
+        (r.getAs[Long]("n_rows"), r.getAs[Long]("checksum"))).toMap
+    assert(out.size == 3)
+    // -1 is outside the 0..99 key domain, so sentinel ≡ null-safe exactly
+    assert(out("sentinel") == out("null_safe"),
+      s"sentinel ${out("sentinel")} != null_safe ${out("null_safe")}")
+    // plain equality can only lose the NULL-matches
+    assert(out("equality")._1 <= out("null_safe")._1)
+  }
+
+  test("q169 windowed approx distinct: sketch in-band every day, counts coherent") {
+    val out = relational.Events.q169WindowApproxDistinct(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Boolean]("approx_ok"), "HLL left its 10% band")
+      assert(r.getAs[Long]("exact_users") <= r.getAs[Long]("n_events"))
+    }
+  }
+
   test("q167 trend slope matches Spark's regr_slope within float tolerance") {
     import org.apache.spark.sql.functions._
     val ours = relational.Extra3.q167TrendSlope(spark, sf).collect()
