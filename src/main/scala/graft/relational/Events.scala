@@ -473,11 +473,60 @@ object Events {
        |    <= count(DISTINCT user_id) * 0.10 AS approx_ok
        |FROM ev GROUP BY 1 ORDER BY day""".stripMargin
 
+  /** q170: NATIVE session windows — q23's sessionization through
+    * Spark's first-class `session_window` operator instead of the
+    * manual lag+cumsum formulation (the same operator the streaming
+    * engine uses for stateful session aggregation, so batch pipelines
+    * written this way promote to `readStream` unchanged). Spark merges
+    * overlapping [ts, ts+gap) intervals per key; a session's `end` is
+    * therefore last event + gap, which the oracle restates as
+    * max(ts) + INTERVAL 30 MINUTE over the lag+cumsum session — the
+    * two formulations must agree row-for-row, which IS the grading:
+    * the native operator against the relational definition. */
+  def q170SessionNative(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    ev(s, dir)
+      .groupBy(session_window($"ts", "30 minutes"), $"user_id")
+      .agg(count(lit(1)).as("n_events"))
+      .select($"user_id",
+        $"session_window.start".as("sess_start"),
+        $"session_window.end".as("sess_end"),
+        $"n_events")
+      .orderBy($"user_id", $"sess_start")
+  }
+
+  val q170Sql: String =
+    s"""$evCte,
+       |flagged AS (
+       |  SELECT user_id, event_id, ts,
+       |    CASE WHEN lag(ts) OVER w IS NULL
+       |           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess
+       |  FROM ev
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |sess AS (
+       |  SELECT user_id, ts,
+       |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_id
+       |  FROM flagged)
+       |SELECT user_id, min(ts) AS sess_start,
+       |       max(ts) + INTERVAL 30 MINUTE AS sess_end,
+       |       count(*) AS n_events
+       |FROM sess GROUP BY user_id, sess_id
+       |ORDER BY user_id, sess_start""".stripMargin
+  // Boundary semantics, MEASURED not assumed: Spark's session_window
+  // MERGES a gap of exactly the window (a 10:00:00 event and a
+  // 10:30:00 event share a session at gap 30 min) — i.e. the native
+  // operator agrees with q23's manual `> 30 min` split convention,
+  // and an `>=` oracle would be a latent mismatch this corpus cannot
+  // expose (no exact-gap pairs at sf0.01). RelationalSpec pins the
+  // exact-boundary merge and the strictly-greater split.
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q22_tumbling_window" -> (q22Tumbling _),
     "q153_hopping_window" -> (q153HoppingWindow _),
     "q162_path_mining"    -> (q162PathMining _),
     "q169_window_approx_distinct" -> (q169WindowApproxDistinct _),
+    "q170_session_native" -> (q170SessionNative _),
     "q141_cohort_retention" -> (q141CohortRetention _),
     "q142_event_funnel"   -> (q142EventFunnel _),
     "q144_spike_detect"   -> (q144SpikeDetect _),
@@ -497,6 +546,7 @@ object Events {
     "q144_spike_detect"   -> q144Sql,
     "q162_path_mining"    -> q162Sql,
     "q169_window_approx_distinct" -> q169Sql,
+    "q170_session_native" -> q170Sql,
     "q23_session_window"  -> q23Sql,
     "q24_dedup_first"     -> q24Sql,
     "q25_stall_detect"    -> q25Sql,

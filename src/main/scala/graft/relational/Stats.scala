@@ -514,12 +514,43 @@ object Stats {
       |     OR l_tax < 0.0 OR l_shipdate IS NULL) u
       |ORDER BY constraint_name""".stripMargin
 
+  /** q171: DISCRETE percentiles — the order-statistic semantics next to
+    * q57's interpolating (continuous) form: percentile_disc picks an
+    * ACTUAL data value (the first value whose cumulative distribution
+    * reaches p), so the output is a copy of an input datum — hash-exact
+    * across engines with no rounding discipline needed, and the right
+    * choice when the percentile must be a realizable value (a real
+    * latency, a real price). Spark's inverse-distribution syntax
+    * (`WITHIN GROUP (ORDER BY …)`) against DuckDB's quantile_disc. */
+  def q171PercentileDisc(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY l_quantity)").as("p25"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity)").as("p50"),
+        expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY l_quantity)").as("p75"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)").as("p50_price"),
+        count(lit(1)).as("n"))
+      .orderBy($"l_returnflag")
+  }
+
+  val q171Sql: String =
+    """SELECT l_returnflag,
+      |  quantile_disc(l_quantity, 0.25) AS p25,
+      |  quantile_disc(l_quantity, 0.5) AS p50,
+      |  quantile_disc(l_quantity, 0.75) AS p75,
+      |  quantile_disc(l_extendedprice, 0.5) AS p50_price,
+      |  count(*) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q98_bit_ops"        -> (q98BitOps _),
     "q139_quantile_sketch" -> (q139QuantileSketch _),
     "q151_heavy_hitters" -> (q151HeavyHitters _),
     "q158_column_stats"  -> (q158ColumnStats _),
     "q163_constraint_audit" -> (q163ConstraintAudit _),
+    "q171_percentile_disc" -> (q171PercentileDisc _),
     "q99_chained_cte"    -> (q99ChainedCte _),
     "q97_try_ops"        -> (q97TryOps _),
     "q88_grouped_exists" -> (q88GroupedExists _),
@@ -538,6 +569,7 @@ object Stats {
     "q151_heavy_hitters" -> q151Sql,
     "q158_column_stats"  -> q158Sql,
     "q163_constraint_audit" -> q163Sql,
+    "q171_percentile_disc" -> q171Sql,
     "q99_chained_cte"    -> q99Sql,
     "q97_try_ops"        -> q97Sql,
     "q88_grouped_exists" -> q88Sql,

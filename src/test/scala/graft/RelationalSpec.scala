@@ -313,6 +313,38 @@ class RelationalSpec extends AnyFunSuite {
     assert(out.find(_.getAs[String]("col_name") == "l_quantity").get.getAs[Long]("ndv") == dq)
   }
 
+  test("q170 native session boundary: exact-gap MERGES, strictly-greater splits") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00")),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:30:00")), // exact gap
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00")),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 10:30:01"))) // beyond gap
+      .toDF("user_id", "ts")
+    val sess = df.groupBy(session_window($"ts", "30 minutes"), $"user_id")
+      .agg(count(lit(1)).as("n"))
+      .groupBy($"user_id").agg(count(lit(1)).as("n_sessions"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sess(1L) == 1,
+      "session_window merges a gap of exactly the window — the q23 `>` convention")
+    assert(sess(2L) == 2, "a strictly-greater gap must split")
+  }
+
+  test("q171 discrete percentiles are realizable data values in order") {
+    import org.apache.spark.sql.functions._
+    val out = relational.Stats.q171PercentileDisc(spark, sf).collect()
+    assert(out.nonEmpty)
+    val quantities = Tables.lineitem(spark, sf)
+      .select("l_quantity").distinct().collect().map(_.getDouble(0)).toSet
+    out.foreach { r =>
+      val (p25, p50, p75) = (r.getAs[Double]("p25"), r.getAs[Double]("p50"), r.getAs[Double]("p75"))
+      assert(p25 <= p50 && p50 <= p75)
+      assert(Set(p25, p50, p75).subsetOf(quantities),
+        "discrete percentiles must be actual data values")
+    }
+  }
+
   test("q168 null-key semantics: sentinel == null-safe, equality is the floor") {
     val out = relational.Extra3.q168NullSafeJoin(spark, sf).collect()
       .map(r => r.getAs[String]("join_kind") ->
