@@ -544,6 +544,68 @@ object Stats {
       |  count(*) AS n
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** q172: MODE (most frequent value) per group with a TOTAL tie order
+    * — the built-in `mode()` in both engines leaves ties
+    * implementation-defined, which is exactly the kind of
+    * nondeterminism the hash gate exists to forbid; the operator is
+    * therefore stated as what it is relationally: count per (group,
+    * value), rank by (count DESC, value ASC), keep rank 1. Same
+    * two-aggregation shape the built-in runs internally, fully
+    * portable, and the tie rule is in the query text where a reader
+    * can see it. */
+  def q172ModePerGroup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .groupBy($"l_returnflag", $"l_quantity")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"l_returnflag")
+          .orderBy($"cnt".desc, $"l_quantity".asc)))
+      .filter($"rk" === 1)
+      .select($"l_returnflag", $"l_quantity".as("mode_qty"), $"cnt".as("mode_n"))
+      .orderBy($"l_returnflag")
+  }
+
+  val q172Sql: String =
+    """SELECT l_returnflag, l_quantity AS mode_qty, cnt AS mode_n
+      |FROM (
+      |  SELECT l_returnflag, l_quantity, count(*) AS cnt,
+      |    row_number() OVER (PARTITION BY l_returnflag
+      |                       ORDER BY count(*) DESC, l_quantity ASC) AS rk
+      |  FROM lineitem GROUP BY l_returnflag, l_quantity) t
+      |WHERE rk = 1 ORDER BY l_returnflag""".stripMargin
+
+  /** q173: COUNT(DISTINCT) OVER a window — a genuine Spark limitation
+    * (DISTINCT is not supported in window aggregates) bridged by the
+    * canonical equivalence: the number of distinct values in a
+    * partition equals max(dense_rank) over it, and per-row "distinct
+    * so far" is the running dense_rank itself. The oracle states the
+    * SAME quantity through DuckDB's native count(DISTINCT …) OVER —
+    * two different formulations, one answer, which is the strongest
+    * kind of grading this catalog has. Output: per customer, orders
+    * placed and distinct order-months, via the window equivalence. */
+  def q173WindowDistinct(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .select($"o_custkey", $"o_orderkey",
+        trunc($"o_orderdate".cast("date"), "month").as("om"))
+      .withColumn("dr", dense_rank().over(
+        Window.partitionBy($"o_custkey").orderBy($"om")))
+      .groupBy($"o_custkey")
+      .agg(count(lit(1)).as("n_orders"),
+        max($"dr").as("distinct_months"))
+      .filter($"o_custkey" <= 500)
+      .orderBy($"o_custkey")
+  }
+
+  val q173Sql: String =
+    """SELECT o_custkey, count(*) AS n_orders,
+      |  CAST(count(DISTINCT date_trunc('month', CAST(o_orderdate AS DATE)))
+      |       AS BIGINT) AS distinct_months
+      |FROM orders
+      |WHERE o_custkey <= 500
+      |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q98_bit_ops"        -> (q98BitOps _),
     "q139_quantile_sketch" -> (q139QuantileSketch _),
@@ -551,6 +613,8 @@ object Stats {
     "q158_column_stats"  -> (q158ColumnStats _),
     "q163_constraint_audit" -> (q163ConstraintAudit _),
     "q171_percentile_disc" -> (q171PercentileDisc _),
+    "q172_mode_per_group" -> (q172ModePerGroup _),
+    "q173_window_distinct" -> (q173WindowDistinct _),
     "q99_chained_cte"    -> (q99ChainedCte _),
     "q97_try_ops"        -> (q97TryOps _),
     "q88_grouped_exists" -> (q88GroupedExists _),
@@ -570,6 +634,8 @@ object Stats {
     "q158_column_stats"  -> q158Sql,
     "q163_constraint_audit" -> q163Sql,
     "q171_percentile_disc" -> q171Sql,
+    "q172_mode_per_group" -> q172Sql,
+    "q173_window_distinct" -> q173Sql,
     "q99_chained_cte"    -> q99Sql,
     "q97_try_ops"        -> q97Sql,
     "q88_grouped_exists" -> q88Sql,

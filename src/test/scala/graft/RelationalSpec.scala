@@ -313,6 +313,37 @@ class RelationalSpec extends AnyFunSuite {
     assert(out.find(_.getAs[String]("col_name") == "l_quantity").get.getAs[Long]("ndv") == dq)
   }
 
+  test("q172 mode: the picked value really is a maximal-count value") {
+    import org.apache.spark.sql.functions._
+    val out = relational.Stats.q172ModePerGroup(spark, sf).collect()
+    assert(out.nonEmpty)
+    val counts = Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"), col("l_quantity"))
+      .agg(count(lit(1)).as("c")).collect()
+      .groupBy(_.getString(0))
+    out.foreach { r =>
+      val flag = r.getString(0)
+      val maxC = counts(flag).map(_.getLong(2)).max
+      assert(r.getAs[Long]("mode_n") == maxC, s"$flag: not a maximal count")
+    }
+  }
+
+  test("q173 window-distinct equivalence: max(dense_rank) == countDistinct") {
+    import org.apache.spark.sql.functions._
+    val out = relational.Stats.q173WindowDistinct(spark, sf).collect()
+    assert(out.nonEmpty)
+    val direct = Tables.orders(spark, sf)
+      .filter(col("o_custkey") <= 500)
+      .groupBy(col("o_custkey"))
+      .agg(countDistinct(trunc(col("o_orderdate").cast("date"), "month")).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.foreach { r =>
+      val dm = r.getAs[Number]("distinct_months").longValue
+      assert(dm == direct(r.getAs[Long]("o_custkey")))
+      assert(dm <= r.getAs[Long]("n_orders"))
+    }
+  }
+
   test("q170 native session boundary: exact-gap MERGES, strictly-greater splits") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
