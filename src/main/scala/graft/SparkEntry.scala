@@ -32,6 +32,7 @@ object SparkEntry {
     relational.Extra3.queries ++
     relational.Layout.queries ++
     relational.Graph.queries ++
+    relational.Ranges.queries ++
     llm.TextOps.queries ++
     llm.Similarity.queries ++
     rounds.Stratify.queries ++
@@ -58,6 +59,7 @@ object SparkEntry {
     relational.Extra3.oracle ++
     relational.Layout.oracle ++
     relational.Graph.oracle ++
+    relational.Ranges.oracle ++
     llm.TextOps.oracle ++
     llm.Similarity.oracle ++
     rounds.Stratify.oracle ++

@@ -991,7 +991,78 @@ object Dedup {
       |  count(*) AS n_runs, CAST(max(run) + 4 AS BIGINT) AS max_span_tokens
       |FROM r2 GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** q176: cluster REPRESENTATIVE selection — the decision step after
+    * q105's connected components: per near-dup cluster (size ≥ 2),
+    * KEEP one canonical document — most content (n_chars DESC), ties
+    * to the smallest doc_id — and account for what gets dropped. This
+    * is the "keep best copy" rule every dedup pipeline ends with; q105
+    * says which docs are together, this says which one survives.
+    *
+    * Shape: reuses q105's memoized pair graph + label propagation,
+    * joins the doc stats, then ONE aggregation with the max-struct
+    * argmax (`max(struct(n_chars, -doc_id))` — lexicographic struct
+    * order gives most-chars-then-lowest-id with no per-cluster sort
+    * and no window shuffle). The oracle states the same pick as a
+    * row_number window over the recursive-CTE clusters — two
+    * formulations, one answer. */
+  def q176ClusterRep(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lab = q105DedupClusters(s, dir)
+      .join(Tables.documents(s, dir).select($"doc_id", $"n_chars"), Seq("doc_id"))
+    lab.groupBy($"cluster")
+      .agg(count(lit(1)).as("n_members"),
+        max(struct($"n_chars", (-$"doc_id").as("neg_id"))).as("best"),
+        sum($"n_chars").as("total_chars"))
+      .filter($"n_members" >= 2)
+      .select($"cluster", $"n_members",
+        (-$"best.neg_id").as("rep_doc"),
+        ($"n_members" - 1).as("n_dropped"),
+        ($"total_chars" - $"best.n_chars").as("dropped_chars"))
+      .orderBy($"cluster")
+  }
+
+  /** Oracle: q105's recursive-CTE components + a row_number pick. */
+  val q176Sql: String =
+    """WITH RECURSIVE d AS (
+      |  SELECT doc_id, source,
+      |         list_distinct(regexp_extract_all(lower(text), '\S+')) AS toks
+      |  FROM documents),
+      |pairs AS (
+      |  SELECT a.doc_id AS id1, b.doc_id AS id2
+      |  FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+      |  WHERE round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+      |          / len(list_distinct(list_concat(a.toks, b.toks))), 4) >= 0.6),
+      |edges AS (
+      |  SELECT id1 AS src, id2 AS dst FROM pairs
+      |  UNION ALL
+      |  SELECT id2, id1 FROM pairs),
+      |walk AS (
+      |  SELECT src AS doc_id, dst AS reach FROM edges
+      |  UNION
+      |  SELECT w.doc_id, e.dst FROM walk w JOIN edges e ON w.reach = e.src),
+      |best AS (
+      |  SELECT doc_id, min(reach) AS mn FROM walk GROUP BY doc_id),
+      |lab AS (
+      |  SELECT doc.doc_id,
+      |         least(doc.doc_id, coalesce(b.mn, doc.doc_id)) AS cluster,
+      |         doc.n_chars
+      |  FROM documents doc LEFT JOIN best b ON b.doc_id = doc.doc_id),
+      |ranked AS (
+      |  SELECT cluster, doc_id, n_chars,
+      |    row_number() OVER (PARTITION BY cluster
+      |                       ORDER BY n_chars DESC, doc_id ASC) AS rk,
+      |    count(*) OVER (PARTITION BY cluster) AS n_members,
+      |    sum(n_chars) OVER (PARTITION BY cluster) AS total_chars
+      |  FROM lab)
+      |SELECT cluster, CAST(n_members AS BIGINT) AS n_members,
+      |       doc_id AS rep_doc,
+      |       CAST(n_members - 1 AS BIGINT) AS n_dropped,
+      |       CAST(total_chars - n_chars AS BIGINT) AS dropped_chars
+      |FROM ranked WHERE rk = 1 AND n_members >= 2
+      |ORDER BY cluster""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q176_cluster_rep"  -> (q176ClusterRep _),
     "q46_minhash_pairs" -> (q46MinhashPairs _),
     "q47_simhash_pairs" -> (q47SimhashPairs _),
     "q48_rolling_fp"    -> (q48RollingFp _),
@@ -1009,6 +1080,7 @@ object Dedup {
   )
 
   val oracle: Map[String, String] = Map(
+    "q176_cluster_rep" -> q176Sql,
     "q49_singletons" -> q49Sql,
     "q105_dedup_clusters" -> q105Sql,
     "q107_minhash_md5" -> q107Sql,

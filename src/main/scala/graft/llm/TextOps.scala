@@ -649,7 +649,49 @@ object TextOps {
       |JOIN tot tb ON i.src_b = tb.source
       |ORDER BY src_a, src_b""".stripMargin
 
+  /** q177: bigram NOVELTY scoring — per document, what fraction of its
+    * distinct bigrams appears in NO other document (corpus df = 1).
+    * The cheap, exact complement of the quality family: boilerplate
+    * and template spam score near 0 (every bigram shared), genuinely
+    * novel text scores near 1 — a curation signal orthogonal to
+    * stopword/length heuristics (q32) and near-dup distance (q34).
+    *
+    * Shape: explode distinct bigrams (the dedup family's shingle
+    * builder at w=2), one hash aggregation for corpus df, one
+    * bigram-keyed equi-join back, one per-doc aggregation — the q101
+    * decontamination shape, df-sized shuffle, nothing pairwise. The
+    * ratio is one double division of exact integers, rounded after
+    * (q167's arithmetic-class discipline). */
+  def q177BigramNovelty(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bg = Tables.documents(s, dir)
+      .select($"doc_id", explode(Dedup.shingles(tokens($"text"), 2)).as("bg"))
+    val df = bg.groupBy($"bg").agg(count(lit(1)).as("df"))
+    bg.join(df, Seq("bg"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when($"df" === 1, 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty", round($"n_novel".cast("double") / $"n_bigrams", 4))
+      .orderBy($"doc_id")
+  }
+
+  val q177Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, list_distinct([concat_ws(' ', toks[i], toks[i+1])
+      |    FOR i IN generate_series(1, greatest(len(toks) - 1, 1))]) AS bgs
+      |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks
+      |        FROM documents) t),
+      |e AS (SELECT doc_id, unnest(bgs) AS bg FROM d),
+      |f AS (SELECT bg, count(*) AS df FROM e GROUP BY bg)
+      |SELECT e.doc_id, count(*) AS n_bigrams,
+      |  CAST(sum(CASE WHEN f.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+      |  round(CAST(sum(CASE WHEN f.df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+      |        / count(*), 4) AS novelty
+      |FROM e JOIN f USING (bg)
+      |GROUP BY e.doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q177_bigram_novelty" -> (q177BigramNovelty _),
     "q160_quality_band" -> (q160QualityBand _),
     "q165_source_overlap" -> (q165SourceOverlap _),
     "q102_chunking"     -> (q102Chunking _),
@@ -669,6 +711,7 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q177_bigram_novelty" -> q177Sql,
     "q160_quality_band" -> q160Sql,
     "q165_source_overlap" -> q165Sql,
     "q102_chunking"     -> q102Sql,

@@ -521,7 +521,75 @@ object Events {
   // expose (no exact-gap pairs at sf0.01). RelationalSpec pins the
   // exact-boundary merge and the strictly-greater split.
 
+  /** q180: Markov transition matrix of event types within sessions —
+    * the "what happens next" model product analytics fits over q162's
+    * session paths: per ordered adjacent pair (src → dst), the
+    * transition count and the row-normalized probability. Output is
+    * |event_types|² rows no matter the input size.
+    *
+    * Determinism: counts are exact integers and the probability is ONE
+    * double division of two exact integers (bit-identical in any IEEE
+    * engine) rounded after — q167's arithmetic-class discipline.
+    * Scale: sessionization is the q23 per-user window; adjacent pairs
+    * come from one `zip_with` over each path (no self-join of the
+    * event table against itself shifted — the tempting formulation
+    * that shuffles the fact table twice); the rest aggregates
+    * |transitions| rows down to a constant-size matrix. */
+  def q180MarkovTransitions(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wOrd = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val paths = ev(s, dir)
+      .withColumn("prev_ts", lag($"ts", 1).over(wOrd))
+      .withColumn("new_sess",
+        when($"prev_ts".isNull ||
+          unix_micros($"ts".cast("timestamp")) - unix_micros($"prev_ts".cast("timestamp")) > 30L * 60 * 1000000, 1)
+          .otherwise(0))
+      .withColumn("sess_id", sum($"new_sess")
+        .over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy($"user_id", $"sess_id")
+      .agg(array_sort(collect_list(struct($"ts", $"event_id", $"event_type"))).as("evs"))
+      .select(transform($"evs", e => e.getField("event_type")).as("steps"))
+      .filter(size($"steps") >= 2)
+    val trans = paths.select(explode(
+        zip_with(slice($"steps", lit(1), size($"steps") - 1),
+          slice($"steps", lit(2), size($"steps") - 1),
+          (a, b) => struct(a.as("src"), b.as("dst")))).as("t"))
+      .select($"t.src".as("src"), $"t.dst".as("dst"))
+    val counts = trans.groupBy($"src", $"dst").agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy($"src").agg(sum($"n").as("tot"))
+    counts.join(totals, Seq("src"))
+      .withColumn("prob", round($"n".cast("double") / $"tot", 6))
+      .select($"src", $"dst", $"n", $"prob")
+      .orderBy($"src", $"dst")
+  }
+
+  val q180Sql: String =
+    s"""$evCte,
+       |flagged AS (
+       |  SELECT user_id, event_id, ts, event_type,
+       |    CASE WHEN lag(ts) OVER w IS NULL
+       |           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess
+       |  FROM ev
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |sess AS (
+       |  SELECT user_id, event_id, ts, event_type,
+       |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_id
+       |  FROM flagged),
+       |paths AS (
+       |  SELECT list(event_type ORDER BY ts, event_id) AS steps
+       |  FROM sess GROUP BY user_id, sess_id
+       |  HAVING count(*) >= 2),
+       |idx AS (SELECT steps, unnest(generate_series(1, len(steps) - 1)) AS i
+       |        FROM paths),
+       |tr AS (SELECT steps[i] AS src, steps[i + 1] AS dst FROM idx),
+       |c AS (SELECT src, dst, count(*) AS n FROM tr GROUP BY 1, 2),
+       |t AS (SELECT src, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY 1)
+       |SELECT c.src, c.dst, c.n, round(CAST(c.n AS DOUBLE) / t.tot, 6) AS prob
+       |FROM c JOIN t USING (src) ORDER BY src, dst""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q180_markov_transitions" -> (q180MarkovTransitions _),
     "q22_tumbling_window" -> (q22Tumbling _),
     "q153_hopping_window" -> (q153HoppingWindow _),
     "q162_path_mining"    -> (q162PathMining _),
@@ -539,6 +607,7 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    "q180_markov_transitions" -> q180Sql,
     "q22_tumbling_window" -> q22Sql,
     "q153_hopping_window" -> q153Sql,
     "q141_cohort_retention" -> q141Sql,

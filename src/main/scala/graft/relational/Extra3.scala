@@ -540,7 +540,37 @@ object Extra3 {
       |  FROM a JOIN b ON coalesce(a.ka, -1) = coalesce(b.kb, -1)) u
       |ORDER BY join_kind""".stripMargin
 
+  /** q178: ordered LISTAGG — Spark 4's `listagg(…) WITHIN GROUP
+    * (ORDER BY …)` against DuckDB's `string_agg(…, sep ORDER BY …)`:
+    * the report-surface aggregate that renders a group's members as
+    * one delimited string. The ORDER BY inside the aggregate is what
+    * makes it gradable — an unordered listagg is nondeterministic
+    * under any parallel execution (concat order follows partition
+    * arrival), so the catalog's rule is the tie order lives IN the
+    * query text (q172's discipline). Listagg is inherently a
+    * small-group operator — the output string is the group — so the
+    * grouped sets here are dimension-sized; at 100 TB one caps or
+    * samples members per group before rendering, never listaggs a
+    * fact table. */
+  def q178Listagg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val n = Tables.nation(s, dir)
+    val r = Tables.region(s, dir)
+    r.join(n, n("n_regionkey") === r("r_regionkey"))
+      .groupBy($"r_name")
+      .agg(count(lit(1)).as("n_nations"),
+        expr("listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)").as("nations"))
+      .orderBy($"r_name")
+  }
+
+  val q178Sql: String =
+    """SELECT r_name, count(*) AS n_nations,
+      |       string_agg(n_name, ',' ORDER BY n_name) AS nations
+      |FROM region JOIN nation ON n_regionkey = r_regionkey
+      |GROUP BY r_name ORDER BY r_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q178_listagg"      -> (q178Listagg _),
     "q81_value_windows" -> (q81ValueWindows _),
     "q154_cdc_apply"    -> (q154CdcApply _),
     "q164_date_spine"   -> (q164DateSpine _),
@@ -557,6 +587,7 @@ object Extra3 {
   )
 
   val oracle: Map[String, String] = Map(
+    "q178_listagg"      -> q178Sql,
     "q81_value_windows" -> q81Sql,
     "q154_cdc_apply"    -> q154Sql,
     "q164_date_spine"   -> q164Sql,

@@ -606,7 +606,50 @@ object Stats {
       |WHERE o_custkey <= 500
       |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
 
+  /** q179: robust dispersion — median absolute deviation per group and
+    * the outlier count at the classic 3×MAD fence. q95's stddev-based
+    * dispersion breaks down exactly when outliers matter (the outliers
+    * inflate the stddev that is supposed to flag them); MAD is the
+    * robust alternative every data-quality monitor actually uses.
+    *
+    * Determinism without rounding: both medians are percentile_disc —
+    * COPIES of data values (q171's discipline) — and the deviation
+    * |v − med| is a single IEEE subtraction of identical doubles, so
+    * med, mad, and the strict 3×MAD comparison are bit-identical in
+    * both engines. Two grouped order-statistics passes + two equi-joins
+    * of a 5-row frame (broadcast); nothing pairwise. */
+  def q179MadOutliers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = graft.Tables.events(s, dir).select($"event_type", $"value")
+    val med = e.groupBy($"event_type")
+      .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").as("med"))
+    val dev = e.join(med, Seq("event_type"))
+      .withColumn("dev", abs($"value" - $"med"))
+    val mad = dev.groupBy($"event_type")
+      .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY dev)").as("mad"))
+    dev.join(mad, Seq("event_type"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        max($"med").as("med"), max($"mad").as("mad"),
+        sum(when($"dev" > $"mad" * 3, 1L).otherwise(0L)).as("n_outliers"))
+      .orderBy($"event_type")
+  }
+
+  val q179Sql: String =
+    """WITH ev AS (SELECT event_type, value FROM events),
+      |m AS (SELECT event_type, quantile_disc(value, 0.5) AS med
+      |      FROM ev GROUP BY 1),
+      |d AS (SELECT ev.event_type, value, med, abs(value - med) AS dev
+      |      FROM ev JOIN m USING (event_type)),
+      |md AS (SELECT event_type, quantile_disc(dev, 0.5) AS mad
+      |       FROM d GROUP BY 1)
+      |SELECT d.event_type, count(*) AS n, max(d.med) AS med, max(md.mad) AS mad,
+      |       CAST(sum(CASE WHEN dev > 3 * mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      |FROM d JOIN md USING (event_type)
+      |GROUP BY d.event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q179_mad_outliers"  -> (q179MadOutliers _),
     "q98_bit_ops"        -> (q98BitOps _),
     "q139_quantile_sketch" -> (q139QuantileSketch _),
     "q151_heavy_hitters" -> (q151HeavyHitters _),
@@ -628,6 +671,7 @@ object Stats {
   )
 
   val oracle: Map[String, String] = Map(
+    "q179_mad_outliers"  -> q179Sql,
     "q98_bit_ops"        -> q98Sql,
     "q139_quantile_sketch" -> q139Sql,
     "q151_heavy_hitters" -> q151Sql,

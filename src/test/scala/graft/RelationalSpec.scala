@@ -503,4 +503,74 @@ class RelationalSpec extends AnyFunSuite {
     assert(participation == 3L * brute,
       s"participation $participation != 3 * brute $brute")
   }
+
+  test("q176 representative is a real member with the cluster's max chars") {
+    import org.apache.spark.sql.functions._
+    val lab = graft.llm.Dedup.q105DedupClusters(spark, sf)
+      .join(Tables.documents(spark, sf).select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+      .collect().map(r => (r.getAs[Long]("cluster"), r.getAs[Long]("doc_id"), r.getAs[Long]("n_chars")))
+      .groupBy(_._1)
+    graft.llm.Dedup.q176ClusterRep(spark, sf).collect().foreach { r =>
+      val cl = r.getAs[Long]("cluster"); val rep = r.getAs[Long]("rep_doc")
+      val members = lab(cl)
+      assert(members.exists(_._2 == rep), s"rep $rep not in cluster $cl")
+      val maxChars = members.map(_._3).max
+      val repChars = members.find(_._2 == rep).get._3
+      assert(repChars == maxChars, s"rep $rep has $repChars < max $maxChars")
+      // tie rule: among max-chars members, rep is the smallest id
+      assert(rep == members.filter(_._3 == maxChars).map(_._2).min)
+      assert(r.getAs[Long]("n_members").toInt == members.size)
+      assert(r.getAs[Long]("n_dropped") == members.size - 1)
+    }
+  }
+
+  test("q177 novelty is a valid ratio and detects the corpus's shared bigrams") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.llm.TextOps.q177BigramNovelty(spark, sf).collect()
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_bigrams"); val nov = r.getAs[Long]("n_novel")
+      assert(nov >= 0 && nov <= n)
+      val ratio = r.getAs[Double]("novelty")
+      assert(ratio >= 0.0 && ratio <= 1.0)
+    }
+    // the corpus contains near-dup templates, so SOME doc must share bigrams
+    assert(rows.exists(r => r.getAs[Long]("n_novel") < r.getAs[Long]("n_bigrams")))
+  }
+
+  test("q178 listagg renders each region's nations sorted and complete") {
+    graft.relational.Extra3.q178Listagg(spark, sf).collect().foreach { r =>
+      val n = r.getAs[Long]("n_nations")
+      val parts = r.getAs[String]("nations").split(",").toSeq
+      assert(parts.size == n, s"expected $n names, got ${parts.size}")
+      assert(parts == parts.sorted, s"names not in order: $parts")
+    }
+  }
+
+  test("q179 med/mad are realizable data values and the fence is one-sided") {
+    import org.apache.spark.sql.functions._
+    val vals = Tables.events(spark, sf).select(col("event_type"), col("value"))
+      .collect().map(r => (r.getString(0), r.getDouble(1))).groupBy(_._1)
+    graft.relational.Stats.q179MadOutliers(spark, sf).collect().foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val med = r.getAs[Double]("med"); val mad = r.getAs[Double]("mad")
+      val vs = vals(t).map(_._2)
+      assert(vs.contains(med), s"$t: med $med is not a data value")
+      assert(vs.map(v => math.abs(v - med)).contains(mad),
+        s"$t: mad $mad is not a realizable deviation")
+      val expected = vs.count(v => math.abs(v - med) > 3 * mad)
+      assert(r.getAs[Long]("n_outliers") == expected)
+    }
+  }
+
+  test("q180 transition probabilities are row-stochastic after rounding") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.relational.Events.q180MarkovTransitions(spark, sf).collect()
+    rows.groupBy(_.getAs[String]("src")).foreach { case (src, rs) =>
+      val total = rs.map(_.getAs[Double]("prob")).sum
+      // each prob rounds at 1e-6; |row| <= #event types
+      assert(math.abs(total - 1.0) <= 1e-6 * rs.length,
+        s"$src row sums to $total")
+      rs.foreach(r => assert(r.getAs[Double]("prob") > 0.0))
+    }
+  }
 }
