@@ -588,8 +588,31 @@ object Events {
        |SELECT c.src, c.dst, c.n, round(CAST(c.n AS DOUBLE) / t.tot, 6) AS prob
        |FROM c JOIN t USING (src) ORDER BY src, dst""".stripMargin
 
+  /** q181: the VARIANT front door to semi-structured extraction —
+    * q26's JSON aggregation re-expressed through Spark 4's first-class
+    * `VariantType`: `parse_json` once, then typed `variant_get` paths.
+    * At 100 TB this is not a style choice: a string column re-parses
+    * its JSON in every expression that touches it, while a variant
+    * column parses ONCE into a binary-encoded form that path
+    * extraction reads without re-parsing (and that Parquet shredding
+    * can push into the scan). Graded with q26's oracle verbatim — the
+    * q130 twin-front-door pattern: two engines' two access paths, one
+    * answer. */
+  def q181VariantJson(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    ev(s, dir)
+      .withColumn("v", parse_json($"props"))
+      .withColumn("k", variant_get($"v", "$.k", "int"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        round(avg($"k"), 2).as("avg_k"),
+        max($"k").as("max_k"))
+      .orderBy($"event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q180_markov_transitions" -> (q180MarkovTransitions _),
+    "q181_variant_json"   -> (q181VariantJson _),
     "q22_tumbling_window" -> (q22Tumbling _),
     "q153_hopping_window" -> (q153HoppingWindow _),
     "q162_path_mining"    -> (q162PathMining _),
@@ -608,6 +631,8 @@ object Events {
 
   val oracle: Map[String, String] = Map(
     "q180_markov_transitions" -> q180Sql,
+    // same output contract as q26 — one oracle grades both access paths
+    "q181_variant_json"   -> q26Sql,
     "q22_tumbling_window" -> q22Sql,
     "q153_hopping_window" -> q153Sql,
     "q141_cohort_retention" -> q141Sql,

@@ -34,8 +34,10 @@ class PlanHygieneSpec extends AnyFunSuite {
                            // brute-force shape through the SQL front door)
     "q157_bm25",           // broadcast of the 1-row N/avgdl scalars (q117's
                            // corpus-count pattern)
-    "q159_hybrid_rrf")     // same BM25 scalar graft + broadcast 1-row probe
+    "q159_hybrid_rrf",     // same BM25 scalar graft + broadcast 1-row probe
                            // vector vs candidates (q36's brute-force shape)
+    "q182_bpe_merges")     // broadcast of the 1-row chosen merge pair (the
+                           // q117 scalar-graft pattern, applied per round)
 
   test("no unintended cartesian products across the whole catalog") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

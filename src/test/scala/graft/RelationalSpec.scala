@@ -562,6 +562,37 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("q181 variant front door returns exactly q26's rows") {
+    val a = graft.relational.Events.q181VariantJson(spark, sf).collect().toSet
+    val b = SparkEntry.queries("q26_json_props")(spark, sf).collect().toSet
+    assert(a === b, "variant_get path diverged from get_json_object path")
+  }
+
+  test("q182 BPE rounds are well-formed and the merge was applied") {
+    val rows = graft.llm.TextOps.q182BpeMerges(spark, sf).collect()
+    assert(rows.length == 20)
+    Seq(1, 2).foreach { it =>
+      val rs = rows.filter(_.getAs[Int]("iter") == it).sortBy(_.getAs[Int]("rk"))
+      assert(rs.map(_.getAs[Int]("rk")).toSeq == (1 to 10))
+      val cnts = rs.map(_.getAs[Long]("pair_count")).toSeq
+      assert(cnts == cnts.sortBy(-_), s"iter $it counts not non-increasing: $cnts")
+      // every reported symbol is non-empty and placeholder-free
+      rs.foreach { r =>
+        assert(r.getAs[String]("left_sym").nonEmpty && r.getAs[String]("right_sym").nonEmpty)
+        assert(!r.getAs[String]("left_sym").contains("\u0001"))
+      }
+    }
+    // the merge was APPLIED: the round-1 winning adjacency cannot exist
+    // in round 2 — every occurrence of that character pair was replaced,
+    // so any surviving (l1, r1) adjacency would be an unreplaced copy
+    val w1 = rows.filter(r => r.getAs[Int]("iter") == 1 && r.getAs[Int]("rk") == 1).head
+    val (l1, r1) = (w1.getAs[String]("left_sym"), w1.getAs[String]("right_sym"))
+    val survived = rows.filter(r => r.getAs[Int]("iter") == 2 &&
+      r.getAs[String]("left_sym") == l1 && r.getAs[String]("right_sym") == r1)
+    assert(survived.isEmpty,
+      s"round-1 merge ($l1,$r1) still appears as a round-2 adjacency")
+  }
+
   test("q180 transition probabilities are row-stochastic after rounding") {
     import org.apache.spark.sql.functions._
     val rows = graft.relational.Events.q180MarkovTransitions(spark, sf).collect()
