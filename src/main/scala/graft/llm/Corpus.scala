@@ -412,7 +412,53 @@ object Corpus {
       |    AS postings_checksum
       |FROM idx ORDER BY t""".stripMargin
 
+  /** q186: compaction PLAN — the lakehouse OPTIMIZE planner: group each
+    * source's documents into target-size output files (64 KiB of text
+    * here; multi-hundred-MB parquet in production) by walking the
+    * source in doc_id order and cutting a new bin whenever the running
+    * byte offset crosses a target boundary. The size-based complement
+    * of q152's hash sharding: hash shards balance counts, compaction
+    * bins balance BYTES — what the small-files problem actually needs.
+    *
+    * `bin = floor(bytes_before / target)` over a per-source running
+    * sum: one window pass per source, one aggregation, exact integer
+    * arithmetic end to end. A document straddling a boundary belongs
+    * to the bin its FIRST byte lands in (offset semantics — the rule
+    * is in the query text, both engines state it identically). */
+  def q186CompactionPlan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val target = 64L * 1024
+    val w = Window.partitionBy($"source").orderBy($"doc_id")
+    Tables.documents(s, dir)
+      .select($"source", $"doc_id", $"n_chars")
+      .withColumn("cum_before",
+        coalesce(sum($"n_chars").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .withColumn("bin", expr(s"cum_before div ${target}L"))
+      .groupBy($"source", $"bin")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_chars").as("bin_bytes"),
+        min($"doc_id").as("first_doc"),
+        max($"doc_id").as("last_doc"))
+      .orderBy($"source", $"bin")
+  }
+
+  val q186Sql: String =
+    """WITH d AS (
+      |  SELECT source, doc_id, n_chars,
+      |    CAST(coalesce(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |      AS cum_before
+      |  FROM documents)
+      |SELECT source, CAST(cum_before // 65536 AS BIGINT) AS bin,
+      |       count(*) AS n_docs,
+      |       CAST(sum(n_chars) AS BIGINT) AS bin_bytes,
+      |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      |FROM d GROUP BY source, CAST(cum_before // 65536 AS BIGINT)
+      |ORDER BY source, bin""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q186_compaction_plan"   -> (q186CompactionPlan _),
     "q117_tfidf_terms"       -> (q117TfIdf _),
     "q118_mixture_rebalance" -> (q118MixtureRebalance _),
     "q119_quantize_audit"    -> (q119QuantizeAudit _),
@@ -423,6 +469,7 @@ object Corpus {
   )
 
   val oracle: Map[String, String] = Map(
+    "q186_compaction_plan"   -> q186Sql,
     "q117_tfidf_terms"       -> q117Sql,
     "q118_mixture_rebalance" -> q118Sql,
     "q119_quantize_audit"    -> q119Sql,

@@ -1209,7 +1209,69 @@ object Similarity {
        |  FROM f) t
        |WHERE rank <= 30 ORDER BY rank""".stripMargin
 
+  /** q185: k-NN label voting — classify each probe vector by the
+    * majority label of its 5 nearest labeled neighbors (cosine), the
+    * label-propagation step a curation pipeline runs to extend a small
+    * labeled seed set over an unlabeled corpus. Probes are vec_id < 10
+    * (treated as unlabeled); candidates are the rest, carrying their
+    * `label` column.
+    *
+    * Shape: q36's brute-force geometry (broadcast probes, candidates
+    * stream by, per-probe top-k window) + one vote aggregation — the
+    * ANN variants (q39/q66/q132) are the drop-in scale path for the
+    * neighbor stage. Determinism: neighbor rank ties break by cid
+    * (q36's rule); vote ties by (count DESC, label ASC), in the query
+    * text per the q172 discipline. */
+  def q185KnnLabel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = vecs(s, dir)
+    val q = e.filter($"vec_id" < 10)
+      .select($"vec_id".as("qid"), $"v".as("qv"), $"label".as("true_label"))
+    val c = e.filter($"vec_id" >= 10)
+      .select($"vec_id".as("cid"), $"v".as("cv"), $"label")
+    val wNn = Window.partitionBy($"qid").orderBy($"sim".desc, $"cid".asc)
+    val nn = c.join(broadcast(q))
+      .withColumn("sim", graft.functions.CosineSim.cosine(s, $"qv", $"cv"))
+      .withColumn("rank", row_number().over(wNn))
+      .filter($"rank" <= 5)
+    val wVote = Window.partitionBy($"qid").orderBy($"votes".desc, $"label".asc)
+    nn.groupBy($"qid", $"true_label", $"label")
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("vr", row_number().over(wVote))
+      .filter($"vr" === 1)
+      .select($"qid", $"label".as("pred_label"), $"votes",
+        $"true_label", ($"label" === $"true_label").as("correct"))
+      .orderBy($"qid")
+  }
+
+  val q185Sql: String =
+    """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |q AS (SELECT vec_id AS qid, v AS qv, label AS true_label FROM e WHERE vec_id < 10),
+      |c AS (SELECT vec_id AS cid, v AS cv, label FROM e WHERE vec_id >= 10),
+      |sims AS (
+      |  SELECT q.qid, q.true_label, c.cid, c.label,
+      |    list_dot_product(q.qv, c.cv)
+      |      / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv))) AS sim
+      |  FROM q CROSS JOIN c),
+      |nn AS (
+      |  SELECT qid, true_label, label FROM (
+      |    SELECT qid, true_label, label,
+      |      row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rank
+      |    FROM sims) t
+      |  WHERE rank <= 5),
+      |v AS (
+      |  SELECT qid, true_label, label, count(*) AS votes
+      |  FROM nn GROUP BY qid, true_label, label)
+      |SELECT qid, label AS pred_label, votes, true_label,
+      |       label = true_label AS correct
+      |FROM (
+      |  SELECT v.*, row_number() OVER (PARTITION BY qid
+      |    ORDER BY votes DESC, label ASC) AS vr
+      |  FROM v) t
+      |WHERE vr = 1 ORDER BY qid""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q185_knn_label"     -> (q185KnnLabel _),
     "q36_cosine_topk"    -> (q36CosineTopk _),
     "q159_hybrid_rrf"    -> (q159HybridRrf _),
     "q37_vec_norms"      -> (q37VecNorms _),
@@ -1234,6 +1296,7 @@ object Similarity {
   def oracle: Map[String, String] = {
     val (np, li) = sessionIvf
     Map(
+      "q185_knn_label"     -> q185Sql,
       "q36_cosine_topk"    -> q36Sql,
       "q37_vec_norms"      -> q37Sql,
       "q38_label_centroid" -> q38Sql,

@@ -566,7 +566,94 @@ object AsOf {
       |  ON g.user_id = e.user_id AND g.h >= e.ts
       |ORDER BY g.user_id, hour""".stripMargin
 
+  /** q183: as-of NEAREST — the remaining merge_asof direction: match
+    * each action to its user's temporally CLOSEST signup, before or
+    * after. Composed from the native operator's two directional passes
+    * (backward and forward, both left-outer so either side may be
+    * absent) and one integer-µs comparison per row: nearest = the
+    * smaller absolute gap, ties to the backward match (the pandas
+    * convention). Each pass keeps the operator's O(1)-state merge —
+    * composing two passes costs 2× the as-of scan, never a left×history
+    * fan-out — and the pick is a narrow projection.
+    *
+    * Tie rules are inherited per direction (backward: latest ts then
+    * highest id; forward: earliest ts then lowest id) and restated in
+    * the oracle's two window CTEs. `dir` says which side won
+    * ('backward'/'forward'/'none'), `gap_us` is the exact µs distance. */
+  def q183AsofNearest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.functions.{coalesce, lit, unix_micros, when}
+    val ev = graft.Tables.events(s, dir)
+    val actions = ev.filter($"event_type" =!= "signup")
+      .select($"event_id", $"user_id", $"ts")
+    def signups(pfx: String) = ev.filter($"event_type" === "signup")
+      .select($"event_id".as(s"${pfx}_id"), $"user_id".as(s"${pfx}_u"),
+        $"ts".as(s"${pfx}_ts"))
+    val back = join(actions, signups("b"),
+        leftKeys = Seq("user_id"), rightKeys = Seq("b_u"),
+        leftTimeCol = "ts", rightTimeCol = "b_ts",
+        tieBreak = Seq("b_id"), joinType = "left_outer")
+      .select($"event_id", $"ts", $"b_id", $"b_ts")
+    val fwd = join(actions.select($"event_id".as("f_event"), $"user_id", $"ts".as("f_ats")),
+        signups("f"),
+        leftKeys = Seq("user_id"), rightKeys = Seq("f_u"),
+        leftTimeCol = "f_ats", rightTimeCol = "f_ts",
+        tieBreak = Seq("f_id"), direction = "forward", joinType = "left_outer")
+      .select($"f_event", $"f_id", $"f_ts")
+    val us = (c: Column) => unix_micros(c.cast("timestamp"))
+    back.join(fwd, $"event_id" === $"f_event")
+      .withColumn("bg", us($"ts") - us($"b_ts"))
+      .withColumn("fg", us($"f_ts") - us($"ts"))
+      .select($"event_id",
+        when($"b_id".isNull && $"f_id".isNull, lit("none"))
+          .when($"f_id".isNull || ($"b_id".isNotNull && $"bg" <= $"fg"), lit("backward"))
+          .otherwise(lit("forward")).as("dir"),
+        when($"f_id".isNull || ($"b_id".isNotNull && $"bg" <= $"fg"), $"b_id")
+          .otherwise($"f_id").as("nearest_signup"),
+        when($"b_id".isNull && $"f_id".isNull, lit(null))
+          .when($"f_id".isNull || ($"b_id".isNotNull && $"bg" <= $"fg"), $"bg")
+          .otherwise($"fg").as("gap_us"))
+      .orderBy($"event_id")
+  }
+
+  val q183Sql: String =
+    """WITH ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+      |a AS (SELECT event_id, user_id, ts FROM ev WHERE event_type <> 'signup'),
+      |s AS (SELECT event_id AS sid, user_id, ts AS sts FROM ev WHERE event_type = 'signup'),
+      |b AS (
+      |  SELECT event_id, sid AS b_id, sts AS b_ts FROM (
+      |    SELECT a.event_id, s.sid, s.sts,
+      |      row_number() OVER (PARTITION BY a.event_id
+      |        ORDER BY s.sts DESC, s.sid DESC) AS rn
+      |    FROM a JOIN s ON s.user_id = a.user_id AND s.sts <= a.ts) t
+      |  WHERE rn = 1),
+      |f AS (
+      |  SELECT event_id, sid AS f_id, sts AS f_ts FROM (
+      |    SELECT a.event_id, s.sid, s.sts,
+      |      row_number() OVER (PARTITION BY a.event_id
+      |        ORDER BY s.sts ASC, s.sid ASC) AS rn
+      |    FROM a JOIN s ON s.user_id = a.user_id AND s.sts >= a.ts) t
+      |  WHERE rn = 1),
+      |j AS (
+      |  SELECT a.event_id, a.ts, b.b_id, b.b_ts, f.f_id, f.f_ts,
+      |    epoch_us(a.ts) - epoch_us(b.b_ts) AS bg,
+      |    epoch_us(f.f_ts) - epoch_us(a.ts) AS fg
+      |  FROM a LEFT JOIN b ON b.event_id = a.event_id
+      |         LEFT JOIN f ON f.event_id = a.event_id)
+      |SELECT event_id,
+      |  CASE WHEN b_id IS NULL AND f_id IS NULL THEN 'none'
+      |       WHEN f_id IS NULL OR (b_id IS NOT NULL AND bg <= fg) THEN 'backward'
+      |       ELSE 'forward' END AS dir,
+      |  CASE WHEN f_id IS NULL OR (b_id IS NOT NULL AND bg <= fg) THEN b_id
+      |       ELSE f_id END AS nearest_signup,
+      |  CASE WHEN b_id IS NULL AND f_id IS NULL THEN NULL
+      |       WHEN f_id IS NULL OR (b_id IS NOT NULL AND bg <= fg) THEN bg
+      |       ELSE fg END AS gap_us
+      |FROM j ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q183_asof_nearest"     -> (q183AsofNearest _),
     "q113_asof_attribution" -> (q113AsofAttribution _),
     "q114_asof_forward"     -> (q114AsofForward _),
     "q123_asof_outer"       -> (q123AsofOuter _),
@@ -575,6 +662,7 @@ object AsOf {
     "q128_asof_sql_knobs"   -> (q128AsofSqlKnobs _),
     "q143_resample_ffill"   -> (q143ResampleFfill _))
   val oracle: Map[String, String] = Map(
+    "q183_asof_nearest"     -> q183Sql,
     "q113_asof_attribution" -> q113Sql,
     "q114_asof_forward"     -> q114Sql,
     "q123_asof_outer"       -> q123Sql,

@@ -610,9 +610,64 @@ object Events {
       .orderBy($"event_type")
   }
 
+  /** q184: time-weighted average value (TWAP) per event type per day —
+    * the irregular-series average where each observation holds until
+    * the next one (and the day's last holds to midnight), so a burst
+    * of readings cannot dominate the way a row-count average lets it.
+    * The quant/metering aggregate the plain avg family (q22) cannot
+    * express.
+    *
+    * Exactness: durations are integer µs from `lead` (one per-key
+    * window pass); each value is cast to DECIMAL before the
+    * value×duration product, so numerator and denominator are exact
+    * integers/decimals summed associatively; ONE division at the end,
+    * rounded after (the dsum/q167 discipline — double sums would make
+    * the last bits partition-order-dependent). */
+  def q184Twap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"event_type", $"day").orderBy($"ts", $"event_id")
+    ev(s, dir)
+      .withColumn("day", date_trunc("day", $"ts"))
+      .withColumn("tu", unix_micros($"ts".cast("timestamp")))
+      .withColumn("next_tu", lead($"tu", 1).over(w))
+      .withColumn("day_end",
+        unix_micros(($"day" + expr("INTERVAL 1 DAY")).cast("timestamp")))
+      .withColumn("dur", coalesce($"next_tu", $"day_end") - $"tu")
+      .groupBy($"event_type", $"day")
+      .agg(count(lit(1)).as("n"),
+        sum($"dur").as("span_us"),
+        // both sums are exact (decimal / bigint); cast each to double
+        // BEFORE the division — decimal-division result scales differ
+        // between engines and would round differently, while
+        // exact-value→double casts and one IEEE divide are identical
+        round(sum($"value".cast("decimal(18,4)") * $"dur").cast("double") /
+          sum($"dur").cast("double"), 4).as("twap"))
+      .orderBy($"event_type", $"day")
+  }
+
+  val q184Sql: String =
+    s"""$evCte,
+       |d AS (
+       |  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       |         event_id, ts, value, epoch_us(ts) AS tu
+       |  FROM ev),
+       |t AS (
+       |  SELECT event_type, day, value, tu,
+       |    coalesce(
+       |      lead(tu) OVER (PARTITION BY event_type, day ORDER BY ts, event_id),
+       |      epoch_us(day + INTERVAL 1 DAY)) - tu AS dur
+       |  FROM d)
+       |SELECT event_type, day, count(*) AS n,
+       |  CAST(sum(dur) AS BIGINT) AS span_us,
+       |  round(CAST(sum(CAST(value AS DECIMAL(18,4)) * dur) AS DOUBLE)
+       |        / CAST(sum(dur) AS DOUBLE), 4) AS twap
+       |FROM t GROUP BY event_type, day
+       |ORDER BY event_type, day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q180_markov_transitions" -> (q180MarkovTransitions _),
     "q181_variant_json"   -> (q181VariantJson _),
+    "q184_twap"           -> (q184Twap _),
     "q22_tumbling_window" -> (q22Tumbling _),
     "q153_hopping_window" -> (q153HoppingWindow _),
     "q162_path_mining"    -> (q162PathMining _),
@@ -633,6 +688,7 @@ object Events {
     "q180_markov_transitions" -> q180Sql,
     // same output contract as q26 — one oracle grades both access paths
     "q181_variant_json"   -> q26Sql,
+    "q184_twap"           -> q184Sql,
     "q22_tumbling_window" -> q22Sql,
     "q153_hopping_window" -> q153Sql,
     "q141_cohort_retention" -> q141Sql,

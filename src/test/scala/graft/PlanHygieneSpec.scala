@@ -36,8 +36,10 @@ class PlanHygieneSpec extends AnyFunSuite {
                            // corpus-count pattern)
     "q159_hybrid_rrf",     // same BM25 scalar graft + broadcast 1-row probe
                            // vector vs candidates (q36's brute-force shape)
-    "q182_bpe_merges")     // broadcast of the 1-row chosen merge pair (the
+    "q182_bpe_merges",     // broadcast of the 1-row chosen merge pair (the
                            // q117 scalar-graft pattern, applied per round)
+    "q185_knn_label")      // broadcast 10-row probe set vs candidates (q36's
+                           // brute-force shape; ANN paths are the scale path)
 
   test("no unintended cartesian products across the whole catalog") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

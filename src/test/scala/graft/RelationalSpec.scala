@@ -593,6 +593,102 @@ class RelationalSpec extends AnyFunSuite {
       s"round-1 merge ($l1,$r1) still appears as a round-2 adjacency")
   }
 
+  test("q183 nearest as-of picks the smaller gap, ties backward") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("tu"), col("event_type"))
+      .collect()
+    val signups = ev.filter(_.getString(3) == "signup")
+      .groupBy(_.getLong(1)).map { case (u, rs) => u -> rs.map(_.getLong(2)) }
+    val rows = plans.AsOf.q183AsofNearest(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val actions = ev.filter(_.getString(3) != "signup")
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    rows.foreach { r =>
+      val (u, tu) = actions(r.getAs[Long]("event_id"))
+      val ss = signups.getOrElse(u, Array.empty[Long])
+      val dir = r.getAs[String]("dir")
+      if (ss.isEmpty) assert(dir == "none")
+      else {
+        val bestGap = ss.map(s => math.abs(tu - s)).min
+        assert(r.getAs[Long]("gap_us") == bestGap,
+          s"event ${r.getAs[Long]("event_id")}: gap ${r.getAs[Long]("gap_us")} != $bestGap")
+        // tie rule: if a backward signup achieves the best gap, dir is backward
+        val backAchieves = ss.exists(s => s <= tu && tu - s == bestGap)
+        assert(dir == (if (backAchieves) "backward" else "forward"))
+      }
+    }
+  }
+
+  test("q184 TWAP lies within each group's value range and spans cover the day tail") {
+    import org.apache.spark.sql.functions._
+    val ranges = Tables.events(spark, sf)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(min("value").as("lo"), max("value").as("hi"), count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getString(0), r.get(1).toString) ->
+        (r.getDouble(2), r.getDouble(3), r.getLong(4))).toMap
+    graft.relational.Events.q184Twap(spark, sf).collect().foreach { r =>
+      val k = (r.getString(0), r.get(1).toString)
+      val (lo, hi, cnt) = ranges(k)
+      val tw = r.getAs[Double]("twap")
+      assert(tw >= lo - 1e-4 && tw <= hi + 1e-4, s"$k: twap $tw outside [$lo,$hi]")
+      assert(r.getAs[Long]("n") == cnt)
+      // spans: first event start to midnight, so span <= 24h and > 0
+      val span = r.getAs[Long]("span_us")
+      assert(span > 0 && span <= 86400000000L, s"$k: span $span")
+    }
+  }
+
+  test("q185 prediction is a true plurality winner among the 5 neighbors") {
+    import org.apache.spark.sql.functions._
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).map(_.toDouble).toArray))
+    def cos(a: Array[Double], b: Array[Double]) = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val cands = vecs.filter(_._1 >= 10)
+    val expected = vecs.filter(_._1 < 10).map { case (qid, tl, qv) =>
+      val nn = cands.map(c => (cos(qv, c._3), c._1, c._2))
+        .sortBy { case (s, cid, _) => (-s, cid) }.take(5)
+      val votes = nn.groupBy(_._3).map { case (l, xs) => (l, xs.length) }
+      val best = votes.toSeq.sortBy { case (l, n) => (-n, l) }.head
+      qid -> (best._1, best._2.toLong, tl)
+    }.toMap
+    graft.llm.Similarity.q185KnnLabel(spark, sf).collect().foreach { r =>
+      val (pl, v, tl) = expected(r.getAs[Long]("qid"))
+      assert(r.getAs[Int]("pred_label") == pl && r.getAs[Long]("votes") == v)
+      assert(r.getAs[Int]("true_label") == tl)
+      assert(r.getAs[Boolean]("correct") == (pl == tl))
+    }
+  }
+
+  test("q186 compaction bins conserve bytes, stay contiguous and ordered") {
+    import org.apache.spark.sql.functions._
+    val totals = Tables.documents(spark, sf).groupBy(col("source"))
+      .agg(sum("n_chars").as("b"), count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val rows = graft.llm.Corpus.q186CompactionPlan(spark, sf).collect()
+    rows.groupBy(_.getString(0)).foreach { case (src, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("bin"))
+      assert(sorted.map(_.getAs[Long]("bin")).toSeq ==
+        (0L until sorted.length).toSeq, s"$src: bins not contiguous")
+      assert(sorted.map(_.getAs[Long]("bin_bytes")).sum == totals(src)._1)
+      assert(sorted.map(_.getAs[Long]("n_docs")).sum == totals(src)._2)
+      // doc ranges are disjoint and increasing across bins
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("last_doc") < b.getAs[Long]("first_doc"))
+        case _ =>
+      }
+    }
+  }
+
   test("q180 transition probabilities are row-stochastic after rounding") {
     import org.apache.spark.sql.functions._
     val rows = graft.relational.Events.q180MarkovTransitions(spark, sf).collect()
