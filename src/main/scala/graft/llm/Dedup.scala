@@ -1061,7 +1061,74 @@ object Dedup {
       |FROM ranked WHERE rk = 1 AND n_members >= 2
       |ORDER BY cluster""".stripMargin
 
+  /** q188: duplication-aware sampling weights — the SOFT alternative to
+    * dropping near-dups: every document keeps weight 1/cluster_size
+    * (exact copies of an n-clone share one document's worth of sampling
+    * mass), and the per-source report states the corpus's EFFECTIVE
+    * size under that weighting — the number a data-mixture planner
+    * feeds its token budget, where q31's raw counts overstate cloned
+    * sources.
+    *
+    * Exactness: the weight is materialized as parts-per-million
+    * (`round(1e6/size)` — one identical double division and one
+    * half-up round in both engines) and summed as a BIGINT, so the
+    * per-source totals are integer-exact; the headline effective_docs
+    * is one final division of that integer, rounded after. Shape: the
+    * memoized q105 components + two keyed aggregations. */
+  def q188DupWeights(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lab = q105DedupClusters(s, dir)
+      .join(Tables.documents(s, dir).select($"doc_id", $"source"), Seq("doc_id"))
+    val sizes = lab.groupBy($"cluster").agg(count(lit(1)).as("csize"))
+    lab.join(sizes, Seq("cluster"))
+      .withColumn("w_ppm", round(lit(1000000.0) / $"csize", 0).cast("long"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct($"cluster").as("n_clusters"),
+        sum($"w_ppm").as("sum_weight_ppm"))
+      .withColumn("effective_docs",
+        round($"sum_weight_ppm".cast("double") / 1000000.0, 4))
+      .orderBy($"source")
+  }
+
+  /** Oracle: q105's recursive components + the same ppm arithmetic. */
+  val q188Sql: String =
+    """WITH RECURSIVE d AS (
+      |  SELECT doc_id, source,
+      |         list_distinct(regexp_extract_all(lower(text), '\S+')) AS toks
+      |  FROM documents),
+      |pairs AS (
+      |  SELECT a.doc_id AS id1, b.doc_id AS id2
+      |  FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+      |  WHERE round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+      |          / len(list_distinct(list_concat(a.toks, b.toks))), 4) >= 0.6),
+      |edges AS (
+      |  SELECT id1 AS src, id2 AS dst FROM pairs
+      |  UNION ALL
+      |  SELECT id2, id1 FROM pairs),
+      |walk AS (
+      |  SELECT src AS doc_id, dst AS reach FROM edges
+      |  UNION
+      |  SELECT w.doc_id, e.dst FROM walk w JOIN edges e ON w.reach = e.src),
+      |best AS (
+      |  SELECT doc_id, min(reach) AS mn FROM walk GROUP BY doc_id),
+      |lab AS (
+      |  SELECT doc.doc_id, doc.source,
+      |         least(doc.doc_id, coalesce(b.mn, doc.doc_id)) AS cluster
+      |  FROM documents doc LEFT JOIN best b ON b.doc_id = doc.doc_id),
+      |sz AS (SELECT cluster, count(*) AS csize FROM lab GROUP BY cluster),
+      |w AS (
+      |  SELECT lab.source, lab.cluster,
+      |         CAST(round(1000000.0 / sz.csize, 0) AS BIGINT) AS w_ppm
+      |  FROM lab JOIN sz USING (cluster))
+      |SELECT source, count(*) AS n_docs,
+      |       CAST(count(DISTINCT cluster) AS BIGINT) AS n_clusters,
+      |       CAST(sum(w_ppm) AS BIGINT) AS sum_weight_ppm,
+      |       round(CAST(sum(w_ppm) AS DOUBLE) / 1000000.0, 4) AS effective_docs
+      |FROM w GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q188_dup_weights"  -> (q188DupWeights _),
     "q176_cluster_rep"  -> (q176ClusterRep _),
     "q46_minhash_pairs" -> (q46MinhashPairs _),
     "q47_simhash_pairs" -> (q47SimhashPairs _),
@@ -1080,6 +1147,7 @@ object Dedup {
   )
 
   val oracle: Map[String, String] = Map(
+    "q188_dup_weights" -> q188Sql,
     "q176_cluster_rep" -> q176Sql,
     "q49_singletons" -> q49Sql,
     "q105_dedup_clusters" -> q105Sql,

@@ -652,7 +652,89 @@ object AsOf {
       |       ELSE fg END AS gap_us
       |FROM j ORDER BY event_id""".stripMargin
 
+  /** q187: time-series resample with LINEAR interpolation — the other
+    * half of q143's forward-fill: each hourly grid point takes the
+    * straight-line value between its surrounding observations,
+    * `p + (n − p)·(h − tₚ)/(tₙ − tₚ)`. Composed like q183 from the two
+    * native directional as-of passes (backward = previous observation,
+    * forward = next), so the grid never fans out against history.
+    *
+    * Edge rules in the query text, identical in the oracle: before the
+    * first observation → next value; after the last → previous value;
+    * grid point exactly ON an observation → that value (and the
+    * degenerate tₙ = tₚ division is thereby never taken). Determinism:
+    * the lerp is the SAME expression tree on both sides — one integer-µs
+    * ratio, one multiply, one add, rounded once at the end — so the
+    * doubles are bit-identical. The oracle runs DuckDB's native ASOF
+    * twice (>= and <=), its first-class operator against this one. */
+  def q187LerpResample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.functions.{coalesce, date_trunc, explode, expr, lit, max, min, round, sequence, unix_micros, when}
+    val base = graft.Tables.events(s, dir).filter($"user_id" < 20)
+    val ev = base.groupBy($"user_id", $"ts").agg(max($"value").as("v"))
+      .select($"user_id".as("eu"), $"ts".cast("timestamp").as("ets"), $"v")
+    def grid(hCol: String, uCol: String) = base.groupBy($"user_id")
+      .agg(date_trunc("hour", min($"ts")).as("h0"),
+        date_trunc("hour", max($"ts")).as("h1"))
+      .select($"user_id".as(uCol),
+        explode(sequence($"h0", $"h1", expr("INTERVAL 1 HOUR"))).as("h0h"))
+      .select(org.apache.spark.sql.functions.col(uCol), $"h0h".cast("timestamp").as(hCol))
+    val prev = join(grid("h", "user_id"), ev,
+        leftKeys = Seq("user_id"), rightKeys = Seq("eu"),
+        leftTimeCol = "h", rightTimeCol = "ets", joinType = "left_outer")
+      .select($"user_id", $"h", $"ets".as("p_ts"), $"v".as("p_v"))
+    val nxt = join(grid("nh", "nu"),
+        ev.select($"eu".as("neu"), $"ets".as("nets"), $"v".as("nv")),
+        leftKeys = Seq("nu"), rightKeys = Seq("neu"),
+        leftTimeCol = "nh", rightTimeCol = "nets",
+        direction = "forward", joinType = "left_outer")
+      .select($"nu", $"nh", $"nets".as("n_ts"), $"nv".as("n_v"))
+    prev.join(nxt, $"user_id" === $"nu" && $"h" === $"nh")
+      .select($"user_id", $"h".as("hour"),
+        round(
+          when($"p_ts".isNull, $"n_v")
+            .when($"n_ts".isNull, $"p_v")
+            .when($"n_ts" === $"p_ts", $"p_v")
+            .otherwise($"p_v" + ($"n_v" - $"p_v") *
+              ((unix_micros($"h") - unix_micros($"p_ts")).cast("double") /
+               (unix_micros($"n_ts") - unix_micros($"p_ts")).cast("double"))),
+          4).as("lerp_value"))
+      .orderBy($"user_id", $"hour")
+  }
+
+  val q187Sql: String =
+    """WITH ev0 AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+      |  FROM events WHERE user_id < 20),
+      |ev AS (SELECT user_id, ts, max(value) AS v FROM ev0 GROUP BY 1, 2),
+      |spans AS (
+      |  SELECT user_id, date_trunc('hour', min(ts)) AS h0,
+      |         date_trunc('hour', max(ts)) AS h1
+      |  FROM ev0 GROUP BY user_id),
+      |grid AS (
+      |  SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+      |  FROM spans),
+      |p AS (
+      |  SELECT g.user_id, g.h, e.ts AS p_ts, e.v AS p_v
+      |  FROM grid g ASOF LEFT JOIN ev e
+      |    ON g.user_id = e.user_id AND g.h >= e.ts),
+      |n AS (
+      |  SELECT g.user_id, g.h, e.ts AS n_ts, e.v AS n_v
+      |  FROM grid g ASOF LEFT JOIN ev e
+      |    ON g.user_id = e.user_id AND g.h <= e.ts)
+      |SELECT p.user_id, p.h AS hour,
+      |  round(CASE WHEN p_ts IS NULL THEN n_v
+      |             WHEN n_ts IS NULL THEN p_v
+      |             WHEN n_ts = p_ts THEN p_v
+      |             ELSE p_v + (n_v - p_v) *
+      |               (CAST(epoch_us(p.h) - epoch_us(p_ts) AS DOUBLE)
+      |                / CAST(epoch_us(n_ts) - epoch_us(p_ts) AS DOUBLE))
+      |        END, 4) AS lerp_value
+      |FROM p JOIN n ON n.user_id = p.user_id AND n.h = p.h
+      |ORDER BY p.user_id, hour""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q187_lerp_resample"    -> (q187LerpResample _),
     "q183_asof_nearest"     -> (q183AsofNearest _),
     "q113_asof_attribution" -> (q113AsofAttribution _),
     "q114_asof_forward"     -> (q114AsofForward _),
@@ -662,6 +744,7 @@ object AsOf {
     "q128_asof_sql_knobs"   -> (q128AsofSqlKnobs _),
     "q143_resample_ffill"   -> (q143ResampleFfill _))
   val oracle: Map[String, String] = Map(
+    "q187_lerp_resample"    -> q187Sql,
     "q183_asof_nearest"     -> q183Sql,
     "q113_asof_attribution" -> q113Sql,
     "q114_asof_forward"     -> q114Sql,

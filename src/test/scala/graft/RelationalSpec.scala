@@ -689,6 +689,56 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("q187 lerp replays exactly from the surrounding observations") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, sf).filter(col("user_id") < 20)
+      .groupBy(col("user_id"), col("ts")).agg(max("value").as("v"))
+      .select(col("user_id"), unix_micros(col("ts").cast("timestamp")).as("tu"), col("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).map { case (u, rs) => u -> rs.map(t => (t._2, t._3)).sortBy(_._1) }
+    val rows = plans.AsOf.q187LerpResample(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val u = r.getAs[Long]("user_id")
+      val h = r.getAs[java.sql.Timestamp]("hour").toInstant
+      val hu = h.getEpochSecond * 1000000L + h.getNano / 1000L
+      val obs = ev(u)
+      val prev = obs.filter(_._1 <= hu).lastOption
+      val next = obs.find(_._1 >= hu)
+      val expected = (prev, next) match {
+        case (None, Some((_, nv))) => nv
+        case (Some((_, pv)), None) => pv
+        case (Some((pt, pv)), Some((nt, nv))) =>
+          if (nt == pt) pv
+          else pv + (nv - pv) * ((hu - pt).toDouble / (nt - pt).toDouble)
+        case _ => fail(s"user $u has no observations")
+      }
+      val got = r.getAs[Double]("lerp_value")
+      assert(math.abs(got - BigDecimal(expected).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9,
+        s"user $u @ $h: got $got, expected $expected")
+    }
+  }
+
+  test("q188 effective sizes replay from the cluster map and never exceed raw counts") {
+    import org.apache.spark.sql.functions._
+    val lab = graft.llm.Dedup.q105DedupClusters(spark, sf)
+      .join(Tables.documents(spark, sf).select(col("doc_id"), col("source")), Seq("doc_id"))
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster"), r.getAs[String]("source")))
+    val csize = lab.groupBy(_._2).map { case (c, xs) => c -> xs.length }
+    val expected = lab.groupBy(_._3).map { case (src, xs) =>
+      src -> (xs.length.toLong,
+        xs.map(_._2).distinct.length.toLong,
+        xs.map(x => math.round(1000000.0 / csize(x._2))).sum)
+    }
+    graft.llm.Dedup.q188DupWeights(spark, sf).collect().foreach { r =>
+      val (n, nc, ppm) = expected(r.getAs[String]("source"))
+      assert(r.getAs[Long]("n_docs") == n)
+      assert(r.getAs[Long]("n_clusters") == nc)
+      assert(r.getAs[Long]("sum_weight_ppm") == ppm)
+      assert(r.getAs[Double]("effective_docs") <= n.toDouble)
+    }
+  }
+
   test("q180 transition probabilities are row-stochastic after rounding") {
     import org.apache.spark.sql.functions._
     val rows = graft.relational.Events.q180MarkovTransitions(spark, sf).collect()
