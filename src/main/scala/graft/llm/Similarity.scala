@@ -1222,18 +1222,22 @@ object Similarity {
     * neighbor stage. Determinism: neighbor rank ties break by cid
     * (q36's rule); vote ties by (count DESC, label ASC), in the query
     * text per the q172 discipline. */
-  def q185KnnLabel(s: SparkSession, dir: String): DataFrame = {
+  /** Per-probe k-NN majority prediction (shared by q185/q190): probes
+    * are vec_id < nq, candidates the rest; neighbor ties by cid, vote
+    * ties by (count DESC, label ASC). */
+  private def knnPredict(s: SparkSession, dir: String,
+      nq: Int, k: Int): DataFrame = {
     import s.implicits._
     val e = vecs(s, dir)
-    val q = e.filter($"vec_id" < 10)
+    val q = e.filter($"vec_id" < nq)
       .select($"vec_id".as("qid"), $"v".as("qv"), $"label".as("true_label"))
-    val c = e.filter($"vec_id" >= 10)
+    val c = e.filter($"vec_id" >= nq)
       .select($"vec_id".as("cid"), $"v".as("cv"), $"label")
     val wNn = Window.partitionBy($"qid").orderBy($"sim".desc, $"cid".asc)
     val nn = c.join(broadcast(q))
       .withColumn("sim", graft.functions.CosineSim.cosine(s, $"qv", $"cv"))
       .withColumn("rank", row_number().over(wNn))
-      .filter($"rank" <= 5)
+      .filter($"rank" <= k)
     val wVote = Window.partitionBy($"qid").orderBy($"votes".desc, $"label".asc)
     nn.groupBy($"qid", $"true_label", $"label")
       .agg(count(lit(1)).as("votes"))
@@ -1241,7 +1245,11 @@ object Similarity {
       .filter($"vr" === 1)
       .select($"qid", $"label".as("pred_label"), $"votes",
         $"true_label", ($"label" === $"true_label").as("correct"))
-      .orderBy($"qid")
+  }
+
+  def q185KnnLabel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    knnPredict(s, dir, nq = 10, k = 5).orderBy($"qid")
   }
 
   val q185Sql: String =
@@ -1270,7 +1278,58 @@ object Similarity {
       |  FROM v) t
       |WHERE vr = 1 ORDER BY qid""".stripMargin
 
+  /** q190: k-NN CONFUSION MATRIX — the evaluation report over a larger
+    * probe set (vec_id < 100): per (true_label, predicted) cell count
+    * plus each row's per-class recall, exact integers and one rounded
+    * division. What a curation team reads before trusting q185's label
+    * propagation at corpus scale. */
+  def q190KnnConfusion(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val preds = knnPredict(s, dir, nq = 100, k = 5)
+    val rowTot = preds.groupBy($"true_label").agg(count(lit(1)).as("row_n"))
+    preds.groupBy($"true_label", $"pred_label")
+      .agg(count(lit(1)).as("n"))
+      .join(broadcast(rowTot), Seq("true_label"))
+      .select($"true_label", $"pred_label", $"n",
+        round($"n".cast("double") / $"row_n", 4).as("row_recall"))
+      .orderBy($"true_label", $"pred_label")
+  }
+
+  val q190Sql: String =
+    """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |q AS (SELECT vec_id AS qid, v AS qv, label AS true_label FROM e WHERE vec_id < 100),
+      |c AS (SELECT vec_id AS cid, v AS cv, label FROM e WHERE vec_id >= 100),
+      |sims AS (
+      |  SELECT q.qid, q.true_label, c.cid, c.label,
+      |    list_dot_product(q.qv, c.cv)
+      |      / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv))) AS sim
+      |  FROM q CROSS JOIN c),
+      |nn AS (
+      |  SELECT qid, true_label, label FROM (
+      |    SELECT qid, true_label, label,
+      |      row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rank
+      |    FROM sims) t
+      |  WHERE rank <= 5),
+      |v AS (
+      |  SELECT qid, true_label, label, count(*) AS votes
+      |  FROM nn GROUP BY qid, true_label, label),
+      |p AS (
+      |  SELECT qid, true_label, label AS pred_label FROM (
+      |    SELECT v.*, row_number() OVER (PARTITION BY qid
+      |      ORDER BY votes DESC, label ASC) AS vr
+      |    FROM v) t
+      |  WHERE vr = 1),
+      |m AS (SELECT true_label, pred_label, count(*) AS n
+      |      FROM p GROUP BY 1, 2),
+      |rt AS (SELECT true_label, CAST(sum(n) AS BIGINT) AS row_n
+      |       FROM m GROUP BY 1)
+      |SELECT m.true_label, m.pred_label, m.n,
+      |       round(CAST(m.n AS DOUBLE) / rt.row_n, 4) AS row_recall
+      |FROM m JOIN rt USING (true_label)
+      |ORDER BY true_label, pred_label""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q190_knn_confusion" -> (q190KnnConfusion _),
     "q185_knn_label"     -> (q185KnnLabel _),
     "q36_cosine_topk"    -> (q36CosineTopk _),
     "q159_hybrid_rrf"    -> (q159HybridRrf _),
@@ -1296,6 +1355,7 @@ object Similarity {
   def oracle: Map[String, String] = {
     val (np, li) = sessionIvf
     Map(
+      "q190_knn_confusion" -> q190Sql,
       "q185_knn_label"     -> q185Sql,
       "q36_cosine_topk"    -> q36Sql,
       "q37_vec_norms"      -> q37Sql,

@@ -803,7 +803,88 @@ object TextOps {
       |  SELECT 2, rk, l, r, cnt FROM r2 WHERE rk <= 10) u
       |ORDER BY iter, rk""".stripMargin
 
+  /** q189: SPLIT-LEAKAGE audit — q101's decontamination question asked
+    * of the pipeline's OWN train/val/test split (q100's hash rule):
+    * per ordered split pair, the shared-shingle mass, its Jaccard, and
+    * the count of split-b documents that leak (share ≥1 5-token
+    * shingle with split a). Random document-level splits leak by
+    * construction whenever near-dups exist — this is the report that
+    * says how much, before an eval result gets trusted.
+    *
+    * Shape: one distinct (split, shingle) projection feeds totals AND
+    * the pair intersection (q165's geometry); the doc-leak count is
+    * one shingle-keyed semi-join back (q101's shape) counted distinct
+    * per (pair, doc). Exact integers, one rounded division. */
+  def q189SplitLeakage(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val splitCol =
+      when(substring(md5($"doc_id".cast("string")), 1, 1).isin("c", "d"), "val")
+        .when(substring(md5($"doc_id".cast("string")), 1, 1).isin("e", "f"), "test")
+        .otherwise("train")
+    // one materialized explode (the q177 lesson — the shingle transform
+    // is the interpreted path; (doc_id, sh) is already distinct because
+    // shingles() de-dups per document)
+    val docSh = Tables.documents(s, dir)
+      .select($"doc_id", splitCol.as("split"),
+        explode(Dedup.shingles(tokens($"text"))).as("sh"))
+      .localCheckpoint(true)
+    val sh = docSh.select($"split", $"sh").distinct().persist()
+    val tot = sh.groupBy($"split").agg(count(lit(1)).as("n"))
+    val inter = sh.as("a").join(sh.as("b"),
+        $"a.sh" === $"b.sh" && $"a.split" < $"b.split")
+      .groupBy($"a.split".as("split_a"), $"b.split".as("split_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    val leaked = docSh.select($"doc_id", $"split".as("bs"), $"sh").as("d")
+      .join(sh.as("s"), $"d.sh" === $"s.sh" && $"s.split" < $"d.bs")
+      .select($"s.split".as("split_a"), $"d.bs".as("split_b"), $"d.doc_id")
+      .distinct()
+      .groupBy($"split_a", $"split_b")
+      .agg(count(lit(1)).as("docs_b_leaked"))
+    inter
+      .join(broadcast(tot.select($"split".as("ta"), $"n".as("na"))), $"split_a" === $"ta")
+      .join(broadcast(tot.select($"split".as("tb"), $"n".as("nb"))), $"split_b" === $"tb")
+      .join(leaked, Seq("split_a", "split_b"), "left")
+      .select($"split_a", $"split_b", $"n_shared", $"na", $"nb",
+        round($"n_shared" / ($"na" + $"nb" - $"n_shared"), 6).as("jaccard"),
+        coalesce($"docs_b_leaked", lit(0L)).as("docs_b_leaked"))
+      .orderBy($"split_a", $"split_b")
+  }
+
+  val q189Sql: String =
+    """WITH lab AS (
+      |  SELECT doc_id,
+      |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c','d') THEN 'val'
+      |         WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('e','f') THEN 'test'
+      |         ELSE 'train' END AS split,
+      |    regexp_extract_all(lower(text), '\S+') AS toks
+      |  FROM documents),
+      |ds AS (
+      |  SELECT DISTINCT doc_id, split, unnest(list_distinct([
+      |    concat_ws(' ', toks[i], toks[i+1], toks[i+2])
+      |    FOR i IN generate_series(1, greatest(len(toks) - 2, 1))])) AS sh
+      |  FROM lab),
+      |sh AS (SELECT DISTINCT split, sh FROM ds),
+      |tot AS (SELECT split, count(*) AS n FROM sh GROUP BY split),
+      |inter AS (
+      |  SELECT a.split AS split_a, b.split AS split_b, count(*) AS n_shared
+      |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.split < b.split
+      |  GROUP BY 1, 2),
+      |lk AS (
+      |  SELECT split_a, split_b, count(*) AS docs_b_leaked FROM (
+      |    SELECT DISTINCT s.split AS split_a, d.split AS split_b, d.doc_id
+      |    FROM ds d JOIN sh s ON d.sh = s.sh AND s.split < d.split) t
+      |  GROUP BY 1, 2)
+      |SELECT i.split_a, i.split_b, i.n_shared, ta.n AS na, tb.n AS nb,
+      |  round(i.n_shared / (ta.n + tb.n - i.n_shared), 6) AS jaccard,
+      |  CAST(coalesce(lk.docs_b_leaked, 0) AS BIGINT) AS docs_b_leaked
+      |FROM inter i
+      |JOIN tot ta ON i.split_a = ta.split
+      |JOIN tot tb ON i.split_b = tb.split
+      |LEFT JOIN lk ON lk.split_a = i.split_a AND lk.split_b = i.split_b
+      |ORDER BY i.split_a, i.split_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q189_split_leakage" -> (q189SplitLeakage _),
     "q182_bpe_merges"   -> (q182BpeMerges _),
     "q177_bigram_novelty" -> (q177BigramNovelty _),
     "q160_quality_band" -> (q160QualityBand _),
@@ -825,6 +906,7 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q189_split_leakage" -> q189Sql,
     "q182_bpe_merges"   -> q182Sql,
     "q177_bigram_novelty" -> q177Sql,
     "q160_quality_band" -> q160Sql,

@@ -113,6 +113,59 @@ object Streams {
               ts <= su_ts + INTERVAL 1 HOUR"""))
   }
 
+  /** Input/state/output rows for [[transitionPairs]]. */
+  case class TransEvent(user_id: Long, event_id: Long,
+                        ts: java.sql.Timestamp, event_type: String)
+  case class TransState(lastTu: Long, lastId: Long, lastType: String)
+  case class Transition(src: String, dst: String)
+
+  /** Streaming Markov transitions — q180's adjacent-pair derivation as
+    * a STATEFUL stream: per user, each arriving event pairs with the
+    * remembered previous one (same 30-minute session-gap rule; a gap
+    * resets the chain, emitting nothing), then the pairs aggregate to
+    * the live transition-count matrix downstream. State per user is
+    * ONE (ts, id, type) triple — constant, the smallest state a
+    * pairwise operator can hold — vs the batch path's full-path
+    * collect_list.
+    *
+    * Ordering contract: events are sorted by (ts, event_id) WITHIN
+    * each micro-batch (late cross-batch arrivals would pair out of
+    * order — the same in-order-delivery assumption the reference's
+    * single-consumer queue makes; for out-of-order sources, front this
+    * with a watermarked sort or widen to session-window batching).
+    * StreamingSpec replays a two-batch feed and pins equality with the
+    * batch q180 counts on identical data. */
+  def transitionPairs(events: Dataset[TransEvent],
+      gapMinutes: Int = 30): Dataset[Transition] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val gapUs = gapMinutes * 60L * 1000000L
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[TransState, Transition](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) { (_, it, state) =>
+        val evs = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+        var last = state.getOption
+        val out = Seq.newBuilder[Transition]
+        evs.foreach { e =>
+          val tu = e.ts.getTime * 1000L
+          last match {
+            case Some(st) if tu - st.lastTu <= gapUs =>
+              out += Transition(st.lastType, e.event_type)
+            case _ => ()
+          }
+          last = Some(TransState(tu, e.event_id, e.event_type))
+        }
+        last.foreach(state.update)
+        out.result().iterator
+      }
+  }
+
+  /** The live transition matrix: [[transitionPairs]] aggregated. */
+  def transitionCounts(events: Dataset[TransEvent],
+      gapMinutes: Int = 30): DataFrame =
+    transitionPairs(events, gapMinutes)
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n"))
+
   /** S16 — pulse aggregation over the status stream: per project/plan
     * rollup {phases by status, total tools, last update, stalled count}
     * (ref `agents/orbiter.md:198-242`). Works on batch or streaming

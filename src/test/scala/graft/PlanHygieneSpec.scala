@@ -38,8 +38,9 @@ class PlanHygieneSpec extends AnyFunSuite {
                            // vector vs candidates (q36's brute-force shape)
     "q182_bpe_merges",     // broadcast of the 1-row chosen merge pair (the
                            // q117 scalar-graft pattern, applied per round)
-    "q185_knn_label")      // broadcast 10-row probe set vs candidates (q36's
+    "q185_knn_label",      // broadcast 10-row probe set vs candidates (q36's
                            // brute-force shape; ANN paths are the scale path)
+    "q190_knn_confusion")  // same geometry, 100-row probe set
 
   test("no unintended cartesian products across the whole catalog") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

@@ -25,6 +25,7 @@ class RegistrySpec extends AnyFunSuite {
       "relational.Extra3"    -> relational.Extra3.queries.keySet,
       "relational.Layout"    -> relational.Layout.queries.keySet,
       "relational.Graph"     -> relational.Graph.queries.keySet,
+      "relational.Ranges"    -> relational.Ranges.queries.keySet,
       "llm.TextOps"          -> llm.TextOps.queries.keySet,
       "llm.Similarity"       -> llm.Similarity.queries.keySet,
       "rounds.Stratify"      -> rounds.Stratify.queries.keySet,

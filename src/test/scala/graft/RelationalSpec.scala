@@ -739,6 +739,39 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("q189 leakage report covers the three split pairs with coherent bounds") {
+    import org.apache.spark.sql.functions._
+    val splitOf = (id: Long) => {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes)(0) & 0xF0
+      val c = "0123456789abcdef".charAt(h >> 4)
+      if (c == 'c' || c == 'd') "val" else if (c == 'e' || c == 'f') "test" else "train"
+    }
+    val docBySplit = Tables.documents(spark, sf).select(col("doc_id")).collect()
+      .map(_.getLong(0)).groupBy(splitOf).map { case (k, v) => k -> v.length }
+    val rows = graft.llm.TextOps.q189SplitLeakage(spark, sf).collect()
+    assert(rows.map(r => (r.getString(0), r.getString(1))).toSet ==
+      Set(("test", "train"), ("test", "val"), ("train", "val")))
+    rows.foreach { r =>
+      val j = r.getAs[Double]("jaccard")
+      assert(j >= 0.0 && j <= 1.0)
+      assert(r.getAs[Long]("n_shared") <= math.min(r.getAs[Long]("na"), r.getAs[Long]("nb")))
+      assert(r.getAs[Long]("docs_b_leaked") <= docBySplit(r.getString(1)),
+        s"${r.getString(1)}: leaked docs exceed split size")
+    }
+    // the corpus HAS near-dup templates, so a random split must leak
+    assert(rows.exists(_.getAs[Long]("docs_b_leaked") > 0))
+  }
+
+  test("q190 confusion matrix accounts for every probe, rows sum to 1") {
+    val rows = graft.llm.Similarity.q190KnnConfusion(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("n")).sum == 100L)
+    rows.groupBy(_.getAs[Int]("true_label")).foreach { case (tl, rs) =>
+      val tot = rs.map(_.getAs[Double]("row_recall")).sum
+      assert(math.abs(tot - 1.0) <= 1e-4 * rs.length, s"label $tl recalls sum to $tot")
+    }
+  }
+
   test("q180 transition probabilities are row-stochastic after rounding") {
     import org.apache.spark.sql.functions._
     val rows = graft.relational.Events.q180MarkovTransitions(spark, sf).collect()

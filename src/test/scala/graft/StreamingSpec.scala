@@ -503,4 +503,38 @@ class StreamingSpec extends AnyFunSuite {
       assert(spark.read.parquet(store).count() == 3)
     } finally q.stop()
   }
+
+  test("streaming transition counts match the batch pairwise derivation") {
+    implicit val sqlCtx = spark.sqlContext
+    import Streams.TransEvent
+    val mem = MemoryStream[TransEvent]
+    val q = Streams.transitionCounts(mem.toDS())
+      .writeStream.format("memory").queryName("trans_out")
+      .outputMode("complete").start()
+    try {
+      def e(id: Long, u: Long, t: String, time: String) =
+        TransEvent(u, id, ts(time), t)
+      // batch 1: user 1 chains view->click->purchase; user 2 starts
+      mem.addData(
+        e(1, 1, "view", "2026-01-01 10:00:00"),
+        e(2, 1, "click", "2026-01-01 10:10:00"),
+        e(3, 1, "purchase", "2026-01-01 10:20:00"),
+        e(4, 2, "view", "2026-01-01 10:00:00"))
+      q.processAllAvailable()
+      // batch 2: user 1 breaks the session (65-min gap — NO transition),
+      // then chains again; user 2 continues across the batch boundary
+      // (state carried: view->click with only the remembered triple)
+      mem.addData(
+        e(5, 1, "view", "2026-01-01 11:25:00"),
+        e(6, 1, "click", "2026-01-01 11:30:00"),
+        e(7, 2, "click", "2026-01-01 10:25:00"))
+      q.processAllAvailable()
+      val got = spark.table("trans_out").collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      val expected = Map(
+        ("view", "click") -> 3L,     // u1 b1, u1 b2, u2 cross-batch
+        ("click", "purchase") -> 1L) // u1 b1; the 65-min gap pairs nothing
+      assert(got == expected, s"got $got")
+    } finally q.stop()
+  }
 }
