@@ -883,7 +883,105 @@ object TextOps {
       |LEFT JOIN lk ON lk.split_a = i.split_a AND lk.split_b = i.split_b
       |ORDER BY i.split_a, i.split_b""".stripMargin
 
+  /** q193: BPE ENCODE — close the tokenizer loop: learn q182's two
+    * merges on the global word table, APPLY both to every word, and
+    * report per-source symbol compression (chars before vs symbols
+    * after, weighted by word frequency). The measurement a tokenizer
+    * team reads: which sources compress well under the learned merges
+    * (repetitive sources compress, novel text resists).
+    *
+    * Merge 2 is applied in PLACEHOLDER space: after merge 1 rewrites
+    * the pair to U+0001, the second chosen pair may itself contain the
+    * merged symbol, so its replace target is the raw (placeholder)
+    * byte sequence — rank ties still break on the TRANSLATED symbol
+    * text so the chosen merges are exactly q182's. All counts are
+    * exact integers; the compression ratio is one rounded division. */
+  def q193BpeEncode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ph1 = "\u0001"; val ph2 = "\u0002"
+    val srcWords = Tables.documents(s, dir)
+      .select($"source", explode(tokens($"text")).as("w"))
+      .filter(!$"w".contains(ph1) && !$"w".contains(ph2))
+      .groupBy($"source", $"w").agg(count(lit(1)).as("wc"))
+    val words = srcWords.groupBy($"w").agg(sum($"wc").as("wc"))
+    def chars(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      transform(sequence(lit(1), length(c)), i => c.substr(i, lit(1)))
+    def rawPairs(df: DataFrame): DataFrame = {
+      val cs = chars($"w")
+      df.select($"wc", explode(zip_with(
+          slice(cs, lit(1), size(cs) - 1), slice(cs, lit(2), size(cs) - 1),
+          (a, b) => struct(a.as("rl"), b.as("rr")))).as("p"))
+        .groupBy($"p.rl".as("rl"), $"p.rr".as("rr"))
+        .agg(sum($"wc").as("cnt"))
+    }
+    val best1 = rawPairs(words)
+      .withColumn("rk", row_number().over(
+        Window.orderBy($"cnt".desc, $"rl".asc, $"rr".asc)))
+      .filter($"rk" === 1)
+      .select(concat($"rl", $"rr").as("m1"))
+    val w2 = words.crossJoin(broadcast(best1))
+      .select(org.apache.spark.sql.functions.replace($"w", $"m1", lit(ph1)).as("w"),
+        $"wc", $"m1")
+    val best2 = rawPairs(w2)
+      .join(broadcast(best1))
+      .withColumn("rk", row_number().over(Window.orderBy($"cnt".desc,
+        when($"rl" === ph1, $"m1").otherwise($"rl").asc,
+        when($"rr" === ph1, $"m1").otherwise($"rr").asc)))
+      .filter($"rk" === 1)
+      .select($"m1", concat($"rl", $"rr").as("m2raw"))
+    srcWords.crossJoin(broadcast(best2))
+      .withColumn("enc",
+        org.apache.spark.sql.functions.replace(
+          org.apache.spark.sql.functions.replace($"w", $"m1", lit(ph1)),
+          $"m2raw", lit(ph2)))
+      .groupBy($"source")
+      .agg(sum($"wc").as("n_words"),
+        sum(length($"w") * $"wc").as("chars_before"),
+        sum(length($"enc") * $"wc").as("syms_after"))
+      .withColumn("compression",
+        round($"syms_after".cast("double") / $"chars_before", 4))
+      .orderBy($"source")
+  }
+
+  val q193Sql: String =
+    """WITH ws AS (
+      |  SELECT source, tok AS w, count(*) AS wc FROM (
+      |    SELECT source, unnest(regexp_extract_all(lower(text), '\S+')) AS tok
+      |    FROM documents) t
+      |  WHERE strpos(tok, chr(1)) = 0 AND strpos(tok, chr(2)) = 0
+      |  GROUP BY source, tok),
+      |w AS (SELECT w, CAST(sum(wc) AS BIGINT) AS wc FROM ws GROUP BY w),
+      |i1 AS (SELECT w, wc, unnest(generate_series(1, len(w) - 1)) AS i FROM w),
+      |g1 AS (SELECT substring(w, i, 1) AS rl, substring(w, i + 1, 1) AS rr,
+      |              CAST(sum(wc) AS BIGINT) AS cnt
+      |       FROM i1 GROUP BY 1, 2),
+      |r1 AS (SELECT rl, rr, cnt,
+      |         row_number() OVER (ORDER BY cnt DESC, rl ASC, rr ASC) AS rk FROM g1),
+      |b1 AS (SELECT rl || rr AS m1 FROM r1 WHERE rk = 1),
+      |w2 AS (SELECT replace(w, (SELECT m1 FROM b1), chr(1)) AS w, wc FROM w),
+      |i2 AS (SELECT w, wc, unnest(generate_series(1, len(w) - 1)) AS i FROM w2),
+      |g2 AS (SELECT substring(w, i, 1) AS rl, substring(w, i + 1, 1) AS rr,
+      |              CAST(sum(wc) AS BIGINT) AS cnt
+      |       FROM i2 GROUP BY 1, 2),
+      |r2 AS (SELECT rl, rr, cnt,
+      |         row_number() OVER (ORDER BY cnt DESC,
+      |           CASE WHEN rl = chr(1) THEN (SELECT m1 FROM b1) ELSE rl END ASC,
+      |           CASE WHEN rr = chr(1) THEN (SELECT m1 FROM b1) ELSE rr END ASC) AS rk
+      |       FROM g2),
+      |b2 AS (SELECT rl || rr AS m2raw FROM r2 WHERE rk = 1),
+      |enc AS (
+      |  SELECT source, w, wc,
+      |    replace(replace(w, (SELECT m1 FROM b1), chr(1)),
+      |            (SELECT m2raw FROM b2), chr(2)) AS e
+      |  FROM ws)
+      |SELECT source, CAST(sum(wc) AS BIGINT) AS n_words,
+      |  CAST(sum(len(w) * wc) AS BIGINT) AS chars_before,
+      |  CAST(sum(len(e) * wc) AS BIGINT) AS syms_after,
+      |  round(CAST(sum(len(e) * wc) AS DOUBLE) / sum(len(w) * wc), 4) AS compression
+      |FROM enc GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q193_bpe_encode"   -> (q193BpeEncode _),
     "q189_split_leakage" -> (q189SplitLeakage _),
     "q182_bpe_merges"   -> (q182BpeMerges _),
     "q177_bigram_novelty" -> (q177BigramNovelty _),
@@ -906,6 +1004,7 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q193_bpe_encode"   -> q193Sql,
     "q189_split_leakage" -> q189Sql,
     "q182_bpe_merges"   -> q182Sql,
     "q177_bigram_novelty" -> q177Sql,

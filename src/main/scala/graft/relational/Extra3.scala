@@ -569,7 +569,74 @@ object Extra3 {
       |FROM region JOIN nation ON n_regionkey = r_regionkey
       |GROUP BY r_name ORDER BY r_name""".stripMargin
 
+  /** q191: RELATIONAL DIVISION — "which customers have placed orders
+    * in EVERY priority class": the classic ÷ operator SQL never got a
+    * keyword for. Spark side states it as the count-match reduction
+    * (distinct priorities per customer = total distinct priorities —
+    * one aggregation + a broadcast scalar, the efficient form at any
+    * scale); the ORACLE states it as the textbook double-NOT-EXISTS.
+    * Two canonical formulations of division, one hash — the strongest
+    * grading shape this catalog has (q173's precedent).
+    *
+    * Output also carries the order count so the row is a report, not
+    * a bare id list. */
+  def q191RelationalDivision(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val orders = Tables.orders(s, dir)
+    val nPrio = orders.select(countDistinct($"o_orderpriority").as("np"))
+    orders.groupBy($"o_custkey")
+      .agg(countDistinct($"o_orderpriority").as("covered"),
+        count(lit(1)).as("n_orders"))
+      .crossJoin(broadcast(nPrio))
+      .filter($"covered" === $"np")
+      .select($"o_custkey", $"n_orders")
+      .orderBy($"o_custkey")
+  }
+
+  val q191Sql: String =
+    """SELECT o_custkey, count(*) AS n_orders
+      |FROM orders o
+      |GROUP BY o_custkey
+      |HAVING NOT EXISTS (
+      |  SELECT 1 FROM (SELECT DISTINCT o_orderpriority AS p FROM orders) ps
+      |  WHERE NOT EXISTS (
+      |    SELECT 1 FROM orders i
+      |    WHERE i.o_custkey = o.o_custkey AND i.o_orderpriority = ps.p))
+      |ORDER BY o_custkey""".stripMargin
+
+  /** q192: carry-forward imputation via IGNORE NULLS — the window form
+    * of last-observation-carried-forward: each event carries the most
+    * recent non-null reading of its user (error events null their
+    * reading out). Spark's `last(col, ignoreNulls=true)` over a
+    * running frame against DuckDB's `last_value(… IGNORE NULLS)` —
+    * operator parity for the imputation primitive q143 expresses with
+    * an as-of join when the grid, not the event stream, is the spine. */
+  def q192IgnoreNulls(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    Tables.events(s, dir)
+      .withColumn("reading",
+        when($"event_type" === "error", lit(null)).otherwise($"value"))
+      .withColumn("carried", last($"reading", ignoreNulls = true).over(w))
+      .select($"event_id", $"user_id", $"reading", $"carried")
+      .orderBy($"event_id")
+  }
+
+  val q192Sql: String =
+    """WITH ev AS (
+      |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+      |    CASE WHEN event_type = 'error' THEN NULL ELSE value END AS reading
+      |  FROM events)
+      |SELECT event_id, user_id, reading,
+      |  last_value(reading IGNORE NULLS) OVER (
+      |    PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carried
+      |FROM ev ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q191_relational_division" -> (q191RelationalDivision _),
+    "q192_ignore_nulls" -> (q192IgnoreNulls _),
     "q178_listagg"      -> (q178Listagg _),
     "q81_value_windows" -> (q81ValueWindows _),
     "q154_cdc_apply"    -> (q154CdcApply _),
@@ -587,6 +654,8 @@ object Extra3 {
   )
 
   val oracle: Map[String, String] = Map(
+    "q191_relational_division" -> q191Sql,
+    "q192_ignore_nulls" -> q192Sql,
     "q178_listagg"      -> q178Sql,
     "q81_value_windows" -> q81Sql,
     "q154_cdc_apply"    -> q154Sql,

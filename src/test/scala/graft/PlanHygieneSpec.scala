@@ -40,7 +40,10 @@ class PlanHygieneSpec extends AnyFunSuite {
                            // q117 scalar-graft pattern, applied per round)
     "q185_knn_label",      // broadcast 10-row probe set vs candidates (q36's
                            // brute-force shape; ANN paths are the scale path)
-    "q190_knn_confusion")  // same geometry, 100-row probe set
+    "q190_knn_confusion",  // same geometry, 100-row probe set
+    "q191_relational_division", // broadcast of the 1-row priority-class count
+    "q193_bpe_encode")     // broadcast 1-row learned-merge grafts (q182's
+                           // pattern, applied in the encode pass too)
 
   test("no unintended cartesian products across the whole catalog") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

@@ -772,6 +772,58 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("q191 division returns exactly the customers covering every priority") {
+    import org.apache.spark.sql.functions._
+    val orders = Tables.orders(spark, sf)
+      .select(col("o_custkey"), col("o_orderpriority")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val all = orders.map(_._2).distinct.toSet
+    val expected = orders.groupBy(_._1)
+      .filter { case (_, os) => os.map(_._2).distinct.toSet == all }
+      .map { case (c, os) => c -> os.length.toLong }
+    val got = graft.relational.Extra3.q191RelationalDivision(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("n_orders")).toMap
+    assert(got == expected)
+  }
+
+  test("q192 carried value replays last-observation-carried-forward") {
+    import org.apache.spark.sql.functions._
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts").cast("timestamp")).as("tu"),
+        col("event_id"), col("event_type"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.getString(3) == "error") None else Some(r.getDouble(4))))
+      .groupBy(_._1).map { case (u, rs) =>
+        u -> rs.sortBy(t => (t._2, t._3))
+      }
+    val expected = evs.toSeq.flatMap { case (_, rs) =>
+      var lastSeen: Option[Double] = None
+      rs.toSeq.map { case (_, _, id, v) =>
+        if (v.isDefined) lastSeen = v
+        id -> lastSeen
+      }
+    }
+    val got = graft.relational.Extra3.q192IgnoreNulls(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(got == expected.toMap)
+  }
+
+  test("q193 encode conserves words and never expands a source") {
+    val rows = graft.llm.TextOps.q193BpeEncode(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val before = r.getAs[Long]("chars_before")
+      val after = r.getAs[Long]("syms_after")
+      assert(after <= before && after > 0, s"${r.getString(0)}: $after vs $before")
+      val c = r.getAs[Double]("compression")
+      assert(c > 0.0 && c <= 1.0)
+    }
+    // the learned merges must actually fire somewhere
+    assert(rows.exists(r => r.getAs[Long]("syms_after") < r.getAs[Long]("chars_before")))
+  }
+
   test("q180 transition probabilities are row-stochastic after rounding") {
     import org.apache.spark.sql.functions._
     val rows = graft.relational.Events.q180MarkovTransitions(spark, sf).collect()
