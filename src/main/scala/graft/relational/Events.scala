@@ -664,10 +664,57 @@ object Events {
        |FROM t GROUP BY event_type, day
        |ORDER BY event_type, day""".stripMargin
 
+  /** q195: conversion LAG distribution — per first-view-day cohort, how
+    * long users take from first view to first purchase: converted-user
+    * counts plus the p50/p90 lag. Lags are integer µs (exact) and the
+    * percentiles are percentile_disc — COPIES of real lags (q171's
+    * discipline), so the whole row is hash-exact. The funnel family's
+    * latency half: q142 counts who converts, this says how fast. */
+  def q195ConversionLag(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = ev(s, dir)
+    val firstView = e.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"ts").as("v_ts"))
+    val firstPurchase = e.filter($"event_type" === "purchase")
+      .groupBy($"user_id").agg(min($"ts").as("p_ts"))
+    firstView.join(firstPurchase, Seq("user_id"))
+      .filter($"p_ts" >= $"v_ts")
+      .select($"user_id",
+        date_trunc("day", $"v_ts").as("cohort_day"),
+        (unix_micros($"p_ts".cast("timestamp")) -
+         unix_micros($"v_ts".cast("timestamp"))).as("lag_us"))
+      .groupBy($"cohort_day")
+      .agg(count(lit(1)).as("n_converted"),
+        // percentile_disc returns DOUBLE even for integral input; the
+        // value is a COPY of an integer lag, so the cast is lossless
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY lag_us)")
+          .cast("long").as("p50_lag_us"),
+        expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY lag_us)")
+          .cast("long").as("p90_lag_us"))
+      .orderBy($"cohort_day")
+  }
+
+  val q195Sql: String =
+    s"""$evCte,
+       |fv AS (SELECT user_id, min(ts) AS v_ts FROM ev
+       |       WHERE event_type = 'view' GROUP BY user_id),
+       |fp AS (SELECT user_id, min(ts) AS p_ts FROM ev
+       |       WHERE event_type = 'purchase' GROUP BY user_id),
+       |lags AS (
+       |  SELECT CAST(date_trunc('day', v_ts) AS TIMESTAMP) AS cohort_day,
+       |         epoch_us(p_ts) - epoch_us(v_ts) AS lag_us
+       |  FROM fv JOIN fp USING (user_id)
+       |  WHERE p_ts >= v_ts)
+       |SELECT cohort_day, count(*) AS n_converted,
+       |  quantile_disc(lag_us, 0.5) AS p50_lag_us,
+       |  quantile_disc(lag_us, 0.9) AS p90_lag_us
+       |FROM lags GROUP BY cohort_day ORDER BY cohort_day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q180_markov_transitions" -> (q180MarkovTransitions _),
     "q181_variant_json"   -> (q181VariantJson _),
     "q184_twap"           -> (q184Twap _),
+    "q195_conversion_lag" -> (q195ConversionLag _),
     "q22_tumbling_window" -> (q22Tumbling _),
     "q153_hopping_window" -> (q153HoppingWindow _),
     "q162_path_mining"    -> (q162PathMining _),
@@ -689,6 +736,7 @@ object Events {
     // same output contract as q26 — one oracle grades both access paths
     "q181_variant_json"   -> q26Sql,
     "q184_twap"           -> q184Sql,
+    "q195_conversion_lag" -> q195Sql,
     "q22_tumbling_window" -> q22Sql,
     "q153_hopping_window" -> q153Sql,
     "q141_cohort_retention" -> q141Sql,

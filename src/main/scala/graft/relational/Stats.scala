@@ -648,7 +648,59 @@ object Stats {
       |FROM d JOIN md USING (event_type)
       |GROUP BY d.event_type ORDER BY event_type""".stripMargin
 
+  /** q194: per-entity z-score outlier flags with INTEGER-EXACT
+    * variance — each user's events flagged against the user's OWN
+    * mean/σ, but the 2σ predicate is evaluated without ever computing
+    * a mean or a standard deviation: multiply through by n² and the
+    * test (x − μ)² > 4σ² becomes
+    * `(n·x − Σx)² > 4·(n·Σx² − (Σx)²)` — every term a BIGINT once
+    * values are scaled to exact cents. The q144 integer-predicate
+    * discipline generalized to second moments: no Welford-vs-naive
+    * engine divergence, no floating accumulation order, just integer
+    * arithmetic both engines get bit-identical. (Headroom: cents ≤
+    * 10⁴ and per-user counts ≤ ~10⁶ keep every term far under 2⁶³;
+    * a 100 TB deployment with bigger per-key masses moves the same
+    * predicate to DECIMAL(38) unchanged.)
+    *
+    * Population σ (÷n) — stated here because the sample/population
+    * choice changes flags near the fence. */
+  def q194ZscoreFlags(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = graft.Tables.events(s, dir)
+      .select($"user_id",
+        round($"value" * 100, 0).cast("long").as("xc"))
+    val stats = e.groupBy($"user_id")
+      .agg(count(lit(1)).as("n"), sum($"xc").as("sx"),
+        sum($"xc" * $"xc").as("sx2"))
+    e.join(stats, Seq("user_id"))
+      .withColumn("flag",
+        ($"n" * $"xc" - $"sx") * ($"n" * $"xc" - $"sx") >
+          ($"n" * $"sx2" - $"sx" * $"sx") * 4)
+      .groupBy($"user_id")
+      .agg(max($"n").as("n"),
+        sum(when($"flag", 1L).otherwise(0L)).as("n_outliers"))
+      .filter($"user_id" <= 50)
+      .orderBy($"user_id")
+  }
+
+  val q194Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, CAST(round(value * 100, 0) AS BIGINT) AS xc
+      |  FROM events),
+      |st AS (
+      |  SELECT user_id, count(*) AS n, CAST(sum(xc) AS BIGINT) AS sx,
+      |         CAST(sum(xc * xc) AS BIGINT) AS sx2
+      |  FROM e GROUP BY user_id)
+      |SELECT e.user_id, max(st.n) AS n,
+      |  CAST(sum(CASE WHEN (st.n * e.xc - st.sx) * (st.n * e.xc - st.sx)
+      |                   > (st.n * st.sx2 - st.sx * st.sx) * 4
+      |            THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      |FROM e JOIN st USING (user_id)
+      |WHERE e.user_id <= 50
+      |GROUP BY e.user_id ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q194_zscore_flags"  -> (q194ZscoreFlags _),
     "q179_mad_outliers"  -> (q179MadOutliers _),
     "q98_bit_ops"        -> (q98BitOps _),
     "q139_quantile_sketch" -> (q139QuantileSketch _),
@@ -671,6 +723,7 @@ object Stats {
   )
 
   val oracle: Map[String, String] = Map(
+    "q194_zscore_flags"  -> q194Sql,
     "q179_mad_outliers"  -> q179Sql,
     "q98_bit_ops"        -> q98Sql,
     "q139_quantile_sketch" -> q139Sql,

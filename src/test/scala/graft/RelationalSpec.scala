@@ -824,6 +824,32 @@ class RelationalSpec extends AnyFunSuite {
     assert(rows.exists(r => r.getAs[Long]("syms_after") < r.getAs[Long]("chars_before")))
   }
 
+  test("q194 integer z-score predicate equals the floating 2-sigma test") {
+    import org.apache.spark.sql.functions._
+    val vals = Tables.events(spark, sf)
+      .select(col("user_id"), col("value")).collect()
+      .map(r => (r.getLong(0), math.round(r.getDouble(1) * 100)))
+      .groupBy(_._1).map { case (u, rs) => u -> rs.map(_._2) }
+    graft.relational.Stats.q194ZscoreFlags(spark, sf).collect().foreach { r =>
+      val xs = vals(r.getLong(0)).map(_.toDouble)
+      val n = xs.length
+      val mu = xs.sum / n
+      val sigma = math.sqrt(xs.map(x => (x - mu) * (x - mu)).sum / n)
+      val expected = xs.count(x => math.abs(x - mu) > 2 * sigma)
+      assert(r.getAs[Long]("n") == n)
+      assert(r.getAs[Long]("n_outliers") == expected,
+        s"user ${r.getLong(0)}: ${r.getAs[Long]("n_outliers")} vs $expected")
+    }
+  }
+
+  test("q195 conversion lags are ordered percentiles of real gaps") {
+    graft.relational.Events.q195ConversionLag(spark, sf).collect().foreach { r =>
+      val p50 = r.getAs[Long]("p50_lag_us"); val p90 = r.getAs[Long]("p90_lag_us")
+      assert(p50 >= 0 && p90 >= p50, s"p50=$p50 p90=$p90")
+      assert(r.getAs[Long]("n_converted") > 0)
+    }
+  }
+
   test("q180 transition probabilities are row-stochastic after rounding") {
     import org.apache.spark.sql.functions._
     val rows = graft.relational.Events.q180MarkovTransitions(spark, sf).collect()
