@@ -634,7 +634,113 @@ object Extra3 {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carried
       |FROM ev ORDER BY event_id""".stripMargin
 
+  /** q196: SNAPSHOT DIFF — table reconciliation between two versions
+    * of the orders table: per change class (added / deleted / changed /
+    * unchanged) the row count, plus how many changed rows touched the
+    * price vs the status column. The audit a lakehouse runs after a
+    * CDC apply (q154) to state WHAT the merge did; the "new" snapshot
+    * here is a deterministic mutation of the base (keys ≡0 mod 7
+    * deleted, ≡0 mod 5 repriced +1.00, ≡0 mod 11 re-inserted shifted
+    * by 10⁹ — rules in the query text, identical in the oracle).
+    *
+    * Shape: ONE full-outer co-partitioned join on the key, a CASE
+    * classifier, one aggregation — the diff never materializes both
+    * snapshots twice. All comparisons are exact (price mutation is
+    * +1.00 on a 2-decimal value). */
+  def q196SnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.orders(s, dir)
+      .select($"o_orderkey".as("k"), $"o_totalprice".as("price_a"),
+        $"o_orderstatus".as("status_a"))
+    val newSnap = Tables.orders(s, dir)
+      .filter($"o_orderkey" % 7 =!= 0)
+      .select($"o_orderkey".as("k"),
+        when($"o_orderkey" % 5 === 0, $"o_totalprice" + 1.0)
+          .otherwise($"o_totalprice").as("price_b"),
+        $"o_orderstatus".as("status_b"))
+      .unionByName(
+        Tables.orders(s, dir).filter($"o_orderkey" % 11 === 0)
+          .select(($"o_orderkey" + 1000000000L).as("k"),
+            $"o_totalprice".as("price_b"), $"o_orderstatus".as("status_b")))
+    base.join(newSnap, Seq("k"), "full_outer")
+      .withColumn("change_class",
+        when($"price_a".isNull, "added")
+          .when($"price_b".isNull, "deleted")
+          .when($"price_a" =!= $"price_b" || $"status_a" =!= $"status_b", "changed")
+          .otherwise("unchanged"))
+      .groupBy($"change_class")
+      .agg(count(lit(1)).as("n"),
+        sum(when($"price_a".isNotNull && $"price_b".isNotNull &&
+          $"price_a" =!= $"price_b", 1L).otherwise(0L)).as("price_changed"),
+        sum(when($"status_a".isNotNull && $"status_b".isNotNull &&
+          $"status_a" =!= $"status_b", 1L).otherwise(0L)).as("status_changed"))
+      .orderBy($"change_class")
+  }
+
+  val q196Sql: String =
+    """WITH base AS (
+      |  SELECT o_orderkey AS k, o_totalprice AS price_a, o_orderstatus AS status_a
+      |  FROM orders),
+      |news AS (
+      |  SELECT o_orderkey AS k,
+      |    CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1.0
+      |         ELSE o_totalprice END AS price_b,
+      |    o_orderstatus AS status_b
+      |  FROM orders WHERE o_orderkey % 7 <> 0
+      |  UNION ALL
+      |  SELECT o_orderkey + 1000000000, o_totalprice, o_orderstatus
+      |  FROM orders WHERE o_orderkey % 11 = 0),
+      |j AS (
+      |  SELECT base.k AS ka, news.k AS kb, price_a, price_b, status_a, status_b
+      |  FROM base FULL OUTER JOIN news ON base.k = news.k)
+      |SELECT
+      |  CASE WHEN price_a IS NULL THEN 'added'
+      |       WHEN price_b IS NULL THEN 'deleted'
+      |       WHEN price_a <> price_b OR status_a <> status_b THEN 'changed'
+      |       ELSE 'unchanged' END AS change_class,
+      |  count(*) AS n,
+      |  CAST(sum(CASE WHEN price_a IS NOT NULL AND price_b IS NOT NULL
+      |                 AND price_a <> price_b THEN 1 ELSE 0 END) AS BIGINT) AS price_changed,
+      |  CAST(sum(CASE WHEN status_a IS NOT NULL AND status_b IS NOT NULL
+      |                 AND status_a <> status_b THEN 1 ELSE 0 END) AS BIGINT) AS status_changed
+      |FROM j GROUP BY 1 ORDER BY change_class""".stripMargin
+
+  /** q197: EQUI-DEPTH histogram — ntile(10) over a TOTAL order
+    * (price, key — the tie column makes tile assignment deterministic,
+    * q172's discipline): per decile, its row count and its max price
+    * (a real data value, so the boundary column is hash-exact with no
+    * rounding). The ANALYZE-histogram complement of q83's equi-width
+    * bins and q158's column profile — equi-depth is what an optimizer
+    * actually keeps, because every bucket carries the same row mass no
+    * matter how skewed the values.
+    *
+    * Scale note: a global ntile is a single ordered partition — the
+    * exact DEFINITION, kept because the oracle grades it. At 100 TB
+    * the production form is q139's approx_percentile boundaries (GK
+    * sketch, mergeable partials) or a sample-sort; the equi-depth
+    * semantics and this query's output contract are unchanged. */
+  def q197EquidepthHist(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.orderBy($"o_totalprice", $"o_orderkey")
+    Tables.orders(s, dir)
+      .select($"o_orderkey", $"o_totalprice")
+      .withColumn("decile", ntile(10).over(w))
+      .groupBy($"decile")
+      .agg(count(lit(1)).as("n"), max($"o_totalprice").as("hi_bound"))
+      .orderBy($"decile")
+  }
+
+  val q197Sql: String =
+    """SELECT decile, count(*) AS n, max(o_totalprice) AS hi_bound
+      |FROM (
+      |  SELECT o_totalprice,
+      |    ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+      |  FROM orders) t
+      |GROUP BY decile ORDER BY decile""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q196_snapshot_diff" -> (q196SnapshotDiff _),
+    "q197_equidepth_hist" -> (q197EquidepthHist _),
     "q191_relational_division" -> (q191RelationalDivision _),
     "q192_ignore_nulls" -> (q192IgnoreNulls _),
     "q178_listagg"      -> (q178Listagg _),
@@ -654,6 +760,8 @@ object Extra3 {
   )
 
   val oracle: Map[String, String] = Map(
+    "q196_snapshot_diff" -> q196Sql,
+    "q197_equidepth_hist" -> q197Sql,
     "q191_relational_division" -> q191Sql,
     "q192_ignore_nulls" -> q192Sql,
     "q178_listagg"      -> q178Sql,

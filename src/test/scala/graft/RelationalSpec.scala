@@ -850,6 +850,33 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("q196 diff classes replay from the mutation rules") {
+    import org.apache.spark.sql.functions._
+    val keys = Tables.orders(spark, sf).select(col("o_orderkey"), col("o_totalprice"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val deleted = keys.count(k => k._1 % 7 == 0)
+    val added = keys.count(k => k._1 % 11 == 0)
+    val changed = keys.count(k => k._1 % 7 != 0 && k._1 % 5 == 0)
+    val unchanged = keys.length - deleted - changed
+    val got = graft.relational.Extra3.q196SnapshotDiff(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n")).toMap
+    assert(got.getOrElse("deleted", 0L) == deleted)
+    assert(got.getOrElse("added", 0L) == added)
+    assert(got.getOrElse("changed", 0L) == changed)
+    assert(got.getOrElse("unchanged", 0L) == unchanged)
+  }
+
+  test("q197 deciles are balanced, exhaustive, and boundary-monotone") {
+    val rows = graft.relational.Extra3.q197EquidepthHist(spark, sf).collect()
+      .sortBy(_.getInt(0))
+    assert(rows.map(_.getInt(0)).toSeq == (1 to 10))
+    val counts = rows.map(_.getAs[Long]("n"))
+    assert(counts.max - counts.min <= 1, s"unbalanced tiles: ${counts.toSeq}")
+    assert(counts.sum == Tables.orders(spark, sf).count())
+    val bounds = rows.map(_.getAs[Double]("hi_bound"))
+    assert(bounds.zip(bounds.tail).forall { case (a, b) => a <= b })
+  }
+
   test("q180 transition probabilities are row-stochastic after rounding") {
     import org.apache.spark.sql.functions._
     val rows = graft.relational.Events.q180MarkovTransitions(spark, sf).collect()
