@@ -1127,7 +1127,99 @@ object Dedup {
       |       round(CAST(sum(w_ppm) AS DOUBLE) / 1000000.0, 4) AS effective_docs
       |FROM w GROUP BY source ORDER BY source""".stripMargin
 
+  /** q199: MinHash ESTIMATOR-ACCURACY audit — the q54/q139 "measure
+    * your own sketch" discipline applied to the minhash family: over
+    * the md5-banding candidate pairs (q107's sample), compare the
+    * signature-estimated Jaccard (matching minhash positions / K)
+    * against the EXACT shingle Jaccard, banded by the exact value.
+    * Per band: pair count, average estimate, average exact, and mean
+    * absolute error — the table that justifies (or indicts) K = 8.
+    *
+    * Exactness: the estimate is m/8 (integer m summed as BIGINT, one
+    * final division); exact Jaccard uses the established
+    * round-to-4-then-DECIMAL-sum rule, so band membership and every
+    * average is bit-identical in both engines. */
+  def q199MinhashAccuracy(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val K = 8
+    def mdh(seed: Int, x: Column): Column =
+      conv(substring(md5(concat(lit(seed.toString), lit("|"), x)), 1, 8), 16, 10)
+        .cast("long")
+    val sh = toks(s, dir)
+      .filter($"doc_id" % 2 === 0)
+      .select($"doc_id", shingles($"toks").as("sh"))
+      .persist()
+    val mins = (0 until K).map(k => min(mdh(k, $"s")).as(s"m$k"))
+    val sigs = sh.select($"doc_id", explode($"sh").as("s"))
+      .groupBy($"doc_id").agg(mins.head, mins.tail: _*)
+      .select($"doc_id", array((0 until K).map(i => col(s"m$i")): _*).as("sig"))
+    val cand = md5Candidates(sh)
+    val withJ = cand
+      .join(sh.select($"doc_id".as("id1"), array_sort($"sh").as("sh1")), Seq("id1"))
+      .join(sh.select($"doc_id".as("id2"), array_sort($"sh").as("sh2")), Seq("id2"))
+      .withColumn("o", graft.functions.SortedOverlapCount.overlap(s, $"sh1", $"sh2"))
+      .withColumn("j4",
+        round($"o".cast("double") / (size($"sh1") + size($"sh2") - $"o"), 4))
+      .join(sigs.select($"doc_id".as("id1"), $"sig".as("sig1")), Seq("id1"))
+      .join(sigs.select($"doc_id".as("id2"), $"sig".as("sig2")), Seq("id2"))
+      .withColumn("m", size(filter(
+        zip_with($"sig1", $"sig2", (a, b) => a === b), x => x)))
+    withJ
+      .withColumn("band", floor($"j4" * 5).cast("int"))
+      .withColumn("err", round(abs($"m" / lit(8.0) - $"j4"), 4))
+      .groupBy($"band")
+      .agg(count(lit(1)).as("n_pairs"),
+        round(sum($"m").cast("double") / (count(lit(1)) * 8), 4).as("avg_est"),
+        round(sum($"j4".cast("decimal(10,4)")).cast("double") / count(lit(1)), 4)
+          .as("avg_exact"),
+        round(sum($"err".cast("decimal(10,4)")).cast("double") / count(lit(1)), 4)
+          .as("mean_abs_err"))
+      .orderBy($"band")
+  }
+
+  val q199Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks
+      |  FROM documents WHERE doc_id % 2 = 0),
+      |sh AS (
+      |  SELECT doc_id, list_distinct([
+      |    concat_ws(' ', toks[i], toks[i+1], toks[i+2])
+      |    FOR i IN generate_series(1, greatest(len(toks) - 2, 1))]) AS shs
+      |  FROM t),
+      |mh AS (
+      |  SELECT doc_id,
+      |    [ list_min([ ('0x' || substr(md5(CAST(k AS VARCHAR) || '|' || s), 1, 8))::BIGINT
+      |                 FOR s IN shs ])
+      |      FOR k IN generate_series(0, 7) ] AS sig
+      |  FROM sh),
+      |banded AS (
+      |  SELECT doc_id, b AS band,
+      |    CAST(sig[2*b + 1] AS VARCHAR) || ',' || CAST(sig[2*b + 2] AS VARCHAR) AS bkt
+      |  FROM mh, unnest(generate_series(0, 3)) AS u(b)),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+      |  FROM banded a JOIN banded b
+      |    ON a.band = b.band AND a.bkt = b.bkt AND a.doc_id < b.doc_id),
+      |scored AS (
+      |  SELECT c.id1, c.id2,
+      |    round(CAST(len(list_intersect(x.shs, y.shs)) AS DOUBLE)
+      |          / len(list_distinct(list_concat(x.shs, y.shs))), 4) AS j4,
+      |    len([i FOR i IN generate_series(1, 8) IF sx.sig[i] = sy.sig[i]]) AS m
+      |  FROM cand c
+      |  JOIN sh x ON x.doc_id = c.id1
+      |  JOIN sh y ON y.doc_id = c.id2
+      |  JOIN mh sx ON sx.doc_id = c.id1
+      |  JOIN mh sy ON sy.doc_id = c.id2)
+      |SELECT CAST(floor(j4 * 5) AS INT) AS band,
+      |  count(*) AS n_pairs,
+      |  round(CAST(sum(m) AS DOUBLE) / (count(*) * 8), 4) AS avg_est,
+      |  round(CAST(sum(CAST(j4 AS DECIMAL(10,4))) AS DOUBLE) / count(*), 4) AS avg_exact,
+      |  round(CAST(sum(CAST(round(abs(m / 8.0 - j4), 4) AS DECIMAL(10,4))) AS DOUBLE)
+      |        / count(*), 4) AS mean_abs_err
+      |FROM scored GROUP BY 1 ORDER BY band""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q199_minhash_accuracy" -> (q199MinhashAccuracy _),
     "q188_dup_weights"  -> (q188DupWeights _),
     "q176_cluster_rep"  -> (q176ClusterRep _),
     "q46_minhash_pairs" -> (q46MinhashPairs _),
@@ -1147,6 +1239,7 @@ object Dedup {
   )
 
   val oracle: Map[String, String] = Map(
+    "q199_minhash_accuracy" -> q199Sql,
     "q188_dup_weights" -> q188Sql,
     "q176_cluster_rep" -> q176Sql,
     "q49_singletons" -> q49Sql,

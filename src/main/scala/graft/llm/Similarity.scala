@@ -1328,7 +1328,50 @@ object Similarity {
       |FROM m JOIN rt USING (true_label)
       |ORDER BY true_label, pred_label""".stripMargin
 
+  /** q198: cosine THRESHOLD SWEEP — the calibration report a curation
+    * team reads before picking a near-dup cutoff: for each candidate
+    * threshold, how many pairs and how many distinct documents a
+    * cosine-dedup pass at that threshold would touch. One pair scan
+    * (q104's same-label geometry, floored at the weakest threshold),
+    * three conditional aggregates — the sweep costs one threshold's
+    * work, not three. */
+  def q198CosineThresholdSweep(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = vecs(s, dir)
+    val a = e.select($"label", $"vec_id".as("id1"), $"v".as("v1"))
+    val b = e.select($"label".as("l2"), $"vec_id".as("id2"), $"v".as("v2"))
+    val pairs = a.join(b, $"label" === $"l2" && $"id1" < $"id2")
+      .withColumn("cos", graft.functions.CosineSim.cosine(s, $"v1", $"v2"))
+      .filter($"cos" >= 0.35)
+      .select($"id1", $"id2", $"cos")
+      .persist()
+    val ids = pairs.select(explode(array($"id1", $"id2")).as("id"), $"cos")
+    def at(t: Double): DataFrame =
+      pairs.filter($"cos" >= t).agg(count(lit(1)).as("n_pairs"))
+        .crossJoin(ids.filter($"cos" >= t)
+          .agg(countDistinct($"id").as("n_docs")))
+        .select(lit(t).as("threshold"), $"n_pairs", $"n_docs")
+    at(0.5).unionByName(at(0.7)).unionByName(at(0.9))
+      .orderBy($"threshold")
+  }
+
+  val q198Sql: String =
+    """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |p AS (
+      |  SELECT a.vec_id AS id1, b.vec_id AS id2,
+      |    list_dot_product(a.v, b.v)
+      |      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
+      |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id),
+      |f AS (SELECT * FROM p WHERE cos >= 0.35),
+      |x AS (SELECT id1 AS id, cos FROM f UNION ALL SELECT id2, cos FROM f)
+      |SELECT CAST(t.threshold AS DOUBLE) AS threshold,
+      |  (SELECT count(*) FROM f WHERE cos >= t.threshold) AS n_pairs,
+      |  (SELECT count(DISTINCT id) FROM x WHERE cos >= t.threshold) AS n_docs
+      |FROM (VALUES (0.5), (0.7), (0.9)) AS t(threshold)
+      |ORDER BY threshold""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q198_cosine_threshold_sweep" -> (q198CosineThresholdSweep _),
     "q190_knn_confusion" -> (q190KnnConfusion _),
     "q185_knn_label"     -> (q185KnnLabel _),
     "q36_cosine_topk"    -> (q36CosineTopk _),
@@ -1355,6 +1398,7 @@ object Similarity {
   def oracle: Map[String, String] = {
     val (np, li) = sessionIvf
     Map(
+      "q198_cosine_threshold_sweep" -> q198Sql,
       "q190_knn_confusion" -> q190Sql,
       "q185_knn_label"     -> q185Sql,
       "q36_cosine_topk"    -> q36Sql,

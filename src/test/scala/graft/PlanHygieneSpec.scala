@@ -42,8 +42,10 @@ class PlanHygieneSpec extends AnyFunSuite {
                            // brute-force shape; ANN paths are the scale path)
     "q190_knn_confusion",  // same geometry, 100-row probe set
     "q191_relational_division", // broadcast of the 1-row priority-class count
-    "q193_bpe_encode")     // broadcast 1-row learned-merge grafts (q182's
+    "q193_bpe_encode",     // broadcast 1-row learned-merge grafts (q182's
                            // pattern, applied in the encode pass too)
+    "q198_cosine_threshold_sweep") // broadcast 1-row count x count grafts
+                           // (three threshold rows, q79's scalar shape)
 
   test("no unintended cartesian products across the whole catalog") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

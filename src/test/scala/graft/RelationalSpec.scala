@@ -877,6 +877,37 @@ class RelationalSpec extends AnyFunSuite {
     assert(bounds.zip(bounds.tail).forall { case (a, b) => a <= b })
   }
 
+  test("q198 sweep counts are monotone non-increasing in the threshold") {
+    val rows = graft.llm.Similarity.q198CosineThresholdSweep(spark, sf)
+      .collect().sortBy(_.getDouble(0))
+    assert(rows.map(_.getDouble(0)).toSeq == Seq(0.5, 0.7, 0.9))
+    val pairs = rows.map(_.getAs[Long]("n_pairs"))
+    val docs = rows.map(_.getAs[Long]("n_docs"))
+    assert(pairs.zip(pairs.tail).forall { case (a, b) => a >= b })
+    assert(docs.zip(docs.tail).forall { case (a, b) => a >= b })
+    // a pair involves two docs, a doc can be in many pairs
+    rows.foreach { r =>
+      if (r.getAs[Long]("n_pairs") > 0)
+        assert(r.getAs[Long]("n_docs") >= 2)
+    }
+  }
+
+  test("q199 estimator audit is internally consistent") {
+    val rows = graft.llm.Dedup.q199MinhashAccuracy(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val est = r.getAs[Double]("avg_est"); val ex = r.getAs[Double]("avg_exact")
+      val err = r.getAs[Double]("mean_abs_err")
+      assert(est >= 0.0 && est <= 1.0 && ex >= 0.0 && ex <= 1.0)
+      // mean |e_i| >= |mean e_i| (triangle inequality), up to rounding
+      assert(err + 1e-3 >= math.abs(est - ex),
+        s"band ${r.getInt(0)}: err $err < |$est - $ex|")
+      val band = r.getInt(0)
+      assert(ex + 1e-4 >= band / 5.0 && ex - 1e-4 <= (band + 1) / 5.0,
+        s"avg_exact $ex outside band $band")
+    }
+  }
+
   test("q180 transition probabilities are row-stochastic after rounding") {
     import org.apache.spark.sql.functions._
     val rows = graft.relational.Events.q180MarkovTransitions(spark, sf).collect()
