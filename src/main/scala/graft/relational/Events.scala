@@ -710,11 +710,92 @@ object Events {
        |  quantile_disc(lag_us, 0.9) AS p90_lag_us
        |FROM lags GROUP BY cohort_day ORDER BY cohort_day""".stripMargin
 
+  /** q200: user GROWTH accounting — per day: events, active users,
+    * NEW users (first ever seen that day), returning users, and the
+    * cumulative distinct-user count — the new-vs-returning growth
+    * report every product dashboard leads with. The cumulative curve
+    * is exact WITHOUT a running distinct: a user is counted on
+    * exactly their first-seen day, so `sum(new) OVER (ORDER BY day)`
+    * IS the cumulative distinct — one keyed min + two aggregations +
+    * a 30-row window, no growing state anywhere. */
+  def q200UserGrowth(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = ev(s, dir)
+      .select($"user_id", date_trunc("day", $"ts").as("day"))
+    val firstSeen = e.groupBy($"user_id").agg(min($"day").as("first_day"))
+    val daily = e.groupBy($"day")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct($"user_id").as("active_users"))
+    val news = firstSeen.groupBy($"first_day".as("day"))
+      .agg(count(lit(1)).as("new_users"))
+    daily.join(news, Seq("day"), "left")
+      .withColumn("new_users", coalesce($"new_users", lit(0L)))
+      .withColumn("returning_users", $"active_users" - $"new_users")
+      .withColumn("cum_users", sum($"new_users")
+        .over(Window.orderBy($"day").rowsBetween(Window.unboundedPreceding, 0)))
+      .select($"day", $"n_events", $"active_users", $"new_users",
+        $"returning_users", $"cum_users")
+      .orderBy($"day")
+  }
+
+  val q200Sql: String =
+    s"""$evCte,
+       |e AS (SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day FROM ev),
+       |fs AS (SELECT user_id, min(day) AS first_day FROM e GROUP BY user_id),
+       |d AS (SELECT day, count(*) AS n_events,
+       |        count(DISTINCT user_id) AS active_users
+       |      FROM e GROUP BY day),
+       |nu AS (SELECT first_day AS day, count(*) AS new_users
+       |       FROM fs GROUP BY first_day)
+       |SELECT d.day, d.n_events, d.active_users,
+       |  CAST(coalesce(nu.new_users, 0) AS BIGINT) AS new_users,
+       |  CAST(d.active_users - coalesce(nu.new_users, 0) AS BIGINT) AS returning_users,
+       |  CAST(sum(coalesce(nu.new_users, 0)) OVER (ORDER BY d.day
+       |       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+       |FROM d LEFT JOIN nu ON nu.day = d.day
+       |ORDER BY d.day""".stripMargin
+
+  /** q202: month-over-month growth — revenue per order priority by
+    * month with the growth rate against the previous month: decimal
+    * sums (dsum discipline), one lag window, ONE division rounded
+    * after; first month NULL. The period-over-period reporting
+    * primitive the windows family (q08 running, q81 value windows)
+    * did not yet state. */
+  def q202MomGrowth(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_orderpriority").orderBy($"month")
+    graft.Tables.orders(s, dir)
+      .groupBy($"o_orderpriority",
+        date_trunc("month", $"o_orderdate").as("month"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(dsum($"o_totalprice"), 2).as("revenue"))
+      .withColumn("prev_rev", lag($"revenue", 1).over(w))
+      .withColumn("mom_growth",
+        round(($"revenue" - $"prev_rev") / $"prev_rev", 4))
+      .select($"o_orderpriority", $"month", $"n_orders", $"revenue", $"mom_growth")
+      .orderBy($"o_orderpriority", $"month")
+  }
+
+  val q202Sql: String =
+    """WITH m AS (
+      |  SELECT o_orderpriority,
+      |    CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+      |    count(*) AS n_orders,
+      |    round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue
+      |  FROM orders GROUP BY 1, 2)
+      |SELECT o_orderpriority, month, n_orders, revenue,
+      |  round((revenue - lag(revenue) OVER w) / lag(revenue) OVER w, 4) AS mom_growth
+      |FROM m
+      |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY month)
+      |ORDER BY o_orderpriority, month""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q180_markov_transitions" -> (q180MarkovTransitions _),
     "q181_variant_json"   -> (q181VariantJson _),
     "q184_twap"           -> (q184Twap _),
     "q195_conversion_lag" -> (q195ConversionLag _),
+    "q200_user_growth"    -> (q200UserGrowth _),
+    "q202_mom_growth"     -> (q202MomGrowth _),
     "q22_tumbling_window" -> (q22Tumbling _),
     "q153_hopping_window" -> (q153HoppingWindow _),
     "q162_path_mining"    -> (q162PathMining _),
@@ -737,6 +818,8 @@ object Events {
     "q181_variant_json"   -> q26Sql,
     "q184_twap"           -> q184Sql,
     "q195_conversion_lag" -> q195Sql,
+    "q200_user_growth"    -> q200Sql,
+    "q202_mom_growth"     -> q202Sql,
     "q22_tumbling_window" -> q22Sql,
     "q153_hopping_window" -> q153Sql,
     "q141_cohort_retention" -> q141Sql,

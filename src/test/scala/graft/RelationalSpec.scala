@@ -908,6 +908,59 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("q200 growth accounting conserves users and events") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.relational.Events.q200UserGrowth(spark, sf).collect()
+      .sortBy(_.getTimestamp(0).getTime)
+    val totalUsers = Tables.events(spark, sf)
+      .select(countDistinct(col("user_id"))).head().getLong(0)
+    val totalEvents = Tables.events(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_events")).sum == totalEvents)
+    assert(rows.map(_.getAs[Long]("new_users")).sum == totalUsers)
+    assert(rows.last.getAs[Long]("cum_users") == totalUsers)
+    var cum = 0L
+    rows.foreach { r =>
+      assert(r.getAs[Long]("returning_users") ==
+        r.getAs[Long]("active_users") - r.getAs[Long]("new_users"))
+      cum += r.getAs[Long]("new_users")
+      assert(r.getAs[Long]("cum_users") == cum)
+    }
+  }
+
+  test("q201 dup rates replay from the fingerprint groups") {
+    import org.apache.spark.sql.functions._
+    val fps = Tables.documents(spark, sf)
+      .select(col("source"), graft.llm.TextOps.normFp(col("text")).as("fp"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val expected = fps.groupBy(_._1).map { case (src, xs) =>
+      val groups = xs.groupBy(_._2).values.map(_.length)
+      src -> (xs.length.toLong, groups.size.toLong, groups.max.toLong)
+    }
+    graft.llm.TextOps.q201SourceDupRate(spark, sf).collect().foreach { r =>
+      val (n, d, mx) = expected(r.getString(0))
+      assert(r.getAs[Long]("n_docs") == n)
+      assert(r.getAs[Long]("n_distinct") == d)
+      assert(r.getAs[Long]("dup_docs") == n - d)
+      assert(r.getAs[Long]("max_clone_group") == mx)
+    }
+  }
+
+  test("q202 growth rates replay from the revenue series") {
+    val rows = graft.relational.Events.q202MomGrowth(spark, sf).collect()
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getTimestamp(1).getTime)
+      assert(sorted.head.isNullAt(4), "first month must have NULL growth")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          val prev = a.getAs[Double]("revenue")
+          val exp = BigDecimal((b.getAs[Double]("revenue") - prev) / prev)
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+          assert(math.abs(b.getAs[Double]("mom_growth") - exp) < 1e-9)
+        case _ =>
+      }
+    }
+  }
+
   test("q180 transition probabilities are row-stochastic after rounding") {
     import org.apache.spark.sql.functions._
     val rows = graft.relational.Events.q180MarkovTransitions(spark, sf).collect()
