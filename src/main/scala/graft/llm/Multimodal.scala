@@ -416,7 +416,96 @@ object Multimodal {
       |  TRUE AS lossy_ok
       |FROM m ORDER BY media_id""".stripMargin
 
+  /** q203: audio FRAME ENERGY — the first PAYLOAD-level audio feature
+    * (q112 graded audio metadata; this grades the samples): each WAV
+    * row's PCM16 stream framed into 64-sample (4 ms @ 16 kHz)
+    * windows, per-frame RMS, rolled up per clip to n_frames, the peak
+    * frame (ties to the earliest), its RMS, and the mean frame RMS.
+    * The VAD/loudness front-end of an audio curation pipeline.
+    *
+    * Grading is the q52 cross-path: the Spark side decodes the REAL
+    * RIFF container (chunk walk, LE int16 reassembly with sign
+    * extension); the oracle restates the samples from the document
+    * text's char codes (payload = text bytes; the corpus is pure
+    * ASCII, asserted by octet_length = length in q131's family). RMS
+    * values are graded UNROUNDED: integer Σs², one exact int→double
+    * cast, division by 64.0 (a power of two — exact scaling) and one
+    * correctly-rounded IEEE sqrt give bit-identical doubles in both
+    * engines — and round() itself is what DIVERGES cross-engine at
+    * representation boundaries (Spark rounds the shortest decimal
+    * repr, DuckDB the scaled binary; a 4-dp round of these values
+    * hash-failed by one ulp, found by the gate). The clip-level RMS
+    * comes from the exact Σss rather than a mean of per-frame values,
+    * so no double accumulation exists anywhere. */
+  def q203AudioRms(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val frames = mediaTable(s, dir)
+      .filter(_.kind == "audio")
+      .flatMap { r =>
+        val data = MediaCodec.decodeWav(r.content).data
+        val n = data.length / 2
+        val nf = n / 64
+        (0 until nf).map { f =>
+          var ss = 0L
+          var i = f * 64
+          while (i < (f + 1) * 64) {
+            val lo = data(2 * i) & 0xFF
+            val sm = (data(2 * i + 1).toInt << 8) | lo // sign-extending hi byte
+            ss += sm.toLong * sm
+            i += 1
+          }
+          (r.media_id, n.toLong, nf.toLong, f, ss)
+        }
+      }
+      .toDF("media_id", "n_samples", "n_frames", "f", "ss")
+      .withColumn("rms", sqrt($"ss".cast("double") / 64.0))
+    frames.groupBy($"media_id")
+      .agg(max($"n_samples").as("n_samples"),
+        max($"n_frames").as("n_frames"),
+        max(struct($"rms", (-$"f").as("nf"))).as("pk"),
+        sum($"ss").as("sum_ss"))
+      .select($"media_id", $"n_samples", $"n_frames",
+        $"pk.rms".as("peak_rms"), (-$"pk.nf").cast("int").as("peak_frame"),
+        sqrt($"sum_ss".cast("double") / ($"n_frames" * 64.0).cast("double"))
+          .as("clip_rms"))
+      .orderBy($"media_id")
+  }
+
+  val q203Sql: String =
+    """WITH a AS (
+      |  SELECT doc_id AS media_id, text,
+      |    length(text) // 2 AS n_samples,
+      |    (length(text) // 2) // 64 AS n_frames
+      |  FROM documents WHERE doc_id % 3 = 1),
+      |fr AS (SELECT * FROM a WHERE n_frames >= 1),
+      |smp AS (
+      |  SELECT media_id, n_samples, n_frames, i // 64 AS f,
+      |    ascii(substr(text, 2 * i + 1, 1))
+      |      + 256 * ascii(substr(text, 2 * i + 2, 1)) AS s0
+      |  FROM (SELECT media_id, text, n_samples, n_frames,
+      |          unnest(generate_series(0, n_frames * 64 - 1)) AS i
+      |        FROM fr) t),
+      |sg AS (SELECT media_id, n_samples, n_frames, f,
+      |         CASE WHEN s0 >= 32768 THEN s0 - 65536 ELSE s0 END AS s
+      |       FROM smp),
+      |fr2 AS (
+      |  SELECT media_id, n_samples, n_frames, f,
+      |    sqrt(CAST(sum(s * s) AS DOUBLE) / 64.0) AS rms,
+      |    CAST(sum(s * s) AS BIGINT) AS ss
+      |  FROM sg GROUP BY 1, 2, 3, 4),
+      |pk AS (SELECT media_id, max(rms) AS peak FROM fr2 GROUP BY 1)
+      |SELECT f.media_id,
+      |  CAST(max(f.n_samples) AS BIGINT) AS n_samples,
+      |  CAST(max(f.n_frames) AS BIGINT) AS n_frames,
+      |  max(pk.peak) AS peak_rms,
+      |  CAST(min(CASE WHEN f.rms = pk.peak THEN f.f END) AS INT) AS peak_frame,
+      |  sqrt(CAST(sum(f.ss) AS DOUBLE)
+      |       / CAST(max(f.n_frames) * 64.0 AS DOUBLE)) AS clip_rms
+      |FROM fr2 f JOIN pk USING (media_id)
+      |GROUP BY f.media_id ORDER BY media_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q203_audio_rms"     -> (q203AudioRms _),
     "q52_media_features" -> (q52MediaFeatures _),
     "q53_frame_sample"   -> (q53FrameSample _),
     "q112_media_meta"    -> (q112MediaMeta _),
@@ -425,6 +514,7 @@ object Multimodal {
   )
 
   val oracle: Map[String, String] = Map(
+    "q203_audio_rms"     -> q203Sql,
     "q52_media_features" -> q52Sql,
     "q53_frame_sample"   -> q53Sql,
     "q112_media_meta"    -> q112Sql,

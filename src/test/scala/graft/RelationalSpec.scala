@@ -961,6 +961,37 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("q203 audio RMS replays from the raw text bytes") {
+    import org.apache.spark.sql.functions._
+    val texts = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 3 === 1)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = graft.llm.Multimodal.q203AudioRms(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val bytes = texts(r.getAs[Long]("media_id"))
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val n = bytes.length / 2
+      val nf = n / 64
+      assert(r.getAs[Long]("n_samples") == n && r.getAs[Long]("n_frames") == nf)
+      val rmss = (0 until nf).map { f =>
+        val ss = (f * 64 until (f + 1) * 64).map { i =>
+          val sm = ((bytes(2 * i + 1).toInt << 8) | (bytes(2 * i) & 0xFF)).toLong
+          sm * sm
+        }.sum
+        math.sqrt(ss.toDouble / 64.0)
+      }
+      assert(r.getAs[Double]("peak_rms") == rmss.max)
+      assert(r.getAs[Int]("peak_frame") == rmss.indexOf(rmss.max))
+      val ssAll = (0 until nf * 64).map { i =>
+        val sm = ((bytes(2 * i + 1).toInt << 8) | (bytes(2 * i) & 0xFF)).toLong
+        sm * sm
+      }.sum
+      assert(r.getAs[Double]("clip_rms") == math.sqrt(ssAll.toDouble / (nf * 64.0)))
+    }
+  }
+
   test("q180 transition probabilities are row-stochastic after rounding") {
     import org.apache.spark.sql.functions._
     val rows = graft.relational.Events.q180MarkovTransitions(spark, sf).collect()
