@@ -222,13 +222,73 @@ object Ranges {
        |SELECT rk, buyer_id, other_id, n_overlaps, overlap_us
        |FROM r WHERE rk <= 20 ORDER BY rk""".stripMargin
 
+  /** q204: the range join as pure SQL TEXT — the whole q174 pipeline
+    * (sessionize → dilate → bucket-explode → equi-join → exact
+    * predicate → left-outer zeros) submitted through `spark.sql`,
+    * because unlike the custom plan-node tiers (which needed
+    * table-valued functions, q126–q128) the bucket decomposition is
+    * built ENTIRELY from SQL-surface primitives: `sequence`,
+    * `explode`, `div`, window functions. A SQL-shaped consumer gets
+    * the 100 TB-safe plan by writing this text — no Scala required —
+    * and the q126 grading pattern applies: same oracle as the
+    * DataFrame form, two front doors, one answer. */
+  def q204RangeJoinSql(s: SparkSession, dir: String): DataFrame = {
+    graft.Tables.events(s, dir).createOrReplaceTempView("graft_q204_events")
+    s.sql(
+      s"""WITH ev AS (
+         |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
+         |  FROM graft_q204_events),
+         |flagged AS (
+         |  SELECT user_id, event_id, ts, event_type, value,
+         |    CASE WHEN lag(ts) OVER w IS NULL
+         |           OR unix_micros(ts) - unix_micros(lag(ts) OVER w) > 1800000000L
+         |         THEN 1 ELSE 0 END AS new_sess
+         |  FROM ev
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |sess AS (
+         |  SELECT user_id, ts, event_type,
+         |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |                        ROWS UNBOUNDED PRECEDING) AS sess_id
+         |  FROM flagged),
+         |w AS (
+         |  SELECT user_id, sess_id, min(ts) AS w_start,
+         |         max(ts) + INTERVAL 30 MINUTES AS w_end,
+         |         unix_micros(CAST(min(ts) AS TIMESTAMP)) AS au,
+         |         unix_micros(CAST(max(ts) + INTERVAL 30 MINUTES AS TIMESTAMP)) AS bu
+         |  FROM sess GROUP BY user_id, sess_id),
+         |wb AS (
+         |  SELECT user_id, sess_id, au, bu,
+         |    explode(sequence(au div ${BucketUs}L, (bu - 1) div ${BucketUs}L)) AS bucket
+         |  FROM w),
+         |err AS (
+         |  SELECT user_id AS e_user, unix_micros(ts) AS tu, value,
+         |         unix_micros(ts) div ${BucketUs}L AS bucket
+         |  FROM ev WHERE event_type = 'error'),
+         |hits AS (
+         |  SELECT wb.user_id, wb.sess_id, count(1) AS n,
+         |    round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS v
+         |  FROM wb JOIN err
+         |    ON wb.bucket = err.bucket AND err.tu >= wb.au AND err.tu < wb.bu
+         |   AND err.e_user <> wb.user_id
+         |  GROUP BY wb.user_id, wb.sess_id)
+         |SELECT w.user_id, w.sess_id, w.w_start, w.w_end,
+         |       coalesce(h.n, 0L) AS n_err,
+         |       coalesce(h.v, CAST(0.0 AS DOUBLE)) AS err_value
+         |FROM w LEFT JOIN hits h
+         |  ON h.user_id = w.user_id AND h.sess_id = w.sess_id
+         |ORDER BY w.user_id, w.sess_id""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q174_range_join" -> (q174RangeJoin _),
     "q175_interval_overlap" -> (q175IntervalOverlap _),
+    "q204_range_join_sql" -> (q204RangeJoinSql _),
   )
 
   val oracle: Map[String, String] = Map(
     "q174_range_join" -> q174Sql,
     "q175_interval_overlap" -> q175Sql,
+    // same output contract as q174 — one oracle grades both front doors
+    "q204_range_join_sql" -> q174Sql,
   )
 }

@@ -60,6 +60,14 @@ class RangesSpec extends AnyFunSuite {
     assert(got.collect().toSet === directTop.collect().toSet)
   }
 
+  test("q204 SQL front door returns exactly q174's rows") {
+    val a = Ranges.q204RangeJoinSql(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4), r.getDouble(5))).toSet
+    val b = Ranges.q174RangeJoin(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4), r.getDouble(5))).toSet
+    assert(a === b, "SQL-text range join diverged from the DataFrame form")
+  }
+
   test("q175 overlap lengths are positive and bounded by the shorter window") {
     val wins = Ranges.activeWindows(spark, sf)
       .select($"au", $"bu", ($"bu" - $"au").as("len"))
