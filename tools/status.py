@@ -82,6 +82,12 @@ ADJUDICATIONS = {
     # drift across a machine reboot between the two stamps, not a code
     # regression. The re-stamp absorbs it; a later flag at materially
     # worse values re-adjudicates per the scoping rule.
+    "q87_curation_pipeline": {
+        "ref": 2.11, "new": 3.27,
+        "note": "r10 final-stamp flag vs r9: funnel code untouched all "
+                "round; solo min-of-3 = 2.52s (1.19x of the r9 2.11s, "
+                "inside the +/-30% band) - the box-drift/catalog-context "
+                "class, same as q97/q131/q140/q156/q158 this round."},
     "q97_try_ops": {
         "ref": 1.11, "new": 1.76,
         "note": "r10 final-stamp flag: code untouched all session; solo "
