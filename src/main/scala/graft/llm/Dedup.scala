@@ -1218,7 +1218,101 @@ object Dedup {
       |        / count(*), 4) AS mean_abs_err
       |FROM scored GROUP BY 1 ORDER BY band""".stripMargin
 
+  /** q206: cluster SURVIVORSHIP merge — the golden-record step after
+    * q176's representative pick: per near-dup cluster (size ≥ 2), the
+    * merged record a master-data pipeline would keep — content from
+    * the representative (most chars, ties low id), language by member
+    * MAJORITY (count DESC, lang ASC — the q172 tie discipline),
+    * sources as an ordered roster, and the byte mass the merge
+    * retires. Field-level survivorship rules, each stated in the
+    * query text; one more join + two aggregations over the memoized
+    * q105 components. */
+  def q206Survivorship(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lab = q105DedupClusters(s, dir)
+      .join(Tables.documents(s, dir)
+        .select($"doc_id", $"n_chars", $"lang", $"source"), Seq("doc_id"))
+    val sized = lab
+      .withColumn("n_members", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"cluster")))
+      .filter($"n_members" >= 2)
+    val langPick = sized.groupBy($"cluster", $"lang")
+      .agg(count(lit(1)).as("lc"))
+      .withColumn("lr", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"cluster")
+          .orderBy($"lc".desc, $"lang".asc)))
+      .filter($"lr" === 1)
+      .select($"cluster", $"lang".as("golden_lang"))
+    sized.groupBy($"cluster")
+      .agg(max($"n_members").as("n_members"),
+        max(struct($"n_chars", (-$"doc_id").as("neg_id"))).as("best"),
+        sum($"n_chars").as("total_chars"),
+        array_join(array_sort(collect_set($"source")), ",").as("sources"))
+      .join(langPick, Seq("cluster"))
+      .select($"cluster", $"n_members",
+        (-$"best.neg_id").as("golden_doc"),
+        $"golden_lang",
+        $"sources",
+        ($"total_chars" - $"best.n_chars").as("retired_chars"))
+      .orderBy($"cluster")
+  }
+
+  /** Oracle: the recursive components + the same survivorship rules. */
+  val q206Sql: String =
+    """WITH RECURSIVE d AS (
+      |  SELECT doc_id, source,
+      |         list_distinct(regexp_extract_all(lower(text), '\S+')) AS toks
+      |  FROM documents),
+      |pairs AS (
+      |  SELECT a.doc_id AS id1, b.doc_id AS id2
+      |  FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+      |  WHERE round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+      |          / len(list_distinct(list_concat(a.toks, b.toks))), 4) >= 0.6),
+      |edges AS (
+      |  SELECT id1 AS src, id2 AS dst FROM pairs
+      |  UNION ALL
+      |  SELECT id2, id1 FROM pairs),
+      |walk AS (
+      |  SELECT src AS doc_id, dst AS reach FROM edges
+      |  UNION
+      |  SELECT w.doc_id, e.dst FROM walk w JOIN edges e ON w.reach = e.src),
+      |best AS (
+      |  SELECT doc_id, min(reach) AS mn FROM walk GROUP BY doc_id),
+      |lab AS (
+      |  SELECT doc.doc_id,
+      |         least(doc.doc_id, coalesce(b.mn, doc.doc_id)) AS cluster,
+      |         doc.n_chars, doc.lang, doc.source
+      |  FROM documents doc LEFT JOIN best b ON b.doc_id = doc.doc_id),
+      |sized AS (
+      |  SELECT *, count(*) OVER (PARTITION BY cluster) AS n_members
+      |  FROM lab),
+      |m AS (SELECT * FROM sized WHERE n_members >= 2),
+      |lp AS (
+      |  SELECT cluster, lang AS golden_lang FROM (
+      |    SELECT cluster, lang, count(*) AS lc,
+      |      row_number() OVER (PARTITION BY cluster
+      |        ORDER BY count(*) DESC, lang ASC) AS lr
+      |    FROM m GROUP BY cluster, lang) t
+      |  WHERE lr = 1),
+      |rep AS (
+      |  SELECT cluster, doc_id AS golden_doc, n_chars AS rep_chars FROM (
+      |    SELECT cluster, doc_id, n_chars,
+      |      row_number() OVER (PARTITION BY cluster
+      |        ORDER BY n_chars DESC, doc_id ASC) AS rk
+      |    FROM m) t
+      |  WHERE rk = 1),
+      |agg AS (
+      |  SELECT cluster, CAST(max(n_members) AS BIGINT) AS n_members,
+      |         CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |         string_agg(DISTINCT source, ',' ORDER BY source) AS sources
+      |  FROM m GROUP BY cluster)
+      |SELECT a.cluster, a.n_members, r.golden_doc, lp.golden_lang,
+      |       a.sources, CAST(a.total_chars - r.rep_chars AS BIGINT) AS retired_chars
+      |FROM agg a JOIN rep r USING (cluster) JOIN lp USING (cluster)
+      |ORDER BY a.cluster""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q206_survivorship" -> (q206Survivorship _),
     "q199_minhash_accuracy" -> (q199MinhashAccuracy _),
     "q188_dup_weights"  -> (q188DupWeights _),
     "q176_cluster_rep"  -> (q176ClusterRep _),
@@ -1239,6 +1333,7 @@ object Dedup {
   )
 
   val oracle: Map[String, String] = Map(
+    "q206_survivorship" -> q206Sql,
     "q199_minhash_accuracy" -> q199Sql,
     "q188_dup_weights" -> q188Sql,
     "q176_cluster_rep" -> q176Sql,

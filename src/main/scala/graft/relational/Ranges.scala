@@ -279,10 +279,87 @@ object Ranges {
          |ORDER BY w.user_id, w.sess_id""".stripMargin)
   }
 
+  /** q205: LINEAR multi-touch attribution — each purchase's credit
+    * split equally across the same user's view/click touches in the
+    * preceding 30 minutes, reported per touch type. The marketing
+    * counterpart of q113's last-touch rule: last-touch gives the final
+    * click everything; linear pays every touch 1/n.
+    *
+    * Exact integer accounting: each touch gets `⌊10⁶/n⌋` ppm and the
+    * EARLIEST touch additionally receives the remainder (rule in the
+    * query text), so every purchase distributes exactly 10⁶ ppm and
+    * the per-type sums are BIGINT-exact. The touch lookup is the
+    * bucketed point-in-interval join keyed by (user, bucket) — the
+    * purchase's look-back window explodes to ≤ 2 buckets, touches tag
+    * one, and the per-user key keeps buckets sparse. */
+  def q205LinearAttribution(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = ev(s, dir)
+    val purchases = e.filter($"event_type" === "purchase")
+      .select($"event_id".as("p_id"), $"user_id".as("p_user"),
+        unix_micros($"ts".cast("timestamp")).as("pu"))
+      .withColumn("au", $"pu" - lit(BucketUs))
+      .withColumn("bucket", explode(sequence(
+        expr(s"au div ${BucketUs}L"), expr(s"(pu - 1) div ${BucketUs}L"))))
+    val touches = e.filter($"event_type".isin("view", "click"))
+      .select($"event_id".as("t_id"), $"user_id".as("t_user"),
+        $"event_type".as("touch_type"),
+        unix_micros($"ts".cast("timestamp")).as("tu"))
+      .withColumn("bucket", expr(s"tu div ${BucketUs}L"))
+    val hits = purchases.join(touches,
+        purchases("bucket") === touches("bucket") &&
+        $"p_user" === $"t_user" && $"tu" >= $"au" && $"tu" < $"pu")
+      .select($"p_id", $"t_id", $"touch_type", $"tu")
+    val wN = Window.partitionBy($"p_id")
+    val wOrd = Window.partitionBy($"p_id").orderBy($"tu".asc, $"t_id".asc)
+    hits
+      .withColumn("n", count(lit(1)).over(wN))
+      .withColumn("rk", row_number().over(wOrd))
+      .withColumn("ppm",
+        expr("1000000L div n") +
+          when($"rk" === 1, lit(1000000L) - $"n" * expr("1000000L div n"))
+            .otherwise(0L))
+      .groupBy($"touch_type")
+      .agg(count(lit(1)).as("n_touches"),
+        countDistinct($"p_id").as("n_purchases_touched"),
+        sum($"ppm").as("credit_ppm"))
+      .withColumn("attributed_conversions",
+        round($"credit_ppm".cast("double") / 1000000.0, 4))
+      .orderBy($"touch_type")
+  }
+
+  val q205Sql: String =
+    s"""$evCte,
+       |p AS (SELECT event_id AS p_id, user_id AS p_user, epoch_us(ts) AS pu
+       |      FROM ev WHERE event_type = 'purchase'),
+       |t AS (SELECT event_id AS t_id, user_id AS t_user, event_type AS touch_type,
+       |             epoch_us(ts) AS tu
+       |      FROM ev WHERE event_type IN ('view', 'click')),
+       |hits AS (
+       |  SELECT p.p_id, t.t_id, t.touch_type, t.tu
+       |  FROM p JOIN t ON t.t_user = p.p_user
+       |   AND t.tu >= p.pu - 1800000000 AND t.tu < p.pu),
+       |cr AS (
+       |  SELECT p_id, touch_type,
+       |    count(*) OVER (PARTITION BY p_id) AS n,
+       |    row_number() OVER (PARTITION BY p_id ORDER BY tu ASC, t_id ASC) AS rk
+       |  FROM hits),
+       |ppm AS (
+       |  SELECT touch_type, p_id,
+       |    (1000000 // n) + CASE WHEN rk = 1
+       |        THEN 1000000 - n * (1000000 // n) ELSE 0 END AS ppm
+       |  FROM cr)
+       |SELECT touch_type, count(*) AS n_touches,
+       |  count(DISTINCT p_id) AS n_purchases_touched,
+       |  CAST(sum(ppm) AS BIGINT) AS credit_ppm,
+       |  round(CAST(sum(ppm) AS DOUBLE) / 1000000.0, 4) AS attributed_conversions
+       |FROM ppm GROUP BY touch_type ORDER BY touch_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q174_range_join" -> (q174RangeJoin _),
     "q175_interval_overlap" -> (q175IntervalOverlap _),
     "q204_range_join_sql" -> (q204RangeJoinSql _),
+    "q205_linear_attribution" -> (q205LinearAttribution _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -290,5 +367,6 @@ object Ranges {
     "q175_interval_overlap" -> q175Sql,
     // same output contract as q174 — one oracle grades both front doors
     "q204_range_join_sql" -> q174Sql,
+    "q205_linear_attribution" -> q205Sql,
   )
 }

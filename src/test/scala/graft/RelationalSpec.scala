@@ -992,6 +992,45 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("q205 attribution conserves exactly one million ppm per touched purchase") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts").cast("timestamp")).as("tu")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val touchesByUser = ev.filter(e => e._3 == "view" || e._3 == "click").groupBy(_._2)
+    val touched = ev.filter(_._3 == "purchase").count { case (_, u, _, pu) =>
+      touchesByUser.getOrElse(u, Array.empty)
+        .exists(t => t._4 >= pu - 1800000000L && t._4 < pu)
+    }
+    val rows = graft.relational.Ranges.q205LinearAttribution(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("credit_ppm")).sum == touched * 1000000L,
+      s"ppm not conserved for $touched touched purchases")
+    rows.foreach(r => assert(r.getAs[Long]("n_touches") > 0))
+  }
+
+  test("q206 survivorship agrees with q176's pick and replays majority lang") {
+    import org.apache.spark.sql.functions._
+    val reps = graft.llm.Dedup.q176ClusterRep(spark, sf).collect()
+      .map(r => r.getAs[Long]("cluster") ->
+        (r.getAs[Long]("rep_doc"), r.getAs[Long]("dropped_chars"))).toMap
+    val langs = graft.llm.Dedup.q105DedupClusters(spark, sf)
+      .join(Tables.documents(spark, sf).select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .collect().map(r => (r.getAs[Long]("cluster"), r.getAs[String]("lang")))
+      .groupBy(_._1)
+    graft.llm.Dedup.q206Survivorship(spark, sf).collect().foreach { r =>
+      val cl = r.getAs[Long]("cluster")
+      val (rep, dropped) = reps(cl)
+      assert(r.getAs[Long]("golden_doc") == rep)
+      assert(r.getAs[Long]("retired_chars") == dropped)
+      val majority = langs(cl).groupBy(_._2).toSeq
+        .sortBy { case (l, xs) => (-xs.length, l) }.head._1
+      assert(r.getAs[String]("golden_lang") == majority)
+      val srcs = r.getAs[String]("sources").split(",").toSeq
+      assert(srcs == srcs.sorted && srcs == srcs.distinct)
+    }
+  }
+
   test("q180 transition probabilities are row-stochastic after rounding") {
     import org.apache.spark.sql.functions._
     val rows = graft.relational.Events.q180MarkovTransitions(spark, sf).collect()
