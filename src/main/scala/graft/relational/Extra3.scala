@@ -738,7 +738,99 @@ object Extra3 {
       |  FROM orders) t
       |GROUP BY decile ORDER BY decile""".stripMargin
 
+  /** q207: PPS SYSTEMATIC sampling — probability-proportional-to-size
+    * selection done deterministically: per source, walk the documents
+    * in doc_id order, accumulate their byte sizes, and select the
+    * document whose cumulative range covers each of 5 evenly-spaced
+    * thresholds (midpoints `(2j+1)·W div 10` — integer arithmetic, no
+    * RNG). Big documents are proportionally more likely to own a
+    * threshold: the survey-sampling estimator behind size-weighted
+    * corpus audits, with q85's determinism discipline (the "random"
+    * start is a fixed midpoint, stated in the query text).
+    *
+    * One window cumsum per source + a range condition per threshold —
+    * thresholds are a 5-row broadcast, so the join is a narrow
+    * broadcast range probe, not a shuffle. */
+  def q207PpsSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"source").orderBy($"doc_id")
+    val docs = Tables.documents(s, dir)
+      .select($"source", $"doc_id", $"n_chars")
+      .withColumn("cum_hi", sum($"n_chars").over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("cum_lo", $"cum_hi" - $"n_chars")
+      .withColumn("total", sum($"n_chars").over(
+        Window.partitionBy($"source")))
+    val js = s.range(0, 5).select($"id".cast("int").as("j"))
+    docs.join(broadcast(js),
+        expr("cum_lo <= ((2 * j + 1) * total) div 10") &&
+        expr("((2 * j + 1) * total) div 10 < cum_hi"))
+      .select($"source", $"j", $"doc_id", $"n_chars")
+      .orderBy($"source", $"j")
+  }
+
+  val q207Sql: String =
+    """WITH d AS (
+      |  SELECT source, doc_id, n_chars,
+      |    CAST(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_hi,
+      |    CAST(sum(n_chars) OVER (PARTITION BY source) AS BIGINT) AS total
+      |  FROM documents),
+      |d2 AS (SELECT *, cum_hi - n_chars AS cum_lo FROM d)
+      |SELECT source, j, doc_id, n_chars
+      |FROM d2 JOIN (SELECT unnest(generate_series(0, 4)) AS j) t
+      |  ON cum_lo <= ((2 * j + 1) * total) // 10
+      | AND ((2 * j + 1) * total) // 10 < cum_hi
+      |ORDER BY source, j""".stripMargin
+
+  /** q208: largest-remainder APPORTIONMENT — allocate a 1000-document
+    * sampling budget across sources proportionally to their document
+    * counts with Hamilton's method: integer floor shares first, then
+    * the leftover seats go to the largest fractional remainders (ties
+    * by source name — in the query text). The exact-integer answer to
+    * "how many from each stratum" that naive rounding gets wrong (sums
+    * drift off the budget); same algorithm as parliamentary seat
+    * allocation. Remainder comparison is done on exact integers
+    * (`N_h·B mod N`), never on floating quotas. */
+  def q208Apportionment(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val budget = 1000L
+    val counts = Tables.documents(s, dir)
+      .groupBy($"source").agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum($"n").as("total"))
+    val base = counts.crossJoin(broadcast(total))
+      .withColumn("floor_share", expr(s"(n * ${budget}L) div total"))
+      .withColumn("rem", expr(s"(n * ${budget}L) % total"))
+    val leftover = base.agg((lit(budget) - sum($"floor_share")).as("k"))
+    base.crossJoin(broadcast(leftover))
+      .withColumn("rrank", row_number().over(
+        Window.orderBy($"rem".desc, $"source".asc)))
+      .withColumn("alloc",
+        $"floor_share" + when($"rrank" <= $"k", 1L).otherwise(0L))
+      .select($"source", $"n", $"floor_share", $"rrank".cast("int").as("rrank"),
+        $"alloc")
+      .orderBy($"source")
+  }
+
+  val q208Sql: String =
+    """WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+      |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c),
+      |b AS (
+      |  SELECT source, n,
+      |    CAST((n * 1000) // total AS BIGINT) AS floor_share,
+      |    CAST((n * 1000) % total AS BIGINT) AS rem
+      |  FROM c, t),
+      |k AS (SELECT CAST(1000 - sum(floor_share) AS BIGINT) AS k FROM b)
+      |SELECT source, n, floor_share,
+      |  CAST(rrank AS INT) AS rrank,
+      |  CAST(floor_share + CASE WHEN rrank <= k.k THEN 1 ELSE 0 END AS BIGINT) AS alloc
+      |FROM (SELECT b.*, row_number() OVER (ORDER BY rem DESC, source ASC) AS rrank
+      |      FROM b) b, k
+      |ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q207_pps_sample"   -> (q207PpsSample _),
+    "q208_apportionment" -> (q208Apportionment _),
     "q196_snapshot_diff" -> (q196SnapshotDiff _),
     "q197_equidepth_hist" -> (q197EquidepthHist _),
     "q191_relational_division" -> (q191RelationalDivision _),
@@ -760,6 +852,8 @@ object Extra3 {
   )
 
   val oracle: Map[String, String] = Map(
+    "q207_pps_sample"   -> q207Sql,
+    "q208_apportionment" -> q208Sql,
     "q196_snapshot_diff" -> q196Sql,
     "q197_equidepth_hist" -> q197Sql,
     "q191_relational_division" -> q191Sql,

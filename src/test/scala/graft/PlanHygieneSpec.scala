@@ -44,8 +44,11 @@ class PlanHygieneSpec extends AnyFunSuite {
     "q191_relational_division", // broadcast of the 1-row priority-class count
     "q193_bpe_encode",     // broadcast 1-row learned-merge grafts (q182's
                            // pattern, applied in the encode pass too)
-    "q198_cosine_threshold_sweep") // broadcast 1-row count x count grafts
+    "q198_cosine_threshold_sweep", // broadcast 1-row count x count grafts
                            // (three threshold rows, q79's scalar shape)
+    "q207_pps_sample",     // broadcast 5-row threshold probe vs cumulative
+                           // ranges (deliberate range condition, no keys)
+    "q208_apportionment")  // broadcast 1-row total + 1-row leftover grafts
 
   test("no unintended cartesian products across the whole catalog") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

@@ -1031,6 +1031,43 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("q207 PPS picks exactly one owner per threshold, size-proportionally") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.relational.Extra3.q207PpsSample(spark, sf).collect()
+    val srcs = Tables.documents(spark, sf).select(col("source")).distinct().count()
+    // exactly 5 thresholds per source, each owned by exactly one doc
+    assert(rows.length == srcs * 5)
+    rows.groupBy(_.getString(0)).foreach { case (src, rs) =>
+      assert(rs.map(_.getInt(1)).sorted.toSeq == (0 until 5).toSeq, s"$src thresholds")
+    }
+    // replay one source end-to-end
+    val src0 = rows.filter(_.getString(0) == rows.head.getString(0))
+    val docs = Tables.documents(spark, sf)
+      .filter(col("source") === src0.head.getString(0))
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val total = docs.map(_._2).sum
+    (0 until 5).foreach { j =>
+      val t = (2 * j + 1) * total / 10
+      var cum = 0L
+      val expect = docs.find { case (_, nc) => val lo = cum; cum += nc; lo <= t && t < cum }.get._1
+      assert(src0.find(_.getInt(1) == j).get.getLong(2) == expect, s"threshold $j")
+    }
+  }
+
+  test("q208 apportionment sums exactly to the budget and is near-proportional") {
+    val rows = graft.relational.Extra3.q208Apportionment(spark, sf).collect()
+    val total = rows.map(_.getAs[Long]("n")).sum
+    assert(rows.map(_.getAs[Long]("alloc")).sum == 1000L, "budget not conserved")
+    rows.foreach { r =>
+      val exact = r.getAs[Long]("n") * 1000.0 / total
+      val alloc = r.getAs[Long]("alloc")
+      // Hamilton's method never strays more than 1 from the exact quota
+      assert(alloc >= math.floor(exact) && alloc <= math.ceil(exact),
+        s"${r.getString(0)}: alloc $alloc vs quota $exact")
+    }
+  }
+
   test("q180 transition probabilities are row-stochastic after rounding") {
     import org.apache.spark.sql.functions._
     val rows = graft.relational.Events.q180MarkovTransitions(spark, sf).collect()
