@@ -457,7 +457,51 @@ object Corpus {
       |FROM d GROUP BY source, CAST(cum_before // 65536 AS BIGINT)
       |ORDER BY source, bin""".stripMargin
 
+  /** q210: PARETO concentration — per source, how few documents hold
+    * 80% of the bytes (the "80/20" curation question: is this feed a
+    * few whales or a long tail?). Docs rank by size DESC (ties by
+    * doc_id) per source; k80 is the first rank whose cumulative bytes
+    * reach 80% of the source total — tested as the INTEGER predicate
+    * `5·cum ≥ 4·total` (q144's discipline: no 0.8 double, no rounding
+    * anywhere), alongside the top-10%-of-docs byte share as one
+    * rounded division. One per-source window + one aggregation. */
+  def q210ParetoBytes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"source").orderBy($"n_chars".desc, $"doc_id".asc)
+    val d = Tables.documents(s, dir)
+      .select($"source", $"doc_id", $"n_chars")
+      .withColumn("rk", row_number().over(w))
+      .withColumn("cum", sum($"n_chars").over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("total", sum($"n_chars").over(Window.partitionBy($"source")))
+      .withColumn("n_docs", count(lit(1)).over(Window.partitionBy($"source")))
+    d.groupBy($"source")
+      .agg(max($"n_docs").as("n_docs"),
+        max($"total").as("total_bytes"),
+        min(when($"cum" * 5 >= $"total" * 4, $"rk")).cast("long").as("k80"),
+        round(sum(when($"rk" * 10 <= $"n_docs", $"n_chars").otherwise(0L))
+          .cast("double") / max($"total"), 4).as("top_decile_share"))
+      .orderBy($"source")
+  }
+
+  val q210Sql: String =
+    """WITH d AS (
+      |  SELECT source, doc_id, n_chars,
+      |    row_number() OVER w AS rk,
+      |    CAST(sum(n_chars) OVER (w ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+      |    CAST(sum(n_chars) OVER (PARTITION BY source) AS BIGINT) AS total,
+      |    count(*) OVER (PARTITION BY source) AS n_docs
+      |  FROM documents
+      |  WINDOW w AS (PARTITION BY source ORDER BY n_chars DESC, doc_id ASC))
+      |SELECT source, CAST(max(n_docs) AS BIGINT) AS n_docs,
+      |  max(total) AS total_bytes,
+      |  CAST(min(CASE WHEN cum * 5 >= total * 4 THEN rk END) AS BIGINT) AS k80,
+      |  round(CAST(sum(CASE WHEN rk * 10 <= n_docs THEN n_chars ELSE 0 END)
+      |             AS DOUBLE) / max(total), 4) AS top_decile_share
+      |FROM d GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q210_pareto_bytes"      -> (q210ParetoBytes _),
     "q186_compaction_plan"   -> (q186CompactionPlan _),
     "q117_tfidf_terms"       -> (q117TfIdf _),
     "q118_mixture_rebalance" -> (q118MixtureRebalance _),
@@ -469,6 +513,7 @@ object Corpus {
   )
 
   val oracle: Map[String, String] = Map(
+    "q210_pareto_bytes"      -> q210Sql,
     "q186_compaction_plan"   -> q186Sql,
     "q117_tfidf_terms"       -> q117Sql,
     "q118_mixture_rebalance" -> q118Sql,

@@ -699,7 +699,49 @@ object Stats {
       |WHERE e.user_id <= 50
       |GROUP BY e.user_id ORDER BY user_id""".stripMargin
 
+  /** q209: IQR (Tukey) fences — the boxplot's outlier rule per event
+    * type: Q1/Q3 as discrete percentiles (copies of data values, q171's
+    * discipline), whiskers at 1.5×IQR, and the count outside either
+    * fence. Completes the robust-dispersion triad: q95 stddev (classic,
+    * outlier-sensitive), q179 MAD (median-based), q209 IQR
+    * (quartile-based — the one every boxplot draws). The fence
+    * comparison is double arithmetic on IDENTICAL inputs (Q1/Q3 are
+    * data copies; 1.5×IQR is one multiply), so the counts are exact. */
+  def q209IqrFences(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = graft.Tables.events(s, dir).select($"event_type", $"value")
+    val q = e.groupBy($"event_type")
+      .agg(expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY value)").as("q1"),
+        expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY value)").as("q3"))
+      .withColumn("lo", $"q1" - ($"q3" - $"q1") * 1.5)
+      .withColumn("hi", $"q3" + ($"q3" - $"q1") * 1.5)
+    e.join(q, Seq("event_type"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        max($"q1").as("q1"), max($"q3").as("q3"),
+        sum(when($"value" < $"lo" || $"value" > $"hi", 1L).otherwise(0L))
+          .as("n_outside"))
+      .orderBy($"event_type")
+  }
+
+  val q209Sql: String =
+    """WITH ev AS (SELECT event_type, value FROM events),
+      |q AS (
+      |  SELECT event_type,
+      |    quantile_disc(value, 0.25) AS q1,
+      |    quantile_disc(value, 0.75) AS q3
+      |  FROM ev GROUP BY 1),
+      |f AS (SELECT event_type, q1, q3,
+      |        q1 - (q3 - q1) * 1.5 AS lo, q3 + (q3 - q1) * 1.5 AS hi
+      |      FROM q)
+      |SELECT ev.event_type, count(*) AS n, max(f.q1) AS q1, max(f.q3) AS q3,
+      |  CAST(sum(CASE WHEN value < lo OR value > hi THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_outside
+      |FROM ev JOIN f USING (event_type)
+      |GROUP BY ev.event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q209_iqr_fences"    -> (q209IqrFences _),
     "q194_zscore_flags"  -> (q194ZscoreFlags _),
     "q179_mad_outliers"  -> (q179MadOutliers _),
     "q98_bit_ops"        -> (q98BitOps _),
@@ -723,6 +765,7 @@ object Stats {
   )
 
   val oracle: Map[String, String] = Map(
+    "q209_iqr_fences"    -> q209Sql,
     "q194_zscore_flags"  -> q194Sql,
     "q179_mad_outliers"  -> q179Sql,
     "q98_bit_ops"        -> q98Sql,

@@ -1068,6 +1068,38 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("q209 IQR fences replay and quartiles are realizable and ordered") {
+    import org.apache.spark.sql.functions._
+    val vals = Tables.events(spark, sf).select(col("event_type"), col("value"))
+      .collect().map(r => (r.getString(0), r.getDouble(1))).groupBy(_._1)
+    graft.relational.Stats.q209IqrFences(spark, sf).collect().foreach { r =>
+      val t = r.getString(0)
+      val (q1, q3) = (r.getAs[Double]("q1"), r.getAs[Double]("q3"))
+      val vs = vals(t).map(_._2)
+      assert(vs.contains(q1) && vs.contains(q3) && q1 <= q3)
+      val (lo, hi) = (q1 - (q3 - q1) * 1.5, q3 + (q3 - q1) * 1.5)
+      assert(r.getAs[Long]("n_outside") == vs.count(v => v < lo || v > hi))
+    }
+  }
+
+  test("q210 pareto k80 is the minimal prefix reaching 80% of bytes") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf)
+      .select(col("source"), col("doc_id"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).groupBy(_._1)
+    graft.llm.Corpus.q210ParetoBytes(spark, sf).collect().foreach { r =>
+      val src = r.getString(0)
+      val sorted = docs(src).sortBy(d => (-d._3, d._2)).map(_._3)
+      val total = sorted.sum
+      assert(r.getAs[Long]("total_bytes") == total)
+      val cums = sorted.scanLeft(0L)(_ + _).tail
+      val k80 = cums.indexWhere(c => c * 5 >= total * 4) + 1
+      assert(r.getAs[Long]("k80") == k80, s"$src: k80")
+      // minimality: the prefix one shorter is under 80%
+      if (k80 > 1) assert(cums(k80 - 2) * 5 < total * 4)
+    }
+  }
+
   test("q180 transition probabilities are row-stochastic after rounding") {
     import org.apache.spark.sql.functions._
     val rows = graft.relational.Events.q180MarkovTransitions(spark, sf).collect()
