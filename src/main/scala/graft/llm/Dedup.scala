@@ -1148,7 +1148,7 @@ object Dedup {
     val sh = toks(s, dir)
       .filter($"doc_id" % 2 === 0)
       .select($"doc_id", shingles($"toks").as("sh"))
-      .persist()
+      .persist() // signature pass + both exact-Jaccard sides; swept per-query (Ckpt.sweep)
     val mins = (0 until K).map(k => min(mdh(k, $"s")).as(s"m$k"))
     val sigs = sh.select($"doc_id", explode($"sh").as("s"))
       .groupBy($"doc_id").agg(mins.head, mins.tail: _*)

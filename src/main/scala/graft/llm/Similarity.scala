@@ -1331,27 +1331,35 @@ object Similarity {
   /** q198: cosine THRESHOLD SWEEP — the calibration report a curation
     * team reads before picking a near-dup cutoff: for each candidate
     * threshold, how many pairs and how many distinct documents a
-    * cosine-dedup pass at that threshold would touch. One pair scan
-    * (q104's same-label geometry, floored at the weakest threshold),
-    * three conditional aggregates — the sweep costs one threshold's
-    * work, not three. */
+    * cosine-dedup pass at that threshold would touch. ONE pass total:
+    * each surviving pair (q104's same-label geometry, floored at the
+    * weakest threshold) explodes to its two endpoint ids, and a single
+    * conditional aggregation over that stream serves all three
+    * thresholds — n_pairs as endpoint-rows/2, n_docs as the filtered
+    * distinct count — then `stack` unpivots the one row into the
+    * 3-row report. No persisted intermediate (the r10 version cached
+    * the pair frame for three scans; ADVICE r10 flagged the cache as
+    * the largest block left behind — now nothing is left behind and
+    * the expensive pair join runs exactly once). */
   def q198CosineThresholdSweep(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = vecs(s, dir)
     val a = e.select($"label", $"vec_id".as("id1"), $"v".as("v1"))
     val b = e.select($"label".as("l2"), $"vec_id".as("id2"), $"v".as("v2"))
-    val pairs = a.join(b, $"label" === $"l2" && $"id1" < $"id2")
+    val ids = a.join(b, $"label" === $"l2" && $"id1" < $"id2")
       .withColumn("cos", graft.functions.CosineSim.cosine(s, $"v1", $"v2"))
       .filter($"cos" >= 0.35)
-      .select($"id1", $"id2", $"cos")
-      .persist()
-    val ids = pairs.select(explode(array($"id1", $"id2")).as("id"), $"cos")
-    def at(t: Double): DataFrame =
-      pairs.filter($"cos" >= t).agg(count(lit(1)).as("n_pairs"))
-        .crossJoin(ids.filter($"cos" >= t)
-          .agg(countDistinct($"id").as("n_docs")))
-        .select(lit(t).as("threshold"), $"n_pairs", $"n_docs")
-    at(0.5).unionByName(at(0.7)).unionByName(at(0.9))
+      .select(explode(array($"id1", $"id2")).as("id"), $"cos")
+    val one = ids.agg(
+      (count(when($"cos" >= 0.5, 1)) / 2).cast("long").as("p1"),
+      countDistinct(when($"cos" >= 0.5, $"id")).as("d1"),
+      (count(when($"cos" >= 0.7, 1)) / 2).cast("long").as("p2"),
+      countDistinct(when($"cos" >= 0.7, $"id")).as("d2"),
+      (count(when($"cos" >= 0.9, 1)) / 2).cast("long").as("p3"),
+      countDistinct(when($"cos" >= 0.9, $"id")).as("d3"))
+    one.select(expr(
+      "stack(3, 0.5D, p1, d1, 0.7D, p2, d2, 0.9D, p3, d3) " +
+        "AS (threshold, n_pairs, n_docs)"))
       .orderBy($"threshold")
   }
 

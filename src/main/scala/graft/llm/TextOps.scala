@@ -828,7 +828,8 @@ object TextOps {
       .select($"doc_id", splitCol.as("split"),
         explode(Dedup.shingles(tokens($"text"))).as("sh"))
       .localCheckpoint(true)
-    val sh = docSh.select($"split", $"sh").distinct().persist()
+    val sh = docSh.select($"split", $"sh").distinct()
+      .persist() // totals + intersection sides + leak probe; swept per-query (Ckpt.sweep)
     val tot = sh.groupBy($"split").agg(count(lit(1)).as("n"))
     val inter = sh.as("a").join(sh.as("b"),
         $"a.sh" === $"b.sh" && $"a.split" < $"b.split")

@@ -490,7 +490,129 @@ object Derived {
       |    '(?:Created|Modified|Updated|Wrote|Edited)\\s+(\\S+\\.\\w+)', 1))) AS INT) AS n_files
       |FROM p ORDER BY id""".stripMargin
 
+  /** q211 — lifecycle-move validation (S20, ref `commands/pulsar.md:
+    * 159-171,609-616`; legacy fold `scripts/setup.sh:60-113`) over a
+    * derived move log, through the production
+    * [[QueueOps.validateMoves]]. Moves are synthesized deterministically
+    * from orders — from-status by orderkey residue (including the legacy
+    * `review`/`archived` statuses the setup migration folds forward),
+    * to-status by custkey residue — so every cell of the rule table is
+    * exercised: queued→active and active→completed legal, the
+    * `review|archived → completed` migration moves legal and flagged as
+    * the migration class, everything else illegal.
+    *
+    * Scale: the legal-pair table is 4 rows broadcast against the move
+    * log; the census is one hash aggregation on low-cardinality keys —
+    * a 10⁹-row audit log costs one map-side-combining pass. */
+  def q211MoveValidation(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val moves = Tables.orders(s, dir).select(
+      $"o_orderkey".as("plan_id"),
+      when($"o_orderkey" % 6 === 0, "queued")
+        .when($"o_orderkey" % 6 === 1, "active")
+        .when($"o_orderkey" % 6 === 2, "completed")
+        .when($"o_orderkey" % 6 === 3, "review")
+        .when($"o_orderkey" % 6 === 4, "archived")
+        .otherwise("queued").as("from_status"),
+      when($"o_custkey" % 4 === 0, "active")
+        .when($"o_custkey" % 4 === 1, "completed")
+        .when($"o_custkey" % 4 === 2, "queued")
+        .otherwise("completed").as("to_status"))
+    QueueOps.validateMoves(moves)
+      .groupBy($"from_status", $"to_status", $"legal")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("is_migration",
+        $"from_status".isin("review", "archived") && $"to_status" === "completed")
+      .select($"from_status", $"to_status", $"legal", $"is_migration", $"n")
+      .orderBy($"from_status", $"to_status")
+  }
+
+  val q211Sql: String =
+    """WITH mv AS (
+      |  SELECT o_orderkey AS plan_id,
+      |    CASE o_orderkey % 6 WHEN 0 THEN 'queued' WHEN 1 THEN 'active'
+      |      WHEN 2 THEN 'completed' WHEN 3 THEN 'review'
+      |      WHEN 4 THEN 'archived' ELSE 'queued' END AS from_status,
+      |    CASE o_custkey % 4 WHEN 0 THEN 'active' WHEN 1 THEN 'completed'
+      |      WHEN 2 THEN 'queued' ELSE 'completed' END AS to_status
+      |  FROM orders)
+      |SELECT from_status, to_status,
+      |  (from_status = 'queued' AND to_status = 'active')
+      |   OR (from_status = 'active' AND to_status = 'completed')
+      |   OR (from_status = 'review' AND to_status = 'completed')
+      |   OR (from_status = 'archived' AND to_status = 'completed') AS legal,
+      |  from_status IN ('review', 'archived') AND to_status = 'completed'
+      |    AS is_migration,
+      |  count(*) AS n
+      |FROM mv GROUP BY 1, 2, 3, 4
+      |ORDER BY from_status, to_status""".stripMargin
+
+  /** q212 — namespace FK resolution (S21, ref `scripts/
+    * resolve-namespace.sh:17-70`) over a derived board×config pair,
+    * through the production [[QueueOps.resolveNamespaces]]. Board
+    * entries derive from customer; every ninth entry records a path the
+    * config table maps to a DIFFERENT project name (the detected folder
+    * rename → re-pointed), namespaces ns_15..ns_19 have no config row at
+    * all (the script's "created fresh" fall-through), the rest resolve
+    * to themselves (the perfect-match early return).
+    *
+    * Scale: configs is a per-namespace table (thousands of rows at
+    * most) — the resolution join broadcasts it against a board of any
+    * size; the operator's duplicate-mapping guard is one window count
+    * over that same small side. */
+  def q212NamespaceResolve(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val board = Tables.customer(s, dir).select(
+      $"c_custkey".cast("string").as("id"),
+      concat(lit("plan "), $"c_custkey".cast("string")).as("title"),
+      concat(lit("ns_"), ($"c_custkey" % 20).cast("string")).as("project"),
+      when($"c_custkey" % 9 === 0,
+        concat(lit("/work/old_"), ($"c_custkey" % 7).cast("string")))
+        .otherwise(concat(lit("/work/ns_"), ($"c_custkey" % 20).cast("string")))
+        .as("projectPath"),
+      lit("feature").as("planType"),
+      lit("queued").as("status"),
+      lit("background").as("executionMode"),
+      lit("queued/plan.md").as("path"),
+      to_timestamp(lit("2026-01-01 00:00:00")).as("createdAt"),
+      lit(3).as("phases"),
+      lit(1).as("parallelGroups"))
+      .as[graft.model.BoardEntry]
+    val renamedCfg = s.range(7).select(
+      concat(lit("/work/old_"), $"id".cast("string")).as("cfgPath"),
+      concat(lit("renamed_"), $"id".cast("string")).as("cfgProject"))
+    val stableCfg = s.range(15).select(
+      concat(lit("/work/ns_"), $"id".cast("string")).as("cfgPath"),
+      concat(lit("ns_"), $"id".cast("string")).as("cfgProject"))
+    QueueOps.resolveNamespaces(board, renamedCfg.unionByName(stableCfg))
+      .orderBy($"id".cast("bigint"))
+  }
+
+  val q212Sql: String =
+    """WITH board AS (
+      |  SELECT CAST(c_custkey AS VARCHAR) AS id,
+      |         'ns_' || CAST(c_custkey % 20 AS VARCHAR) AS project,
+      |         CASE WHEN c_custkey % 9 = 0
+      |              THEN '/work/old_' || CAST(c_custkey % 7 AS VARCHAR)
+      |              ELSE '/work/ns_' || CAST(c_custkey % 20 AS VARCHAR)
+      |         END AS project_path
+      |  FROM customer),
+      |cfg AS (
+      |  SELECT '/work/old_' || CAST(k AS VARCHAR) AS cfg_path,
+      |         'renamed_' || CAST(k AS VARCHAR) AS cfg_project
+      |  FROM range(7) t(k)
+      |  UNION ALL
+      |  SELECT '/work/ns_' || CAST(n AS VARCHAR), 'ns_' || CAST(n AS VARCHAR)
+      |  FROM range(15) t(n))
+      |SELECT b.id, b.project,
+      |       coalesce(c.cfg_project, b.project) AS resolved_project,
+      |       (c.cfg_project IS NOT NULL AND c.cfg_project <> b.project) AS renamed
+      |FROM board b LEFT JOIN cfg c ON b.project_path = c.cfg_path
+      |ORDER BY CAST(b.id AS BIGINT)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q211_move_validation"  -> (q211MoveValidation _),
+    "q212_namespace_resolve" -> (q212NamespaceResolve _),
     "q42_scheduler_pick"  -> (q42SchedulerPick _),
     "q43_status_overview" -> (q43StatusOverview _),
     "q44_lifecycle_replay" -> (q44LifecycleReplay _),
@@ -500,6 +622,8 @@ object Derived {
   )
 
   val oracle: Map[String, String] = Map(
+    "q211_move_validation"  -> q211Sql,
+    "q212_namespace_resolve" -> q212Sql,
     "q42_scheduler_pick"  -> q42Sql,
     "q43_status_overview" -> q43Sql,
     "q44_lifecycle_replay" -> q44Sql,

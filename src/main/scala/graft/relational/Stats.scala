@@ -657,10 +657,12 @@ object Stats {
     * values are scaled to exact cents. The q144 integer-predicate
     * discipline generalized to second moments: no Welford-vs-naive
     * engine divergence, no floating accumulation order, just integer
-    * arithmetic both engines get bit-identical. (Headroom: cents ≤
-    * 10⁴ and per-user counts ≤ ~10⁶ keep every term far under 2⁶³;
-    * a 100 TB deployment with bigger per-key masses moves the same
-    * predicate to DECIMAL(38) unchanged.)
+    * arithmetic both engines get bit-identical. (Headroom: with cents
+    * ≤ 10⁴ the dominant term (n·x − Σx)² reaches n²·10⁸, so Long only
+    * holds up to n ≲ 10⁵ rows per user — beyond that the product
+    * passes 2⁶³ and non-ANSI BIGINT arithmetic would wrap silently,
+    * flipping flags with no error; a 100 TB deployment with bigger
+    * per-key masses moves the same predicate to DECIMAL(38) unchanged.)
     *
     * Population σ (÷n) — stated here because the sample/population
     * choice changes flags near the fence. */

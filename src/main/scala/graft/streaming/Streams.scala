@@ -129,12 +129,16 @@ object Streams {
     * collect_list.
     *
     * Ordering contract: events are sorted by (ts, event_id) WITHIN
-    * each micro-batch (late cross-batch arrivals would pair out of
-    * order — the same in-order-delivery assumption the reference's
-    * single-consumer queue makes; for out-of-order sources, front this
-    * with a watermarked sort or widen to session-window batching).
+    * each micro-batch (the same in-order-delivery assumption the
+    * reference's single-consumer queue makes; for out-of-order
+    * sources, front this with a watermarked sort or widen to
+    * session-window batching). A late CROSS-BATCH arrival — older than
+    * the remembered state — is dropped as inert rather than paired:
+    * emitting would produce a time-reversed src→dst transition and
+    * regress the stored state to the older event, so contract
+    * violations yield no output instead of wrong output (ADVICE r10).
     * StreamingSpec replays a two-batch feed and pins equality with the
-    * batch q180 counts on identical data. */
+    * batch q180 counts on identical data, plus the out-of-order drop. */
   def transitionPairs(events: Dataset[TransEvent],
       gapMinutes: Int = 30): Dataset[Transition] = {
     import events.sparkSession.implicits._
@@ -149,11 +153,18 @@ object Streams {
         evs.foreach { e =>
           val tu = e.ts.getTime * 1000L
           last match {
-            case Some(st) if tu - st.lastTu <= gapUs =>
-              out += Transition(st.lastType, e.event_type)
-            case _ => ()
+            case Some(st) if tu < st.lastTu =>
+              // out-of-order cross-batch arrival: keep the newer state,
+              // emit nothing (a pair here would be time-reversed)
+              ()
+            case other =>
+              other match {
+                case Some(st) if tu - st.lastTu <= gapUs =>
+                  out += Transition(st.lastType, e.event_type)
+                case _ => ()
+              }
+              last = Some(TransState(tu, e.event_id, e.event_type))
           }
-          last = Some(TransState(tu, e.event_id, e.event_type))
         }
         last.foreach(state.update)
         out.result().iterator

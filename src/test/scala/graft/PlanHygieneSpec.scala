@@ -25,6 +25,8 @@ class PlanHygieneSpec extends AnyFunSuite {
                            // quantized corpus (q36's shape, 8-bit codes)
     "q138_ann_pq",         // broadcast of the 1-row codebook stride
     "q140_pagerank",       // broadcast of the 1-row node count
+    "q213_equidepth_sketch", // broadcast of the 1-row sketch boundaries
+                           // (9 values) — the q139 scalar-graft pattern
     "q146_skew_report",    // broadcast of the 1-row grand total
     "q137_zorder_layout",  // broadcast of the 1-row min/max extent
     "q79_scalar_subquery", // broadcast of a 1-row global average

@@ -85,6 +85,38 @@ class QueueSpec extends AnyFunSuite {
     assert(msgs(e).exists(_.contains("duplicate config rows")),
       s"expected the duplicate-path error, got: ${msgs(e)}")
   }
+
+  test("q211 census: exactly the four legal cells; migration class flagged") {
+    val rows = queue.Derived.q211MoveValidation(spark, sf).collect()
+    val legal = rows.filter(_.getAs[Boolean]("legal"))
+      .map(r => (r.getAs[String]("from_status"), r.getAs[String]("to_status"))).toSet
+    assert(legal == QueueOps.legalMoves, s"legal cells: $legal")
+    rows.foreach { r =>
+      val mig = Set("review", "archived").contains(r.getAs[String]("from_status")) &&
+        r.getAs[String]("to_status") == "completed"
+      assert(r.getAs[Boolean]("is_migration") == mig)
+      if (mig) assert(r.getAs[Boolean]("legal"),
+        "the setup.sh migration moves must be in the legal set")
+    }
+  }
+
+  test("q212: ninth entries re-point, unconfigured namespaces fall through") {
+    val rows = queue.Derived.q212NamespaceResolve(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getAs[String]("id").toLong
+      if (id % 9 == 0)
+        assert(r.getAs[Boolean]("renamed") &&
+          r.getAs[String]("resolved_project") == s"renamed_${id % 7}")
+      else
+        assert(!r.getAs[Boolean]("renamed") &&
+          r.getAs[String]("resolved_project") == r.getAs[String]("project"))
+    }
+    // the "created fresh" branch (no config row) must be present: some
+    // entry of ns_15..ns_19 resolves to itself via the coalesce fallback
+    assert(rows.exists(r => !r.getAs[Boolean]("renamed") &&
+      r.getAs[String]("project").stripPrefix("ns_").toInt >= 15))
+  }
 }
 
 class StratifySpec extends AnyFunSuite {

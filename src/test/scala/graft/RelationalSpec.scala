@@ -177,6 +177,17 @@ class RelationalSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getDouble(3) > 0 && r.getDouble(3) <= r.getDouble(4)))
   }
 
+  test("q213 sketch equi-depth: buckets 1..10, exact total, 5% band holds") {
+    val rows = relational.Extra3.q213EquidepthSketch(spark, sf).collect()
+    assert(rows.map(_.getInt(0)).toSeq == (1 to 10), "a decile is missing/empty")
+    val n = Tables.orders(spark, sf).count()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_total") == n, "n_total must be the exact count")
+      assert(r.getAs[Boolean]("depth_ok"),
+        s"decile ${r.getInt(0)} misses the 5% equi-depth band")
+    }
+  }
+
   test("q149 PIT lookup: as-of result equals interval containment, totals conserved") {
     val out = relational.Extra3.q149PitLookup(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap

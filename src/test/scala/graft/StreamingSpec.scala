@@ -537,4 +537,32 @@ class StreamingSpec extends AnyFunSuite {
       assert(got == expected, s"got $got")
     } finally q.stop()
   }
+
+  test("transition pairs: late out-of-order cross-batch arrival is inert") {
+    implicit val sqlCtx = spark.sqlContext
+    import Streams.TransEvent
+    val mem = MemoryStream[TransEvent]
+    val q = Streams.transitionCounts(mem.toDS())
+      .writeStream.format("memory").queryName("trans_ooo_out")
+      .outputMode("complete").start()
+    try {
+      def e(id: Long, t: String, time: String) = TransEvent(1L, id, ts(time), t)
+      mem.addData(e(1, "view", "2026-01-01 10:00:00"),
+        e(2, "click", "2026-01-01 10:10:00"))
+      q.processAllAvailable()
+      // a LATE arrival older than the remembered state: must emit no
+      // (click -> purchase) reversed-time pair and must NOT regress the
+      // stored state to 09:55
+      mem.addData(e(3, "purchase", "2026-01-01 09:55:00"))
+      q.processAllAvailable()
+      // proof the state survived: the next in-order event pairs with
+      // the 10:10 click, not with the stale 09:55 purchase
+      mem.addData(e(4, "purchase", "2026-01-01 10:20:00"))
+      q.processAllAvailable()
+      val got = spark.table("trans_ooo_out").collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(got == Map(("view", "click") -> 1L, ("click", "purchase") -> 1L),
+        s"got $got")
+    } finally q.stop()
+  }
 }

@@ -284,6 +284,30 @@ def cmd_check_coverage(args):
         sys.exit(1)
     print(f"COVERAGE.md markers consistent with {os.path.basename(cpath)}")
 
+def spread_advisories(spread, flagged=(), ratio_floor=2.0, min_floor=0.3):
+    """Non-gating 'wide spread, flat min' notes (REVIEW_r10 §A): the
+    min-of-reps gate is deliberately blind to intermittent contention —
+    a query whose min stayed flat but whose max ran >2x the min carries
+    exactly the signature that needed a manual rerun to adjudicate in
+    r9 (q34) and r10 (q103). Surface it on the record, don't gate on it
+    (the min IS the contention-free claim). `flagged` suppresses queries
+    the gate already reported; `min_floor` skips sub-noise queries whose
+    2x is 0.1s->0.2s jitter."""
+    out = []
+    for name in sorted(spread):
+        sp = spread[name]
+        mn, mx = sp.get("min"), sp.get("max")
+        if mn is None or mx is None or name in flagged:
+            continue
+        if mn >= min_floor and mn > 0 and mx / mn > ratio_floor:
+            gc = sp.get("gc")
+            gcs = f", gc={gc:.1f}s" if gc is not None else ""
+            out.append(
+                f"{name}: wide spread, flat min (min {mn:.2f}s / max {mx:.2f}s"
+                f" = {mx / mn:.1f}x{gcs}) — context pressure signature, "
+                "not gated; solo-rerun before trusting the median")
+    return out
+
 def cmd_bench_gate(args):
     new_path = resolve_bench(args[0])
     if len(args) > 1:
@@ -340,6 +364,12 @@ def cmd_bench_gate(args):
             bad.append(
                 f"{name}: {ref_s:.2f}s -> {new_s:.2f}s {kind} "
                 f"({ratio:.2f}x{gcs}){note}")
+    flagged = {b.split(":")[0] for b in bad}
+    advisories = spread_advisories(new_sp, flagged)
+    if advisories:
+        print(f"spread advisories (non-gating) in {os.path.basename(new_path)}:")
+        for a in advisories:
+            print(f"  {a}")
     if bad:
         print(f"bench regressions vs {os.path.basename(ref_path)}:")
         for b in bad:
