@@ -18,8 +18,10 @@ import graft.Tables
   *
   * Scale: candidate generation is an equality join on (band, bucket) —
   * shuffle-partitioned, no cross product. Bucket skew (boilerplate
-  * shingles) is the known hazard at 100 TB; counter: salt hot buckets
-  * or cap bucket width (both flagged below), and AQE skew-join locally.
+  * shingles) is the known hazard at 100 TB; counters, BOTH implemented:
+  * cap bucket width (default — drop + count, `MaxBucketWidth`) or salt
+  * hot buckets (`spark.graft.lsh.saltHotBuckets=true` — lossless
+  * triangle decomposition, [[saltedPairs]]), plus AQE skew-join locally.
   * Verification touches only candidate pairs, O(candidates), and the
   * signature pass is one narrow scan.
   */
@@ -86,7 +88,9 @@ object Dedup {
     * ride the ×Bands-exploded shuffle (at corpus scale that re-shuffles
     * the whole corpus 8× in array form). Width-1 buckets are dropped
     * before the self-join (they cannot pair), width->maxWidth buckets
-    * by the skew cap above. */
+    * by the skew cap above — unless `spark.graft.lsh.saltHotBuckets`
+    * is true, in which case hot buckets are SALTED instead of dropped:
+    * see [[saltedPairs]]. */
   def lshCandidates(sigs: DataFrame, maxWidth: Int = MaxBucketWidth): DataFrame = {
     val s = sigs.sparkSession
     import s.implicits._
@@ -99,6 +103,9 @@ object Dedup {
       .withColumn("bb", explode(bandBuckets(col("sig"))))
       .select($"doc_id", $"bb.band", $"bb.bkt")
       .persist()
+    val saltHot = s.conf.getOption("spark.graft.lsh.saltHotBuckets")
+      .exists(_.trim.toBoolean)
+    if (saltHot) return saltedPairs(banded, maxWidth)
     // pre-filter widths carry the drop observability (DropMetrics):
     // what the skew cap removes is counted on the same pass that
     // computes the widths — no extra job, and the q87 pipeline logs it
@@ -119,6 +126,51 @@ object Dedup {
     val b = capped.select($"doc_id".as("id2"), $"band".as("b2"), $"bkt".as("k2"))
     a.join(b, $"band" === $"b2" && $"bkt" === $"k2" && $"id1" < $"id2")
       .select($"id1", $"id2").distinct()
+  }
+
+  /** SALT-hot-buckets candidate generation — the lossless 100 TB
+    * counter to the width cap (the alternative the module scaladoc has
+    * flagged since round 4, now implemented behind
+    * `spark.graft.lsh.saltHotBuckets=true`). A bucket of width w is
+    * split into g = ⌈w / maxWidth⌉ deterministic salt groups
+    * (xxhash64(doc_id) mod g) and its pair set is TRIANGLE-DECOMPOSED:
+    * a row in group p joins under cell keys (p, p..g−1) on the left
+    * and (0..p, p) on the right, so every unordered pair co-occurs in
+    * exactly one (lo, hi) cell with lo ≤ hi. The join stays a pure
+    * equality join on (band, bkt, lo, hi); no task ever holds more
+    * than ~maxWidth² of one bucket's pair mass — the w² OUTPUT is
+    * intrinsic to lossless semantics, but it now streams out of
+    * g(g+1)/2 independent cells instead of one straggler partition.
+    * Cold buckets take g=1 and reduce to the plain self-join, so one
+    * code path serves both; the pair SET equals the uncapped join's
+    * exactly (DedupSpec skew pin).
+    *
+    * Cap (drop + count) vs salt (keep + spread) is a recall/cost
+    * policy choice: boilerplate-heavy web corpora want the cap
+    * (near-identical floods are upstream exact-dedup's job); corpora
+    * where hot buckets carry REAL near-dup structure pay for the full
+    * pair set, skew-free. */
+  private def saltedPairs(banded: DataFrame, maxWidth: Int): DataFrame = {
+    val s = banded.sparkSession
+    import s.implicits._
+    val widths = banded.groupBy($"band", $"bkt")
+      .agg(count(lit(1)).as("w"))
+      .filter($"w" > 1) // width-1 buckets cannot pair
+    val rows = banded.join(widths, Seq("band", "bkt"))
+      .withColumn("ng", ceil($"w" / lit(maxWidth.toDouble)).cast("int"))
+      .withColumn("g", pmod(xxhash64($"doc_id"), $"ng").cast("int"))
+    val a = rows
+      .withColumn("hi", explode(expr("sequence(g, ng - 1)")))
+      .select($"doc_id".as("id1"), $"band", $"bkt", $"g".as("lo"), $"hi")
+    val b = rows
+      .withColumn("lo", explode(expr("sequence(0, g)")))
+      .select($"doc_id".as("id2"), $"band".as("b2"), $"bkt".as("k2"),
+        $"lo".as("l2"), $"g".as("h2"))
+    a.join(b, $"band" === $"b2" && $"bkt" === $"k2" &&
+        $"lo" === $"l2" && $"hi" === $"h2" && $"id1" =!= $"id2")
+      .select(least($"id1", $"id2").as("id1"),
+        greatest($"id1", $"id2").as("id2"))
+      .distinct()
   }
 
   /** Late shingle re-join: attach shingle sets to id-only candidate

@@ -128,6 +128,38 @@ class DedupSpec extends AnyFunSuite {
     assert((uncapped -- capped).forall { case (a, b) => a >= 100L && b >= 100L })
   }
 
+  test("salt-hot-buckets: identical pair set to uncapped on a skewed corpus") {
+    // same flood shape as the cap test: a 100-wide boilerplate bucket
+    // (hot at maxWidth=8 → ~13 salt groups) plus a genuine near-dup
+    // pair. The salted path must reproduce the uncapped pair set
+    // EXACTLY — salting relocates work, never pairs (VERDICT r10 #5).
+    val boiler = (100L until 200L).map(i =>
+      (i, "identical boilerplate template text repeated across many documents verbatim every time"))
+    val docs = (Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and runs far away home tonight"),
+      (2L, "the quick brown fox jumps over the lazy cat and runs far away home tonight")) ++ boiler)
+      .toDF("doc_id", "text")
+      .withColumn("toks", regexp_extract_all(lower($"text"), lit("\\S+"), lit(0)))
+    val sigs = docs
+      .withColumn("sh", Dedup.shingles($"toks"))
+      .select($"doc_id", Dedup.minhashSig($"sh").as("sig"))
+
+    val uncapped = Dedup.lshCandidates(sigs, maxWidth = Int.MaxValue).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    spark.conf.set("spark.graft.lsh.saltHotBuckets", "true")
+    val salted =
+      try Dedup.lshCandidates(sigs, maxWidth = 8).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      finally spark.conf.unset("spark.graft.lsh.saltHotBuckets")
+    assert(salted == uncapped,
+      s"salted minus uncapped: ${(salted -- uncapped).take(5)}; " +
+        s"uncapped minus salted: ${(uncapped -- salted).take(5)}")
+    // the flood really was hot: full quadratic boilerplate pair mass
+    assert(salted.count { case (a, b) => a >= 100L && b >= 100L } == 100 * 99 / 2)
+    // and orientation is preserved (id1 < id2 after least/greatest)
+    assert(salted.forall { case (a, b) => a < b })
+  }
+
   test("bucket-width cap drops are observable: flooded bucket reports its mass") {
     // same flood shape as above — the cap must now COUNT what it drops
     // (VERDICT r6: a silent cap would lower recall with no signal at

@@ -124,6 +124,16 @@ ADJUDICATIONS = {
             "catalog record's own spread was flat (2.50/2.50/2.65). The "
             "min-of-reps 1.88 is within the noise band of the r9 1.54 "
             "single-shot.")},
+    "q103_pii_redaction": {
+        "ref": 0.72, "new": 1.36,
+        "note": (
+            "r10 final-stamp flag (r9 0.716s -> r10 min 1.357, sustained "
+            "across reps, q115/q104/q101 co-drifting) adjudicated NOT real "
+            "in r11: a fresh full-catalog run read min 0.709s and a solo "
+            "min-of-3 read 0.729s at a code state that touches none of "
+            "these paths — suite-context pressure at the r10 stamp (the r9 "
+            "q34 class). PERF.md '#q103 adjudication' has the full table; "
+            "spread_advisories now surfaces this signature on the record.")},
     "q66_ann_ivf": {
         "ref": 1.04, "new": 2.07,
         "note": (
