@@ -150,7 +150,7 @@ object Dedup {
     * (near-identical floods are upstream exact-dedup's job); corpora
     * where hot buckets carry REAL near-dup structure pay for the full
     * pair set, skew-free. */
-  private def saltedPairs(banded: DataFrame, maxWidth: Int): DataFrame = {
+  private[graft] def saltedPairs(banded: DataFrame, maxWidth: Int): DataFrame = {
     val s = banded.sparkSession
     import s.implicits._
     val widths = banded.groupBy($"band", $"bkt")
@@ -697,6 +697,30 @@ object Dedup {
     val b = banded.select($"doc_id".as("id2"), $"band".as("b2"), $"bkt".as("k2"))
     a.join(b, $"band" === $"b2" && $"bkt" === $"k2" && $"id1" < $"id2")
       .select($"id1", $"id2").distinct()
+  }
+
+  /** q214: q107's banding routed through [[saltedPairs]] at
+    * maxWidth=1 — the EXTREME salt setting where EVERY multi-doc
+    * bucket counts as hot and triangle-decomposes into per-doc salt
+    * groups — GRADED BY q107's ORACLE VERBATIM: the driver's hash gate
+    * itself proves the decomposition lossless on a real corpus (the
+    * one-oracle-two-formulations discipline of q181/q26 and q204/q174).
+    * maxWidth=1 rather than a realistic budget because the graded
+    * corpora top out at width 8, which a realistic budget would never
+    * split — this setting makes every multi-member bucket take the
+    * salted path, so any dropped or duplicated cross-group pair flips
+    * the hash. DedupSpec additionally pins a 100-wide constructed
+    * flood. */
+  def q214LshSalted(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh = toks(s, dir)
+      .filter($"doc_id" % 2 === 0)
+      .select($"doc_id", shingles($"toks").as("sh"))
+      .persist() // signature pass + both verify sides; swept per-query (Ckpt.sweep)
+    val banded = md5Bands(sh)
+      .persist() // widths + both salted-join sides; swept per-query
+    verifyJaccard(saltedPairs(banded, maxWidth = 1), sh, 0.5)
+      .orderBy($"id1", $"id2")
   }
 
   def q107MinhashMd5(s: SparkSession, dir: String): DataFrame = {
@@ -1374,6 +1398,7 @@ object Dedup {
     "q49_singletons"    -> (q49Singletons _),
     "q105_dedup_clusters" -> (q105DedupClusters _),
     "q107_minhash_md5"  -> (q107MinhashMd5 _),
+    "q214_lsh_salted"   -> (q214LshSalted _),
     "q109_simhash_md5"  -> (q109SimhashMd5 _),
     "q110_rollingfp_md5" -> (q110RollingFpMd5 _),
     "q122_incremental_dedup" -> (q122IncrementalDedup _),
@@ -1392,6 +1417,9 @@ object Dedup {
     "q49_singletons" -> q49Sql,
     "q105_dedup_clusters" -> q105Sql,
     "q107_minhash_md5" -> q107Sql,
+    // graded by q107's oracle VERBATIM: the salted decomposition must
+    // hash-match the plain banding restatement
+    "q214_lsh_salted"  -> q107Sql,
     "q109_simhash_md5" -> q109Sql,
     "q110_rollingfp_md5" -> q110Sql,
     "q122_incremental_dedup" -> q122Sql,
