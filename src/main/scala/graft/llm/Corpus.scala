@@ -500,7 +500,63 @@ object Corpus {
       |             AS DOUBLE) / max(total), 4) AS top_decile_share
       |FROM d GROUP BY source ORDER BY source""".stripMargin
 
+  /** q220: source-mixture ENTROPY per language — the corpus-health
+    * scalar behind "is this language dominated by one source?": Shannon
+    * H = −Σ p·ln p over the language's source shares, plus evenness
+    * H / ln(n_sources) (1.0 = perfectly balanced; NULL for
+    * single-source languages, where evenness is undefined).
+    * Complements q118 (the rebalance PLAN) and q210 (Pareto byte
+    * concentration) with the information-theoretic summary a mixture
+    * dashboard tracks per snapshot.
+    *
+    * FP discipline: the Σ runs over n_sources ≈ a handful of terms and
+    * both graded doubles are rounded to 3 decimals on both engines
+    * (the multi-term-double rule); evenness divides the ROUNDED
+    * entropy so the two engines divide identical numerators.
+    *
+    * Scale: two hash aggregations on (lang, source) then (lang) — the
+    * whole query is a census over a bounded key space; 10⁹ documents
+    * cost one narrow scan with map-side combine. */
+  def q220MixtureEntropy(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val counts = Tables.documents(s, dir)
+      .groupBy($"lang", $"source").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy($"lang")
+    counts
+      .withColumn("n_lang", sum($"n").over(w))
+      .withColumn("p", $"n".cast("double") / $"n_lang")
+      .groupBy($"lang")
+      .agg(
+        max($"n_lang").as("n_docs"),
+        count(lit(1)).as("n_sources"),
+        round(-sum($"p" * log($"p")), 3).as("entropy"))
+      .withColumn("evenness",
+        when($"n_sources" > 1,
+          round($"entropy" / log($"n_sources".cast("double")), 3)))
+      .orderBy($"lang")
+  }
+
+  val q220Sql: String =
+    """WITH c AS (
+      |  SELECT lang, source, count(*) AS n FROM documents GROUP BY 1, 2),
+      |e AS (
+      |  SELECT lang,
+      |    CAST(max(n_lang) AS BIGINT) AS n_docs,
+      |    count(*) AS n_sources,
+      |    round(-sum(p * ln(p)), 3) AS entropy
+      |  FROM (
+      |    SELECT lang, n,
+      |      CAST(sum(n) OVER (PARTITION BY lang) AS BIGINT) AS n_lang,
+      |      CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY lang) AS p
+      |    FROM c) t
+      |  GROUP BY lang)
+      |SELECT lang, n_docs, n_sources, entropy,
+      |  CASE WHEN n_sources > 1
+      |       THEN round(entropy / ln(CAST(n_sources AS DOUBLE)), 3) END AS evenness
+      |FROM e ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q220_mixture_entropy"   -> (q220MixtureEntropy _),
     "q210_pareto_bytes"      -> (q210ParetoBytes _),
     "q186_compaction_plan"   -> (q186CompactionPlan _),
     "q117_tfidf_terms"       -> (q117TfIdf _),
@@ -513,6 +569,7 @@ object Corpus {
   )
 
   val oracle: Map[String, String] = Map(
+    "q220_mixture_entropy"   -> q220Sql,
     "q210_pareto_bytes"      -> q210Sql,
     "q186_compaction_plan"   -> q186Sql,
     "q117_tfidf_terms"       -> q117Sql,

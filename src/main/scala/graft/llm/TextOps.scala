@@ -1020,7 +1020,37 @@ object TextOps {
       |  round(CAST(sum(c) - count(*) AS DOUBLE) / sum(c), 4) AS dup_rate
       |FROM g GROUP BY source ORDER BY source""".stripMargin
 
+  /** q216: k-ANONYMITY audit — the release-side privacy complement of
+    * q103's PII redaction: after redaction, can a document still be
+    * singled out by its quasi-identifiers? Quasi-identifier tuple here
+    * = (lang, source, 500-char length band capped at band 7); every
+    * equivalence class of size k < 5 is an at-risk class (k-anonymity
+    * at the conventional k=5 floor). Output is the full class census
+    * with k and the flag — the table a compliance review reads before
+    * an export ships.
+    *
+    * Scale: one map-side-combining hash aggregation over a bounded key
+    * space (langs × sources × 8 bands) — 10⁹ documents cost one narrow
+    * scan; the flag is a projection over the aggregate. */
+  def q216KAnonymity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.Tables.documents(s, dir)
+      .withColumn("len_band", least(expr("n_chars div 500"), lit(7L)))
+      .groupBy($"lang", $"source", $"len_band")
+      .agg(count(lit(1)).as("k"))
+      .withColumn("at_risk", $"k" < 5)
+      .orderBy($"lang", $"source", $"len_band")
+  }
+
+  val q216Sql: String =
+    """SELECT lang, source, least(n_chars // 500, 7) AS len_band,
+      |       count(*) AS k, count(*) < 5 AS at_risk
+      |FROM documents
+      |GROUP BY 1, 2, 3
+      |ORDER BY lang, source, len_band""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q216_k_anonymity"  -> (q216KAnonymity _),
     "q201_source_dup_rate" -> (q201SourceDupRate _),
     "q193_bpe_encode"   -> (q193BpeEncode _),
     "q189_split_leakage" -> (q189SplitLeakage _),
@@ -1045,6 +1075,7 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q216_k_anonymity"  -> q216Sql,
     "q201_source_dup_rate" -> q201Sql,
     "q193_bpe_encode"   -> q193Sql,
     "q189_split_leakage" -> q189Sql,

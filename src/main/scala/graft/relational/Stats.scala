@@ -742,7 +742,83 @@ object Stats {
       |FROM ev JOIN f USING (event_type)
       |GROUP BY ev.event_type ORDER BY event_type""".stripMargin
 
+  /** q219: two-sample KOLMOGOROV–SMIRNOV drift test between the q100
+    * hash split's train and val length distributions — "did my split
+    * shift the data?" answered with an exact order statistic instead of
+    * eyeballed histograms. D = sup_x |F_train(x) − F_val(x)|, computed
+    * EXACTLY and almost entirely in integers: per distinct length, the
+    * per-split running counts, then one max over
+    * |cum_tr·n_val − cum_val·n_train| — an INTEGER sup (no FP inside
+    * the max), divided once at the end for the rounded D. The reject
+    * flag applies the classical 95% critical value
+    * D > 1.358·√((n+m)/(n·m)), squared into
+    * gap² > 1.358²·(n+m)·n·m so the comparison is one deterministic
+    * expression on both engines.
+    *
+    * Scale: the per-length census is bounded by DISTINCT lengths, not
+    * documents — 10⁹ docs reduce to one narrow aggregation plus a
+    * window over ~thousands of census rows (a single ordered partition
+    * over a domain-bounded table, q85's discipline, not a data-scale
+    * sort). Integer headroom: gap ≤ n·m, so Long holds to ~3×10⁹ docs
+    * per split; past that the same predicate moves to DECIMAL(38). */
+  def q219KsSplitDrift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bucket = substring(md5($"doc_id".cast("string")), 1, 1)
+    val census = graft.Tables.documents(s, dir)
+      .withColumn("split",
+        when(bucket.isin("c", "d"), "val")
+          .when(bucket.isin("e", "f"), "test")
+          .otherwise("train"))
+      .filter($"split".isin("train", "val"))
+      .groupBy($"n_chars")
+      .agg(sum(when($"split" === "train", 1L).otherwise(0L)).as("ctr"),
+        sum(when($"split" === "val", 1L).otherwise(0L)).as("cva"))
+    val totals = census.agg(sum($"ctr").as("n_tr"), sum($"cva").as("n_va"))
+    val w = Window.orderBy($"n_chars")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    census
+      .withColumn("cum_tr", sum($"ctr").over(w))
+      .withColumn("cum_va", sum($"cva").over(w))
+      .crossJoin(broadcast(totals))
+      .groupBy($"n_tr", $"n_va")
+      .agg(max(abs($"cum_tr" * $"n_va" - $"cum_va" * $"n_tr")).as("gap"))
+      .select(
+        $"n_tr".as("n_train"), $"n_va".as("n_val"),
+        round($"gap".cast("double") / ($"n_tr" * $"n_va"), 6).as("ks_d"),
+        ($"gap".cast("double") * $"gap" >
+          lit(1.844164) * ($"n_tr" + $"n_va") * $"n_tr" * $"n_va")
+          .as("reject_95"))
+  }
+
+  val q219Sql: String =
+    """WITH d AS (
+      |  SELECT n_chars,
+      |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c','d') THEN 'val'
+      |         WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('e','f') THEN 'test'
+      |         ELSE 'train' END AS split
+      |  FROM documents),
+      |c AS (
+      |  SELECT n_chars,
+      |    CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS ctr,
+      |    CAST(sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS cva
+      |  FROM d WHERE split IN ('train', 'val') GROUP BY 1),
+      |r AS (
+      |  SELECT
+      |    CAST(sum(ctr) OVER (ORDER BY n_chars ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tr,
+      |    CAST(sum(cva) OVER (ORDER BY n_chars ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_va
+      |  FROM c),
+      |t AS (SELECT CAST(sum(ctr) AS BIGINT) AS n_tr, CAST(sum(cva) AS BIGINT) AS n_va FROM c),
+      |g AS (
+      |  SELECT CAST(max(abs(r.cum_tr * t.n_va - r.cum_va * t.n_tr)) AS BIGINT) AS gap
+      |  FROM r, t)
+      |SELECT t.n_tr AS n_train, t.n_va AS n_val,
+      |  round(CAST(g.gap AS DOUBLE) / (t.n_tr * t.n_va), 6) AS ks_d,
+      |  CAST(g.gap AS DOUBLE) * g.gap
+      |    > 1.844164 * (t.n_tr + t.n_va) * t.n_tr * t.n_va AS reject_95
+      |FROM g, t""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q219_ks_split_drift" -> (q219KsSplitDrift _),
     "q209_iqr_fences"    -> (q209IqrFences _),
     "q194_zscore_flags"  -> (q194ZscoreFlags _),
     "q179_mad_outliers"  -> (q179MadOutliers _),
@@ -767,6 +843,7 @@ object Stats {
   )
 
   val oracle: Map[String, String] = Map(
+    "q219_ks_split_drift" -> q219Sql,
     "q209_iqr_fences"    -> q209Sql,
     "q194_zscore_flags"  -> q194Sql,
     "q179_mad_outliers"  -> q179Sql,

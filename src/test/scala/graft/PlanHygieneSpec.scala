@@ -27,6 +27,8 @@ class PlanHygieneSpec extends AnyFunSuite {
     "q140_pagerank",       // broadcast of the 1-row node count
     "q213_equidepth_sketch", // broadcast of the 1-row sketch boundaries
                            // (9 values) — the q139 scalar-graft pattern
+    "q219_ks_split_drift", // broadcast of the 1-row split totals over
+                           // the bounded per-length census
     "q146_skew_report",    // broadcast of the 1-row grand total
     "q137_zorder_layout",  // broadcast of the 1-row min/max extent
     "q79_scalar_subquery", // broadcast of a 1-row global average

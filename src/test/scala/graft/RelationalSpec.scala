@@ -188,6 +188,60 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("q216 k-anonymity: classes partition the corpus; flags replay k<5") {
+    val rows = llm.TextOps.q216KAnonymity(spark, sf).collect()
+    val n = Tables.documents(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("k")).sum == n, "classes must partition all docs")
+    rows.foreach(r => assert(r.getAs[Boolean]("at_risk") == (r.getAs[Long]("k") < 5)))
+    assert(rows.forall { r =>
+      val b = r.getAs[Long]("len_band"); b >= 0 && b <= 7
+    })
+  }
+
+  test("q219 KS drift: D in [0,1]; brute-force CDF sup replays the integer max") {
+    val out = relational.Stats.q219KsSplitDrift(spark, sf).collect()
+    assert(out.length == 1)
+    val d = out(0).getAs[Double]("ks_d")
+    assert(d >= 0.0 && d <= 1.0, s"ks_d out of range: $d")
+    // brute-force replay: per-doc splits, both empirical CDFs evaluated
+    // at every distinct length, sup of the difference
+    import org.apache.spark.sql.functions._
+    val bucket = substring(md5(col("doc_id").cast("string")), 1, 1)
+    val docs = Tables.documents(spark, sf)
+      .withColumn("split",
+        when(bucket.isin("c", "d"), "val")
+          .when(bucket.isin("e", "f"), "test")
+          .otherwise("train"))
+      .filter(col("split").isin("train", "val"))
+      .select(col("split"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val tr = docs.filter(_._1 == "train").map(_._2).sorted
+    val va = docs.filter(_._1 == "val").map(_._2).sorted
+    val xs = (tr ++ va).distinct
+    val sup = xs.map { x =>
+      math.abs(tr.count(_ <= x).toDouble / tr.length -
+        va.count(_ <= x).toDouble / va.length)
+    }.max
+    assert(math.abs(d - sup) < 5e-7, s"engine D=$d, brute-force sup=$sup")
+    assert(out(0).getAs[Long]("n_train") == tr.length &&
+      out(0).getAs[Long]("n_val") == va.length)
+  }
+
+  test("q220 entropy: bounded by ln(n_sources), evenness in (0,1]") {
+    val rows = llm.Corpus.q220MixtureEntropy(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val h = r.getAs[Double]("entropy")
+      val ns = r.getAs[Long]("n_sources")
+      assert(h >= 0.0 && h <= math.log(ns.toDouble) + 1e-3,
+        s"${r.getAs[String]("lang")}: H=$h outside [0, ln($ns)]")
+      if (ns > 1) {
+        val ev = r.getAs[Double]("evenness")
+        assert(ev > 0.0 && ev <= 1.0 + 1e-3, s"evenness $ev")
+      } else assert(r.isNullAt(r.fieldIndex("evenness")))
+    }
+  }
+
   test("q149 PIT lookup: as-of result equals interval containment, totals conserved") {
     val out = relational.Extra3.q149PitLookup(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
