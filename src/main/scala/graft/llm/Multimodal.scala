@@ -130,6 +130,73 @@ object Multimodal {
       .select($"media_id", $"frame_ms", $"width", $"height")
   }
 
+  /** q221: ViT PATCH PLAN — the tokenizer of the vision side. For every
+    * visual row (image | video), the 16×16 patch grid a ViT-style
+    * encoder would cut it into: per-axis patch counts (ceiling
+    * division), total patches, right/bottom padding to the patch
+    * boundary, and the transformer sequence length (patches + 1 CLS
+    * token). Video rows additionally multiply by their 1 fps frame
+    * count (q53's exact frame arithmetic) into total visual tokens per
+    * clip — the number a multimodal packing planner (q116's budget,
+    * vision edition) actually consumes.
+    *
+    * Pure metadata arithmetic over the DECODED dims — no pixel bytes
+    * move; at 100 TB this is a narrow projection over the media
+    * catalog, the same shape as q53, and every term is integer so the
+    * oracle restates it exactly. */
+  def q221VitPatches(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val P = 16
+    mediaTable(s, dir).toDF()
+      .filter($"kind".isin("image", "video"))
+      .withColumn("px", expr(s"CAST((width + ${P - 1}) div $P AS INT)"))
+      .withColumn("py", expr(s"CAST((height + ${P - 1}) div $P AS INT)"))
+      .withColumn("n_patches", $"px" * $"py")
+      .withColumn("pad_x", $"px" * P - $"width")
+      .withColumn("pad_y", $"py" * P - $"height")
+      .withColumn("n_frames",
+        when($"kind" === "video",
+          expr("CAST(greatest(duration_ms - 1, 0) div 1000 AS BIGINT) + 1"))
+          .otherwise(lit(1L)))
+      .withColumn("seq_len", ($"n_patches" + 1).cast("long"))
+      .withColumn("visual_tokens", $"n_patches".cast("long") * $"n_frames")
+      .select($"media_id", $"kind", $"width", $"height", $"px", $"py",
+        $"n_patches", $"pad_x", $"pad_y", $"n_frames", $"seq_len",
+        $"visual_tokens")
+      .orderBy($"media_id")
+  }
+
+  val q221Sql: String =
+    """WITH raw AS (
+      |  SELECT doc_id,
+      |    (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS kind,
+      |    n_chars, octet_length(encode(text)) AS n
+      |  FROM documents),
+      |m AS (
+      |  SELECT doc_id AS media_id, kind,
+      |    CAST(CASE kind WHEN 'image' THEN n // 3
+      |                   ELSE (doc_id % 640) + 16 END AS INT) AS width,
+      |    CAST(CASE kind WHEN 'image' THEN 1
+      |                   ELSE (doc_id % 480) + 16 END AS INT) AS height,
+      |    CASE WHEN kind = 'video' THEN n_chars * 40 ELSE 0 END AS duration_ms
+      |  FROM raw WHERE kind IN ('image', 'video')),
+      |p AS (
+      |  SELECT media_id, kind, width, height, duration_ms,
+      |    CAST((width + 15) // 16 AS INT) AS px,
+      |    CAST((height + 15) // 16 AS INT) AS py,
+      |    CASE WHEN kind = 'video'
+      |         THEN greatest(duration_ms - 1, 0) // 1000 + 1
+      |         ELSE 1 END AS n_frames
+      |  FROM m)
+      |SELECT media_id, kind, width, height, px, py,
+      |  CAST(px * py AS INT) AS n_patches,
+      |  CAST(px * 16 - width AS INT) AS pad_x,
+      |  CAST(py * 16 - height AS INT) AS pad_y,
+      |  CAST(n_frames AS BIGINT) AS n_frames,
+      |  CAST(px * py + 1 AS BIGINT) AS seq_len,
+      |  CAST(px * py AS BIGINT) * n_frames AS visual_tokens
+      |FROM p ORDER BY media_id""".stripMargin
+
   /** q52: media feature extraction over the derived corpus — now
     * through the REAL codec: the features histogram the decoded payload
     * region (PPM pixel block / WAV data chunk), and n_bytes is the
@@ -506,6 +573,7 @@ object Multimodal {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q203_audio_rms"     -> (q203AudioRms _),
+    "q221_vit_patches"   -> (q221VitPatches _),
     "q52_media_features" -> (q52MediaFeatures _),
     "q53_frame_sample"   -> (q53FrameSample _),
     "q112_media_meta"    -> (q112MediaMeta _),
@@ -515,6 +583,7 @@ object Multimodal {
 
   val oracle: Map[String, String] = Map(
     "q203_audio_rms"     -> q203Sql,
+    "q221_vit_patches"   -> q221Sql,
     "q52_media_features" -> q52Sql,
     "q53_frame_sample"   -> q53Sql,
     "q112_media_meta"    -> q112Sql,

@@ -230,4 +230,29 @@ class MultimodalSpec extends AnyFunSuite {
     assert(sims.nonEmpty)
     assert(sims.forall(r => !r.getAs[Double]("sim").isNaN))
   }
+
+  test("q221 patch plan: grid covers the image minimally; token math consistent") {
+    val rows = Multimodal.q221VitPatches(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (w, h) = (r.getAs[Int]("width"), r.getAs[Int]("height"))
+      val (px, py) = (r.getAs[Int]("px"), r.getAs[Int]("py"))
+      // minimal cover: the grid reaches the far edge, one fewer doesn't
+      assert(px * 16 >= w && (px == 0 || (px - 1) * 16 < w), s"px=$px w=$w")
+      assert(py * 16 >= h && (py == 0 || (py - 1) * 16 < h), s"py=$py h=$h")
+      assert(r.getAs[Int]("pad_x") == px * 16 - w)
+      assert(r.getAs[Int]("pad_y") == py * 16 - h)
+      assert(r.getAs[Int]("n_patches") == px * py)
+      assert(r.getAs[Long]("seq_len") == px.toLong * py + 1)
+      assert(r.getAs[Long]("visual_tokens") ==
+        px.toLong * py * r.getAs[Long]("n_frames"))
+      if (r.getAs[String]("kind") == "image") assert(r.getAs[Long]("n_frames") == 1L)
+    }
+    // frame counts agree with the q53 sampler on the video rows
+    val frames = Multimodal.q53FrameSample(spark, sf).collect()
+      .map(r => r.getAs[Long]("media_id") -> r.getAs[Long]("n_frames")).toMap
+    rows.filter(_.getAs[String]("kind") == "video").foreach { r =>
+      assert(r.getAs[Long]("n_frames") == frames(r.getAs[Long]("media_id")))
+    }
+  }
 }
