@@ -1049,7 +1049,59 @@ object TextOps {
       |GROUP BY 1, 2, 3
       |ORDER BY lang, source, len_band""".stripMargin
 
+  /** q222: cross-source QUALITY CALIBRATION — every document's quality
+    * score (q32's stop-word ratio) mapped to its POOLED corpus
+    * percentile, then summarized per source by order statistics: a
+    * source whose median pooled percentile sits far below 0.5 is
+    * systematically low-quality RELATIVE TO THE CORPUS — the comparison
+    * a mixture planner actually needs (absolute score thresholds drift
+    * per snapshot; pooled ranks do not). The pooled rank is made total
+    * by (ratio, doc_id), so every percentile is (rank−1)/(N−1) —
+    * identical integers, hence bit-identical doubles on both engines —
+    * and the per-source summaries are percentile_disc COPIES of those
+    * values (no FP summation anywhere; q171's parity).
+    *
+    * Scale: the exact pooled rank is a total order — the graded
+    * DEFINITION (q197's discipline). The 100 TB production form reuses
+    * q213's machinery verbatim: approx_percentile boundaries broadcast,
+    * each document mapped to its percentile bucket map-side. */
+  def q222SourceCalibration(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val scored = Tables.documents(s, dir)
+      .withColumn("toks", tokens($"text"))
+      .withColumn("n_stop", size(expr(s"filter(toks, x -> x IN $stopSqlList)")))
+      .withColumn("ratio", round($"n_stop".cast("double") / size($"toks"), 4))
+      .select($"doc_id", $"source", $"ratio")
+    val w = org.apache.spark.sql.expressions.Window.orderBy($"ratio", $"doc_id")
+    scored.withColumn("pool_pct", percent_rank().over(w))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY pool_pct)").as("p25_pool"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY pool_pct)").as("p50_pool"),
+        expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY pool_pct)").as("p75_pool"))
+      .withColumn("low_vs_corpus", $"p50_pool" < 0.4)
+      .orderBy($"source")
+  }
+
+  val q222Sql: String =
+    raw"""WITH sc AS (
+      |  SELECT doc_id, source,
+      |    round(CAST(len(list_filter(toks, x -> x IN $stopSqlList)) AS DOUBLE)
+      |          / len(toks), 4) AS ratio
+      |  FROM (SELECT doc_id, source, regexp_extract_all(lower(text), '\S+') AS toks
+      |        FROM documents) t),
+      |p AS (
+      |  SELECT source, percent_rank() OVER (ORDER BY ratio, doc_id) AS pool_pct
+      |  FROM sc)
+      |SELECT source, count(*) AS n_docs,
+      |  quantile_disc(pool_pct, 0.25) AS p25_pool,
+      |  quantile_disc(pool_pct, 0.5) AS p50_pool,
+      |  quantile_disc(pool_pct, 0.75) AS p75_pool,
+      |  quantile_disc(pool_pct, 0.5) < 0.4 AS low_vs_corpus
+      |FROM p GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q222_source_calibration" -> (q222SourceCalibration _),
     "q216_k_anonymity"  -> (q216KAnonymity _),
     "q201_source_dup_rate" -> (q201SourceDupRate _),
     "q193_bpe_encode"   -> (q193BpeEncode _),
@@ -1075,6 +1127,7 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q222_source_calibration" -> q222Sql,
     "q216_k_anonymity"  -> q216Sql,
     "q201_source_dup_rate" -> q201Sql,
     "q193_bpe_encode"   -> q193Sql,

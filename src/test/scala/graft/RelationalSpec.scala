@@ -242,6 +242,33 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("q222 calibration: pooled percentiles ordered, bounded, docs conserved") {
+    val rows = llm.TextOps.q222SourceCalibration(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val n = Tables.documents(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == n)
+    rows.foreach { r =>
+      val (p25, p50, p75) = (r.getAs[Double]("p25_pool"),
+        r.getAs[Double]("p50_pool"), r.getAs[Double]("p75_pool"))
+      assert(p25 >= 0.0 && p75 <= 1.0 && p25 <= p50 && p50 <= p75,
+        s"${r.getAs[String]("source")}: $p25/$p50/$p75")
+      assert(r.getAs[Boolean]("low_vs_corpus") == (p50 < 0.4))
+    }
+  }
+
+  test("q223 HLL rolling distinct: cumulative monotone, ends at total distinct") {
+    val rows = relational.Events.q223HllRollingDistinct(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val cums = rows.map(_.getAs[Long]("exact_cum"))
+    assert(cums.zip(cums.tail).forall { case (a, b) => b >= a }, "not monotone")
+    val total = Tables.events(spark, sf)
+      .select(org.apache.spark.sql.functions.countDistinct(
+        org.apache.spark.sql.functions.col("user_id"))).head().getLong(0)
+    assert(cums.last == total, s"final cum ${cums.last} != total distinct $total")
+    assert(rows.forall(_.getAs[Boolean]("sketch_ok")),
+      "a sketch estimate left the 5% band")
+  }
+
   test("q149 PIT lookup: as-of result equals interval containment, totals conserved") {
     val out = relational.Extra3.q149PitLookup(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
