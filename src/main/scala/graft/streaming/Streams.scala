@@ -113,6 +113,29 @@ object Streams {
               ts <= su_ts + INTERVAL 1 HOUR"""))
   }
 
+  /** LEFT-OUTER variant of [[signupFollowupJoin]]: every follow-up
+    * event is emitted — matched to its same-user signup of the
+    * preceding hour when one exists, with NULL signup columns
+    * otherwise. The null rows are NOT emitted eagerly: an outer
+    * stream-stream join releases its unmatched side only once the
+    * watermark proves no matching signup can still arrive (eager nulls
+    * would be wrong the moment a late signup landed), so orphan rows
+    * surface exactly one watermark delay after their join window
+    * closes. State is bounded exactly as the inner form: at most one
+    * hour of each stream per key. */
+  def signupFollowupLeftOuter(signups: DataFrame, events: DataFrame,
+      watermark: String = "10 minutes"): DataFrame = {
+    val su = signups
+      .withColumnRenamed("ts", "su_ts")
+      .withColumnRenamed("user_id", "su_user")
+      .withWatermark("su_ts", watermark)
+    val ev = events.withWatermark("ts", watermark)
+    ev.join(su,
+      expr("""user_id = su_user AND
+              ts > su_ts AND
+              ts <= su_ts + INTERVAL 1 HOUR"""), "leftOuter")
+  }
+
   /** Input/state/output rows for [[transitionPairs]]. */
   case class TransEvent(user_id: Long, event_id: Long,
                         ts: java.sql.Timestamp, event_type: String)
@@ -139,6 +162,34 @@ object Streams {
     * violations yield no output instead of wrong output (ADVICE r10).
     * StreamingSpec replays a two-batch feed and pins equality with the
     * batch q180 counts on identical data, plus the out-of-order drop. */
+  /** The pure per-key transition fold, shared by the fMGWS form below
+    * and the transformWithState twin ([[TransitionsV2]]) — one
+    * transition function, two state APIs (the `Lifecycle.step`
+    * precedent). Returns (final state, emitted pairs). */
+  private[streaming] def foldTransitions(
+      evs: Seq[TransEvent], init: Option[TransState],
+      gapUs: Long): (Option[TransState], Seq[Transition]) = {
+    var last = init
+    val out = Seq.newBuilder[Transition]
+    evs.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+      val tu = e.ts.getTime * 1000L
+      last match {
+        case Some(st) if tu < st.lastTu =>
+          // out-of-order cross-batch arrival: keep the newer state,
+          // emit nothing (a pair here would be time-reversed)
+          ()
+        case other =>
+          other match {
+            case Some(st) if tu - st.lastTu <= gapUs =>
+              out += Transition(st.lastType, e.event_type)
+            case _ => ()
+          }
+          last = Some(TransState(tu, e.event_id, e.event_type))
+      }
+    }
+    (last, out.result())
+  }
+
   def transitionPairs(events: Dataset[TransEvent],
       gapMinutes: Int = 30): Dataset[Transition] = {
     import events.sparkSession.implicits._
@@ -147,27 +198,9 @@ object Streams {
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[TransState, Transition](
         OutputMode.Append, GroupStateTimeout.NoTimeout) { (_, it, state) =>
-        val evs = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-        var last = state.getOption
-        val out = Seq.newBuilder[Transition]
-        evs.foreach { e =>
-          val tu = e.ts.getTime * 1000L
-          last match {
-            case Some(st) if tu < st.lastTu =>
-              // out-of-order cross-batch arrival: keep the newer state,
-              // emit nothing (a pair here would be time-reversed)
-              ()
-            case other =>
-              other match {
-                case Some(st) if tu - st.lastTu <= gapUs =>
-                  out += Transition(st.lastType, e.event_type)
-                case _ => ()
-              }
-              last = Some(TransState(tu, e.event_id, e.event_type))
-          }
-        }
-        last.foreach(state.update)
-        out.result().iterator
+        val (fin, out) = foldTransitions(it.toSeq, state.getOption, gapUs)
+        fin.foreach(state.update)
+        out.iterator
       }
   }
 

@@ -134,4 +134,45 @@ class LifecycleV2Spec extends AnyFunSuite {
       }
     }
   }
+
+  test("transitionPairs V2 (transformWithState) agrees with the fMGWS form") {
+    withRocksDb {
+      implicit val sqlCtx = spark.sqlContext
+      import graft.streaming.{Streams, TransitionsV2}
+      import Streams.TransEvent
+      def feed(counts: org.apache.spark.sql.Dataset[TransEvent] =>
+          org.apache.spark.sql.DataFrame, name: String): Map[(String, String), Long] = {
+        val mem = MemoryStream[TransEvent]
+        val q = counts(mem.toDS()).writeStream.format("memory")
+          .queryName(name).outputMode("complete").start()
+        try {
+          def e(id: Long, u: Long, t: String, time: String) =
+            TransEvent(u, id, ts(time), t)
+          // same scenario as the fMGWS StreamingSpec test: chains, a
+          // session break, a cross-batch continuation — plus an
+          // out-of-order late arrival that must be inert
+          mem.addData(
+            e(1, 1, "view", "2026-01-01 10:00:00"),
+            e(2, 1, "click", "2026-01-01 10:10:00"),
+            e(3, 1, "purchase", "2026-01-01 10:20:00"),
+            e(4, 2, "view", "2026-01-01 10:00:00"))
+          q.processAllAvailable()
+          mem.addData(
+            e(5, 1, "view", "2026-01-01 11:25:00"),   // 65-min gap: break
+            e(6, 1, "click", "2026-01-01 11:30:00"),
+            e(7, 2, "click", "2026-01-01 10:25:00"),  // cross-batch chain
+            e(8, 2, "purchase", "2026-01-01 09:55:00")) // LATE (older than
+              // the remembered 10:00 state): must be inert
+          q.processAllAvailable()
+          spark.table(name).collect()
+            .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+        } finally q.stop()
+      }
+      val v1 = feed(Streams.transitionCounts(_), "trans_v1_cmp")
+      val v2 = feed(TransitionsV2.transitionCounts(_), "trans_v2_cmp")
+      assert(v1 == v2, s"fMGWS $v1 vs transformWithState $v2")
+      assert(v2 == Map(("view", "click") -> 3L, ("click", "purchase") -> 1L),
+        s"expected counts: $v2")
+    }
+  }
 }

@@ -39,6 +39,39 @@ class ScaleSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("left-outer stream-stream join: orphans emit NULLs only after the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val suMem = MemoryStream[(Timestamp, Long)]
+    val evMem = MemoryStream[(Timestamp, Long, String)]
+    val signups = suMem.toDS().toDF("ts", "user_id")
+    val events = evMem.toDS().toDF("ts", "user_id", "event_type")
+    val joined = Streams.signupFollowupLeftOuter(signups, events, "0 seconds")
+    val q = joined.writeStream.format("memory").queryName("ssj_outer_out")
+      .outputMode("append").start()
+    try {
+      suMem.addData((ts("2026-01-01 10:00:00"), 1L))
+      evMem.addData(
+        (ts("2026-01-01 10:30:00"), 1L, "click"),  // matched
+        (ts("2026-01-01 10:30:00"), 2L, "click"))  // orphan (no signup)
+      q.processAllAvailable()
+      val early = spark.table("ssj_outer_out").collect()
+      // the match emits eagerly; the orphan must NOT — a late signup
+      // for user 2 could still arrive inside the join window
+      assert(early.length == 1 && early.head.getAs[Long]("user_id") == 1L,
+        s"pre-watermark rows: ${early.toSeq}")
+      // advance the watermark on BOTH inputs past the orphan's window
+      suMem.addData((ts("2026-01-01 13:00:00"), 9L))
+      evMem.addData((ts("2026-01-01 13:00:00"), 9L, "click"))
+      q.processAllAvailable()
+      q.processAllAvailable()
+      val rows = spark.table("ssj_outer_out").collect()
+      val orphan = rows.filter(_.getAs[Long]("user_id") == 2L)
+      assert(orphan.length == 1, s"orphan rows after watermark: ${rows.toSeq}")
+      assert(orphan.head.isNullAt(orphan.head.fieldIndex("su_user")),
+        "orphan must carry NULL signup columns")
+    } finally q.stop()
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val wh = java.nio.file.Files.createTempDirectory("wh").toString
     val o = Tables.orders(spark, sf).select($"o_orderkey", $"o_custkey", $"o_totalprice")
