@@ -555,7 +555,111 @@ object Corpus {
       |       THEN round(entropy / ln(CAST(n_sources AS DOUBLE)), 3) END AS evenness
       |FROM e ORDER BY lang""".stripMargin
 
+  /** q224: DEDUP VELOCITY — the diminishing-returns curve a curation
+    * team reads to decide when exact dedup has saturated: docs in
+    * ingest order (doc_id), bucketed per 50, each bucket reporting how
+    * many of its documents duplicate content ALREADY SEEN in earlier
+    * ingest (fingerprint's first-seen doc precedes the bucket member),
+    * plus the running cumulative rate. Built entirely on the
+    * first-seen identity (min(doc_id) per fingerprint — q200's trick
+    * at content level): no self-join, no window over documents — two
+    * hash aggregations and a window over the BUCKET census.
+    *
+    * Scale: at 10⁹ docs the fingerprint first-seen table is one
+    * map-side-combining aggregation; the cumulative pass runs over
+    * #buckets rows. Ingest order = doc_id is the corpus's append
+    * order, exactly what a production ingest ledger provides. */
+  def q224DedupVelocity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = Tables.documents(s, dir)
+      .select($"doc_id", TextOps.normFp($"text").as("fp"))
+    val firstSeen = d.groupBy($"fp").agg(min($"doc_id").as("first_id"))
+    val w = Window.orderBy($"bucket").rowsBetween(Window.unboundedPreceding, 0)
+    d.join(firstSeen, Seq("fp"))
+      .withColumn("bucket", expr("doc_id div 50"))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"first_id" < $"doc_id", 1L).otherwise(0L)).as("n_dup"))
+      .withColumn("dup_rate", round($"n_dup".cast("double") / $"n_docs", 4))
+      .withColumn("cum_dup_rate",
+        round(sum($"n_dup").over(w).cast("double") / sum($"n_docs").over(w), 4))
+      .orderBy($"bucket")
+  }
+
+  val q224Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+      |  FROM documents),
+      |f AS (SELECT fp, min(doc_id) AS first_id FROM d GROUP BY fp),
+      |b AS (
+      |  SELECT d.doc_id // 50 AS bucket,
+      |    count(*) AS n_docs,
+      |    CAST(sum(CASE WHEN f.first_id < d.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_dup
+      |  FROM d JOIN f ON d.fp = f.fp
+      |  GROUP BY 1)
+      |SELECT bucket, n_docs, n_dup,
+      |  round(CAST(n_dup AS DOUBLE) / n_docs, 4) AS dup_rate,
+      |  round(CAST(sum(n_dup) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+      |        / sum(n_docs) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING), 4)
+      |    AS cum_dup_rate
+      |FROM b ORDER BY bucket""".stripMargin
+
+  /** q225: VOCABULARY GROWTH (Heaps-law curve) — distinct token TYPES
+    * vs cumulative token OCCURRENCES across ingest: per 50-doc bucket,
+    * the occurrences it adds, the types whose FIRST occurrence falls in
+    * it (min(doc_id) per token — the first-seen identity again, at
+    * token granularity), and both running totals. A corpus whose
+    * new-type curve flattens is saturating; one whose curve keeps
+    * climbing still buys vocabulary per ingested byte — the measurement
+    * behind "is more of this source worth ingesting?".
+    *
+    * Scale: the token first-seen table is one aggregation over the
+    * exploded token stream (map-side combine on the token key); all
+    * cumulative math runs over the bucket census. Exact integers
+    * end-to-end — nothing to round. */
+  def q225VocabGrowth(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tok = Tables.documents(s, dir)
+      .select($"doc_id", explode(TextOps.tokens($"text")).as("tok"))
+    val occ = tok.groupBy(expr("doc_id div 50").as("bucket"))
+      .agg(count(lit(1)).as("n_occ"))
+    val newTypes = tok.groupBy($"tok").agg(min($"doc_id").as("first_id"))
+      .groupBy(expr("first_id div 50").as("bucket"))
+      .agg(count(lit(1)).as("n_new_types"))
+    val w = Window.orderBy($"bucket").rowsBetween(Window.unboundedPreceding, 0)
+    occ.join(newTypes, Seq("bucket"), "left")
+      .withColumn("n_new_types", coalesce($"n_new_types", lit(0L)))
+      .withColumn("cum_occ", sum($"n_occ").over(w))
+      .withColumn("cum_types", sum($"n_new_types").over(w))
+      .orderBy($"bucket")
+  }
+
+  val q225Sql: String =
+    raw"""WITH tok AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS tok
+      |  FROM documents),
+      |occ AS (
+      |  SELECT doc_id // 50 AS bucket, count(*) AS n_occ
+      |  FROM tok GROUP BY 1),
+      |nt AS (
+      |  SELECT first_id // 50 AS bucket, count(*) AS n_new_types
+      |  FROM (SELECT tok, min(doc_id) AS first_id FROM tok GROUP BY tok) t
+      |  GROUP BY 1)
+      |SELECT o.bucket, o.n_occ,
+      |  CAST(coalesce(n.n_new_types, 0) AS BIGINT) AS n_new_types,
+      |  CAST(sum(o.n_occ) OVER (ORDER BY o.bucket ROWS UNBOUNDED PRECEDING)
+      |    AS BIGINT) AS cum_occ,
+      |  CAST(sum(coalesce(n.n_new_types, 0))
+      |         OVER (ORDER BY o.bucket ROWS UNBOUNDED PRECEDING) AS BIGINT)
+      |    AS cum_types
+      |FROM occ o LEFT JOIN nt n ON n.bucket = o.bucket
+      |ORDER BY o.bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q224_dedup_velocity"    -> (q224DedupVelocity _),
+    "q225_vocab_growth"      -> (q225VocabGrowth _),
     "q220_mixture_entropy"   -> (q220MixtureEntropy _),
     "q210_pareto_bytes"      -> (q210ParetoBytes _),
     "q186_compaction_plan"   -> (q186CompactionPlan _),
@@ -569,6 +673,8 @@ object Corpus {
   )
 
   val oracle: Map[String, String] = Map(
+    "q224_dedup_velocity"    -> q224Sql,
+    "q225_vocab_growth"      -> q225Sql,
     "q220_mixture_entropy"   -> q220Sql,
     "q210_pareto_bytes"      -> q210Sql,
     "q186_compaction_plan"   -> q186Sql,

@@ -269,6 +269,40 @@ class RelationalSpec extends AnyFunSuite {
       "a sketch estimate left the 5% band")
   }
 
+  test("q224 dedup velocity: conservation, bucket-local rates, cumulative coherence") {
+    val rows = llm.Corpus.q224DedupVelocity(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val n = Tables.documents(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == n)
+    // total dups across buckets = docs minus distinct fingerprints
+    val nFp = llm.TextOps.q33Fingerprint(spark, sf)
+      .select("fp").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_dup")).sum == n - nFp,
+      "per-bucket dups must sum to (docs - distinct fingerprints)")
+    rows.foreach { r =>
+      assert(r.getAs[Double]("dup_rate") >= 0.0 && r.getAs[Double]("dup_rate") <= 1.0)
+    }
+    // the final cumulative rate is the corpus dup rate
+    val last = rows.maxBy(_.getAs[Long]("bucket"))
+    assert(math.abs(last.getAs[Double]("cum_dup_rate") -
+      (n - nFp).toDouble / n) < 1e-3)
+  }
+
+  test("q225 vocab growth: types conserved, cumulatives monotone, Heaps-concave tail") {
+    val rows = llm.Corpus.q225VocabGrowth(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val types = rows.map(_.getAs[Long]("cum_types"))
+    val occs = rows.map(_.getAs[Long]("cum_occ"))
+    assert(types.zip(types.tail).forall { case (a, b) => b >= a })
+    assert(occs.zip(occs.tail).forall { case (a, b) => b > a })
+    // total distinct types equals the corpus vocabulary
+    import org.apache.spark.sql.functions._
+    val vocab = Tables.documents(spark, sf)
+      .select(explode(llm.TextOps.tokens(col("text"))).as("t"))
+      .distinct().count()
+    assert(types.last == vocab, s"${types.last} != vocab $vocab")
+  }
+
   test("q149 PIT lookup: as-of result equals interval containment, totals conserved") {
     val out = relational.Extra3.q149PitLookup(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
