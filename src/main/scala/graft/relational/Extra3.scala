@@ -829,6 +829,72 @@ object Extra3 {
       |      FROM b) b, k
       |ORDER BY source""".stripMargin
 
+  /** q226: NEYMAN ALLOCATION — the optimal-variance member of the
+    * survey-sampling family (q85 systematic, q207 PPS, q208
+    * proportional Hamilton): a sample budget split across strata
+    * ∝ N_h·σ_h, so high-variance strata buy proportionally more
+    * samples (the allocation minimizing estimator variance at fixed
+    * budget). Hash-exact despite the σ: N_h·σ_h = √(N_h·Σx² − (Σx)²)
+    * over CENT-scaled integers — the radicand is exact BIGINT (q194's
+    * second-moment discipline) and IEEE-754 sqrt of an exact integer
+    * is correctly rounded on both engines (q203's precedent), so the
+    * rounded weight is a deterministic BIGINT and the largest-remainder
+    * split runs on integers end-to-end (q208's machinery, ties to the
+    * lexicographically first stratum).
+    *
+    * Headroom (q194's note): cents ≤ ~5.6×10⁴ here, so Long holds the
+    * radicand to ~5×10⁴ rows per stratum — sf0.1's ~2×10⁴ is inside;
+    * a bigger corpus moves the radicand to DECIMAL(38) unchanged
+    * (and then must pin the decimal→double conversion before sqrt). */
+  def q226NeymanAllocation(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val budget = 10000L
+    val st = graft.Tables.events(s, dir)
+      .select($"event_type", round($"value" * 100, 0).cast("long").as("xc"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"xc").as("sx"),
+        sum($"xc" * $"xc").as("sx2"))
+      .withColumn("w",
+        round(sqrt(($"n" * $"sx2" - $"sx" * $"sx").cast("double")), 0)
+          .cast("long"))
+    val totals = st.agg(sum($"w").as("tw"))
+    val base = st.crossJoin(broadcast(totals))
+      .withColumn("floor_share", expr(s"(w * ${budget}L) div tw"))
+      .withColumn("rem", expr(s"(w * ${budget}L) % tw"))
+    val leftover = base.agg((lit(budget) - sum($"floor_share")).as("k"))
+    base.crossJoin(broadcast(leftover))
+      .withColumn("rrank", row_number().over(
+        Window.orderBy($"rem".desc, $"event_type".asc)))
+      .withColumn("alloc", $"floor_share" + when($"rrank" <= $"k", 1L).otherwise(0L))
+      .select($"event_type", $"n", $"w", $"alloc")
+      .orderBy($"event_type")
+  }
+
+  val q226Sql: String =
+    """WITH e AS (
+      |  SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS xc
+      |  FROM events),
+      |st AS (
+      |  SELECT event_type, count(*) AS n, CAST(sum(xc) AS BIGINT) AS sx,
+      |         CAST(sum(xc * xc) AS BIGINT) AS sx2
+      |  FROM e GROUP BY event_type),
+      |w AS (
+      |  SELECT event_type, n,
+      |    CAST(round(sqrt(CAST(n * sx2 - sx * sx AS DOUBLE)), 0) AS BIGINT) AS w
+      |  FROM st),
+      |t AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM w),
+      |b AS (
+      |  SELECT event_type, n, w,
+      |    CAST((w * 10000) // tw AS BIGINT) AS floor_share,
+      |    CAST((w * 10000) % tw AS BIGINT) AS rem
+      |  FROM w, t),
+      |k AS (SELECT CAST(10000 - sum(floor_share) AS BIGINT) AS k FROM b)
+      |SELECT event_type, n, w,
+      |  CAST(floor_share + CASE WHEN rrank <= k.k THEN 1 ELSE 0 END AS BIGINT) AS alloc
+      |FROM (SELECT b.*, row_number() OVER (ORDER BY rem DESC, event_type ASC) AS rrank
+      |      FROM b) b, k
+      |ORDER BY event_type""".stripMargin
+
   /** q213: q197's PRODUCTION form, registered and graded — equi-depth
     * histogram from approx_percentile boundaries instead of a global
     * ntile. The 9 inner decile boundaries come from ONE aggregation of
@@ -880,6 +946,7 @@ object Extra3 {
       |FROM a GROUP BY decile ORDER BY decile""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q226_neyman_allocation" -> (q226NeymanAllocation _),
     "q213_equidepth_sketch" -> (q213EquidepthSketch _),
     "q207_pps_sample"   -> (q207PpsSample _),
     "q208_apportionment" -> (q208Apportionment _),
@@ -904,6 +971,7 @@ object Extra3 {
   )
 
   val oracle: Map[String, String] = Map(
+    "q226_neyman_allocation" -> q226Sql,
     "q213_equidepth_sketch" -> q213Sql,
     "q207_pps_sample"   -> q207Sql,
     "q208_apportionment" -> q208Sql,

@@ -52,7 +52,8 @@ class PlanHygieneSpec extends AnyFunSuite {
                            // (three threshold rows, q79's scalar shape)
     "q207_pps_sample",     // broadcast 5-row threshold probe vs cumulative
                            // ranges (deliberate range condition, no keys)
-    "q208_apportionment")  // broadcast 1-row total + 1-row leftover grafts
+    "q208_apportionment",  // broadcast 1-row total + 1-row leftover grafts
+    "q226_neyman_allocation") // same two 1-row grafts as q208
 
   test("no unintended cartesian products across the whole catalog") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

@@ -303,6 +303,33 @@ class RelationalSpec extends AnyFunSuite {
     assert(types.last == vocab, s"${types.last} != vocab $vocab")
   }
 
+  test("q226 Neyman: budget conserved, quota bounds hold, weights replay") {
+    val rows = relational.Extra3.q226NeymanAllocation(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Long]("alloc")).sum == 10000L, "budget not conserved")
+    // largest-remainder quota property: every alloc within 1 of its
+    // exact proportional share
+    val tw = rows.map(_.getAs[Long]("w")).sum.toDouble
+    rows.foreach { r =>
+      val exact = r.getAs[Long]("w") * 10000L / tw
+      val a = r.getAs[Long]("alloc")
+      assert(a >= math.floor(exact) && a <= math.ceil(exact) + 1e-9,
+        s"${r.getAs[String]("event_type")}: alloc $a vs quota $exact")
+    }
+    // weight replay: w = round(sqrt(n*sx2 - sx^2)) on cent-scaled values
+    import org.apache.spark.sql.functions._
+    val st = Tables.events(spark, sf)
+      .select(col("event_type"), round(col("value") * 100, 0).cast("long").as("xc"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("xc")).as("sx"),
+        sum(col("xc") * col("xc")).as("sx2"))
+      .collect().map(r => r.getString(0) ->
+        math.round(math.sqrt((r.getLong(1) * r.getLong(3) -
+          r.getLong(2) * r.getLong(2)).toDouble))).toMap
+    rows.foreach(r => assert(r.getAs[Long]("w") ==
+      st(r.getAs[String]("event_type"))))
+  }
+
   test("q149 PIT lookup: as-of result equals interval containment, totals conserved") {
     val out = relational.Extra3.q149PitLookup(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
