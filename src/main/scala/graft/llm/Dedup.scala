@@ -151,6 +151,11 @@ object Dedup {
     * where hot buckets carry REAL near-dup structure pay for the full
     * pair set, skew-free. */
   private[graft] def saltedPairs(banded: DataFrame, maxWidth: Int): DataFrame = {
+    // maxWidth <= 0 would make ng = ceil(w / 0.0) = Infinity -> an
+    // Int.MaxValue-group sequence explode per row. The capped path
+    // treats <= 0 as "cap disabled"; here there is no sane reading —
+    // fail fast instead of detonating the cluster.
+    require(maxWidth > 0, s"saltedPairs: maxWidth must be positive, got $maxWidth")
     val s = banded.sparkSession
     import s.implicits._
     val widths = banded.groupBy($"band", $"bkt")

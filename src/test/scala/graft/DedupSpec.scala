@@ -160,6 +160,19 @@ class DedupSpec extends AnyFunSuite {
     assert(salted.forall { case (a, b) => a < b })
   }
 
+  test("salted path refuses a non-positive width instead of exploding") {
+    // ceil(w / 0.0) = Infinity -> Int.MaxValue salt groups -> a
+    // per-row sequence explode; the guard must fire at plan-build time
+    val sigs = Seq((1L, Seq(1L, 2L))).toDF("doc_id", "sig")
+    spark.conf.set("spark.graft.lsh.saltHotBuckets", "true")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Dedup.lshCandidates(sigs, maxWidth = 0)
+      }
+      assert(e.getMessage.contains("must be positive"))
+    } finally spark.conf.unset("spark.graft.lsh.saltHotBuckets")
+  }
+
   test("bucket-width cap drops are observable: flooded bucket reports its mass") {
     // same flood shape as above — the cap must now COUNT what it drops
     // (VERDICT r6: a silent cap would lower recall with no signal at
