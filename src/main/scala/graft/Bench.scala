@@ -54,51 +54,67 @@ object Bench {
     // do during that one pass — round 8's record carried four phantom
     // ≥1.5x "regressions" that solo reruns showed were pure noise. The
     // median of three passes discards the one disturbed run while still
-    // charging real, repeatable slowness all three times. Reps run
-    // back-to-back per query (not pass-by-pass over the catalog) so each
-    // query's three samples see the same cache/JIT state.
+    // charging real, repeatable slowness all three times.
+    //
+    // Reps are INTERLEAVED round-robin across the catalog (pass 1 runs
+    // every query once, then pass 2, then pass 3) — NOT back-to-back
+    // per query. Back-to-back reps put all of a query's samples inside
+    // the same wall-clock window, so one box-level contention burst
+    // (page-cache churn, a co-tenant process, a GC storm) poisons min
+    // AND median together and the record reads as a plans regression a
+    // solo rerun can't reproduce — round 11's gate-of-record did
+    // exactly that (q20_range_join "+4.7x" in a file untouched for
+    // rounds; common-catalog 1.52x vs three same-code 1.0x builder
+    // runs). With interleaving, a burst of any duration shorter than a
+    // full pass (~minutes) touches at most ONE rep per query, so
+    // min-of-reps — the bench-gate's contention-resistant claim —
+    // survives it by construction. The JIT/cache-warmth argument for
+    // consecutive reps is already covered by the warmup pass above.
     val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").map(_.toInt).getOrElse(3)
       .max(1)
     // Process-wide stop-the-world time so far (ms across all collectors)
-    // — the delta over a query's reps is that query's GC bill.
+    // — deltas around each rep, summed per query, are that query's GC
+    // bill (per-rep deltas survive the interleaving; a whole-window
+    // delta would charge every query for the catalog's GC).
     def gcMillis(): Long = {
       import scala.jdk.CollectionConverters._
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
         .asScala.map(b => math.max(b.getCollectionTime, 0L)).sum
     }
-    // Per-query rep spread: median-of-3 discards ONE disturbed rep, but
-    // sustained catalog-context pressure (GC debt from earlier queries,
-    // page-cache churn) hits all reps and the median faithfully reports
-    // a number a solo rerun won't reproduce — r9's q34 read 11.7s in the
-    // catalog run vs 5.15s solo and needed a judge rerun to adjudicate.
-    // Recording min/median/max and the GC bill makes the record
-    // self-adjudicating: min-of-reps is the contention-resistant claim
-    // the bench-gate compares, and a wide (min,max) spread next to a fat
-    // gc entry says "context, not code" from the record alone.
+    // Per-query rep spread: median-of-3 discards ONE disturbed rep, and
+    // recording min/median/max plus the GC bill makes the record
+    // self-adjudicating — min-of-reps is the contention-resistant claim
+    // the bench-gate compares, and a wide (min,max) spread next to a
+    // fat gc entry says "context, not code" from the record alone.
     final case class Spread(med: Double, min: Double, max: Double, gc: Double)
-    val results: Seq[(String, Double, Option[Spread])] = qs.map { case (name, fn) =>
+    val times = collection.mutable.Map.empty[String, Vector[Double]]
+      .withDefaultValue(Vector.empty)
+    val gcBill = collection.mutable.Map.empty[String, Double].withDefaultValue(0.0)
+    val failedSet = collection.mutable.Set.empty[String]
+    for (_ <- 1 to reps; (name, fn) <- qs if !failedSet(name)) {
+      // one failed rep already decides the query's verdict (-1.0);
+      // further reps only multiply the failure cost and stderr noise
       val gc0 = gcMillis()
-      // iterate-while-ok instead of a fixed map: one failed rep already
-      // decides the query's verdict (-1.0), so further reps only
-      // triple the failure cost and stderr noise
-      val times = Iterator.continually(()).take(reps).map { _ =>
-        val t0 = System.nanoTime()
-        val ok = run(name, fn)
-        val dt = (System.nanoTime() - t0) / 1e9
-        Ckpt.sweep(spark) // outside the timed window
-        // a failed query must be visibly failed, not a plausible duration
-        if (ok) dt else -1.0
-      }.takeWhile(_ >= 0).toSeq
-      if (times.length < reps) (name, -1.0, None)
+      val t0 = System.nanoTime()
+      val ok = run(name, fn)
+      val dt = (System.nanoTime() - t0) / 1e9
+      Ckpt.sweep(spark) // outside the timed window
+      if (ok) {
+        times(name) = times(name) :+ dt
+        gcBill(name) = gcBill(name) + (gcMillis() - gc0) / 1e3
+      } else failedSet += name
+    }
+    val results: Seq[(String, Double, Option[Spread])] = qs.map { case (name, _) =>
+      val ts = times(name)
+      if (failedSet(name) || ts.length < reps) (name, -1.0, None)
       else {
-        val sorted = times.sorted
+        val sorted = ts.sorted
         // true median: average the two middle samples when reps is even
         // (sorted(n/2) alone is the upper-middle, biased high)
         val med =
           if (sorted.length % 2 == 1) sorted(sorted.length / 2)
           else (sorted(sorted.length / 2 - 1) + sorted(sorted.length / 2)) / 2.0
-        val gc = (gcMillis() - gc0) / 1e3
-        (name, med, Some(Spread(med, sorted.head, sorted.last, gc)))
+        (name, med, Some(Spread(med, sorted.head, sorted.last, gcBill(name))))
       }
     }
     val failed = results.collect { case (k, v, _) if v < 0 => k }

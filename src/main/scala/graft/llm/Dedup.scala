@@ -83,6 +83,15 @@ object Dedup {
     * "boilerplate that survived exact dedup", measured in DedupSpec. */
   val MaxBucketWidth = 64
 
+  /** (doc_id, band, bkt) — the xxhash64-family banding of a (doc_id,
+    * sig) table, shared by [[lshCandidates]] and the q46 oracle-fixture
+    * generator ([[graft.FixtureGen]]): the fixture must be EXACTLY the
+    * banding the production path joins on, or the driver's hash gate
+    * (rightly) fails on fixture/code drift. */
+  private[graft] def xxhBanded(sigs: DataFrame): DataFrame =
+    sigs.withColumn("bb", explode(bandBuckets(col("sig"))))
+      .select(col("doc_id"), col("bb.band"), col("bb.bkt"))
+
   /** Id-only LSH candidate pairs from a (doc_id, sig) table. The band
     * join carries ONLY (doc_id, band, bkt) — shingle arrays must never
     * ride the ×Bands-exploded shuffle (at corpus scale that re-shuffles
@@ -92,6 +101,12 @@ object Dedup {
     * is true, in which case hot buckets are SALTED instead of dropped:
     * see [[saltedPairs]]. */
   def lshCandidates(sigs: DataFrame, maxWidth: Int = MaxBucketWidth): DataFrame = {
+    // Non-positive widths have no sane reading on EITHER policy path:
+    // the capped filter (w <= maxWidth) would silently emit an EMPTY
+    // candidate set (everything counted as dropped), and the salted
+    // path would detonate (see saltedPairs). Fail fast at plan-build
+    // time; "cap disabled" is spelled maxWidth = Int.MaxValue.
+    require(maxWidth > 0, s"lshCandidates: maxWidth must be positive, got $maxWidth")
     val s = sigs.sparkSession
     import s.implicits._
     // ids only; read 3× (widths + both join sides). Lazy persist, not an
@@ -99,10 +114,7 @@ object Dedup {
     // recompute under memory pressure, and the identical self-join sides
     // still collapse to one shuffle via ReusedExchange. Bench/Verify
     // sweep the blocks after each query (graft.Ckpt).
-    val banded = sigs
-      .withColumn("bb", explode(bandBuckets(col("sig"))))
-      .select($"doc_id", $"bb.band", $"bb.bkt")
-      .persist()
+    val banded = xxhBanded(sigs).persist()
     val saltHot = s.conf.getOption("spark.graft.lsh.saltHotBuckets")
       .exists(_.trim.toBoolean)
     if (saltHot) return saltedPairs(banded, maxWidth)
@@ -152,9 +164,11 @@ object Dedup {
     * pair set, skew-free. */
   private[graft] def saltedPairs(banded: DataFrame, maxWidth: Int): DataFrame = {
     // maxWidth <= 0 would make ng = ceil(w / 0.0) = Infinity -> an
-    // Int.MaxValue-group sequence explode per row. The capped path
-    // treats <= 0 as "cap disabled"; here there is no sane reading —
-    // fail fast instead of detonating the cluster.
+    // Int.MaxValue-group sequence explode per row. lshCandidates
+    // already rejects non-positive widths for both policy paths (its
+    // capped filter would silently return EMPTY, not "cap disabled");
+    // this local require keeps direct callers of the salted kernel —
+    // e.g. the graded q214/q228 routes — equally fail-fast.
     require(maxWidth > 0, s"saltedPairs: maxWidth must be positive, got $maxWidth")
     val s = banded.sparkSession
     import s.implicits._
@@ -201,8 +215,15 @@ object Dedup {
   }
 
   /** q46: MinHash-LSH near-dup pairs, verified by exact shingle Jaccard.
-    * Rows-only driver check (xxhash64 seeds are not oracle-expressible);
-    * correctness unit-tested on constructed near-dups in DedupSpec. */
+    * HASH-GRADED since r12 (VERDICT r11 item 5): xxhash64 itself is not
+    * DuckDB-expressible, so the oracle reads the band table from a
+    * committed side parquet (`fixtures/q46_banded_sf001`, written by
+    * [[graft.FixtureGen]] THROUGH the same [[minhashSigs]]/[[xxhBanded]]
+    * code this query runs) and replays everything DOWNSTREAM of the
+    * hash in SQL — the width cap, the bucket equi-join, the exact
+    * shingle-Jaccard verification, the threshold. Code/fixture drift
+    * fails the gate loudly (rerun FixtureGen); the hash stage itself
+    * stays pinned by the md5 twin (q107) and DedupSpec. */
   def q46MinhashPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val sh = toks(s, dir)
@@ -211,6 +232,35 @@ object Dedup {
     verifyJaccard(lshCandidates(minhashSigs(sh)), sh, 0.5)
       .orderBy($"id1", $"id2")
   }
+
+  val q46Sql: String =
+    """WITH banded AS (
+      |  SELECT doc_id, band, bkt
+      |  FROM read_parquet('/root/repo/fixtures/q46_banded_sf001/*.parquet')),
+      |ok AS (
+      |  SELECT band, bkt FROM banded GROUP BY band, bkt
+      |  HAVING count(*) > 1 AND count(*) <= 64),
+      |c0 AS (SELECT b.doc_id, b.band, b.bkt FROM banded b JOIN ok USING (band, bkt)),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+      |  FROM c0 a JOIN c0 b
+      |    ON a.band = b.band AND a.bkt = b.bkt AND a.doc_id < b.doc_id),
+      |t AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks
+      |      FROM documents),
+      |sh AS (
+      |  SELECT doc_id, list_distinct([
+      |    concat_ws(' ', toks[i], toks[i+1], toks[i+2])
+      |    FOR i IN generate_series(1, greatest(len(toks) - 2, 1))]) AS shs
+      |  FROM t)
+      |SELECT c.id1, c.id2,
+      |  round(CAST(len(list_intersect(x.shs, y.shs)) AS DOUBLE)
+      |        / len(list_distinct(list_concat(x.shs, y.shs))), 4) AS jaccard
+      |FROM cand c
+      |JOIN sh x ON x.doc_id = c.id1
+      |JOIN sh y ON y.doc_id = c.id2
+      |WHERE round(CAST(len(list_intersect(x.shs, y.shs)) AS DOUBLE)
+      |        / len(list_distinct(list_concat(x.shs, y.shs))), 4) >= 0.5
+      |ORDER BY id1, id2""".stripMargin
 
   /** 64-bit SimHash of a token array: bit j is the sign of the sum over
     * tokens of ±1 according to bit j of xxhash64(token). Built as 64
@@ -233,7 +283,12 @@ object Dedup {
 
   /** q47: SimHash near-dup pairs — candidates agree on one of four
     * 16-bit chunks (the standard rotation trick), verified by Hamming
-    * distance ≤ 6. Rows-only driver check; unit-tested.
+    * distance ≤ 6. HASH-GRADED since r12 via the committed signature
+    * fixture (`fixtures/q47_simhash_sf001`, the q46 discipline): the
+    * oracle replays the chunk banding, width cap, pair join and
+    * bit_count(xor) Hamming verify in SQL over the precomputed
+    * simhashes — the arithmetic-shift-plus-mask chunk extraction is
+    * identical on both engines even for negative packed longs.
     *
     * Chunk buckets wider than `MaxBucketWidth` are DROPPED before the
     * self-join — the same boilerplate-skew cap as `lshCandidates`: one
@@ -243,6 +298,25 @@ object Dedup {
     * a dropped bucket can still pair through their three other chunks. */
   def q47SimhashPairs(s: SparkSession, dir: String): DataFrame =
     simhashChunkPairs(simhash64(toks(s, dir), "doc_id", "toks"))
+
+  val q47Sql: String =
+    """WITH sg AS (
+      |  SELECT doc_id, simhash
+      |  FROM read_parquet('/root/repo/fixtures/q47_simhash_sf001/*.parquet')),
+      |ch AS (
+      |  SELECT doc_id, simhash, u.c, (simhash >> (u.c * 16)) & 65535 AS v
+      |  FROM sg, unnest(generate_series(0, 3)) AS u(c)),
+      |ok AS (SELECT c, v FROM ch GROUP BY c, v HAVING count(*) <= 64),
+      |c0 AS (SELECT ch.doc_id, ch.simhash, ch.c, ch.v
+      |       FROM ch JOIN ok USING (c, v)),
+      |p AS (
+      |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+      |         a.simhash AS s1, b.simhash AS s2
+      |  FROM c0 a JOIN c0 b
+      |    ON a.c = b.c AND a.v = b.v AND a.doc_id < b.doc_id)
+      |SELECT id1, id2, CAST(bit_count(xor(s1, s2)) AS INT) AS hamming
+      |FROM p WHERE bit_count(xor(s1, s2)) <= 6
+      |ORDER BY id1, id2""".stripMargin
 
   /** Chunk-banded SimHash near-dup pairs from a (doc_id, simhash)
     * table — the cap/observe/join core of q47, factored out so the
@@ -463,13 +537,39 @@ object Dedup {
   }
 
   /** q48: order-sensitive rolling-hash fingerprints (doc identity for
-    * exact-order dedup). Rows-only. */
+    * exact-order dedup). HASH-GRADED since r12: the per-token xxhash64
+    * values live in `fixtures/q48_tokhash_sf001` (corpus vocabulary ×
+    * one pre-mod hash each) and the oracle replays the ORDER-SENSITIVE
+    * Karp–Rabin fold itself — tokens re-joined to their hashes by
+    * ordinal position, then the same h·131+x mod 2³¹−1 list_reduce the
+    * md5 twin (q110) grades. */
   def q48RollingFp(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     toks(s, dir)
       .select($"doc_id", rollingFingerprint($"toks").as("fp"))
       .orderBy($"doc_id")
   }
+
+  val q48Sql: String =
+    """WITH hx AS (
+      |  SELECT tok, h
+      |  FROM read_parquet('/root/repo/fixtures/q48_tokhash_sf001/*.parquet')),
+      |t AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks
+      |      FROM documents),
+      |e AS (SELECT doc_id, unnest(toks) AS tok,
+      |             generate_subscripts(toks, 1) AS i
+      |      FROM t),
+      |l AS (
+      |  SELECT e.doc_id, list(hx.h ORDER BY e.i) AS hs
+      |  FROM e JOIN hx USING (tok) GROUP BY e.doc_id),
+      |f AS (
+      |  SELECT doc_id,
+      |    list_reduce(list_prepend(0::BIGINT, hs),
+      |      (acc, x) -> (acc * 131 + x) % 2147483647) AS fp
+      |  FROM l)
+      |SELECT t.doc_id, coalesce(f.fp, 0::BIGINT) AS fp
+      |FROM t LEFT JOIN f USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
 
   /** q110: the Karp–Rabin rolling fingerprint with an ORACLE-EXPRESSIBLE
     * per-token hash — md5's first 8 hex digits instead of xxhash64 —
@@ -727,6 +827,82 @@ object Dedup {
     verifyJaccard(saltedPairs(banded, maxWidth = 1), sh, 0.5)
       .orderBy($"id1", $"id2")
   }
+
+  /** q228: the salted-LSH path at a REALISTIC width budget (maxWidth=4)
+    * on a corpus whose buckets actually exceed it — the mixed cold/hot
+    * path a 100 TB deployment runs, hash-graded (VERDICT r11 item 4;
+    * q214 grades the maxWidth=1 degenerate extreme where EVERY bucket
+    * decomposes). The flood corpus is constructed DETERMINISTICALLY
+    * from `documents` inside the query on BOTH engines — every 10th
+    * base doc (doc_id < 150) is cloned 12× under fresh ids — so no
+    * fixture file is needed: identical texts produce identical md5
+    * signatures, their band buckets reach width ≥ 12 > 4 and
+    * triangle-decompose into ⌈w/4⌉ salt groups, while the un-cloned
+    * majority stays in cold g=1 buckets on the same code path. The
+    * oracle replays the UNCAPPED banding join in DuckDB, so the gate
+    * proves the multi-group decomposition LOSSLESS (pair set equal to
+    * the full join's) on a corpus where decomposition genuinely fires;
+    * DedupSpec pins ng > 1 so the hot path can't silently stop
+    * engaging if the corpus constants drift. */
+  def q228SaltedBudget(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh = saltedBudgetShingles(s, dir).persist() // sig pass + verify sides
+    val banded = md5Bands(sh).persist() // widths + both salted-join sides
+    verifyJaccard(saltedPairs(banded, maxWidth = 4), sh, 0.5)
+      .orderBy($"id1", $"id2")
+  }
+
+  /** (doc_id, sh) of q228's deterministic flood corpus — factored out
+    * so DedupSpec can pin that its hot buckets genuinely decompose
+    * (max ⌈w/4⌉ > 1) at the graded scale factor. */
+  private[graft] def saltedBudgetShingles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .filter($"doc_id" < 150)
+      .withColumn("c", when($"doc_id" % 10 === 0, 12).otherwise(1))
+      .withColumn("r", explode(expr("sequence(0, c - 1)")))
+      .select(($"doc_id" * 100 + $"r").as("doc_id"),
+        shingles(TextOps.tokens($"text")).as("sh"))
+  }
+
+  val q228Sql: String =
+    """WITH f AS (
+      |  SELECT d.doc_id * 100 + u.r AS doc_id, d.text
+      |  FROM documents d,
+      |    unnest(generate_series(0,
+      |      CASE WHEN d.doc_id % 10 = 0 THEN 11 ELSE 0 END)) AS u(r)
+      |  WHERE d.doc_id < 150),
+      |t AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks
+      |  FROM f),
+      |sh AS (
+      |  SELECT doc_id, list_distinct([
+      |    concat_ws(' ', toks[i], toks[i+1], toks[i+2])
+      |    FOR i IN generate_series(1, greatest(len(toks) - 2, 1))]) AS shs
+      |  FROM t),
+      |mh AS (
+      |  SELECT doc_id,
+      |    [ list_min([ ('0x' || substr(md5(CAST(k AS VARCHAR) || '|' || s), 1, 8))::BIGINT
+      |                 FOR s IN shs ])
+      |      FOR k IN generate_series(0, 7) ] AS sig
+      |  FROM sh),
+      |banded AS (
+      |  SELECT doc_id, b AS band,
+      |    CAST(sig[2*b + 1] AS VARCHAR) || ',' || CAST(sig[2*b + 2] AS VARCHAR) AS bkt
+      |  FROM mh, unnest(generate_series(0, 3)) AS u(b)),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+      |  FROM banded a JOIN banded b
+      |    ON a.band = b.band AND a.bkt = b.bkt AND a.doc_id < b.doc_id)
+      |SELECT c.id1, c.id2,
+      |  round(CAST(len(list_intersect(x.shs, y.shs)) AS DOUBLE)
+      |        / len(list_distinct(list_concat(x.shs, y.shs))), 4) AS jaccard
+      |FROM cand c
+      |JOIN sh x ON x.doc_id = c.id1
+      |JOIN sh y ON y.doc_id = c.id2
+      |WHERE round(CAST(len(list_intersect(x.shs, y.shs)) AS DOUBLE)
+      |        / len(list_distinct(list_concat(x.shs, y.shs))), 4) >= 0.5
+      |ORDER BY id1, id2""".stripMargin
 
   def q107MinhashMd5(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -1404,6 +1580,7 @@ object Dedup {
     "q105_dedup_clusters" -> (q105DedupClusters _),
     "q107_minhash_md5"  -> (q107MinhashMd5 _),
     "q214_lsh_salted"   -> (q214LshSalted _),
+    "q228_salted_budget" -> (q228SaltedBudget _),
     "q109_simhash_md5"  -> (q109SimhashMd5 _),
     "q110_rollingfp_md5" -> (q110RollingFpMd5 _),
     "q122_incremental_dedup" -> (q122IncrementalDedup _),
@@ -1415,6 +1592,13 @@ object Dedup {
   )
 
   val oracle: Map[String, String] = Map(
+    // q46/q47/q48: graded via committed hash fixtures (FixtureGen) —
+    // the oracle replays everything downstream of xxhash64 in SQL;
+    // valid at the driver's verification scale (sf0.01) only, which is
+    // the only scale the oracle gate runs at
+    "q46_minhash_pairs" -> q46Sql,
+    "q47_simhash_pairs" -> q47Sql,
+    "q48_rolling_fp"    -> q48Sql,
     "q206_survivorship" -> q206Sql,
     "q199_minhash_accuracy" -> q199Sql,
     "q188_dup_weights" -> q188Sql,
@@ -1425,6 +1609,10 @@ object Dedup {
     // graded by q107's oracle VERBATIM: the salted decomposition must
     // hash-match the plain banding restatement
     "q214_lsh_salted"  -> q107Sql,
+    // the oracle replays the UNCAPPED banding join on the same flood
+    // corpus — equality proves the maxWidth=4 triangle decomposition
+    // lossless where hot buckets genuinely split
+    "q228_salted_budget" -> q228Sql,
     "q109_simhash_md5" -> q109Sql,
     "q110_rollingfp_md5" -> q110Sql,
     "q122_incremental_dedup" -> q122Sql,

@@ -163,10 +163,70 @@ object Pipeline {
       |WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.doc_id = e.doc_id)
       |ORDER BY e.doc_id""".stripMargin
 
+  /** q87's oracle (HASH-GRADED since r12): stages 1–3 and 5 restate in
+    * SQL exactly as q108's do (shared text verbatim, minus the twin's
+    * 1-in-2 sample); stage 4's xxhash64 banding comes from the q46
+    * fixture (`fixtures/q46_banded_sf001`) — banding is a PER-DOC
+    * function, so restricting the full-corpus fixture to the funnel's
+    * survivor set reproduces precisely the band table `lshCandidates`
+    * builds over the en corpus, and the width cap / bucket join /
+    * Jaccard verify / anti-join replay downstream of it. */
+  val q87Sql: String =
+    raw"""WITH fp AS (
+      |  SELECT doc_id, text, lang, source,
+      |         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+      |  FROM documents),
+      |keep AS (SELECT fp, min(doc_id) AS doc_id FROM fp GROUP BY fp),
+      |deduped AS (
+      |  SELECT f.* FROM fp f JOIN keep k ON f.fp = k.fp AND f.doc_id = k.doc_id),
+      |tok AS (
+      |  SELECT *, regexp_extract_all(lower(text), '\S+') AS toks FROM deduped),
+      |scored AS (
+      |  SELECT doc_id, text, lang, source, fp, toks,
+      |    CAST(len(toks) AS INT) AS n_tokens,
+      |    CAST(len(list_filter(toks, x -> x IN ${TextOps.stopSqlList})) AS DOUBLE)
+      |      / len(toks) AS stop_ratio
+      |  FROM tok WHERE len(toks) >= 20),
+      |en AS (
+      |  SELECT * FROM scored
+      |  WHERE len(regexp_extract_all(lower(text), '\b(the|a|of|and|is|to)\b')) >
+      |        len(regexp_extract_all(lower(text), '\b(der|die|das|und|le|la|el|los)\b'))),
+      |bandf AS (
+      |  SELECT b.doc_id, b.band, b.bkt
+      |  FROM read_parquet('/root/repo/fixtures/q46_banded_sf001/*.parquet') b
+      |  JOIN en e ON e.doc_id = b.doc_id),
+      |ok AS (
+      |  SELECT band, bkt FROM bandf GROUP BY band, bkt
+      |  HAVING count(*) > 1 AND count(*) <= 64),
+      |capped AS (
+      |  SELECT bandf.* FROM bandf JOIN ok USING (band, bkt)),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+      |  FROM capped a JOIN capped b
+      |    ON a.band = b.band AND a.bkt = b.bkt AND a.doc_id < b.doc_id),
+      |sh AS (
+      |  SELECT doc_id, list_distinct([
+      |    concat_ws(' ', toks[i], toks[i+1], toks[i+2])
+      |    FOR i IN generate_series(1, greatest(len(toks) - 2, 1))]) AS shs
+      |  FROM en),
+      |losers AS (
+      |  SELECT DISTINCT c.id2 AS doc_id
+      |  FROM cand c
+      |  JOIN sh x ON x.doc_id = c.id1
+      |  JOIN sh y ON y.doc_id = c.id2
+      |  WHERE round(CAST(len(list_intersect(x.shs, y.shs)) AS DOUBLE)
+      |          / len(list_distinct(list_concat(x.shs, y.shs))), 4) >= 0.5)
+      |SELECT e.doc_id, e.lang, e.source, e.n_tokens,
+      |       round(e.stop_ratio, 4) AS stop_ratio, e.fp
+      |FROM en e
+      |WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.doc_id = e.doc_id)
+      |ORDER BY e.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q87_curation_pipeline" -> (curate _),
     "q108_curation_md5"     -> (q108CurationMd5 _))
 
   val oracle: Map[String, String] = Map(
+    "q87_curation_pipeline" -> q87Sql,
     "q108_curation_md5" -> q108Sql)
 }

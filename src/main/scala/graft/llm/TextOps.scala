@@ -1083,6 +1083,70 @@ object TextOps {
       .orderBy($"source")
   }
 
+  /** q227: q222's PRODUCTION form, registered and graded (VERDICT r11
+    * item 2) — the cross-source calibration summary computed from
+    * approx_percentile DECILE BOUNDARIES instead of the exact pooled
+    * total order. The 9 inner boundaries of the pooled quality-ratio
+    * distribution come from ONE aggregation of mergeable
+    * Greenwald–Khanna sketches (map-side partials, no total order
+    * anywhere); each document is mapped to its pooled decile by
+    * counting boundaries below its ratio (a 9-value broadcast
+    * evaluated map-side, q213's machinery verbatim); per source the
+    * median pooled decile is a percentile_disc COPY of those integer
+    * deciles. Every stage survives a 1000-executor 100 TB scan —
+    * exactly what q222's global percent_rank window does not; q222
+    * stays the graded exact DEFINITION (q197/q213's twin discipline).
+    *
+    * Sketch boundaries are engine-specific bits, so the graded columns
+    * follow q213: the exact per-source doc count, and the calibration
+    * verdicts THROUGH the boolean/band contract — the median pooled
+    * decile lands in the same band on both engines because source
+    * medians sit well inside decile bands (ties in the rounded ratio
+    * mass the distribution at interior points, not at sketch-boundary
+    * knife edges; the local DuckDB parity run pins it). */
+  def q227CalibrationSketch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val scored = Tables.documents(s, dir)
+      .withColumn("toks", tokens($"text"))
+      .withColumn("n_stop", size(expr(s"filter(toks, x -> x IN $stopSqlList)")))
+      .withColumn("ratio", round($"n_stop".cast("double") / size($"toks"), 4))
+      .select($"source", $"ratio")
+    val b = scored.agg(
+      expr("approx_percentile(ratio, " +
+        "array(0.1D,0.2D,0.3D,0.4D,0.5D,0.6D,0.7D,0.8D,0.9D), 10000)").as("bs"))
+    scored.crossJoin(broadcast(b))
+      .withColumn("decile",
+        expr("1 + aggregate(bs, 0, (acc, x) -> " +
+          "acc + (CASE WHEN ratio > x THEN 1 ELSE 0 END))"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY decile)").as("p50d"))
+      .select($"source", $"n_docs",
+        ($"p50d" <= 4).as("low_vs_corpus"),
+        ($"p50d" >= 7).as("high_vs_corpus"))
+      .orderBy($"source")
+  }
+
+  val q227Sql: String =
+    raw"""WITH sc AS (
+      |  SELECT source,
+      |    round(CAST(len(list_filter(toks, x -> x IN $stopSqlList)) AS DOUBLE)
+      |          / len(toks), 4) AS ratio
+      |  FROM (SELECT source, regexp_extract_all(lower(text), '\S+') AS toks
+      |        FROM documents) t),
+      |b AS (
+      |  SELECT approx_quantile(ratio,
+      |           [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bs
+      |  FROM sc),
+      |a AS (
+      |  SELECT sc.source,
+      |    CAST(1 + len(list_filter(b.bs, x -> sc.ratio > x)) AS INT) AS decile
+      |  FROM sc CROSS JOIN b)
+      |SELECT source, count(*) AS n_docs,
+      |  quantile_disc(decile, 0.5) <= 4 AS low_vs_corpus,
+      |  quantile_disc(decile, 0.5) >= 7 AS high_vs_corpus
+      |FROM a GROUP BY source ORDER BY source""".stripMargin
+
   val q222Sql: String =
     raw"""WITH sc AS (
       |  SELECT doc_id, source,
@@ -1101,6 +1165,7 @@ object TextOps {
       |FROM p GROUP BY source ORDER BY source""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q227_calibration_sketch" -> (q227CalibrationSketch _),
     "q222_source_calibration" -> (q222SourceCalibration _),
     "q216_k_anonymity"  -> (q216KAnonymity _),
     "q201_source_dup_rate" -> (q201SourceDupRate _),
@@ -1127,6 +1192,7 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q227_calibration_sketch" -> q227Sql,
     "q222_source_calibration" -> q222Sql,
     "q216_k_anonymity"  -> q216Sql,
     "q201_source_dup_rate" -> q201Sql,

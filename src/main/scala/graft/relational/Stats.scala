@@ -760,7 +760,14 @@ object Stats {
     * window over ~thousands of census rows (a single ordered partition
     * over a domain-bounded table, q85's discipline, not a data-scale
     * sort). Integer headroom: gap ≤ n·m, so Long holds to ~3×10⁹ docs
-    * per split; past that the same predicate moves to DECIMAL(38). */
+    * per split; past that the same predicate moves to DECIMAL(38).
+    * The SQUARED fence, though, is double arithmetic on both engines
+    * (the DuckDB literal is CAST to DOUBLE so neither side silently
+    * promotes to DECIMAL): gap² is exact in double only while
+    * gap ≤ 2²⁶·√2 ≈ 9.4×10⁷, i.e. n·m ≤ 2⁵³ after squaring — near
+    * the critical value beyond that, both engines round the SAME way
+    * on the same product, so the flags still agree, but the fence
+    * itself is ±1 ulp; the DECIMAL(38) move covers it too. */
   def q219KsSplitDrift(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val bucket = substring(md5($"doc_id".cast("string")), 1, 1)
@@ -814,7 +821,7 @@ object Stats {
       |SELECT t.n_tr AS n_train, t.n_va AS n_val,
       |  round(CAST(g.gap AS DOUBLE) / (t.n_tr * t.n_va), 6) AS ks_d,
       |  CAST(g.gap AS DOUBLE) * g.gap
-      |    > 1.844164 * (t.n_tr + t.n_va) * t.n_tr * t.n_va AS reject_95
+      |    > CAST(1.844164 AS DOUBLE) * (t.n_tr + t.n_va) * t.n_tr * t.n_va AS reject_95
       |FROM g, t""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

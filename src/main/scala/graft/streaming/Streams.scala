@@ -124,7 +124,22 @@ object Streams {
     * closes. State is bounded exactly as the inner form: at most one
     * hour of each stream per key. */
   def signupFollowupLeftOuter(signups: DataFrame, events: DataFrame,
-      watermark: String = "10 minutes"): DataFrame = {
+      watermark: String = "10 minutes"): DataFrame =
+    signupFollowupOuter(signups, events, watermark, "leftOuter")
+
+  /** Outer-join family over the signup/follow-up interval join —
+    * leftOuter / rightOuter / fullOuter share one body because the
+    * orphan-timing CONTRACT is identical on every side: a matched row
+    * emits eagerly, an orphan emits its NULL-padded row only once the
+    * watermark has closed the interval in which a matching row could
+    * still arrive (left side = follow-up events without a signup,
+    * right side = signups whose hour passed with no follow-up). State
+    * stays bounded by the watermark window on both inputs regardless
+    * of side — the outer-ness changes what is EMITTED at eviction,
+    * not what is RETAINED (ScaleSpec pins all three sides' timing). */
+  def signupFollowupOuter(signups: DataFrame, events: DataFrame,
+      watermark: String = "10 minutes",
+      joinType: String = "leftOuter"): DataFrame = {
     val su = signups
       .withColumnRenamed("ts", "su_ts")
       .withColumnRenamed("user_id", "su_user")
@@ -133,7 +148,7 @@ object Streams {
     ev.join(su,
       expr("""user_id = su_user AND
               ts > su_ts AND
-              ts <= su_ts + INTERVAL 1 HOUR"""), "leftOuter")
+              ts <= su_ts + INTERVAL 1 HOUR"""), joinType)
   }
 
   /** Input/state/output rows for [[transitionPairs]]. */
@@ -142,26 +157,6 @@ object Streams {
   case class TransState(lastTu: Long, lastId: Long, lastType: String)
   case class Transition(src: String, dst: String)
 
-  /** Streaming Markov transitions — q180's adjacent-pair derivation as
-    * a STATEFUL stream: per user, each arriving event pairs with the
-    * remembered previous one (same 30-minute session-gap rule; a gap
-    * resets the chain, emitting nothing), then the pairs aggregate to
-    * the live transition-count matrix downstream. State per user is
-    * ONE (ts, id, type) triple — constant, the smallest state a
-    * pairwise operator can hold — vs the batch path's full-path
-    * collect_list.
-    *
-    * Ordering contract: events are sorted by (ts, event_id) WITHIN
-    * each micro-batch (the same in-order-delivery assumption the
-    * reference's single-consumer queue makes; for out-of-order
-    * sources, front this with a watermarked sort or widen to
-    * session-window batching). A late CROSS-BATCH arrival — older than
-    * the remembered state — is dropped as inert rather than paired:
-    * emitting would produce a time-reversed src→dst transition and
-    * regress the stored state to the older event, so contract
-    * violations yield no output instead of wrong output (ADVICE r10).
-    * StreamingSpec replays a two-batch feed and pins equality with the
-    * batch q180 counts on identical data, plus the out-of-order drop. */
   /** The pure per-key transition fold, shared by the fMGWS form below
     * and the transformWithState twin ([[TransitionsV2]]) — one
     * transition function, two state APIs (the `Lifecycle.step`
@@ -190,6 +185,28 @@ object Streams {
     (last, out.result())
   }
 
+  /** Streaming Markov transitions — q180's adjacent-pair derivation as
+    * a STATEFUL stream: per user, each arriving event pairs with the
+    * remembered previous one (same 30-minute session-gap rule; a gap
+    * resets the chain, emitting nothing), then the pairs aggregate to
+    * the live transition-count matrix downstream. State per user is
+    * ONE (ts, id, type) triple — constant, the smallest state a
+    * pairwise operator can hold — vs the batch path's full-path
+    * collect_list.
+    *
+    * Ordering contract: events are sorted by (ts, event_id) WITHIN
+    * each micro-batch (the same in-order-delivery assumption the
+    * reference's single-consumer queue makes; for out-of-order
+    * sources, front this with a watermarked sort or widen to
+    * session-window batching). A late CROSS-BATCH arrival — older than
+    * the remembered state — is dropped as inert rather than paired:
+    * emitting would produce a time-reversed src→dst transition and
+    * regress the stored state to the older event, so contract
+    * violations yield no output instead of wrong output (ADVICE r10).
+    * StreamingSpec replays a two-batch feed and pins equality with the
+    * batch q180 counts on identical data, plus the out-of-order drop.
+    * The fold itself lives in [[foldTransitions]], shared with the
+    * transformWithState twin ([[TransitionsV2]]). */
   def transitionPairs(events: Dataset[TransEvent],
       gapMinutes: Int = 30): Dataset[Transition] = {
     import events.sparkSession.implicits._

@@ -160,6 +160,18 @@ class DedupSpec extends AnyFunSuite {
     assert(salted.forall { case (a, b) => a < b })
   }
 
+  test("q228 flood corpus genuinely engages the multi-group salted path") {
+    // q228's gate proves the decomposition lossless ONLY IF hot buckets
+    // actually split at maxWidth=4 — pin that the constructed corpus
+    // (12x clones of every 10th doc) produces at least one bucket with
+    // ng = ceil(w/4) > 1, so drifting corpus constants can't quietly
+    // degrade the graded run to the all-cold path
+    val banded = Dedup.md5Bands(Dedup.saltedBudgetShingles(spark, sf))
+    val maxNg = banded.groupBy($"band", $"bkt").agg(count(lit(1)).as("w"))
+      .agg(max(ceil($"w" / 4.0)).as("ng")).collect()(0).getLong(0)
+    assert(maxNg > 1, s"no bucket decomposes at maxWidth=4 (max ng = $maxNg)")
+  }
+
   test("salted path refuses a non-positive width instead of exploding") {
     // ceil(w / 0.0) = Infinity -> Int.MaxValue salt groups -> a
     // per-row sequence explode; the guard must fire at plan-build time
@@ -171,6 +183,18 @@ class DedupSpec extends AnyFunSuite {
       }
       assert(e.getMessage.contains("must be positive"))
     } finally spark.conf.unset("spark.graft.lsh.saltHotBuckets")
+  }
+
+  test("capped path refuses a non-positive width instead of returning empty") {
+    // before the r12 guard, maxWidth=0 on the CAPPED path filtered
+    // every bucket out (w <= 0 never holds) and silently produced an
+    // empty candidate set — a far worse failure mode than the salted
+    // detonation, because it looks like "no near-dups found"
+    val sigs = Seq((1L, Seq(1L, 2L))).toDF("doc_id", "sig")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.lshCandidates(sigs, maxWidth = 0)
+    }
+    assert(e.getMessage.contains("must be positive"))
   }
 
   test("bucket-width cap drops are observable: flooded bucket reports its mass") {

@@ -27,6 +27,8 @@ class PlanHygieneSpec extends AnyFunSuite {
     "q140_pagerank",       // broadcast of the 1-row node count
     "q213_equidepth_sketch", // broadcast of the 1-row sketch boundaries
                            // (9 values) — the q139 scalar-graft pattern
+    "q227_calibration_sketch", // same 1-row sketch-boundary broadcast
+                           // (q222's production twin)
     "q219_ks_split_drift", // broadcast of the 1-row split totals over
                            // the bounded per-length census
     "q146_skew_report",    // broadcast of the 1-row grand total
@@ -48,8 +50,9 @@ class PlanHygieneSpec extends AnyFunSuite {
     "q191_relational_division", // broadcast of the 1-row priority-class count
     "q193_bpe_encode",     // broadcast 1-row learned-merge grafts (q182's
                            // pattern, applied in the encode pass too)
-    "q198_cosine_threshold_sweep", // broadcast 1-row count x count grafts
-                           // (three threshold rows, q79's scalar shape)
+    // q198_cosine_threshold_sweep: DELIBERATELY NOT LISTED — the r11
+    // rewrite (single conditional aggregation + stack) removed its
+    // scalar-graft crossJoins, so the no-cartesian check covers it again
     "q207_pps_sample",     // broadcast 5-row threshold probe vs cumulative
                            // ranges (deliberate range condition, no keys)
     "q208_apportionment",  // broadcast 1-row total + 1-row leftover grafts

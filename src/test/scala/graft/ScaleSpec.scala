@@ -72,6 +72,118 @@ class ScaleSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("right-outer stream-stream join: unanswered signups emit NULLs only after their hour closes") {
+    implicit val sqlCtx = spark.sqlContext
+    val suMem = MemoryStream[(Timestamp, Long)]
+    val evMem = MemoryStream[(Timestamp, Long, String)]
+    val signups = suMem.toDS().toDF("ts", "user_id")
+    val events = evMem.toDS().toDF("ts", "user_id", "event_type")
+    val joined = Streams.signupFollowupOuter(signups, events, "0 seconds", "rightOuter")
+    val q = joined.writeStream.format("memory").queryName("ssj_right_out")
+      .outputMode("append").start()
+    try {
+      suMem.addData(
+        (ts("2026-01-01 10:00:00"), 1L),   // will be answered
+        (ts("2026-01-01 10:00:00"), 2L))   // never answered
+      evMem.addData((ts("2026-01-01 10:30:00"), 1L, "click"))
+      q.processAllAvailable()
+      val early = spark.table("ssj_right_out").collect()
+      // match emits eagerly; the unanswered signup must NOT — its
+      // 1-hour follow-up window is still open at watermark 10:30
+      assert(early.length == 1 && early.head.getAs[Long]("su_user") == 1L,
+        s"pre-watermark rows: ${early.toSeq}")
+      // advance both watermarks past 11:00 (end of user 2's window)
+      suMem.addData((ts("2026-01-01 13:00:00"), 9L))
+      evMem.addData((ts("2026-01-01 13:00:00"), 9L, "click"))
+      q.processAllAvailable()
+      q.processAllAvailable()
+      val rows = spark.table("ssj_right_out").collect()
+      val orphan = rows.filter(r => !r.isNullAt(r.fieldIndex("su_user")) &&
+        r.getAs[Long]("su_user") == 2L)
+      assert(orphan.length == 1, s"signup-orphan rows after watermark: ${rows.toSeq}")
+      assert(orphan.head.isNullAt(orphan.head.fieldIndex("user_id")),
+        "unanswered signup must carry NULL event columns")
+    } finally q.stop()
+  }
+
+  test("full-outer stream-stream join: both orphan sides emit NULLs, each on its own watermark clock") {
+    implicit val sqlCtx = spark.sqlContext
+    val suMem = MemoryStream[(Timestamp, Long)]
+    val evMem = MemoryStream[(Timestamp, Long, String)]
+    val signups = suMem.toDS().toDF("ts", "user_id")
+    val events = evMem.toDS().toDF("ts", "user_id", "event_type")
+    val joined = Streams.signupFollowupOuter(signups, events, "0 seconds", "fullOuter")
+    val q = joined.writeStream.format("memory").queryName("ssj_full_out")
+      .outputMode("append").start()
+    try {
+      suMem.addData(
+        (ts("2026-01-01 10:00:00"), 1L),   // answered
+        (ts("2026-01-01 10:00:00"), 2L))   // signup-side orphan
+      evMem.addData(
+        (ts("2026-01-01 10:30:00"), 1L, "click"),   // the answer
+        (ts("2026-01-01 10:30:00"), 3L, "click"))   // event-side orphan
+      q.processAllAvailable()
+      val early = spark.table("ssj_full_out").collect()
+      assert(early.length == 1 && early.head.getAs[Long]("su_user") == 1L,
+        s"pre-watermark rows: ${early.toSeq}")
+      suMem.addData((ts("2026-01-01 13:00:00"), 9L))
+      evMem.addData((ts("2026-01-01 13:00:00"), 9L, "click"))
+      q.processAllAvailable()
+      q.processAllAvailable()
+      val rows = spark.table("ssj_full_out").collect()
+      val suOrphan = rows.filter(r => !r.isNullAt(r.fieldIndex("su_user")) &&
+        r.getAs[Long]("su_user") == 2L)
+      val evOrphan = rows.filter(r => !r.isNullAt(r.fieldIndex("user_id")) &&
+        r.getAs[Long]("user_id") == 3L)
+      assert(suOrphan.length == 1 && suOrphan.head.isNullAt(
+        suOrphan.head.fieldIndex("user_id")),
+        s"signup orphan wrong: ${rows.toSeq}")
+      assert(evOrphan.length == 1 && evOrphan.head.isNullAt(
+        evOrphan.head.fieldIndex("su_user")),
+        s"event orphan wrong: ${rows.toSeq}")
+    } finally q.stop()
+  }
+
+  test("outer-join watermark delay keeps the orphan door open for tolerably-late matches") {
+    // the TemporalJoin-knob interaction (VERDICT r11 item 6): a NONZERO
+    // watermark delay D is the interval join's lateness tolerance — a
+    // match arriving out-of-order but within D must still join, and the
+    // orphan NULL row must NOT have been emitted in the meantime. Same
+    // contract as TemporalJoin's watermarkDelay/tolerance pair: the
+    // delay changes WHEN eviction finalizes, never WHAT matches.
+    implicit val sqlCtx = spark.sqlContext
+    val suMem = MemoryStream[(Timestamp, Long)]
+    val evMem = MemoryStream[(Timestamp, Long, String)]
+    val signups = suMem.toDS().toDF("ts", "user_id")
+    val events = evMem.toDS().toDF("ts", "user_id", "event_type")
+    val joined = Streams.signupFollowupOuter(signups, events, "30 minutes", "leftOuter")
+    val q = joined.writeStream.format("memory").queryName("ssj_late_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: a follow-up with NO signup yet; max event time 10:45
+      // -> watermark 10:15, so a signup as old as 10:15 is still legal
+      suMem.addData((ts("2026-01-01 10:45:00"), 8L))
+      evMem.addData((ts("2026-01-01 10:30:00"), 2L, "click"))
+      q.processAllAvailable()
+      assert(spark.table("ssj_late_out").isEmpty,
+        "orphan emitted while a tolerably-late signup could still arrive")
+      // batch 2: the LATE signup (su_ts 10:20 < max seen 10:45, but
+      // above the 10:15 watermark) — must match, not orphan
+      suMem.addData((ts("2026-01-01 10:20:00"), 2L))
+      q.processAllAvailable()
+      // close everything
+      suMem.addData((ts("2026-01-01 14:00:00"), 9L))
+      evMem.addData((ts("2026-01-01 14:00:00"), 9L, "click"))
+      q.processAllAvailable()
+      q.processAllAvailable()
+      val rows = spark.table("ssj_late_out").collect()
+        .filter(r => r.getAs[Long]("user_id") == 2L)
+      assert(rows.length == 1, s"user-2 rows: ${rows.toSeq}")
+      assert(!rows.head.isNullAt(rows.head.fieldIndex("su_user")),
+        "the tolerably-late signup must have joined, not orphaned")
+    } finally q.stop()
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val wh = java.nio.file.Files.createTempDirectory("wh").toString
     val o = Tables.orders(spark, sf).select($"o_orderkey", $"o_custkey", $"o_totalprice")

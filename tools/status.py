@@ -318,6 +318,27 @@ def spread_advisories(spread, flagged=(), ratio_floor=2.0, min_floor=0.3):
                 "not gated; solo-rerun before trusting the median")
     return out
 
+def dispersion_summary(spread, wide_ratio=2.0):
+    """One-line catalog-level rep-dispersion digest (VERDICT r11 item 1):
+    r11's gate-of-record was poisoned by contention windows that showed
+    up as 8x intra-run wobble on individual queries — a record-level
+    stat makes that state legible without scanning 200 advisories.
+    Reports the median and p90 of per-query max/min ratios plus how
+    many queries exceeded `wide_ratio`; a healthy record reads
+    ~'med 1.1x, p90 1.4x, 3/223 wide', a poisoned one 'med 1.6x,
+    p90 4x, 60/223 wide'. Since r12 the bench interleaves reps
+    round-robin, so wide ratios should localize to genuinely
+    variance-prone queries (ImageIO codecs), not contention windows."""
+    ratios = sorted(sp["max"] / sp["min"] for sp in spread.values()
+                    if sp.get("min") and sp.get("max") and sp["min"] > 0)
+    if not ratios:
+        return None
+    med = ratios[len(ratios) // 2]
+    p90 = ratios[min(len(ratios) - 1, int(len(ratios) * 0.9))]
+    wide = sum(1 for r in ratios if r > wide_ratio)
+    return (f"max/min med {med:.2f}x, p90 {p90:.2f}x, "
+            f"{wide}/{len(ratios)} queries > {wide_ratio:.0f}x")
+
 def cmd_bench_gate(args):
     new_path = resolve_bench(args[0])
     if len(args) > 1:
@@ -349,10 +370,14 @@ def cmd_bench_gate(args):
         # Compare MIN-of-reps when the record carries a spread: the
         # median can't discard SUSTAINED catalog-context pressure (all
         # three reps of r9's q34 saw the same contention and the record
-        # read 11.7s vs 5.15s solo), but the min of three back-to-back
-        # reps is the best contention-free estimate the run produced —
-        # a code regression slows every rep including the min, while
-        # context pressure usually lets at least one rep through.
+        # read 11.7s vs 5.15s solo), but the min of the reps is the
+        # best contention-free estimate the run produced — a code
+        # regression slows every rep including the min, while context
+        # pressure usually lets at least one rep through. Since r12 the
+        # bench interleaves reps round-robin across the catalog, so a
+        # query's samples are spread over the whole run and a
+        # contention window shorter than a full pass can poison at most
+        # ONE of them — min-of-reps survives by construction.
         new_s = new_sp.get(name, {}).get("min", new[name])
         ref_s = ref_sp.get(name, {}).get("min", ref[name])
         # machine noise is ±30-40% around the 1s scale: require BOTH a
@@ -380,6 +405,9 @@ def cmd_bench_gate(args):
         print(f"spread advisories (non-gating) in {os.path.basename(new_path)}:")
         for a in advisories:
             print(f"  {a}")
+    summary = dispersion_summary(new_sp)
+    if summary:
+        print(f"rep dispersion in {os.path.basename(new_path)}: {summary}")
     if bad:
         print(f"bench regressions vs {os.path.basename(ref_path)}:")
         for b in bad:
