@@ -86,12 +86,23 @@ object Bench {
     // self-adjudicating — min-of-reps is the contention-resistant claim
     // the bench-gate compares, and a wide (min,max) spread next to a
     // fat gc entry says "context, not code" from the record alone.
-    final case class Spread(med: Double, min: Double, max: Double, gc: Double)
+    final case class Spread(med: Double, min: Double, max: Double, gc: Double,
+                            repRows: Vector[(Int, Double, Double)])
+    // Per-rep provenance (VERDICT r12 item 4): each sample keeps its
+    // pass index and wall-clock start offset, so a contention burst —
+    // which under interleaving clips one contiguous SEGMENT of one pass
+    // (r12's q182–q189 wide-spread cluster) — is identifiable from the
+    // record alone (status.py names the burst window) instead of being
+    // inferred from catalog-id adjacency after the fact.
     val times = collection.mutable.Map.empty[String, Vector[Double]]
+      .withDefaultValue(Vector.empty)
+    val repLog = collection.mutable.Map
+      .empty[String, Vector[(Int, Double, Double)]] // (pass, startOffset s, dt s)
       .withDefaultValue(Vector.empty)
     val gcBill = collection.mutable.Map.empty[String, Double].withDefaultValue(0.0)
     val failedSet = collection.mutable.Set.empty[String]
-    for (_ <- 1 to reps; (name, fn) <- qs if !failedSet(name)) {
+    val wall0 = System.nanoTime()
+    for (pass <- 1 to reps; (name, fn) <- qs if !failedSet(name)) {
       // one failed rep already decides the query's verdict (-1.0);
       // further reps only multiply the failure cost and stderr noise
       val gc0 = gcMillis()
@@ -101,6 +112,7 @@ object Bench {
       Ckpt.sweep(spark) // outside the timed window
       if (ok) {
         times(name) = times(name) :+ dt
+        repLog(name) = repLog(name) :+ ((pass, (t0 - wall0) / 1e9, dt))
         gcBill(name) = gcBill(name) + (gcMillis() - gc0) / 1e3
       } else failedSet += name
     }
@@ -114,7 +126,8 @@ object Bench {
         val med =
           if (sorted.length % 2 == 1) sorted(sorted.length / 2)
           else (sorted(sorted.length / 2 - 1) + sorted(sorted.length / 2)) / 2.0
-        (name, med, Some(Spread(med, sorted.head, sorted.last, gcBill(name))))
+        (name, med,
+          Some(Spread(med, sorted.head, sorted.last, gcBill(name), repLog(name))))
       }
     }
     val failed = results.collect { case (k, v, _) if v < 0 => k }
@@ -125,9 +138,15 @@ object Bench {
     // sibling "spread" map — the scalar "queries" map above stays exactly
     // what the driver parses; consumers that know about spreads (the
     // bench-gate) prefer them
+    // "reps" = [[pass, startOffsetSec, durSec], ...] — rep provenance so
+    // a contention burst is identifiable from the record alone
     val sjson = results.collect { case (k, _, Some(sp)) =>
+      val repsArr = sp.repRows.map { case (p, at, dt) =>
+        s"[$p,${r3(at)},${r3(dt)}]"
+      }.mkString("[", ",", "]")
       "\"" + k + "\":{\"med\":" + r3(sp.med) + ",\"min\":" + r3(sp.min) +
-        ",\"max\":" + r3(sp.max) + ",\"gc\":" + r3(sp.gc) + "}"
+        ",\"max\":" + r3(sp.max) + ",\"gc\":" + r3(sp.gc) +
+        ",\"reps\":" + repsArr + "}"
     }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val fjson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")

@@ -24,6 +24,56 @@ import org.apache.spark.sql.functions._
   * gate fails loudly until this main is rerun:
   * `sbt "runMain graft.FixtureGen /root/testdata/sf0.01 fixtures"`.
   */
+/** Runtime resolution of the committed oracle-fixture directory (ADVICE
+  * r12): the fixture-fed oracle SQL (q46/q47/q48/q87) must read THIS
+  * checkout's fixtures — a hardcoded `/root/repo/fixtures` would
+  * silently grade a worktree or relocated clone against the main
+  * checkout's possibly-stale parquet. Resolution order:
+  *   1. `SPARK_GRAFT_FIXTURES` env (explicit override),
+  *   2. the nearest `fixtures/` dir containing `q46_banded_sf001`,
+  *      walking up from the working directory (sbt and the driver both
+  *      run from the checkout root; a worktree carries its own
+  *      git-tracked copy at its root),
+  *   3. the canonical checkout path as a last resort (so a cwd outside
+  *      any checkout — e.g. a spark-submit scratch dir — still points
+  *      at a real fixture set rather than a guaranteed-missing one).
+  * Lazy and non-throwing: the vals interpolating this live in objects
+  * loaded by every query, so a missing dir must not break non-fixture
+  * paths — the oracle's own corpus-agreement guard reports the mismatch
+  * legibly if a stale/wrong dir is ever read. */
+object Fixtures {
+  lazy val dir: String = sys.env.getOrElse("SPARK_GRAFT_FIXTURES", {
+    val cwd = new java.io.File(sys.props("user.dir")).getAbsoluteFile
+    Iterator.iterate(cwd)(_.getParentFile).takeWhile(_ != null).take(5)
+      .map(d => new java.io.File(d, "fixtures"))
+      .find(f => new java.io.File(f, "q46_banded_sf001").isDirectory)
+      .map(_.getAbsolutePath)
+      .getOrElse("/root/repo/fixtures")
+  })
+
+  /** Shared DuckDB guard CTEs for the fixture-fed oracles (q46/q47/q48/
+    * q87): compares the live `documents` corpus against the committed
+    * (doc_id, md5(text)) checksum written alongside the hash fixtures.
+    * doc_id sets alone cannot tell scales apart (sf0.001 and sf0.01
+    * both carry doc_ids 0..499 with different texts), so the guard is
+    * content-sensitive. Interpolate right after WITH; the consuming
+    * oracle unions a named poison row when `n > 0`, so a wrong-corpus
+    * gate failure names its cause instead of hash-mismatching
+    * confusingly. Pre-stripped: no margin bars, two-space indent to
+    * read well inside the interpolating SQL. */
+  lazy val corpusGuardCtes: String =
+    s"""corpus_ck AS (
+       |  SELECT doc_id, m
+       |  FROM read_parquet('$dir/corpus_md5_sf001/*.parquet')),
+       |fixture_corpus_mismatch AS (
+       |  SELECT count(*) AS n FROM (
+       |    SELECT doc_id, md5(text) AS m FROM documents
+       |    EXCEPT SELECT doc_id, m FROM corpus_ck
+       |    UNION ALL
+       |    (SELECT doc_id, m FROM corpus_ck
+       |     EXCEPT SELECT doc_id, md5(text) FROM documents)))""".stripMargin
+}
+
 object FixtureGen {
   /** Spark writes `part-<uuid>` + crc/_SUCCESS noise; a committed
     * fixture wants one stable `data.parquet` so regeneration diffs
@@ -39,6 +89,48 @@ object FixtureGen {
     d.listFiles().filterNot(_.getName == "data.parquet").foreach(_.delete())
   }
 
+  /** The fixture datasets, built THROUGH the same production code the
+    * queries run (shared helpers, not copies). Shared by [[main]]
+    * (writes them) and FixtureDriftSpec (regenerates and asserts
+    * dataset equality with the committed parquet — so code/fixture
+    * drift is caught at `sbt test` time, not a driver round later).
+    *
+    *  - q46: the (doc_id, band, bkt) band table of the xxhash64
+    *    minhash path — exactly what `lshCandidates` self-joins on.
+    *  - q47: the (doc_id, simhash) signature table of the xxhash64
+    *    simhash path — what `simhashChunkPairs` explodes and joins.
+    *  - q48: per-token hashes over the corpus vocabulary, REDUCED mod
+    *    2^31−1 (pmod, so always non-negative — DuckDB's % keeps the
+    *    sign of the dividend, and the oracle's Karp–Rabin fold only
+    *    matches Spark's pmod arithmetic because every stored value is
+    *    already in [0, 2^31−1)). The oracle replays the
+    *    order-sensitive fold itself.
+    *  - corpus_md5 (ADVICE r12): (doc_id, md5(text)) checksum of the
+    *    generating corpus — doc_id sets alone can't tell scales apart
+    *    (sf0.001 and sf0.01 both carry doc_ids 0..499 with different
+    *    texts), so every fixture-fed oracle guards on this table and
+    *    injects a named poison row on any disagreement. */
+  def datasets(spark: SparkSession,
+               sfDir: String): Seq[(String, org.apache.spark.sql.DataFrame)] = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val toks = docs.select($"doc_id", llm.TextOps.tokens($"text").as("toks"))
+    val sh = toks.select($"doc_id", llm.Dedup.shingles($"toks").as("sh"))
+    Seq(
+      "q46_banded_sf001" ->
+        llm.Dedup.xxhBanded(llm.Dedup.minhashSigs(sh))
+          .orderBy($"doc_id", $"band"),
+      "q47_simhash_sf001" ->
+        llm.Dedup.simhash64(toks, "doc_id", "toks").orderBy($"doc_id"),
+      "q48_tokhash_sf001" ->
+        toks.select(explode($"toks").as("tok")).distinct()
+          .select($"tok", pmod(xxhash64($"tok"), lit(2147483647L)).as("h"))
+          .orderBy($"tok"),
+      "corpus_md5_sf001" ->
+        docs.select($"doc_id", md5($"text".cast("binary")).as("m"))
+          .orderBy($"doc_id"))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val outDir = args.drop(1).headOption.getOrElse("fixtures")
@@ -49,34 +141,10 @@ object FixtureGen {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    import spark.implicits._
-
-    val toks = Tables.documents(spark, sfDir)
-      .select($"doc_id", llm.TextOps.tokens($"text").as("toks"))
-
-    // q46: the (doc_id, band, bkt) band table of the xxhash64 minhash
-    // path — exactly what lshCandidates self-joins on.
-    val sh = toks.select($"doc_id", llm.Dedup.shingles($"toks").as("sh"))
-    llm.Dedup.xxhBanded(llm.Dedup.minhashSigs(sh))
-      .orderBy($"doc_id", $"band")
-      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/q46_banded_sf001")
-    tidy(s"$outDir/q46_banded_sf001")
-
-    // q47: the (doc_id, simhash) signature table of the xxhash64
-    // simhash path — what simhashChunkPairs explodes and joins.
-    llm.Dedup.simhash64(toks, "doc_id", "toks")
-      .orderBy($"doc_id")
-      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/q47_simhash_sf001")
-    tidy(s"$outDir/q47_simhash_sf001")
-
-    // q48: per-token xxhash64 pre-mod values over the corpus vocabulary
-    // — the oracle replays the order-sensitive Karp–Rabin fold itself.
-    toks.select(explode($"toks").as("tok")).distinct()
-      .select($"tok", pmod(xxhash64($"tok"), lit(2147483647L)).as("h"))
-      .orderBy($"tok")
-      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/q48_tokhash_sf001")
-    tidy(s"$outDir/q48_tokhash_sf001")
-
+    datasets(spark, sfDir).foreach { case (name, df) =>
+      df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      tidy(s"$outDir/$name")
+    }
     spark.stop()
   }
 }

@@ -233,10 +233,20 @@ object Dedup {
       .orderBy($"id1", $"id2")
   }
 
+  /** Fixture/corpus agreement guard (ADVICE r12): the committed fixture
+    * is only valid for the exact corpus it was generated from (sf0.01);
+    * run against any other corpus the gate would otherwise grade the
+    * wrong band table with a confusing generic mismatch. The shared
+    * [[graft.Fixtures.corpusGuardCtes]] compares (doc_id, md5(text))
+    * against the committed corpus checksum and, on any disagreement,
+    * injects a self-explanatory poison row (id1 = −1, id2 = the
+    * disagreement count) that can never appear in Spark's result — the
+    * gate still fails, but the failure names its cause. */
   val q46Sql: String =
-    """WITH banded AS (
+    raw"""WITH ${graft.Fixtures.corpusGuardCtes},
+      |banded AS (
       |  SELECT doc_id, band, bkt
-      |  FROM read_parquet('/root/repo/fixtures/q46_banded_sf001/*.parquet')),
+      |  FROM read_parquet('${graft.Fixtures.dir}/q46_banded_sf001/*.parquet')),
       |ok AS (
       |  SELECT band, bkt FROM banded GROUP BY band, bkt
       |  HAVING count(*) > 1 AND count(*) <= 64),
@@ -260,6 +270,8 @@ object Dedup {
       |JOIN sh y ON y.doc_id = c.id2
       |WHERE round(CAST(len(list_intersect(x.shs, y.shs)) AS DOUBLE)
       |        / len(list_distinct(list_concat(x.shs, y.shs))), 4) >= 0.5
+      |UNION ALL
+      |SELECT -1, n, -1.0 FROM fixture_corpus_mismatch WHERE n > 0
       |ORDER BY id1, id2""".stripMargin
 
   /** 64-bit SimHash of a token array: bit j is the sign of the sum over
@@ -300,9 +312,10 @@ object Dedup {
     simhashChunkPairs(simhash64(toks(s, dir), "doc_id", "toks"))
 
   val q47Sql: String =
-    """WITH sg AS (
+    raw"""WITH ${graft.Fixtures.corpusGuardCtes},
+      |sg AS (
       |  SELECT doc_id, simhash
-      |  FROM read_parquet('/root/repo/fixtures/q47_simhash_sf001/*.parquet')),
+      |  FROM read_parquet('${graft.Fixtures.dir}/q47_simhash_sf001/*.parquet')),
       |ch AS (
       |  SELECT doc_id, simhash, u.c, (simhash >> (u.c * 16)) & 65535 AS v
       |  FROM sg, unnest(generate_series(0, 3)) AS u(c)),
@@ -316,6 +329,8 @@ object Dedup {
       |    ON a.c = b.c AND a.v = b.v AND a.doc_id < b.doc_id)
       |SELECT id1, id2, CAST(bit_count(xor(s1, s2)) AS INT) AS hamming
       |FROM p WHERE bit_count(xor(s1, s2)) <= 6
+      |UNION ALL
+      |SELECT -1, n, CAST(-1 AS INT) FROM fixture_corpus_mismatch WHERE n > 0
       |ORDER BY id1, id2""".stripMargin
 
   /** Chunk-banded SimHash near-dup pairs from a (doc_id, simhash)
@@ -551,9 +566,10 @@ object Dedup {
   }
 
   val q48Sql: String =
-    """WITH hx AS (
+    raw"""WITH ${graft.Fixtures.corpusGuardCtes},
+      |hx AS (
       |  SELECT tok, h
-      |  FROM read_parquet('/root/repo/fixtures/q48_tokhash_sf001/*.parquet')),
+      |  FROM read_parquet('${graft.Fixtures.dir}/q48_tokhash_sf001/*.parquet')),
       |t AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks
       |      FROM documents),
       |e AS (SELECT doc_id, unnest(toks) AS tok,
@@ -569,6 +585,8 @@ object Dedup {
       |  FROM l)
       |SELECT t.doc_id, coalesce(f.fp, 0::BIGINT) AS fp
       |FROM t LEFT JOIN f USING (doc_id)
+      |UNION ALL
+      |SELECT -1, n FROM fixture_corpus_mismatch WHERE n > 0
       |ORDER BY doc_id""".stripMargin
 
   /** q110: the Karp–Rabin rolling fingerprint with an ORACLE-EXPRESSIBLE

@@ -172,7 +172,8 @@ object Pipeline {
     * builds over the en corpus, and the width cap / bucket join /
     * Jaccard verify / anti-join replay downstream of it. */
   val q87Sql: String =
-    raw"""WITH fp AS (
+    raw"""WITH ${graft.Fixtures.corpusGuardCtes},
+      |fp AS (
       |  SELECT doc_id, text, lang, source,
       |         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
       |  FROM documents),
@@ -193,7 +194,7 @@ object Pipeline {
       |        len(regexp_extract_all(lower(text), '\b(der|die|das|und|le|la|el|los)\b'))),
       |bandf AS (
       |  SELECT b.doc_id, b.band, b.bkt
-      |  FROM read_parquet('/root/repo/fixtures/q46_banded_sf001/*.parquet') b
+      |  FROM read_parquet('${graft.Fixtures.dir}/q46_banded_sf001/*.parquet') b
       |  JOIN en e ON e.doc_id = b.doc_id),
       |ok AS (
       |  SELECT band, bkt FROM bandf GROUP BY band, bkt
@@ -220,7 +221,11 @@ object Pipeline {
       |       round(e.stop_ratio, 4) AS stop_ratio, e.fp
       |FROM en e
       |WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.doc_id = e.doc_id)
-      |ORDER BY e.doc_id""".stripMargin
+      |UNION ALL
+      |SELECT -1, 'FIXTURE_CORPUS_MISMATCH', CAST(n AS VARCHAR),
+      |       CAST(-1 AS INT), -1.0, ''
+      |FROM fixture_corpus_mismatch WHERE n > 0
+      |ORDER BY doc_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q87_curation_pipeline" -> (curate _),

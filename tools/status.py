@@ -177,23 +177,36 @@ def load_bench_queries(path):
     return {k: float(v) for k, v in pairs}
 
 def load_bench_spread(path):
-    """Per-query rep spread {q: {med,min,max,gc}} from a bench record
-    that carries one (r10+ Bench), else {}. Tails truncate from the
-    left, so a partial spread map parses to whatever survived."""
+    """Per-query rep spread {q: {med,min,max,gc[,reps]}} from a bench
+    record that carries one (r10+ Bench; r13+ adds reps =
+    [(pass, startOffsetSec, durSec), ...] provenance), else {}. Tails
+    truncate from the left, so a partial spread map parses to whatever
+    survived."""
     text = open(path).read()
     try:
         d = json.loads(text)
     except json.JSONDecodeError:
         d = {"tail": text}
     if isinstance(d, dict) and isinstance(d.get("spread"), dict):
-        return {k: {f: float(x) for f, x in v.items()}
-                for k, v in d["spread"].items() if isinstance(v, dict)}
+        out = {}
+        for k, v in d["spread"].items():
+            if not isinstance(v, dict):
+                continue
+            e = {f: float(x) for f, x in v.items()
+                 if not isinstance(x, (list, dict))}
+            if isinstance(v.get("reps"), list):
+                e["reps"] = [(int(p), float(a), float(t))
+                             for p, a, t in v["reps"]]
+            out[k] = e
+        return out
     src = d.get("tail", "") if isinstance(d, dict) else ""
     out = {}
+    # scalar fields regardless of what follows (a reps array or the
+    # closing brace) — r13 records carry both
     for m in re.finditer(
-            r'"(q\d+[a-z0-9_]*)":\{("(?:med|min|max|gc)":[0-9.eE+-]+,?)+\}',
+            r'"(q\d+[a-z0-9_]*)":\{((?:"(?:med|min|max|gc)":[0-9.eE+-]+,?)+)',
             src):
-        fields = dict(re.findall(r'"(med|min|max|gc)":([0-9.eE+-]+)', m.group(0)))
+        fields = dict(re.findall(r'"(med|min|max|gc)":([0-9.eE+-]+)', m.group(2)))
         if fields:
             out[m.group(1)] = {k: float(v) for k, v in fields.items()}
     return out
@@ -336,8 +349,52 @@ def dispersion_summary(spread, wide_ratio=2.0):
     med = ratios[len(ratios) // 2]
     p90 = ratios[min(len(ratios) - 1, int(len(ratios) * 0.9))]
     wide = sum(1 for r in ratios if r > wide_ratio)
-    return (f"max/min med {med:.2f}x, p90 {p90:.2f}x, "
+    line = (f"max/min med {med:.2f}x, p90 {p90:.2f}x, "
             f"{wide}/{len(ratios)} queries > {wide_ratio:.0f}x")
+    burst = burst_window(spread, wide_ratio)
+    if burst:
+        line += "; " + burst
+    return line
+
+def burst_window(spread, wide_ratio=2.0, min_cluster=3, span_frac=0.25):
+    """Name a contention burst from rep provenance (VERDICT r12 item 4):
+    under round-robin interleaving a box-level contention window shorter
+    than a full pass clips ONE contiguous wall-clock segment, so the
+    slow reps of the affected queries share a pass and sit close
+    together in start-offset — r12's record showed exactly this
+    (contiguous catalog ids q182–q189 all wide) but the burst had to be
+    INFERRED from id adjacency. With reps = [(pass, at, dur), ...] in
+    the record, this names it: if >=70% of wide queries' slowest reps
+    fall in one pass within a window <= span_frac of the whole run,
+    that's a burst (context), not code. Returns a descriptive string or
+    None (not enough wide queries, no provenance, or no clustering)."""
+    slow = []   # (query, pass, startOffset) of each wide query's slowest rep
+    total_span = 0.0
+    for name, sp in spread.items():
+        reps = sp.get("reps")
+        if not reps:
+            continue
+        total_span = max(total_span, max(a + t for _, a, t in reps))
+        mn, mx = sp.get("min"), sp.get("max")
+        if not mn or not mx or mn <= 0 or mx / mn <= wide_ratio:
+            continue
+        p, a, t = max(reps, key=lambda r: r[2])
+        slow.append((name, p, a))
+    if len(slow) < min_cluster or total_span <= 0:
+        return None
+    by_pass = {}
+    for name, p, a in slow:
+        by_pass.setdefault(p, []).append((name, a))
+    p, members = max(by_pass.items(), key=lambda kv: len(kv[1]))
+    if len(members) / len(slow) < 0.7:
+        return None
+    ats = sorted(a for _, a in members)
+    span = ats[-1] - ats[0]
+    if span > span_frac * total_span:
+        return None
+    return (f"burst suspect: {len(members)}/{len(slow)} wide queries' "
+            f"slowest reps in pass {p} within [{ats[0]:.0f}s..{ats[-1]:.0f}s] "
+            f"of the {total_span:.0f}s run — one contention window, not code")
 
 def cmd_bench_gate(args):
     new_path = resolve_bench(args[0])
