@@ -72,6 +72,15 @@ object Bench {
     // consecutive reps is already covered by the warmup pass above.
     val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").map(_.toInt).getOrElse(3)
       .max(1)
+    // SPARK_GRAFT_BENCH_MODE=consecutive restores the pre-r12
+    // back-to-back rep order (all reps of a query together) — ONLY for
+    // calibration runs quantifying the interleaved mode's warmth cost
+    // (PERF.md r13): consecutive reps share codegen classes and
+    // shuffle-file page-cache locality between a query's samples, which
+    // interleaving trades away for contention immunity. A consecutive
+    // run is never canonical (see the stamp guard below).
+    val consecutive =
+      sys.env.get("SPARK_GRAFT_BENCH_MODE").contains("consecutive")
     // Process-wide stop-the-world time so far (ms across all collectors)
     // — deltas around each rep, summed per query, are that query's GC
     // bill (per-rep deltas survive the interleaving; a whole-window
@@ -102,7 +111,10 @@ object Bench {
     val gcBill = collection.mutable.Map.empty[String, Double].withDefaultValue(0.0)
     val failedSet = collection.mutable.Set.empty[String]
     val wall0 = System.nanoTime()
-    for (pass <- 1 to reps; (name, fn) <- qs if !failedSet(name)) {
+    val schedule: Seq[(Int, (String, (SparkSession, String) => org.apache.spark.sql.DataFrame))] =
+      if (consecutive) for { q <- qs; pass <- 1 to reps } yield (pass, q)
+      else for { pass <- 1 to reps; q <- qs } yield (pass, q)
+    for ((pass, (name, fn)) <- schedule if !failedSet(name)) {
       // one failed rep already decides the query's verdict (-1.0);
       // further reps only multiply the failure cost and stderr noise
       val gc0 = gcMillis()
@@ -177,7 +189,7 @@ object Bench {
     // dataset (e.g. the make_scaled.py 3x study) — any of those stamping
     // BENCH_full_r{N}.json would poison the round's record with numbers
     // that are not the round's sf0.1 catalog timings.
-    val canonical = only.isEmpty &&
+    val canonical = only.isEmpty && !consecutive &&
       sys.env.get("SPARK_GRAFT_BENCH_OUT").isEmpty &&
       sfDir == "/root/testdata/sf0.1"
     if (canonical) {

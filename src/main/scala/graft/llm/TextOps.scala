@@ -1118,6 +1118,11 @@ object TextOps {
       .withColumn("n_stop", size(expr(s"filter(toks, x -> x IN $stopSqlList)")))
       .withColumn("ratio", round($"n_stop".cast("double") / size($"toks"), 4))
       .select($"source", $"ratio")
+      // feeds the boundary sketch AND the decile probe side — without
+      // this the tokenize+stop-filter scan (the query's dominant cost)
+      // runs twice; r13's 10x decade point measured the double scan
+      // before this landed (freed by Ckpt.sweep after the query)
+      .persist()
     val b = scored.agg(
       expr("approx_percentile(ratio, " +
         "array(0.1D,0.2D,0.3D,0.4D,0.5D,0.6D,0.7D,0.8D,0.9D), 10000)").as("bs"))

@@ -254,8 +254,24 @@ object Derived {
     // overview and ETA subtrees race and duplicate the statuses compute,
     // and even persist+count pays the columnar cache encode (~1.5x both,
     // measured at sf0.1); raw-row checkpoint blocks are freed by the
-    // Ckpt.sweep Bench/Verify run after every query
-    val st = statuses(s, dir).localCheckpoint(true)
+    // Ckpt.sweep Bench/Verify run after every query.
+    // Prune BEFORE the checkpoint (r13): a checkpoint is a barrier
+    // Catalyst cannot prune columns through, so the pre-r13 form
+    // materialized all 12 PhaseStatus fields — including the task_id/
+    // last_file concat strings no rollup reads — and the 10x decade
+    // point paid for it (17.4 s, memory-pressure regime). Only the 7
+    // columns the overview + ETA actually read are materialized; the
+    // pruned fields come back as typed nulls so the PRODUCTION
+    // operators still run against the full PhaseStatus record.
+    val st = statuses(s, dir)
+      .select($"project", $"plan_id", $"phase", $"status", $"tool_count",
+        $"updated_at", $"started_at", $"completed_at")
+      .localCheckpoint(true)
+      .withColumn("task_id", lit(null).cast("string"))
+      .withColumn("thread_id", lit(null).cast("string"))
+      .withColumn("last_tool", lit(null).cast("string"))
+      .withColumn("last_file", lit(null).cast("string"))
+      .as[graft.model.PhaseStatus]
     QueueOps.statusOverview(st)
       .join(QueueOps.etaSeconds(st), Seq("plan_id"), "left")
       .orderBy($"project", $"plan_id")
