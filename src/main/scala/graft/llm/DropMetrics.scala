@@ -81,6 +81,28 @@ object DropMetrics {
   /** The named observation's values from a COMPLETED query (null-safe:
     * empty map when the action hasn't run or the name is absent).
     * Same exhaustive walk as the listener — see ensureListener. */
+  /** Log every graft_* observed metric of `df`'s LAST execution NOW.
+    * For intermediates materialized through a checkpoint action inside
+    * a cross-query memo build (Graph's edge cache): the consumers'
+    * plans read the checkpointed blocks and no longer carry the
+    * observe node, and the checkpoint action itself can bypass the
+    * QueryExecutionListener — without this call the cap would count
+    * but never report, which is exactly the silent-cap failure the
+    * drop-counter contract exists to prevent. The CollectMetricsExec
+    * accumulators live on the df's own executedPlan, so they are
+    * readable here after the checkpoint job ran (pinned in
+    * RelationalSpec via the memo-build path). */
+  def reportNow(df: DataFrame): Unit =
+    org.apache.spark.sql.graftshim.GraftSqlShim
+      .collectObservedMetrics(df.queryExecution.executedPlan)
+      .foreach { case (name, row) =>
+        if (name.startsWith("graft_")) {
+          val kv = row.schema.fieldNames.zip(row.toSeq)
+            .map { case (k, v) => s"$k=$v" }.mkString(", ")
+          log.info(s"$name (memo build): $kv")
+        }
+      }
+
   def read(df: DataFrame, name: String): Map[String, Long] =
     org.apache.spark.sql.graftshim.GraftSqlShim
       .collectObservedMetrics(df.queryExecution.executedPlan).get(name) match {

@@ -337,9 +337,7 @@ object TextOps {
     * the benchmark side is the small one and broadcastable at scale. */
   def q101Decontamination(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sh = Tables.documents(s, dir)
-      .select($"doc_id", $"source", tokens($"text").as("toks"))
-      .select($"doc_id", $"source", explode(Dedup.shingles($"toks")).as("sh"))
+    val sh = Dedup.docShingles(s, dir) // shared exploded build (r13)
     val bench = sh.filter($"source" === "src0").select($"sh".as("bsh")).distinct()
     sh.filter($"source" =!= "src0")
       .join(broadcast(bench), $"sh" === $"bsh")
@@ -613,8 +611,8 @@ object TextOps {
     * and per-source totals are a broadcast side table. */
   def q165SourceOverlap(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sh = Tables.documents(s, dir)
-      .select($"source", explode(Dedup.shingles(tokens($"text"))).as("sh"))
+    val sh = Dedup.docShingles(s, dir) // shared exploded build (r13)
+      .select($"source", $"sh")
       .distinct()
       .persist() // totals + both join sides
     val tot = sh.groupBy($"source").agg(count(lit(1)).as("n"))
@@ -821,13 +819,11 @@ object TextOps {
       when(substring(md5($"doc_id".cast("string")), 1, 1).isin("c", "d"), "val")
         .when(substring(md5($"doc_id".cast("string")), 1, 1).isin("e", "f"), "test")
         .otherwise("train")
-    // one materialized explode (the q177 lesson — the shingle transform
-    // is the interpreted path; (doc_id, sh) is already distinct because
-    // shingles() de-dups per document)
-    val docSh = Tables.documents(s, dir)
-      .select($"doc_id", splitCol.as("split"),
-        explode(Dedup.shingles(tokens($"text"))).as("sh"))
-      .localCheckpoint(true)
+    // the shared exploded shingle table (r13 — see Dedup.docShingles;
+    // previously a per-query localCheckpoint of the same build); the
+    // split label derives from doc_id map-side, no corpus re-join
+    val docSh = Dedup.docShingles(s, dir)
+      .select($"doc_id", splitCol.as("split"), $"sh")
     val sh = docSh.select($"split", $"sh").distinct()
       .persist() // totals + intersection sides + leak probe; swept per-query (Ckpt.sweep)
     val tot = sh.groupBy($"split").agg(count(lit(1)).as("n"))

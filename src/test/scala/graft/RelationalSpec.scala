@@ -627,8 +627,16 @@ class RelationalSpec extends AnyFunSuite {
     assert(m("dropped_buckets") == 1L, m.toString)
     assert(m("dropped_rows") == 200L, m.toString)
     assert(m("dropped_pairs") == 200L * 199L / 2L, m.toString)
-    // at the test SF the cap binds nowhere: zero drops on the real build
-    val real = relational.Graph.q155Triangles(spark, sf)
+    // at the test SF the cap binds nowhere: zero drops on the real
+    // build. Built DIRECTLY here (not through q155) since r13: the
+    // shared edge table is memoized behind a pinned checkpoint, so the
+    // consumers' plans no longer carry the observe node — the counters
+    // fire once, at build time, through the DropMetrics listener (the
+    // "never a silent cap" contract reports at the build execution).
+    val rb = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+      .distinct()
+    val real = relational.Graph.coVisitEdges(rb, minW = 3)
     real.collect()
     val m2 = graft.llm.DropMetrics.read(real, graft.llm.DropMetrics.CoVisitDrops)
     assert(m2("dropped_buckets") == 0L && m2("dropped_pairs") == 0L, m2.toString)
