@@ -99,7 +99,15 @@ object DropMetrics {
         if (name.startsWith("graft_")) {
           val kv = row.schema.fieldNames.zip(row.toSeq)
             .map { case (k, v) => s"$k=$v" }.mkString(", ")
-          log.info(s"$name (memo build): $kv")
+          // WARN when anything was actually dropped: every runner sets
+          // log level WARN, so an INFO-only report would make the cap
+          // silent exactly when it binds (ScalingStudy's timed pass
+          // reads the memoized blocks and never re-executes the observe)
+          val dropped = row.toSeq.exists {
+            case l: Long => l != 0L; case i: Int => i != 0; case _ => false
+          }
+          if (dropped) log.warn(s"$name (memo build): $kv")
+          else log.info(s"$name (memo build): $kv")
         }
       }
 
