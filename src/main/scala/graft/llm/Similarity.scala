@@ -466,6 +466,89 @@ object Similarity {
     annIvf2From(vecs(s, dir),
       nprobe = sessionIvfNprobe(s), lloydIters = sessionIvfLloydIters(s))
 
+  /** q229: SemDeDup — semantic (embedding-cluster) deduplication, the
+    * cluster-then-prune method of Abbas et al. 2023 (arXiv:2303.09540,
+    * public): cluster the corpus, then within each cluster drop
+    * vectors that sit in the cluster's tight semantic core, keeping
+    * one representative. This is the LINEAR-cost member of the
+    * embedding-dedup family — q104/q133 enumerate near-dup PAIRS
+    * (cost ∝ duplicate mass); SemDeDup never forms a pair at all:
+    *  1. cluster: the SAME deterministic sampled-Lloyd IVF build as
+    *     q66 (stride seeds, fixed tie-broken iterations over the
+    *     training slice, DECIMAL means — fully oracle-restatable);
+    *  2. assign: every vector to its nearest centroid (one N×K
+    *     broadcast pass, map-side);
+    *  3. score: cosine of each vector to its OWN cell centroid
+    *     (broadcast centroid join, map-side — the paper's
+    *     distance-to-centroid variant of within-cluster similarity);
+    *  4. prune: per cell, the representative is the argmax
+    *     cosine-to-centroid (ties to the smallest vec_id — the row
+    *     closest to the semantic center survives, the paper's "keep
+    *     the most typical" policy); every OTHER vector with
+    *     cosine ≥ τ is a semantic duplicate.
+    * Stage 4 is one window over cell partitions = one shuffle keyed by
+    * cell; total cost is linear in N and independent of how much of
+    * the corpus is duplicated — exactly why the method exists at
+    * 100 TB. τ (`spark.graft.semdedup.tau`, default 0.5) compares RAW
+    * cosines, and `CosineSim`'s fold is bit-identical to DuckDB's
+    * list_dot_product (q36's proof), so the flag cannot flip between
+    * engines at any τ. On the synthetic near-uniform embeddings τ=0.5
+    * splits the corpus meaningfully (measured at sf0.01: cell-core
+    * mass above it, dispersed tail below); a real near-dup corpus
+    * runs 0.9+. */
+  def q229SemanticDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = vecs(s, dir)
+    val tau = sessionSemdedupTau(s)
+    val cents = sampledLloydCents(e, 31, sessionIvfLloydIters(s))
+    val assigned = nearestN(cents, "cent_id", "cv0")(
+      e, "vec_id", "v", 1, "cell").drop("cell_rn")
+    val withCos = assigned
+      .join(broadcast(cents.select($"cent_id", $"cv0")), $"cell" === $"cent_id")
+      .withColumn("cosc", graft.functions.CosineSim.cosine(s, $"v", $"cv0"))
+    val w = Window.partitionBy($"cell").orderBy($"cosc".desc, $"vec_id".asc)
+    withCos.withColumn("rn", row_number().over(w))
+      .select($"vec_id", $"cell",
+        round($"cosc", 4).as("cos_cent"),
+        ($"rn" === 1).as("is_rep"),
+        ($"rn" =!= 1 && $"cosc" >= tau).as("is_semantic_dup"))
+      .orderBy($"vec_id")
+  }
+
+  /** q229 oracle at the session's knob values: q66's unrolled
+    * Lloyd/assignment CTEs verbatim, then the centroid-cosine score,
+    * per-cell argmax representative and the τ cut — every stage
+    * deterministic and bit-parity (see q66Sql's argument). */
+  def q229Sql(lloydIters: Int, tau: Double): String = {
+    val iters = (1 to lloydIters).map(i =>
+      lloydCtes(i, if (i == 1) "c0" else s"c${i - 1}")).mkString("\n")
+    val cLast = s"c$lloydIters"
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |params AS (SELECT greatest(31, CAST(floor(sqrt(count(*))) AS BIGINT)) AS stride FROM e),
+       |c0 AS (SELECT vec_id AS cent_id, v AS cv FROM e
+       |       WHERE vec_id % (SELECT stride FROM params) = 0),
+       |tr AS (SELECT vec_id, v FROM e
+       |       WHERE vec_id % (SELECT greatest(1, stride // 8) FROM params) = 0),
+       |$iters
+       |assigned AS (
+       |  SELECT vec_id, v, cent_id AS cell FROM (
+       |    SELECT e.vec_id, e.v, c.cent_id,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        ${cosSql("e.v", "c.cv")} DESC, c.cent_id ASC) AS crn
+       |    FROM e, $cLast c) t WHERE crn = 1),
+       |cc AS (
+       |  SELECT a.vec_id, a.cell, ${cosSql("a.v", "c.cv")} AS cosc
+       |  FROM assigned a JOIN $cLast c ON c.cent_id = a.cell),
+       |rk AS (
+       |  SELECT vec_id, cell, cosc,
+       |    row_number() OVER (PARTITION BY cell ORDER BY cosc DESC, vec_id ASC) AS rn
+       |  FROM cc)
+       |SELECT vec_id, cell, round(cosc, 4) AS cos_cent,
+       |  rn = 1 AS is_rep,
+       |  rn <> 1 AND cosc >= $tau AS is_semantic_dup
+       |FROM rk ORDER BY vec_id""".stripMargin
+  }
+
   /** One unrolled Lloyd iteration in DuckDB: assign every TRAINING
     * vector (the `tr` CTE — the same `vec_id % trainStride` slice the
     * Spark build refines on) to its nearest `prev` centroid (argmax
@@ -680,6 +763,18 @@ object Similarity {
     SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
       .map(s => (sessionIvfNprobe(s), sessionIvfLloydIters(s)))
       .getOrElse((2, 2))
+
+  /** q229 semantic-dup threshold (`spark.graft.semdedup.tau`): RAW
+    * cosines compare bit-identically on both engines (q36), so any τ
+    * is cross-engine-safe; 0.5 is calibrated to the synthetic
+    * near-uniform embeddings. */
+  private def sessionSemdedupTau(s: SparkSession): Double =
+    s.conf.getOption("spark.graft.semdedup.tau").map(_.trim.toDouble).getOrElse(0.5)
+
+  private def sessionSemdedup: (Int, Double) =
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .map(s => (sessionIvfLloydIters(s), sessionSemdedupTau(s)))
+      .getOrElse((2, 0.5))
 
   /** q104: embedding-cosine near-dup pairs — the vector-space member of
     * the dedup family (exact q29, MinHash q46, SimHash q47, n-gram
@@ -1396,6 +1491,7 @@ object Similarity {
     "q134_ivf_increment" -> (q134IvfIncrement _),
     "q136_ann_sq8"       -> (q136AnnSq8 _),
     "q138_ann_pq"        -> (q138AnnPq _),
+    "q229_semantic_dedup" -> (q229SemanticDedup _),
   )
 
   // def, not val: q39's and q66's oracle SQL is synthesized from the
@@ -1405,7 +1501,9 @@ object Similarity {
   // and any other depth made it spuriously fail).
   def oracle: Map[String, String] = {
     val (np, li) = sessionIvf
+    val (sdLi, sdTau) = sessionSemdedup
     Map(
+      "q229_semantic_dedup" -> q229Sql(sdLi, sdTau),
       "q198_cosine_threshold_sweep" -> q198Sql,
       "q190_knn_confusion" -> q190Sql,
       "q185_knn_label"     -> q185Sql,

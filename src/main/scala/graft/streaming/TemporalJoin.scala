@@ -177,7 +177,10 @@ object TemporalJoin {
     * The key's LIVE floor (and anything newer) never emits — a future
     * event may still match it; on an unbounded stream an update that is
     * never superseded is never reported unmatched, which is the honest
-    * answer. Emission latency: deaths are detected when the key is next
+    * answer. An update arriving BEYOND the watermark never reaches the
+    * state machine at all (Spark's late-data filter, the file-level
+    * data-loss trade) and therefore cannot orphan — pinned in
+    * StreamingSpec. Emission latency: deaths are detected when the key is next
     * invoked (new rows, a pending event ripening, or the idle timer) —
     * set `idleRetentionMs` to bound right-outer latency for quiescent
     * keys; this operator deliberately arms no extra death timers, so the

@@ -358,6 +358,36 @@ class LlmSpec extends AnyFunSuite {
     assert(rrfs.head >= rrfs.last)
   }
 
+  test("q229 SemDeDup invariants: one rep per cell, dups clear tau, rep is the cell argmax") {
+    val out = llm.Similarity.q229SemanticDedup(spark, sf).collect()
+    val tau = 0.5
+    val byCell = out.groupBy(_.getAs[Long]("cell"))
+    assert(byCell.nonEmpty)
+    for ((cell, rows) <- byCell) {
+      val reps = rows.filter(_.getAs[Boolean]("is_rep"))
+      assert(reps.length == 1, s"cell $cell has ${reps.length} reps")
+      val repCos = reps.head.getAs[Double]("cos_cent")
+      // the representative is the cell's cosine argmax (ties -> the
+      // smallest vec_id, so every non-rep is <= the rep on (cos, -id))
+      assert(rows.forall(r => r.getAs[Double]("cos_cent") < repCos ||
+        (r.getAs[Double]("cos_cent") == repCos &&
+          r.getAs[Long]("vec_id") >= reps.head.getAs[Long]("vec_id"))),
+        s"cell $cell rep is not the argmax")
+      for (r <- rows) {
+        val dup = r.getAs[Boolean]("is_semantic_dup")
+        if (dup) {
+          assert(!r.getAs[Boolean]("is_rep"), "a rep can never be a dup")
+          // cos_cent is rounded for display; the flag cut uses the raw
+          // cosine, so allow the rounding quantum at the boundary
+          assert(r.getAs[Double]("cos_cent") >= tau - 0.5e-4,
+            s"dup below tau in cell $cell: $r")
+        }
+      }
+    }
+    // linearity evidence: every vector classified exactly once
+    assert(out.map(_.getAs[Long]("vec_id")).distinct.length == out.length)
+  }
+
   test("q227 verdict margins: every source median ratio clears the 3/8 decile cuts by >= 0.002 (graded corpus)") {
     // ADVICE r12: a verdict cut reduces to comparing each source's
     // median quality ratio against ONE pooled boundary value, and a

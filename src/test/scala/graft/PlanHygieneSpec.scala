@@ -56,7 +56,9 @@ class PlanHygieneSpec extends AnyFunSuite {
     "q207_pps_sample",     // broadcast 5-row threshold probe vs cumulative
                            // ranges (deliberate range condition, no keys)
     "q208_apportionment",  // broadcast 1-row total + 1-row leftover grafts
-    "q226_neyman_allocation") // same two 1-row grafts as q208
+    "q226_neyman_allocation", // same two 1-row grafts as q208
+    "q229_semantic_dedup") // q66's broadcast-centroid assignment pass —
+                           // the one N×K fan-out IS the SemDeDup build
 
   test("no unintended cartesian products across the whole catalog") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

@@ -433,6 +433,50 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("temporal as-of right_outer: beyond-watermark updates drop silently; supersession orphans exactly once") {
+    implicit val sqlCtx = spark.sqlContext
+    val evMem = MemoryStream[(String, Timestamp, String)]
+    val upMem = MemoryStream[(String, Timestamp, String)]
+    val out = TemporalJoin.enrichOuter(
+      evMem.toDS().toDF("key", "ts", "data"),
+      upMem.toDS().toDF("key", "ts", "data"),
+      watermarkDelay = "0 seconds",
+      joinType = "right_outer")
+    val q = out.writeStream.format("memory").queryName("temporal_late_rout")
+      .outputMode("append").start()
+    try {
+      // u2 arrives first and the watermark passes it
+      upMem.addData(("k", ts("2026-01-01 10:10:00"), "u2"))
+      evMem.addData(("z", ts("2026-01-01 10:30:00"), "wm"))
+      upMem.addData(("z", ts("2026-01-01 10:30:00"), "wm"))
+      q.processAllAvailable()
+      // u1 arrives BEYOND the watermark (10:00 < wm 10:30): Spark's
+      // watermark filter drops it before the state function ever sees
+      // it — the standard streaming data-loss trade the operator's
+      // scaladoc documents. It must NOT surface as an orphan (that
+      // would fabricate a row the state machine never tracked).
+      upMem.addData(("k", ts("2026-01-01 10:00:00"), "u1"))
+      q.processAllAvailable()
+      val got = spark.table("temporal_late_rout").as[TemporalJoin.TOutFull].collect()
+      assert(!got.exists(o => o.asof_data.contains("u1")),
+        s"beyond-watermark update must drop silently, got ${got.toSeq}")
+      // u3 supersedes u2; once the watermark passes u3, u2 is dead and
+      // unmatched — owed exactly one orphan row
+      upMem.addData(("k", ts("2026-01-01 11:00:00"), "u3"))
+      q.processAllAvailable()
+      evMem.addData(("z", ts("2026-01-01 12:00:00"), "wm2"))
+      upMem.addData(("z", ts("2026-01-01 12:00:00"), "wm2"))
+      q.processAllAvailable()
+      upMem.addData(("k", ts("2026-01-01 12:10:00"), "u4")) // touch the key
+      q.processAllAvailable()
+      val again = spark.table("temporal_late_rout").as[TemporalJoin.TOutFull].collect()
+        .filter(o => o.key == "k" && o.data.isEmpty)
+      assert(again.count(_.asof_data.contains("u2")) == 1,
+        s"superseded u2 must orphan exactly once, got ${again.toSeq}")
+      assert(!again.exists(_.asof_data.contains("u1")), s"u1 fabricated: ${again.toSeq}")
+    } finally q.stop()
+  }
+
   test("temporal as-of right_outer: tolerance death reports the unconsulted floor (deferred to next invocation)") {
     implicit val sqlCtx = spark.sqlContext
     val evMem = MemoryStream[(String, Timestamp, String)]
