@@ -1172,7 +1172,77 @@ object TextOps {
       |  quantile_disc(pool_pct, 0.5) < 0.4 AS low_vs_corpus
       |FROM p GROUP BY source ORDER BY source""".stripMargin
 
+  /** q230: unigram-LM quality banding — the CCNet-family language-model
+    * quality split (Wenzek et al. 2020, public: score each document
+    * with a corpus-trained LM, band the corpus by score). The scorer
+    * here is the corpus's own unigram occurrence model reduced to
+    * EXACT INTEGERS: per token its corpus occurrence count df, per
+    * document the commonness c = Σdf / n_tokens — the integer-exact
+    * surrogate of mean unigram log-probability (monotone in the model
+    * the production pipeline would use; log-prob itself sums
+    * non-associative doubles whose bits differ across engines, the
+    * exact reason this form is graded instead). Banding is
+    * MEAN-RELATIVE per language, not percentile: with L = ΣΣdf / Σn
+    * the language's token-weighted mean commonness,
+    * rare ⟺ 100·Σdf·LT < 99·L_num·n and common ⟺ 100·Σdf·LT > 101·L_num·n
+    * (±1% — the synthetic corpus concentrates per-doc commonness
+    * within ±3.5% of its language mean, measured p1/p99 = 0.968/1.014,
+    * so ±1% splits it ~7% rare / ~10% common / rest mid; the cut is
+    * exact integer arithmetic, so ANY cut is cross-engine-safe — the
+    * choice only tunes how much of each band the grade exercises)
+    * — pure BIGINT cross-multiplication, so the band of every document
+    * is bit-identical on any engine at any partial-aggregation order,
+    * and there is NO total order anywhere: two hash aggregations and a
+    * broadcast of per-language scalars, every stage 100 TB-safe. (The
+    * CCNet paper cuts by cumulative-percentile instead — that is a
+    * pooled order statistic, exactly q222's graded-definition class;
+    * run it through q227's broadcast-sketch machinery at scale.)
+    * Overflow headroom under ANSI checking: Σdf ≤ n·max_df and the
+    * guard products stay ≤ ~10^16 at the 10× study point — 10^2 below
+    * the int64 edge; a 100 TB run lifts the guards to DECIMAL(38,0). */
+  def q230RarityBands(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tk = Tables.documents(s, dir)
+      .select($"doc_id", $"lang", explode(tokens($"text")).as("tok"))
+    val dfreq = tk.groupBy($"tok").agg(count(lit(1)).as("df"))
+    val scored = tk.join(dfreq, "tok")
+      .groupBy($"doc_id", $"lang")
+      .agg(sum($"df").as("df_sum"), count(lit(1)).as("n_toks"))
+    val langRef = scored.groupBy($"lang".as("l2"))
+      .agg(sum($"df_sum").as("l_num"), sum($"n_toks").as("l_den"))
+    scored.join(broadcast(langRef), $"lang" === $"l2")
+      .select($"doc_id", $"lang", $"n_toks", $"df_sum",
+        round($"df_sum".cast("double") / $"n_toks", 2).as("commonness"),
+        when($"df_sum" * $"l_den" * 100 < $"l_num" * $"n_toks" * 99, "rare")
+          .when($"df_sum" * $"l_den" * 100 > $"l_num" * $"n_toks" * 101, "common")
+          .otherwise("mid").as("band"))
+      .orderBy($"doc_id")
+  }
+
+  val q230Sql: String =
+    raw"""WITH tk AS (
+      |  SELECT doc_id, lang, unnest(toks) AS tok
+      |  FROM (SELECT doc_id, lang, regexp_extract_all(lower(text), '\S+') AS toks
+      |        FROM documents) t),
+      |dfreq AS (SELECT tok, count(*) AS df FROM tk GROUP BY tok),
+      |scored AS (
+      |  SELECT doc_id, lang, CAST(sum(df) AS BIGINT) AS df_sum,
+      |         count(*) AS n_toks
+      |  FROM tk JOIN dfreq USING (tok) GROUP BY doc_id, lang),
+      |ref AS (
+      |  SELECT lang, CAST(sum(df_sum) AS BIGINT) AS l_num,
+      |         CAST(sum(n_toks) AS BIGINT) AS l_den
+      |  FROM scored GROUP BY lang)
+      |SELECT s.doc_id, s.lang, s.n_toks, s.df_sum,
+      |  round(CAST(s.df_sum AS DOUBLE) / s.n_toks, 2) AS commonness,
+      |  CASE WHEN s.df_sum * r.l_den * 100 < r.l_num * s.n_toks * 99 THEN 'rare'
+      |       WHEN s.df_sum * r.l_den * 100 > r.l_num * s.n_toks * 101 THEN 'common'
+      |       ELSE 'mid' END AS band
+      |FROM scored s JOIN ref r USING (lang)
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q230_rarity_bands" -> (q230RarityBands _),
     "q227_calibration_sketch" -> (q227CalibrationSketch _),
     "q222_source_calibration" -> (q222SourceCalibration _),
     "q216_k_anonymity"  -> (q216KAnonymity _),
@@ -1200,6 +1270,7 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q230_rarity_bands" -> q230Sql,
     "q227_calibration_sketch" -> q227Sql,
     "q222_source_calibration" -> q222Sql,
     "q216_k_anonymity"  -> q216Sql,

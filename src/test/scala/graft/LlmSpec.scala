@@ -358,6 +358,33 @@ class LlmSpec extends AnyFunSuite {
     assert(rrfs.head >= rrfs.last)
   }
 
+  test("q230 rarity bands: integer band rule replays exactly from the output columns") {
+    val out = llm.TextOps.q230RarityBands(spark, sf).collect()
+    assert(out.nonEmpty)
+    val byLang = out.groupBy(_.getAs[String]("lang"))
+    for ((lang, rows) <- byLang) {
+      // the language reference is derivable from the per-doc outputs:
+      // L = Σ df_sum / Σ n_toks — replay the exact integer rule
+      val lNum = rows.map(_.getAs[Long]("df_sum")).sum
+      val lDen = rows.map(_.getAs[Long]("n_toks")).sum
+      for (r <- rows) {
+        val (dfs, n) = (r.getAs[Long]("df_sum"), r.getAs[Long]("n_toks"))
+        val expected =
+          if (BigInt(dfs) * lDen * 100 < BigInt(lNum) * n * 99) "rare"
+          else if (BigInt(dfs) * lDen * 100 > BigInt(lNum) * n * 101) "common"
+          else "mid"
+        assert(r.getAs[String]("band") == expected,
+          s"band mismatch for doc ${r.getAs[Long]("doc_id")} ($lang): $r, expected $expected")
+      }
+    }
+    // the overflow headroom the scaladoc claims: guard products well
+    // inside int64 at the test scale
+    val maxProd = out.map(r =>
+      BigInt(r.getAs[Long]("df_sum")) *
+        byLang(r.getAs[String]("lang")).map(_.getAs[Long]("n_toks")).sum * 100).max
+    assert(maxProd < BigInt(Long.MaxValue) / 10, s"headroom eroded: $maxProd")
+  }
+
   test("q229 SemDeDup invariants: one rep per cell, dups clear tau, rep is the cell argmax") {
     val out = llm.Similarity.q229SemanticDedup(spark, sf).collect()
     val tau = 0.5
