@@ -78,9 +78,6 @@ object DropMetrics {
     }
   }
 
-  /** The named observation's values from a COMPLETED query (null-safe:
-    * empty map when the action hasn't run or the name is absent).
-    * Same exhaustive walk as the listener — see ensureListener. */
   /** Log every graft_* observed metric of `df`'s LAST execution NOW.
     * For intermediates materialized through a checkpoint action inside
     * a cross-query memo build (Graph's edge cache): the consumers'
@@ -111,6 +108,9 @@ object DropMetrics {
         }
       }
 
+  /** The named observation's values from a COMPLETED query (null-safe:
+    * empty map when the action hasn't run or the name is absent).
+    * Same exhaustive walk as the listener — see ensureListener. */
   def read(df: DataFrame, name: String): Map[String, Long] =
     org.apache.spark.sql.graftshim.GraftSqlShim
       .collectObservedMetrics(df.queryExecution.executedPlan).get(name) match {

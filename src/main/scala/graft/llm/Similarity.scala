@@ -278,16 +278,21 @@ object Similarity {
     * the same row the aggregation would buffer anyway. */
   private def nearestN(cands: DataFrame, idCol: String, vecCol: String)(
       df: DataFrame, keyCol: String, vcol: String, n: Int,
-      out: String): DataFrame = {
+      out: String, keepSim: Option[String] = None): DataFrame = {
     val s = df.sparkSession
     import s.implicits._
     val scored = df.crossJoin(broadcast(cands))
       .withColumn("nsim", graft.functions.CosineSim.cosine(s, col(vcol), col(vecCol)))
     val w = Window.partitionBy(col(keyCol)).orderBy($"nsim".desc, col(idCol).asc)
+    // keepSim exposes the winner's cosine under the given name — q229
+    // reads the distance-to-own-centroid this pass already computed
+    // instead of re-joining the centroids to rebuild the same number
+    val extra = keepSim.map(nm => $"nsim".as(nm)).toSeq
     scored
       .withColumn("nrn", row_number().over(w))
       .filter($"nrn" <= n)
-      .select(df.columns.map(col) :+ col(idCol).as(out) :+ $"nrn".as(s"${out}_rn"): _*)
+      .select(df.columns.map(col) ++
+        (col(idCol).as(out) +: $"nrn".as(s"${out}_rn") +: extra): _*)
   }
 
   /** Stride seeds + sampled-Lloyd refinement over `corpus` (vec_id, v)
@@ -501,11 +506,11 @@ object Similarity {
     val e = vecs(s, dir)
     val tau = sessionSemdedupTau(s)
     val cents = sampledLloydCents(e, 31, sessionIvfLloydIters(s))
-    val assigned = nearestN(cents, "cent_id", "cv0")(
-      e, "vec_id", "v", 1, "cell").drop("cell_rn")
-    val withCos = assigned
-      .join(broadcast(cents.select($"cent_id", $"cv0")), $"cell" === $"cent_id")
-      .withColumn("cosc", graft.functions.CosineSim.cosine(s, $"v", $"cv0"))
+    // the assignment pass already computes every vector's cosine to its
+    // own (winning) centroid — keepSim reads it instead of re-joining
+    // the centroids and re-folding N cosines to rebuild the same number
+    val withCos = nearestN(cents, "cent_id", "cv0")(
+      e, "vec_id", "v", 1, "cell", keepSim = Some("cosc")).drop("cell_rn")
     val w = Window.partitionBy($"cell").orderBy($"cosc".desc, $"vec_id".asc)
     withCos.withColumn("rn", row_number().over(w))
       .select($"vec_id", $"cell",

@@ -1204,6 +1204,10 @@ object TextOps {
     import s.implicits._
     val tk = Tables.documents(s, dir)
       .select($"doc_id", $"lang", explode(tokens($"text")).as("tok"))
+      // feeds the vocabulary aggregation AND the join probe side — the
+      // q227 lesson: unpersisted, the tokenize+explode scan (the
+      // query's dominant cost) would run twice (freed by Ckpt.sweep)
+      .persist()
     val dfreq = tk.groupBy($"tok").agg(count(lit(1)).as("df"))
     val scored = tk.join(dfreq, "tok")
       .groupBy($"doc_id", $"lang")

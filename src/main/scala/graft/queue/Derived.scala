@@ -259,9 +259,11 @@ object Derived {
     // Catalyst cannot prune columns through, so the pre-r13 form
     // materialized all 12 PhaseStatus fields — including the task_id/
     // last_file concat strings no rollup reads — and the 10x decade
-    // point paid for it (17.4 s, memory-pressure regime). Only the 7
-    // columns the overview + ETA actually read are materialized; the
-    // pruned fields come back as typed nulls so the PRODUCTION
+    // point paid for it (17.4 s, memory-pressure regime). Materialized:
+    // the 7 columns the overview + ETA read, plus `phase` — unread by
+    // the rollups but a non-nullable Int in PhaseStatus, so a typed
+    // null restore would NPE if anything ever decodes the record. The
+    // pruned STRING fields come back as typed nulls so the PRODUCTION
     // operators still run against the full PhaseStatus record.
     val st = statuses(s, dir)
       .select($"project", $"plan_id", $"phase", $"status", $"tool_count",

@@ -61,7 +61,15 @@ object TemporalJoin {
   /** updatesTs/eventsTs in micros inside the state for exact compares.
     * The update Boolean is the MATCHED flag (r13, right/full outer):
     * set when some event took this update as its in-tolerance floor, so
-    * eviction can tell a consulted update from a never-consulted one. */
+    * eviction can tell a consulted update from a never-consulted one.
+    *
+    * STATE-FORMAT BREAK (r13): the updates element widened from
+    * (Long, String) to (Long, String, Boolean). A streaming query
+    * restarted from a pre-r13 checkpoint will fail state
+    * deserialization rather than resume — the standard Spark
+    * stateful-operator schema-evolution limitation; restart such a
+    * query from a fresh checkpoint (the watermark replays the source
+    * backlog). */
   case class TState(
       updates: List[(Long, String, Boolean)], // (ts micros, data, matched) asc
       pending: List[(Long, String)])          // events awaiting the watermark

@@ -394,11 +394,12 @@ class LlmSpec extends AnyFunSuite {
       val reps = rows.filter(_.getAs[Boolean]("is_rep"))
       assert(reps.length == 1, s"cell $cell has ${reps.length} reps")
       val repCos = reps.head.getAs[Double]("cos_cent")
-      // the representative is the cell's cosine argmax (ties -> the
-      // smallest vec_id, so every non-rep is <= the rep on (cos, -id))
-      assert(rows.forall(r => r.getAs[Double]("cos_cent") < repCos ||
-        (r.getAs[Double]("cos_cent") == repCos &&
-          r.getAs[Long]("vec_id") >= reps.head.getAs[Long]("vec_id"))),
+      // the representative is the cell's cosine argmax. cos_cent is the
+      // ROUNDED display value while the window ranks on the raw cosine,
+      // so a raw near-tie can legitimately round to the same 4-decimal
+      // value on both sides — allow the rounding quantum (the same
+      // headroom the tau assertion below uses)
+      assert(rows.forall(_.getAs[Double]("cos_cent") <= repCos + 0.5e-4),
         s"cell $cell rep is not the argmax")
       for (r <- rows) {
         val dup = r.getAs[Boolean]("is_semantic_dup")
