@@ -739,15 +739,26 @@ object Dedup {
     * throws rather than returning wrong labels on non-convergence).
     * Singleton docs keep their own id, so the output is a total map
     * doc → canonical. */
+  /** Cross-query memo of the resolved cluster map (r13): q176/q188/
+    * q206 each consume q105's doc→canonical labels and re-ran the
+    * whole pointer-halving fixpoint (its per-round shuffles dominate
+    * those queries) on top of the already-cached pair set. A curation
+    * pipeline resolves components once and every downstream report
+    * reads the label table — the same shared-intermediate decision as
+    * the pair/edge/shingle caches, memoized the same way. */
+  private val clusterCache = new graft.SessionCache[DataFrame](graft.Ckpt.free)
+
   def q105DedupClusters(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val pairs = pairCache.getOrElseUpdate(s, dir,
-      graft.Ckpt.pinned(
-        TextOps.q34JaccardPairs(s, dir).select($"id1", $"id2")))
-    val edges = pairs.select($"id1".as("src"), $"id2".as("dst"))
-      .union(pairs.select($"id2".as("src"), $"id1".as("dst")))
-    val nodes = Tables.documents(s, dir).select($"doc_id")
-    minLabelComponents(nodes, edges).orderBy($"doc_id")
+    clusterCache.getOrElseUpdate(s, dir, {
+      val pairs = pairCache.getOrElseUpdate(s, dir,
+        graft.Ckpt.pinned(
+          TextOps.q34JaccardPairs(s, dir).select($"id1", $"id2")))
+      val edges = pairs.select($"id1".as("src"), $"id2".as("dst"))
+        .union(pairs.select($"id2".as("src"), $"id1".as("dst")))
+      val nodes = Tables.documents(s, dir).select($"doc_id")
+      graft.Ckpt.pinned(minLabelComponents(nodes, edges))
+    }).orderBy($"doc_id")
   }
 
   /** Oracle: transitive closure by recursive CTE over the same exact
