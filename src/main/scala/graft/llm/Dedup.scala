@@ -65,11 +65,25 @@ object Dedup {
             explode(shingles(TextOps.tokens($"text"))).as("sh")))
     })
 
-  /** w-word shingles of a token array column. */
-  def shingles(toksCol: Column, w: Int = 3): Column =
-    array_distinct(transform(
-      sequence(lit(0), greatest(size(toksCol) - w, lit(0))),
-      i => concat_ws(" ", slice(toksCol, i + 1, lit(w)))))
+  /** w-word shingles of a token array column — the native
+    * [[graft.functions.ShingleArray]] kernel (r13): one compiled pass
+    * with order-preserving distinct, replacing the interpreted
+    * five-stage higher-order pipeline (CodegenFallback `transform` +
+    * `slice` copy + `concat_ws` per position + `array_distinct`) that
+    * was the dominant per-row cost of every shingle consumer. Falls
+    * back to the declarative pipeline when no session is active at
+    * plan-construction time (the two are bit-parity — pinned by every
+    * shingle oracle and by FixtureDriftSpec against fixtures generated
+    * under the old pipeline). */
+  def shingles(toksCol: Column, w: Int = 3): Column = {
+    import org.apache.spark.sql.graftshim.GraftSqlShim
+    // embedded directly as an expression (no per-session registry): a
+    // Column built in one session must stay resolvable when analyzed
+    // by another (newSession clones get a fresh function registry —
+    // DedupSpec's exchange-reuse scenario does exactly that)
+    GraftSqlShim.column(
+      graft.functions.ShingleArray(GraftSqlShim.expression(toksCol), w))
+  }
 
   /** K-element minhash signature of a shingle-array column. */
   def minhashSig(sh: Column, k: Int = MinhashK): Column =
