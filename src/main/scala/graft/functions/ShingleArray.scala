@@ -29,11 +29,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - n = 0: one EMPTY-string shingle (sequence(0,0) emitted position
   *    0 and concat_ws of nothing is "");
   *  - distinct keeps FIRST-occurrence order (`array_distinct`'s
-  *    contract, which the banded minhash fixtures depend on).
-  * Null input array → null (UnaryExpression's null intolerance); a
-  * null ELEMENT is upstream corruption and throws (the
-  * SortedOverlapCount stance) — the shared tokenizer cannot produce
-  * one.
+  *    contract, which the banded minhash fixtures depend on);
+  *  - a null ELEMENT is SKIPPED within its window (`concat_ws`'s
+  *    null-skipping contract — and the q162 oracle's, whose event-type
+  *    arrays are not tokenizer output; throwing here would diverge
+  *    from both the replaced pipeline and DuckDB on such data).
+  * Null input array → null (UnaryExpression's null intolerance).
   */
 case class ShingleArray(child: Expression, w: Int) extends UnaryExpression {
   require(w >= 1, s"graft_shingles window must be >= 1, got $w")
@@ -77,12 +78,19 @@ object ShingleArray {
     var i = 0
     while (i <= last) {
       val m = math.min(w, n - i)
-      val parts = new Array[UTF8String](m)
+      // concat_ws semantics: null elements are skipped, not joined and
+      // not errored — bit-parity with the replaced pipeline (and the
+      // q162 oracle) on non-tokenizer inputs that may carry nulls
+      var nonNull = 0
       var k = 0
       while (k < m) {
-        if (arr.isNullAt(i + k)) throw new IllegalArgumentException(
-          s"$FnName: null token in input array")
-        parts(k) = arr.getUTF8String(i + k)
+        if (!arr.isNullAt(i + k)) nonNull += 1
+        k += 1
+      }
+      val parts = new Array[UTF8String](nonNull)
+      k = 0; var p = 0
+      while (k < m) {
+        if (!arr.isNullAt(i + k)) { parts(p) = arr.getUTF8String(i + k); p += 1 }
         k += 1
       }
       seen.add(UTF8String.concatWs(Space, parts: _*))

@@ -70,11 +70,12 @@ object Dedup {
     * with order-preserving distinct, replacing the interpreted
     * five-stage higher-order pipeline (CodegenFallback `transform` +
     * `slice` copy + `concat_ws` per position + `array_distinct`) that
-    * was the dominant per-row cost of every shingle consumer. Falls
-    * back to the declarative pipeline when no session is active at
-    * plan-construction time (the two are bit-parity — pinned by every
-    * shingle oracle and by FixtureDriftSpec against fixtures generated
-    * under the old pipeline). */
+    * was the dominant per-row cost of every shingle consumer. The
+    * kernel is bit-parity with that pipeline (including `concat_ws`'s
+    * null-element skipping) — pinned by every shingle oracle and by
+    * FixtureDriftSpec against fixtures generated under the old
+    * pipeline. No session is involved: the expression embeds directly
+    * into the Column (below), so no fallback is needed anywhere. */
   def shingles(toksCol: Column, w: Int = 3): Column = {
     import org.apache.spark.sql.graftshim.GraftSqlShim
     // embedded directly as an expression (no per-session registry): a
@@ -771,7 +772,14 @@ object Dedup {
       val edges = pairs.select($"id1".as("src"), $"id2".as("dst"))
         .union(pairs.select($"id2".as("src"), $"id1".as("dst")))
       val nodes = Tables.documents(s, dir).select($"doc_id")
-      graft.Ckpt.pinned(minLabelComponents(nodes, edges))
+      // minLabelComponents already returns an eager localCheckpoint;
+      // pinned() makes the durable copy, so free the loop's final
+      // (unpinned) one immediately — otherwise two full label tables
+      // sit in executor storage until the next sweep
+      val labels = minLabelComponents(nodes, edges)
+      val out = graft.Ckpt.pinned(labels)
+      graft.Ckpt.free(labels)
+      out
     }).orderBy($"doc_id")
   }
 

@@ -501,11 +501,18 @@ object Similarity {
     * splits the corpus meaningfully (measured at sf0.01: cell-core
     * mass above it, dispersed tail below); a real near-dup corpus
     * runs 0.9+. */
-  def q229SemanticDedup(s: SparkSession, dir: String): DataFrame = {
+  def q229SemanticDedup(s: SparkSession, dir: String): DataFrame =
+    semanticDedupFrom(vecs(s, dir), sessionSemdedupTau(s),
+      sessionIvfLloydIters(s))
+
+  /** q229's engine on an arbitrary (vec_id, v) frame — split out so
+    * specs can pin the tie-break discipline on CONSTRUCTED exact ties
+    * (duplicate vectors), which the synthetic corpus cannot force. */
+  def semanticDedupFrom(e: DataFrame, tau: Double,
+                        lloydIters: Int): DataFrame = {
+    val s = e.sparkSession
     import s.implicits._
-    val e = vecs(s, dir)
-    val tau = sessionSemdedupTau(s)
-    val cents = sampledLloydCents(e, 31, sessionIvfLloydIters(s))
+    val cents = sampledLloydCents(e, 31, lloydIters)
     // the assignment pass already computes every vector's cosine to its
     // own (winning) centroid — keepSim reads it instead of re-joining
     // the centroids and re-folding N cosines to rebuild the same number

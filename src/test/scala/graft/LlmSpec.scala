@@ -358,6 +358,29 @@ class LlmSpec extends AnyFunSuite {
     assert(rrfs.head >= rrfs.last)
   }
 
+  test("q229 tie-break: on exact raw-cosine ties the smallest vec_id is the representative") {
+    import spark.implicits._
+    // duplicate vectors = exact raw ties to the centroid; the window
+    // orders (cosc DESC, vec_id ASC), so among tied rows the SMALLEST
+    // id must be the rep — the oracle's 'cosc DESC, vec_id ASC' parity
+    // the relaxed rounded-argmax assertion above cannot see
+    val base = Seq(1.0, 0.0, 0.0, 0.0)
+    val off = Seq(0.6, 0.8, 0.0, 0.0)
+    val e = Seq(
+      (0L, base), (7L, base), (3L, base), // exact ties (dup vectors)
+      (5L, off))                          // strictly farther from the centroid
+      .toDF("vec_id", "v")
+    val out = llm.Similarity.semanticDedupFrom(e, tau = 0.5, lloydIters = 1)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Boolean]("is_rep"), r.getAs[Boolean]("is_semantic_dup"))).toMap
+    // stride covers all 4 vectors with one seed cell (n=4 -> stride 31
+    // -> only vec_id 0 seeds), so all rows share the cell
+    assert(out(0L)._1, s"smallest tied id must be rep: $out")
+    assert(!out(3L)._1 && !out(7L)._1, s"larger tied ids must not be rep: $out")
+    // tied non-reps sit at cosine 1.0 to the centroid -> semantic dups
+    assert(out(3L)._2 && out(7L)._2, s"tied non-reps must flag as dups: $out")
+  }
+
   test("q230 rarity bands: integer band rule replays exactly from the output columns") {
     val out = llm.TextOps.q230RarityBands(spark, sf).collect()
     assert(out.nonEmpty)
@@ -397,8 +420,9 @@ class LlmSpec extends AnyFunSuite {
       // the representative is the cell's cosine argmax. cos_cent is the
       // ROUNDED display value while the window ranks on the raw cosine,
       // so a raw near-tie can legitimately round to the same 4-decimal
-      // value on both sides — allow the rounding quantum (the same
-      // headroom the tau assertion below uses)
+      // value on both sides — allow the rounding quantum here; the
+      // tie-break discipline itself is pinned on constructed EXACT
+      // ties in the dedicated test below
       assert(rows.forall(_.getAs[Double]("cos_cent") <= repCos + 0.5e-4),
         s"cell $cell rep is not the argmax")
       for (r <- rows) {
