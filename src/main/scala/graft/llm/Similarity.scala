@@ -1359,6 +1359,54 @@ object Similarity {
     knnPredict(s, dir, nq = 10, k = 5).orderBy($"qid")
   }
 
+  /** q231: HARD-NEGATIVE MINING — the contrastive-training data op
+    * (public method family: in-batch/hard negatives for embedding-model
+    * training, e.g. DPR, Karpukhin et al. 2020): for each query vector,
+    * its top-k nearest SAME-label neighbors (positives) and its top-k
+    * nearest DIFFERENT-label neighbors (hard negatives — the most
+    * confusable wrong-label rows, exactly what a contrastive loss needs
+    * mined). Exact cosine over the broadcast query set (q36's graded
+    * brute-force shape — the allowlisted deliberate fan-out), one
+    * window per (query, kind); deterministic ties (sim DESC, cid ASC).
+    * Scale path: the per-label candidate generation is q66's IVF
+    * machinery applied per label partition — same geometry as q185's
+    * kNN, which this op extends with the kind split. */
+  def q231HardNegatives(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = vecs(s, dir)
+    val q = e.filter($"vec_id" < 10)
+      .select($"vec_id".as("qid"), $"v".as("qv"), $"label".as("qlabel"))
+    val c = e.filter($"vec_id" >= 10)
+      .select($"vec_id".as("cid"), $"v".as("cv"), $"label".as("clabel"))
+    val w = Window.partitionBy($"qid", $"kind").orderBy($"sim".desc, $"cid".asc)
+    c.join(broadcast(q))
+      .withColumn("sim", graft.functions.CosineSim.cosine(s, $"qv", $"cv"))
+      .withColumn("kind",
+        when($"clabel" === $"qlabel", "positive").otherwise("hard_negative"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 5)
+      .select($"qid", $"kind", $"rank", $"cid", round($"sim", 4).as("sim"))
+      .orderBy($"qid", $"kind", $"rank")
+  }
+
+  val q231Sql: String =
+    """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |q AS (SELECT vec_id AS qid, v AS qv, label AS qlabel FROM e WHERE vec_id < 10),
+      |c AS (SELECT vec_id AS cid, v AS cv, label AS clabel FROM e WHERE vec_id >= 10),
+      |sims AS (
+      |  SELECT q.qid, c.cid,
+      |    CASE WHEN c.clabel = q.qlabel THEN 'positive' ELSE 'hard_negative' END AS kind,
+      |    list_dot_product(q.qv, c.cv)
+      |      / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv))) AS sim
+      |  FROM q CROSS JOIN c),
+      |rk AS (
+      |  SELECT qid, kind, cid, sim,
+      |    row_number() OVER (PARTITION BY qid, kind ORDER BY sim DESC, cid ASC) AS rank
+      |  FROM sims)
+      |SELECT qid, kind, rank, cid, round(sim, 4) AS sim
+      |FROM rk WHERE rank <= 5
+      |ORDER BY qid, kind, rank""".stripMargin
+
   val q185Sql: String =
     """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       |q AS (SELECT vec_id AS qid, v AS qv, label AS true_label FROM e WHERE vec_id < 10),
@@ -1504,6 +1552,7 @@ object Similarity {
     "q136_ann_sq8"       -> (q136AnnSq8 _),
     "q138_ann_pq"        -> (q138AnnPq _),
     "q229_semantic_dedup" -> (q229SemanticDedup _),
+    "q231_hard_negatives" -> (q231HardNegatives _),
   )
 
   // def, not val: q39's and q66's oracle SQL is synthesized from the
@@ -1516,6 +1565,7 @@ object Similarity {
     val (sdLi, sdTau) = sessionSemdedup
     Map(
       "q229_semantic_dedup" -> q229Sql(sdLi, sdTau),
+      "q231_hard_negatives" -> q231Sql,
       "q198_cosine_threshold_sweep" -> q198Sql,
       "q190_knn_confusion" -> q190Sql,
       "q185_knn_label"     -> q185Sql,

@@ -358,6 +358,28 @@ class LlmSpec extends AnyFunSuite {
     assert(rrfs.head >= rrfs.last)
   }
 
+  test("q231 hard negatives: kinds match labels, ranks dense, sims ordered") {
+    val labels = Tables.embeddings(spark, sf)
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val out = llm.Similarity.q231HardNegatives(spark, sf).collect()
+    val byQk = out.groupBy(r => (r.getAs[Long]("qid"), r.getAs[String]("kind")))
+    // 10 queries x 2 kinds, 5 dense ranks each, sims non-increasing
+    assert(byQk.size == 20, s"expected 20 (qid, kind) groups, got ${byQk.size}")
+    for (((qid, kind), rows) <- byQk) {
+      val sorted = rows.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq == Seq(1, 2, 3, 4, 5))
+      val sims = sorted.map(_.getAs[Double]("sim")).toSeq
+      assert(sims == sims.sorted.reverse, s"($qid,$kind) sims not ordered: $sims")
+      for (r <- rows) {
+        val same = labels(r.getAs[Long]("cid")) == labels(qid)
+        assert(if (kind == "positive") same else !same,
+          s"($qid,$kind) cid ${r.getAs[Long]("cid")} label mismatch")
+        assert(r.getAs[Long]("cid") != qid, "query must not mine itself")
+      }
+    }
+  }
+
   test("q229 tie-break: on exact raw-cosine ties the smallest vec_id is the representative") {
     import spark.implicits._
     // duplicate vectors = exact raw ties to the centroid; the window

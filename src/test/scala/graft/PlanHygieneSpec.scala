@@ -57,8 +57,10 @@ class PlanHygieneSpec extends AnyFunSuite {
                            // ranges (deliberate range condition, no keys)
     "q208_apportionment",  // broadcast 1-row total + 1-row leftover grafts
     "q226_neyman_allocation", // same two 1-row grafts as q208
-    "q229_semantic_dedup") // q66's broadcast-centroid assignment pass —
+    "q229_semantic_dedup", // q66's broadcast-centroid assignment pass —
                            // the one N×K fan-out IS the SemDeDup build
+    "q231_hard_negatives") // broadcast 10-row query set vs corpus (q36's
+                           // graded brute-force shape, q185's geometry)
 
   test("no unintended cartesian products across the whole catalog") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
