@@ -103,6 +103,55 @@ object Bench {
     // (r12's q182–q189 wide-spread cluster) — is identifiable from the
     // record alone (status.py names the burst window) instead of being
     // inferred from catalog-id adjacency after the fact.
+    // Box-state capture (VERDICT r13 item 3): same-code canonical stamps
+    // have swung up to 1.19x across rounds, and each swing cost a manual
+    // adjudication because nothing recorded what the BOX was doing at
+    // stamp time. Three signals, sampled before and after the timed
+    // window, ride the record so status.py can classify a uniform
+    // catalog shift as box drift mechanically:
+    //  - /proc/loadavg (1-min): co-tenant pressure at stamp time;
+    //  - /proc/pressure/cpu "some" (avg10 + total): kernel-measured CPU
+    //    stall time — nonzero deltas mean runnable-but-waiting, the
+    //    direct signature of contention;
+    //  - a fixed-work single-thread JVM microprobe (~1.5s of xorshift64,
+    //    identical work every run): its wall-clock is a pure box-speed
+    //    index — same code + same box => same probe; a probe that moved
+    //    10% explains a catalog that moved 10%.
+    def readFirst(path: String): Option[String] =
+      try Some(new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path)), "UTF-8"))
+      catch { case _: Throwable => None }
+    def load1(): Double =
+      readFirst("/proc/loadavg").flatMap(_.split("\\s+").headOption)
+        .map(_.toDouble).getOrElse(-1.0)
+    def psiCpu(): (Double, Double) = // (avg10 %, total stall seconds)
+      readFirst("/proc/pressure/cpu").flatMap { txt =>
+        txt.linesIterator.find(_.startsWith("some")).map { l =>
+          val kv = l.split("\\s+").drop(1)
+            .flatMap(_.split("=") match {
+              case Array(k, v) => Some(k -> v.toDouble); case _ => None
+            }).toMap
+          (kv.getOrElse("avg10", -1.0), kv.getOrElse("total", -1.0) / 1e6)
+        }
+      }.getOrElse((-1.0, -1.0))
+    def probe(): Double = { // fixed work, single thread; returns seconds
+      var x = 0x9E3779B97F4A7C15L
+      var acc = 0L
+      val t0 = System.nanoTime()
+      var i = 0L
+      val iters = 1500000000L
+      while (i < iters) {
+        x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+        acc += x
+        i += 1
+      }
+      val dt = (System.nanoTime() - t0) / 1e9
+      // acc escapes so the loop cannot be dead-code-eliminated
+      if (acc == 42L) System.err.println("probe blackhole")
+      dt
+    }
+    val boxLoad0 = load1(); val (boxPsi0, boxPsiTot0) = psiCpu()
+    val boxProbe0 = probe()
     val times = collection.mutable.Map.empty[String, Vector[Double]]
       .withDefaultValue(Vector.empty)
     val repLog = collection.mutable.Map
@@ -162,7 +211,15 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val fjson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"spread":$sjson,"failed":$fjson,"sf":"$sfDir"}"""
+    val boxLoad1 = load1(); val (boxPsi1, boxPsiTot1) = psiCpu()
+    val boxProbe1 = probe()
+    val psiDelta =
+      if (boxPsiTot0 >= 0 && boxPsiTot1 >= 0) boxPsiTot1 - boxPsiTot0 else -1.0
+    val bjson = s"""{"load1_start":${r3(boxLoad0)},"load1_end":${r3(boxLoad1)},""" +
+      s""""psi10_start":${r3(boxPsi0)},"psi10_end":${r3(boxPsi1)},""" +
+      s""""psi_total_delta_s":${r3(psiDelta)},""" +
+      s""""probe_start_s":${r3(boxProbe0)},"probe_end_s":${r3(boxProbe1)}}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"spread":$sjson,"failed":$fjson,"box":$bjson,"sf":"$sfDir"}"""
     println(json)
     // The driver's BENCH_r*.json keeps only a tail of the stdout line, so
     // early-alphabet queries vanish from the per-round record. Persist the

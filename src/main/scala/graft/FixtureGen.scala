@@ -42,14 +42,27 @@ import org.apache.spark.sql.functions._
   * paths — the oracle's own corpus-agreement guard reports the mismatch
   * legibly if a stale/wrong dir is ever read. */
 object Fixtures {
-  lazy val dir: String = sys.env.getOrElse("SPARK_GRAFT_FIXTURES", {
-    val cwd = new java.io.File(sys.props("user.dir")).getAbsoluteFile
-    Iterator.iterate(cwd)(_.getParentFile).takeWhile(_ != null).take(5)
-      .map(d => new java.io.File(d, "fixtures"))
-      .find(f => new java.io.File(f, "q46_banded_sf001").isDirectory)
-      .map(_.getAbsolutePath)
-      .getOrElse("/root/repo/fixtures")
-  })
+  /** Resolved ONCE per JVM from the first caller's working directory
+    * (ADVICE r13: a long-lived JVM later operating from a different
+    * checkout keeps this first resolution). The resolution is logged at
+    * first use so a surprising fixture source is visible in any run's
+    * stderr, and FixtureDriftSpec asserts it lives inside the current
+    * checkout — a relocated clone silently reading another checkout's
+    * fixtures through the final fallback fails there by name. */
+  lazy val dir: String = {
+    val resolved = sys.env.getOrElse("SPARK_GRAFT_FIXTURES", {
+      val cwd = new java.io.File(sys.props("user.dir")).getAbsoluteFile
+      Iterator.iterate(cwd)(_.getParentFile).takeWhile(_ != null).take(5)
+        .map(d => new java.io.File(d, "fixtures"))
+        .find(f => new java.io.File(f, "q46_banded_sf001").isDirectory)
+        .map(_.getAbsolutePath)
+        .getOrElse("/root/repo/fixtures")
+    })
+    System.err.println(
+      s"graft.Fixtures: resolved fixture dir $resolved " +
+        s"(cwd ${sys.props("user.dir")})")
+    resolved
+  }
 
   /** Shared DuckDB guard CTEs for the fixture-fed oracles (q46/q47/q48/
     * q87): compares the live `documents` corpus against the committed

@@ -89,11 +89,24 @@ object DropMetrics {
     * accumulators live on the df's own executedPlan, so they are
     * readable here after the checkpoint job ran (pinned in
     * RelationalSpec via the memo-build path). */
+  /** Last values reportNow saw per metric name — a test hook (ADVICE
+    * r13: the memoized consumers' plans no longer carry the observe
+    * node, so "the build reported its counters" is only assertable if
+    * the report leaves a readable trace; RelationalSpec drives q155
+    * through the memo build and reads this). Not a metrics store:
+    * production consumers read the log lines. */
+  private[graft] val lastReports =
+    scala.collection.concurrent.TrieMap.empty[String, Map[String, Long]]
+
   def reportNow(df: DataFrame): Unit =
     org.apache.spark.sql.graftshim.GraftSqlShim
       .collectObservedMetrics(df.queryExecution.executedPlan)
       .foreach { case (name, row) =>
         if (name.startsWith("graft_")) {
+          lastReports(name) = row.schema.fieldNames.zip(row.toSeq).collect {
+            case (k, v: Long) => k -> v
+            case (k, v: Int)  => k -> v.toLong
+          }.toMap
           val kv = row.schema.fieldNames.zip(row.toSeq)
             .map { case (k, v) => s"$k=$v" }.mkString(", ")
           // WARN when anything was actually dropped: every runner sets

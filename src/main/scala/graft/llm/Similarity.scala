@@ -561,6 +561,106 @@ object Similarity {
        |FROM rk ORDER BY vec_id""".stripMargin
   }
 
+  /** q233: INCREMENTAL SemDeDup — q229's production shape for a GROWING
+    * corpus (VERDICT r13 item 2), completing the batch-vs-store family
+    * (q122 exact, q134 IVF, q135 Bloom, q147 LSH). The store
+    * (vec_id % 4 != 0, q134's split) owns the semantic index: cells
+    * from the store-sized sampled-Lloyd build, plus per cell the
+    * store's REPRESENTATIVE (argmax cosine-to-centroid, ties to the
+    * smallest vec_id — q229's policy). An ingest batch
+    * (vec_id % 4 == 0) is then deduped WITHOUT touching the store:
+    *  1. assign each batch vector to its nearest EXISTING cell — one
+    *     broadcast argmax pass, work ∝ |batch|·K;
+    *  2. compare each batch vector to its cell's store representative
+    *     (the K-row (cell → rep) table is broadcast) — one cosine per
+    *     batch row; `cos_rep ≥ τ` marks the batch row a semantic dup
+    *     of data the store already carries.
+    * Work ∝ |batch| — never a rebuild, never a pair across the store —
+    * which is what makes nightly ingest viable against a 100 TB
+    * semantically-indexed corpus; compaction (re-running q229 on
+    * store ∪ survivors) is amortized to rare maintenance, the same
+    * operational discipline as q134's IVF increment. A cell whose
+    * final store assignment captured nothing has no representative:
+    * the batch row keeps NULL rep/cosine and is NOT a dup (it becomes
+    * the cell's first occupant) — LEFT JOIN semantics identical on
+    * both engines. Deterministic throughout (stride seeds, tie-broken
+    * argmaxes, raw-cosine τ cut — bit-parity per q36's proof), so the
+    * whole path restates in SQL and is hash-graded. */
+  def q233SemdedupIncrement(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = vecs(s, dir)
+    semdedupIncrementFrom(
+      e.filter(pmod($"vec_id", lit(4)) =!= 0),
+      e.filter(pmod($"vec_id", lit(4)) === 0),
+      sessionSemdedupTau(s), lloydIters = 2)
+  }
+
+  /** q233's engine on arbitrary store/batch (vec_id, v) frames — split
+    * out (semanticDedupFrom's discipline) so specs can pin the
+    * exact-dup and no-representative paths on CONSTRUCTED data. */
+  def semdedupIncrementFrom(store: DataFrame, batch: DataFrame,
+                            tau: Double, lloydIters: Int): DataFrame = {
+    val s = store.sparkSession
+    import s.implicits._
+    val cents = sampledLloydCents(store, 31, lloydIters)
+    val storeAsg = nearestN(cents, "cent_id", "cv0")(
+      store, "vec_id", "v", 1, "cell", keepSim = Some("cosc")).drop("cell_rn")
+    val wr = Window.partitionBy($"cell").orderBy($"cosc".desc, $"vec_id".asc)
+    val reps = storeAsg.withColumn("rn", row_number().over(wr))
+      .filter($"rn" === 1)
+      .select($"cell".as("rcell"), $"vec_id".as("rep_id"), $"v".as("rep_v"))
+    val basg = nearestN(cents, "cent_id", "cv0")(
+      batch, "vec_id", "v", 1, "cell").drop("cell_rn")
+    basg.join(broadcast(reps), $"cell" === $"rcell", "left")
+      .withColumn("cos_rep", graft.functions.CosineSim.cosine(s, $"v", $"rep_v"))
+      .select($"vec_id", $"cell", $"rep_id",
+        round($"cos_rep", 4).as("cos_rep"),
+        coalesce($"cos_rep" >= tau, lit(false)).as("is_semantic_dup"))
+      .orderBy($"vec_id")
+  }
+
+  /** q233 oracle at the session's τ: q134's store/batch split and
+    * store-sized sampled-Lloyd unroll, the store's full assignment
+    * WITH its cosine-to-own-centroid (for the per-cell representative
+    * argmax), one batch argmax, and the LEFT-JOINed representative
+    * comparison. */
+  def q233Sql(tau: Double): String = {
+    val iters = (1 to 2).map(i =>
+      lloydCtes(i, if (i == 1) "c0" else s"c${i - 1}")).mkString("\n")
+    s"""WITH eall AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |store AS (SELECT vec_id, v FROM eall WHERE vec_id % 4 <> 0),
+       |batch AS (SELECT vec_id, v FROM eall WHERE vec_id % 4 = 0),
+       |params AS (SELECT greatest(31, CAST(floor(sqrt(count(*))) AS BIGINT)) AS stride FROM store),
+       |c0 AS (SELECT vec_id AS cent_id, v AS cv FROM store
+       |       WHERE vec_id % (SELECT stride FROM params) = 0),
+       |tr AS (SELECT vec_id, v FROM store
+       |       WHERE vec_id % (SELECT greatest(1, stride // 8) FROM params) = 0),
+       |$iters
+       |sasg AS (
+       |  SELECT vec_id, v, cell, cosc FROM (
+       |    SELECT st.vec_id, st.v, c.cent_id AS cell,
+       |      ${cosSql("st.v", "c.cv")} AS cosc,
+       |      row_number() OVER (PARTITION BY st.vec_id ORDER BY
+       |        ${cosSql("st.v", "c.cv")} DESC, c.cent_id ASC) AS crn
+       |    FROM store st, c2 c) t WHERE crn = 1),
+       |reps AS (
+       |  SELECT cell, vec_id AS rep_id, v AS rep_v FROM (
+       |    SELECT cell, vec_id, v,
+       |      row_number() OVER (PARTITION BY cell ORDER BY cosc DESC, vec_id ASC) AS rn
+       |    FROM sasg) t WHERE rn = 1),
+       |basg AS (
+       |  SELECT vec_id, v, cell FROM (
+       |    SELECT b.vec_id, b.v, c.cent_id AS cell,
+       |      row_number() OVER (PARTITION BY b.vec_id ORDER BY
+       |        ${cosSql("b.v", "c.cv")} DESC, c.cent_id ASC) AS crn
+       |    FROM batch b, c2 c) t WHERE crn = 1)
+       |SELECT b.vec_id, b.cell, r.rep_id,
+       |  round(${cosSql("b.v", "r.rep_v")}, 4) AS cos_rep,
+       |  coalesce(${cosSql("b.v", "r.rep_v")} >= $tau, false) AS is_semantic_dup
+       |FROM basg b LEFT JOIN reps r ON r.cell = b.cell
+       |ORDER BY vec_id""".stripMargin
+  }
+
   /** One unrolled Lloyd iteration in DuckDB: assign every TRAINING
     * vector (the `tr` CTE — the same `vec_id % trainStride` slice the
     * Spark build refines on) to its nearest `prev` centroid (argmax
@@ -1125,12 +1225,28 @@ object Similarity {
   }
 
   /** PQ build + ADC search over an arbitrary (vec_id, v) set — the
-    * recall harness runs it on the clustered corpus (LlmSpec). */
-  def annPqFrom(e: DataFrame, nq: Int = 10, k: Int = 5): DataFrame = {
+    * recall harness runs it on the clustered corpus (LlmSpec).
+    *
+    * `exactDecimal=false` is the PRODUCTION-ARITHMETIC form (VERDICT
+    * r13 item 5): every partial-agg-crossing fold stays plain double.
+    * The decimal folds exist ONLY to make the registered q138
+    * oracle-unrollable (order-independent sums = bit-identical to
+    * DuckDB); a production PQ build tolerates FP order variance — the
+    * codes feed an approximate shortlist that an exact rerank cleans
+    * up, so argmin flips on sub-ulp ties cannot change the emitted
+    * top-k beyond what the rerank already absorbs. The double form is
+    * therefore NOT separately registered (its bits are partial-order-
+    * dependent, so it cannot be hash-graded — a rows-only entry would
+    * grade less than the LlmSpec recall pin already does); PERF.md
+    * records the measured DECIMAL-vs-double delta instead. */
+  def annPqFrom(e: DataFrame, nq: Int = 10, k: Int = 5,
+                exactDecimal: Boolean = true): DataFrame = {
     val s = e.sparkSession
     import s.implicits._
     import org.apache.spark.sql.types.DecimalType
-    val dec = DecimalType(18, 9)
+    val dec: org.apache.spark.sql.types.DataType =
+      if (exactDecimal) DecimalType(18, 9)
+      else org.apache.spark.sql.types.DoubleType
     val cnt = e.agg(greatest(lit(1L),
       floor(count(lit(1)) / PqK).cast("long")).as("stride"))
     // subspace width from the data's own dim (⌈dim/M⌉; 8 for the
@@ -1371,12 +1487,18 @@ object Similarity {
     * Scale path: the per-label candidate generation is q66's IVF
     * machinery applied per label partition — same geometry as q185's
     * kNN, which this op extends with the kind split. */
-  def q231HardNegatives(s: SparkSession, dir: String): DataFrame = {
+  def q231HardNegatives(s: SparkSession, dir: String): DataFrame =
+    hardNegativesFrom(vecs(s, dir))
+
+  /** q231's exact engine on an arbitrary (vec_id, label, v) frame —
+    * split out so LlmSpec can measure q234's IVF recall against the
+    * exact sets on constructed clustered geometry. */
+  def hardNegativesFrom(e: DataFrame, nq: Int = 10, k: Int = 5): DataFrame = {
+    val s = e.sparkSession
     import s.implicits._
-    val e = vecs(s, dir)
-    val q = e.filter($"vec_id" < 10)
+    val q = e.filter($"vec_id" < nq)
       .select($"vec_id".as("qid"), $"v".as("qv"), $"label".as("qlabel"))
-    val c = e.filter($"vec_id" >= 10)
+    val c = e.filter($"vec_id" >= nq)
       .select($"vec_id".as("cid"), $"v".as("cv"), $"label".as("clabel"))
     val w = Window.partitionBy($"qid", $"kind").orderBy($"sim".desc, $"cid".asc)
     c.join(broadcast(q))
@@ -1384,9 +1506,204 @@ object Similarity {
       .withColumn("kind",
         when($"clabel" === $"qlabel", "positive").otherwise("hard_negative"))
       .withColumn("rank", row_number().over(w))
-      .filter($"rank" <= 5)
+      .filter($"rank" <= k)
       .select($"qid", $"kind", $"rank", $"cid", round($"sim", 4).as("sim"))
       .orderBy($"qid", $"kind", $"rank")
+  }
+
+  /** Per-LABEL sampled-Lloyd IVF build → (label, cent_id, cv0): q66's
+    * build generalized from one corpus-wide index to one index per
+    * label partition, entirely declaratively — per-label seed strides
+    * come from a broadcast (label → stride) params table instead of a
+    * scalar subquery, every Lloyd argmax join adds a label-equality
+    * conjunct, and cell means are keyed (label, cell). No driver loop:
+    * label count scales freely. Same determinism contract as
+    * [[sampledLloydCents]] (stride seeds, fixed tie-broken iterations
+    * over the per-label training slice, DECIMAL means, keep-previous
+    * for empty cells), so the whole build restates in SQL (q234's
+    * oracle) and stays hash-graded. */
+  private def labelLloydCents(c: DataFrame, minStride: Int,
+                              lloydIters: Int): DataFrame = {
+    val s = c.sparkSession
+    import s.implicits._
+    // seed/train predicates are OFFSET by each label's min vec_id
+    // (mn % stride): a small label whose ids happen to dodge the global
+    // multiples of stride would otherwise seed NO cells and silently
+    // drop out; anchoring the residue class at the label's own min
+    // guarantees >= 1 seed (the min itself) from one hash aggregation —
+    // no per-label total order anywhere, so the build stays
+    // 1000-executor-safe at any label skew
+    val params = c.groupBy($"label".as("pl"))
+      .agg(greatest(lit(minStride.toLong),
+        floor(sqrt(count(lit(1)).cast("double"))).cast("long")).as("stride"),
+        min($"vec_id").as("mn"))
+      .withColumn("tstride", greatest(lit(1L), expr("stride div 8")))
+    val cp = c.join(broadcast(params), $"label" === $"pl").drop("pl")
+    val seeds = cp.filter(pmod($"vec_id", $"stride") === pmod($"mn", $"stride"))
+      .select($"label", $"vec_id".as("cent_id"), $"v".as("cv0"))
+    val train = cp.filter(pmod($"vec_id", $"tstride") === pmod($"mn", $"tstride"))
+      .select($"label", $"vec_id", $"v")
+    (1 to lloydIters).foldLeft(seeds) { (cs, _) =>
+      val scored = train.as("t").join(cs.as("k"), col("t.label") === col("k.label"))
+        .withColumn("nsim",
+          graft.functions.CosineSim.cosine(s, col("t.v"), col("k.cv0")))
+      val wb = Window.partitionBy(col("t.vec_id"))
+        .orderBy($"nsim".desc, col("k.cent_id").asc)
+      val best = scored.withColumn("rn", row_number().over(wb))
+        .filter($"rn" === 1)
+        .select(col("t.label").as("label"), col("k.cent_id").as("cell"),
+          col("t.v").as("v"))
+      val means = best
+        .select($"label", $"cell", posexplode($"v").as(Seq("pos", "x")))
+        .groupBy($"label", $"cell", $"pos")
+        .agg((sum($"x".cast(DecimalType(18, 9))).cast("double") /
+          count(lit(1))).as("m"))
+        .groupBy($"label", $"cell")
+        .agg(transform(array_sort(collect_list(struct($"pos", $"m"))),
+          t => t.getField("m")).as("nv"))
+      cs.as("p").join(means.as("n"),
+          col("p.label") === col("n.label") && col("p.cent_id") === col("n.cell"),
+          "left")
+        .select(col("p.label").as("label"), col("p.cent_id").as("cent_id"),
+          coalesce(col("n.nv"), col("p.cv0")).as("cv0"))
+    }
+  }
+
+  /** q234: hard-negative mining THROUGH per-label IVF — q231's 100 TB
+    * form, registered and graded (VERDICT r13 item 6). q231 scores the
+    * broadcast probe set against the ENTIRE corpus (exact, the
+    * definition anchor); at scale the candidate generation must be
+    * index-pruned. The label partition is the natural shard for
+    * contrastive mining: positives live in the query's own label's
+    * index, hard negatives in every other label's — so build q66's IVF
+    * once per label ([[labelLloydCents]]), assign each candidate to its
+    * own label's nearest cell, and let each query probe the nprobe
+    * nearest cells of EVERY label's index (positives and negatives fall
+    * out of the same probe by the label split). A probed query touches
+    * ~nprobe·√(N_l) vectors per label instead of N — the same
+    * geometry/cost argument as q66, repeated per label. Deterministic
+    * end-to-end (stride seeds, tie-broken argmaxes, fixed iterations),
+    * so the whole pipeline restates in SQL at the session's knob values
+    * and is hash-graded; recall vs the exact q231 top-5 sets is pinned
+    * in LlmSpec. */
+  def q234HardNegativesIvf(s: SparkSession, dir: String): DataFrame =
+    hardNegativesIvfFrom(vecs(s, dir),
+      nprobe = sessionIvfNprobe(s), lloydIters = sessionIvfLloydIters(s))
+
+  def hardNegativesIvfFrom(e: DataFrame, nq: Int = 10, k: Int = 5,
+                           nprobe: Int = 2, lloydIters: Int = 2): DataFrame = {
+    val s = e.sparkSession
+    import s.implicits._
+    val c = e.filter($"vec_id" >= nq)
+    val q = e.filter($"vec_id" < nq)
+      .select($"vec_id".as("qid"), $"v".as("qv"), $"label".as("qlabel"))
+    val cents = labelLloydCents(c.select($"label", $"vec_id", $"v"),
+      31, lloydIters)
+    val scored = c.as("x").join(cents.as("k"), col("x.label") === col("k.label"))
+      .withColumn("nsim",
+        graft.functions.CosineSim.cosine(s, col("x.v"), col("k.cv0")))
+    val wa = Window.partitionBy(col("x.vec_id"))
+      .orderBy($"nsim".desc, col("k.cent_id").asc)
+    val assigned = scored.withColumn("rn", row_number().over(wa))
+      .filter($"rn" === 1)
+      .select(col("x.vec_id").as("cid"), col("x.v").as("cv"),
+        col("x.label").as("clabel"), col("k.cent_id").as("ccell"))
+    // probes: the query set × every label's centroid table is tiny
+    // (Q · Σ_l K_l rows) — rank cells per (query, label), keep nprobe
+    val qp = q.crossJoin(broadcast(cents))
+      .withColumn("psim", graft.functions.CosineSim.cosine(s, $"qv", $"cv0"))
+    val wp = Window.partitionBy($"qid", $"label")
+      .orderBy($"psim".desc, $"cent_id".asc)
+    val probes = qp.withColumn("prn", row_number().over(wp))
+      .filter($"prn" <= nprobe)
+      .select($"qid", $"qv", $"qlabel",
+        $"label".as("plabel"), $"cent_id".as("pcell"))
+    val w = Window.partitionBy($"qid", $"kind").orderBy($"sim".desc, $"cid".asc)
+    assigned.join(broadcast(probes),
+        $"clabel" === $"plabel" && $"ccell" === $"pcell")
+      .withColumn("sim", graft.functions.CosineSim.cosine(s, $"qv", $"cv"))
+      .withColumn("kind",
+        when($"clabel" === $"qlabel", "positive").otherwise("hard_negative"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= k)
+      .select($"qid", $"kind", $"rank", $"cid", round($"sim", 4).as("sim"))
+      .orderBy($"qid", $"kind", $"rank")
+  }
+
+  /** One unrolled PER-LABEL Lloyd iteration (q234's oracle): lloydCtes
+    * with a label-equality conjunct in the argmax join and (label,
+    * cell)-keyed means — the same DECIMAL(18,9) order-independence. */
+  private def labelLloydCtes(i: Int, prev: String): String =
+    s"""asg$i AS (
+       |  SELECT label, vec_id, v, cell FROM (
+       |    SELECT t.label, t.vec_id, t.v, k.cent_id AS cell,
+       |      row_number() OVER (PARTITION BY t.vec_id ORDER BY
+       |        ${cosSql("t.v", "k.cv")} DESC, k.cent_id ASC) AS crn
+       |    FROM tr t JOIN $prev k ON k.label = t.label) x WHERE crn = 1),
+       |m$i AS (
+       |  SELECT label, cell, pos,
+       |    CAST(sum(CAST(x AS DECIMAL(18,9))) AS DOUBLE) / count(*) AS m
+       |  FROM (SELECT label, cell, unnest(v) AS x,
+       |               generate_subscripts(v, 1) - 1 AS pos FROM asg$i) t
+       |  GROUP BY label, cell, pos),
+       |n$i AS (SELECT label, cell, list(m ORDER BY pos) AS nv
+       |        FROM m$i GROUP BY label, cell),
+       |c$i AS (SELECT p.label, p.cent_id, coalesce(n$i.nv, p.cv) AS cv
+       |        FROM $prev p LEFT JOIN n$i
+       |          ON n$i.label = p.label AND n$i.cell = p.cent_id),""".stripMargin
+
+  /** q234 oracle at given knob values: per-label params (GROUP BY
+    * instead of q66's scalar subquery), per-label seed/training slices,
+    * the label-aware Lloyd unroll, per-label final assignment, the
+    * per-(query, label) probe ranking, and the kind-split top-k. */
+  def q234Sql(nprobe: Int, lloydIters: Int): String = {
+    val iters = (1 to lloydIters).map(i =>
+      labelLloydCtes(i, if (i == 1) "c0" else s"c${i - 1}")).mkString("\n")
+    val cLast = s"c$lloydIters"
+    s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |c AS (SELECT vec_id, label, v FROM e WHERE vec_id >= 10),
+       |q AS (SELECT vec_id AS qid, v AS qv, label AS qlabel FROM e WHERE vec_id < 10),
+       |params AS (
+       |  SELECT label,
+       |    greatest(31, CAST(floor(sqrt(count(*))) AS BIGINT)) AS stride,
+       |    greatest(1, greatest(31, CAST(floor(sqrt(count(*))) AS BIGINT)) // 8) AS tstride,
+       |    min(vec_id) AS mn
+       |  FROM c GROUP BY label),
+       |c0 AS (SELECT c.label, c.vec_id AS cent_id, c.v AS cv
+       |       FROM c JOIN params p ON p.label = c.label
+       |       WHERE c.vec_id % p.stride = p.mn % p.stride),
+       |tr AS (SELECT c.label, c.vec_id, c.v
+       |       FROM c JOIN params p ON p.label = c.label
+       |       WHERE c.vec_id % p.tstride = p.mn % p.tstride),
+       |$iters
+       |fasg AS (
+       |  SELECT cid, cv, clabel, cell FROM (
+       |    SELECT x.vec_id AS cid, x.v AS cv, x.label AS clabel,
+       |      k.cent_id AS cell,
+       |      row_number() OVER (PARTITION BY x.vec_id ORDER BY
+       |        ${cosSql("x.v", "k.cv")} DESC, k.cent_id ASC) AS crn
+       |    FROM c x JOIN $cLast k ON k.label = x.label) t WHERE crn = 1),
+       |probes AS (
+       |  SELECT qid, qv, qlabel, plabel, pcell FROM (
+       |    SELECT q.qid, q.qv, q.qlabel, k.label AS plabel,
+       |      k.cent_id AS pcell,
+       |      row_number() OVER (PARTITION BY q.qid, k.label ORDER BY
+       |        ${cosSql("q.qv", "k.cv")} DESC, k.cent_id ASC) AS prn
+       |    FROM q CROSS JOIN $cLast k) t WHERE prn <= $nprobe),
+       |sims AS (
+       |  SELECT p.qid, f.cid,
+       |    CASE WHEN f.clabel = p.qlabel THEN 'positive'
+       |         ELSE 'hard_negative' END AS kind,
+       |    ${cosSql("p.qv", "f.cv")} AS sim
+       |  FROM probes p JOIN fasg f
+       |    ON f.clabel = p.plabel AND f.cell = p.pcell),
+       |rk AS (
+       |  SELECT qid, kind, cid, sim,
+       |    row_number() OVER (PARTITION BY qid, kind ORDER BY sim DESC, cid ASC) AS rank
+       |  FROM sims)
+       |SELECT qid, kind, rank, cid, round(sim, 4) AS sim
+       |FROM rk WHERE rank <= 5
+       |ORDER BY qid, kind, rank""".stripMargin
   }
 
   val q231Sql: String =
@@ -1553,6 +1870,8 @@ object Similarity {
     "q138_ann_pq"        -> (q138AnnPq _),
     "q229_semantic_dedup" -> (q229SemanticDedup _),
     "q231_hard_negatives" -> (q231HardNegatives _),
+    "q233_semdedup_increment" -> (q233SemdedupIncrement _),
+    "q234_hard_negatives_ivf" -> (q234HardNegativesIvf _),
   )
 
   // def, not val: q39's and q66's oracle SQL is synthesized from the
@@ -1566,6 +1885,8 @@ object Similarity {
     Map(
       "q229_semantic_dedup" -> q229Sql(sdLi, sdTau),
       "q231_hard_negatives" -> q231Sql,
+      "q233_semdedup_increment" -> q233Sql(sdTau),
+      "q234_hard_negatives_ivf" -> q234Sql(np, li),
       "q198_cosine_threshold_sweep" -> q198Sql,
       "q190_knn_confusion" -> q190Sql,
       "q185_knn_label"     -> q185Sql,

@@ -1190,16 +1190,20 @@ object TextOps {
     * so ±1% splits it ~7% rare / ~10% common / rest mid; the cut is
     * exact integer arithmetic, so ANY cut is cross-engine-safe — the
     * choice only tunes how much of each band the grade exercises)
-    * — pure BIGINT cross-multiplication, so the band of every document
+    * — pure integer cross-multiplication, so the band of every document
     * is bit-identical on any engine at any partial-aggregation order,
     * and there is NO total order anywhere: two hash aggregations and a
     * broadcast of per-language scalars, every stage 100 TB-safe. (The
     * CCNet paper cuts by cumulative-percentile instead — that is a
     * pooled order statistic, exactly q222's graded-definition class;
-    * run it through q227's broadcast-sketch machinery at scale.)
-    * Overflow headroom under ANSI checking: Σdf ≤ n·max_df and the
-    * guard products stay ≤ ~10^16 at the 10× study point — 10^2 below
-    * the int64 edge; a 100 TB run lifts the guards to DECIMAL(38,0). */
+    * q232 is that production form, graded through q213's sketch
+    * discipline.)
+    * Overflow safety (ADVICE r13): the guard products run through
+    * DECIMAL(38,0) on the Spark side and HUGEINT (int128) in the
+    * oracle — both exact, order-independent, and ~10^22 above the
+    * largest product a 100 TB corpus can form (Σdf·Σn ≤ ~10^16 even at
+    * the 10× study point), so a bigger corpus can never wrap a Long
+    * silently under Spark's non-ANSI default and flip a band. */
   def q230RarityBands(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val tk = Tables.documents(s, dir)
@@ -1214,11 +1218,13 @@ object TextOps {
       .agg(sum($"df").as("df_sum"), count(lit(1)).as("n_toks"))
     val langRef = scored.groupBy($"lang".as("l2"))
       .agg(sum($"df_sum").as("l_num"), sum($"n_toks").as("l_den"))
+    val d38 = (c: org.apache.spark.sql.Column) =>
+      c.cast(org.apache.spark.sql.types.DecimalType(38, 0))
     scored.join(broadcast(langRef), $"lang" === $"l2")
       .select($"doc_id", $"lang", $"n_toks", $"df_sum",
         round($"df_sum".cast("double") / $"n_toks", 2).as("commonness"),
-        when($"df_sum" * $"l_den" * 100 < $"l_num" * $"n_toks" * 99, "rare")
-          .when($"df_sum" * $"l_den" * 100 > $"l_num" * $"n_toks" * 101, "common")
+        when(d38($"df_sum") * $"l_den" * 100 < d38($"l_num") * $"n_toks" * 99, "rare")
+          .when(d38($"df_sum") * $"l_den" * 100 > d38($"l_num") * $"n_toks" * 101, "common")
           .otherwise("mid").as("band"))
       .orderBy($"doc_id")
   }
@@ -1239,13 +1245,101 @@ object TextOps {
       |  FROM scored GROUP BY lang)
       |SELECT s.doc_id, s.lang, s.n_toks, s.df_sum,
       |  round(CAST(s.df_sum AS DOUBLE) / s.n_toks, 2) AS commonness,
-      |  CASE WHEN s.df_sum * r.l_den * 100 < r.l_num * s.n_toks * 99 THEN 'rare'
-      |       WHEN s.df_sum * r.l_den * 100 > r.l_num * s.n_toks * 101 THEN 'common'
+      |  CASE WHEN CAST(s.df_sum AS HUGEINT) * r.l_den * 100
+      |              < CAST(r.l_num AS HUGEINT) * s.n_toks * 99 THEN 'rare'
+      |       WHEN CAST(s.df_sum AS HUGEINT) * r.l_den * 100
+      |              > CAST(r.l_num AS HUGEINT) * s.n_toks * 101 THEN 'common'
       |       ELSE 'mid' END AS band
       |FROM scored s JOIN ref r USING (lang)
       |ORDER BY doc_id""".stripMargin
 
+  /** q232: CCNet PERCENTILE-CUT rarity bands — q230's PRODUCTION twin,
+    * registered and graded (VERDICT r13 item 1). CCNet (Wenzek et al.
+    * 2020, arXiv:1911.00359) does not band by mean-relative guards:
+    * it cuts each language's corpus into head / middle / tail THIRDS
+    * by the cumulative percentile of the LM score — a pooled order
+    * statistic, exactly q222's graded-definition class. The 100 TB
+    * form is q227/q213's machinery applied per language:
+    *  1. score: q230's integer-exact commonness c = Σdf / n_tokens
+    *     (two hash aggregations; one IEEE division of exact BIGINTs,
+    *     so every c is bit-identical on both engines);
+    *  2. boundaries: per language, the 1/3 and 2/3 quantiles of c from
+    *     ONE aggregation of mergeable Greenwald–Khanna sketches
+    *     (map-side partials, no total order anywhere) — a
+    *     5-language × 2-value broadcast;
+    *  3. band: each document compared to ITS language's boundaries
+    *     map-side (tail ⟺ c ≤ b⅓, head ⟺ c > b⅔, else middle);
+    *  4. census: per (lang, band) an ordinary hash aggregation.
+    * Every stage survives a 1000-executor 100 TB scan.
+    *
+    * Sketch boundaries are engine-specific bits (GK here, t-digest in
+    * DuckDB), so the graded columns follow q213's discipline verbatim:
+    * the band id, the EXACT per-language doc count, and each engine's
+    * OWN mass boolean — did its sketch put each band within 10% of the
+    * equi-mass n/3 (the percentile-cut semantic contract), its own
+    * boundaries judged against its own counts. The 10% tolerance is
+    * margin-calibrated: at sf0.01 the worst engine-side deviation is
+    * ≤ ~3 docs on the smallest language (n=64) vs a 6.4-doc allowance,
+    * and the allowance grows linearly with n while sketch error does
+    * not (GK error ≤ n/10000 at this accuracy) — LlmSpec pins the
+    * margin so corpus drift erodes it at `sbt test`, not as a driver
+    * hash-mismatch a round later. */
+  def q232RarityTertiles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tk = Tables.documents(s, dir)
+      .select($"doc_id", $"lang", explode(tokens($"text")).as("tok"))
+      // feeds the vocabulary aggregation AND the join probe side — the
+      // q227/q230 lesson (freed by Ckpt.sweep after the query)
+      .persist()
+    val dfreq = tk.groupBy($"tok").agg(count(lit(1)).as("df"))
+    val scored = tk.join(dfreq, "tok")
+      .groupBy($"doc_id", $"lang")
+      .agg((sum($"df").cast("double") / count(lit(1))).as("c"))
+    val b = scored.groupBy($"lang".as("l2")).agg(
+      expr("approx_percentile(c, array(CAST(1.0D/3.0D AS DOUBLE), " +
+        "CAST(2.0D/3.0D AS DOUBLE)), 10000)").as("bs"),
+      count(lit(1)).as("n_lang"))
+    scored.join(broadcast(b), $"lang" === $"l2")
+      .withColumn("band",
+        when($"c" <= element_at($"bs", 1), "tail")
+          .when($"c" > element_at($"bs", 2), "head")
+          .otherwise("middle"))
+      .groupBy($"lang", $"band")
+      .agg(count(lit(1)).as("nb"), first($"n_lang").as("n_lang"))
+      .select($"lang", $"band", $"n_lang",
+        (abs($"nb" - $"n_lang" / lit(3.0)) <= $"n_lang" * lit(0.10))
+          .as("mass_ok"))
+      .orderBy($"lang", $"band")
+  }
+
+  val q232Sql: String =
+    raw"""WITH tk AS (
+      |  SELECT doc_id, lang, unnest(toks) AS tok
+      |  FROM (SELECT doc_id, lang, regexp_extract_all(lower(text), '\S+') AS toks
+      |        FROM documents) t),
+      |dfreq AS (SELECT tok, count(*) AS df FROM tk GROUP BY tok),
+      |scored AS (
+      |  SELECT doc_id, lang, CAST(sum(df) AS DOUBLE) / count(*) AS c
+      |  FROM tk JOIN dfreq USING (tok) GROUP BY doc_id, lang),
+      |b AS (
+      |  SELECT lang AS l2,
+      |    approx_quantile(c, [CAST(1.0/3.0 AS FLOAT), CAST(2.0/3.0 AS FLOAT)]) AS bs,
+      |         count(*) AS n_lang
+      |  FROM scored GROUP BY lang),
+      |a AS (
+      |  SELECT s.lang, b.n_lang,
+      |    CASE WHEN s.c <= b.bs[1] THEN 'tail'
+      |         WHEN s.c > b.bs[2] THEN 'head'
+      |         ELSE 'middle' END AS band
+      |  FROM scored s JOIN b ON b.l2 = s.lang)
+      |SELECT lang, band, any_value(n_lang) AS n_lang,
+      |  abs(count(*) - any_value(n_lang) / 3.0)
+      |    <= any_value(n_lang) * 0.10 AS mass_ok
+      |FROM a GROUP BY lang, band
+      |ORDER BY lang, band""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q232_rarity_tertiles" -> (q232RarityTertiles _),
     "q230_rarity_bands" -> (q230RarityBands _),
     "q227_calibration_sketch" -> (q227CalibrationSketch _),
     "q222_source_calibration" -> (q222SourceCalibration _),
@@ -1274,6 +1368,7 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q232_rarity_tertiles" -> q232Sql,
     "q230_rarity_bands" -> q230Sql,
     "q227_calibration_sketch" -> q227Sql,
     "q222_source_calibration" -> q222Sql,

@@ -59,8 +59,14 @@ class PlanHygieneSpec extends AnyFunSuite {
     "q226_neyman_allocation", // same two 1-row grafts as q208
     "q229_semantic_dedup", // q66's broadcast-centroid assignment pass —
                            // the one N×K fan-out IS the SemDeDup build
-    "q231_hard_negatives") // broadcast 10-row query set vs corpus (q36's
+    "q231_hard_negatives", // broadcast 10-row query set vs corpus (q36's
                            // graded brute-force shape, q185's geometry)
+    "q233_semdedup_increment", // q134's broadcast-centroid assignment
+                           // passes (store reps + ingest batch) — the
+                           // N×K fan-out IS the incremental build
+    "q234_hard_negatives_ivf") // broadcast per-label centroid tables:
+                           // the Lloyd/assignment fan-outs (q66's shape,
+                           // label-keyed) + the Q×ΣK probe ranking
 
   test("no unintended cartesian products across the whole catalog") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

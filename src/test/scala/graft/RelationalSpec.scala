@@ -642,6 +642,31 @@ class RelationalSpec extends AnyFunSuite {
     assert(m2("dropped_buckets") == 0L && m2("dropped_pairs") == 0L, m2.toString)
   }
 
+  test("q155 memoized edge build reports its counters at build time, then goes silent") {
+    // ADVICE r13: the zero-drop assertion above bypasses the production
+    // q155 routing (the memoized consumers' plans no longer carry the
+    // observe node), so a regression in q155's path THROUGH the capped
+    // edge build went uncovered. Drive the memo build itself: a dir no
+    // other test touches Graph with (sf0.01) forces a fresh
+    // coVisitEdgesCached build, whose reportNow must leave the
+    // CoVisitDrops counters readable — and zero at this scale.
+    import graft.llm.DropMetrics
+    val dir = "/root/testdata/sf0.01"
+    DropMetrics.lastReports.remove(DropMetrics.CoVisitDrops)
+    assert(relational.Graph.q155Triangles(spark, dir).count() > 0)
+    val m = DropMetrics.lastReports.get(DropMetrics.CoVisitDrops)
+    assert(m.nonEmpty, "memo build executed but reportNow left no counters")
+    val mm = m.get
+    assert(mm("dropped_buckets") == 0L && mm("dropped_pairs") == 0L,
+      s"cap bound at a grading scale: $mm")
+    // second consumer is served from the memo: the build (and its
+    // report) must NOT re-run — the counters fired once, at build time
+    DropMetrics.lastReports.remove(DropMetrics.CoVisitDrops)
+    assert(relational.Graph.q161BfsHops(spark, dir).count() > 0)
+    assert(DropMetrics.lastReports.get(DropMetrics.CoVisitDrops).isEmpty,
+      "memoized consumer re-executed the edge build (cache miss)")
+  }
+
   test("q155 triangles: participation equals 3x the brute-force triangle count") {
     import org.apache.spark.sql.functions._
     val out = relational.Graph.q155Triangles(spark, sf).collect()

@@ -211,6 +211,70 @@ def load_bench_spread(path):
             out[m.group(1)] = {k: float(v) for k, v in fields.items()}
     return out
 
+def load_bench_box(path):
+    """Box-state fields {load1_start, load1_end, psi10_start, psi10_end,
+    psi_total_delta_s, probe_start_s, probe_end_s} from an r14+ bench
+    record (Bench samples /proc/loadavg, /proc/pressure/cpu and a
+    fixed-work JVM microprobe around the timed window), else {}.
+    Negative values are 'unavailable' sentinels and are dropped."""
+    text = open(path).read()
+    try:
+        d = json.loads(text)
+    except json.JSONDecodeError:
+        d = {"tail": text}
+    box = d.get("box") if isinstance(d, dict) else None
+    if not isinstance(box, dict):
+        # tail records: the box object sits near the end, so it usually
+        # survives truncation — parse it positionally
+        src = d.get("tail", "") if isinstance(d, dict) else ""
+        m = re.search(r'"box":\{([^}]*)\}', src)
+        if not m:
+            return {}
+        box = dict(re.findall(r'"([a-z0-9_]+)":(-?[0-9.eE+]+)', m.group(1)))
+    return {k: float(v) for k, v in box.items() if float(v) >= 0}
+
+def box_drift_note(new_path, ref_path, new, ref, new_sp, ref_sp):
+    """Mechanical same-code-swing adjudication (VERDICT r13 item 3): a
+    box-drift swing moves the whole catalog UNIFORMLY and moves the
+    fixed-work probe WITH it; a code regression moves specific queries
+    and leaves the probe alone. When both records carry probes, compare
+    the catalog's median min-of-reps ratio to the probe ratio: if the
+    catalog moved >=10% and the probe explains >=half the move (ratio
+    within 15% of the probe's), classify the swing as box drift on the
+    output — the r10–r13 recurring adjudication, made mechanical."""
+    nb, rb = load_bench_box(new_path), load_bench_box(ref_path)
+    probe_n = nb.get("probe_start_s")
+    probe_r = rb.get("probe_start_s")
+    common = [q for q in set(new) & set(ref) if new[q] > 0 and ref[q] > 0]
+    if len(common) < 20:
+        return None
+    ratios = sorted(
+        (new_sp.get(q, {}).get("min", new[q]) /
+         ref_sp.get(q, {}).get("min", ref[q])) for q in common)
+    cat = ratios[len(ratios) // 2]
+    parts = []
+    if probe_n and probe_r:
+        pr = probe_n / probe_r
+        parts.append(f"fixed-work probe {probe_r:.2f}s -> {probe_n:.2f}s "
+                     f"({pr:.2f}x)")
+        if abs(cat - 1.0) >= 0.10 and abs(cat - pr) <= 0.15 * pr:
+            parts.append(
+                f"catalog med ratio {cat:.2f}x tracks the probe — "
+                "uniform shift classified BOX DRIFT, not code")
+        elif abs(cat - 1.0) >= 0.10:
+            parts.append(
+                f"catalog med ratio {cat:.2f}x does NOT track the probe "
+                "— the shift is not box speed; inspect per-query flags")
+    elif nb:
+        parts.append("box fields present only in the new record "
+                     "(reference predates r14) — no probe comparison")
+    if nb.get("load1_start") is not None:
+        parts.append(f"load1 {nb.get('load1_start'):.1f}->"
+                     f"{nb.get('load1_end', -1):.1f}")
+    if nb.get("psi_total_delta_s") is not None:
+        parts.append(f"cpu-psi stall {nb['psi_total_delta_s']:.0f}s over the run")
+    return "; ".join(parts) if parts else None
+
 def load_correctness(path):
     return json.load(open(path))
 
@@ -370,16 +434,27 @@ def burst_window(spread, wide_ratio=2.0, min_cluster=3, span_frac=0.25):
     None (not enough wide queries, no provenance, or no clustering)."""
     slow = []   # (query, pass, startOffset) of each wide query's slowest rep
     total_span = 0.0
+    with_reps = 0
     for name, sp in spread.items():
         reps = sp.get("reps")
         if not reps:
             continue
+        with_reps += 1
         total_span = max(total_span, max(a + t for _, a, t in reps))
         mn, mx = sp.get("min"), sp.get("max")
         if not mn or not mx or mn <= 0 or mx / mn <= wide_ratio:
             continue
         p, a, t = max(reps, key=lambda r: r[2])
         slow.append((name, p, a))
+    # ADVICE r13: a left-truncated tail record keeps reps only for the
+    # late-alphabet queries, shrinking the estimated run span and making
+    # the span_frac test spuriously permissive — refuse to name a burst
+    # from an unrepresentative window
+    # (zero reps anywhere = a pre-r13 record, not truncation — stay silent)
+    if with_reps and with_reps / len(spread) < 0.5:
+        return ("rep provenance truncated "
+                f"({with_reps}/{len(spread)} queries carry reps) — "
+                "burst detection skipped; read the full stamped record")
     if len(slow) < min_cluster or total_span <= 0:
         return None
     by_pass = {}
@@ -465,6 +540,9 @@ def cmd_bench_gate(args):
     summary = dispersion_summary(new_sp)
     if summary:
         print(f"rep dispersion in {os.path.basename(new_path)}: {summary}")
+    box_note = box_drift_note(new_path, ref_path, new, ref, new_sp, ref_sp)
+    if box_note:
+        print(f"box state: {box_note}")
     if bad:
         print(f"bench regressions vs {os.path.basename(ref_path)}:")
         for b in bad:

@@ -12,7 +12,8 @@ import json, os, sys, tempfile
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, HERE)
-from status import spread_advisories, burst_window, load_bench_spread  # noqa: E402
+from status import (spread_advisories, burst_window, load_bench_spread,
+                    load_bench_box, box_drift_note)  # noqa: E402
 
 
 def main():
@@ -98,8 +99,68 @@ def main():
     assert sp["q02_topk"]["min"] == 1.9, sp
     os.unlink(path)
 
+    # --- burst_window truncation guard (ADVICE r13): a left-truncated
+    # tail keeps reps only for late-alphabet queries; the span estimate
+    # shrinks and a burst must NOT be named from that window.
+    truncated = {
+        f"q{180 + i}_x": entry(
+            [(1, 10.0 + i, 1.0), (2, 210.0 + 10 * i, 6.0), (3, 410.0 + i, 1.0)],
+            1.0, 6.0)
+        for i in range(4)
+    }
+    # 6 early-alphabet queries whose reps were truncated away
+    for i in range(6):
+        truncated[f"q0{i}_early"] = {"med": 1.0, "min": 0.9, "max": 1.1}
+    t = burst_window(truncated)
+    assert t and "truncated" in t and "4/10" in t, f"guard missing: {t}"
+    # at >=50% coverage the normal path resumes (burst named as before)
+    assert "pass 2" in burst_window(burst_spread)
+
+    # --- box fields (VERDICT r13 item 3): load + probe round-trip, and
+    # the gate classifies a uniform catalog shift that tracks the probe
+    # as box drift — mechanically, from the records alone.
+    def write_rec(path, qsec, probe):
+        rec = {"metric": "total", "value": sum(qsec.values()), "unit": "sec",
+               "queries": qsec,
+               "spread": {q: {"med": v, "min": v, "max": v, "gc": 0.0}
+                          for q, v in qsec.items()},
+               "failed": [],
+               "box": {"load1_start": 1.5, "load1_end": 2.0,
+                       "psi10_start": 0.0, "psi10_end": 0.1,
+                       "psi_total_delta_s": 12.0,
+                       "probe_start_s": probe, "probe_end_s": probe},
+               "sf": "x"}
+        with open(path, "w") as f:
+            json.dump(rec, f)
+    qs_ref = {f"q{i:02d}_x": 1.0 for i in range(30)}
+    qs_new = {q: 1.2 for q in qs_ref}   # uniform 1.2x catalog shift
+    ref_p = tempfile.mktemp(suffix=".json")
+    new_p = tempfile.mktemp(suffix=".json")
+    write_rec(ref_p, qs_ref, probe=1.50)
+    write_rec(new_p, qs_new, probe=1.80)  # probe moved 1.2x too
+    box = load_bench_box(new_p)
+    assert box["probe_start_s"] == 1.80 and box["load1_end"] == 2.0, box
+    from status import load_bench_queries
+    note = box_drift_note(new_p, ref_p,
+                          load_bench_queries(new_p), load_bench_queries(ref_p),
+                          load_bench_spread(new_p), load_bench_spread(ref_p))
+    assert note and "BOX DRIFT" in note, f"uniform+probe shift not classified: {note}"
+    # same catalog shift but the probe stayed flat — NOT box drift
+    write_rec(new_p, qs_new, probe=1.50)
+    note = box_drift_note(new_p, ref_p,
+                          load_bench_queries(new_p), load_bench_queries(ref_p),
+                          load_bench_spread(new_p), load_bench_spread(ref_p))
+    assert note and "does NOT track" in note, f"flat probe misread: {note}"
+    # negative sentinels (no /proc on the box) are dropped, not reported
+    with open(new_p, "w") as f:
+        json.dump({"queries": qs_new, "box": {"probe_start_s": -1.0,
+                                              "load1_start": -1.0}}, f)
+    assert load_bench_box(new_p) == {}
+    os.unlink(ref_p); os.unlink(new_p)
+
     print("test_status: OK (spread advisory fires once, suppressions hold; "
-          "burst window named from rep provenance; reps field round-trips)")
+          "burst window named from rep provenance + truncation guard; "
+          "reps field round-trips; box drift adjudicated from probes)")
 
 
 if __name__ == "__main__":
