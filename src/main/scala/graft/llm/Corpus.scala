@@ -769,7 +769,108 @@ object Corpus {
       |FROM sc, tot
       |ORDER BY sc.doc_id""".stripMargin
 
+  /** q236: UniMax epoch-capped mixture allocation — the
+    * language-sampling algorithm of Chung et al. 2023 (UniMax,
+    * arXiv:2304.09151, public): distribute a token budget as uniformly
+    * as possible across languages while capping any language at C
+    * epochs of its available data (repeating a small language more
+    * than ~4 epochs stops helping — the data-constrained-scaling
+    * result of Muennighoff et al. 2023). Exact integer water-filling,
+    * closed form instead of the paper's iterative loop:
+    *  1. avail per language (one corpus hash aggregation — the only
+    *     stage that touches the data; everything below runs on a
+    *     #languages-row frame, bounded domain like q208's sources);
+    *  2. rank languages by avail ascending; language at rank k is
+    *     CAPPED iff C·avail_k·(S−k+1) ≤ B − C·cum_{k−1} (its cap fits
+    *     under the uniform level of the remaining slots — exact BIGINT
+    *     cross-multiplication) AND every smaller language is capped
+    *     (prefix property of water-filling: a running min over the
+    *     rank order);
+    *  3. capped languages take exactly C·avail; the leftover splits
+    *     evenly over the uncapped (integer div), remainder to the
+    *     lexicographically first uncapped languages (q208's
+    *     largest-remainder tie discipline) — so Σalloc = B EXACTLY,
+    *     which the spec pins.
+    * Budget B = 3·total tokens, C = 4 epochs: on the graded corpus the
+    * four small languages cap at 4.00 epochs and `en` water-fills to
+    * 1.69 — both branches exercised; the arithmetic is exact, so any
+    * knob values are cross-engine-safe. */
+  def q236UnimaxMixing(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val C = 4L
+    val av = Tables.documents(s, dir)
+      .select($"lang", size(TextOps.tokens($"text")).as("n"))
+      .groupBy($"lang").agg(sum($"n").as("avail"))
+    val tot = av.agg((sum($"avail") * 3).as("b"), count(lit(1)).as("ns"))
+    val w = Window.orderBy($"avail".asc, $"lang".asc)
+    val cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    val ranked = av.crossJoin(broadcast(tot))
+      .withColumn("rk", row_number().over(w))
+      .withColumn("cum", sum($"avail").over(cum))
+      .withColumn("cond",
+        (lit(C) * $"avail" * ($"ns" - $"rk" + 1) <=
+          $"b" - lit(C) * ($"cum" - $"avail")).cast("int"))
+      .withColumn("capped", min($"cond").over(cum) === 1)
+    val fill = ranked.agg(
+      sum(when($"capped", $"avail").otherwise(0L)).as("cum_capped"),
+      sum(when($"capped", 1L).otherwise(0L)).as("k"))
+    ranked.crossJoin(broadcast(fill))
+      .withColumn("leftover", $"b" - lit(C) * $"cum_capped")
+      .withColumn("slots", $"ns" - $"k")
+      .withColumn("level",
+        when($"slots" > 0, expr("leftover div slots")).otherwise(lit(0L)))
+      .withColumn("rem",
+        when($"slots" > 0, pmod($"leftover", $"slots")).otherwise(lit(0L)))
+      .withColumn("urank",
+        row_number().over(Window.partitionBy($"capped").orderBy($"lang".asc)))
+      .withColumn("alloc",
+        when($"capped", lit(C) * $"avail")
+          .otherwise($"level" + when($"urank" <= $"rem", 1L).otherwise(0L)))
+      .select($"lang", $"avail", $"capped", $"alloc",
+        expr("(100 * alloc) div avail").as("epochs_pct"))
+      .orderBy($"lang")
+  }
+
+  val q236Sql: String =
+    raw"""WITH av AS (
+      |  SELECT lang,
+      |    CAST(sum(len(regexp_extract_all(lower(text), '\S+'))) AS BIGINT) AS avail
+      |  FROM documents GROUP BY lang),
+      |tot AS (SELECT CAST(sum(avail) * 3 AS BIGINT) AS b, count(*) AS ns FROM av),
+      |rk AS (
+      |  SELECT lang, avail, b, ns,
+      |    row_number() OVER (ORDER BY avail ASC, lang ASC) AS rk,
+      |    CAST(sum(avail) OVER (ORDER BY avail ASC, lang ASC
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      |  FROM av, tot),
+      |cd AS (
+      |  SELECT *, CASE WHEN 4 * avail * (ns - rk + 1) <= b - 4 * (cum - avail)
+      |                 THEN 1 ELSE 0 END AS cond
+      |  FROM rk),
+      |cp AS (
+      |  SELECT *, min(cond) OVER (ORDER BY rk ROWS UNBOUNDED PRECEDING) = 1 AS capped
+      |  FROM cd),
+      |fill AS (
+      |  SELECT CAST(sum(CASE WHEN capped THEN avail ELSE 0 END) AS BIGINT) AS cum_capped,
+      |         CAST(sum(CASE WHEN capped THEN 1 ELSE 0 END) AS BIGINT) AS k
+      |  FROM cp),
+      |ur AS (
+      |  SELECT cp.*, fill.cum_capped, fill.k,
+      |    row_number() OVER (PARTITION BY capped ORDER BY lang ASC) AS urank
+      |  FROM cp, fill),
+      |al AS (
+      |  SELECT lang, avail, capped,
+      |    CAST(CASE WHEN capped THEN 4 * avail
+      |         ELSE (b - 4 * cum_capped) // (ns - k)
+      |              + (CASE WHEN urank <= (b - 4 * cum_capped) % (ns - k)
+      |                 THEN 1 ELSE 0 END) END AS BIGINT) AS alloc
+      |  FROM ur)
+      |SELECT lang, avail, capped, alloc,
+      |  CAST((100 * alloc) // avail AS BIGINT) AS epochs_pct
+      |FROM al ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q236_unimax_mixing"     -> (q236UnimaxMixing _),
     "q235_dsir_select"       -> (q235DsirSelect _),
     "q224_dedup_velocity"    -> (q224DedupVelocity _),
     "q225_vocab_growth"      -> (q225VocabGrowth _),
@@ -786,6 +887,7 @@ object Corpus {
   )
 
   val oracle: Map[String, String] = Map(
+    "q236_unimax_mixing"     -> q236Sql,
     "q235_dsir_select"       -> q235Sql,
     "q224_dedup_velocity"    -> q224Sql,
     "q225_vocab_growth"      -> q225Sql,

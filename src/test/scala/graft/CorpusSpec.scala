@@ -201,4 +201,27 @@ class CorpusSpec extends AnyFunSuite {
     assert(rate(sel) > 5 * rate(out),
       f"target source not enriched: ${rate(sel)}%.3f selected vs ${rate(out)}%.3f corpus")
   }
+
+  test("q236 UniMax allocation: budget conserved exactly, caps exact, capped set is the small-avail prefix") {
+    val out = llm.Corpus.q236UnimaxMixing(spark, "/root/testdata/sf0.01").collect()
+    val totalAvail = out.map(_.getAs[Long]("avail")).sum
+    // exact conservation: the water-fill distributes the WHOLE budget
+    assert(out.map(_.getAs[Long]("alloc")).sum == 3 * totalAvail,
+      "allocation does not conserve the 3x-token budget exactly")
+    val (capped, uncapped) = out.partition(_.getAs[Boolean]("capped"))
+    assert(capped.nonEmpty && uncapped.nonEmpty,
+      s"degenerate water-fill: ${capped.length} capped of ${out.length}")
+    // capped languages sit at EXACTLY the 4-epoch cap; uncapped below it
+    assert(capped.forall(r => r.getAs[Long]("alloc") == 4 * r.getAs[Long]("avail")
+      && r.getAs[Long]("epochs_pct") == 400L))
+    assert(uncapped.forall(_.getAs[Long]("epochs_pct") < 400L))
+    // prefix property: every capped language is smaller than every
+    // uncapped one (water rises from the smallest availability)
+    assert(capped.map(_.getAs[Long]("avail")).max <
+      uncapped.map(_.getAs[Long]("avail")).min,
+      "capped set is not the small-availability prefix")
+    // even split: uncapped allocations differ by at most the remainder unit
+    val ua = uncapped.map(_.getAs[Long]("alloc"))
+    assert(ua.max - ua.min <= 1, s"uncapped split uneven: ${ua.toSeq}")
+  }
 }

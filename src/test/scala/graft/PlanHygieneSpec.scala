@@ -64,9 +64,14 @@ class PlanHygieneSpec extends AnyFunSuite {
     "q233_semdedup_increment", // q134's broadcast-centroid assignment
                            // passes (store reps + ingest batch) — the
                            // N×K fan-out IS the incremental build
-    "q234_hard_negatives_ivf") // broadcast per-label centroid tables:
+    "q234_hard_negatives_ivf", // broadcast per-label centroid tables:
                            // the Lloyd/assignment fan-outs (q66's shape,
                            // label-keyed) + the Q×ΣK probe ranking
+    "q235_dsir_select",    // broadcast of the 1-row ΣA/ΣBv corpus
+                           // totals (the q117 scalar-graft pattern)
+    "q236_unimax_mixing")  // broadcast 1-row budget + 1-row fill-state
+                           // grafts over the #languages-row frame
+                           // (q208's two-scalar-graft shape)
 
   test("no unintended cartesian products across the whole catalog") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
