@@ -1198,18 +1198,22 @@ object Similarity {
     * with the exact cosine, and the top-5 emitted — q36's contract, so
     * recall is measured against brute force directly (LlmSpec).
     *
-    * Every fold that crosses a partial-aggregation boundary (encoding
-    * distances, reconstruction dots, norms) runs in DECIMAL(18,9) — the
-    * q38 discipline: decimal addition is associative, so the result is
-    * independent of Spark's partial-agg order AND bit-identical to the
-    * DuckDB oracle's sums, which restate the whole build CTE-by-CTE
-    * (stride seeding, argmin encoding with j-ascending tie-break, ADC
-    * scoring, both tie-broken windows). Per-element products are single
-    * IEEE ops, identical in both engines by construction.
+    * Determinism (r14): NO fold crosses a partial-aggregation boundary
+    * — in-slice folds (encoding distances, dots, norms) run as
+    * sequential left folds over the 8-dim slice ARRAYS inside codegen
+    * (bit-identical to DuckDB's list_dot_product, q36's proof), and
+    * per-vector sums over the M per-subspace values fold an
+    * array_sort'ed collect_list (order-independent by construction).
+    * Plain doubles end-to-end; the r13 build's DECIMAL(18,9) lift —
+    * measured at 2.6× of the whole query (PERF.md r14) — is gone, and
+    * the oracle still restates the build CTE-by-CTE (stride seeding,
+    * argmin encoding with j-ascending tie-break, ADC scoring, both
+    * tie-broken windows).
     *
-    * Scale shape: encoding work is N · 16 · D rows — linear in the
-    * corpus with a constant fan — and one (vec_id, m)-keyed argmin;
-    * scoring fans Q · N · D with Q bounded by the query batch. The
+    * Scale shape: encoding moves N · M slice rows through one broadcast
+    * join against the K·M-row codebook and one (vec_id, m)-keyed
+    * argmin — 8× fewer rows than the r13 per-scalar shape; scoring fans
+    * Q · N · M with Q bounded by the query batch. The
     * production form keeps codes as packed bytes and scores via an
     * ADC lookup table (256 · M floats per query, built once); this
     * relational twin exists to make those semantics hash-gradable
@@ -1227,69 +1231,70 @@ object Similarity {
   /** PQ build + ADC search over an arbitrary (vec_id, v) set — the
     * recall harness runs it on the clustered corpus (LlmSpec).
     *
-    * `exactDecimal=false` is the PRODUCTION-ARITHMETIC form (VERDICT
-    * r13 item 5): every partial-agg-crossing fold stays plain double.
-    * The decimal folds exist ONLY to make the registered q138
-    * oracle-unrollable (order-independent sums = bit-identical to
-    * DuckDB); a production PQ build tolerates FP order variance — the
-    * codes feed an approximate shortlist that an exact rerank cleans
-    * up, so argmin flips on sub-ulp ties cannot change the emitted
-    * top-k beyond what the rerank already absorbs. The double form is
-    * therefore NOT separately registered (its bits are partial-order-
-    * dependent, so it cannot be hash-graded — a rows-only entry would
-    * grade less than the LlmSpec recall pin already does); PERF.md
-    * records the measured DECIMAL-vs-double delta instead. */
-  def annPqFrom(e: DataFrame, nq: Int = 10, k: Int = 5,
-                exactDecimal: Boolean = true): DataFrame = {
+    * ARITHMETIC (r14 restructure): every fold runs as an ORDERED ARRAY
+    * fold — the encoding distance and per-subspace dots fold the 8-dim
+    * slice arrays inside codegen (q36's sequential-left-fold kernel,
+    * bit-identical to DuckDB's list_dot_product), and the per-vector
+    * sums over the M per-subspace values fold an array_sort'ed
+    * collect_list (deterministic regardless of partial-aggregation
+    * order — sampledLloydCents' trick). NOTHING sums doubles across an
+    * aggregation boundary, so plain-double arithmetic is exactly
+    * reproducible on both engines and the DECIMAL(18,9) lift the r13
+    * build needed is gone — PqArithStudy measured it at 2.6× of the
+    * whole query (PERF.md r14), which this shape simply does not pay.
+    * The exploded (vec, pos) row shape went with it: the build now
+    * moves M-row slices instead of D-row scalars (8× fewer rows through
+    * the encode join and window). */
+  def annPqFrom(e: DataFrame, nq: Int = 10, k: Int = 5): DataFrame = {
     val s = e.sparkSession
     import s.implicits._
-    import org.apache.spark.sql.types.DecimalType
-    val dec: org.apache.spark.sql.types.DataType =
-      if (exactDecimal) DecimalType(18, 9)
-      else org.apache.spark.sql.types.DoubleType
     val cnt = e.agg(greatest(lit(1L),
       floor(count(lit(1)) / PqK).cast("long")).as("stride"))
-    // subspace width from the data's own dim (⌈dim/M⌉; 8 for the
-    // 64-dim embeddings table, mirrored by the oracle's `pos // 8`)
-    val sub = e.withColumn("sw", ceil(size($"v") / lit(PqM.toDouble)).cast("int"))
-      .select($"vec_id", $"sw", posexplode($"v").as(Seq("pos", "x")))
-      .withColumn("m", floor($"pos" / $"sw").cast("int")).drop("sw")
+    // per-(vector, subspace) slice arrays; subspace width from the
+    // data's own dim (⌈dim/M⌉ — 8 for the 64-dim embeddings table)
+    val subs = e
+      .withColumn("sw", ceil(size($"v") / lit(PqM.toDouble)).cast("int"))
+      .select($"vec_id", explode(expr(
+        s"transform(sequence(0, ${PqM - 1}), mm -> " +
+          "struct(mm AS m, slice(v, mm * sw + 1, sw) AS sub))")).as("t"))
+      .select($"vec_id", $"t.m".as("m"), $"t.sub".as("sub"))
       .persist() // feeds cents, encoding, the query side, and the norms
-    val cents = sub.crossJoin(broadcast(cnt))
+    // deterministic sequential left folds over the slice arrays
+    def dotF(a: String, b: String) =
+      s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
+    def sqDiffF(a: String, b: String) =
+      s"aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), 0.0D, (acc, x) -> acc + x)"
+    // ordered fold over the M per-subspace values of a group — the
+    // collect_list is sorted by m before folding, so the sum is
+    // independent of aggregation order without any decimal cast
+    def mFold(mCol: String, vCol: String) =
+      s"aggregate(transform(array_sort(collect_list(struct($mCol, $vCol))), " +
+        s"t -> t.$vCol), 0.0D, (acc, x) -> acc + x)"
+    val cents = subs.crossJoin(broadcast(cnt))
       .filter($"vec_id" % $"stride" === 0 && $"vec_id" < $"stride" * PqK)
-      .select(expr("vec_id div stride").as("j"), $"m", $"pos", $"x".as("c"))
+      .select(expr("vec_id div stride").as("j"), $"m", $"sub".as("carr"))
     // encode: per (vector, subspace) the L2-nearest codebook entry,
-    // ties toward the smallest j
-    // the codebook is K·D rows (~1k) — broadcast it so the N·K·D
-    // encoding fan never shuffles the exploded corpus
-    val enc = sub.join(broadcast(cents), Seq("m", "pos"))
-      .withColumn("sqd", (($"x" - $"c") * ($"x" - $"c")).cast(dec))
-      .groupBy($"vec_id", $"m", $"j").agg(sum($"sqd").as("d2"))
+    // ties toward the smallest j; the codebook is K·M rows — broadcast
+    val enc = subs.join(broadcast(cents), Seq("m"))
+      .withColumn("d2", expr(sqDiffF("sub", "carr")))
     val wEnc = Window.partitionBy($"vec_id", $"m").orderBy($"d2".asc, $"j".asc)
     val codes = enc.withColumn("rn", row_number().over(wEnc)).filter($"rn" === 1)
       .select($"vec_id".as("cid"), $"m", $"j")
-    // candidate reconstruction norm and dims
-    val cn2m = cents.withColumn("c2", ($"c" * $"c").cast(dec))
-      .groupBy($"j", $"m").agg(sum($"c2").as("cn2m"))
+    val cn2m = cents.select($"j", $"m", expr(dotF("carr", "carr")).as("c2"))
     val cn2 = codes.join(broadcast(cn2m), Seq("j", "m"))
-      .groupBy($"cid").agg(sum($"cn2m").as("cn2"))
-    val cdims = codes.join(broadcast(cents), Seq("j", "m")).select($"cid", $"pos", $"c")
-    // asymmetric scoring: full-precision query vs reconstruction
-    val qsub = sub.filter($"vec_id" < nq)
-      .select($"vec_id".as("qid"), $"pos", $"x".as("qx"))
-    val ddot = qsub.join(cdims, Seq("pos"))
-      .filter($"cid" =!= $"qid")
-      .withColumn("p", ($"qx" * $"c").cast(dec))
-      .groupBy($"qid", $"cid").agg(sum($"p").as("ddot"))
-    val qn2 = sub.filter($"vec_id" < nq)
-      .withColumn("x2", ($"x" * $"x").cast(dec))
-      .groupBy($"vec_id").agg(sum($"x2").as("qn2"))
-      .withColumnRenamed("vec_id", "qid")
+      .groupBy($"cid").agg(expr(mFold("m", "c2")).as("cn2"))
+    val cdim = codes.join(broadcast(cents), Seq("j", "m")) // (cid, m, carr)
+    val qsubs = subs.filter($"vec_id" < nq)
+      .select($"vec_id".as("qid"), $"m".as("qm"), $"sub".as("qsub"))
+    val ddot = cdim.join(broadcast(qsubs), $"qm" === $"m" && $"cid" =!= $"qid")
+      .withColumn("dm", expr(dotF("qsub", "carr")))
+      .groupBy($"qid", $"cid").agg(expr(mFold("m", "dm")).as("ddot"))
+    val qn2 = qsubs.withColumn("q2", expr(dotF("qsub", "qsub")))
+      .groupBy($"qid").agg(expr(mFold("qm", "q2")).as("qn2"))
     val scored = ddot.join(qn2, "qid").join(cn2, "cid")
       .withColumn("simpq",
         when($"qn2" === 0 || $"cn2" === 0, lit(0.0))
-          .otherwise($"ddot".cast("double") /
-            (sqrt($"qn2".cast("double")) * sqrt($"cn2".cast("double")))))
+          .otherwise($"ddot" / (sqrt($"qn2") * sqrt($"cn2"))))
     val wq = Window.partitionBy($"qid").orderBy($"simpq".desc, $"cid".asc)
     val shortlist = scored.withColumn("rr", row_number().over(wq))
       .filter($"rr" <= PqRerank).select($"qid", $"cid")
@@ -1304,45 +1309,55 @@ object Similarity {
       .orderBy($"qid", $"rank")
   }
 
+  /** q138 oracle — mirrors the fold-structured build: slice arrays per
+    * (vector, subspace), list_dot_product for every in-slice fold
+    * (bit-identical to Spark's sequential aggregate/zip_with — q36's
+    * proof), and the per-vector sums over M per-subspace values folded
+    * from an m-ORDERED list through the same proven kernel
+    * (list_dot_product(l, ones) — each term x·1.0 is bitwise x, so the
+    * partial sums match Spark's ordered-collect_list fold exactly). */
   val q138Sql: String =
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       |cnt AS (SELECT greatest(1, count(*) // $PqK) AS stride FROM e),
-      |sub AS (
-      |  SELECT vec_id, pos, x, pos // ${64 / PqM} AS m FROM (
-      |    SELECT vec_id, unnest(v) AS x, generate_subscripts(v, 1) - 1 AS pos
-      |    FROM e) t),
+      |subs AS (
+      |  SELECT vec_id, mm AS m, v[mm * sw + 1 : mm * sw + sw] AS sub
+      |  FROM (SELECT vec_id, v, CAST(ceil(len(v) / ${PqM}.0) AS INT) AS sw FROM e) t,
+      |       (SELECT unnest(generate_series(0, ${PqM - 1})) AS mm) u),
       |cents AS (
-      |  SELECT vec_id // stride AS j, m, pos, x AS c FROM sub, cnt
+      |  SELECT vec_id // stride AS j, m, sub AS carr FROM subs, cnt
       |  WHERE vec_id % stride = 0 AND vec_id < stride * $PqK),
       |enc AS (
-      |  SELECT s.vec_id, s.m, c.j,
-      |    sum(CAST((s.x - c.c) * (s.x - c.c) AS DECIMAL(18,9))) AS d2
-      |  FROM sub s JOIN cents c ON s.m = c.m AND s.pos = c.pos
-      |  GROUP BY 1, 2, 3),
+      |  SELECT vec_id, m, j, list_dot_product(dif, dif) AS d2 FROM (
+      |    SELECT s.vec_id, s.m, c.j,
+      |      list_transform(generate_series(1, len(s.sub)),
+      |        i -> s.sub[i] - c.carr[i]) AS dif
+      |    FROM subs s JOIN cents c ON c.m = s.m) t),
       |codes AS (
       |  SELECT vec_id AS cid, m, j FROM (
       |    SELECT vec_id, m, j,
       |      row_number() OVER (PARTITION BY vec_id, m ORDER BY d2 ASC, j ASC) AS rn
       |    FROM enc) t WHERE rn = 1),
-      |cn2m AS (
-      |  SELECT j, m, sum(CAST(c * c AS DECIMAL(18,9))) AS cn2m
-      |  FROM cents GROUP BY 1, 2),
+      |cn2m AS (SELECT j, m, list_dot_product(carr, carr) AS c2 FROM cents),
       |cn2 AS (
-      |  SELECT cid, sum(cn2m) AS cn2 FROM codes JOIN cn2m USING (j, m)
-      |  GROUP BY cid),
-      |cdims AS (SELECT cid, pos, c FROM codes JOIN cents USING (j, m)),
-      |qsub AS (SELECT vec_id AS qid, pos, x AS qx FROM sub WHERE vec_id < 10),
+      |  SELECT cid, list_dot_product(l, list_transform(l, x -> 1.0)) AS cn2 FROM (
+      |    SELECT cid, list(c2 ORDER BY m) AS l
+      |    FROM codes JOIN cn2m USING (j, m) GROUP BY cid) t),
+      |cdims AS (SELECT cid, m, carr FROM codes JOIN cents USING (j, m)),
+      |qsubs AS (SELECT vec_id AS qid, m, sub AS qsub FROM subs WHERE vec_id < 10),
       |ddot AS (
-      |  SELECT qid, cid, sum(CAST(qx * c AS DECIMAL(18,9))) AS ddot
-      |  FROM qsub JOIN cdims USING (pos) WHERE cid <> qid GROUP BY 1, 2),
+      |  SELECT qid, cid, list_dot_product(l, list_transform(l, x -> 1.0)) AS ddot FROM (
+      |    SELECT qid, cid, list(dm ORDER BY m) AS l FROM (
+      |      SELECT q.qid, c.cid, c.m, list_dot_product(q.qsub, c.carr) AS dm
+      |      FROM qsubs q JOIN cdims c ON c.m = q.m AND c.cid <> q.qid) x
+      |    GROUP BY qid, cid) t),
       |qn2 AS (
-      |  SELECT vec_id AS qid, sum(CAST(x * x AS DECIMAL(18,9))) AS qn2
-      |  FROM sub WHERE vec_id < 10 GROUP BY 1),
+      |  SELECT qid, list_dot_product(l, list_transform(l, x -> 1.0)) AS qn2 FROM (
+      |    SELECT qid, list(list_dot_product(qsub, qsub) ORDER BY m) AS l
+      |    FROM qsubs GROUP BY qid) t),
       |scored AS (
       |  SELECT d.qid, d.cid,
       |    CASE WHEN q.qn2 = 0 OR c2.cn2 = 0 THEN 0.0
-      |         ELSE CAST(d.ddot AS DOUBLE)
-      |           / (sqrt(CAST(q.qn2 AS DOUBLE)) * sqrt(CAST(c2.cn2 AS DOUBLE))) END AS simpq
+      |         ELSE d.ddot / (sqrt(q.qn2) * sqrt(c2.cn2)) END AS simpq
       |  FROM ddot d JOIN qn2 q USING (qid) JOIN cn2 c2 USING (cid)),
       |short AS (
       |  SELECT qid, cid FROM (

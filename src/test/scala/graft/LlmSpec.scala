@@ -144,14 +144,9 @@ class LlmSpec extends AnyFunSuite {
     val recall = (pq & brute).size.toDouble / brute.size
     info(f"clustered PQ recall@5: $recall%.2f")
     assert(recall >= 0.8, f"PQ clustered recall $recall%.2f below the 0.8 floor")
-    // production-arithmetic form (plain-double folds, VERDICT r13 item
-    // 5): same pipeline, same floor — the decimal folds exist only for
-    // oracle unrollability, not for recall
-    val pqd = pairs(llm.Similarity.annPqFrom(e, exactDecimal = false))
-    val recallD = (pqd & brute).size.toDouble / brute.size
-    info(f"clustered PQ recall@5 (double folds): $recallD%.2f")
-    assert(recallD >= 0.8,
-      f"double-fold PQ recall $recallD%.2f below the 0.8 floor")
+    // the build IS production arithmetic since the r14 restructure:
+    // plain doubles through ordered folds, no decimal anywhere — the
+    // floor above already grades it
   }
 
   test("ANN recall floor: IVF nprobe=2 >= 0.95 on a clustered corpus, and Lloyd must not hurt") {
