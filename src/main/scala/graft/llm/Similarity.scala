@@ -1490,6 +1490,95 @@ object Similarity {
     knnPredict(s, dir, nq = 10, k = 5).orderBy($"qid")
   }
 
+  /** q237: GREEDY K-CENTER CORESET — coreset selection for data-
+    * efficient training (Sener & Savarese 2018, arXiv:1708.00489,
+    * public: pick k points whose max-min distance to the rest is
+    * small; the farthest-point-first greedy is the standard
+    * 2-approximation). Deterministic protocol, stated here: the first
+    * center is the smallest vec_id (the paper seeds randomly; a fixed
+    * seed is what makes the run reproducible and oracle-restatable),
+    * then k−1 rounds of "select the vector farthest (cosine distance
+    * 1−cos) from the chosen set", ties to the smallest vec_id. Each
+    * round emits the winner's distance — the COVERAGE RADIUS curve, the
+    * quantity a curation team reads to choose k.
+    *
+    * Shape per round (q182's per-round scalar-graft discipline): the
+    * current center rides a 1-row broadcast crossJoin — never a driver
+    * collect; the running min-distance column folds with `least`; the
+    * round winner is a distributed max(struct(mind, −vec_id, v)) —
+    * partial maxes merge map-side, NO global sort anywhere. Per-round
+    * persists break the otherwise-2^k lineage (q161's fix). Total work
+    * k·N cosines, linear in the corpus for fixed k. Raw-cosine
+    * bit-parity (q36) makes every round's argmax and radius exact on
+    * both engines, so the whole k-round greedy unrolls CTE-by-CTE and
+    * is hash-graded. */
+  val KCenterK = 8
+
+  def q237KcenterCoreset(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    kcenterCoresetFrom(vecs(s, dir).select($"vec_id", $"v"), KCenterK)
+  }
+
+  /** q237's engine on an arbitrary (vec_id, v) frame — split out so
+    * LlmSpec can pin the farthest-first property on constructed
+    * clustered geometry. */
+  def kcenterCoresetFrom(e0: DataFrame, k: Int): DataFrame = {
+    val s = e0.sparkSession
+    import s.implicits._
+    val e = e0.select($"vec_id", $"v")
+    val first = e.orderBy($"vec_id".asc).limit(1)
+    var cur = first.select($"vec_id".as("cid"), $"v".as("cv"))
+    var centers = first.select($"vec_id".as("cid"), lit(1).as("rank"),
+      lit(null).cast("double").as("radius"))
+    var st = e.withColumn("mind", lit(2.0)) // 1−cos ∈ [0,2]
+    for (i <- 2 to k) {
+      st = st.crossJoin(broadcast(
+          cur.select($"cid".as("curid"), $"cv".as("curv"))))
+        .withColumn("mind", least($"mind",
+          lit(1.0) - graft.functions.CosineSim.cosine(s, $"v", $"curv")))
+        .filter($"vec_id" =!= $"curid")
+        .select($"vec_id", $"v", $"mind")
+        .persist() // per-round lineage truncation (q161's lesson)
+      val top = st
+        .agg(max(struct($"mind", (-$"vec_id").as("nid"), $"v")).as("t"))
+        .select((-$"t.nid").as("cid"), $"t.v".as("cv"), $"t.mind".as("radius"))
+      centers = centers.unionByName(
+        top.select($"cid", lit(i).as("rank"), $"radius"))
+      cur = top.select($"cid", $"cv")
+    }
+    centers.select($"rank", $"cid".as("vec_id"),
+        round($"radius", 4).as("radius"))
+      .orderBy($"rank")
+  }
+
+  /** q237 oracle: the k-round greedy unrolled — each round one
+    * argmax-by-(mind DESC, vec_id ASC) LIMIT 1 and one least() fold,
+    * the same IEEE ops in the same order as the Spark plan. */
+  val q237Sql: String = {
+    val rounds = (2 to KCenterK).map { i =>
+      val pm = if (i == 2) "m1" else s"m${i - 1}"
+      s"""c$i AS (SELECT vec_id AS cid, v AS cv, mind AS radius
+         |  FROM $pm ORDER BY mind DESC, vec_id ASC LIMIT 1),
+         |m$i AS (
+         |  SELECT m.vec_id, m.v, least(m.mind, 1.0 - ${cosSql("m.v", "c.cv")}) AS mind
+         |  FROM $pm m, c$i c WHERE m.vec_id <> c.cid),""".stripMargin
+    }.mkString("\n")
+    val sel = (2 to KCenterK).map(i =>
+      s"SELECT $i AS rank, cid AS vec_id, round(radius, 4) AS radius FROM c$i")
+      .mkString("\n|UNION ALL ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |c1 AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 1),
+       |m1 AS (
+       |  SELECT e.vec_id, e.v, least(2.0, 1.0 - ${cosSql("e.v", "c.cv")}) AS mind
+       |  FROM e, c1 c WHERE e.vec_id <> c.cid),
+       |$rounds
+       |dummy AS (SELECT 1)
+       |SELECT rank, vec_id, radius FROM (
+       |SELECT 1 AS rank, cid AS vec_id, CAST(NULL AS DOUBLE) AS radius FROM c1
+       |UNION ALL $sel) t
+       |ORDER BY rank""".stripMargin
+  }
+
   /** q231: HARD-NEGATIVE MINING — the contrastive-training data op
     * (public method family: in-batch/hard negatives for embedding-model
     * training, e.g. DPR, Karpukhin et al. 2020): for each query vector,
@@ -1887,6 +1976,7 @@ object Similarity {
     "q231_hard_negatives" -> (q231HardNegatives _),
     "q233_semdedup_increment" -> (q233SemdedupIncrement _),
     "q234_hard_negatives_ivf" -> (q234HardNegativesIvf _),
+    "q237_kcenter_coreset" -> (q237KcenterCoreset _),
   )
 
   // def, not val: q39's and q66's oracle SQL is synthesized from the
@@ -1902,6 +1992,7 @@ object Similarity {
       "q231_hard_negatives" -> q231Sql,
       "q233_semdedup_increment" -> q233Sql(sdTau),
       "q234_hard_negatives_ivf" -> q234Sql(np, li),
+      "q237_kcenter_coreset" -> q237Sql,
       "q198_cosine_threshold_sweep" -> q198Sql,
       "q190_knn_confusion" -> q190Sql,
       "q185_knn_label"     -> q185Sql,

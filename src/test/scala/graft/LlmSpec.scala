@@ -588,6 +588,30 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("q237 k-center coreset: radius curve monotone, seed is min id, clusters covered farthest-first") {
+    // graded corpus: the greedy invariant — each round's winner is the
+    // farthest point from a GROWING set, so the radius curve can never
+    // increase — plus the stated deterministic seed
+    val out = llm.Similarity.q237KcenterCoreset(spark, sf).collect()
+      .sortBy(_.getAs[Int]("rank"))
+    assert(out.head.getAs[Long]("vec_id") ==
+      Tables.embeddings(spark, sf).agg(min(col("vec_id"))).collect().head.getLong(0))
+    assert(out.head.isNullAt(out.head.fieldIndex("radius")))
+    val radii = out.tail.map(_.getAs[Double]("radius"))
+    assert(radii.zip(radii.tail).forall { case (a, b) => b <= a + 1e-9 },
+      s"radius curve not monotone: ${radii.toSeq}")
+    assert(out.map(_.getAs[Long]("vec_id")).distinct.length == out.length)
+    // constructed clustered geometry: farthest-point-first must visit
+    // every well-separated cluster before returning to any of them
+    val e = clusteredVecs(nClusters = 4, perCluster = 25, dim = 8)
+    val centers = llm.Similarity.kcenterCoresetFrom(e, k = 4).collect()
+      .map(_.getAs[Long]("vec_id"))
+    val labelOf = e.collect().map(r =>
+      r.getAs[Long]("vec_id") -> r.getAs[String]("label")).toMap
+    assert(centers.map(labelOf).distinct.length == 4,
+      s"4 centers did not cover 4 clusters: ${centers.map(labelOf).toSeq}")
+  }
+
   test("q233 incremental SemDeDup: batch-only output, reps from the store, dups clear tau") {
     val out = llm.Similarity.q233SemdedupIncrement(spark, sf).collect()
     assert(out.nonEmpty)

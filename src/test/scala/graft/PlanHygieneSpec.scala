@@ -69,9 +69,11 @@ class PlanHygieneSpec extends AnyFunSuite {
                            // label-keyed) + the Q×ΣK probe ranking
     "q235_dsir_select",    // broadcast of the 1-row ΣA/ΣBv corpus
                            // totals (the q117 scalar-graft pattern)
-    "q236_unimax_mixing")  // broadcast 1-row budget + 1-row fill-state
+    "q236_unimax_mixing",  // broadcast 1-row budget + 1-row fill-state
                            // grafts over the #languages-row frame
                            // (q208's two-scalar-graft shape)
+    "q237_kcenter_coreset") // per-round broadcast of the 1-row current
+                           // center (q182's per-round scalar graft)
 
   test("no unintended cartesian products across the whole catalog") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
