@@ -869,7 +869,163 @@ object Corpus {
       |  CAST((100 * alloc) // avail AS BIGINT) AS epochs_pct
       |FROM al ORDER BY lang""".stripMargin
 
+  /** q238: IN-ENGINE QUALITY-CLASSIFIER TRAINING — the classifier-based
+    * filtering step of the GPT-3/CCNet-family pipelines (public: train
+    * a classifier with a curated corpus as positives and the raw pool
+    * as negatives, keep documents the classifier scores high). The
+    * classifier is a LINEAR PROBE over hashed unigram features, trained
+    * INSIDE the engine by T=8 unrolled batch-gradient-descent steps —
+    * no model export, no UDF, and the whole training loop is
+    * hash-graded end-to-end.
+    *
+    * Cross-engine exactness WITHOUT decimals (new in r14 — the decimal
+    * route q38 uses for sums rounds full-precision doubles at the
+    * 9th digit, where the two engines' double→decimal rounding modes
+    * can disagree on ties, measured as 3/500 flips on the first cut of
+    * this query): every quantity is kept DYADIC — an integer multiple
+    * of a power of two. Features quantize to the 2^-20 grid, per-step
+    * errors and mean-gradients to the 2^-12 grid, via floor(x·2^k)/2^k
+    * (multiplication by 2^k and floor are EXACT IEEE ops); the only
+    * non-exact steps are divisions (feature normalization, the mean
+    * gradient), which IEEE-754 requires to be correctly rounded —
+    * identical on every engine, unlike exp/log (which is also why the
+    * loss is squared error, not logistic: sigmoid bits differ across
+    * libm implementations). Sums of dyadic values with bounded
+    * mantissas are exact at ANY aggregation order (every partial sum
+    * representable: products carry m ≤ 2^29, corpus sums m ≤ 2^48 at
+    * the 100× study point, both under 2^53), so no cast, no decimal,
+    * and no ordering discipline is needed anywhere — the score column
+    * is graded as raw bit-identical doubles (q203's precedent).
+    * Mantissa headroom at ~10^9 documents moves past 2^53: coarsen the
+    * 2^-12 gradient grid by the same factor (a knob, not a redesign).
+    *
+    * Steps: x_b = floor((c_b/n)·2^20)/2^20 per document; y = 1 for the
+    * `src0` exemplar source (q235's target); per step z_d = Σ_b x_b·w_b,
+    * err_d = floor((z_d − y_d)·2^12)/2^12, grad_b = (Σ_d x_b·err_d)/N
+    * quantized to the 2^-12 grid, w ← w − 4·grad. The 256-double weight
+    * vector is driver-resident model state, re-broadcast as a literal
+    * frame each step (constant-size by construction — the documented
+    * bounded-collect discipline; see the in-method note for why a
+    * lazily-chained weight frame is a 2^T plan bomb). Output: the
+    * trained-probe
+    * score (raw double + exact integer 2^-12 units) and the keep flag
+    * at score_q12 > 162 — an INTEGER comparison, immune to rounding at
+    * any threshold; 162 splits this corpus 183/500 with 17/25 target
+    * docs kept (1.9× enrichment, measured at sf0.01 — the synthetic
+    * corpus carries a small source signal; the probe's ordering is
+    * graded bit-exactly regardless). Scale: T+1 passes over the
+    * persisted (doc, bucket) frame — each one hash aggregation + one
+    * ≤256-row broadcast; training adds NOTHING super-linear. */
+  def q238QualityProbe(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val nB = 256
+    def quant(c: org.apache.spark.sql.Column, g: Long) =
+      floor(c * g) / lit(g.toDouble)
+    val xb = Tables.documents(s, dir)
+      .withColumn("toks", TextOps.tokens($"text"))
+      .select($"doc_id", $"source", explode($"toks").as("g"))
+      .withColumn("b",
+        pmod(conv(substring(md5($"g"), 1, 8), 16, 10).cast("long"), lit(nB)))
+      .groupBy($"doc_id", $"source", $"b")
+      .agg(count(lit(1)).as("c"))
+      .withColumn("n", sum($"c").over(Window.partitionBy($"doc_id")))
+      .select($"doc_id", $"source", $"b",
+        quant($"c".cast("double") / $"n", 1L << 20).as("x"),
+        when($"source" === "src0", 1.0).otherwise(0.0).as("y"))
+      // feeds every GD step and the final scoring pass (freed by
+      // Ckpt.sweep); four narrow columns, the q235 persist discipline
+      .persist()
+    // the exact doc count rides a 1-row broadcast graft into each
+    // weight update (q117's scalar pattern — never a driver action)
+    // The weight vector is DRIVER-RESIDENT MODEL STATE — 256 doubles,
+    // constant-size by construction (the Stats.scala heavy-hitter
+    // collect discipline): each step collects the 256-row gradient and
+    // re-broadcasts the updated weights as a LITERAL frame. This keeps
+    // every step's plan flat — a lazily-chained weight frame doubles
+    // its logical plan per step (w_t references w_{t-1} through both z
+    // and the update) and the 2^T re-analysis stalled the first cut of
+    // this query for minutes at sf0.1; model state on the driver is
+    // also simply what training a model on a cluster looks like.
+    val nd = xb.agg(countDistinct($"doc_id")).collect().head.getLong(0).toDouble
+    val w = Array.fill(nB)(0.0)
+    def wFrame = s.createDataFrame(
+      s.sparkContext.parallelize(w.zipWithIndex.map {
+        case (wv, b) => org.apache.spark.sql.Row(b.toLong, wv)
+      }.toSeq, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("wb",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("w",
+          org.apache.spark.sql.types.DoubleType, nullable = false))))
+    def qd(v: Double): Double = math.floor(v * 4096.0) / 4096.0
+    for (_ <- 1 to 8) {
+      val z = xb.join(broadcast(wFrame), $"b" === $"wb")
+        .groupBy($"doc_id", $"y")
+        .agg(sum($"x" * $"w").as("z"))
+        .select($"doc_id", quant($"z" - $"y", 1L << 12).as("err"))
+      val grads = xb.join(z, "doc_id")
+        .groupBy($"b").agg(sum($"x" * $"err").as("gsum"))
+        .collect().map(r => r.getAs[Long]("b").toInt -> r.getAs[Double]("gsum"))
+      for ((b, gsum) <- grads) w(b) -= 4.0 * qd(gsum / nd)
+    }
+    xb.join(broadcast(wFrame), $"b" === $"wb")
+      .groupBy($"doc_id", $"source", $"y")
+      .agg(sum($"x" * $"w").as("score"))
+      .select($"doc_id", $"source", $"score",
+        floor($"score" * 4096).cast("long").as("score_q12"),
+        (floor($"score" * 4096) > 162).as("keep"),
+        ($"y" === 1.0).as("is_target"))
+      .orderBy($"doc_id")
+  }
+
+  /** q238 oracle: the 8-step training loop unrolled CTE-by-CTE — the
+    * same dyadic quantizations, correctly-rounded divisions, and
+    * exact-at-any-order sums (see q238's scaladoc). The doc count in
+    * the mean gradient is a scalar subquery of the same exact count. */
+  val q238Sql: String = {
+    val steps = (1 to 8).map { i =>
+      val pw = s"w${i - 1}"
+      s"""z$i AS (
+         |  SELECT doc_id,
+         |    floor((sum(x * w) - y) * 4096) / 4096.0 AS err
+         |  FROM xb JOIN $pw ON $pw.wb = xb.b
+         |  GROUP BY doc_id, y),
+         |g$i AS (
+         |  SELECT b, sum(x * err) AS gsum
+         |  FROM xb JOIN z$i USING (doc_id) GROUP BY b),
+         |w$i AS (
+         |  SELECT wb, w - 4.0 * (floor((coalesce(g$i.gsum, 0.0)
+         |    / (SELECT nd FROM ndocs)) * 4096) / 4096.0) AS w
+         |  FROM $pw LEFT JOIN g$i ON g$i.b = $pw.wb),""".stripMargin
+    }.mkString("\n")
+    raw"""WITH tk AS (
+      |  SELECT doc_id, source, unnest(regexp_extract_all(lower(text), '\S+')) AS g
+      |  FROM documents),
+      |cb AS (
+      |  SELECT doc_id, source,
+      |    ('0x' || substr(md5(g), 1, 8))::BIGINT % 256 AS b, count(*) AS c
+      |  FROM tk GROUP BY doc_id, source, b),
+      |xb AS (
+      |  SELECT doc_id, source, b,
+      |    floor((CAST(c AS DOUBLE) / sum(c) OVER (PARTITION BY doc_id)) * 1048576)
+      |      / 1048576.0 AS x,
+      |    CASE WHEN source = 'src0' THEN 1.0 ELSE 0.0 END AS y
+      |  FROM cb),
+      |ndocs AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS nd FROM xb),
+      |w0 AS (SELECT unnest(generate_series(0, 255)) AS wb, 0.0 AS w),
+      |$steps
+      |sc AS (
+      |  SELECT doc_id, source, y, sum(x * w) AS score
+      |  FROM xb JOIN w8 ON w8.wb = xb.b
+      |  GROUP BY doc_id, source, y)
+      |SELECT doc_id, source, score,
+      |  CAST(floor(score * 4096) AS BIGINT) AS score_q12,
+      |  floor(score * 4096) > 162 AS keep, y = 1.0 AS is_target
+      |FROM sc ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q238_quality_probe"     -> (q238QualityProbe _),
     "q236_unimax_mixing"     -> (q236UnimaxMixing _),
     "q235_dsir_select"       -> (q235DsirSelect _),
     "q224_dedup_velocity"    -> (q224DedupVelocity _),
@@ -887,6 +1043,7 @@ object Corpus {
   )
 
   val oracle: Map[String, String] = Map(
+    "q238_quality_probe"     -> q238Sql,
     "q236_unimax_mixing"     -> q236Sql,
     "q235_dsir_select"       -> q235Sql,
     "q224_dedup_velocity"    -> q224Sql,

@@ -224,4 +224,26 @@ class CorpusSpec extends AnyFunSuite {
     val ua = uncapped.map(_.getAs[Long]("alloc"))
     assert(ua.max - ua.min <= 1, s"uncapped split uneven: ${ua.toSeq}")
   }
+
+  test("q238 quality probe: scores are exact dyadics, keep is the integer cut, target enriched") {
+    val out = llm.Corpus.q238QualityProbe(spark, "/root/testdata/sf0.01").collect()
+    assert(out.length > 0)
+    for (r <- out) {
+      val sc = r.getAs[Double]("score")
+      // the exactness contract the whole grading rests on: every score
+      // is an integer multiple of 2^-32 (products of the 2^-20 feature
+      // grid and the 2^-12 weight grid) — a non-dyadic score means some
+      // fold left the exact regime and the hash grade is luck
+      assert((sc * 4294967296.0) % 1.0 == 0.0,
+        s"score $sc is not on the 2^-32 dyadic grid: $r")
+      assert(r.getAs[Long]("score_q12") == math.floor(sc * 4096).toLong)
+      assert(r.getAs[Boolean]("keep") == (r.getAs[Long]("score_q12") > 162))
+    }
+    val kept = out.filter(_.getAs[Boolean]("keep"))
+    assert(kept.nonEmpty && kept.length < out.length, "degenerate keep flag")
+    def tr(rows: Array[org.apache.spark.sql.Row]) =
+      rows.count(_.getAs[Boolean]("is_target")).toDouble / rows.length
+    assert(tr(kept) > 1.5 * tr(out),
+      f"probe did not enrich the target source: ${tr(kept)}%.3f vs ${tr(out)}%.3f")
+  }
 }

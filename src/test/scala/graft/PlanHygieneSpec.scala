@@ -72,8 +72,10 @@ class PlanHygieneSpec extends AnyFunSuite {
     "q236_unimax_mixing",  // broadcast 1-row budget + 1-row fill-state
                            // grafts over the #languages-row frame
                            // (q208's two-scalar-graft shape)
-    "q237_kcenter_coreset") // per-round broadcast of the 1-row current
+    "q237_kcenter_coreset", // per-round broadcast of the 1-row current
                            // center (q182's per-round scalar graft)
+    "q238_quality_probe")  // per-step broadcast of the 1-row exact doc
+                           // count into the mean-gradient update
 
   test("no unintended cartesian products across the whole catalog") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
