@@ -827,7 +827,11 @@ object Corpus {
         when($"capped", lit(C) * $"avail")
           .otherwise($"level" + when($"urank" <= $"rem", 1L).otherwise(0L)))
       .select($"lang", $"avail", $"capped", $"alloc",
-        expr("(100 * alloc) div avail").as("epochs_pct"))
+        // a zero-token language (all-empty documents) caps at alloc 0;
+        // the guard keeps the engines aligned there — Spark's div
+        // returns NULL on /0 while DuckDB's // raises (CODE-REVIEW r14)
+        when($"avail" > 0, expr("(100 * alloc) div avail"))
+          .otherwise(lit(null).cast("long")).as("epochs_pct"))
       .orderBy($"lang")
   }
 
@@ -866,7 +870,8 @@ object Corpus {
       |                 THEN 1 ELSE 0 END) END AS BIGINT) AS alloc
       |  FROM ur)
       |SELECT lang, avail, capped, alloc,
-      |  CAST((100 * alloc) // avail AS BIGINT) AS epochs_pct
+      |  CAST(CASE WHEN avail > 0 THEN (100 * alloc) // avail
+      |       ELSE NULL END AS BIGINT) AS epochs_pct
       |FROM al ORDER BY lang""".stripMargin
 
   /** q238: IN-ENGINE QUALITY-CLASSIFIER TRAINING — the classifier-based

@@ -589,10 +589,15 @@ object Similarity {
   def q233SemdedupIncrement(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = vecs(s, dir)
+    // lloydIters follows the SAME session knob as q229 (the build this
+    // query increments) — a knob change retunes both sides together,
+    // Spark and oracle (CODE-REVIEW r14: the first cut pinned 2 here
+    // while q229 followed the knob, so retuning would silently diverge
+    // the incremental cells from the full build's)
     semdedupIncrementFrom(
       e.filter(pmod($"vec_id", lit(4)) =!= 0),
       e.filter(pmod($"vec_id", lit(4)) === 0),
-      sessionSemdedupTau(s), lloydIters = 2)
+      sessionSemdedupTau(s), lloydIters = sessionIvfLloydIters(s))
   }
 
   /** q233's engine on arbitrary store/batch (vec_id, v) frames — split
@@ -624,8 +629,8 @@ object Similarity {
     * WITH its cosine-to-own-centroid (for the per-cell representative
     * argmax), one batch argmax, and the LEFT-JOINed representative
     * comparison. */
-  def q233Sql(tau: Double): String = {
-    val iters = (1 to 2).map(i =>
+  def q233Sql(tau: Double, lloydIters: Int): String = {
+    val iters = (1 to lloydIters).map(i =>
       lloydCtes(i, if (i == 1) "c0" else s"c${i - 1}")).mkString("\n")
     s"""WITH eall AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |store AS (SELECT vec_id, v FROM eall WHERE vec_id % 4 <> 0),
@@ -642,7 +647,7 @@ object Similarity {
        |      ${cosSql("st.v", "c.cv")} AS cosc,
        |      row_number() OVER (PARTITION BY st.vec_id ORDER BY
        |        ${cosSql("st.v", "c.cv")} DESC, c.cent_id ASC) AS crn
-       |    FROM store st, c2 c) t WHERE crn = 1),
+       |    FROM store st, c$lloydIters c) t WHERE crn = 1),
        |reps AS (
        |  SELECT cell, vec_id AS rep_id, v AS rep_v FROM (
        |    SELECT cell, vec_id, v,
@@ -653,7 +658,7 @@ object Similarity {
        |    SELECT b.vec_id, b.v, c.cent_id AS cell,
        |      row_number() OVER (PARTITION BY b.vec_id ORDER BY
        |        ${cosSql("b.v", "c.cv")} DESC, c.cent_id ASC) AS crn
-       |    FROM batch b, c2 c) t WHERE crn = 1)
+       |    FROM batch b, c$lloydIters c) t WHERE crn = 1)
        |SELECT b.vec_id, b.cell, r.rep_id,
        |  round(${cosSql("b.v", "r.rep_v")}, 4) AS cos_rep,
        |  coalesce(${cosSql("b.v", "r.rep_v")} >= $tau, false) AS is_semantic_dup
@@ -1539,6 +1544,15 @@ object Similarity {
         .filter($"vec_id" =!= $"curid")
         .select($"vec_id", $"v", $"mind")
         .persist() // per-round lineage truncation (q161's lesson)
+      // the 1-row winner feeds BOTH the result union and the next
+      // round's distance graft, so its argmax aggregation executes
+      // twice per round — MEASURED as the cheaper trade: persisting
+      // `top` instead read 113 s vs 5.9 s whole-query at sf0.1 (an
+      // InMemoryRelation between each round's broadcast graft and the
+      // persisted st defeats the exchange/cache reuse the plan
+      // otherwise gets), and the duplicate argmax re-reads the CACHED
+      // st blocks, costing ~0.1 s/round (CODE-REVIEW r14, resolved by
+      // measurement)
       val top = st
         .agg(max(struct($"mind", (-$"vec_id").as("nid"), $"v")).as("t"))
         .select((-$"t.nid").as("cid"), $"t.v".as("cv"), $"t.mind".as("radius"))
@@ -1990,7 +2004,7 @@ object Similarity {
     Map(
       "q229_semantic_dedup" -> q229Sql(sdLi, sdTau),
       "q231_hard_negatives" -> q231Sql,
-      "q233_semdedup_increment" -> q233Sql(sdTau),
+      "q233_semdedup_increment" -> q233Sql(sdTau, sdLi),
       "q234_hard_negatives_ivf" -> q234Sql(np, li),
       "q237_kcenter_coreset" -> q237Sql,
       "q198_cosine_threshold_sweep" -> q198Sql,

@@ -1284,7 +1284,12 @@ object TextOps {
     * not (GK error ≤ n/10000 at this accuracy) — LlmSpec pins the
     * margin so corpus drift erodes it at `sbt test`, not as a driver
     * hash-mismatch a round later. */
-  def q232RarityTertiles(s: SparkSession, dir: String): DataFrame = {
+  /** q232's banded census — (lang, band, nb, n_lang) BEFORE the graded
+    * boolean — split out so LlmSpec's margin pin measures the
+    * PRODUCTION plan's own band counts (CODE-REVIEW r14: a copy-pasted
+    * pipeline in the spec would keep validating the old plan if the
+    * sketch accuracy or band rule ever changed here). */
+  private[graft] def rarityTertileCounts(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val tk = Tables.documents(s, dir)
       .select($"doc_id", $"lang", explode(tokens($"text")).as("tok"))
@@ -1306,6 +1311,11 @@ object TextOps {
           .otherwise("middle"))
       .groupBy($"lang", $"band")
       .agg(count(lit(1)).as("nb"), first($"n_lang").as("n_lang"))
+  }
+
+  def q232RarityTertiles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    rarityTertileCounts(s, dir)
       .select($"lang", $"band", $"n_lang",
         (abs($"nb" - $"n_lang" / lit(3.0)) <= $"n_lang" * lit(0.10))
           .as("mass_ok"))

