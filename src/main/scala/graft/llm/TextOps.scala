@@ -1284,6 +1284,88 @@ object TextOps {
     * not (GK error ≤ n/10000 at this accuracy) — LlmSpec pins the
     * margin so corpus drift erodes it at `sbt test`, not as a driver
     * hash-mismatch a round later. */
+  /** q239: GOPHER RULE FILTERS — the published heuristic quality-rule
+    * set of Rae et al. 2021 (Gopher, arXiv:2112.11446 Appendix A,
+    * public; reused near-verbatim by MassiveText/RedPajama/Dolma-class
+    * pipelines) evaluated in ONE narrow scan, each rule an EXACT
+    * INTEGER comparison (cross-multiplied thresholds — no ratio ever
+    * becomes a double), so every flag is hash-exact:
+    *  - word count ∈ [50, 100000];
+    *  - mean word length ∈ [3, 10]  ⟺  3n ≤ Σlen ≤ 10n;
+    *  - symbol-to-word ratio ≤ 0.1 ('#' and '…' spelled '...')
+    *    ⟺ 10·n_sym ≤ n_words;
+    *  - ≥ 70% of words carry an alphabetic character
+    *    ⟺ 10·n_alpha ≥ 7·n_words;
+    *  - ≥ 2 stop words (the shared [[Stopwords]] list).
+    * (The paper's bullet/ellipsis LINE rules need multi-line text; this
+    * corpus is single-line, so they would be constant-true noise and
+    * are left to the symbol rule that subsumes their intent.) On the
+    * graded corpus the word-count and stop-word rules discriminate
+    * (277/500 and 224/500 pass at sf0.01); the other three hold
+    * corpus-wide at the published constants — kept at those constants
+    * rather than retuned, because the POINT of rule filters is that the
+    * thresholds are fixed and portable. One scan, all-codegen scalar
+    * functions, no shuffle before the per-doc projection: I/O-bound at
+    * any corpus size. */
+  def q239GopherRules(s: SparkSession, dir: String): DataFrame =
+    gopherRulesFrom(Tables.documents(s, dir))
+
+  /** q239's engine on an arbitrary (doc_id, text) frame — split out so
+    * LlmSpec can pin the rules that hold corpus-wide on the graded data
+    * (symbol, alpha, mean-word-length) against CONSTRUCTED violations. */
+  def gopherRulesFrom(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs
+      .withColumn("toks", tokens($"text"))
+      .withColumn("n_words", size($"toks").cast("long"))
+      .withColumn("sum_len",
+        expr("aggregate(toks, 0L, (acc, x) -> acc + length(x))"))
+      .withColumn("n_alpha",
+        size(expr("filter(toks, x -> x rlike '[a-z]')")).cast("long"))
+      .withColumn("n_sym",
+        (length($"text") - length(regexp_replace($"text", "#", ""))).cast("long") +
+          ((length($"text") - length(regexp_replace($"text", "\\.\\.\\.", ""))) / 3).cast("long"))
+      .withColumn("n_stop",
+        size(expr(s"filter(toks, x -> x IN $stopSqlList)")).cast("long"))
+      .select($"doc_id", $"n_words",
+        ($"n_words" >= 50 && $"n_words" <= 100000).as("wc_ok"),
+        (lit(3) * $"n_words" <= $"sum_len" && $"sum_len" <= lit(10) * $"n_words")
+          .as("mwl_ok"),
+        (lit(10) * $"n_sym" <= $"n_words").as("sym_ok"),
+        (lit(10) * $"n_alpha" >= lit(7) * $"n_words").as("alpha_ok"),
+        ($"n_stop" >= 2).as("stop_ok"))
+      .withColumn("gopher_pass",
+        $"wc_ok" && $"mwl_ok" && $"sym_ok" && $"alpha_ok" && $"stop_ok")
+      .orderBy($"doc_id")
+  }
+
+  val q239Sql: String =
+    raw"""WITH t AS (
+      |  SELECT doc_id, text, regexp_extract_all(lower(text), '\S+') AS toks
+      |  FROM documents),
+      |m AS (
+      |  SELECT doc_id,
+      |    CAST(len(toks) AS BIGINT) AS n_words,
+      |    CAST(list_sum(list_transform(toks, x -> strlen(x))) AS BIGINT) AS sum_len,
+      |    CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS n_alpha,
+      |    CAST(strlen(text) - strlen(replace(text, '#', ''))
+      |      + (strlen(text) - strlen(replace(text, '...', ''))) // 3 AS BIGINT) AS n_sym,
+      |    CAST(len(list_filter(toks, x -> x IN $stopSqlList)) AS BIGINT) AS n_stop
+      |  FROM t)
+      |SELECT doc_id, n_words,
+      |  n_words >= 50 AND n_words <= 100000 AS wc_ok,
+      |  3 * n_words <= sum_len AND sum_len <= 10 * n_words AS mwl_ok,
+      |  10 * n_sym <= n_words AS sym_ok,
+      |  10 * n_alpha >= 7 * n_words AS alpha_ok,
+      |  n_stop >= 2 AS stop_ok,
+      |  (n_words >= 50 AND n_words <= 100000)
+      |    AND (3 * n_words <= sum_len AND sum_len <= 10 * n_words)
+      |    AND 10 * n_sym <= n_words
+      |    AND 10 * n_alpha >= 7 * n_words
+      |    AND n_stop >= 2 AS gopher_pass
+      |FROM m ORDER BY doc_id""".stripMargin
+
   /** q232's banded census — (lang, band, nb, n_lang) BEFORE the graded
     * boolean — split out so LlmSpec's margin pin measures the
     * PRODUCTION plan's own band counts (CODE-REVIEW r14: a copy-pasted
@@ -1349,6 +1431,7 @@ object TextOps {
       |ORDER BY lang, band""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q239_gopher_rules" -> (q239GopherRules _),
     "q232_rarity_tertiles" -> (q232RarityTertiles _),
     "q230_rarity_bands" -> (q230RarityBands _),
     "q227_calibration_sketch" -> (q227CalibrationSketch _),
@@ -1378,6 +1461,7 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q239_gopher_rules" -> q239Sql,
     "q232_rarity_tertiles" -> q232Sql,
     "q230_rarity_bands" -> q230Sql,
     "q227_calibration_sketch" -> q227Sql,

@@ -568,6 +568,38 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("q239 Gopher rules: flags replay from the counts and constructed violations trip each rule") {
+    import spark.implicits._
+    val out = llm.TextOps.q239GopherRules(spark, sf).collect()
+    assert(out.nonEmpty)
+    for (r <- out) {
+      // wc_ok replays exactly from the emitted word count, and the
+      // overall verdict is precisely the conjunction of the five rules
+      val n = r.getAs[Long]("n_words")
+      assert(r.getAs[Boolean]("wc_ok") == (n >= 50 && n <= 100000))
+      assert(r.getAs[Boolean]("gopher_pass") ==
+        (r.getAs[Boolean]("wc_ok") && r.getAs[Boolean]("mwl_ok") &&
+          r.getAs[Boolean]("sym_ok") && r.getAs[Boolean]("alpha_ok") &&
+          r.getAs[Boolean]("stop_ok")))
+    }
+    // the rules that hold corpus-wide on the graded data must still
+    // have TEETH — constructed violations trip each one
+    val toy = Seq(
+      (1L, ("word " * 60) + "the of and in a"), // passes everything
+      (2L, ("## ### #### " * 20) + ("word " * 40) + "the of"), // symbol flood
+      (3L, ("12345 " * 60) + "the of"), // digits: alpha fraction fails
+      (4L, (("x" * 30) + " ") * 60 + "the of"), // 30-char words: mwl fails
+      (5L, "tiny doc the of")) // word count fails
+      .toDF("doc_id", "text")
+    val t = llm.TextOps.gopherRulesFrom(toy).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(t(1L).getAs[Boolean]("gopher_pass"), s"clean doc must pass: ${t(1L)}")
+    assert(!t(2L).getAs[Boolean]("sym_ok"), s"symbol flood must fail sym_ok: ${t(2L)}")
+    assert(!t(3L).getAs[Boolean]("alpha_ok"), s"digit soup must fail alpha_ok: ${t(3L)}")
+    assert(!t(4L).getAs[Boolean]("mwl_ok"), s"30-char words must fail mwl_ok: ${t(4L)}")
+    assert(!t(5L).getAs[Boolean]("wc_ok"), s"short doc must fail wc_ok: ${t(5L)}")
+  }
+
   test("q237 k-center coreset: radius curve monotone, seed is min id, clusters covered farthest-first") {
     // graded corpus: the greedy invariant — each round's winner is the
     // farthest point from a GROWING set, so the radius curve can never
