@@ -192,4 +192,44 @@ class RobustnessSpec extends AnyFunSuite {
       assert(df.count() == 100L + (i + 1))
     }
   }
+
+  test("incremental SemDeDup tolerates an EMPTY ingest batch (quiet night, not a crash)") {
+    import spark.implicits._
+    val store = vecsDf(n = 40, dim = 8).select($"vec_id", $"v")
+    val batch = store.filter($"vec_id" < 0) // empty, same schema
+    val out = llm.Similarity.semdedupIncrementFrom(store, batch,
+      tau = 0.5, lloydIters = 1)
+    assert(out.count() == 0, "an empty batch must produce an empty report")
+  }
+
+  test("Gopher rules on an empty-text document: no division, wc fails, vacuous rules hold") {
+    import spark.implicits._
+    val toy = Seq((1L, ""), (2L, "   "), (3L, ("word " * 60) + "the of"))
+      .toDF("doc_id", "text")
+    val t = llm.TextOps.gopherRulesFrom(toy).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    for (id <- Seq(1L, 2L)) {
+      // every count is 0: the cross-multiplied comparisons are all
+      // well-defined (0 <= 0), the word-count floor fails, and the
+      // overall verdict is a clean false — no /0 anywhere
+      assert(!t(id).getAs[Boolean]("wc_ok") &&
+        !t(id).getAs[Boolean]("gopher_pass"), s"empty doc: ${t(id)}")
+    }
+    assert(t(3L).getAs[Boolean]("gopher_pass"))
+  }
+
+  test("k-center greedy with k larger than the corpus: selects everything, then stops cleanly") {
+    import spark.implicits._
+    // 3 vectors, k = 8: rounds past exhaustion see an EMPTY pool — the
+    // distributed max(struct) over zero rows yields a null winner; the
+    // union must not fabricate phantom centers
+    val e = Seq(
+      (0L, Seq(1.0, 0.0)), (5L, Seq(0.0, 1.0)), (9L, Seq(0.7, 0.7)))
+      .toDF("vec_id", "v")
+    val out = llm.Similarity.kcenterCoresetFrom(e, k = 8).collect()
+    val real = out.filter(!_.isNullAt(1)) // vec_id column
+    assert(real.map(_.getAs[Long]("vec_id")).toSet.subsetOf(Set(0L, 5L, 9L)),
+      s"phantom centers: ${out.toSeq}")
+    assert(real.map(_.getAs[Long]("vec_id")).distinct.length == real.length)
+  }
 }
