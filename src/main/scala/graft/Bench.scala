@@ -113,7 +113,8 @@ object Bench {
     //  - /proc/pressure/cpu "some" (avg10 + total): kernel-measured CPU
     //    stall time — nonzero deltas mean runnable-but-waiting, the
     //    direct signature of contention;
-    //  - a fixed-work single-thread JVM microprobe (~1.5s of xorshift64,
+    //  - a fixed-work single-thread JVM microprobe (1.5e9 xorshift64
+    //    iterations — ~3.2s on the reference box per the r14 record,
     //    identical work every run): its wall-clock is a pure box-speed
     //    index — same code + same box => same probe; a probe that moved
     //    10% explains a catalog that moved 10%.

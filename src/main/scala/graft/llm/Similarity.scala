@@ -319,16 +319,34 @@ object Similarity {
     * deterministic and order-independent, so the oracle unrolls
     * identically with one more WHERE clause. A cell that captures no
     * training vectors keeps its previous centroid (LEFT JOIN +
-    * coalesce). */
+    * coalesce).
+    *
+    * Seed/train residues are ANCHORED at the corpus's min vec_id
+    * (ADVICE r14, medium): a %4-FILTERED store (q134/q233's split)
+    * whose derived stride happens to be a multiple of 4 contains NO
+    * multiples of stride at all — residue 0 would seed an EMPTY
+    * centroid set and the entire downstream assignment silently emits
+    * zero rows, identically in the oracle, so the hash grade would
+    * pass the data loss. Anchoring at floorMod(min, stride) guarantees
+    * at least one seed (the min itself) for ANY id subset — the same
+    * fix [[labelLloydCents]] already carries for small labels. For the
+    * full-corpus callers (q66/q132/q136/q229) min vec_id = 0, so the
+    * residue is 0 and their builds/oracles are bit-unchanged; the
+    * filtered-store oracles (q134/q233) restate the anchor in their
+    * params CTE. */
   private def sampledLloydCents(corpus: DataFrame, strideMod: Int,
                                 lloydIters: Int): DataFrame = {
     val s = corpus.sparkSession
     import s.implicits._
-    val stride = Similarity.ivfStride(corpus.count(), strideMod)
+    val nm = corpus.agg(count(lit(1)), min($"vec_id".cast("long"))).head
+    val stride = Similarity.ivfStride(nm.getLong(0), strideMod)
     val trainStride = Similarity.ivfTrainStride(stride)
-    val seeds = corpus.filter(pmod($"vec_id", lit(stride)) === 0)
+    val mn = if (nm.isNullAt(1)) 0L else nm.getLong(1)
+    val seeds = corpus
+      .filter(pmod($"vec_id", lit(stride)) === lit(Math.floorMod(mn, stride)))
       .select($"vec_id".as("cent_id"), $"v".as("cv0"))
-    val train = corpus.filter(pmod($"vec_id", lit(trainStride)) === 0)
+    val train = corpus.filter(
+      pmod($"vec_id", lit(trainStride)) === lit(Math.floorMod(mn, trainStride)))
     (1 to lloydIters).foldLeft(seeds) { (cs, _) =>
       val means = nearestN(cs, "cent_id", "cv0")(train, "vec_id", "v", 1, "cell")
         .select($"cell", posexplode($"v").as(Seq("pos", "x")))
@@ -635,11 +653,13 @@ object Similarity {
     s"""WITH eall AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |store AS (SELECT vec_id, v FROM eall WHERE vec_id % 4 <> 0),
        |batch AS (SELECT vec_id, v FROM eall WHERE vec_id % 4 = 0),
-       |params AS (SELECT greatest(31, CAST(floor(sqrt(count(*))) AS BIGINT)) AS stride FROM store),
+       |params AS (SELECT greatest(31, CAST(floor(sqrt(count(*))) AS BIGINT)) AS stride,
+       |                  min(vec_id) AS mn FROM store),
        |c0 AS (SELECT vec_id AS cent_id, v AS cv FROM store
-       |       WHERE vec_id % (SELECT stride FROM params) = 0),
+       |       WHERE vec_id % (SELECT stride FROM params) = (SELECT mn % stride FROM params)),
        |tr AS (SELECT vec_id, v FROM store
-       |       WHERE vec_id % (SELECT greatest(1, stride // 8) FROM params) = 0),
+       |       WHERE vec_id % (SELECT greatest(1, stride // 8) FROM params)
+       |           = (SELECT mn % greatest(1, stride // 8) FROM params)),
        |$iters
        |sasg AS (
        |  SELECT vec_id, v, cell, cosc FROM (
@@ -1017,11 +1037,13 @@ object Similarity {
     s"""WITH eall AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |store AS (SELECT vec_id, v FROM eall WHERE vec_id % 4 <> 0),
        |batch AS (SELECT vec_id, v FROM eall WHERE vec_id % 4 = 0),
-       |params AS (SELECT greatest(31, CAST(floor(sqrt(count(*))) AS BIGINT)) AS stride FROM store),
+       |params AS (SELECT greatest(31, CAST(floor(sqrt(count(*))) AS BIGINT)) AS stride,
+       |                  min(vec_id) AS mn FROM store),
        |c0 AS (SELECT vec_id AS cent_id, v AS cv FROM store
-       |       WHERE vec_id % (SELECT stride FROM params) = 0),
+       |       WHERE vec_id % (SELECT stride FROM params) = (SELECT mn % stride FROM params)),
        |tr AS (SELECT vec_id, v FROM store
-       |       WHERE vec_id % (SELECT greatest(1, stride // 8) FROM params) = 0),
+       |       WHERE vec_id % (SELECT greatest(1, stride // 8) FROM params)
+       |           = (SELECT mn % greatest(1, stride // 8) FROM params)),
        |$iters
        |asg AS (
        |  SELECT vec_id, cell FROM (
@@ -1526,42 +1548,64 @@ object Similarity {
 
   /** q237's engine on an arbitrary (vec_id, v) frame — split out so
     * LlmSpec can pin the farthest-first property on constructed
-    * clustered geometry. */
+    * clustered geometry.
+    *
+    * Execution discipline (r15, closing VERDICT r14 item 2 + the
+    * ADVICE k>N divergence): each round's (vec_id, v, mind) frame is
+    * an EAGER `localCheckpoint` and the superseded round is
+    * `Ckpt.free`d immediately — executor storage holds ~ONE frame at
+    * any moment instead of k−1 (`Ckpt.scala` documents exactly this
+    * fixpoint case; the r14 form persisted every round until the
+    * post-query sweep — a k× storage cliff at corpus scale). The
+    * 1-row round winner is collected to the driver (bounded by
+    * construction — q238's driver-resident model-state discipline)
+    * and re-grafted as a literal, so the argmax aggregation runs ONCE
+    * per round (the r14 form ran it twice) and freeing the superseded
+    * frame is safe: nothing downstream re-reads it. Doubles roundtrip
+    * the driver bit-exactly, so the graded output is hash-identical.
+    * An EXHAUSTED pool (k > corpus size) STOPS the loop: the r14 form
+    * unioned one all-NULL winner row per empty round, which the
+    * oracle's `ORDER BY ... LIMIT 1` over an empty CTE never emits —
+    * a cross-engine row-count divergence on any corpus smaller than
+    * k (ADVICE r14). Now both engines emit exactly min(k, N) rows. */
   def kcenterCoresetFrom(e0: DataFrame, k: Int): DataFrame = {
     val s = e0.sparkSession
     import s.implicits._
-    val e = e0.select($"vec_id", $"v")
-    val first = e.orderBy($"vec_id".asc).limit(1)
-    var cur = first.select($"vec_id".as("cid"), $"v".as("cv"))
-    var centers = first.select($"vec_id".as("cid"), lit(1).as("rank"),
-      lit(null).cast("double").as("radius"))
-    var st = e.withColumn("mind", lit(2.0)) // 1−cos ∈ [0,2]
-    for (i <- 2 to k) {
-      st = st.crossJoin(broadcast(
-          cur.select($"cid".as("curid"), $"cv".as("curv"))))
-        .withColumn("mind", least($"mind",
-          lit(1.0) - graft.functions.CosineSim.cosine(s, $"v", $"curv")))
-        .filter($"vec_id" =!= $"curid")
-        .select($"vec_id", $"v", $"mind")
-        .persist() // per-round lineage truncation (q161's lesson)
-      // the 1-row winner feeds BOTH the result union and the next
-      // round's distance graft, so its argmax aggregation executes
-      // twice per round — MEASURED as the cheaper trade: persisting
-      // `top` instead read 113 s vs 5.9 s whole-query at sf0.1 (an
-      // InMemoryRelation between each round's broadcast graft and the
-      // persisted st defeats the exchange/cache reuse the plan
-      // otherwise gets), and the duplicate argmax re-reads the CACHED
-      // st blocks, costing ~0.1 s/round (CODE-REVIEW r14, resolved by
-      // measurement)
-      val top = st
-        .agg(max(struct($"mind", (-$"vec_id").as("nid"), $"v")).as("t"))
-        .select((-$"t.nid").as("cid"), $"t.v".as("cv"), $"t.mind".as("radius"))
-      centers = centers.unionByName(
-        top.select($"cid", lit(i).as("rank"), $"radius"))
-      cur = top.select($"cid", $"cv")
+    val e = e0.select($"vec_id".cast("long").as("vec_id"), $"v")
+    val first = e.orderBy($"vec_id".asc).limit(1).collect()
+    val out = collection.mutable.ArrayBuffer.empty[(Int, Long, Option[Double])]
+    if (first.nonEmpty) {
+      var curId = first(0).getLong(0)
+      var curV = first(0).getSeq[Double](1)
+      out += ((1, curId, None))
+      var st: DataFrame = e.withColumn("mind", lit(2.0)) // 1−cos ∈ [0,2]
+      var prev: DataFrame = null
+      var i = 2
+      var exhausted = false
+      while (i <= k && !exhausted) {
+        st = st.filter($"vec_id" =!= lit(curId))
+          .withColumn("mind", least($"mind",
+            lit(1.0) - graft.functions.CosineSim.cosine(s, $"v", typedLit(curV))))
+          .select($"vec_id", $"v", $"mind")
+          .localCheckpoint(true) // eager: this round materializes NOW
+        if (prev != null) graft.Ckpt.free(prev) // rotate: ~1 frame live
+        prev = st
+        val top = st
+          .agg(max(struct($"mind", (-$"vec_id").as("nid"), $"v")).as("t"))
+          .select((-$"t.nid").as("cid"), $"t.v".as("cv"), $"t.mind".as("radius"))
+          .collect()
+        if (top.isEmpty || top(0).isNullAt(0)) exhausted = true
+        else {
+          curId = top(0).getLong(0)
+          curV = top(0).getSeq[Double](1)
+          out += ((i, curId, Some(top(0).getDouble(2))))
+        }
+        i += 1
+      }
+      if (prev != null) graft.Ckpt.free(prev)
     }
-    centers.select($"rank", $"cid".as("vec_id"),
-        round($"radius", 4).as("radius"))
+    s.createDataset(out.toSeq).toDF("rank", "vec_id", "radius")
+      .select($"rank", $"vec_id", round($"radius", 4).as("radius"))
       .orderBy($"rank")
   }
 

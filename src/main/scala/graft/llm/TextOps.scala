@@ -1306,7 +1306,9 @@ object TextOps {
     * rather than retuned, because the POINT of rule filters is that the
     * thresholds are fixed and portable. One scan, all-codegen scalar
     * functions, no shuffle before the per-doc projection: I/O-bound at
-    * any corpus size. */
+    * any corpus size. Length terms are CHARACTER lengths on both
+    * engines (Spark `length`, DuckDB `length` — NOT `strlen`, which is
+    * bytes and diverges on any non-ASCII text; ADVICE r14). */
   def q239GopherRules(s: SparkSession, dir: String): DataFrame =
     gopherRulesFrom(Tables.documents(s, dir))
 
@@ -1347,10 +1349,10 @@ object TextOps {
       |m AS (
       |  SELECT doc_id,
       |    CAST(len(toks) AS BIGINT) AS n_words,
-      |    CAST(list_sum(list_transform(toks, x -> strlen(x))) AS BIGINT) AS sum_len,
+      |    CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS sum_len,
       |    CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS n_alpha,
-      |    CAST(strlen(text) - strlen(replace(text, '#', ''))
-      |      + (strlen(text) - strlen(replace(text, '...', ''))) // 3 AS BIGINT) AS n_sym,
+      |    CAST(length(text) - length(replace(text, '#', ''))
+      |      + (length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT) AS n_sym,
       |    CAST(len(list_filter(toks, x -> x IN $stopSqlList)) AS BIGINT) AS n_stop
       |  FROM t)
       |SELECT doc_id, n_words,

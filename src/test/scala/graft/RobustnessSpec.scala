@@ -220,16 +220,39 @@ class RobustnessSpec extends AnyFunSuite {
 
   test("k-center greedy with k larger than the corpus: selects everything, then stops cleanly") {
     import spark.implicits._
-    // 3 vectors, k = 8: rounds past exhaustion see an EMPTY pool — the
-    // distributed max(struct) over zero rows yields a null winner; the
-    // union must not fabricate phantom centers
+    // 3 vectors, k = 8: rounds past exhaustion see an EMPTY pool. The
+    // loop must STOP there — the oracle's `ORDER BY ... LIMIT 1` over
+    // an empty CTE emits NO row for that rank, so any fabricated
+    // null-winner row would be a cross-engine row-count divergence
+    // (ADVICE r14). Exactly min(k, N) = 3 rows, all real centers.
     val e = Seq(
       (0L, Seq(1.0, 0.0)), (5L, Seq(0.0, 1.0)), (9L, Seq(0.7, 0.7)))
       .toDF("vec_id", "v")
     val out = llm.Similarity.kcenterCoresetFrom(e, k = 8).collect()
-    val real = out.filter(!_.isNullAt(1)) // vec_id column
-    assert(real.map(_.getAs[Long]("vec_id")).toSet.subsetOf(Set(0L, 5L, 9L)),
-      s"phantom centers: ${out.toSeq}")
-    assert(real.map(_.getAs[Long]("vec_id")).distinct.length == real.length)
+    assert(out.length == 3, s"oracle-parity row count: ${out.toSeq}")
+    assert(out.forall(!_.isNullAt(1)), s"phantom centers: ${out.toSeq}")
+    assert(out.map(_.getAs[Long]("vec_id")).toSet == Set(0L, 5L, 9L),
+      s"selects everything: ${out.toSeq}")
+    assert(out.map(_.getAs[Int]("rank")).toSeq == Seq(1, 2, 3))
+  }
+
+  test("incremental SemDeDup on a %4-filtered store whose stride is a multiple of 4: cents stay non-empty") {
+    import spark.implicits._
+    // ADVICE r14 (medium): seeds at `vec_id % stride == 0` over a store
+    // that EXCLUDES vec_id % 4 == 0 are empty whenever 4 | stride
+    // (store count 1299 → stride = floor(sqrt) = 36) — every batch row
+    // then silently classified to zero rows, identically in the oracle.
+    // The min-anchored residue (mn % stride = 1, odd, never ≡ 0 mod 4)
+    // guarantees seeds; every batch row must come back with a cell.
+    val all = (0L until 1733L).map(i =>
+      (i, Seq((i % 7).toDouble + 1.0, (i % 5).toDouble, (i % 3).toDouble)))
+    val store = all.filter(_._1 % 4 != 0).toDF("vec_id", "v")
+    val batch = all.filter(_._1 % 4 == 0).toDF("vec_id", "v")
+    assert(store.count() == 1299) // floor(sqrt(1299)) = 36, 4 | 36
+    val out = llm.Similarity.semdedupIncrementFrom(
+      store, batch, tau = 0.999999, lloydIters = 1).collect()
+    assert(out.length == batch.count(),
+      s"every batch row classified, got ${out.length}")
+    assert(out.forall(!_.isNullAt(1)), "non-null cell for every batch row")
   }
 }
