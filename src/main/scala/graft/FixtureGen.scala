@@ -141,7 +141,17 @@ object FixtureGen {
           .orderBy($"tok"),
       "corpus_md5_sf001" ->
         docs.select($"doc_id", md5($"text".cast("binary")).as("m"))
-          .orderBy($"doc_id"))
+          .orderBy($"doc_id"),
+      //  - q240 (r15): the incremental-SemDeDup STORE INDEX — cells,
+      //    centroids, and per-cell store representatives from the
+      //    sf0.01 store split (vec_id % 4 != 0), built through
+      //    semIndexFrom at the pinned default lloydIters = 2. The
+      //    committed index is what lets q240 grade BATCH-ONLY ingest
+      //    cost: both engines read it instead of rebuilding the store.
+      //    Content guard lives in the q240 oracle itself (non-null
+      //    rep_v must equal the live corpus vector at rep_id).
+      "q240_semindex_sf001" ->
+        llm.Similarity.q240IndexFixture(spark, sfDir))
   }
 
   def main(args: Array[String]): Unit = {

@@ -620,9 +620,25 @@ object Similarity {
 
   /** q233's engine on arbitrary store/batch (vec_id, v) frames — split
     * out (semanticDedupFrom's discipline) so specs can pin the
-    * exact-dup and no-representative paths on CONSTRUCTED data. */
+    * exact-dup and no-representative paths on CONSTRUCTED data.
+    * Composed of [[semIndexFrom]] ∘ [[semAssignFrom]] since r15 so the
+    * store's index is a first-class artifact (q240 grades assignment
+    * against a COMMITTED index fixture; Streams.semanticIngest reuses
+    * the same assignment per micro-batch). */
   def semdedupIncrementFrom(store: DataFrame, batch: DataFrame,
-                            tau: Double, lloydIters: Int): DataFrame = {
+                            tau: Double, lloydIters: Int): DataFrame =
+    semAssignFrom(semIndexFrom(store, lloydIters), batch, tau)
+
+  /** The store's SEMANTIC INDEX — one row per centroid cell: the
+    * refined centroid vector and the store's representative for that
+    * cell (argmax cosine-to-centroid, ties to the smallest vec_id —
+    * q229's policy; NULL rep columns for a cell whose final store
+    * assignment captured nothing). This K-row table IS the state a
+    * production embedding-ingest pipeline persists between batches:
+    * q233 rebuilds it live (the oracle discipline), q240 reads it from
+    * the committed fixture (grading batch-only marginal cost), and the
+    * streaming ingest broadcasts it as batch-static state. */
+  def semIndexFrom(store: DataFrame, lloydIters: Int): DataFrame = {
     val s = store.sparkSession
     import s.implicits._
     val cents = sampledLloydCents(store, 31, lloydIters)
@@ -632,8 +648,26 @@ object Similarity {
     val reps = storeAsg.withColumn("rn", row_number().over(wr))
       .filter($"rn" === 1)
       .select($"cell".as("rcell"), $"vec_id".as("rep_id"), $"v".as("rep_v"))
+    cents.join(reps, cents("cent_id") === reps("rcell"), "left")
+      .select(cents("cent_id").as("cell"), cents("cv0").as("cv"),
+        $"rep_id", $"rep_v")
+  }
+
+  /** Assign an ingest batch against an EXISTING semantic index — the
+    * batch-only half of q233: one broadcast argmax pass (work ∝
+    * |batch|·K) + one cosine per batch row against the cell's
+    * representative. A cell with no representative keeps NULL
+    * rep/cosine and the batch row is NOT a dup (first occupant) —
+    * LEFT JOIN semantics identical on both engines. */
+  def semAssignFrom(index: DataFrame, batch: DataFrame,
+                    tau: Double): DataFrame = {
+    val s = batch.sparkSession
+    import s.implicits._
+    val cents = index.select($"cell".as("cent_id"), $"cv".as("cv0"))
+    val reps = index.filter($"rep_id".isNotNull)
+      .select($"cell".as("rcell"), $"rep_id", $"rep_v")
     val basg = nearestN(cents, "cent_id", "cv0")(
-      batch, "vec_id", "v", 1, "cell").drop("cell_rn")
+      batch.select($"vec_id", $"v"), "vec_id", "v", 1, "cell").drop("cell_rn")
     basg.join(broadcast(reps), $"cell" === $"rcell", "left")
       .withColumn("cos_rep", graft.functions.CosineSim.cosine(s, $"v", $"rep_v"))
       .select($"vec_id", $"cell", $"rep_id",
@@ -641,6 +675,75 @@ object Similarity {
         coalesce($"cos_rep" >= tau, lit(false)).as("is_semantic_dup"))
       .orderBy($"vec_id")
   }
+
+  /** q240: BATCH-ONLY marginal cost of incremental SemDeDup, GRADED —
+    * closing the one honest gap in the 100 TB dedup story (VERDICT r14
+    * item 1): q233's graded form recomputes the store's index from
+    * scratch because SQL has no state, so its decade rows measure
+    * store rebuild, not ingest work. Here the store's semantic index
+    * is a COMMITTED FIXTURE (`fixtures/q240_semindex_sf001`, generated
+    * at sf0.01 THROUGH [[semIndexFrom]] — the q46 band-fixture
+    * precedent, FIXTURES.md §A2), and the registered query does NO
+    * store-side work at all: read the K-row index, assign the ingest
+    * batch (one broadcast argmax, work ∝ |batch|·K), compare each
+    * batch row to its cell's representative. The oracle replays
+    * assignment+compare downstream of the same parquet, so the grade
+    * is a full hash grade — and the decade row measures work ∝ BATCH
+    * directly (the index is scale-pinned by construction, exactly like
+    * a production nightly ingest against last night's index).
+    * Corpus guard: every non-null representative in the fixture must
+    * equal the live corpus vector at rep_id (float→double widening is
+    * exact on both engines, so list equality is bit-exact); any
+    * disagreement injects a named poison row instead of a confusing
+    * hash mismatch (the q46 guard discipline). */
+  def q240SemdedupBatch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val batch = vecs(s, dir).filter(pmod($"vec_id", lit(4)) === 0)
+    val index = s.read.parquet(s"${graft.Fixtures.dir}/q240_semindex_sf001")
+    semAssignFrom(index, batch, sessionSemdedupTau(s))
+  }
+
+  /** The q240 fixture dataset: the store's semantic index at the
+    * generating scale, built THROUGH [[semIndexFrom]] (shared code,
+    * not a copy — FixtureGen/FixtureDriftSpec discipline). lloydIters
+    * is PINNED at the default 2 — the fixture is a committed artifact
+    * and must not drift with session knobs. */
+  def q240IndexFixture(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    semIndexFrom(vecs(s, dir).filter(pmod($"vec_id", lit(4)) =!= 0)
+      .select($"vec_id", $"v"), lloydIters = 2)
+      .orderBy($"cell")
+  }
+
+  /** q240 oracle at the session's τ: the committed index via
+    * read_parquet, one batch argmax over its cells, the LEFT-JOINed
+    * representative comparison, plus the rep-vs-corpus content guard. */
+  def q240Sql(tau: Double): String =
+    s"""WITH eall AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |batch AS (SELECT vec_id, v FROM eall WHERE vec_id % 4 = 0),
+       |idx AS (SELECT cell, cv, rep_id, rep_v
+       |        FROM read_parquet('${graft.Fixtures.dir}/q240_semindex_sf001/*.parquet')),
+       |fixture_corpus_mismatch AS (
+       |  SELECT count(*) AS n FROM (
+       |    SELECT i.rep_id FROM idx i LEFT JOIN eall e ON e.vec_id = i.rep_id
+       |    WHERE i.rep_id IS NOT NULL
+       |      AND (e.vec_id IS NULL OR e.v <> i.rep_v))),
+       |basg AS (
+       |  SELECT vec_id, v, cell FROM (
+       |    SELECT b.vec_id, b.v, c.cell,
+       |      row_number() OVER (PARTITION BY b.vec_id ORDER BY
+       |        ${cosSql("b.v", "c.cv")} DESC, c.cell ASC) AS crn
+       |    FROM batch b, idx c) t WHERE crn = 1),
+       |reps AS (SELECT cell, rep_id, rep_v FROM idx WHERE rep_id IS NOT NULL)
+       |SELECT vec_id, cell, rep_id, cos_rep, is_semantic_dup FROM (
+       |  SELECT b.vec_id, b.cell, r.rep_id,
+       |    round(${cosSql("b.v", "r.rep_v")}, 4) AS cos_rep,
+       |    coalesce(${cosSql("b.v", "r.rep_v")} >= $tau, false) AS is_semantic_dup
+       |  FROM basg b LEFT JOIN reps r ON r.cell = b.cell
+       |  UNION ALL
+       |  SELECT -1, CAST(n AS BIGINT), NULL, NULL, false
+       |  FROM fixture_corpus_mismatch WHERE n > 0) t
+       |ORDER BY vec_id""".stripMargin
 
   /** q233 oracle at the session's τ: q134's store/batch split and
     * store-sized sampled-Lloyd unroll, the store's full assignment
@@ -2035,6 +2138,7 @@ object Similarity {
     "q233_semdedup_increment" -> (q233SemdedupIncrement _),
     "q234_hard_negatives_ivf" -> (q234HardNegativesIvf _),
     "q237_kcenter_coreset" -> (q237KcenterCoreset _),
+    "q240_semdedup_batch" -> (q240SemdedupBatch _),
   )
 
   // def, not val: q39's and q66's oracle SQL is synthesized from the
@@ -2050,6 +2154,7 @@ object Similarity {
       "q231_hard_negatives" -> q231Sql,
       "q233_semdedup_increment" -> q233Sql(sdTau, sdLi),
       "q234_hard_negatives_ivf" -> q234Sql(np, li),
+      "q240_semdedup_batch" -> q240Sql(sdTau),
       "q237_kcenter_coreset" -> q237Sql,
       "q198_cosine_threshold_sweep" -> q198Sql,
       "q190_knn_confusion" -> q190Sql,
