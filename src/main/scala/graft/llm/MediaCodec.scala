@@ -46,6 +46,37 @@ object MediaCodec {
     hist
   }
 
+  /** dHash-style PERCEPTUAL hash of a decoded w×1 pixel strip (q241):
+    * per-column grayscale = r+g+b (a SUM, not a mean — no division, so
+    * every value is an exact integer in [0, 765]), nearest-neighbor
+    * resample to 65 columns (src column of resampled j = ⌊j·w/65⌋ —
+    * pure integer arithmetic, which is what lets the DuckDB oracle
+    * restate the whole hash from the document's text bytes), then the
+    * standard dHash gradient bits: bit k = 1 iff g[k] < g[k+1], k ∈
+    * [0, 64). The classic dHash is a 9×8 grid; these strips are
+    * 1-pixel-high, so the 65→64 horizontal form is the same
+    * "compare adjacent downsampled luminances" idea in one dimension.
+    * Returned as FOUR 16-bit chunk values (q109's representation:
+    * chunk values stay in [0, 65535], so no engine-specific 64-bit
+    * shift semantics enter the graded output) — which are ALSO the
+    * Hamming band keys. Caller guarantees width > 0. */
+  def dhashChunks(pixels: Array[Byte], width: Int): Array[Int] = {
+    val g = new Array[Int](65)
+    var j = 0
+    while (j < 65) {
+      val b = 3 * ((j.toLong * width / 65).toInt)
+      g(j) = (pixels(b) & 0xFF) + (pixels(b + 1) & 0xFF) + (pixels(b + 2) & 0xFF)
+      j += 1
+    }
+    val chunks = new Array[Int](4)
+    var k = 0
+    while (k < 64) {
+      if (g(k) < g(k + 1)) chunks(k / 16) |= 1 << (k % 16)
+      k += 1
+    }
+    chunks
+  }
+
   // ---------------------------------------------------------------- PPM
 
   final case class Ppm(width: Int, height: Int, maxVal: Int, pixels: Array[Byte])

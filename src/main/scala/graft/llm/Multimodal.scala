@@ -571,6 +571,192 @@ object Multimodal {
       |FROM fr2 f JOIN pk USING (media_id)
       |GROUP BY f.media_id ORDER BY media_id""".stripMargin
 
+  /** q241: PERCEPTUAL-HASH MEDIA DEDUP — the missing member of the
+    * dedup × multimodal matrix (VERDICT r14 item 3): a real curation
+    * pipeline dedups scraped images BEFORE any text stage, and the
+    * text family (exact/MinHash/SimHash/substring) plus the embedding
+    * family (cosine/SemDeDup) covered everything EXCEPT raw media.
+    * dHash (public: the difference-hash of the pHash family —
+    * gradient-sign bits over downsampled luminance; robust to
+    * re-encoding and small shifts, unlike cryptographic hashes of the
+    * container bytes) over DECODED pixels, through the REAL container
+    * path: decode the PPM, re-encode as PNG, decode back through the
+    * magic-sniffing [[MediaCodec.decodeImage]] (q129's lossless
+    * roundtrip — the hash is computed on pixels that survived a real
+    * compressed container, so a byte-level container change cannot
+    * change the hash). Candidates band on the four 16-bit hash chunks
+    * (q109's SimHash chunk machinery: agree on ≥1 chunk ⇒ candidate,
+    * buckets wider than `Dedup.MaxBucketWidth` dropped — the same
+    * boilerplate-skew cap), verified by Hamming ≤ 6 (q109's radius).
+    *
+    * Fully HASH-GRADED with no fixture: the pixel strip is the
+    * document's text bytes and the resample/grayscale arithmetic is
+    * exact integers, so the oracle restates the ENTIRE hash from
+    * `hex(encode(text))` byte slices (q52's discipline) — geometry
+    * exact, banding and Hamming verify replayed in SQL. 100 TB shape:
+    * hashing is one narrow mapPartitions scan (64-bit signature per
+    * image — pixels never shuffle), candidate generation is a
+    * band-equality join, verification is candidate-proportional; the
+    * exact shape of the text dedup family, applied to media.
+    *
+    * The GRADED form is per-IMAGE, not per-pair: this synthetic corpus
+    * happens to carry no true image near-dups (measured: 8 band
+    * candidates at sf0.01, min Hamming 17), so a pair-list result
+    * would be empty and grade nothing. Emitting every image's complete
+    * four-chunk signature plus its banding stats (band-mate count, min
+    * Hamming among mates, the ≤6 near-dup verdict) grades ALL 64 hash
+    * bits of ALL images, the band join, the cap, and the Hamming
+    * arithmetic — strictly more than the pair list, on rows that
+    * exist. The pair emission itself is [[phashDupsFrom]], the
+    * production operator, whose positive path MultimodalSpec pins on
+    * constructed images: re-encoded and 1-px-shifted copies of a
+    * smooth gradient band together at Hamming ≈ 0; an unrelated image
+    * does not. */
+  def q241PhashDups(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sigs = phashSigs(mediaTable(s, dir))
+      .persist() // read twice: both chunk-join sides (q109's discipline)
+    val chunked = phashChunked(sigs)
+    val a = chunked.select($"media_id".as("id1"), $"v0".as("x0"), $"v1".as("x1"),
+      $"v2".as("x2"), $"v3".as("x3"), $"c", $"v")
+    val b = chunked.select($"media_id".as("id2"), $"v0".as("y0"), $"v1".as("y1"),
+      $"v2".as("y2"), $"v3".as("y3"), $"c".as("c2"), $"v".as("v2j"))
+    val stats = a.join(b, $"c" === $"c2" && $"v" === $"v2j" && $"id1" =!= $"id2")
+      .dropDuplicates("id1", "id2")
+      .withColumn("hamming",
+        (bit_count($"x0".bitwiseXOR($"y0")) + bit_count($"x1".bitwiseXOR($"y1")) +
+         bit_count($"x2".bitwiseXOR($"y2")) + bit_count($"x3".bitwiseXOR($"y3")))
+          .cast("int"))
+      .groupBy($"id1")
+      .agg(count(lit(1)).as("n_cands"), min($"hamming").as("min_hamming"))
+    sigs.join(stats, sigs("media_id") === stats("id1"), "left")
+      .select($"media_id", $"v0", $"v1", $"v2", $"v3",
+        coalesce($"n_cands", lit(0L)).as("n_cands"), $"min_hamming",
+        coalesce($"min_hamming" <= 6, lit(false)).as("near_dup"))
+      .orderBy($"media_id")
+  }
+
+  /** The perceptual signature table: one row per decodable image,
+    * four 16-bit dHash chunks, hashed THROUGH the real-container path
+    * (PPM → PNG → decode → pixels). */
+  def phashSigs(media: Dataset[MediaRow]): DataFrame = {
+    val s = media.sparkSession
+    import s.implicits._
+    media
+      .filter(_.kind == "image")
+      .mapPartitions { it =>
+        it.flatMap { r =>
+          val src = MediaCodec.decodePpm(r.content)
+          if (src.width == 0) None
+          else {
+            val png = MediaCodec.encodePng(src.pixels, src.width, src.height)
+            val back = MediaCodec.decodeImage(png)
+            if (back.width != src.width || back.height != src.height)
+              throw new IllegalStateException(
+                s"media_id=${r.media_id}: PNG round-trip changed dims " +
+                  s"${src.width}x${src.height} -> ${back.width}x${back.height}")
+            val ch = MediaCodec.dhashChunks(back.pixels, back.width)
+            Some((r.media_id, ch(0), ch(1), ch(2), ch(3)))
+          }
+        }
+      }
+      .toDF("media_id", "v0", "v1", "v2", "v3")
+  }
+
+  /** Chunk-exploded signatures with the over-wide buckets dropped —
+    * q109's band/cap stage on the perceptual signature table. */
+  private def phashChunked(sigs: DataFrame): DataFrame = {
+    val s = sigs.sparkSession
+    import s.implicits._
+    sigs.withColumn("cc", explode(array((0 until 4).map(c =>
+        struct(lit(c).as("c"), col(s"v$c").as("v"))): _*)))
+      .select($"media_id", $"v0", $"v1", $"v2", $"v3", $"cc.c", $"cc.v")
+      .withColumn("w", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"c", $"v")))
+      .filter($"w" <= Dedup.MaxBucketWidth).drop("w")
+  }
+
+  /** q241's production PAIR operator — band-agreeing images verified
+    * at Hamming ≤ `radius` (q109's shape; split out so MultimodalSpec
+    * can pin shift/re-encode robustness on constructed strips). */
+  def phashDupsFrom(media: Dataset[MediaRow], radius: Int = 6): DataFrame = {
+    val s = media.sparkSession
+    import s.implicits._
+    val sigs = phashSigs(media).persist()
+    val chunked = phashChunked(sigs)
+    val a = chunked.select($"media_id".as("id1"), $"v0".as("x0"), $"v1".as("x1"),
+      $"v2".as("x2"), $"v3".as("x3"), $"c", $"v")
+    val b = chunked.select($"media_id".as("id2"), $"v0".as("y0"), $"v1".as("y1"),
+      $"v2".as("y2"), $"v3".as("y3"), $"c".as("c2"), $"v".as("v2j"))
+    a.join(b, $"c" === $"c2" && $"v" === $"v2j" && $"id1" < $"id2")
+      .dropDuplicates("id1", "id2")
+      .withColumn("hamming",
+        (bit_count($"x0".bitwiseXOR($"y0")) + bit_count($"x1".bitwiseXOR($"y1")) +
+         bit_count($"x2".bitwiseXOR($"y2")) + bit_count($"x3".bitwiseXOR($"y3")))
+          .cast("int"))
+      .filter($"hamming" <= radius)
+      .select($"id1", $"id2", $"hamming")
+      .orderBy($"id1", $"id2")
+  }
+
+  /** q241 oracle: the whole dHash restated from text-byte slices —
+    * grayscale g[j] = sum of the 3 payload bytes at resampled column
+    * ⌊j·w/65⌋, gradient bits packed into four 16-bit chunks, then
+    * q109's band/cap SQL and the per-image candidate rollup. */
+  val q241Sql: String = {
+    // byte k (0-based) of the payload, as an integer, from the hex dump
+    def byteAt(k: String) = s"('0x' || substr(hx, 2 * ($k) + 1, 2))::BIGINT"
+    val chunks = (0 until 4).map { c =>
+      s"CAST(sum(CASE WHEN k >= ${c * 16} AND k < ${c * 16 + 16} " +
+        s"THEN bit * (1 << (k % 16)) ELSE 0 END) AS INT) AS v$c"
+    }.mkString(",\n    ")
+    s"""WITH m AS (
+       |  SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+       |         octet_length(encode(text)) // 3 AS w
+       |  FROM documents WHERE doc_id % 3 = 0
+       |    AND octet_length(encode(text)) // 3 > 0),
+       |g AS (
+       |  SELECT media_id, u.j,
+       |    ${byteAt("3 * ((u.j * w) // 65)")}
+       |    + ${byteAt("3 * ((u.j * w) // 65) + 1")}
+       |    + ${byteAt("3 * ((u.j * w) // 65) + 2")} AS g
+       |  FROM m, unnest(generate_series(0, 64)) AS u(j)),
+       |bits AS (
+       |  SELECT a.media_id, a.j AS k,
+       |    CASE WHEN a.g < b.g THEN 1 ELSE 0 END AS bit
+       |  FROM g a JOIN g b ON b.media_id = a.media_id AND b.j = a.j + 1
+       |  WHERE a.j < 64),
+       |v AS (
+       |  SELECT media_id,
+       |    $chunks
+       |  FROM bits GROUP BY media_id),
+       |c0 AS (
+       |  SELECT media_id, v0, v1, v2, v3, u.c,
+       |    CASE u.c WHEN 0 THEN v0 WHEN 1 THEN v1 WHEN 2 THEN v2 ELSE v3 END AS vv
+       |  FROM v, unnest(generate_series(0, 3)) AS u(c)),
+       |c AS (
+       |  SELECT media_id, v0, v1, v2, v3, c, vv FROM (
+       |    SELECT c0.*, count(*) OVER (PARTITION BY c, vv) AS w FROM c0) t
+       |  WHERE w <= ${Dedup.MaxBucketWidth}),
+       |cand AS (
+       |  SELECT DISTINCT a.media_id AS id1, b.media_id AS id2
+       |  FROM c a JOIN c b ON a.c = b.c AND a.vv = b.vv AND a.media_id <> b.media_id),
+       |stats AS (
+       |  SELECT cd.id1, count(*) AS n_cands,
+       |    min(bit_count(xor(x.v0, y.v0)) + bit_count(xor(x.v1, y.v1)) +
+       |        bit_count(xor(x.v2, y.v2)) + bit_count(xor(x.v3, y.v3))) AS min_hamming
+       |  FROM cand cd
+       |  JOIN v x ON x.media_id = cd.id1
+       |  JOIN v y ON y.media_id = cd.id2
+       |  GROUP BY cd.id1)
+       |SELECT v.media_id, v.v0, v.v1, v.v2, v.v3,
+       |  CAST(coalesce(s.n_cands, 0) AS BIGINT) AS n_cands,
+       |  CAST(s.min_hamming AS INT) AS min_hamming,
+       |  coalesce(s.min_hamming <= 6, false) AS near_dup
+       |FROM v LEFT JOIN stats s ON s.id1 = v.media_id
+       |ORDER BY v.media_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q203_audio_rms"     -> (q203AudioRms _),
     "q221_vit_patches"   -> (q221VitPatches _),
@@ -579,6 +765,7 @@ object Multimodal {
     "q112_media_meta"    -> (q112MediaMeta _),
     "q129_png_roundtrip" -> (q129PngRoundtrip _),
     "q131_jpeg_roundtrip" -> (q131JpegRoundtrip _),
+    "q241_phash_dups"    -> (q241PhashDups _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -589,5 +776,6 @@ object Multimodal {
     "q112_media_meta"    -> q112Sql,
     "q129_png_roundtrip" -> q129Sql,
     "q131_jpeg_roundtrip" -> q131Sql,
+    "q241_phash_dups"    -> q241Sql,
   )
 }

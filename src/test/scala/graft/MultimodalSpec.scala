@@ -255,4 +255,45 @@ class MultimodalSpec extends AnyFunSuite {
       assert(r.getAs[Long]("n_frames") == frames(r.getAs[Long]("media_id")))
     }
   }
+
+  test("q241 perceptual dedup: shifted/perturbed copies band together, a distinct image does not") {
+    // constructed strips of a smooth luminance ramp (the geometry dHash
+    // is designed for): a 1-px shift and a localized perturbation keep
+    // the gradient-sign structure (Hamming ≤ 6 → near-dup), while the
+    // reversed ramp flips every gradient bit (Hamming 64, no shared
+    // band). All four go through the REAL container path (PPM → PNG →
+    // decode) inside phashSigs.
+    val w = 200
+    def strip(f: Int => Int): Array[Byte] = {
+      val px = new Array[Byte](3 * w)
+      for (i <- 0 until w; c <- 0 until 3)
+        px(3 * i + c) = math.min(255, math.max(0, f(i))).toByte
+      px
+    }
+    def row(id: Long, f: Int => Int) = Multimodal.MediaRow(
+      id, "image", MediaCodec.encodePpm(strip(f), w, 1),
+      w, 1, 16000, 0L, "ppm/p6")
+    val media = spark.createDataset(Seq(
+      row(0L, i => i),                                   // smooth ramp
+      row(1L, i => math.max(0, i - 1)),                  // 1-px shift
+      row(2L, i => if (i >= 100 && i < 110) 0 else i),   // local damage
+      row(3L, i => 255 - i)))                            // reversed ramp
+    val pairs = Multimodal.phashDupsFrom(media).collect()
+      .map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2")) ->
+        r.getAs[Int]("hamming")).toMap
+    assert(pairs.contains((0L, 1L)), s"shifted copy must band: $pairs")
+    assert(pairs((0L, 1L)) <= 6)
+    assert(pairs.contains((0L, 2L)), s"perturbed copy must band: $pairs")
+    assert(pairs((0L, 2L)) <= 6 && pairs((0L, 2L)) > 0,
+      s"local damage is near, not identical: ${pairs((0L, 2L))}")
+    assert(!pairs.keys.exists(p => p._1 == 3L || p._2 == 3L),
+      s"the reversed ramp must not pair with anything: $pairs")
+    // signature sanity: the ramp's gradient bits are all 1 (monotone)
+    val sigs = Multimodal.phashSigs(media).collect()
+      .map(r => r.getAs[Long]("media_id") ->
+        (r.getAs[Int]("v0"), r.getAs[Int]("v1"), r.getAs[Int]("v2"),
+          r.getAs[Int]("v3"))).toMap
+    assert(sigs(0L) == ((0xFFFF, 0xFFFF, 0xFFFF, 0xFFFF)))
+    assert(sigs(3L) == ((0, 0, 0, 0)))
+  }
 }
