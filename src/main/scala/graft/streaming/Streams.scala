@@ -272,6 +272,49 @@ object Streams {
       }
       .start()
 
+  /** Streaming SEMANTIC ingest — q233's incremental SemDeDup
+    * assignment promoted to Structured Streaming (VERDICT r14 item 4),
+    * the embedding twin of [[incrementalIngest]]. Per micro-batch of
+    * (vec_id, v) embeddings:
+    *  1. assign each vector to the store index's nearest cell and
+    *     compare it to that cell's store representative
+    *     ([[graft.llm.Similarity.semAssignFrom]] — work ∝ |batch|·K);
+    *  2. drop semantic dups (`cos_rep ≥ tau`); a vector landing in a
+    *     cell with NO representative survives (first occupant);
+    *  3. anti-join survivors against the persistent store (parquet,
+    *     keyed by vec_id) and append the novel ones.
+    *
+    * The index (cells + representatives — q240's fixture shape) is
+    * BATCH-STATIC broadcast state: read once at query start and held
+    * fixed between compactions, exactly the operational contract of a
+    * production embedding-ingest pipeline (re-running q229/q233's
+    * builder is the rare maintenance event; the nightly path only
+    * assigns). Restart safety: on recovery foreachBatch can re-run the
+    * LAST batch; assignment against the fixed index is deterministic,
+    * so the replayed survivors anti-join away against what the
+    * interrupted run already appended — exactly-once store contents
+    * from at-least-once batch delivery (the incrementalIngest
+    * contract, pinned in StreamingSpec by replaying a batch verbatim). */
+  def semanticIngest(vecs: DataFrame, index: DataFrame, tau: Double,
+                     storeDir: String,
+                     checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        val assigned = graft.llm.Similarity.semAssignFrom(index, batch, tau)
+        val survivors = assigned.filter(!col("is_semantic_dup"))
+          .select(col("vec_id"), col("cell"), col("cos_rep"))
+        val novel =
+          if (new java.io.File(storeDir).exists())
+            survivors.join(s.read.parquet(storeDir).select("vec_id"),
+              Seq("vec_id"), "left_anti")
+          else survivors
+        novel.write.mode("append").parquet(storeDir)
+        ()
+      }
+      .start()
+
   def pulse(statuses: Dataset[PhaseStatus]): DataFrame = {
     val spark = statuses.sparkSession
     import spark.implicits._

@@ -696,6 +696,43 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("semantic ingest: dups vs the fixed index drop, first occupants survive, replay appends nothing") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_semingest").toFile
+    val store = new java.io.File(dir, "store").getPath
+    val ckpt = new java.io.File(dir, "ckpt").getPath
+    // batch-static index: two occupied cells + one rep-less cell
+    val index = Seq(
+      (10L, Seq(1.0, 0.0), Some(100L), Some(Seq(1.0, 0.0))),
+      (20L, Seq(0.0, 1.0), Some(200L), Some(Seq(0.0, 1.0))),
+      (30L, Seq(-0.7, -0.7), None, None))
+      .toDF("cell", "cv", "rep_id", "rep_v")
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val q = Streams.semanticIngest(
+      mem.toDS().toDF("vec_id", "v"), index, tau = 0.95, store, ckpt)
+    try {
+      // batch 1: vec 1 ≈ the cell-10 rep (cos ≈ 0.994 ≥ τ → dropped);
+      // vec 2 lands in cell 10 but far from the rep (cos ≈ 0.83 → kept)
+      mem.addData((1L, Seq(0.9, 0.1)), (2L, Seq(0.6, 0.4)))
+      q.processAllAvailable()
+      val s1 = spark.read.parquet(store).collect()
+      assert(s1.map(_.getLong(0)).toSet == Set(2L), s1.mkString(","))
+      // batch 2: vec 3 dups the cell-20 rep; vec 5 is the FIRST OCCUPANT
+      // of the rep-less cell 30 (NULL rep → not a dup by contract)
+      mem.addData((3L, Seq(0.05, 1.0)), (5L, Seq(-0.8, -0.6)))
+      q.processAllAvailable()
+      val s2 = spark.read.parquet(store).collect()
+      assert(s2.map(_.getLong(0)).toSet == Set(2L, 5L), s2.mkString(","))
+      assert(s2.find(_.getLong(0) == 5L).exists(_.getLong(1) == 30L))
+      // replay the survivors verbatim (the restart-idempotence claim):
+      // deterministic re-assignment anti-joins away — nothing appends
+      mem.addData((2L, Seq(0.6, 0.4)), (5L, Seq(-0.8, -0.6)))
+      q.processAllAvailable()
+      assert(spark.read.parquet(store).count() == 2)
+    } finally q.stop()
+  }
+
   test("streaming transition counts match the batch pairwise derivation") {
     implicit val sqlCtx = spark.sqlContext
     import Streams.TransEvent
