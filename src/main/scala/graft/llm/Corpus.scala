@@ -921,11 +921,55 @@ object Corpus {
     * graded bit-exactly regardless). Scale: T+1 passes over the
     * persisted (doc, bucket) frame — each one hash aggregation + one
     * ≤256-row broadcast; training adds NOTHING super-linear. */
+  /** Dyadic floor-quantization to the 2^k grid (see q238's scaladoc):
+    * multiplication by 2^k and floor are exact IEEE ops. */
+  private def quant(c: org.apache.spark.sql.Column, g: Long) =
+    floor(c * g) / lit(g.toDouble)
+
+  /** The driver-resident weight vector as a literal broadcastable
+    * frame (wb, w) — q238's model-state discipline, shared with q242. */
+  private def weightFrame(s: SparkSession, w: Array[Double]): DataFrame =
+    s.createDataFrame(
+      s.sparkContext.parallelize(w.zipWithIndex.map {
+        case (wv, b) => org.apache.spark.sql.Row(b.toLong, wv)
+      }.toSeq, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("wb",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("w",
+          org.apache.spark.sql.types.DoubleType, nullable = false))))
+
+  /** The dyadic-exact batch-GD training loop over a persisted
+    * (doc_id, b, x, y) feature frame — q238's inline loop factored out
+    * (r15) so q242 can train the SAME arithmetic on the q100 train
+    * split only. Weights are driver-resident model state (`nB`
+    * doubles, bounded by construction), re-broadcast per step; every
+    * quantity stays on a dyadic grid so sums are exact at any
+    * aggregation order (the q238 scaladoc carries the full argument).
+    * Returns the trained weights. */
+  private def trainProbeWeights(xb: DataFrame, nB: Int,
+                                steps: Int): Array[Double] = {
+    val s = xb.sparkSession
+    import s.implicits._
+    val nd = xb.agg(countDistinct($"doc_id")).collect().head.getLong(0).toDouble
+    val w = Array.fill(nB)(0.0)
+    def qd(v: Double): Double = math.floor(v * 4096.0) / 4096.0
+    for (_ <- 1 to steps) {
+      val z = xb.join(broadcast(weightFrame(s, w)), $"b" === $"wb")
+        .groupBy($"doc_id", $"y")
+        .agg(sum($"x" * $"w").as("z"))
+        .select($"doc_id", quant($"z" - $"y", 1L << 12).as("err"))
+      val grads = xb.join(z, "doc_id")
+        .groupBy($"b").agg(sum($"x" * $"err").as("gsum"))
+        .collect().map(r => r.getAs[Long]("b").toInt -> r.getAs[Double]("gsum"))
+      for ((b, gsum) <- grads) w(b) -= 4.0 * qd(gsum / nd)
+    }
+    w
+  }
+
   def q238QualityProbe(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val nB = 256
-    def quant(c: org.apache.spark.sql.Column, g: Long) =
-      floor(c * g) / lit(g.toDouble)
     val xb = Tables.documents(s, dir)
       .withColumn("toks", TextOps.tokens($"text"))
       .select($"doc_id", $"source", explode($"toks").as("g"))
@@ -940,40 +984,13 @@ object Corpus {
       // feeds every GD step and the final scoring pass (freed by
       // Ckpt.sweep); four narrow columns, the q235 persist discipline
       .persist()
-    // the exact doc count rides a 1-row broadcast graft into each
-    // weight update (q117's scalar pattern — never a driver action)
-    // The weight vector is DRIVER-RESIDENT MODEL STATE — 256 doubles,
-    // constant-size by construction (the Stats.scala heavy-hitter
-    // collect discipline): each step collects the 256-row gradient and
-    // re-broadcasts the updated weights as a LITERAL frame. This keeps
-    // every step's plan flat — a lazily-chained weight frame doubles
-    // its logical plan per step (w_t references w_{t-1} through both z
-    // and the update) and the 2^T re-analysis stalled the first cut of
-    // this query for minutes at sf0.1; model state on the driver is
-    // also simply what training a model on a cluster looks like.
-    val nd = xb.agg(countDistinct($"doc_id")).collect().head.getLong(0).toDouble
-    val w = Array.fill(nB)(0.0)
-    def wFrame = s.createDataFrame(
-      s.sparkContext.parallelize(w.zipWithIndex.map {
-        case (wv, b) => org.apache.spark.sql.Row(b.toLong, wv)
-      }.toSeq, 1),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("wb",
-          org.apache.spark.sql.types.LongType, nullable = false),
-        org.apache.spark.sql.types.StructField("w",
-          org.apache.spark.sql.types.DoubleType, nullable = false))))
-    def qd(v: Double): Double = math.floor(v * 4096.0) / 4096.0
-    for (_ <- 1 to 8) {
-      val z = xb.join(broadcast(wFrame), $"b" === $"wb")
-        .groupBy($"doc_id", $"y")
-        .agg(sum($"x" * $"w").as("z"))
-        .select($"doc_id", quant($"z" - $"y", 1L << 12).as("err"))
-      val grads = xb.join(z, "doc_id")
-        .groupBy($"b").agg(sum($"x" * $"err").as("gsum"))
-        .collect().map(r => r.getAs[Long]("b").toInt -> r.getAs[Double]("gsum"))
-      for ((b, gsum) <- grads) w(b) -= 4.0 * qd(gsum / nd)
-    }
-    xb.join(broadcast(wFrame), $"b" === $"wb")
+    // The GD loop lives in [[trainProbeWeights]] (the weight vector is
+    // DRIVER-RESIDENT MODEL STATE — 256 doubles, constant-size by
+    // construction, re-broadcast as a literal frame per step; the
+    // in-loop comment history of WHY lives on that helper and in the
+    // scaladoc above: a lazily-chained weight frame is a 2^T plan bomb).
+    val w = trainProbeWeights(xb, nB, steps = 8)
+    xb.join(broadcast(weightFrame(s, w)), $"b" === $"wb")
       .groupBy($"doc_id", $"source", $"y")
       .agg(sum($"x" * $"w").as("score"))
       .select($"doc_id", $"source", $"score",
@@ -1029,7 +1046,190 @@ object Corpus {
       |FROM sc ORDER BY doc_id""".stripMargin
   }
 
+  /** q242: HELD-OUT EVALUATION of the in-engine quality probe —
+    * grading the CLASSIFIER, not just its arithmetic (VERDICT r14
+    * item 6). q238 trains and scores on the same pool; a real curation
+    * team judges the filter on data the probe never saw. Here:
+    *  1. split by q100's deterministic md5-of-doc_id rule — train =
+    *     buckets outside {c,d,e,f}, VAL = {c,d}; the TEST split {e,f}
+    *     is withheld entirely (the point of a three-way split);
+    *  2. features: q235's unigram+bigram featurizer (the richer set
+    *     the r14 verdict asked to try), md5-hashed to 256 buckets,
+    *     normalized and floor-quantized to the 2^-20 dyadic grid;
+    *  3. train 8 GD steps on the TRAIN split only — the SAME
+    *     dyadic-exact loop as q238 ([[trainProbeWeights]], shared
+    *     code, not a copy);
+    *  4. score the VAL split with the trained weights and cut at an
+    *     integer threshold in exact 2^-12 score units (80 — sited
+    *     inside the val score range, 55..95 measured at sf0.01, so
+    *     BOTH branches of every confusion cell are exercised; q238's
+    *     162 was calibrated to unigram/train-inclusive scores and
+    *     keeps nothing here);
+    *  5. emit the exact confusion counts (tp/fp/fn/tn as BIGINTs) plus
+    *     precision / recall / enrichment as single correctly-rounded
+    *     IEEE divisions of exact integers (bit-identical cross-engine;
+    *     NULL-guarded when a denominator is 0), and `enrich_gt1` — the
+    *     "does the probe beat random selection on unseen data" verdict
+    *     — as an exact DECIMAL(38,0) cross-multiplication
+    *     (tp·n_val > n_kept·n_target; overflow-safe at any corpus).
+    *
+    * MEASURED HONEST RESULT on the graded corpus: the probe does NOT
+    * transfer (val enrichment ≤ 1 at every threshold — the top-16 val
+    * scores are all non-target, for bigram AND unigram features, at
+    * 256 AND 4096 buckets). The r14 verdict expected the opposite from
+    * q238's 1.9× train enrichment, but that number is in-sample: this
+    * synthetic corpus's source signal is SELF-memorization (each doc's
+    * own vocabulary), not a source-level style — proven by running the
+    * strongest available classifier, q235's DSIR likelihood ratio with
+    * TRAIN-split-only bucket models, against the val docs: target
+    * median affinity 0.0496 vs non-target 0.0510, i.e. ≤ 1 enrichment
+    * for ANY classifier fed these features. That is precisely the
+    * finding a held-out eval exists to surface — train-set enrichment
+    * was overfit. CorpusSpec therefore pins BOTH directions: on a
+    * CONSTRUCTED corpus whose target docs share a genuine theme
+    * vocabulary the probe transfers (val enrich_gt1 = true), and on
+    * the graded corpus the eval reports the negative (enrich_gt1 =
+    * false) — the operator is the measurement instrument either way.
+    * Scale shape: q238's T+1 linear passes over the (smaller) train
+    * frame + one pass over val; the eval aggregation is a single row. */
+  def q242ProbeEval(s: SparkSession, dir: String): DataFrame =
+    probeEvalFrom(Tables.documents(s, dir))
+
+  /** q242's engine on an arbitrary (doc_id, source, text) frame —
+    * split out so CorpusSpec can pin transfer on a constructed corpus
+    * with a genuinely generalizable target vocabulary. */
+  def probeEvalFrom(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val nB = 256
+    val grams = docs
+      .withColumn("toks", TextOps.tokens($"text"))
+      .withColumn("sb", substring(md5($"doc_id".cast("string")), 1, 1))
+      .filter(!$"sb".isin("e", "f")) // test split withheld entirely
+      .select($"doc_id", $"source", $"sb".isin("c", "d").as("is_val"),
+        explode(concat($"toks", expr(
+          "CASE WHEN size(toks) < 2 THEN array() " +
+            "ELSE transform(sequence(1, size(toks) - 1), " +
+            "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))) END")))
+          .as("g"))
+      .select($"doc_id", $"source", $"is_val",
+        pmod(conv(substring(md5($"g"), 1, 8), 16, 10).cast("long"), lit(nB))
+          .as("b"))
+    val xb = grams
+      .groupBy($"doc_id", $"source", $"is_val", $"b")
+      .agg(count(lit(1)).as("c"))
+      .withColumn("n", sum($"c").over(Window.partitionBy($"doc_id")))
+      .select($"doc_id", $"is_val", $"b",
+        quant($"c".cast("double") / $"n", 1L << 20).as("x"),
+        when($"source" === "src0", 1.0).otherwise(0.0).as("y"))
+      // feeds 8 train steps + the val scoring pass (freed by Ckpt.sweep)
+      .persist()
+    val w = trainProbeWeights(xb.filter(!$"is_val"), nB, steps = 8)
+    val scored = xb.filter($"is_val")
+      .join(broadcast(weightFrame(s, w)), $"b" === $"wb")
+      .groupBy($"doc_id", $"y")
+      .agg(sum($"x" * $"w").as("score"))
+      .select($"doc_id", $"y", floor($"score" * 4096).cast("long").as("q12"))
+    val d38 = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(38, 0))
+    scored.agg(
+        count(lit(1)).as("n_val"),
+        sum(when($"y" === 1.0, 1L).otherwise(0L)).as("n_target"),
+        sum(when($"q12" > 80, 1L).otherwise(0L)).as("n_kept"),
+        sum(when($"q12" > 80 && $"y" === 1.0, 1L).otherwise(0L)).as("tp"),
+        sum(when($"q12" > 80 && $"y" =!= 1.0, 1L).otherwise(0L)).as("fp"),
+        sum(when($"q12" <= 80 && $"y" === 1.0, 1L).otherwise(0L)).as("fn"),
+        sum(when($"q12" <= 80 && $"y" =!= 1.0, 1L).otherwise(0L)).as("tn"))
+      .select($"n_val", $"n_target", $"n_kept", $"tp", $"fp", $"fn", $"tn",
+        when($"n_kept" === 0, lit(null).cast("double"))
+          .otherwise($"tp".cast("double") / $"n_kept").as("precision"),
+        when($"n_target" === 0, lit(null).cast("double"))
+          .otherwise($"tp".cast("double") / $"n_target").as("recall"),
+        when($"n_kept" === 0 || $"n_target" === 0, lit(null).cast("double"))
+          .otherwise((d38($"tp") * $"n_val").cast("double") /
+            (d38($"n_kept") * $"n_target").cast("double")).as("enrichment"),
+        (d38($"tp") * $"n_val" > d38($"n_kept") * $"n_target").as("enrich_gt1"))
+  }
+
+  /** q242 oracle: the split, the bigram featurizer, the 8-step loop
+    * unrolled over the TRAIN CTE, val scoring, and the exact confusion
+    * arithmetic — q238Sql's generator pattern with the split filters. */
+  val q242Sql: String = {
+    val steps = (1 to 8).map { i =>
+      val pw = s"w${i - 1}"
+      s"""z$i AS (
+         |  SELECT doc_id,
+         |    floor((sum(x * w) - y) * 4096) / 4096.0 AS err
+         |  FROM trn JOIN $pw ON $pw.wb = trn.b
+         |  GROUP BY doc_id, y),
+         |g$i AS (
+         |  SELECT b, sum(x * err) AS gsum
+         |  FROM trn JOIN z$i USING (doc_id) GROUP BY b),
+         |w$i AS (
+         |  SELECT wb, w - 4.0 * (floor((coalesce(g$i.gsum, 0.0)
+         |    / (SELECT nd FROM ndocs)) * 4096) / 4096.0) AS w
+         |  FROM $pw LEFT JOIN g$i ON g$i.b = $pw.wb),""".stripMargin
+    }.mkString("\n")
+    raw"""WITH tk AS (
+      |  SELECT doc_id, source,
+      |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c', 'd') AS is_val,
+      |    regexp_extract_all(lower(text), '\S+') AS toks
+      |  FROM documents
+      |  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) NOT IN ('e', 'f')),
+      |g AS (
+      |  SELECT doc_id, source, is_val, unnest(
+      |    list_concat(toks,
+      |      list_transform(generate_series(1, len(toks) - 1),
+      |        i -> toks[i] || ' ' || toks[i + 1]))) AS g
+      |  FROM tk),
+      |cb AS (
+      |  SELECT doc_id, source, is_val,
+      |    ('0x' || substr(md5(g), 1, 8))::BIGINT % 256 AS b, count(*) AS c
+      |  FROM g GROUP BY doc_id, source, is_val, b),
+      |xb AS (
+      |  SELECT doc_id, is_val, b,
+      |    floor((CAST(c AS DOUBLE) / sum(c) OVER (PARTITION BY doc_id)) * 1048576)
+      |      / 1048576.0 AS x,
+      |    CASE WHEN source = 'src0' THEN 1.0 ELSE 0.0 END AS y
+      |  FROM cb),
+      |trn AS (SELECT doc_id, b, x, y FROM xb WHERE NOT is_val),
+      |ndocs AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS nd FROM trn),
+      |w0 AS (SELECT unnest(generate_series(0, 255)) AS wb, 0.0 AS w),
+      |$steps
+      |sc AS (
+      |  SELECT doc_id, y,
+      |    CAST(floor(sum(x * w) * 4096) AS BIGINT) AS q12
+      |  FROM xb JOIN w8 ON w8.wb = xb.b
+      |  WHERE is_val GROUP BY doc_id, y),
+      |cf AS (
+      |  SELECT count(*) AS n_val,
+      |    sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS n_target,
+      |    sum(CASE WHEN q12 > 80 THEN 1 ELSE 0 END) AS n_kept,
+      |    sum(CASE WHEN q12 > 80 AND y = 1.0 THEN 1 ELSE 0 END) AS tp,
+      |    sum(CASE WHEN q12 > 80 AND y <> 1.0 THEN 1 ELSE 0 END) AS fp,
+      |    sum(CASE WHEN q12 <= 80 AND y = 1.0 THEN 1 ELSE 0 END) AS fn,
+      |    sum(CASE WHEN q12 <= 80 AND y <> 1.0 THEN 1 ELSE 0 END) AS tn
+      |  FROM sc)
+      |SELECT CAST(n_val AS BIGINT) AS n_val,
+      |  CAST(n_target AS BIGINT) AS n_target,
+      |  CAST(n_kept AS BIGINT) AS n_kept,
+      |  CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+      |  CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+      |  CASE WHEN n_kept = 0 THEN NULL
+      |       ELSE CAST(tp AS DOUBLE) / n_kept END AS precision,
+      |  CASE WHEN n_target = 0 THEN NULL
+      |       ELSE CAST(tp AS DOUBLE) / n_target END AS recall,
+      |  CASE WHEN n_kept = 0 OR n_target = 0 THEN NULL
+      |       ELSE CAST(CAST(tp AS HUGEINT) * n_val AS DOUBLE)
+      |            / CAST(CAST(n_kept AS HUGEINT) * n_target AS DOUBLE)
+      |       END AS enrichment,
+      |  CAST(tp AS HUGEINT) * n_val > CAST(n_kept AS HUGEINT) * n_target
+      |    AS enrich_gt1
+      |FROM cf""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q242_probe_eval"        -> (q242ProbeEval _),
     "q238_quality_probe"     -> (q238QualityProbe _),
     "q236_unimax_mixing"     -> (q236UnimaxMixing _),
     "q235_dsir_select"       -> (q235DsirSelect _),
@@ -1048,6 +1248,7 @@ object Corpus {
   )
 
   val oracle: Map[String, String] = Map(
+    "q242_probe_eval"        -> q242Sql,
     "q238_quality_probe"     -> q238Sql,
     "q236_unimax_mixing"     -> q236Sql,
     "q235_dsir_select"       -> q235Sql,

@@ -246,4 +246,51 @@ class CorpusSpec extends AnyFunSuite {
     assert(tr(kept) > 1.5 * tr(out),
       f"probe did not enrich the target source: ${tr(kept)}%.3f vs ${tr(out)}%.3f")
   }
+
+  test("q242 held-out eval: the probe transfers on a corpus with a real theme signal") {
+    import spark.implicits._
+    // constructed corpus where the target source's vocabulary is a
+    // genuine THEME shared across docs (the generalizable-signal case
+    // the synthetic graded corpus lacks — its src0 signal is per-doc
+    // memorization, measured in q242's scaladoc): target docs cycle 6
+    // theme words, the rest cycle 10 generic words with per-doc offsets.
+    val theme = Vector("quantum", "flux", "entangle", "photon", "qubit", "boson")
+    val gen = Vector("the", "data", "note", "item", "entry", "value",
+      "record", "list", "point", "unit")
+    val docs = (0L until 160L).map { i =>
+      val target = i % 5 == 0
+      val words = (0 until 30).map { j =>
+        if (target) theme(((i + j) % theme.length).toInt)
+        else gen(((i * 3 + j) % gen.length).toInt)
+      }
+      (i, words.mkString(" "), if (target) "src0" else s"src${i % 4 + 1}")
+    }.toDF("doc_id", "text", "source")
+    val r = llm.Corpus.probeEvalFrom(docs).collect()(0)
+    // the split puts 6 targets among 23 val docs (deterministic md5 ids)
+    assert(r.getAs[Long]("n_target") >= 1, s"no val targets: $r")
+    assert(r.getAs[Long]("n_kept") > 0 &&
+      r.getAs[Long]("n_kept") < r.getAs[Long]("n_val"), s"degenerate cut: $r")
+    assert(r.getAs[Boolean]("enrich_gt1"),
+      s"probe failed to transfer on a genuinely thematic corpus: $r")
+    assert(r.getAs[Double]("enrichment") > 1.0)
+    // confusion counts are conserved
+    assert(r.getAs[Long]("tp") + r.getAs[Long]("fp") == r.getAs[Long]("n_kept"))
+    assert(r.getAs[Long]("tp") + r.getAs[Long]("fn") == r.getAs[Long]("n_target"))
+    assert(r.getAs[Long]("tp") + r.getAs[Long]("fp") + r.getAs[Long]("fn") +
+      r.getAs[Long]("tn") == r.getAs[Long]("n_val"))
+  }
+
+  test("q242 on the graded corpus: the honest negative — no transfer, counts conserved") {
+    val r = llm.Corpus.q242ProbeEval(spark, "/root/testdata/sf0.01").collect()(0)
+    // both branches of the cut exercised at the sited threshold
+    assert(r.getAs[Long]("n_kept") > 0 &&
+      r.getAs[Long]("n_kept") < r.getAs[Long]("n_val"), s"degenerate cut: $r")
+    // the measured finding q242 exists to surface: train-set enrichment
+    // (q238's 1.9x) is in-sample; the held-out split shows <= 1 (the
+    // synthetic source signal does not generalize — scaladoc carries
+    // the DSIR-from-train-models proof that NO classifier could)
+    assert(!r.getAs[Boolean]("enrich_gt1"), s"unexpected transfer: $r")
+    assert(r.getAs[Long]("tp") + r.getAs[Long]("fp") == r.getAs[Long]("n_kept"))
+    assert(r.getAs[Long]("tp") + r.getAs[Long]("fn") == r.getAs[Long]("n_target"))
+  }
 }
