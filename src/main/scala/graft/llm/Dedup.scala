@@ -1324,6 +1324,89 @@ object Dedup {
       |  count(*) AS n_runs, CAST(max(run) + 4 AS BIGINT) AS max_span_tokens
       |FROM r2 GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** q243: LONG-SPAN EXACT-SUBSTRING REMOVAL PLAN — q150 generalized
+    * to the published ExactSubstr regime of Lee et al. 2022
+    * ("Deduplicating Training Data Makes Language Models Better",
+    * arXiv:2107.06499, public: remove long exact spans repeated across
+    * documents; their suffix-array pipeline dedups spans ≥ 50 tokens).
+    * Where q150 reports per-doc SUMMARY stats of 5-token windows, this
+    * emits the actionable artifact a dedup pipeline consumes — the
+    * REMOVAL PLAN: one row per maximal duplicated run covering at
+    * least `minSpan` tokens, as (doc_id, start_pos, span_tokens).
+    * Registered at the paper's regime: W = 10-token windows merged by
+    * gaps-and-islands into maximal runs (a run of R consecutive
+    * duplicated windows covers R+W−1 tokens), threshold 50 tokens —
+    * 21 plan rows at sf0.01, so the grade is non-trivial.
+    *
+    * 100 TB shape is q150's: one narrow codegen window scan, one
+    * hash-partitioned groupBy on the span text (map-side partials; in
+    * production the key is xxhash64(span), kept textual here so the
+    * oracle restates verbatim), a candidate-proportional join back,
+    * and per-doc islands — no stage holds more than one document's
+    * hits. The threshold is a parameter of [[spanRemovalFrom]];
+    * DedupSpec pins the merge semantics on constructed overlapping
+    * docs (a shared 60-token run emits one exact (start, len) row per
+    * doc; a shared 12-token span is correctly below the published
+    * threshold; an unrelated doc emits nothing). */
+  def q243SpanRemoval(s: SparkSession, dir: String): DataFrame =
+    spanRemovalFrom(Tables.documents(s, dir), w = 10, minSpan = 50)
+
+  /** q243's engine on an arbitrary (doc_id, text) frame. */
+  def spanRemovalFrom(docs: DataFrame, w: Int, minSpan: Int): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val spans = docs
+      .select($"doc_id", TextOps.tokens($"text").as("toks"))
+      .filter(size($"toks") >= w)
+      .select($"doc_id", posexplode(transform(
+        sequence(lit(1), size($"toks") - (w - 1)),
+        i => concat_ws(" ", slice($"toks", i, lit(w))))))
+      .toDF("doc_id", "off", "sh")
+      .select($"doc_id", ($"off" + 1).cast("long").as("pos"), $"sh")
+      .persist() // read twice: the duplicated-span build + the join back
+    val dup = spans.groupBy($"sh")
+      .agg(countDistinct($"doc_id").as("nd"))
+      .filter($"nd" >= 2).select($"sh")
+    val hits = spans.join(dup, "sh").select($"doc_id", $"pos")
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"pos")
+    hits
+      .withColumn("grp", $"pos" - row_number().over(wOrd))
+      .groupBy($"doc_id", $"grp")
+      .agg(min($"pos").as("start_pos"),
+        (count(lit(1)) + (w - 1)).as("span_tokens"))
+      .filter($"span_tokens" >= minSpan)
+      .select($"doc_id", $"start_pos", $"span_tokens")
+      .orderBy($"doc_id", $"start_pos")
+  }
+
+  val q243Sql: String = {
+    val terms = (0 until 10).map(i => s"toks[pos+$i]").mkString(", ")
+    raw"""WITH tok AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks
+      |  FROM documents),
+      |pos AS (
+      |  SELECT doc_id, unnest(generate_series(1, len(toks) - 9)) AS pos, toks
+      |  FROM tok WHERE len(toks) >= 10),
+      |sh AS (
+      |  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+      |    concat_ws(' ', $terms) AS sh
+      |  FROM pos),
+      |dup AS (SELECT sh FROM sh GROUP BY sh HAVING count(DISTINCT doc_id) >= 2),
+      |hits AS (SELECT s.doc_id, s.pos FROM sh s JOIN dup d USING (sh)),
+      |runs AS (
+      |  SELECT doc_id, pos,
+      |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      |  FROM hits),
+      |r2 AS (
+      |  SELECT doc_id, min(pos) AS start_pos,
+      |    CAST(count(*) + 9 AS BIGINT) AS span_tokens
+      |  FROM runs GROUP BY doc_id, grp)
+      |SELECT doc_id, start_pos, span_tokens FROM r2
+      |WHERE span_tokens >= 50
+      |ORDER BY doc_id, start_pos""".stripMargin
+  }
+
   /** q176: cluster REPRESENTATIVE selection — the decision step after
     * q105's connected components: per near-dup cluster (size ≥ 2),
     * KEEP one canonical document — most content (n_chars DESC), ties
@@ -1665,6 +1748,7 @@ object Dedup {
     "q147_lsh_increment" -> (q147LshIncrement _),
     "q148_agg_increment" -> (q148AggIncrement _),
     "q150_substring_dedup" -> (q150SubstringDedup _),
+    "q243_span_removal" -> (q243SpanRemoval _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -1701,5 +1785,6 @@ object Dedup {
     "q147_lsh_increment" -> q147Sql,
     "q148_agg_increment" -> q148Sql,
     "q150_substring_dedup" -> q150Sql,
+    "q243_span_removal" -> q243Sql,
   )
 }

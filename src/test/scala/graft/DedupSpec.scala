@@ -396,6 +396,30 @@ class DedupSpec extends AnyFunSuite {
     assert(hits.toSeq == Seq(0, 1, 2), "the duplicated windows are consecutive")
   }
 
+  test("q243 span removal plan: long shared runs emit exact (start, len); short ones stay below the threshold") {
+    // doc A and doc B share a 60-token run AND a 12-token span; doc C is
+    // unrelated. At the published regime (W=10, minSpan=50) the plan
+    // must carry EXACTLY one row per sharing doc, locating the 60-token
+    // run precisely; the 12-token span (3 duplicated windows, span 12)
+    // is correctly below threshold; C emits nothing.
+    val long60 = (0 until 60).map(i => s"c$i").mkString(" ")
+    val short12 = (0 until 12).map(i => s"s$i").mkString(" ")
+    def uniq(tag: String, n: Int) = (0 until n).map(i => s"$tag$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"${uniq("a", 5)} $long60 ${uniq("am", 7)} $short12 ${uniq("at", 4)}"),
+      (2L, s"${uniq("b", 3)} $long60 ${uniq("bm", 9)} $short12"),
+      (3L, uniq("z", 80)))
+      .toDF("doc_id", "text")
+    val plan = Dedup.spanRemovalFrom(docs, w = 10, minSpan = 50).collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("start_pos"), r.getAs[Long]("span_tokens")))
+    assert(plan.toSet == Set((1L, 6L, 60L), (2L, 4L, 60L)),
+      s"removal plan wrong: ${plan.toSeq}")
+    // lowering the threshold to the short span's size surfaces it too
+    val plan12 = Dedup.spanRemovalFrom(docs, w = 10, minSpan = 12).collect()
+    assert(plan12.length == 4, s"both spans at minSpan=12: ${plan12.toSeq}")
+  }
+
 }
 
 
