@@ -158,6 +158,9 @@ object Bench {
     val repLog = collection.mutable.Map
       .empty[String, Vector[(Int, Double, Double)]] // (pass, startOffset s, dt s)
       .withDefaultValue(Vector.empty)
+    // flat (query, pass, atNanos, dtSecs) log of every timed rep — the
+    // attribution index for the memo-pay ledger below
+    val flatReps = Vector.newBuilder[(String, Int, Long, Double)]
     val gcBill = collection.mutable.Map.empty[String, Double].withDefaultValue(0.0)
     val failedSet = collection.mutable.Set.empty[String]
     val wall0 = System.nanoTime()
@@ -175,8 +178,26 @@ object Bench {
       if (ok) {
         times(name) = times(name) :+ dt
         repLog(name) = repLog(name) :+ ((pass, (t0 - wall0) / 1e9, dt))
+        flatReps += ((name, pass, t0, dt))
         gcBill(name) = gcBill(name) + (gcMillis() - gc0) / 1e3
       } else failedSet += name
+    }
+    // Memo-pay attribution (VERDICT r14 item 5): drain the SessionCache
+    // ledger and name, ON THE RECORD, which query paid each pinned-memo
+    // build in which pass. A build whose start precedes wall0 happened
+    // in the WARMUP pass (pass 0, query "warmup") — the normal case,
+    // since warmup runs every query once and memos pay on first touch —
+    // which mechanically RULES MEMO PAYMENT OUT as the explanation for
+    // any timed-pass rep spread; status.py's spread advisories
+    // cross-reference this (explain or escalate, never guess).
+    val repIdx = flatReps.result()
+    val memoPays = SessionCache.paysSnapshot.map { case (label, t0, secs) =>
+      val (q, pass) =
+        if (t0 < wall0) ("warmup", 0)
+        else repIdx.find { case (_, _, at, dt) =>
+          t0 >= at && t0 < at + (dt * 1e9).toLong
+        }.map(r => (r._1, r._2)).getOrElse(("untimed", -1))
+      (label, q, pass, (t0 - wall0) / 1e9, secs)
     }
     val results: Seq[(String, Double, Option[Spread])] = qs.map { case (name, _) =>
       val ts = times(name)
@@ -220,7 +241,10 @@ object Bench {
       s""""psi10_start":${r3(boxPsi0)},"psi10_end":${r3(boxPsi1)},""" +
       s""""psi_total_delta_s":${r3(psiDelta)},""" +
       s""""probe_start_s":${r3(boxProbe0)},"probe_end_s":${r3(boxProbe1)}}"""
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"spread":$sjson,"failed":$fjson,"box":$bjson,"sf":"$sfDir"}"""
+    val mjson = memoPays.map { case (label, q, pass, at, secs) =>
+      s"""{"memo":"$label","q":"$q","pass":$pass,"at":${r3(at)},"cost_s":${r3(secs)}}"""
+    }.mkString("[", ",", "]")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"spread":$sjson,"failed":$fjson,"box":$bjson,"memo_pays":$mjson,"sf":"$sfDir"}"""
     println(json)
     // The driver's BENCH_r*.json keeps only a tail of the stdout line, so
     // early-alphabet queries vanish from the per-round record. Persist the

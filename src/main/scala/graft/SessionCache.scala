@@ -21,7 +21,8 @@ import org.apache.spark.sql.SparkSession
   * otherwise stay pinned for the session's lifetime, pass
   * `graft.Ckpt.free`.
   */
-final class SessionCache[V >: Null](onDiscard: V => Unit = (_: V) => ()) {
+final class SessionCache[V >: Null](onDiscard: V => Unit = (_: V) => (),
+                                    label: String = "") {
   private val m =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), V]()
 
@@ -44,11 +45,41 @@ final class SessionCache[V >: Null](onDiscard: V => Unit = (_: V) => ()) {
     val cur = m.get(k)
     if (cur != null) cur
     else {
+      val t0 = System.nanoTime()
       val v = build
+      SessionCache.recordPay(label, t0, (System.nanoTime() - t0) / 1e9)
       val prior = m.putIfAbsent(k, v)
       if (prior != null) { onDiscard(v); prior } else v
     }
   }
 
   private[graft] def size: Int = { purge(); m.size() }
+}
+
+/** Process-wide MEMO-PAY LEDGER (VERDICT r14 item 5): every actual
+  * memo `build` execution (cache misses AND race losers — both paid
+  * the cost) records (label, buildStartNanos, buildSeconds). Bench
+  * drains the ledger after the timed window and attributes each pay to
+  * the query/pass whose rep window contains it, so a memoized query's
+  * bimodal rep spread is mechanically explainable (the slow rep paid a
+  * memo) or mechanically escalatable (the ledger shows no pay — the
+  * spread has another cause) from the record alone, instead of the r14
+  * q34 adjudication stopping one step short of naming the payer.
+  * Bounded: one entry per (session, dir, cache) build — a handful per
+  * bench run. */
+object SessionCache {
+  private val pays =
+    new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, Double)]()
+
+  private[graft] def recordPay(label: String, t0: Long, secs: Double): Unit =
+    pays.add((if (label.isEmpty) "unlabeled" else label, t0, secs))
+
+  /** Snapshot of all builds since process start (label, startNanos,
+    * seconds) — nano timestamps are System.nanoTime, comparable to the
+    * caller's own nanoTime anchors. */
+  private[graft] def paysSnapshot: Vector[(String, Long, Double)] = {
+    val b = Vector.newBuilder[(String, Long, Double)]
+    pays.forEach(p => b += p)
+    b.result()
+  }
 }

@@ -54,7 +54,8 @@ object Dedup {
     * split = f(doc_id)) ride along or derive map-side so no consumer
     * re-joins the corpus. Per-doc shingle ARRAYS (q34/q46's verify
     * side) stay un-memoized — different shape, array not exploded. */
-  private val docShCache = new graft.SessionCache[DataFrame](graft.Ckpt.free)
+  private val docShCache =
+    new graft.SessionCache[DataFrame](graft.Ckpt.free, "doc_shingles")
 
   def docShingles(s: SparkSession, dir: String): DataFrame =
     docShCache.getOrElseUpdate(s, dir, {
@@ -683,7 +684,8 @@ object Dedup {
     * list from the near-dup pairs without paying for them twice in one
     * bench/verify run (same pattern as Stratify's strata cache).
     * Dead-session entries are purged on access ([[graft.SessionCache]]). */
-  private val pairCache = new graft.SessionCache[DataFrame](graft.Ckpt.free)
+  private val pairCache =
+    new graft.SessionCache[DataFrame](graft.Ckpt.free, "jaccard_pairs")
 
   /** Connected components by min-label propagation WITH pointer
     * halving, as a DataFrame fixpoint. Each round every node takes
@@ -761,7 +763,8 @@ object Dedup {
     * pipeline resolves components once and every downstream report
     * reads the label table — the same shared-intermediate decision as
     * the pair/edge/shingle caches, memoized the same way. */
-  private val clusterCache = new graft.SessionCache[DataFrame](graft.Ckpt.free)
+  private val clusterCache =
+    new graft.SessionCache[DataFrame](graft.Ckpt.free, "dedup_clusters")
 
   def q105DedupClusters(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._

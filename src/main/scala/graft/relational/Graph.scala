@@ -202,7 +202,8 @@ object Graph {
     * Bench/Verify between-query sweep). A production pipeline computing
     * both graph metrics shares the edge build; so do we — ~2.3 s of the
     * two queries' ~4 s each was this build, paid twice. */
-  private val edgeCache = new graft.SessionCache[DataFrame](graft.Ckpt.free)
+  private val edgeCache =
+    new graft.SessionCache[DataFrame](graft.Ckpt.free, "graph_edges")
 
   private def coVisitEdgesCached(s: SparkSession, dir: String): DataFrame =
     edgeCache.getOrElseUpdate(s, dir, {

@@ -78,7 +78,8 @@ object Stratify {
   /** Memoized q40 result per (session, dir): q41 reuses q40's strata
     * instead of re-running the fixpoint. Dead-session entries are
     * purged on access (see [[graft.SessionCache]]). */
-  private val strataCache = new graft.SessionCache[DataFrame](graft.Ckpt.free)
+  private val strataCache =
+    new graft.SessionCache[DataFrame](graft.Ckpt.free, "strata")
 
   /** q40: round stratification over a derived phase DAG from `lineitem`:
     * plan = order, phase = line number, and a dependency edge j→i when

@@ -375,7 +375,20 @@ def cmd_check_coverage(args):
         sys.exit(1)
     print(f"COVERAGE.md markers consistent with {os.path.basename(cpath)}")
 
-def spread_advisories(spread, flagged=(), ratio_floor=2.0, min_floor=0.3):
+def load_bench_memo_pays(path):
+    """The memo-pay ledger [{memo, q, pass, at, cost_s}, ...] from an
+    r15+ bench record, else None (pre-ledger record — the advisories
+    fall back to the un-cross-referenced wording)."""
+    try:
+        d = json.loads(open(path).read())
+    except (OSError, json.JSONDecodeError):
+        return None
+    mp = d.get("memo_pays") if isinstance(d, dict) else None
+    return mp if isinstance(mp, list) else None
+
+
+def spread_advisories(spread, flagged=(), ratio_floor=2.0, min_floor=0.3,
+                      memo_pays=None):
     """Non-gating 'wide spread, flat min' notes (REVIEW_r10 §A): the
     min-of-reps gate is deliberately blind to intermittent contention —
     a query whose min stayed flat but whose max ran >2x the min carries
@@ -383,8 +396,19 @@ def spread_advisories(spread, flagged=(), ratio_floor=2.0, min_floor=0.3):
     r9 (q34) and r10 (q103). Surface it on the record, don't gate on it
     (the min IS the contention-free claim). `flagged` suppresses queries
     the gate already reported; `min_floor` skips sub-noise queries whose
-    2x is 0.1s->0.2s jitter."""
+    2x is 0.1s->0.2s jitter.
+
+    Memo-pay cross-reference (VERDICT r14 item 5): when the record
+    carries the SessionCache ledger (memo_pays is a list), a wide
+    spread is mechanically adjudicated instead of guessed at —
+    EXPLAINED when a timed-pass memo build attributed to this query
+    covers at least half the (max−min) gap (first-touch cost, not
+    contention or code), or ESCALATED when the ledger shows no such
+    build and GC doesn't cover the gap either (the r14 q34 signature:
+    3.56/7.60/7.70 with the pair memo paid in warmup — the spread had
+    another, unnamed cause and must be chased, not shrugged at)."""
     out = []
+    pays = memo_pays or []
     for name in sorted(spread):
         sp = spread[name]
         mn, mx = sp.get("min"), sp.get("max")
@@ -393,10 +417,34 @@ def spread_advisories(spread, flagged=(), ratio_floor=2.0, min_floor=0.3):
         if mn >= min_floor and mn > 0 and mx / mn > ratio_floor:
             gc = sp.get("gc")
             gcs = f", gc={gc:.1f}s" if gc is not None else ""
-            out.append(
+            base = (
                 f"{name}: wide spread, flat min (min {mn:.2f}s / max {mx:.2f}s"
-                f" = {mx / mn:.1f}x{gcs}) — context pressure signature, "
-                "not gated; solo-rerun before trusting the median")
+                f" = {mx / mn:.1f}x{gcs})")
+            if memo_pays is None:
+                out.append(base + " — context pressure signature, "
+                           "not gated; solo-rerun before trusting the median")
+                continue
+            gap = mx - mn
+            covering = [p for p in pays
+                        if p.get("q") == name and p.get("pass", -1) >= 1
+                        and p.get("cost_s", 0.0) >= 0.5 * gap]
+            if covering:
+                p = max(covering, key=lambda x: x.get("cost_s", 0.0))
+                out.append(
+                    base + f" — EXPLAINED: paid memo build '{p['memo']}' "
+                    f"({p['cost_s']:.1f}s) in pass {p['pass']} — "
+                    "first-touch cost, not contention or code; not gated")
+            elif gc is not None and 2.0 * gc >= gap:
+                out.append(
+                    base + " — memo ledger rules out memo payment; the GC "
+                    "bill covers the gap (collector pressure, not code); "
+                    "not gated")
+            else:
+                out.append(
+                    base + " — memo ledger rules out memo payment and GC "
+                    "does not cover the gap — ESCALATE: unexplained bimodal "
+                    "spread; solo-rerun + plan-diff before trusting this "
+                    "record (not gated)")
     return out
 
 def dispersion_summary(spread, wide_ratio=2.0):
@@ -536,7 +584,8 @@ def cmd_bench_gate(args):
                 f"{name}: {ref_s:.2f}s -> {new_s:.2f}s {kind} "
                 f"({ratio:.2f}x{gcs}){note}")
     flagged = {b.split(":")[0] for b in bad}
-    advisories = spread_advisories(new_sp, flagged)
+    advisories = spread_advisories(new_sp, flagged,
+                                   memo_pays=load_bench_memo_pays(new_path))
     if advisories:
         print(f"spread advisories (non-gating) in {os.path.basename(new_path)}:")
         for a in advisories:

@@ -99,6 +99,49 @@ def main():
     assert sp["q02_topk"]["min"] == 1.9, sp
     os.unlink(path)
 
+    # --- memo-pay cross-reference (VERDICT r14 item 5): a wide-spread
+    # memoized query is mechanically EXPLAINED when a timed-pass memo
+    # build attributed to it covers >= half the (max-min) gap...
+    wide = {"q34_jaccard": {"med": 7.6, "min": 3.56, "max": 7.7, "gc": 0.24}}
+    pays_cover = [{"memo": "jaccard_pairs", "q": "q34_jaccard",
+                   "pass": 2, "at": 400.0, "cost_s": 3.9}]
+    adv = spread_advisories(wide, memo_pays=pays_cover)
+    assert len(adv) == 1 and "EXPLAINED" in adv[0], adv
+    assert "jaccard_pairs" in adv[0] and "pass 2" in adv[0], adv
+    # ...and mechanically ESCALATED when the ledger shows no such build
+    # (the r14 q34 signature: the pair memo was paid in warmup — pass 0
+    # entries must not count) and GC does not cover the gap.
+    pays_warmup = [{"memo": "jaccard_pairs", "q": "warmup",
+                    "pass": 0, "at": -120.0, "cost_s": 3.9}]
+    adv = spread_advisories(wide, memo_pays=pays_warmup)
+    assert len(adv) == 1 and "ESCALATE" in adv[0], adv
+    assert "rules out memo payment" in adv[0], adv
+    # a sub-half-gap pay must NOT explain (cost 1.0 vs gap 4.14)
+    pays_small = [{"memo": "jaccard_pairs", "q": "q34_jaccard",
+                   "pass": 3, "at": 700.0, "cost_s": 1.0}]
+    adv = spread_advisories(wide, memo_pays=pays_small)
+    assert len(adv) == 1 and "ESCALATE" in adv[0], adv
+    # GC covering the gap downgrades the escalation to a GC note
+    wide_gc = {"q97_try": {"med": 2.0, "min": 1.0, "max": 3.0, "gc": 1.2}}
+    adv = spread_advisories(wide_gc, memo_pays=[])
+    assert len(adv) == 1 and "GC bill covers" in adv[0], adv
+    assert "ESCALATE" not in adv[0], adv
+    # pre-ledger record (memo_pays=None): the original wording stands
+    adv = spread_advisories(wide, memo_pays=None)
+    assert len(adv) == 1 and "context pressure signature" in adv[0], adv
+    # ledger round-trips through a clean record; truncated tail -> None
+    rec2 = dict(rec)
+    rec2["memo_pays"] = pays_cover
+    with tempfile.NamedTemporaryFile("w", suffix=".json", delete=False) as f:
+        json.dump(rec2, f)
+        path = f.name
+    from status import load_bench_memo_pays
+    assert load_bench_memo_pays(path) == pays_cover
+    with open(path, "w") as f:
+        f.write('...truncated tail, not json')
+    assert load_bench_memo_pays(path) is None
+    os.unlink(path)
+
     # --- burst_window truncation guard (ADVICE r13): a left-truncated
     # tail keeps reps only for late-alphabet queries; the span estimate
     # shrinks and a burst must NOT be named from that window.
