@@ -64,6 +64,10 @@ class PlanHygieneSpec extends AnyFunSuite {
     "q233_semdedup_increment", // q134's broadcast-centroid assignment
                            // passes (store reps + ingest batch) — the
                            // N×K fan-out IS the incremental build
+    "q240_semdedup_batch", // the SAME broadcast-centroid assignment as
+                           // q233's batch half, against the committed
+                           // K-row index fixture — batch×K fan-out IS
+                           // the batch-only assignment being graded
     "q234_hard_negatives_ivf", // broadcast per-label centroid tables:
                            // the Lloyd/assignment fan-outs (q66's shape,
                            // label-keyed) + the Q×ΣK probe ranking
