@@ -68,6 +68,28 @@ def resolve_bench(arg):
 # (±30%, the established noise band); otherwise it is printed with an
 # earlier-round caveat so the reader re-adjudicates.
 ADJUDICATIONS = {
+    "q134_ivf_increment": {
+        "ref": 0.51, "new": 1.72,
+        "note": (
+            "r15 gate flag adjudicated REAL AND DELIBERATE — a bug fix, "
+            "not a regression: before the r15 min-anchored seed/train "
+            "residues (ADVICE r14, medium), the Lloyd TRAINING slice at "
+            "sf0.1 was EMPTY BY CONSTRUCTION (store count 1500 -> stride "
+            "38 -> trainStride 4; 'vec_id % 4 == 0' intersected with the "
+            "store's 'vec_id % 4 != 0' is the empty set), so both "
+            "refinement iterations silently no-opped and r14's 0.51s "
+            "bought unrefined raw-seed centroids. The r15 number pays for "
+            "refinement that actually runs (~500x62 cosines x 2 iters). "
+            "Stage-level A/B on equal-sized train slices shows residue "
+            "identity itself costs nothing.")},
+    "q233_semdedup_increment": {
+        "ref": 0.79, "new": 2.65,
+        "note": (
+            "Same adjudication as q134_ivf_increment (shared "
+            "sampledLloydCents store build): r14's time trained on an "
+            "EMPTY slice at sf0.1; the r15 residue anchor makes Lloyd "
+            "refinement real. Deliberate bug-fix cost, not a plan "
+            "regression.")},
     "q99_chained_cte": {
         "ref": 0.67, "new": 1.84,
         "note": (
