@@ -359,6 +359,82 @@ object TextOps {
       |WHERE a.source <> 'src0'
       |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin
 
+  /** q245: CROSS-SPLIT MEMORIZATION SCAN — the verbatim-overlap metric
+    * of the published train/test-leakage studies (Lee et al. 2022 §6.2
+    * dedup-vs-memorization, arXiv:2107.06499; Carlini et al. 2023
+    * "Quantifying Memorization", arXiv:2202.07646 — both measure
+    * verbatim ~50-token / k-gram reproduction; the eval-side standard
+    * is 13-gram containment, e.g. GPT-3's decontamination appendix):
+    * for every VAL-split document (q100's deterministic md5 rule), how
+    * many of its 13-token windows appear verbatim anywhere in the
+    * TRAIN split. This is the number an eval team must know before
+    * trusting a held-out metric — q242's probe eval found in-sample
+    * inflation from memorized signal; this query measures the
+    * leak surface itself, doc by doc.
+    *
+    * Output per val doc: exact window counts (n_grams, n_memorized,
+    * n_distinct_mem), the contamination fraction in exact
+    * parts-per-million (integer division — cross-engine-safe at any
+    * scale), and the leaked flag. 100 TB shape: one narrow window scan
+    * per side, the train grams distinct-reduced (hash-partitioned,
+    * map-side partial), one equality join keyed by the gram (xxhash64
+    * in production, textual here for oracle parity) — q101's
+    * decontamination geometry with the split as the boundary instead
+    * of the benchmark source. */
+  def q245MemorizationScan(s: SparkSession, dir: String): DataFrame =
+    memorizationScanFrom(Tables.documents(s, dir))
+
+  /** q245's engine on an arbitrary (doc_id, text) frame — split out so
+    * LlmSpec can pin exact window counts on constructed leaks. */
+  def memorizationScanFrom(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val W = 13
+    val g = docs
+      .withColumn("sb", substring(md5($"doc_id".cast("string")), 1, 1))
+      .select($"doc_id", $"sb", tokens($"text").as("toks"))
+      .filter(size($"toks") >= W)
+      .select($"doc_id", $"sb", explode(transform(
+        sequence(lit(1), size($"toks") - (W - 1)),
+        i => concat_ws(" ", slice($"toks", i, lit(W))))).as("g"))
+    val trn = g.filter(!$"sb".isin("c", "d", "e", "f"))
+      .select($"g".as("tg")).distinct()
+    g.filter($"sb".isin("c", "d"))
+      .join(trn, $"g" === $"tg", "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when($"tg".isNotNull, 1L).otherwise(0L)).as("n_memorized"),
+        countDistinct(when($"tg".isNotNull, $"g")).as("n_distinct_mem"))
+      .select($"doc_id", $"n_grams", $"n_memorized", $"n_distinct_mem",
+        expr("CAST((n_memorized * 1000000) div n_grams AS BIGINT)").as("mem_ppm"),
+        ($"n_memorized" > 0).as("leaked"))
+      .orderBy($"doc_id")
+  }
+
+  val q245Sql: String = {
+    val terms = (0 until 13).map(i => s"toks[i+$i]").mkString(", ")
+    raw"""WITH tk AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks,
+      |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS sb
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, sb,
+      |    unnest([concat_ws(' ', $terms)
+      |            FOR i IN generate_series(1, len(toks) - 12)]) AS g
+      |  FROM tk WHERE len(toks) >= 13),
+      |trn AS (SELECT DISTINCT g AS tg FROM g WHERE sb NOT IN ('c','d','e','f')),
+      |v AS (SELECT doc_id, g, tg FROM g LEFT JOIN trn ON tg = g
+      |      WHERE sb IN ('c','d'))
+      |SELECT doc_id,
+      |  count(*) AS n_grams,
+      |  CAST(sum(CASE WHEN tg IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_memorized,
+      |  count(DISTINCT CASE WHEN tg IS NOT NULL THEN g END) AS n_distinct_mem,
+      |  CAST(sum(CASE WHEN tg IS NOT NULL THEN 1 ELSE 0 END) * 1000000
+      |       // count(*) AS BIGINT) AS mem_ppm,
+      |  sum(CASE WHEN tg IS NOT NULL THEN 1 ELSE 0 END) > 0 AS leaked
+      |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   /** q102: overlapping token-window chunking — the context-window prep
     * step of an LLM ingest pipeline: chunks of `C` tokens every `S`
     * (overlap C−S), with the token offset kept for provenance. Pure
@@ -1460,6 +1536,7 @@ object TextOps {
     "q35_lang_id"       -> (q35LangId _),
     "q100_data_split"   -> (q100DataSplit _),
     "q101_decontamination" -> (q101Decontamination _),
+    "q245_memorization_scan" -> (q245MemorizationScan _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -1490,5 +1567,6 @@ object TextOps {
     "q35_lang_id"       -> q35Sql,
     "q100_data_split"   -> q100Sql,
     "q101_decontamination" -> q101Sql,
+    "q245_memorization_scan" -> q245Sql,
   )
 }

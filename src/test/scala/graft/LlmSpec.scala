@@ -669,4 +669,32 @@ class LlmSpec extends AnyFunSuite {
     assert(out.values.exists(v => math.abs(v._1 - 1.0) <= 1e-9 && v._2),
       s"an exact copy of the representative must sit at cos_rep 1.0: $out")
   }
+
+  test("q245 memorization scan: exact window counts on a constructed leak; short docs drop out") {
+    import spark.implicits._
+    // md5(doc_id) first hex digit: 0,1,2 -> val ('c','c','c'); 4,6 ->
+    // train. Val doc 0 copies train doc 4's first 15 tokens -> its 3
+    // 13-windows inside that prefix are verbatim-memorized; doc 1 is
+    // all-unique (leaked = false); doc 2 has only 12 tokens (< W, no
+    // windows -> absent from the output entirely).
+    val shared = (0 until 20).map(i => s"t$i")
+    val docs = Seq(
+      (0L, (shared.take(15) ++ (0 until 5).map(i => s"u$i")).mkString(" ")),
+      (1L, (0 until 20).map(i => s"v$i").mkString(" ")),
+      (2L, (0 until 12).map(i => s"w$i").mkString(" ")),
+      (4L, shared.mkString(" ")),
+      (6L, (0 until 20).map(i => s"x$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = llm.TextOps.memorizationScanFrom(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out.keySet == Set(0L, 1L), s"val docs with windows: ${out.keySet}")
+    val d0 = out(0L)
+    assert(d0.getAs[Long]("n_grams") == 8)
+    assert(d0.getAs[Long]("n_memorized") == 3, s"3 windows inside the prefix: $d0")
+    assert(d0.getAs[Long]("n_distinct_mem") == 3)
+    assert(d0.getAs[Long]("mem_ppm") == 375000L) // 3e6 div 8, exact
+    assert(d0.getAs[Boolean]("leaked"))
+    val d1 = out(1L)
+    assert(d1.getAs[Long]("n_memorized") == 0 && !d1.getAs[Boolean]("leaked"))
+  }
 }
