@@ -1740,6 +1740,132 @@ object Similarity {
        |ORDER BY rank""".stripMargin
   }
 
+  /** q244: IN-ENGINE PCA BY POWER ITERATION + ABTT CORRECTION — the
+    * embedding post-processing step of Mu & Viswanath 2018 ("All-but-
+    * the-Top", arXiv:1702.01417, public: embedding sets share a large
+    * common component; removing the mean and the top principal
+    * component(s) measurably improves similarity tasks). The top PC is
+    * TRAINED INSIDE THE ENGINE by T=6 unrolled power-iteration steps —
+    * q238's in-engine-training discipline extended from gradient
+    * descent to iterative linear algebra, hash-graded end-to-end:
+    *  1. features quantize to the 2^-12 dyadic grid (components are
+    *     floor(x·2^12)/2^12 — exact IEEE ops), the per-dim mean is one
+    *     exact-sum aggregation + a correctly-rounded division, and the
+    *     centered vectors re-quantize to the same grid;
+    *  2. each step: s_i = c_i·w (products on the 2^-24 grid, bounded
+    *     mantissas ⇒ EXACT at any fold order), quantized to 2^-12;
+    *     g = Σ_i s_i·c_i (exact for N ≤ ~2·10^6 at these grids — at
+    *     10^9 vectors coarsen the grid, the q238 knob, not a
+    *     redesign); w ← floor((g/‖g‖)·2^12)/2^12, where ‖g‖ is a
+    *     64-term ORDERED left fold of squares (the q52/q138 list-fold
+    *     precedent: both engines fold in dimension order, so the one
+    *     non-exact sum is still bit-identical) and a zero norm keeps
+    *     the previous w (degenerate-input guard);
+    *  3. output per vector: the final projection s_i (an exact-grid
+    *     double — graded raw), its exact 2^-12 integer units, and the
+    *     ABTT residual norm² ‖c_i − ŝ_i·w‖² with the residual
+    *     re-quantized per dimension and the square-sum folded in
+    *     dimension order (bit-identical, q203's raw-double grading).
+    * The 64-double component is DRIVER-RESIDENT MODEL STATE
+    * (re-broadcast as a literal per step — q238's 2^T-plan-bomb
+    * lesson); each step is one narrow aggregation over the persisted
+    * centered frame, so training adds nothing super-linear. LlmSpec
+    * pins recovery of a constructed dominant axis and that ABTT
+    * actually removes it (residual variance ≪ raw variance along w). */
+  def q244AbttPca(s: SparkSession, dir: String): DataFrame =
+    abttPcaFrom(vecs(s, dir).select(col("vec_id"), col("v")), steps = 6)
+
+  /** q244's engine on an arbitrary (vec_id, v) frame. */
+  def abttPcaFrom(e: DataFrame, steps: Int): DataFrame = {
+    val s = e.sparkSession
+    import s.implicits._
+    val dim = 64
+    val g12 = 4096.0
+    def q12(c: Column): Column = floor(c * g12) / lit(g12)
+    // 1. quantize, mean (exact sums on the shared grid), center, requantize
+    val xq = e.select($"vec_id", transform($"v", x => q12(x)).as("xq"))
+      .persist()
+    val meanRows = xq.select(posexplode($"xq").as(Seq("pos", "x")))
+      .groupBy($"pos").agg(sum($"x").as("sx"), count(lit(1)).as("n"))
+      .select($"pos", ($"sx" / $"n").as("m"))
+      .collect().map(r => r.getAs[Int]("pos") -> r.getAs[Double]("m")).toMap
+    val marr = (0 until dim).map(meanRows(_))
+    val cc = xq.select($"vec_id",
+        zip_with($"xq", typedLit(marr), (x, m) => q12(x - m)).as("c"))
+      .persist()
+    xq.unpersist()
+    // 2. power iteration; w is driver-resident model state
+    var w: IndexedSeq[Double] = IndexedSeq.fill(dim)(0.125)
+    def sqCol(wl: IndexedSeq[Double]): Column =
+      q12(aggregate(zip_with($"c", typedLit(wl), (cd, wd) => cd * wd),
+        lit(0.0), (acc, x) => acc + x))
+    for (_ <- 1 to steps) {
+      val g = cc.select(sqCol(w).as("sq"), posexplode($"c").as(Seq("pos", "cd")))
+        .groupBy($"pos").agg(sum($"sq" * $"cd").as("g"))
+        .collect().map(r => r.getAs[Int]("pos") -> r.getAs[Double]("g")).toMap
+      val garr = (0 until dim).map(g(_))
+      // ordered left fold of squares — matches the oracle's
+      // list_sum(list(g*g ORDER BY pos)) bit-for-bit (q52 precedent)
+      val nrm = math.sqrt(garr.foldLeft(0.0)((acc, x) => acc + x * x))
+      if (nrm != 0.0)
+        w = garr.map(gd => math.floor(gd / nrm * g12) / g12)
+    }
+    // 3. final projection + ABTT residual
+    val out = cc.select($"vec_id", $"c", sqCol(w).as("proj"))
+      .select($"vec_id", $"proj",
+        ($"proj" * g12).cast("long").as("proj_q12"),
+        aggregate(
+          transform(zip_with($"c", typedLit(w), (cd, wd) => q12(cd - $"proj" * wd)),
+            r => r * r),
+          lit(0.0), (acc, x) => acc + x).as("rn2"))
+      .orderBy($"vec_id")
+    out
+  }
+
+  /** q244 oracle: the T-step power iteration unrolled CTE-by-CTE —
+    * exact-grid quantizations, one ordered list fold per norm, the
+    * same zero-norm guard, and the per-vector projection/residual
+    * arithmetic restated over the same lists. */
+  def q244Sql(steps: Int): String = {
+    val iters = (1 to steps).map { i =>
+      val pw = s"w${i - 1}"
+      s"""s$i AS MATERIALIZED (SELECT vec_id, c,
+         |  floor(list_dot_product(c, $pw.warr) * 4096) / 4096.0 AS sq
+         |  FROM cc, $pw),
+         |g$i AS MATERIALIZED (SELECT u.pos, sum(sq * c[u.pos]) AS g
+         |  FROM s$i, unnest(generate_series(1, 64)) AS u(pos) GROUP BY u.pos),
+         |n$i AS MATERIALIZED (
+         |  SELECT sqrt(list_sum(list(g * g ORDER BY pos))) AS nrm FROM g$i),
+         |w$i AS MATERIALIZED (SELECT CASE WHEN (SELECT nrm FROM n$i) = 0
+         |    THEN (SELECT warr FROM $pw)
+         |    ELSE (SELECT list(floor(g / (SELECT nrm FROM n$i) * 4096) / 4096.0
+         |                      ORDER BY pos) FROM g$i) END AS warr),""".stripMargin
+    }.mkString("\n")
+    s"""WITH eall AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |xq AS (SELECT vec_id,
+       |  [floor(v[i] * 4096) / 4096.0 FOR i IN generate_series(1, 64)] AS xq
+       |  FROM eall),
+       |mt AS (SELECT u.pos, sum(xq[u.pos]) / count(*) AS m
+       |  FROM xq, unnest(generate_series(1, 64)) AS u(pos) GROUP BY u.pos),
+       |ma AS (SELECT list(m ORDER BY pos) AS marr FROM mt),
+       |cc AS MATERIALIZED (SELECT vec_id,
+       |  [floor((xq.xq[i] - ma.marr[i]) * 4096) / 4096.0
+       |   FOR i IN generate_series(1, 64)] AS c
+       |  FROM xq, ma),
+       |w0 AS MATERIALIZED (SELECT [0.125 FOR i IN generate_series(1, 64)] AS warr),
+       |$iters
+       |fin AS (SELECT vec_id, c,
+       |  floor(list_dot_product(c, wf.warr) * 4096) / 4096.0 AS proj
+       |  FROM cc, w$steps wf)
+       |SELECT vec_id, proj,
+       |  CAST(floor(proj * 4096) AS BIGINT) AS proj_q12,
+       |  list_sum(list_transform(
+       |    [floor((fin.c[i] - fin.proj * wt.warr[i]) * 4096) / 4096.0
+       |     FOR i IN generate_series(1, 64)],
+       |    r -> r * r)) AS rn2
+       |FROM fin, w$steps wt ORDER BY vec_id""".stripMargin
+  }
+
   /** q231: HARD-NEGATIVE MINING — the contrastive-training data op
     * (public method family: in-batch/hard negatives for embedding-model
     * training, e.g. DPR, Karpukhin et al. 2020): for each query vector,
@@ -2139,6 +2265,7 @@ object Similarity {
     "q234_hard_negatives_ivf" -> (q234HardNegativesIvf _),
     "q237_kcenter_coreset" -> (q237KcenterCoreset _),
     "q240_semdedup_batch" -> (q240SemdedupBatch _),
+    "q244_abtt_pca" -> (q244AbttPca _),
   )
 
   // def, not val: q39's and q66's oracle SQL is synthesized from the
@@ -2155,6 +2282,7 @@ object Similarity {
       "q233_semdedup_increment" -> q233Sql(sdTau, sdLi),
       "q234_hard_negatives_ivf" -> q234Sql(np, li),
       "q240_semdedup_batch" -> q240Sql(sdTau),
+      "q244_abtt_pca" -> q244Sql(6),
       "q237_kcenter_coreset" -> q237Sql,
       "q198_cosine_threshold_sweep" -> q198Sql,
       "q190_knn_confusion" -> q190Sql,

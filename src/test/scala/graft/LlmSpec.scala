@@ -670,6 +670,43 @@ class LlmSpec extends AnyFunSuite {
       s"an exact copy of the representative must sit at cos_rep 1.0: $out")
   }
 
+  test("q244 ABTT power iteration: recovers a constructed dominant axis and removes it") {
+    import spark.implicits._
+    // cloud 1: ALL variance on dim 0 — the trained component must be
+    // ±e0, projections must track (a_i − mean), and the ABTT residual
+    // must be quantization-tiny (the top PC explains everything).
+    val a = (0 until 24).map(i => ((i * 37) % 11 - 5) / 10.0)
+    val e1 = a.zipWithIndex.map { case (ai, i) =>
+      (i.toLong, Seq(ai) ++ Seq.fill(63)(0.0))
+    }.toDF("vec_id", "v")
+    val out1 = llm.Similarity.abttPcaFrom(e1, steps = 6).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Double]("proj"), r.getAs[Double]("rn2"))).toMap
+    assert(out1.values.forall(_._2 <= 64 * math.pow(2.0, -24) + 1e-12),
+      s"one-axis cloud: residual must be quantization-tiny: $out1")
+    val mean = a.sum / a.length
+    val sign = math.signum(out1(0L)._1) * math.signum(a(0) - mean)
+    a.zipWithIndex.foreach { case (ai, i) =>
+      assert(math.abs(sign * out1(i.toLong)._1 - (ai - mean)) < 2e-3,
+        s"projection must track the axis coordinate at vec $i: " +
+          s"${out1(i.toLong)._1} vs ${ai - mean}")
+    }
+    // cloud 2: dominant dim 0 (±0.4) + minor dim 1 (±0.05) — ABTT must
+    // remove the dominant axis: total residual ≈ the minor variance,
+    // far below the dominant variance it stripped.
+    val e2 = (0 until 24).map { i =>
+      val major = if (i % 2 == 0) 0.4 else -0.4
+      val minor = (((i * 7) % 5) - 2) / 40.0
+      (i.toLong, Seq(major, minor) ++ Seq.fill(62)(0.0))
+    }.toDF("vec_id", "v")
+    val out2 = llm.Similarity.abttPcaFrom(e2, steps = 6).collect()
+    val totRn2 = out2.map(_.getAs[Double]("rn2")).sum
+    val majorVar = 24 * 0.4 * 0.4
+    assert(totRn2 < 0.1 * majorVar,
+      s"ABTT must strip the dominant axis: residual $totRn2 vs major $majorVar")
+    assert(totRn2 > 0.0, "the minor axis must survive in the residual")
+  }
+
   test("q245 memorization scan: exact window counts on a constructed leak; short docs drop out") {
     import spark.implicits._
     // md5(doc_id) first hex digit: 0,1,2 -> val ('c','c','c'); 4,6 ->
