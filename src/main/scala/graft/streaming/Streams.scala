@@ -315,6 +315,66 @@ object Streams {
       }
       .start()
 
+  /** Streaming PERCEPTUAL ingest — the media member of the ingest
+    * family (exact [[incrementalIngest]], semantic [[semanticIngest]],
+    * perceptual this): dedup scraped images AT INGEST against the
+    * store's perceptual-hash index. Per micro-batch of media rows:
+    *  1. dHash each decodable image through the real container path
+    *     ([[graft.llm.Multimodal.phashSigs]] — one narrow
+    *     mapPartitions, pixels never shuffle);
+    *  2. a batch image is a NEAR-DUP if any STORE signature agrees on
+    *     ≥1 of its four 16-bit chunks (band join against the store's
+    *     chunk table) within Hamming ≤ `radius` — dropped;
+    *  3. survivors (batch-internal order does not matter: each batch
+    *     row is judged against the STORE only, q233's first-occupant
+    *     discipline) anti-join on media_id and append both their
+    *     signature row and the four chunk rows, so the NEXT batch
+    *     bands against everything ingested so far.
+    * Restart safety: signatures are deterministic, so a replayed batch
+    * re-derives the same survivors and the media_id anti-join drops
+    * them — exactly-once store contents from at-least-once delivery
+    * (the family contract, pinned in StreamingSpec by replay). */
+  def perceptualIngest(media: org.apache.spark.sql.Dataset[graft.llm.Multimodal.MediaRow],
+                       storeDir: String, checkpoint: String,
+                       radius: Int = 6): org.apache.spark.sql.streaming.StreamingQuery =
+    media.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[graft.llm.Multimodal.MediaRow],
+                       _: Long) =>
+        val s = batch.sparkSession
+        import s.implicits._
+        val sigs = graft.llm.Multimodal.phashSigs(batch)
+        val chunksOf = (df: org.apache.spark.sql.DataFrame) =>
+          df.withColumn("cc", explode(array((0 until 4).map(c =>
+              struct(lit(c).as("c"), col(s"v$c").as("v"))): _*)))
+            .select(col("media_id"), col("v0"), col("v1"), col("v2"), col("v3"),
+              col("cc.c"), col("cc.v"))
+        val dirExists = new java.io.File(storeDir).exists()
+        val novel =
+          if (!dirExists) sigs
+          else {
+            val store = s.read.parquet(storeDir)
+            val sc = store.select(col("media_id").as("sid"),
+              col("v0").as("y0"), col("v1").as("y1"),
+              col("v2").as("y2"), col("v3").as("y3"),
+              col("c").as("c2"), col("v").as("v2j"))
+            val dupIds = chunksOf(sigs)
+              .join(sc, col("c") === col("c2") && col("v") === col("v2j"))
+              .filter(
+                (bit_count(col("v0").bitwiseXOR(col("y0"))) +
+                 bit_count(col("v1").bitwiseXOR(col("y1"))) +
+                 bit_count(col("v2").bitwiseXOR(col("y2"))) +
+                 bit_count(col("v3").bitwiseXOR(col("y3")))) <= radius)
+              .select(col("media_id")).distinct()
+            sigs.join(dupIds, Seq("media_id"), "left_anti")
+              .join(store.select(col("media_id")).distinct(),
+                Seq("media_id"), "left_anti")
+          }
+        chunksOf(novel).write.mode("append").parquet(storeDir)
+        ()
+      }
+      .start()
+
   def pulse(statuses: Dataset[PhaseStatus]): DataFrame = {
     val spark = statuses.sparkSession
     import spark.implicits._

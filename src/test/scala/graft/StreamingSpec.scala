@@ -733,6 +733,49 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("perceptual ingest: near-dups of stored images drop, novel patterns append, replay appends nothing") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.llm.{MediaCodec, Multimodal}
+    val dir = java.nio.file.Files.createTempDirectory("graft_phingest").toFile
+    val store = new java.io.File(dir, "store").getPath
+    val ckpt = new java.io.File(dir, "ckpt").getPath
+    val w = 200
+    def strip(f: Int => Int): Array[Byte] = {
+      val px = new Array[Byte](3 * w)
+      for (i <- 0 until w; c <- 0 until 3)
+        px(3 * i + c) = math.min(255, math.max(0, f(i))).toByte
+      px
+    }
+    def row(id: Long, f: Int => Int) = Multimodal.MediaRow(
+      id, "image", MediaCodec.encodePpm(strip(f), w, 1),
+      w, 1, 16000, 0L, "ppm/p6")
+    val ramp = (i: Int) => i
+    val shifted = (i: Int) => math.max(0, i - 1)     // dHash-near ramp
+    val reversed = (i: Int) => 255 - i
+    val triangle = (i: Int) => { val p = i % 32; 8 * (if (p < 16) p else 32 - p) }
+    val mem = MemoryStream[Multimodal.MediaRow]
+    val q = Streams.perceptualIngest(mem.toDS(), store, ckpt)
+    try {
+      // batch 1: two distinct patterns — both novel (empty store)
+      mem.addData(row(0L, ramp), row(3L, reversed))
+      q.processAllAvailable()
+      def ids() = spark.read.parquet(store)
+        .select($"media_id").distinct().as[Long].collect().toSet
+      assert(ids() == Set(0L, 3L), s"batch 1: ${ids()}")
+      // batch 2: a 1-px shift of the stored ramp is a perceptual
+      // near-dup (dropped); the triangle is genuinely new (kept)
+      mem.addData(row(1L, shifted), row(2L, triangle))
+      q.processAllAvailable()
+      assert(ids() == Set(0L, 2L, 3L), s"batch 2: ${ids()}")
+      // replay survivors verbatim: deterministic signatures anti-join
+      // away — nothing appends (12 rows = 3 images x 4 chunk rows)
+      mem.addData(row(0L, ramp), row(2L, triangle))
+      q.processAllAvailable()
+      assert(spark.read.parquet(store).count() == 12)
+    } finally q.stop()
+  }
+
   test("streaming transition counts match the batch pairwise derivation") {
     implicit val sqlCtx = spark.sqlContext
     import Streams.TransEvent
