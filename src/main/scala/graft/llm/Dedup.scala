@@ -747,6 +747,80 @@ object Dedup {
     labels
   }
 
+  /** TWO-STAR connected components (Kiveris et al. 2014, "Connected
+    * Components in MapReduce and Beyond", public — the alternating
+    * Large-Star/Small-Star algorithm): the OTHER published scale
+    * algorithm for the same doc→min-label map [[minLabelComponents]]
+    * computes. Each round is two grouped aggregations over the edge
+    * list — Large-Star hangs every strictly-greater neighbor of u off
+    * min(Γ(u) ∪ {u}); Small-Star (grouping by the LARGER endpoint)
+    * hangs the smaller neighbors and u itself off their min — and the
+    * edge set provably contracts toward one star per component in
+    * O(log²) rounds regardless of component DIAMETER. That is the
+    * property label propagation lacks: q105's pointer-halving runs
+    * ~log(diameter) rounds with TWO joins per round over the full
+    * label table, while two-star touches only the (shrinking) edge
+    * list — on a 100 TB pair graph whose components are long chains
+    * (boilerplate near-dup runs), the edge-local algorithm is the one
+    * that holds. Deterministic throughout (min aggregations, canonical
+    * a<b edges, per-round distinct); per-round eager localCheckpoints
+    * rotate via Ckpt.free (q237's storage discipline); throws rather
+    * than returning wrong labels on non-convergence. */
+  def twoStarComponents(nodes: DataFrame, edges0: DataFrame,
+      maxIter: Int = 30): DataFrame = {
+    val s = nodes.sparkSession
+    import s.implicits._
+    def canon(df: DataFrame): DataFrame = df
+      .filter($"x" =!= $"m")
+      .select(least($"x", $"m").as("a"), greatest($"x", $"m").as("b"))
+      .distinct()
+    var edges = edges0.filter($"src" =!= $"dst")
+      .select($"src".as("x"), $"dst".as("m")).transform(canon)
+      .localCheckpoint(true)
+    var converged = edges.isEmpty
+    var i = 0
+    while (!converged && i < maxIter) {
+      // Large-Star over the symmetric adjacency: u's strictly-greater
+      // neighbors attach to m(u) = min(Γ(u) ∪ {u})
+      val sym = edges.select($"a".as("u"), $"b".as("v"))
+        .union(edges.select($"b".as("u"), $"a".as("v")))
+      val lsMin = sym.groupBy($"u").agg(min($"v").as("mn"))
+        .select($"u", least($"mn", $"u").as("m"))
+      val ls = sym.join(lsMin, "u").filter($"v" > $"u")
+        .select($"v".as("x"), $"m").transform(canon)
+        .localCheckpoint(true)
+      // Small-Star grouped by the larger endpoint b: its smaller
+      // neighbors AND b itself attach to their min
+      val ssMin = ls.groupBy($"b").agg(min($"a").as("m"))
+      val ss = ls.join(ssMin, "b")
+        .select($"a".as("x"), $"m")
+        .unionByName(ssMin.select($"b".as("x"), $"m"))
+        .transform(canon)
+        .localCheckpoint(true)
+      graft.Ckpt.free(ls)
+      // fixpoint: the canonical edge set stopped moving (two anti-join
+      // existence probes — at a 100 TB scale this is the same
+      // "changed-rows == 0" aggregate every iterative fixpoint runs)
+      converged = ss.exceptAll(edges).isEmpty && edges.exceptAll(ss).isEmpty
+      graft.Ckpt.free(edges)
+      edges = ss
+      i += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"twoStarComponents did not converge in $maxIter rounds — " +
+          "raise maxIter")
+    // converged edges are stars (member, component-min); singletons
+    // label themselves
+    val labels = nodes
+      .join(edges.groupBy($"b".as("doc_id")).agg(min($"a").as("m")),
+        Seq("doc_id"), "left")
+      .select($"doc_id", coalesce($"m", $"doc_id").as("cluster"))
+    val out = labels.localCheckpoint(true)
+    graft.Ckpt.free(edges)
+    out
+  }
+
   /** q105: dedup clusters — connected components over the near-dup
     * pair graph, the step that turns PAIRS into an actionable dedup
     * decision: every member of a component is a near-dup (possibly
@@ -784,6 +858,27 @@ object Dedup {
       graft.Ckpt.free(labels)
       out
     }).orderBy($"doc_id")
+  }
+
+  /** q246: the SAME doc→cluster map as q105, computed by the
+    * alternating Large-Star/Small-Star algorithm ([[twoStarComponents]])
+    * instead of label propagation — two published scale algorithms,
+    * ONE oracle (q105's recursive-CTE transitive closure, verbatim —
+    * the q107/q214 shared-oracle precedent): the hash equality is the
+    * proof that both fixpoints compute the identical component
+    * structure on the identical memoized pair graph. DedupSpec
+    * additionally pins algorithm agreement on constructed pathological
+    * graphs (a long path — label propagation's worst diameter case —
+    * a star, a cycle, singletons). */
+  def q246CcTwostar(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = pairCache.getOrElseUpdate(s, dir,
+      graft.Ckpt.pinned(
+        TextOps.q34JaccardPairs(s, dir).select($"id1", $"id2")))
+    val nodes = Tables.documents(s, dir).select($"doc_id")
+    twoStarComponents(nodes,
+        pairs.select($"id1".as("src"), $"id2".as("dst")))
+      .orderBy($"doc_id")
   }
 
   /** Oracle: transitive closure by recursive CTE over the same exact
@@ -1752,6 +1847,7 @@ object Dedup {
     "q148_agg_increment" -> (q148AggIncrement _),
     "q150_substring_dedup" -> (q150SubstringDedup _),
     "q243_span_removal" -> (q243SpanRemoval _),
+    "q246_cc_twostar" -> (q246CcTwostar _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -1789,5 +1885,6 @@ object Dedup {
     "q148_agg_increment" -> q148Sql,
     "q150_substring_dedup" -> q150Sql,
     "q243_span_removal" -> q243Sql,
+    "q246_cc_twostar" -> q105Sql,
   )
 }

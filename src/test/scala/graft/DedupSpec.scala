@@ -420,6 +420,28 @@ class DedupSpec extends AnyFunSuite {
     assert(plan12.length == 4, s"both spans at minSpan=12: ${plan12.toSeq}")
   }
 
+  test("q246 two-star CC agrees with label propagation on pathological graphs") {
+    // the algorithm-agreement pin behind the shared q105/q246 oracle:
+    // a long PATH (label propagation's worst diameter case), a star, a
+    // cycle, and singletons — both published algorithms must produce
+    // the identical doc -> component-min map
+    val nodes = (0L until 20L).toDF("doc_id")
+    val edges = (
+      (0L until 9L).map(i => (i, i + 1)) ++          // path 0..9
+      Seq((10L, 11L), (10L, 12L), (10L, 13L)) ++     // star at 10
+      Seq((14L, 15L), (15L, 16L), (16L, 14L))        // cycle 14-15-16
+    ).toDF("src", "dst")                             // 17,18,19 singleton
+    val sym = edges.union(edges.select($"dst", $"src").toDF("src", "dst"))
+    val viaStars = Dedup.twoStarComponents(nodes, edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaLabels = Dedup.minLabelComponents(nodes, sym.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = ((0L to 9L).map(_ -> 0L) ++ (10L to 13L).map(_ -> 10L) ++
+      (14L to 16L).map(_ -> 14L) ++ (17L to 19L).map(i => i -> i)).toMap
+    assert(viaStars == expected, s"two-star wrong: $viaStars")
+    assert(viaLabels == expected, s"label-prop wrong: $viaLabels")
+  }
+
 }
 
 
