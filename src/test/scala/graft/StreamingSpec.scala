@@ -733,6 +733,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("semantic ingest survives a kill/restart on its checkpoint without duplicating the store") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_semrec").toFile
+    val store = new java.io.File(dir, "store").getPath
+    val ckpt = new java.io.File(dir, "ckpt").getPath
+    val index = Seq((10L, Seq(1.0, 0.0), Some(100L), Some(Seq(1.0, 0.0))))
+      .toDF("cell", "cv", "rep_id", "rep_v")
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val q1 = Streams.semanticIngest(
+      mem.toDS().toDF("vec_id", "v"), index, tau = 0.95, store, ckpt)
+    try {
+      mem.addData((2L, Seq(0.6, 0.4)))
+      q1.processAllAvailable()
+      assert(spark.read.parquet(store).count() == 1)
+    } finally q1.stop() // "kill": the daemon dies after committing batch 0
+    // restart ON THE SAME CHECKPOINT with the same source; new data only
+    val q2 = Streams.semanticIngest(
+      mem.toDS().toDF("vec_id", "v"), index, tau = 0.95, store, ckpt)
+    try {
+      mem.addData((6L, Seq(0.7, 0.3)))
+      q2.processAllAvailable()
+      val rows = spark.read.parquet(store).collect()
+      assert(rows.map(_.getLong(0)).toSet == Set(2L, 6L),
+        s"restart must process only the new batch: ${rows.mkString(",")}")
+      assert(rows.length == 2, "no duplicated appends across the restart")
+    } finally q2.stop()
+  }
+
   test("perceptual ingest: near-dups of stored images drop, novel patterns append, replay appends nothing") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
