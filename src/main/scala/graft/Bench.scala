@@ -151,7 +151,29 @@ object Bench {
       if (acc == 42L) System.err.println("probe blackhole")
       dt
     }
+    // r16 (VERDICT r15 item 6): two more signals for the same-code
+    // drift the r15 probe/PSI capture could NOT explain (a ~1.17x
+    // median shift with quiet PSI and an unmoved probe):
+    //  - JVM JIT total compilation time (ms): a timed window that pays
+    //    an outsized compile bill runs interpreted/deoptimized code —
+    //    box-speed-invisible, catalog-visible;
+    //  - /proc/meminfo Cached (kB): a cold page cache turns the
+    //    catalog's parquet scans into disk reads — the probe (pure
+    //    CPU) never sees it, the catalog does.
+    def jitMs(): Long =
+      try {
+        val c = java.lang.management.ManagementFactory.getCompilationMXBean
+        if (c != null && c.isCompilationTimeMonitoringSupported)
+          c.getTotalCompilationTime
+        else -1L
+      } catch { case _: Throwable => -1L }
+    def cachedKb(): Long =
+      readFirst("/proc/meminfo").flatMap { txt =>
+        txt.linesIterator.find(_.startsWith("Cached:"))
+          .flatMap(_.split("\\s+").lift(1)).map(_.toLong)
+      }.getOrElse(-1L)
     val boxLoad0 = load1(); val (boxPsi0, boxPsiTot0) = psiCpu()
+    val boxJit0 = jitMs(); val boxCached0 = cachedKb()
     val boxProbe0 = probe()
     val times = collection.mutable.Map.empty[String, Vector[Double]]
       .withDefaultValue(Vector.empty)
@@ -234,12 +256,16 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val fjson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val boxLoad1 = load1(); val (boxPsi1, boxPsiTot1) = psiCpu()
+    val boxJit1 = jitMs(); val boxCached1 = cachedKb()
     val boxProbe1 = probe()
     val psiDelta =
       if (boxPsiTot0 >= 0 && boxPsiTot1 >= 0) boxPsiTot1 - boxPsiTot0 else -1.0
+    val jitDelta = if (boxJit0 >= 0 && boxJit1 >= 0) boxJit1 - boxJit0 else -1L
     val bjson = s"""{"load1_start":${r3(boxLoad0)},"load1_end":${r3(boxLoad1)},""" +
       s""""psi10_start":${r3(boxPsi0)},"psi10_end":${r3(boxPsi1)},""" +
       s""""psi_total_delta_s":${r3(psiDelta)},""" +
+      s""""jit_delta_ms":$jitDelta,""" +
+      s""""cached_kb_start":$boxCached0,"cached_kb_end":$boxCached1,""" +
       s""""probe_start_s":${r3(boxProbe0)},"probe_end_s":${r3(boxProbe1)}}"""
     val mjson = memoPays.map { case (label, q, pass, at, secs) =>
       s"""{"memo":"$label","q":"$q","pass":$pass,"at":${r3(at)},"cost_s":${r3(secs)}}"""

@@ -151,7 +151,22 @@ object FixtureGen {
       //    Content guard lives in the q240 oracle itself (non-null
       //    rep_v must equal the live corpus vector at rep_id).
       "q240_semindex_sf001" ->
-        llm.Similarity.q240IndexFixture(spark, sfDir))
+        llm.Similarity.q240IndexFixture(spark, sfDir),
+      //  - q247/q248 (r16, VERDICT r15 item 1): the distinct span→hash /
+      //    gram→hash vocabularies of the xxhash64-keyed production
+      //    twins of q243 (10-token removal spans) and q245 (13-token
+      //    memorization grams), built THROUGH the same window helpers
+      //    the queries run (spanWindows / splitGramWindows). The oracle
+      //    rebuilds the windows textually from the live corpus and maps
+      //    them through these tables, so both engines consume identical
+      //    hash values and everything downstream of the hash is replayed
+      //    in SQL.
+      "q247_spanhash_sf001" ->
+        llm.Dedup.spanWindows(docs, 10).select($"sh").distinct()
+          .select($"sh", xxhash64($"sh").as("h")).orderBy($"sh"),
+      "q248_gramhash_sf001" ->
+        llm.TextOps.splitGramWindows(docs).select($"g").distinct()
+          .select($"g", xxhash64($"g").as("h")).orderBy($"g"))
   }
 
   def main(args: Array[String]): Unit = {

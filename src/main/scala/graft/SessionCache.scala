@@ -45,9 +45,19 @@ final class SessionCache[V >: Null](onDiscard: V => Unit = (_: V) => (),
     val cur = m.get(k)
     if (cur != null) cur
     else {
+      // NET-of-nested accounting (ADVICE r15): a memo build that
+      // invokes another memo build inside it (q105's cluster build
+      // runs the jaccard-pair build) must not double-count the inner
+      // seconds in the ledger — each entry records its OWN work, so
+      // advisory readers can sum entries. Thread-local child-time
+      // accumulator: net = gross − sum(direct children's gross).
+      val saved = SessionCache.childSecs.get()
+      SessionCache.childSecs.set(0.0)
       val t0 = System.nanoTime()
       val v = build
-      SessionCache.recordPay(label, t0, (System.nanoTime() - t0) / 1e9)
+      val gross = (System.nanoTime() - t0) / 1e9
+      SessionCache.recordPay(label, t0, gross - SessionCache.childSecs.get())
+      SessionCache.childSecs.set(saved + gross)
       val prior = m.putIfAbsent(k, v)
       if (prior != null) { onDiscard(v); prior } else v
     }
@@ -71,6 +81,13 @@ object SessionCache {
   private val pays =
     new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, Double)]()
 
+  /** Per-thread accumulator of direct-child build gross seconds —
+    * see the net-of-nested comment in [[SessionCache.getOrElseUpdate]]. */
+  private[graft] val childSecs: ThreadLocal[java.lang.Double] =
+    ThreadLocal.withInitial(() => java.lang.Double.valueOf(0.0))
+
+  /** `secs` is NET of nested memo builds on the same thread: entries
+    * are disjoint work and may be summed by advisory readers. */
   private[graft] def recordPay(label: String, t0: Long, secs: Double): Unit =
     pays.add((if (label.isEmpty) "unlabeled" else label, t0, secs))
 

@@ -810,6 +810,20 @@ object Dedup {
       throw new IllegalStateException(
         s"twoStarComponents did not converge in $maxIter rounds — " +
           "raise maxIter")
+    // star-ness assertion (ADVICE r15): the label step below assumes
+    // the fixpoint is a min-centered star forest. For the hash-graded
+    // q246 a non-star fixpoint would surface as an oracle mismatch,
+    // but the PUBLIC operator on arbitrary graphs would silently emit
+    // wrong labels — so verify cheaply (no node is both a center 'a'
+    // and a member 'b') and throw like the non-convergence path.
+    val nonStar = edges.select($"a".as("n"))
+      .join(edges.select($"b".as("n")), Seq("n"), "left_semi")
+      .limit(1).count()
+    if (nonStar > 0)
+      throw new IllegalStateException(
+        "twoStarComponents reached an edge fixpoint that is not a star " +
+          "forest (a node appears as both a center and a member) — " +
+          "refusing to emit labels")
     // converged edges are stars (member, component-min); singletons
     // label themselves
     val labels = nodes
@@ -1124,6 +1138,85 @@ object Dedup {
       |        / len(list_distinct(list_concat(x.shs, y.shs))), 4) >= 0.5
       |ORDER BY id1, id2""".stripMargin
 
+  /** q252: connected components at CANDIDATE scale — two-star CC fed
+    * from the BANDED LSH pair set instead of the exact all-pairs
+    * anchor (VERDICT r15 item 5): q246 proved the algorithm against
+    * q105's oracle, but its feed was q34's weak-by-designation exact
+    * pair memo; at 100 TB the pairs that exist are the band-join
+    * survivors, and CC over THEM is the step that turns candidate
+    * pairs into dedup decisions. Pipeline: q107's md5-parity banding
+    * (oracle-expressible minhash, K=8 in 4 bands of 2) → band-equality
+    * candidates → exact Jaccard ≥ 0.5 verify → [[twoStarComponents]]
+    * over the verified edge set — every stage is the registered scale
+    * path's shape (band join, candidate-proportional verify,
+    * edge-local O(log²) CC). Oracle: q105's recursive-CTE transitive
+    * closure RESTRICTED to the banded-verified edge set (the banding
+    * and verify replayed verbatim from q107Sql) — one closure
+    * definition, two candidate generators, and the hash equality
+    * proves the CC structure identical. */
+  def q252CcBanded(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh = toks(s, dir)
+      .filter($"doc_id" % 2 === 0)
+      .select($"doc_id", shingles($"toks").as("sh"))
+      .persist() // signature pass + both verify sides; swept per-query
+    val pairs = verifyJaccard(md5Candidates(sh), sh, 0.5)
+    val nodes = Tables.documents(s, dir)
+      .filter($"doc_id" % 2 === 0).select($"doc_id")
+    twoStarComponents(nodes,
+        pairs.select($"id1".as("src"), $"id2".as("dst")))
+      .orderBy($"doc_id")
+  }
+
+  /** q252 oracle: q107Sql's banding + verify producing the edge set,
+    * then q105Sql's recursive walk and min-reach labeling over the
+    * even-doc node set. */
+  val q252Sql: String =
+    """WITH RECURSIVE t AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks
+      |  FROM documents WHERE doc_id % 2 = 0),
+      |sh AS (
+      |  SELECT doc_id, list_distinct([
+      |    concat_ws(' ', toks[i], toks[i+1], toks[i+2])
+      |    FOR i IN generate_series(1, greatest(len(toks) - 2, 1))]) AS shs
+      |  FROM t),
+      |mh AS (
+      |  SELECT doc_id,
+      |    [ list_min([ ('0x' || substr(md5(CAST(k AS VARCHAR) || '|' || s), 1, 8))::BIGINT
+      |                 FOR s IN shs ])
+      |      FOR k IN generate_series(0, 7) ] AS sig
+      |  FROM sh),
+      |banded AS (
+      |  SELECT doc_id, b AS band,
+      |    CAST(sig[2*b + 1] AS VARCHAR) || ',' || CAST(sig[2*b + 2] AS VARCHAR) AS bkt
+      |  FROM mh, unnest(generate_series(0, 3)) AS u(b)),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+      |  FROM banded a JOIN banded b
+      |    ON a.band = b.band AND a.bkt = b.bkt AND a.doc_id < b.doc_id),
+      |pairs AS (
+      |  SELECT c.id1, c.id2
+      |  FROM cand c
+      |  JOIN sh x ON x.doc_id = c.id1
+      |  JOIN sh y ON y.doc_id = c.id2
+      |  WHERE round(CAST(len(list_intersect(x.shs, y.shs)) AS DOUBLE)
+      |          / len(list_distinct(list_concat(x.shs, y.shs))), 4) >= 0.5),
+      |edges AS (
+      |  SELECT id1 AS src, id2 AS dst FROM pairs
+      |  UNION ALL
+      |  SELECT id2, id1 FROM pairs),
+      |walk AS (
+      |  SELECT src AS doc_id, dst AS reach FROM edges
+      |  UNION
+      |  SELECT w.doc_id, e.dst FROM walk w JOIN edges e ON w.reach = e.src),
+      |best AS (
+      |  SELECT doc_id, min(reach) AS mn FROM walk GROUP BY doc_id)
+      |SELECT doc.doc_id,
+      |       least(doc.doc_id, coalesce(b.mn, doc.doc_id)) AS cluster
+      |FROM documents doc LEFT JOIN best b ON b.doc_id = doc.doc_id
+      |WHERE doc.doc_id % 2 = 0
+      |ORDER BY doc.doc_id""".stripMargin
+
   /** q122: incremental dedup — the PRODUCTION shape of exact dedup at
     * 100 TB: a new ingest batch (doc_id ≥ 250 here) is deduped against
     * the historical fingerprint STORE (doc_id < 250) and within itself,
@@ -1437,9 +1530,9 @@ object Dedup {
     * 21 plan rows at sf0.01, so the grade is non-trivial.
     *
     * 100 TB shape is q150's: one narrow codegen window scan, one
-    * hash-partitioned groupBy on the span text (map-side partials; in
-    * production the key is xxhash64(span), kept textual here so the
-    * oracle restates verbatim), a candidate-proportional join back,
+    * hash-partitioned groupBy on the span text (map-side partials;
+    * textual HERE so the oracle restates verbatim — q247 registers the
+    * xxhash64-keyed production form), a candidate-proportional join back,
     * and per-doc islands — no stage holds more than one document's
     * hits. The threshold is a parameter of [[spanRemovalFrom]];
     * DedupSpec pins the merge semantics on constructed overlapping
@@ -1449,11 +1542,14 @@ object Dedup {
   def q243SpanRemoval(s: SparkSession, dir: String): DataFrame =
     spanRemovalFrom(Tables.documents(s, dir), w = 10, minSpan = 50)
 
-  /** q243's engine on an arbitrary (doc_id, text) frame. */
-  def spanRemovalFrom(docs: DataFrame, w: Int, minSpan: Int): DataFrame = {
+  /** (doc_id, pos, sh) w-token span windows of a (doc_id, text) frame —
+    * the shared front end of q243 (textual keys), q247 (xxhash64 keys)
+    * and the q247 oracle fixture, so all three see bit-identical span
+    * strings by construction. */
+  def spanWindows(docs: DataFrame, w: Int): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    val spans = docs
+    docs
       .select($"doc_id", TextOps.tokens($"text").as("toks"))
       .filter(size($"toks") >= w)
       .select($"doc_id", posexplode(transform(
@@ -1461,11 +1557,38 @@ object Dedup {
         i => concat_ws(" ", slice($"toks", i, lit(w))))))
       .toDF("doc_id", "off", "sh")
       .select($"doc_id", ($"off" + 1).cast("long").as("pos"), $"sh")
+  }
+
+  /** q243's engine on an arbitrary (doc_id, text) frame. */
+  def spanRemovalFrom(docs: DataFrame, w: Int, minSpan: Int): DataFrame =
+    spanRemovalKeyed(spanWindows(docs, w).withColumnRenamed("sh", "k"),
+      w, minSpan)
+
+  /** q247's engine: identical plan, but the span key that feeds the
+    * dup-census groupBy and the join back is `xxhash64(span)` — the
+    * shuffle moves 8-byte longs instead of ~10-token strings. The hash
+    * is computed map-side in the window projection, so the span text
+    * never leaves the scan stage. */
+  def spanRemovalHashedFrom(docs: DataFrame, w: Int, minSpan: Int): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    spanRemovalKeyed(
+      spanWindows(docs, w).select($"doc_id", $"pos", xxhash64($"sh").as("k")),
+      w, minSpan)
+  }
+
+  /** Shared back end of q243/q247: duplicated-key census, join back,
+    * gaps-and-islands merge, span threshold. `spans` = (doc_id, pos, k)
+    * where k is whatever key identifies a w-token span (text or hash). */
+  private def spanRemovalKeyed(spans0: DataFrame, w: Int, minSpan: Int): DataFrame = {
+    val s = spans0.sparkSession
+    import s.implicits._
+    val spans = spans0
       .persist() // read twice: the duplicated-span build + the join back
-    val dup = spans.groupBy($"sh")
+    val dup = spans.groupBy($"k")
       .agg(countDistinct($"doc_id").as("nd"))
-      .filter($"nd" >= 2).select($"sh")
-    val hits = spans.join(dup, "sh").select($"doc_id", $"pos")
+      .filter($"nd" >= 2).select($"k")
+    val hits = spans.join(dup, "k").select($"doc_id", $"pos")
     val wOrd = org.apache.spark.sql.expressions.Window
       .partitionBy($"doc_id").orderBy($"pos")
     hits
@@ -1502,6 +1625,64 @@ object Dedup {
       |  FROM runs GROUP BY doc_id, grp)
       |SELECT doc_id, start_pos, span_tokens FROM r2
       |WHERE span_tokens >= 50
+      |ORDER BY doc_id, start_pos""".stripMargin
+  }
+
+  /** q247: q243's PRODUCTION form (VERDICT r15 item 1) — the long-span
+    * removal plan with the span groupBy+join keyed by `xxhash64(span)`
+    * instead of the span text. q243's registered plan shuffles the full
+    * ~10-token string twice (dup census + join back); at 100 TB that
+    * gram shuffle IS the dominant cost (PERF.md estimates ~6× fewer
+    * shuffled bytes under hash keys). Here the hash is computed in the
+    * window projection, so only (doc_id, pos, h:long) ever reaches an
+    * exchange. Same Lee et al. 2022 ExactSubstr regime (arXiv:
+    * 2107.06499, ≥50-token spans, W=10 windows).
+    *
+    * HASH-GRADED via the q46/q48 fixture discipline: xxhash64 is not
+    * DuckDB-expressible, so `fixtures/q247_spanhash_sf001` commits the
+    * distinct span→hash vocabulary (generated THROUGH [[spanWindows]]
+    * + the same `xxhash64` column; FixtureDriftSpec regenerates and
+    * compares), and the oracle rebuilds the spans textually from the
+    * LIVE corpus, maps each through the committed vocabulary, and
+    * replays the entire downstream — dup census, join back, islands
+    * merge, threshold — on the hash key. Both engines consume the SAME
+    * hash values, so the grade is exact even in the presence of a hash
+    * collision. DedupSpec additionally pins q247 ≡ q243 row-for-row on
+    * the sf0.01 corpus (collision-free there). */
+  def q247SpanRemovalHashed(s: SparkSession, dir: String): DataFrame =
+    spanRemovalHashedFrom(Tables.documents(s, dir), w = 10, minSpan = 50)
+
+  val q247Sql: String = {
+    val terms = (0 until 10).map(i => s"toks[pos+$i]").mkString(", ")
+    raw"""WITH ${graft.Fixtures.corpusGuardCtes},
+      |hx AS (
+      |  SELECT sh, h
+      |  FROM read_parquet('${graft.Fixtures.dir}/q247_spanhash_sf001/*.parquet')),
+      |tok AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks
+      |  FROM documents),
+      |pos AS (
+      |  SELECT doc_id, unnest(generate_series(1, len(toks) - 9)) AS pos, toks
+      |  FROM tok WHERE len(toks) >= 10),
+      |sh AS (
+      |  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+      |    concat_ws(' ', $terms) AS sh
+      |  FROM pos),
+      |shh AS (SELECT s.doc_id, s.pos, hx.h FROM sh s JOIN hx USING (sh)),
+      |dup AS (SELECT h FROM shh GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+      |hits AS (SELECT s.doc_id, s.pos FROM shh s JOIN dup d USING (h)),
+      |runs AS (
+      |  SELECT doc_id, pos,
+      |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      |  FROM hits),
+      |r2 AS (
+      |  SELECT doc_id, min(pos) AS start_pos,
+      |    CAST(count(*) + 9 AS BIGINT) AS span_tokens
+      |  FROM runs GROUP BY doc_id, grp)
+      |SELECT doc_id, start_pos, span_tokens FROM r2
+      |WHERE span_tokens >= 50
+      |UNION ALL
+      |SELECT -1, n, CAST(-1 AS BIGINT) FROM fixture_corpus_mismatch WHERE n > 0
       |ORDER BY doc_id, start_pos""".stripMargin
   }
 
@@ -1848,6 +2029,8 @@ object Dedup {
     "q150_substring_dedup" -> (q150SubstringDedup _),
     "q243_span_removal" -> (q243SpanRemoval _),
     "q246_cc_twostar" -> (q246CcTwostar _),
+    "q247_span_removal_hashed" -> (q247SpanRemovalHashed _),
+    "q252_cc_banded" -> (q252CcBanded _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -1886,5 +2069,8 @@ object Dedup {
     "q150_substring_dedup" -> q150Sql,
     "q243_span_removal" -> q243Sql,
     "q246_cc_twostar" -> q105Sql,
+    // hash-graded via fixtures/q247_spanhash_sf001 (q46/q48 discipline)
+    "q247_span_removal_hashed" -> q247Sql,
+    "q252_cc_banded" -> q252Sql,
   )
 }

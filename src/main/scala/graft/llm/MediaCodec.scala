@@ -77,6 +77,49 @@ object MediaCodec {
     chunks
   }
 
+  /** Audio PERCEPTUAL fingerprint (q249): the audio member of the
+    * dHash family — gradient signs of the per-frame ENERGY envelope
+    * instead of per-column luminance gradients. Frames are q203's
+    * 64-sample (4 ms @ 16 kHz) windows and the per-frame energy is the
+    * exact integer Σ s² BIGINT (no division, no doubles — which is
+    * what lets the DuckDB oracle restate the whole fingerprint from
+    * the document's text char codes), nearest-neighbor resampled to 65
+    * anchor frames (src frame of anchor j = ⌊j·nf/65⌋, the same
+    * integer resample as [[dhashChunks]]), then bit k = 1 iff
+    * e[k] < e[k+1], k ∈ [0, 64). Robust to whole-frame time shifts and
+    * container re-encoding (the envelope moves by one frame / not at
+    * all), unlike a cryptographic hash of the WAV bytes. Same four
+    * 16-bit chunk representation as the image hash — the chunks ARE
+    * the Hamming band keys. Caller guarantees ≥ 1 full frame. */
+  def audioFpChunks(data: Array[Byte]): Array[Int] = {
+    val n = data.length / 2
+    val nf = n / 64
+    val ss = new Array[Long](nf)
+    var f = 0
+    while (f < nf) {
+      var acc = 0L
+      var i = f * 64
+      while (i < (f + 1) * 64) {
+        val lo = data(2 * i) & 0xFF
+        val sm = (data(2 * i + 1).toInt << 8) | lo // sign-extending hi byte
+        acc += sm.toLong * sm
+        i += 1
+      }
+      ss(f) = acc
+      f += 1
+    }
+    val e = new Array[Long](65)
+    var j = 0
+    while (j < 65) { e(j) = ss((j.toLong * nf / 65).toInt); j += 1 }
+    val chunks = new Array[Int](4)
+    var k = 0
+    while (k < 64) {
+      if (e(k) < e(k + 1)) chunks(k / 16) |= 1 << (k % 16)
+      k += 1
+    }
+    chunks
+  }
+
   // ---------------------------------------------------------------- PPM
 
   final case class Ppm(width: Int, height: Int, maxVal: Int, pixels: Array[Byte])

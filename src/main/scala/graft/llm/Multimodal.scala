@@ -612,10 +612,18 @@ object Multimodal {
     * constructed images: re-encoded and 1-px-shifted copies of a
     * smooth gradient band together at Hamming ≈ 0; an unrelated image
     * does not. */
-  def q241PhashDups(s: SparkSession, dir: String): DataFrame = {
+  def q241PhashDups(s: SparkSession, dir: String): DataFrame =
+    chunkStats(phashSigs(mediaTable(s, dir))
+      .persist()) // read twice: both chunk-join sides (q109's discipline)
+
+  /** Shared per-signature band rollup — the graded form of q241 AND
+    * q249: every id's complete four-chunk signature plus its banding
+    * stats (band-mate count, min Hamming among mates, the ≤6 near-dup
+    * verdict). `sigs` = (media_id, v0..v3), already persisted by the
+    * caller (read twice: both chunk-join sides + the join back). */
+  private def chunkStats(sigs: DataFrame): DataFrame = {
+    val s = sigs.sparkSession
     import s.implicits._
-    val sigs = phashSigs(mediaTable(s, dir))
-      .persist() // read twice: both chunk-join sides (q109's discipline)
     val chunked = phashChunked(sigs)
     val a = chunked.select($"media_id".as("id1"), $"v0".as("x0"), $"v1".as("x1"),
       $"v2".as("x2"), $"v3".as("x3"), $"c", $"v")
@@ -679,10 +687,15 @@ object Multimodal {
   /** q241's production PAIR operator — band-agreeing images verified
     * at Hamming ≤ `radius` (q109's shape; split out so MultimodalSpec
     * can pin shift/re-encode robustness on constructed strips). */
-  def phashDupsFrom(media: Dataset[MediaRow], radius: Int = 6): DataFrame = {
-    val s = media.sparkSession
+  def phashDupsFrom(media: Dataset[MediaRow], radius: Int = 6): DataFrame =
+    chunkPairs(phashSigs(media).persist(), radius)
+
+  /** Shared band-agreeing pair emission — the production operator
+    * behind [[phashDupsFrom]] (images) and [[audioDupsFrom]] (audio):
+    * ≥1 chunk agreement ⇒ candidate, verified at Hamming ≤ radius. */
+  private def chunkPairs(sigs: DataFrame, radius: Int): DataFrame = {
+    val s = sigs.sparkSession
     import s.implicits._
-    val sigs = phashSigs(media).persist()
     val chunked = phashChunked(sigs)
     val a = chunked.select($"media_id".as("id1"), $"v0".as("x0"), $"v1".as("x1"),
       $"v2".as("x2"), $"v3".as("x3"), $"c", $"v")
@@ -697,6 +710,59 @@ object Multimodal {
       .filter($"hamming" <= radius)
       .select($"id1", $"id2", $"hamming")
       .orderBy($"id1", $"id2")
+  }
+
+  /** q249: AUDIO PERCEPTUAL DEDUP — completes the dedup × media matrix
+    * (VERDICT r15 item 2): q241 covered images; a scraped-audio
+    * pipeline dedups clips the same way. The fingerprint is
+    * [[MediaCodec.audioFpChunks]] — gradient signs of the per-frame
+    * energy envelope (q203's 64-sample frames, exact integer Σ s²,
+    * nearest-neighbor resample to 65 anchors), through the REAL
+    * container path (RIFF chunk-list walk, LE int16 reassembly).
+    * Time-shifted and re-encoded copies band together; distinct clips
+    * don't (MultimodalSpec pins both on constructed envelopes).
+    * Candidates band on the four 16-bit chunks with the
+    * `Dedup.MaxBucketWidth` skew cap, verified at Hamming ≤ 6 —
+    * bit-for-bit q241's machinery on the audio signature table.
+    *
+    * Fully HASH-GRADED with no fixture, q241's discipline: PCM samples
+    * are the document text's char codes (q203's oracle front end), the
+    * frame energies / anchor resample / gradient bits are exact
+    * integers, so the oracle restates the ENTIRE fingerprint in SQL
+    * and replays banding, cap, and Hamming verify. Graded per-CLIP
+    * (full signature + band stats — this corpus carries no true audio
+    * near-dups, so a pair list would grade empty); the pair emission
+    * is [[audioDupsFrom]]. 100 TB shape: fingerprinting is one narrow
+    * mapPartitions scan (8 bytes per clip — samples never shuffle),
+    * candidates are a band-equality join, verification is
+    * candidate-proportional. */
+  def q249AudioFpDups(s: SparkSession, dir: String): DataFrame =
+    chunkStats(audioSigs(mediaTable(s, dir)).persist())
+
+  /** q249's production PAIR operator — band-agreeing clips verified at
+    * Hamming ≤ `radius`. */
+  def audioDupsFrom(media: Dataset[MediaRow], radius: Int = 6): DataFrame =
+    chunkPairs(audioSigs(media).persist(), radius)
+
+  /** The audio perceptual signature table: one row per audio clip with
+    * ≥ 1 full frame, four 16-bit energy-envelope chunks, fingerprinted
+    * THROUGH the real RIFF container walk. */
+  def audioSigs(media: Dataset[MediaRow]): DataFrame = {
+    val s = media.sparkSession
+    import s.implicits._
+    media
+      .filter(_.kind == "audio")
+      .mapPartitions { it =>
+        it.flatMap { r =>
+          val data = MediaCodec.decodeWav(r.content).data
+          if (data.length / 2 / 64 == 0) None
+          else {
+            val ch = MediaCodec.audioFpChunks(data)
+            Some((r.media_id, ch(0), ch(1), ch(2), ch(3)))
+          }
+        }
+      }
+      .toDF("media_id", "v0", "v1", "v2", "v3")
   }
 
   /** q241 oracle: the whole dHash restated from text-byte slices —
@@ -757,6 +823,79 @@ object Multimodal {
        |ORDER BY v.media_id""".stripMargin
   }
 
+  /** q249 oracle: the whole audio fingerprint restated from text char
+    * codes — q203's sample/frame front end (samples from ascii(), sign
+    * correction, exact Σ s² per 64-sample frame), the 65-anchor
+    * nearest-neighbor resample as integer division, gradient bits
+    * packed into four 16-bit chunks, then q241's band/cap SQL and the
+    * per-clip candidate rollup verbatim. */
+  val q249Sql: String = {
+    val chunks = (0 until 4).map { c =>
+      s"CAST(sum(CASE WHEN k >= ${c * 16} AND k < ${c * 16 + 16} " +
+        s"THEN bit * (1 << (k % 16)) ELSE 0 END) AS INT) AS v$c"
+    }.mkString(",\n    ")
+    s"""WITH a AS (
+       |  SELECT doc_id AS media_id, text,
+       |    (length(text) // 2) // 64 AS n_frames
+       |  FROM documents WHERE doc_id % 3 = 1),
+       |fr AS (SELECT * FROM a WHERE n_frames >= 1),
+       |smp AS (
+       |  SELECT media_id, i // 64 AS f,
+       |    ascii(substr(text, 2 * i + 1, 1))
+       |      + 256 * ascii(substr(text, 2 * i + 2, 1)) AS s0
+       |  FROM (SELECT media_id, text,
+       |          unnest(generate_series(0, n_frames * 64 - 1)) AS i
+       |        FROM fr) t),
+       |sg AS (SELECT media_id, f,
+       |         CASE WHEN s0 >= 32768 THEN s0 - 65536 ELSE s0 END AS s
+       |       FROM smp),
+       |fe AS (
+       |  SELECT media_id, f, CAST(sum(s * s) AS BIGINT) AS ss
+       |  FROM sg GROUP BY 1, 2),
+       |jj AS (
+       |  SELECT media_id, n_frames, unnest(generate_series(0, 64)) AS j
+       |  FROM fr),
+       |anch AS (
+       |  SELECT jj.media_id, jj.j, e.ss
+       |  FROM jj JOIN fe e ON e.media_id = jj.media_id
+       |    AND e.f = (jj.j * jj.n_frames) // 65),
+       |bits AS (
+       |  SELECT a2.media_id, a2.j AS k,
+       |    CASE WHEN a2.ss < b2.ss THEN 1 ELSE 0 END AS bit
+       |  FROM anch a2 JOIN anch b2
+       |    ON b2.media_id = a2.media_id AND b2.j = a2.j + 1
+       |  WHERE a2.j < 64),
+       |v AS (
+       |  SELECT media_id,
+       |    $chunks
+       |  FROM bits GROUP BY media_id),
+       |c0 AS (
+       |  SELECT media_id, v0, v1, v2, v3, u.c,
+       |    CASE u.c WHEN 0 THEN v0 WHEN 1 THEN v1 WHEN 2 THEN v2 ELSE v3 END AS vv
+       |  FROM v, unnest(generate_series(0, 3)) AS u(c)),
+       |c AS (
+       |  SELECT media_id, v0, v1, v2, v3, c, vv FROM (
+       |    SELECT c0.*, count(*) OVER (PARTITION BY c, vv) AS w FROM c0) t
+       |  WHERE w <= ${Dedup.MaxBucketWidth}),
+       |cand AS (
+       |  SELECT DISTINCT a.media_id AS id1, b.media_id AS id2
+       |  FROM c a JOIN c b ON a.c = b.c AND a.vv = b.vv AND a.media_id <> b.media_id),
+       |stats AS (
+       |  SELECT cd.id1, count(*) AS n_cands,
+       |    min(bit_count(xor(x.v0, y.v0)) + bit_count(xor(x.v1, y.v1)) +
+       |        bit_count(xor(x.v2, y.v2)) + bit_count(xor(x.v3, y.v3))) AS min_hamming
+       |  FROM cand cd
+       |  JOIN v x ON x.media_id = cd.id1
+       |  JOIN v y ON y.media_id = cd.id2
+       |  GROUP BY cd.id1)
+       |SELECT v.media_id, v.v0, v.v1, v.v2, v.v3,
+       |  CAST(coalesce(s.n_cands, 0) AS BIGINT) AS n_cands,
+       |  CAST(s.min_hamming AS INT) AS min_hamming,
+       |  coalesce(s.min_hamming <= 6, false) AS near_dup
+       |FROM v LEFT JOIN stats s ON s.id1 = v.media_id
+       |ORDER BY v.media_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q203_audio_rms"     -> (q203AudioRms _),
     "q221_vit_patches"   -> (q221VitPatches _),
@@ -766,6 +905,7 @@ object Multimodal {
     "q129_png_roundtrip" -> (q129PngRoundtrip _),
     "q131_jpeg_roundtrip" -> (q131JpegRoundtrip _),
     "q241_phash_dups"    -> (q241PhashDups _),
+    "q249_audiofp_dups"  -> (q249AudioFpDups _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -777,5 +917,6 @@ object Multimodal {
     "q129_png_roundtrip" -> q129Sql,
     "q131_jpeg_roundtrip" -> q131Sql,
     "q241_phash_dups"    -> q241Sql,
+    "q249_audiofp_dups"  -> q249Sql,
   )
 }

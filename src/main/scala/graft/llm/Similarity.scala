@@ -745,6 +745,110 @@ object Similarity {
        |  FROM fixture_corpus_mismatch WHERE n > 0) t
        |ORDER BY vec_id""".stripMargin
 
+  /** q250: SEMANTIC-INDEX COMPACTION, GRADED — the handoff event the
+    * streaming ingest family assumed but never demonstrated (VERDICT
+    * r15 item 3): [[Streams.semanticIngest]] broadcasts a BATCH-STATIC
+    * index and calls the rebuild "the rare maintenance event"; this
+    * registers that event itself. The BEFORE index is the committed
+    * `fixtures/q240_semindex_sf001` (v1 — the q240 pattern giving the
+    * before/after pair for free); the ingest batch is assigned against
+    * v1 exactly as q240 does; the batch SURVIVORS' vectors join the
+    * store; and v2 = [[semIndexFrom]] over the GROWN store — new
+    * deterministic seeds/stride at the grown size, refined centroids,
+    * fresh per-cell representatives (which may now COME FROM the
+    * ingested batch: `rep_from_batch` grades exactly the rows the
+    * handoff exists to promote). Output: one row per v2 cell with its
+    * representative, the rep's cosine-to-centroid, and the provenance
+    * flag. Everything is deterministic (stride seeds, tie-broken
+    * argmaxes, DECIMAL centroid means — q66's proof), so the oracle
+    * replays v1-assignment → survivor cut → grown store → the full
+    * Lloyd unroll → rep argmax CTE-by-CTE, plus q240's rep-vs-corpus
+    * content guard on the fixture. The exactly-once SWAP semantics
+    * (replays inert across the v1→v2 handoff, no double-ingest, no
+    * loss) are pinned in StreamingSpec — the store key is vec_id, so
+    * a changed v2 verdict on a replayed row cannot double-append.
+    * 100 TB shape: the rebuild is q229's linear build (sampled Lloyd,
+    * ~8K training vectors, one full-store assignment pass) run at
+    * compaction cadence, never per batch. */
+  def q250SemindexCompaction(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val all = vecs(s, dir)
+    val store = all.filter(pmod($"vec_id", lit(4)) =!= 0).select($"vec_id", $"v")
+    val batch = all.filter(pmod($"vec_id", lit(4)) === 0).select($"vec_id", $"v")
+    val v1 = s.read.parquet(s"${graft.Fixtures.dir}/q240_semindex_sf001")
+    val survivors = semAssignFrom(v1, batch, sessionSemdedupTau(s))
+      .filter(!$"is_semantic_dup").select($"vec_id")
+      .join(batch, "vec_id").select($"vec_id", $"v")
+    val grown = store.unionByName(survivors)
+    semIndexFrom(grown, lloydIters = sessionIvfLloydIters(s))
+      .select($"cell", $"rep_id",
+        round(graft.functions.CosineSim.cosine(s, $"rep_v", $"cv"), 4)
+          .as("rep_cos"),
+        coalesce(pmod($"rep_id", lit(4)) === 0, lit(false)).as("rep_from_batch"))
+      .orderBy($"cell")
+  }
+
+  /** q250 oracle at the session's τ / lloydIters: q240Sql's fixture
+    * read + batch assignment + content guard, the survivor cut, the
+    * grown store, then q233Sql's deterministic build machinery (seed
+    * stride/offset from the GROWN store's own count and min) unrolled
+    * CTE-by-CTE, and the per-cell representative argmax. */
+  def q250Sql(tau: Double, lloydIters: Int): String = {
+    val iters = (1 to lloydIters).map(i =>
+      lloydCtes(i, if (i == 1) "c0" else s"c${i - 1}")).mkString("\n")
+    s"""WITH eall AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |store AS (SELECT vec_id, v FROM eall WHERE vec_id % 4 <> 0),
+       |batch AS (SELECT vec_id, v FROM eall WHERE vec_id % 4 = 0),
+       |idx AS (SELECT cell, cv, rep_id, rep_v
+       |        FROM read_parquet('${graft.Fixtures.dir}/q240_semindex_sf001/*.parquet')),
+       |fixture_corpus_mismatch AS (
+       |  SELECT count(*) AS n FROM (
+       |    SELECT i.rep_id FROM idx i LEFT JOIN eall e ON e.vec_id = i.rep_id
+       |    WHERE i.rep_id IS NOT NULL
+       |      AND (e.vec_id IS NULL OR e.v <> i.rep_v))),
+       |basg AS (
+       |  SELECT vec_id, v, cell FROM (
+       |    SELECT b.vec_id, b.v, c.cell,
+       |      row_number() OVER (PARTITION BY b.vec_id ORDER BY
+       |        ${cosSql("b.v", "c.cv")} DESC, c.cell ASC) AS crn
+       |    FROM batch b, idx c) t WHERE crn = 1),
+       |v1reps AS (SELECT cell, rep_id, rep_v FROM idx WHERE rep_id IS NOT NULL),
+       |surv AS (
+       |  SELECT b.vec_id, b.v
+       |  FROM basg b LEFT JOIN v1reps r ON r.cell = b.cell
+       |  WHERE NOT coalesce(${cosSql("b.v", "r.rep_v")} >= $tau, false)),
+       |grown AS (SELECT vec_id, v FROM store UNION ALL SELECT vec_id, v FROM surv),
+       |params AS (SELECT greatest(31, CAST(floor(sqrt(count(*))) AS BIGINT)) AS stride,
+       |                  min(vec_id) AS mn FROM grown),
+       |c0 AS (SELECT vec_id AS cent_id, v AS cv FROM grown
+       |       WHERE vec_id % (SELECT stride FROM params) = (SELECT mn % stride FROM params)),
+       |tr AS (SELECT vec_id, v FROM grown
+       |       WHERE vec_id % (SELECT greatest(1, stride // 8) FROM params)
+       |           = (SELECT mn % greatest(1, stride // 8) FROM params)),
+       |$iters
+       |sasg AS (
+       |  SELECT vec_id, v, cell, cosc FROM (
+       |    SELECT g.vec_id, g.v, c.cent_id AS cell,
+       |      ${cosSql("g.v", "c.cv")} AS cosc,
+       |      row_number() OVER (PARTITION BY g.vec_id ORDER BY
+       |        ${cosSql("g.v", "c.cv")} DESC, c.cent_id ASC) AS crn
+       |    FROM grown g, c$lloydIters c) t WHERE crn = 1),
+       |reps2 AS (
+       |  SELECT cell, vec_id AS rep_id, v AS rep_v FROM (
+       |    SELECT cell, vec_id, v,
+       |      row_number() OVER (PARTITION BY cell ORDER BY cosc DESC, vec_id ASC) AS rn
+       |    FROM sasg) t WHERE rn = 1)
+       |SELECT cell, rep_id, rep_cos, rep_from_batch FROM (
+       |  SELECT c.cent_id AS cell, r.rep_id,
+       |    round(${cosSql("r.rep_v", "c.cv")}, 4) AS rep_cos,
+       |    coalesce(r.rep_id % 4 = 0, false) AS rep_from_batch
+       |  FROM c$lloydIters c LEFT JOIN reps2 r ON r.cell = c.cent_id
+       |  UNION ALL
+       |  SELECT CAST(-1 AS BIGINT), CAST(n AS BIGINT), NULL, false
+       |  FROM fixture_corpus_mismatch WHERE n > 0) t
+       |ORDER BY cell""".stripMargin
+  }
+
   /** q233 oracle at the session's τ: q134's store/batch split and
     * store-sized sampled-Lloyd unroll, the store's full assignment
     * WITH its cosine-to-own-centroid (for the per-cell representative
@@ -1793,6 +1897,10 @@ object Similarity {
     val cc = xq.select($"vec_id",
         zip_with($"xq", typedLit(marr), (x, m) => q12(x - m)).as("c"))
       .persist()
+    // materialize cc OFF xq's cached blocks before dropping them
+    // (ADVICE r15: unpersisting first made cc's first action recompute
+    // xq from source, so the xq persist bought nothing past meanRows)
+    cc.count()
     xq.unpersist()
     // 2. power iteration; w is driver-resident model state
     var w: IndexedSeq[Double] = IndexedSeq.fill(dim)(0.125)
@@ -2266,6 +2374,7 @@ object Similarity {
     "q237_kcenter_coreset" -> (q237KcenterCoreset _),
     "q240_semdedup_batch" -> (q240SemdedupBatch _),
     "q244_abtt_pca" -> (q244AbttPca _),
+    "q250_semindex_compaction" -> (q250SemindexCompaction _),
   )
 
   // def, not val: q39's and q66's oracle SQL is synthesized from the
@@ -2282,6 +2391,7 @@ object Similarity {
       "q233_semdedup_increment" -> q233Sql(sdTau, sdLi),
       "q234_hard_negatives_ivf" -> q234Sql(np, li),
       "q240_semdedup_batch" -> q240Sql(sdTau),
+      "q250_semindex_compaction" -> q250Sql(sdTau, sdLi),
       "q244_abtt_pca" -> q244Sql(6),
       "q237_kcenter_coreset" -> q237Sql,
       "q198_cosine_threshold_sweep" -> q198Sql,

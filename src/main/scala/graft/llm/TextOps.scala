@@ -377,34 +377,61 @@ object TextOps {
     * parts-per-million (integer division — cross-engine-safe at any
     * scale), and the leaked flag. 100 TB shape: one narrow window scan
     * per side, the train grams distinct-reduced (hash-partitioned,
-    * map-side partial), one equality join keyed by the gram (xxhash64
-    * in production, textual here for oracle parity) — q101's
-    * decontamination geometry with the split as the boundary instead
-    * of the benchmark source. */
+    * map-side partial), one equality join keyed by the gram — textual
+    * HERE so the oracle restates it verbatim; q248 registers the
+    * xxhash64-keyed production form whose shuffles carry 8-byte longs
+    * — q101's decontamination geometry with the split as the boundary
+    * instead of the benchmark source. */
   def q245MemorizationScan(s: SparkSession, dir: String): DataFrame =
     memorizationScanFrom(Tables.documents(s, dir))
 
-  /** q245's engine on an arbitrary (doc_id, text) frame — split out so
-    * LlmSpec can pin exact window counts on constructed leaks. */
-  def memorizationScanFrom(docs: DataFrame): DataFrame = {
+  /** (doc_id, sb, g) 13-token gram windows with the q100 split bucket —
+    * the shared front end of q245 (textual keys), q248 (xxhash64 keys)
+    * and the q248 oracle fixture, so all three see bit-identical gram
+    * strings by construction. */
+  def splitGramWindows(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
     val W = 13
-    val g = docs
+    docs
       .withColumn("sb", substring(md5($"doc_id".cast("string")), 1, 1))
       .select($"doc_id", $"sb", tokens($"text").as("toks"))
       .filter(size($"toks") >= W)
       .select($"doc_id", $"sb", explode(transform(
         sequence(lit(1), size($"toks") - (W - 1)),
         i => concat_ws(" ", slice($"toks", i, lit(W))))).as("g"))
-    val trn = g.filter(!$"sb".isin("c", "d", "e", "f"))
-      .select($"g".as("tg")).distinct()
-    g.filter($"sb".isin("c", "d"))
-      .join(trn, $"g" === $"tg", "left")
+  }
+
+  /** q245's engine on an arbitrary (doc_id, text) frame — split out so
+    * LlmSpec can pin exact window counts on constructed leaks. */
+  def memorizationScanFrom(docs: DataFrame): DataFrame =
+    memorizationScanKeyed(splitGramWindows(docs).withColumnRenamed("g", "k"))
+
+  /** q248's engine: identical plan, but the gram key that feeds the
+    * train-side distinct and the val-side join is `xxhash64(gram)` —
+    * computed map-side in the window projection, so the shuffles carry
+    * 8-byte longs instead of ~13-token strings. */
+  def memorizationScanHashedFrom(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    memorizationScanKeyed(
+      splitGramWindows(docs).select($"doc_id", $"sb", xxhash64($"g").as("k")))
+  }
+
+  /** Shared back end of q245/q248: train-distinct, val left join, exact
+    * window counts + integer ppm. `grams` = (doc_id, sb, k) where k is
+    * whatever key identifies a 13-token window (text or hash). */
+  private def memorizationScanKeyed(grams: DataFrame): DataFrame = {
+    val s = grams.sparkSession
+    import s.implicits._
+    val trn = grams.filter(!$"sb".isin("c", "d", "e", "f"))
+      .select($"k".as("tk")).distinct()
+    grams.filter($"sb".isin("c", "d"))
+      .join(trn, $"k" === $"tk", "left")
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_grams"),
-        sum(when($"tg".isNotNull, 1L).otherwise(0L)).as("n_memorized"),
-        countDistinct(when($"tg".isNotNull, $"g")).as("n_distinct_mem"))
+        sum(when($"tk".isNotNull, 1L).otherwise(0L)).as("n_memorized"),
+        countDistinct(when($"tk".isNotNull, $"k")).as("n_distinct_mem"))
       .select($"doc_id", $"n_grams", $"n_memorized", $"n_distinct_mem",
         expr("CAST((n_memorized * 1000000) div n_grams AS BIGINT)").as("mem_ppm"),
         ($"n_memorized" > 0).as("leaked"))
@@ -433,6 +460,61 @@ object TextOps {
       |       // count(*) AS BIGINT) AS mem_ppm,
       |  sum(CASE WHEN tg IS NOT NULL THEN 1 ELSE 0 END) > 0 AS leaked
       |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  /** q248: q245's PRODUCTION form (VERDICT r15 item 1) — the cross-split
+    * memorization scan with the train-distinct and the val join keyed by
+    * `xxhash64(gram)` instead of the 13-token string. q245 shuffles the
+    * full ~80–130-byte gram twice; here the hash is computed in the
+    * window projection, so only (doc_id, sb, h:long) reaches an
+    * exchange (~6× fewer shuffled bytes at the measured gram widths).
+    * Same published regime (13-gram verbatim containment; Lee et al.
+    * arXiv:2107.06499 §6.2, Carlini et al. arXiv:2202.07646).
+    *
+    * HASH-GRADED via the q46/q48 fixture discipline:
+    * `fixtures/q248_gramhash_sf001` commits the distinct gram→hash
+    * vocabulary (generated THROUGH [[splitGramWindows]] + the same
+    * `xxhash64` column; FixtureDriftSpec regenerates and compares), and
+    * the oracle rebuilds the grams textually from the LIVE corpus, maps
+    * each through the committed vocabulary, and replays the split
+    * boundary, the train distinct, the val join, and the exact integer
+    * ppm on the hash key. Both engines consume the SAME hash values, so
+    * the grade is exact even under a collision. LlmSpec pins
+    * q248 ≡ q245 row-for-row on the sf0.01 corpus. */
+  def q248MemorizationHashed(s: SparkSession, dir: String): DataFrame =
+    memorizationScanHashedFrom(Tables.documents(s, dir))
+
+  val q248Sql: String = {
+    val terms = (0 until 13).map(i => s"toks[i+$i]").mkString(", ")
+    raw"""WITH ${graft.Fixtures.corpusGuardCtes},
+      |hx AS (
+      |  SELECT g, h
+      |  FROM read_parquet('${graft.Fixtures.dir}/q248_gramhash_sf001/*.parquet')),
+      |tk AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks,
+      |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS sb
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, sb,
+      |    unnest([concat_ws(' ', $terms)
+      |            FOR i IN generate_series(1, len(toks) - 12)]) AS g
+      |  FROM tk WHERE len(toks) >= 13),
+      |gh AS (SELECT g.doc_id, g.sb, hx.h FROM g JOIN hx USING (g)),
+      |trn AS (SELECT DISTINCT h AS th FROM gh WHERE sb NOT IN ('c','d','e','f')),
+      |v AS (SELECT doc_id, h, th FROM gh LEFT JOIN trn ON th = h
+      |      WHERE sb IN ('c','d'))
+      |SELECT doc_id,
+      |  count(*) AS n_grams,
+      |  CAST(sum(CASE WHEN th IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_memorized,
+      |  count(DISTINCT CASE WHEN th IS NOT NULL THEN h END) AS n_distinct_mem,
+      |  CAST(sum(CASE WHEN th IS NOT NULL THEN 1 ELSE 0 END) * 1000000
+      |       // count(*) AS BIGINT) AS mem_ppm,
+      |  sum(CASE WHEN th IS NOT NULL THEN 1 ELSE 0 END) > 0 AS leaked
+      |FROM v GROUP BY doc_id
+      |UNION ALL
+      |SELECT -1, n, CAST(-1 AS BIGINT), -1, CAST(-1 AS BIGINT), FALSE
+      |FROM fixture_corpus_mismatch WHERE n > 0
+      |ORDER BY doc_id""".stripMargin
   }
 
   /** q102: overlapping token-window chunking — the context-window prep
@@ -876,6 +958,154 @@ object TextOps {
       |  UNION ALL
       |  SELECT 2, rk, l, r, cnt FROM r2 WHERE rk <= 10) u
       |ORDER BY iter, rk""".stripMargin
+
+  /** q251: k-ROUND BPE TRAINING (VERDICT r15 item 4) — q182 unrolled
+    * two merges and stopped; a real tokenizer trains thousands. This
+    * is the k-round loop (k=8 registered) with the merge table as
+    * DRIVER-RESIDENT MODEL STATE (the q237/q244 discipline: one
+    * ≤k-entry table on the driver, one 1-row argmax collect per round,
+    * persist rotation on the word table — never a 2^k lazily-chained
+    * plan). Representation: after round j the merged symbol is the
+    * single placeholder char chr(j), so EVERY symbol is always one
+    * character and round t's apply step stays
+    * `replace(w, raw(l)·raw(r), chr(t))` — q193's placeholder-space
+    * trick made inductive. Pair counting translates placeholders back
+    * to their real symbol strings (injective, so grouping is
+    * unchanged) because the tie order (count DESC, left ASC, right
+    * ASC) is defined on REAL symbols in the query text — the order
+    * both engines replay.
+    *
+    * Output: the trained merge table — per round the chosen pair (as
+    * real symbols), the merged symbol, its weighted pair count, and
+    * the corpus symbol total AFTER applying the merge (the encode
+    * pass's compression accounting: Σ wc·len(w) falls by exactly the
+    * number of non-overlapping occurrences replaced, ≥1 and ≤
+    * pair_count — pinned in LlmSpec). Oracle: all k rounds unrolled
+    * CTE-by-CTE (q182's generator pattern) with the per-round word
+    * tables MATERIALIZED — the multi-referenced k-step CTE chain is
+    * the SQL twin of the 2^T lazy-plan bomb (q244's DuckDB lesson).
+    *
+    * 100 TB shape: each round is one explode + one hash aggregation
+    * over the DISTINCT word table (|vocab| rows, not |tokens| — the
+    * BPE trick), a 1-row collect, and one map-side replace; the corpus
+    * is touched once (the initial word count). */
+  def q251BpeTrain(s: SparkSession, dir: String): DataFrame =
+    bpeTrainFrom(Tables.documents(s, dir), k = 8)
+
+  /** q251's engine on an arbitrary (doc_id, text) frame — split out so
+    * LlmSpec can pin merge chaining (a merged symbol participating in
+    * a later merge) on a constructed corpus at small k. Throws if the
+    * corpus exhausts (no pair left) before k rounds. */
+  def bpeTrainFrom(docs: DataFrame, k: Int): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    require(k >= 1 && k <= 8, s"k=$k outside the placeholder range 1..8")
+    def ph(j: Int): String = j.toChar.toString // chr(1)..chr(8)
+    val noPh = (1 to 8).map(j => !$"text".contains(ph(j))).reduce(_ && _)
+    def chars(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      transform(sequence(lit(1), length(c)), i => c.substr(i, lit(1)))
+    var words = docs.filter(noPh)
+      .select(explode(tokens($"text")).as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("wc"))
+      .persist()
+    // driver-resident merge table: (left, right, count, merged, syms)
+    var merges = Vector.empty[(String, String, Long, String, Long)]
+    for (t <- 1 to k) {
+      // translate a placeholder-space symbol column to real symbols
+      val tr = (c: org.apache.spark.sql.Column) => merges.zipWithIndex.foldLeft(c) {
+        case (acc, ((_, _, _, m, _), j)) => when(c === ph(j + 1), m).otherwise(acc)
+      }
+      val cs = chars($"w")
+      val pc = words
+        .select($"wc", explode(zip_with(
+          slice(cs, lit(1), size(cs) - 1), slice(cs, lit(2), size(cs) - 1),
+          (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+        .select($"wc", tr($"p.l").as("l"), tr($"p.r").as("r"))
+        .groupBy($"l", $"r").agg(sum($"wc").as("cnt"))
+      val bestRows = pc.orderBy($"cnt".desc, $"l".asc, $"r".asc).limit(1).collect()
+      if (bestRows.isEmpty)
+        throw new IllegalStateException(
+          s"BPE training exhausted the corpus at round $t of $k — no adjacent pair left")
+      val best = bestRows(0)
+      val (l, r, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
+      // placeholder-space chars of the chosen real symbols
+      def raw(sym: String): String = merges.indexWhere(_._4 == sym) match {
+        case -1 => sym
+        case j  => ph(j + 1)
+      }
+      val next = words
+        .select(org.apache.spark.sql.functions.replace(
+          $"w", lit(raw(l) + raw(r)), lit(ph(t))).as("w"), $"wc")
+        .persist()
+      val syms = next.agg(sum($"wc" * length($"w"))).collect()(0).getLong(0)
+      words.unpersist() // next is materialized by the syms collect
+      words = next
+      merges :+= ((l, r, cnt, l + r, syms))
+    }
+    words.unpersist()
+    merges.zipWithIndex.map { case ((l, r, cnt, m, syms), j) =>
+      (j + 1, l, r, m, cnt, syms)
+    }.toDF("round", "left_sym", "right_sym", "merged", "pair_count", "corpus_syms")
+      .orderBy($"round")
+  }
+
+  /** q251 oracle: k=8 rounds unrolled — per round the pair census over
+    * the previous word table (placeholders translated through the
+    * earlier rounds' scalar merge CTEs), the LIMIT 1 argmax at the
+    * query-text tie order, the placeholder-space replace, and the
+    * symbol total; word tables and per-round argmaxes MATERIALIZED. */
+  val q251Sql: String = {
+    val K = 8
+    def tr(x: String, t: Int): String =
+      if (t == 1) x
+      else {
+        val whens = (1 until t)
+          .map(j => s"WHEN chr($j) THEN (SELECT m FROM b$j)").mkString(" ")
+        s"CASE $x $whens ELSE $x END"
+      }
+    def raw(y: String, t: Int): String =
+      if (t == 1) y
+      else {
+        val whens = (1 until t)
+          .map(j => s"WHEN $y = (SELECT m FROM b$j) THEN chr($j)").mkString(" ")
+        s"CASE $whens ELSE $y END"
+      }
+    val rounds = (1 to K).map { t =>
+      s"""i$t AS (SELECT w, wc, unnest(generate_series(1, len(w) - 1)) AS i FROM w${t - 1}),
+         |g$t AS MATERIALIZED (
+         |  SELECT ${tr("substring(w, i, 1)", t)} AS l,
+         |         ${tr("substring(w, i + 1, 1)", t)} AS r,
+         |         CAST(sum(wc) AS BIGINT) AS cnt
+         |  FROM i$t GROUP BY 1, 2),
+         |b$t AS MATERIALIZED (
+         |  SELECT l, r, l || r AS m, cnt FROM g$t
+         |  ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+         |w$t AS MATERIALIZED (
+         |  SELECT replace(w,
+         |    ${raw(s"(SELECT l FROM b$t)", t)} || ${raw(s"(SELECT r FROM b$t)", t)},
+         |    chr($t)) AS w, wc
+         |  FROM w${t - 1}),
+         |s$t AS (SELECT CAST(sum(wc * len(w)) AS BIGINT) AS syms FROM w$t),""".stripMargin
+    }.mkString("\n")
+    val out = (1 to K).map { t =>
+      s"""  SELECT $t AS round, (SELECT l FROM b$t) AS left_sym,
+         |    (SELECT r FROM b$t) AS right_sym, (SELECT m FROM b$t) AS merged,
+         |    (SELECT cnt FROM b$t) AS pair_count,
+         |    (SELECT syms FROM s$t) AS corpus_syms""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    val noPh = (1 to 8).map(j => s"strpos(text, chr($j)) = 0").mkString(" AND ")
+    s"""WITH w0 AS MATERIALIZED (
+       |  SELECT tok AS w, count(*) AS wc FROM (
+       |    SELECT unnest(regexp_extract_all(lower(text), '\\S+')) AS tok
+       |    FROM documents WHERE $noPh) t
+       |  GROUP BY tok),
+       |$rounds
+       |fin AS (
+       |$out
+       |)
+       |SELECT round, left_sym, right_sym, merged, pair_count, corpus_syms
+       |FROM fin ORDER BY round""".stripMargin
+  }
 
   /** q189: SPLIT-LEAKAGE audit — q101's decontamination question asked
     * of the pipeline's OWN train/val/test split (q100's hash rule):
@@ -1537,6 +1767,8 @@ object TextOps {
     "q100_data_split"   -> (q100DataSplit _),
     "q101_decontamination" -> (q101Decontamination _),
     "q245_memorization_scan" -> (q245MemorizationScan _),
+    "q248_memorization_hashed" -> (q248MemorizationHashed _),
+    "q251_bpe_train" -> (q251BpeTrain _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -1568,5 +1800,8 @@ object TextOps {
     "q100_data_split"   -> q100Sql,
     "q101_decontamination" -> q101Sql,
     "q245_memorization_scan" -> q245Sql,
+    // hash-graded via fixtures/q248_gramhash_sf001 (q46/q48 discipline)
+    "q248_memorization_hashed" -> q248Sql,
+    "q251_bpe_train" -> q251Sql,
   )
 }

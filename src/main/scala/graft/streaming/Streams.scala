@@ -349,16 +349,25 @@ object Streams {
               struct(lit(c).as("c"), col(s"v$c").as("v"))): _*)))
             .select(col("media_id"), col("v0"), col("v1"), col("v2"), col("v3"),
               col("cc.c"), col("cc.v"))
+        // over-wide-bucket cap on BOTH sides of the band join (ADVICE
+        // r15: without it a degenerate chunk value — e.g. flat images
+        // all hashing chunk 0 — grows the per-batch dup join with the
+        // square of store size; q109/q241 apply the same discipline)
+        val cap = (df: org.apache.spark.sql.DataFrame) =>
+          df.withColumn("w", count(lit(1)).over(
+              org.apache.spark.sql.expressions.Window
+                .partitionBy(col("c"), col("v"))))
+            .filter(col("w") <= graft.llm.Dedup.MaxBucketWidth).drop("w")
         val dirExists = new java.io.File(storeDir).exists()
         val novel =
           if (!dirExists) sigs
           else {
             val store = s.read.parquet(storeDir)
-            val sc = store.select(col("media_id").as("sid"),
+            val sc = cap(store).select(col("media_id").as("sid"),
               col("v0").as("y0"), col("v1").as("y1"),
               col("v2").as("y2"), col("v3").as("y3"),
               col("c").as("c2"), col("v").as("v2j"))
-            val dupIds = chunksOf(sigs)
+            val dupIds = cap(chunksOf(sigs))
               .join(sc, col("c") === col("c2") && col("v") === col("v2j"))
               .filter(
                 (bit_count(col("v0").bitwiseXOR(col("y0"))) +

@@ -420,6 +420,49 @@ class DedupSpec extends AnyFunSuite {
     assert(plan12.length == 4, s"both spans at minSpan=12: ${plan12.toSeq}")
   }
 
+  test("q247 hashed span removal ≡ q243 textual form, constructed docs and live corpus") {
+    // the xxhash64-keyed production twin must reproduce the textual
+    // plan row-for-row: same constructed corpus as the q243 pin...
+    val long60 = (0 until 60).map(i => s"c$i").mkString(" ")
+    val short12 = (0 until 12).map(i => s"s$i").mkString(" ")
+    def uniq(tag: String, n: Int) = (0 until n).map(i => s"$tag$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"${uniq("a", 5)} $long60 ${uniq("am", 7)} $short12 ${uniq("at", 4)}"),
+      (2L, s"${uniq("b", 3)} $long60 ${uniq("bm", 9)} $short12"),
+      (3L, uniq("z", 80)))
+      .toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("start_pos"), r.getAs[Long]("span_tokens"))).toSeq
+    assert(rows(Dedup.spanRemovalHashedFrom(docs, w = 10, minSpan = 50)) ==
+      rows(Dedup.spanRemovalFrom(docs, w = 10, minSpan = 50)))
+    // ...and the registered pair on the live test corpus
+    assert(rows(Dedup.q247SpanRemovalHashed(spark, SparkTestSession.sf)) ==
+      rows(Dedup.q243SpanRemoval(spark, SparkTestSession.sf)))
+  }
+
+  test("q252 banded-feed CC: edge set non-trivial and clusters match label propagation") {
+    // the candidate-scale feed must genuinely engage (some banded pair
+    // survives the Jaccard verify at the test SF — the corpus's
+    // near-dup templates guarantee it) and the two-star labels over
+    // that edge set must agree with the OTHER algorithm run on the
+    // same edges
+    val out = Dedup.q252CcBanded(spark, SparkTestSession.sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nonSingleton = out.groupBy(_._2).count(_._2.size >= 2)
+    assert(nonSingleton >= 1, "banded pairs must form at least one real cluster")
+    import spark.implicits._
+    val sh = Dedup.q107MinhashMd5(spark, SparkTestSession.sf)
+      .select($"id1", $"id2")
+    val nodes = graft.Tables.documents(spark, SparkTestSession.sf)
+      .filter($"doc_id" % 2 === 0).select($"doc_id")
+    val viaLabelProp = Dedup.minLabelComponents(nodes,
+        sh.select($"id1".as("src"), $"id2".as("dst"))
+          .union(sh.select($"id2".as("src"), $"id1".as("dst")))).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == viaLabelProp, "two algorithms, one component structure")
+  }
+
   test("q246 two-star CC agrees with label propagation on pathological graphs") {
     // the algorithm-agreement pin behind the shared q105/q246 oracle:
     // a long PATH (label propagation's worst diameter case), a star, a

@@ -734,4 +734,71 @@ class LlmSpec extends AnyFunSuite {
     val d1 = out(1L)
     assert(d1.getAs[Long]("n_memorized") == 0 && !d1.getAs[Boolean]("leaked"))
   }
+
+  test("q248 hashed memorization scan ≡ q245 textual form, constructed leak and live corpus") {
+    import spark.implicits._
+    // same constructed corpus as the q245 pin: the xxhash64-keyed twin
+    // must reproduce every exact count (8-byte keys change the shuffle,
+    // not the answer)...
+    val shared = (0 until 20).map(i => s"t$i")
+    val docs = Seq(
+      (0L, (shared.take(15) ++ (0 until 5).map(i => s"u$i")).mkString(" ")),
+      (1L, (0 until 20).map(i => s"v$i").mkString(" ")),
+      (2L, (0 until 12).map(i => s"w$i").mkString(" ")),
+      (4L, shared.mkString(" ")),
+      (6L, (0 until 20).map(i => s"x$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_grams"),
+        r.getAs[Long]("n_memorized"), r.getAs[Long]("n_distinct_mem"),
+        r.getAs[Long]("mem_ppm"), r.getAs[Boolean]("leaked"))).toSeq
+    assert(rows(llm.TextOps.memorizationScanHashedFrom(docs)) ==
+      rows(llm.TextOps.memorizationScanFrom(docs)))
+    // ...and the registered pair on the live test corpus
+    assert(rows(llm.TextOps.q248MemorizationHashed(spark, SparkTestSession.sf)) ==
+      rows(llm.TextOps.q245MemorizationScan(spark, SparkTestSession.sf)))
+  }
+
+  test("q251 BPE k-round training: merge chaining, monotonicity, compression accounting") {
+    import spark.implicits._
+    // constructed vocabulary: abcd×8 + abce×5 + xy×3. Round 1 merges
+    // (a,b) (count 13, tie (a,b) < (b,c)); round 2 must merge the pair
+    // (ab, c) — a MERGED symbol on the left, the chaining q182's
+    // 2-round unroll could never exercise; round 3 chains again.
+    val text = (Seq.fill(8)("abcd") ++ Seq.fill(5)("abce") ++
+      Seq.fill(3)("xy")).mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val m = llm.TextOps.bpeTrainFrom(docs, k = 3).collect()
+      .map(r => r.getAs[Int]("round") ->
+        (r.getAs[String]("left_sym"), r.getAs[String]("right_sym"),
+          r.getAs[String]("merged"), r.getAs[Long]("pair_count"),
+          r.getAs[Long]("corpus_syms"))).toMap
+    assert(m(1) == (("a", "b", "ab", 13L, 45L)), s"round1: ${m(1)}")
+    assert(m(2) == (("ab", "c", "abc", 13L, 32L)), s"round2 must chain: ${m(2)}")
+    assert(m(3) == (("abc", "d", "abcd", 8L, 24L)), s"round3: ${m(3)}")
+    // live corpus: rounds 1–2 agree with q182's rank-1 rows; counts
+    // non-increasing; symbol totals strictly decreasing with each
+    // round's decrement bounded by its pair count (non-overlapping
+    // replace removes one symbol per occurrence)
+    val live = llm.TextOps.q251BpeTrain(spark, SparkTestSession.sf).collect()
+    assert(live.length == 8)
+    val q182r1 = llm.TextOps.q182BpeMerges(spark, SparkTestSession.sf).collect()
+      .filter(_.getAs[Int]("rk") == 1)
+      .map(r => r.getAs[Int]("iter") ->
+        (r.getAs[String]("left_sym"), r.getAs[String]("right_sym"),
+          r.getAs[Long]("pair_count"))).toMap
+    val l1 = live(0); val l2 = live(1)
+    assert((l1.getAs[String]("left_sym"), l1.getAs[String]("right_sym"),
+      l1.getAs[Long]("pair_count")) == q182r1(1))
+    assert((l2.getAs[String]("left_sym"), l2.getAs[String]("right_sym"),
+      l2.getAs[Long]("pair_count")) == q182r1(2))
+    val counts = live.map(_.getAs[Long]("pair_count"))
+    assert(counts.zip(counts.tail).forall { case (a, b) => b <= a },
+      s"pair counts must be non-increasing: ${counts.toSeq}")
+    val syms = live.map(_.getAs[Long]("corpus_syms"))
+    syms.zip(syms.tail).zip(counts.tail).foreach { case ((prev, cur), cnt) =>
+      assert(cur < prev && prev - cur <= cnt,
+        s"decrement ${prev - cur} outside (0, $cnt]")
+    }
+  }
 }

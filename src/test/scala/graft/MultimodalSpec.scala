@@ -296,4 +296,69 @@ class MultimodalSpec extends AnyFunSuite {
     assert(sigs(0L) == ((0xFFFF, 0xFFFF, 0xFFFF, 0xFFFF)))
     assert(sigs(3L) == ((0, 0, 0, 0)))
   }
+
+  test("q249 audio dedup: shifted/damaged/re-containered copies band together, a distinct clip does not") {
+    // constructed PCM16 energy envelopes (130 frames of 64 samples,
+    // constant amplitude a(f) within a frame, so per-frame energy is
+    // 64·a(f)² and the anchor resample hits every 2nd frame): a
+    // 1-frame time shift and a localized dropout keep the envelope's
+    // gradient-sign structure (Hamming ≤ 6 → near-dup); the reversed
+    // envelope flips every bit; and the SAME PCM inside a container
+    // with an extra LIST junk chunk fingerprints identically (the
+    // hash sees decoded samples, never container bytes).
+    val nf = 130
+    def pcm(a: Int => Int): Array[Byte] = {
+      val d = new Array[Byte](nf * 64 * 2)
+      for (f <- 0 until nf; i <- 0 until 64) {
+        val v = a(f)
+        d(2 * (f * 64 + i)) = (v & 0xFF).toByte
+        d(2 * (f * 64 + i) + 1) = ((v >> 8) & 0xFF).toByte
+      }
+      d
+    }
+    // same PCM behind a LIST chunk inserted before data — decodeWav
+    // must skip it and land on identical samples
+    def wavWithJunk(data: Array[Byte]): Array[Byte] = {
+      val junk = "INFOsomejunkhere".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      val bb = java.nio.ByteBuffer.allocate(44 + 8 + junk.length + data.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes).putInt(36 + 8 + junk.length + data.length)
+        .put("WAVE".getBytes)
+        .put("fmt ".getBytes).putInt(16)
+        .putShort(1).putShort(1).putInt(16000).putInt(32000)
+        .putShort(2).putShort(16)
+        .put("LIST".getBytes).putInt(junk.length).put(junk)
+        .put("data".getBytes).putInt(data.length).put(data)
+      bb.array()
+    }
+    def row(id: Long, content: Array[Byte]) = Multimodal.MediaRow(
+      id, "audio", content, 0, 0, 16000, 0L, "wav/pcm16")
+    val ramp = pcm(f => 10 * f)
+    val media = spark.createDataset(Seq(
+      row(0L, MediaCodec.encodeWav(ramp, 16000)),
+      row(1L, MediaCodec.encodeWav(pcm(f => 10 * math.max(0, f - 1)), 16000)),
+      row(2L, MediaCodec.encodeWav(pcm(f => if (f >= 60 && f < 62) 0 else 10 * f), 16000)),
+      row(3L, MediaCodec.encodeWav(pcm(f => 10 * (nf - 1 - f)), 16000)),
+      row(4L, wavWithJunk(ramp))))
+    val pairs = Multimodal.audioDupsFrom(media).collect()
+      .map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2")) ->
+        r.getAs[Int]("hamming")).toMap
+    assert(pairs.contains((0L, 1L)), s"time-shifted copy must band: $pairs")
+    assert(pairs((0L, 1L)) <= 6)
+    assert(pairs.contains((0L, 2L)), s"dropout copy must band: $pairs")
+    assert(pairs((0L, 2L)) <= 6 && pairs((0L, 2L)) > 0,
+      s"local dropout is near, not identical: ${pairs((0L, 2L))}")
+    assert(pairs.get((0L, 4L)) == Some(0),
+      s"re-containered PCM must fingerprint identically: $pairs")
+    assert(!pairs.keys.exists(p => p._1 == 3L || p._2 == 3L),
+      s"the reversed envelope must not pair with anything: $pairs")
+    // signature sanity: monotone envelope ⇒ all gradient bits 1
+    val sigs = Multimodal.audioSigs(media).collect()
+      .map(r => r.getAs[Long]("media_id") ->
+        (r.getAs[Int]("v0"), r.getAs[Int]("v1"), r.getAs[Int]("v2"),
+          r.getAs[Int]("v3"))).toMap
+    assert(sigs(0L) == ((0xFFFF, 0xFFFF, 0xFFFF, 0xFFFF)))
+    assert(sigs(3L) == ((0, 0, 0, 0)))
+    assert(sigs(4L) == sigs(0L))
+  }
 }

@@ -762,6 +762,57 @@ class StreamingSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("semantic ingest: compaction handoff — v2 swap keeps the store exactly-once even when v2 changes verdicts") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.llm.Similarity
+    val dir = java.nio.file.Files.createTempDirectory("graft_semswap").toFile
+    val store = new java.io.File(dir, "store").getPath
+    val ckpt = new java.io.File(dir, "ckpt").getPath
+    // v1 built THROUGH semIndexFrom on the original corpus (two seeds:
+    // 100 % 31 == 131 % 31 == 7 → two cells at e1/e2, reps themselves)
+    val corpus = Seq((100L, Seq(1.0, 0.0)), (131L, Seq(0.0, 1.0)))
+    val v1 = Similarity.semIndexFrom(corpus.toDF("vec_id", "v"), lloydIters = 1)
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val q1 = Streams.semanticIngest(
+      mem.toDS().toDF("vec_id", "v"), v1, tau = 0.95, store, ckpt)
+    try {
+      // phase A under v1: vec 2 survives (cos to rep 100 ≈ 0.83 < τ),
+      // vec 3 dups the cell rep 131 (cos ≈ 0.999 ≥ τ)
+      mem.addData((2L, Seq(0.6, 0.4)), (3L, Seq(0.05, 1.0)))
+      q1.processAllAvailable()
+      assert(spark.read.parquet(store).collect().map(_.getLong(0)).toSet == Set(2L))
+    } finally q1.stop()
+    // COMPACTION: rebuild v2 from the GROWN store — the store's
+    // vec_ids joined back to their vectors plus the original corpus —
+    // through the same production build the fixture uses
+    val storedIds = spark.read.parquet(store).select($"vec_id")
+    val vecSource = (corpus :+ (2L, Seq(0.6, 0.4))).toDF("vec_id", "v")
+    val grown = vecSource.join(
+      storedIds.union(Seq(100L, 131L).toDF("vec_id")), Seq("vec_id"))
+    val v2 = Similarity.semIndexFrom(grown, lloydIters = 2)
+    // grown store's min vec_id is 2 ⇒ the single seed is vec 2: ONE
+    // cell whose refined centroid drifts toward (0.3, 0.7) and whose
+    // rep becomes 131 — v2 genuinely re-verdicts phase-A rows
+    assert(v2.count() == 1 && v2.collect()(0).getAs[Long]("rep_id") == 131L)
+    // swap: NEW stream, SAME store + checkpoint, index v2
+    val q2 = Streams.semanticIngest(
+      mem.toDS().toDF("vec_id", "v"), v2, tau = 0.95, store, ckpt)
+    try {
+      // replay vec 2 verbatim (at-least-once): under v2 it is now a
+      // SURVIVOR of a different cell — the vec_id anti-join must still
+      // drop it (no double-ingest across the handoff); vec 8 near-dups
+      // v2's rep 131 (dropped — the compaction payoff: dups of corpus
+      // content are now caught); vec 9 is novel (ingested once)
+      mem.addData((2L, Seq(0.6, 0.4)), (8L, Seq(0.05, 0.99)), (9L, Seq(0.7, 0.3)))
+      q2.processAllAvailable()
+      val rows = spark.read.parquet(store).collect()
+      assert(rows.map(_.getLong(0)).toSet == Set(2L, 9L),
+        s"handoff must keep {2} (no loss), drop the replay and the dup, add 9: ${rows.mkString(",")}")
+      assert(rows.length == 2, "each vec_id at most once across the swap")
+    } finally q2.stop()
+  }
+
   test("perceptual ingest: near-dups of stored images drop, novel patterns append, replay appends nothing") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

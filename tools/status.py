@@ -299,6 +299,39 @@ def box_drift_note(new_path, ref_path, new, ref, new_sp, ref_sp):
                      f"{nb.get('load1_end', -1):.1f}")
     if nb.get("psi_total_delta_s") is not None:
         parts.append(f"cpu-psi stall {nb['psi_total_delta_s']:.0f}s over the run")
+    # r16 (VERDICT r15 item 6): two signals for the residual the probe
+    # cannot see — the r15 record carried a ~1.17x same-code drift with
+    # quiet PSI and an unmoved probe. (a) JIT: a run that pays an
+    # outsized compile bill executes interpreted/deoptimized code —
+    # box-speed-invisible, catalog-visible; attribute when the probe
+    # did NOT explain the move and the extra compile seconds cover
+    # >= half of it. (b) Page cache: a run starting on a much colder
+    # cache turns parquet scans into disk reads the pure-CPU probe
+    # never sees.
+    probe_unexplained = (
+        abs(cat - 1.0) >= 0.10 and
+        (not (probe_n and probe_r) or
+         abs(cat - probe_n / probe_r) > 0.5 * abs(cat - 1.0)))
+    jit_n, jit_r = nb.get("jit_delta_ms"), rb.get("jit_delta_ms")
+    if jit_n is not None and jit_r is not None:
+        parts.append(f"jit compile {jit_r / 1000:.1f}s -> {jit_n / 1000:.1f}s")
+        if probe_unexplained and cat > 1.0:
+            move_s = sum(new_sp.get(q, {}).get("min", new[q]) -
+                         ref_sp.get(q, {}).get("min", ref[q]) for q in common)
+            extra_jit_s = (jit_n - jit_r) / 1000.0
+            if move_s > 0 and extra_jit_s >= 0.5 * move_s:
+                parts.append(
+                    f"extra JIT compile {extra_jit_s:.1f}s covers >= half the "
+                    f"{move_s:.1f}s catalog move — classified JIT DRIFT, not code")
+    cach_n = nb.get("cached_kb_start")
+    cach_r = rb.get("cached_kb_start")
+    if cach_n is not None and cach_r is not None and cach_r > 0:
+        parts.append(f"page cache at start {cach_r / 1048576:.1f} -> "
+                     f"{cach_n / 1048576:.1f} GiB")
+        if probe_unexplained and cat > 1.0 and cach_n / cach_r <= 0.5:
+            parts.append(
+                "new record started on a <= half-size page cache — "
+                "classified COLD-CACHE DRIFT candidate, not code")
     return "; ".join(parts) if parts else None
 
 def load_correctness(path):

@@ -202,6 +202,55 @@ def main():
                           load_bench_queries(new_p), load_bench_queries(ref_p),
                           load_bench_spread(new_p), load_bench_spread(ref_p))
     assert note and "does NOT track" in note, f"12%/flat-probe misread: {note}"
+    # --- r16 (VERDICT r15 item 6): JIT and page-cache adjudication of
+    # the residual the probe leaves unexplained.
+    def write_rec2(path, qsec, probe, jit_ms, cached_kb):
+        rec = {"metric": "total", "value": sum(qsec.values()), "unit": "sec",
+               "queries": qsec,
+               "spread": {q: {"med": v, "min": v, "max": v, "gc": 0.0}
+                          for q, v in qsec.items()},
+               "failed": [],
+               "box": {"load1_start": 1.5, "load1_end": 2.0,
+                       "psi10_start": 0.0, "psi10_end": 0.1,
+                       "psi_total_delta_s": 12.0,
+                       "jit_delta_ms": jit_ms,
+                       "cached_kb_start": cached_kb,
+                       "cached_kb_end": cached_kb,
+                       "probe_start_s": probe, "probe_end_s": probe},
+               "sf": "x"}
+        with open(path, "w") as f:
+            json.dump(rec, f)
+    # 30 queries move 1.0 -> 1.2 (6.0s total move) under a FLAT probe;
+    # the new record's extra 4.0s of JIT compile covers >= half of it
+    write_rec2(ref_p, qs_ref, probe=1.50, jit_ms=2000, cached_kb=8 * 1048576)
+    write_rec2(new_p, qs_new, probe=1.50, jit_ms=6000, cached_kb=8 * 1048576)
+    note = box_drift_note(new_p, ref_p,
+                          load_bench_queries(new_p), load_bench_queries(ref_p),
+                          load_bench_spread(new_p), load_bench_spread(ref_p))
+    assert note and "JIT DRIFT" in note, f"jit-covered move not classified: {note}"
+    # same shift, flat probe, flat JIT, but the new run started on a
+    # quarter-size page cache — cold-cache candidate
+    write_rec2(new_p, qs_new, probe=1.50, jit_ms=2000, cached_kb=2 * 1048576)
+    note = box_drift_note(new_p, ref_p,
+                          load_bench_queries(new_p), load_bench_queries(ref_p),
+                          load_bench_spread(new_p), load_bench_spread(ref_p))
+    assert note and "COLD-CACHE DRIFT" in note, f"cold cache not named: {note}"
+    # flat everything: neither new classification may fire on a quiet gate
+    write_rec2(new_p, qs_ref, probe=1.50, jit_ms=2100, cached_kb=8 * 1048576)
+    note = box_drift_note(new_p, ref_p,
+                          load_bench_queries(new_p), load_bench_queries(ref_p),
+                          load_bench_spread(new_p), load_bench_spread(ref_p))
+    assert note and "JIT DRIFT" not in note and "COLD-CACHE" not in note, note
+    # a probe-EXPLAINED move must stay BOX DRIFT even with a big JIT
+    # delta riding along (the probe classification wins; JIT/cache only
+    # adjudicate the unexplained residual)
+    write_rec2(new_p, qs_new, probe=1.80, jit_ms=9000, cached_kb=2 * 1048576)
+    note = box_drift_note(new_p, ref_p,
+                          load_bench_queries(new_p), load_bench_queries(ref_p),
+                          load_bench_spread(new_p), load_bench_spread(ref_p))
+    assert note and "BOX DRIFT" in note and "JIT DRIFT" not in note \
+        and "COLD-CACHE" not in note, note
+
     # negative sentinels (no /proc on the box) are dropped, not reported
     with open(new_p, "w") as f:
         json.dump({"queries": qs_new, "box": {"probe_start_s": -1.0,
