@@ -166,7 +166,13 @@ object FixtureGen {
           .select($"sh", xxhash64($"sh").as("h")).orderBy($"sh"),
       "q248_gramhash_sf001" ->
         llm.TextOps.splitGramWindows(docs).select($"g").distinct()
-          .select($"g", xxhash64($"g").as("h")).orderBy($"g"))
+          .select($"g", xxhash64($"g").as("h")).orderBy($"g"),
+      //  - q253 (r16, VERDICT r15 item 7): the deterministic thematic
+      //    corpus — the probe eval's graded TRUE-POSITIVE. Generated
+      //    THROUGH Corpus.thematicCorpus (the same builder CorpusSpec
+      //    pins transfer on), independent of the sf corpus by design.
+      "q253_thematic_sf001" ->
+        llm.Corpus.thematicCorpus(spark).orderBy($"doc_id"))
   }
 
   def main(args: Array[String]): Unit = {

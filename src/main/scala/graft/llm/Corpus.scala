@@ -1151,10 +1151,56 @@ object Corpus {
         (d38($"tp") * $"n_val" > d38($"n_kept") * $"n_target").as("enrich_gt1"))
   }
 
+  /** q253: the probe eval's graded TRUE-POSITIVE (VERDICT r15 item 7)
+    * — q242's registered row carries the honest negative (this
+    * synthetic corpus's source signal is per-doc memorization; no
+    * classifier transfers), so the eval INSTRUMENT had a graded
+    * true-negative but only a spec-level true-positive. This registers
+    * the other direction: the SAME [[probeEvalFrom]] engine (shared
+    * code, zero forks) over the committed thematic corpus fixture
+    * `fixtures/q253_thematic_sf001` ([[thematicCorpus]] — target docs
+    * cycle a 6-word theme vocabulary, the rest cycle 10 generic words
+    * with per-doc offsets; generated THROUGH the builder and covered
+    * by FixtureDriftSpec), where the target signal genuinely
+    * generalizes and the graded row records `enrich_gt1 = true` with
+    * exact confusion counts. One instrument, both verdicts on the
+    * record. */
+  def q253ProbeTransfer(s: SparkSession, dir: String): DataFrame =
+    probeEvalFrom(
+      s.read.parquet(s"${graft.Fixtures.dir}/q253_thematic_sf001"))
+
+  /** The deterministic thematic corpus (no RNG — index arithmetic
+    * only): 160 docs, every 5th from the theme source `src0` whose 30
+    * words cycle a shared 6-word vocabulary (a real, generalizable
+    * style signal), the rest cycling 10 generic words at per-doc
+    * offsets. Small by design — the fixture grades the instrument's
+    * positive direction, not scale (q242 carries the scale shape). */
+  def thematicCorpus(s: SparkSession): DataFrame = {
+    import s.implicits._
+    val theme = Vector("quantum", "flux", "entangle", "photon", "qubit", "boson")
+    val gen = Vector("the", "data", "note", "item", "entry", "value",
+      "record", "list", "point", "unit")
+    (0L until 160L).map { i =>
+      val target = i % 5 == 0
+      val words = (0 until 30).map { j =>
+        if (target) theme(((i + j) % theme.length).toInt)
+        else gen(((i * 3 + j) % gen.length).toInt)
+      }
+      (i, words.mkString(" "), if (target) "src0" else s"src${i % 4 + 1}")
+    }.toDF("doc_id", "text", "source")
+  }
+
   /** q242 oracle: the split, the bigram featurizer, the 8-step loop
     * unrolled over the TRAIN CTE, val scoring, and the exact confusion
-    * arithmetic — q238Sql's generator pattern with the split filters. */
-  val q242Sql: String = {
+    * arithmetic — q238Sql's generator pattern with the split filters.
+    * Parameterized over the corpus table so q253 replays the identical
+    * eval against the committed thematic fixture. */
+  val q242Sql: String = q242SqlFrom("documents")
+
+  val q253Sql: String =
+    q242SqlFrom(s"read_parquet('${graft.Fixtures.dir}/q253_thematic_sf001/*.parquet')")
+
+  private def q242SqlFrom(corpusTable: String): String = {
     val steps = (1 to 8).map { i =>
       val pw = s"w${i - 1}"
       s"""z$i AS (
@@ -1174,7 +1220,7 @@ object Corpus {
       |  SELECT doc_id, source,
       |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c', 'd') AS is_val,
       |    regexp_extract_all(lower(text), '\S+') AS toks
-      |  FROM documents
+      |  FROM $corpusTable
       |  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) NOT IN ('e', 'f')),
       |g AS (
       |  SELECT doc_id, source, is_val, unnest(
@@ -1230,6 +1276,7 @@ object Corpus {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q242_probe_eval"        -> (q242ProbeEval _),
+    "q253_probe_transfer"    -> (q253ProbeTransfer _),
     "q238_quality_probe"     -> (q238QualityProbe _),
     "q236_unimax_mixing"     -> (q236UnimaxMixing _),
     "q235_dsir_select"       -> (q235DsirSelect _),
@@ -1249,6 +1296,8 @@ object Corpus {
 
   val oracle: Map[String, String] = Map(
     "q242_probe_eval"        -> q242Sql,
+    // graded through fixtures/q253_thematic_sf001 (FixtureDriftSpec-covered)
+    "q253_probe_transfer"    -> q253Sql,
     "q238_quality_probe"     -> q238Sql,
     "q236_unimax_mixing"     -> q236Sql,
     "q235_dsir_select"       -> q235Sql,

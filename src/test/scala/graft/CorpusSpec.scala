@@ -254,17 +254,9 @@ class CorpusSpec extends AnyFunSuite {
     // the synthetic graded corpus lacks — its src0 signal is per-doc
     // memorization, measured in q242's scaladoc): target docs cycle 6
     // theme words, the rest cycle 10 generic words with per-doc offsets.
-    val theme = Vector("quantum", "flux", "entangle", "photon", "qubit", "boson")
-    val gen = Vector("the", "data", "note", "item", "entry", "value",
-      "record", "list", "point", "unit")
-    val docs = (0L until 160L).map { i =>
-      val target = i % 5 == 0
-      val words = (0 until 30).map { j =>
-        if (target) theme(((i + j) % theme.length).toInt)
-        else gen(((i * 3 + j) % gen.length).toInt)
-      }
-      (i, words.mkString(" "), if (target) "src0" else s"src${i % 4 + 1}")
-    }.toDF("doc_id", "text", "source")
+    // the builder is shared main code since r16: FixtureGen commits it
+    // as fixtures/q253_thematic_sf001 and q253 grades this same eval
+    val docs = llm.Corpus.thematicCorpus(spark)
     val r = llm.Corpus.probeEvalFrom(docs).collect()(0)
     // the split puts 6 targets among 23 val docs (deterministic md5 ids)
     assert(r.getAs[Long]("n_target") >= 1, s"no val targets: $r")
