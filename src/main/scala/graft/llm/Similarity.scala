@@ -676,6 +676,46 @@ object Similarity {
       .orderBy($"vec_id")
   }
 
+  /** The TWO-LEVEL semantic index build — [[semIndexFrom]]'s output
+    * contract (cell, cv, rep_id, rep_v) from q132's ~2N·N^0.25
+    * hierarchical assignment instead of the flat N×K pass: coarse-
+    * quantize the refined centroids into G ≈ √K supers (rank
+    * arithmetic, no driver sizing), assign each store vector nearest-
+    * super then nearest-centroid-within-super, and take the per-cell
+    * rep argmax over the two-hop assignment's own cosines. The scale
+    * form of the compaction rebuild (q254); q250 keeps the flat
+    * oracle-verbatim-of-q233 form. */
+  def semIndexFrom2(store: DataFrame, lloydIters: Int): DataFrame = {
+    val s = store.sparkSession
+    import s.implicits._
+    val cents = sampledLloydCents(store, 31, lloydIters)
+    val ranked = cents
+      .withColumn("rn", row_number().over(Window.orderBy($"cent_id")))
+      .withColumn("kk", count(lit(1)).over(Window.partitionBy(lit(1))))
+    val supers = ranked
+      .filter(($"rn" - 1) %
+        ceil($"kk".cast("double") / greatest(lit(1L), floor(sqrt($"kk")))).cast("long") === 0)
+      .select($"cent_id".as("super_id"), $"cv0".as("sv"))
+    val centSup = nearestN(supers, "super_id", "sv")(
+      cents, "cent_id", "cv0", 1, "sup").drop("sup_rn")
+    val vecSup = nearestN(supers, "super_id", "sv")(
+      store, "vec_id", "v", 1, "vsup").drop("vsup_rn")
+    val joined = vecSup
+      .join(centSup.select($"cent_id", $"cv0", $"sup"), $"vsup" === $"sup")
+      .withColumn("cosc", graft.functions.CosineSim.cosine(s, $"v", $"cv0"))
+    val wv = Window.partitionBy($"vec_id").orderBy($"cosc".desc, $"cent_id".asc)
+    val assigned = joined.withColumn("crn", row_number().over(wv))
+      .filter($"crn" === 1)
+      .select($"vec_id", $"v", $"cent_id".as("cell"), $"cosc")
+    val wr = Window.partitionBy($"cell").orderBy($"cosc".desc, $"vec_id".asc)
+    val reps = assigned.withColumn("rn", row_number().over(wr))
+      .filter($"rn" === 1)
+      .select($"cell".as("rcell"), $"vec_id".as("rep_id"), $"v".as("rep_v"))
+    cents.join(reps, cents("cent_id") === reps("rcell"), "left")
+      .select(cents("cent_id").as("cell"), cents("cv0").as("cv"),
+        $"rep_id", $"rep_v")
+  }
+
   /** q240: BATCH-ONLY marginal cost of incremental SemDeDup, GRADED —
     * closing the one honest gap in the 100 TB dedup story (VERDICT r14
     * item 1): q233's graded form recomputes the store's index from
@@ -770,7 +810,14 @@ object Similarity {
     * 100 TB shape: the rebuild is q229's linear build (sampled Lloyd,
     * ~8K training vectors, one full-store assignment pass) run at
     * compaction cadence, never per batch. */
-  def q250SemindexCompaction(s: SparkSession, dir: String): DataFrame = {
+  def q250SemindexCompaction(s: SparkSession, dir: String): DataFrame =
+    compactionGrade(s,
+      semIndexFrom(compactionGrownStore(s, dir),
+        lloydIters = sessionIvfLloydIters(s)))
+
+  /** The grown store both compaction grades rebuild from: the fixture
+    * (v1) assignment's batch survivors unioned onto the store split. */
+  private def compactionGrownStore(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val all = vecs(s, dir)
     val store = all.filter(pmod($"vec_id", lit(4)) =!= 0).select($"vec_id", $"v")
@@ -779,9 +826,14 @@ object Similarity {
     val survivors = semAssignFrom(v1, batch, sessionSemdedupTau(s))
       .filter(!$"is_semantic_dup").select($"vec_id")
       .join(batch, "vec_id").select($"vec_id", $"v")
-    val grown = store.unionByName(survivors)
-    semIndexFrom(grown, lloydIters = sessionIvfLloydIters(s))
-      .select($"cell", $"rep_id",
+    store.unionByName(survivors)
+  }
+
+  /** The graded projection of a rebuilt index: per cell its rep, the
+    * rep's cosine-to-centroid, and batch provenance. */
+  private def compactionGrade(s: SparkSession, v2: DataFrame): DataFrame = {
+    import s.implicits._
+    v2.select($"cell", $"rep_id",
         round(graft.functions.CosineSim.cosine(s, $"rep_v", $"cv"), 4)
           .as("rep_cos"),
         coalesce(pmod($"rep_id", lit(4)) === 0, lit(false)).as("rep_from_batch"))
@@ -843,6 +895,102 @@ object Similarity {
        |    round(${cosSql("r.rep_v", "c.cv")}, 4) AS rep_cos,
        |    coalesce(r.rep_id % 4 = 0, false) AS rep_from_batch
        |  FROM c$lloydIters c LEFT JOIN reps2 r ON r.cell = c.cent_id
+       |  UNION ALL
+       |  SELECT CAST(-1 AS BIGINT), CAST(n AS BIGINT), NULL, false
+       |  FROM fixture_corpus_mismatch WHERE n > 0) t
+       |ORDER BY cell""".stripMargin
+  }
+
+  /** q254: the compaction rebuild at its SCALE form — q250's grade
+    * with v2 built by [[semIndexFrom2]] (q132's two-level ~2N·N^0.25
+    * assignment) instead of the flat N×K pass. q250's own decade row
+    * showed why this twin must exist: the flat rebuild's second decade
+    * is 21.6× (the N^1.5 term), while the two-hop assignment stays
+    * near-linear — the same flat-vs-hierarchical relationship q66/q132
+    * graded for queries, now graded for the INDEX-REBUILD event the
+    * streaming ingest family hands off to. Same output contract, same
+    * grown store, same rep-argmax policy; the only change is which
+    * build produced the cells, so the pair (q250, q254) documents the
+    * swap-in point on the record. Fully hash-graded: the super
+    * selection is rank arithmetic, both hops are tie-broken argmaxes,
+    * and the rep argmax uses the two-hop assignment's own cosines —
+    * all restated CTE-by-CTE (q132Sql's machinery over the grown
+    * store). */
+  def q254SemindexCompact2(s: SparkSession, dir: String): DataFrame =
+    compactionGrade(s,
+      semIndexFrom2(compactionGrownStore(s, dir),
+        lloydIters = sessionIvfLloydIters(s)))
+
+  /** q254 oracle: q250Sql's fixture/survivor/grown front + q132Sql's
+    * super/two-hop CTEs over the grown store + the rep argmax. */
+  def q254Sql(tau: Double, lloydIters: Int): String = {
+    val iters = (1 to lloydIters).map(i =>
+      lloydCtes(i, if (i == 1) "c0" else s"c${i - 1}")).mkString("\n")
+    val cLast = s"c$lloydIters"
+    s"""WITH eall AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |store AS (SELECT vec_id, v FROM eall WHERE vec_id % 4 <> 0),
+       |batch AS (SELECT vec_id, v FROM eall WHERE vec_id % 4 = 0),
+       |idx AS (SELECT cell, cv, rep_id, rep_v
+       |        FROM read_parquet('${graft.Fixtures.dir}/q240_semindex_sf001/*.parquet')),
+       |fixture_corpus_mismatch AS (
+       |  SELECT count(*) AS n FROM (
+       |    SELECT i.rep_id FROM idx i LEFT JOIN eall e ON e.vec_id = i.rep_id
+       |    WHERE i.rep_id IS NOT NULL
+       |      AND (e.vec_id IS NULL OR e.v <> i.rep_v))),
+       |basg AS (
+       |  SELECT vec_id, v, cell FROM (
+       |    SELECT b.vec_id, b.v, c.cell,
+       |      row_number() OVER (PARTITION BY b.vec_id ORDER BY
+       |        ${cosSql("b.v", "c.cv")} DESC, c.cell ASC) AS crn
+       |    FROM batch b, idx c) t WHERE crn = 1),
+       |v1reps AS (SELECT cell, rep_id, rep_v FROM idx WHERE rep_id IS NOT NULL),
+       |surv AS (
+       |  SELECT b.vec_id, b.v
+       |  FROM basg b LEFT JOIN v1reps r ON r.cell = b.cell
+       |  WHERE NOT coalesce(${cosSql("b.v", "r.rep_v")} >= $tau, false)),
+       |grown AS (SELECT vec_id, v FROM store UNION ALL SELECT vec_id, v FROM surv),
+       |params AS (SELECT greatest(31, CAST(floor(sqrt(count(*))) AS BIGINT)) AS stride,
+       |                  min(vec_id) AS mn FROM grown),
+       |c0 AS (SELECT vec_id AS cent_id, v AS cv FROM grown
+       |       WHERE vec_id % (SELECT stride FROM params) = (SELECT mn % stride FROM params)),
+       |tr AS (SELECT vec_id, v FROM grown
+       |       WHERE vec_id % (SELECT greatest(1, stride // 8) FROM params)
+       |           = (SELECT mn % greatest(1, stride // 8) FROM params)),
+       |$iters
+       |kg AS (SELECT cent_id, cv, row_number() OVER (ORDER BY cent_id) AS rn,
+       |              count(*) OVER () AS kk FROM $cLast),
+       |sup AS (SELECT cent_id AS super_id, cv AS sv FROM kg
+       |        WHERE (rn - 1) % CAST(ceil(CAST(kk AS DOUBLE)
+       |          / greatest(1, CAST(floor(sqrt(CAST(kk AS DOUBLE))) AS BIGINT))) AS BIGINT) = 0),
+       |cs AS (
+       |  SELECT cent_id, cv, super_id AS sup FROM (
+       |    SELECT c.cent_id, c.cv, s.super_id,
+       |      row_number() OVER (PARTITION BY c.cent_id ORDER BY
+       |        ${cosSql("c.cv", "s.sv")} DESC, s.super_id ASC) AS srn
+       |    FROM $cLast c, sup s) t WHERE srn = 1),
+       |vsup AS (
+       |  SELECT vec_id, v, super_id AS vsup FROM (
+       |    SELECT g.vec_id, g.v, s.super_id,
+       |      row_number() OVER (PARTITION BY g.vec_id ORDER BY
+       |        ${cosSql("g.v", "s.sv")} DESC, s.super_id ASC) AS srn
+       |    FROM grown g, sup s) t WHERE srn = 1),
+       |sasg AS (
+       |  SELECT vec_id, v, cell, cosc FROM (
+       |    SELECT vs.vec_id, vs.v, c.cent_id AS cell,
+       |      ${cosSql("vs.v", "c.cv")} AS cosc,
+       |      row_number() OVER (PARTITION BY vs.vec_id ORDER BY
+       |        ${cosSql("vs.v", "c.cv")} DESC, c.cent_id ASC) AS crn
+       |    FROM vsup vs JOIN cs c ON c.sup = vs.vsup) t WHERE crn = 1),
+       |reps2 AS (
+       |  SELECT cell, vec_id AS rep_id, v AS rep_v FROM (
+       |    SELECT cell, vec_id, v,
+       |      row_number() OVER (PARTITION BY cell ORDER BY cosc DESC, vec_id ASC) AS rn
+       |    FROM sasg) t WHERE rn = 1)
+       |SELECT cell, rep_id, rep_cos, rep_from_batch FROM (
+       |  SELECT c.cent_id AS cell, r.rep_id,
+       |    round(${cosSql("r.rep_v", "c.cv")}, 4) AS rep_cos,
+       |    coalesce(r.rep_id % 4 = 0, false) AS rep_from_batch
+       |  FROM $cLast c LEFT JOIN reps2 r ON r.cell = c.cent_id
        |  UNION ALL
        |  SELECT CAST(-1 AS BIGINT), CAST(n AS BIGINT), NULL, false
        |  FROM fixture_corpus_mismatch WHERE n > 0) t
@@ -2375,6 +2523,7 @@ object Similarity {
     "q240_semdedup_batch" -> (q240SemdedupBatch _),
     "q244_abtt_pca" -> (q244AbttPca _),
     "q250_semindex_compaction" -> (q250SemindexCompaction _),
+    "q254_semindex_compact2" -> (q254SemindexCompact2 _),
   )
 
   // def, not val: q39's and q66's oracle SQL is synthesized from the
@@ -2392,6 +2541,7 @@ object Similarity {
       "q234_hard_negatives_ivf" -> q234Sql(np, li),
       "q240_semdedup_batch" -> q240Sql(sdTau),
       "q250_semindex_compaction" -> q250Sql(sdTau, sdLi),
+      "q254_semindex_compact2" -> q254Sql(sdTau, sdLi),
       "q244_abtt_pca" -> q244Sql(6),
       "q237_kcenter_coreset" -> q237Sql,
       "q198_cosine_threshold_sweep" -> q198Sql,

@@ -759,6 +759,33 @@ class LlmSpec extends AnyFunSuite {
       rows(llm.TextOps.q245MemorizationScan(spark, SparkTestSession.sf)))
   }
 
+  test("q254 two-level rebuild: same cells as flat; reps agree on a clustered store") {
+    // both rebuilds share sampledLloydCents, so the CELL SET is
+    // identical by construction — pinned on the live corpus. Rep
+    // agreement is pinned on a CLUSTERED store (the geometry the
+    // two-hop approximation is designed for — q132's own recall floors
+    // use the same corpus): on near-uniform random vectors nearest-
+    // super and super-of-nearest-centroid genuinely diverge, which is
+    // why each build is separately oracle-graded rather than pinned
+    // equal there.
+    import spark.implicits._
+    val f = llm.Similarity.q250SemindexCompaction(spark, SparkTestSession.sf)
+      .collect().map(r => r.getLong(0) -> Option(r.get(1)).map(_.toString)).toMap
+    val h = llm.Similarity.q254SemindexCompact2(spark, SparkTestSession.sf)
+      .collect().map(r => r.getLong(0) -> Option(r.get(1)).map(_.toString)).toMap
+    assert(f.keySet == h.keySet, "cell sets must be identical (shared Lloyd build)")
+    val store = clusteredVecs(nClusters = 10, perCluster = 50, dim = 16)
+      .select($"vec_id", $"v")
+    def reps(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> Option(r.get(2)).map(_.toString)).toMap
+    val rf = reps(llm.Similarity.semIndexFrom(store, lloydIters = 2))
+    val rh = reps(llm.Similarity.semIndexFrom2(store, lloydIters = 2))
+    assert(rf.keySet == rh.keySet)
+    val agree = rf.keys.count(k => rf(k) == rh(k))
+    assert(agree.toDouble / rf.size >= 0.8,
+      s"clustered rep agreement $agree/${rf.size} below 0.8 — two-hop routing broke")
+  }
+
   test("q251 BPE k-round training: merge chaining, monotonicity, compression accounting") {
     import spark.implicits._
     // constructed vocabulary: abcd×8 + abce×5 + xy×3. Round 1 merges

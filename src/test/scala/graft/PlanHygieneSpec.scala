@@ -68,6 +68,13 @@ class PlanHygieneSpec extends AnyFunSuite {
                            // q233's batch half, against the committed
                            // K-row index fixture — batch×K fan-out IS
                            // the batch-only assignment being graded
+    "q250_semindex_compaction", // the compaction rebuild: q240's batch
+                           // assignment vs the fixture index + q233's
+                           // broadcast-centroid passes over the grown
+                           // store — every fan-out IS the graded build
+    "q254_semindex_compact2", // the two-level rebuild: same broadcast
+                           // fan-outs, but vs G ≈ √K supers then the
+                           // within-super centroids (~2N·N^0.25 total)
     "q234_hard_negatives_ivf", // broadcast per-label centroid tables:
                            // the Lloyd/assignment fan-outs (q66's shape,
                            // label-keyed) + the Q×ΣK probe ranking
