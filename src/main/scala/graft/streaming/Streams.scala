@@ -333,17 +333,28 @@ object Streams {
     * Restart safety: signatures are deterministic, so a replayed batch
     * re-derives the same survivors and the media_id anti-join drops
     * them — exactly-once store contents from at-least-once delivery
-    * (the family contract, pinned in StreamingSpec by replay). */
+    * (the family contract, pinned in StreamingSpec by replay).
+    *
+    * `fingerprint` selects the perceptual signature (r16): the default
+    * is the image dHash ([[graft.llm.Multimodal.phashSigs]]); pass
+    * [[graft.llm.Multimodal.audioSigs]] to ingest-dedup audio clips
+    * through the SAME band/cap/Hamming machinery and store schema —
+    * any (media_id, v0..v3) four-chunk signature table rides this
+    * path unchanged (both directions pinned in StreamingSpec). */
   def perceptualIngest(media: org.apache.spark.sql.Dataset[graft.llm.Multimodal.MediaRow],
                        storeDir: String, checkpoint: String,
-                       radius: Int = 6): org.apache.spark.sql.streaming.StreamingQuery =
+                       radius: Int = 6,
+                       fingerprint: org.apache.spark.sql.Dataset[graft.llm.Multimodal.MediaRow] =>
+                         org.apache.spark.sql.DataFrame =
+                         graft.llm.Multimodal.phashSigs)
+      : org.apache.spark.sql.streaming.StreamingQuery =
     media.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[graft.llm.Multimodal.MediaRow],
                        _: Long) =>
         val s = batch.sparkSession
         import s.implicits._
-        val sigs = graft.llm.Multimodal.phashSigs(batch)
+        val sigs = fingerprint(batch)
         val chunksOf = (df: org.apache.spark.sql.DataFrame) =>
           df.withColumn("cc", explode(array((0 until 4).map(c =>
               struct(lit(c).as("c"), col(s"v$c").as("v"))): _*)))

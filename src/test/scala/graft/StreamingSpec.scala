@@ -856,6 +856,53 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("perceptual ingest, audio fingerprint: shifted clips drop, novel envelopes append, replay inert") {
+    // the r16 fingerprint knob: the SAME ingest machinery and store
+    // schema, with audioSigs supplying the four chunks — the audio
+    // member of the dedup×media matrix at ingest
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.llm.{MediaCodec, Multimodal}
+    val dir = java.nio.file.Files.createTempDirectory("graft_afingest").toFile
+    val store = new java.io.File(dir, "store").getPath
+    val ckpt = new java.io.File(dir, "ckpt").getPath
+    val nf = 130
+    def pcm(a: Int => Int): Array[Byte] = {
+      val d = new Array[Byte](nf * 64 * 2)
+      for (f <- 0 until nf; i <- 0 until 64) {
+        val v = a(f)
+        d(2 * (f * 64 + i)) = (v & 0xFF).toByte
+        d(2 * (f * 64 + i) + 1) = ((v >> 8) & 0xFF).toByte
+      }
+      d
+    }
+    def row(id: Long, a: Int => Int) = Multimodal.MediaRow(
+      id, "audio", MediaCodec.encodeWav(pcm(a), 16000), 0, 0, 16000, 0L, "wav/pcm16")
+    val ramp = (f: Int) => 10 * f
+    val shifted = (f: Int) => 10 * math.max(0, f - 1)
+    val reversed = (f: Int) => 10 * (nf - 1 - f)
+    val tri = (f: Int) => { val p = f % 32; 80 * (if (p < 16) p else 32 - p) }
+    val mem = MemoryStream[Multimodal.MediaRow]
+    val q = Streams.perceptualIngest(mem.toDS(), store, ckpt,
+      fingerprint = Multimodal.audioSigs)
+    try {
+      mem.addData(row(0L, ramp), row(3L, reversed))
+      q.processAllAvailable()
+      def ids() = spark.read.parquet(store)
+        .select($"media_id").distinct().as[Long].collect().toSet
+      assert(ids() == Set(0L, 3L), s"batch 1: ${ids()}")
+      // a 1-frame time shift of the stored ramp is a perceptual
+      // near-dup (dropped); the triangle envelope is new (kept)
+      mem.addData(row(1L, shifted), row(2L, tri))
+      q.processAllAvailable()
+      assert(ids() == Set(0L, 2L, 3L), s"batch 2: ${ids()}")
+      // replay survivors verbatim — nothing appends
+      mem.addData(row(0L, ramp), row(2L, tri))
+      q.processAllAvailable()
+      assert(spark.read.parquet(store).count() == 12)
+    } finally q.stop()
+  }
+
   test("streaming transition counts match the batch pairwise derivation") {
     implicit val sqlCtx = spark.sqlContext
     import Streams.TransEvent
