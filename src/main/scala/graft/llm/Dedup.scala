@@ -1217,6 +1217,86 @@ object Dedup {
       |WHERE doc.doc_id % 2 = 0
       |ORDER BY doc.doc_id""".stripMargin
 
+  /** q255: the END-TO-END 100 TB dedup decision pipeline — SALTED
+    * candidate generation feeding connected components: q228's flood
+    * corpus (clone-flooded so hot buckets genuinely decompose at
+    * maxWidth=4) → [[saltedPairs]] (lossless skew decomposition) →
+    * Jaccard ≥ 0.5 verify → [[twoStarComponents]] → doc→cluster.
+    * q252 put CC behind the UNCAPPED band join; this is the plan with
+    * the skew treatment IN FRONT — the composite a production run
+    * actually executes. The oracle replays the UNCAPPED banding +
+    * verify + recursive closure (q228Sql ∘ q105Sql's walk), so the
+    * hash gate proves the salted decomposition changes NOTHING about
+    * the final component structure — the loss-freedom of q214/q228
+    * carried through to the dedup DECISION, on a corpus where hot
+    * buckets genuinely split into multiple salt groups (DedupSpec's
+    * q228 ng>1 pin). Clone groups become 12-cliques that the two-star
+    * fixpoint collapses in ~2 rounds. */
+  def q255CcSalted(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh = saltedBudgetShingles(s, dir)
+      .persist() // signature pass + verify sides; swept per-query
+    val banded = md5Bands(sh).persist() // widths + both salted-join sides
+    val pairs = verifyJaccard(saltedPairs(banded, maxWidth = 4), sh, 0.5)
+    val nodes = sh.select($"doc_id").distinct()
+    twoStarComponents(nodes,
+        pairs.select($"id1".as("src"), $"id2".as("dst")))
+      .orderBy($"doc_id")
+  }
+
+  /** q255 oracle: q228Sql's flood corpus + UNCAPPED banding + verify,
+    * then q105Sql's recursive walk over the verified pairs. */
+  val q255Sql: String =
+    """WITH RECURSIVE f AS (
+      |  SELECT d.doc_id * 100 + u.r AS doc_id, d.text
+      |  FROM documents d,
+      |    unnest(generate_series(0,
+      |      CASE WHEN d.doc_id % 10 = 0 THEN 11 ELSE 0 END)) AS u(r)
+      |  WHERE d.doc_id < 150),
+      |t AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks
+      |  FROM f),
+      |sh AS (
+      |  SELECT doc_id, list_distinct([
+      |    concat_ws(' ', toks[i], toks[i+1], toks[i+2])
+      |    FOR i IN generate_series(1, greatest(len(toks) - 2, 1))]) AS shs
+      |  FROM t),
+      |mh AS (
+      |  SELECT doc_id,
+      |    [ list_min([ ('0x' || substr(md5(CAST(k AS VARCHAR) || '|' || s), 1, 8))::BIGINT
+      |                 FOR s IN shs ])
+      |      FOR k IN generate_series(0, 7) ] AS sig
+      |  FROM sh),
+      |banded AS (
+      |  SELECT doc_id, b AS band,
+      |    CAST(sig[2*b + 1] AS VARCHAR) || ',' || CAST(sig[2*b + 2] AS VARCHAR) AS bkt
+      |  FROM mh, unnest(generate_series(0, 3)) AS u(b)),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+      |  FROM banded a JOIN banded b
+      |    ON a.band = b.band AND a.bkt = b.bkt AND a.doc_id < b.doc_id),
+      |pairs AS (
+      |  SELECT c.id1, c.id2
+      |  FROM cand c
+      |  JOIN sh x ON x.doc_id = c.id1
+      |  JOIN sh y ON y.doc_id = c.id2
+      |  WHERE round(CAST(len(list_intersect(x.shs, y.shs)) AS DOUBLE)
+      |          / len(list_distinct(list_concat(x.shs, y.shs))), 4) >= 0.5),
+      |edges AS (
+      |  SELECT id1 AS src, id2 AS dst FROM pairs
+      |  UNION ALL
+      |  SELECT id2, id1 FROM pairs),
+      |walk AS (
+      |  SELECT src AS doc_id, dst AS reach FROM edges
+      |  UNION
+      |  SELECT w.doc_id, e.dst FROM walk w JOIN edges e ON w.reach = e.src),
+      |best AS (
+      |  SELECT doc_id, min(reach) AS mn FROM walk GROUP BY doc_id)
+      |SELECT f.doc_id,
+      |       least(f.doc_id, coalesce(b.mn, f.doc_id)) AS cluster
+      |FROM f LEFT JOIN best b ON b.doc_id = f.doc_id
+      |ORDER BY f.doc_id""".stripMargin
+
   /** q122: incremental dedup — the PRODUCTION shape of exact dedup at
     * 100 TB: a new ingest batch (doc_id ≥ 250 here) is deduped against
     * the historical fingerprint STORE (doc_id < 250) and within itself,
@@ -2031,6 +2111,7 @@ object Dedup {
     "q246_cc_twostar" -> (q246CcTwostar _),
     "q247_span_removal_hashed" -> (q247SpanRemovalHashed _),
     "q252_cc_banded" -> (q252CcBanded _),
+    "q255_cc_salted" -> (q255CcSalted _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -2072,5 +2153,6 @@ object Dedup {
     // hash-graded via fixtures/q247_spanhash_sf001 (q46/q48 discipline)
     "q247_span_removal_hashed" -> q247Sql,
     "q252_cc_banded" -> q252Sql,
+    "q255_cc_salted" -> q255Sql,
   )
 }

@@ -999,8 +999,34 @@ object TextOps {
   def bpeTrainFrom(docs: DataFrame, k: Int): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
+    val merges = bpeTrainMerges(docs, k)
+    merges.zipWithIndex.map { case ((l, r, cnt, m, syms), j) =>
+      (j + 1, l, r, m, cnt, syms)
+    }.toDF("round", "left_sym", "right_sym", "merged", "pair_count", "corpus_syms")
+      .orderBy($"round")
+  }
+
+  private def ph(j: Int): String = j.toChar.toString // chr(1)..chr(8)
+
+  /** The placeholder-space chars of a real symbol under a merge table
+    * prefix — identity for original chars, chr(j) for merge j's
+    * output. */
+  private def rawSym(merges: Seq[(String, String, Long, String, Long)],
+                     sym: String): String =
+    merges.indexWhere(_._4 == sym) match {
+      case -1 => sym
+      case j  => ph(j + 1)
+    }
+
+  /** The k-round training loop itself, returning the DRIVER-RESIDENT
+    * merge table (left, right, count, merged, corpus_syms) — shared by
+    * q251 (the graded merge table) and q256 (the corpus-wide encode
+    * pass applying it). */
+  private[graft] def bpeTrainMerges(docs: DataFrame,
+      k: Int): Vector[(String, String, Long, String, Long)] = {
+    val s = docs.sparkSession
+    import s.implicits._
     require(k >= 1 && k <= 8, s"k=$k outside the placeholder range 1..8")
-    def ph(j: Int): String = j.toChar.toString // chr(1)..chr(8)
     val noPh = (1 to 8).map(j => !$"text".contains(ph(j))).reduce(_ && _)
     def chars(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       transform(sequence(lit(1), length(c)), i => c.substr(i, lit(1)))
@@ -1028,14 +1054,9 @@ object TextOps {
           s"BPE training exhausted the corpus at round $t of $k — no adjacent pair left")
       val best = bestRows(0)
       val (l, r, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
-      // placeholder-space chars of the chosen real symbols
-      def raw(sym: String): String = merges.indexWhere(_._4 == sym) match {
-        case -1 => sym
-        case j  => ph(j + 1)
-      }
       val next = words
         .select(org.apache.spark.sql.functions.replace(
-          $"w", lit(raw(l) + raw(r)), lit(ph(t))).as("w"), $"wc")
+          $"w", lit(rawSym(merges, l) + rawSym(merges, r)), lit(ph(t))).as("w"), $"wc")
         .persist()
       val syms = next.agg(sum($"wc" * length($"w"))).collect()(0).getLong(0)
       words.unpersist() // next is materialized by the syms collect
@@ -1043,10 +1064,7 @@ object TextOps {
       merges :+= ((l, r, cnt, l + r, syms))
     }
     words.unpersist()
-    merges.zipWithIndex.map { case ((l, r, cnt, m, syms), j) =>
-      (j + 1, l, r, m, cnt, syms)
-    }.toDF("round", "left_sym", "right_sym", "merged", "pair_count", "corpus_syms")
-      .orderBy($"round")
+    merges
   }
 
   /** q251 oracle: k=8 rounds unrolled — per round the pair census over
@@ -1054,27 +1072,40 @@ object TextOps {
     * earlier rounds' scalar merge CTEs), the LIMIT 1 argmax at the
     * query-text tie order, the placeholder-space replace, and the
     * symbol total; word tables and per-round argmaxes MATERIALIZED. */
-  val q251Sql: String = {
-    val K = 8
-    def tr(x: String, t: Int): String =
-      if (t == 1) x
-      else {
-        val whens = (1 until t)
-          .map(j => s"WHEN chr($j) THEN (SELECT m FROM b$j)").mkString(" ")
-        s"CASE $x $whens ELSE $x END"
-      }
-    def raw(y: String, t: Int): String =
-      if (t == 1) y
-      else {
-        val whens = (1 until t)
-          .map(j => s"WHEN $y = (SELECT m FROM b$j) THEN chr($j)").mkString(" ")
-        s"CASE $whens ELSE $y END"
-      }
+  /** Placeholder→real translation of a symbol expression at round t
+    * (SQL side of `tr` in [[bpeTrainMerges]]). */
+  private def bpeTrSql(x: String, t: Int): String =
+    if (t == 1) x
+    else {
+      val whens = (1 until t)
+        .map(j => s"WHEN chr($j) THEN (SELECT m FROM b$j)").mkString(" ")
+      s"CASE $x $whens ELSE $x END"
+    }
+
+  /** Real→placeholder translation of a symbol expression at round t
+    * (SQL side of [[rawSym]]). */
+  private def bpeRawSql(y: String, t: Int): String =
+    if (t == 1) y
+    else {
+      val whens = (1 until t)
+        .map(j => s"WHEN $y = (SELECT m FROM b$j) THEN chr($j)").mkString(" ")
+      s"CASE $whens ELSE $y END"
+    }
+
+  private val bpeNoPhSql: String =
+    (1 to 8).map(j => s"strpos(text, chr($j)) = 0").mkString(" AND ")
+
+  /** The k-round training WITH-prefix shared by q251Sql and q256Sql:
+    * global word table w0 + per round the pair census, LIMIT 1 argmax,
+    * placeholder replace and symbol total — word tables and argmaxes
+    * MATERIALIZED (the DuckDB CTE-inlining lesson, q244). Ends with a
+    * trailing comma. */
+  private def bpeRoundCtes(K: Int): String = {
     val rounds = (1 to K).map { t =>
       s"""i$t AS (SELECT w, wc, unnest(generate_series(1, len(w) - 1)) AS i FROM w${t - 1}),
          |g$t AS MATERIALIZED (
-         |  SELECT ${tr("substring(w, i, 1)", t)} AS l,
-         |         ${tr("substring(w, i + 1, 1)", t)} AS r,
+         |  SELECT ${bpeTrSql("substring(w, i, 1)", t)} AS l,
+         |         ${bpeTrSql("substring(w, i + 1, 1)", t)} AS r,
          |         CAST(sum(wc) AS BIGINT) AS cnt
          |  FROM i$t GROUP BY 1, 2),
          |b$t AS MATERIALIZED (
@@ -1082,29 +1113,97 @@ object TextOps {
          |  ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
          |w$t AS MATERIALIZED (
          |  SELECT replace(w,
-         |    ${raw(s"(SELECT l FROM b$t)", t)} || ${raw(s"(SELECT r FROM b$t)", t)},
+         |    ${bpeRawSql(s"(SELECT l FROM b$t)", t)} || ${bpeRawSql(s"(SELECT r FROM b$t)", t)},
          |    chr($t)) AS w, wc
          |  FROM w${t - 1}),
          |s$t AS (SELECT CAST(sum(wc * len(w)) AS BIGINT) AS syms FROM w$t),""".stripMargin
     }.mkString("\n")
+    s"""w0 AS MATERIALIZED (
+       |  SELECT tok AS w, count(*) AS wc FROM (
+       |    SELECT unnest(regexp_extract_all(lower(text), '\\S+')) AS tok
+       |    FROM documents WHERE $bpeNoPhSql) t
+       |  GROUP BY tok),
+       |$rounds""".stripMargin
+  }
+
+  val q251Sql: String = {
+    val K = 8
     val out = (1 to K).map { t =>
       s"""  SELECT $t AS round, (SELECT l FROM b$t) AS left_sym,
          |    (SELECT r FROM b$t) AS right_sym, (SELECT m FROM b$t) AS merged,
          |    (SELECT cnt FROM b$t) AS pair_count,
          |    (SELECT syms FROM s$t) AS corpus_syms""".stripMargin
     }.mkString("\n  UNION ALL\n")
-    val noPh = (1 to 8).map(j => s"strpos(text, chr($j)) = 0").mkString(" AND ")
-    s"""WITH w0 AS MATERIALIZED (
-       |  SELECT tok AS w, count(*) AS wc FROM (
-       |    SELECT unnest(regexp_extract_all(lower(text), '\\S+')) AS tok
-       |    FROM documents WHERE $noPh) t
-       |  GROUP BY tok),
-       |$rounds
+    s"""WITH ${bpeRoundCtes(K)}
        |fin AS (
        |$out
        |)
        |SELECT round, left_sym, right_sym, merged, pair_count, corpus_syms
        |FROM fin ORDER BY round""".stripMargin
+  }
+
+  /** q256: the ENCODE pass at the k=8 merge table — close the r16
+    * tokenizer loop the way q193 closed q182's: train the 8 merges
+    * in-engine ([[bpeTrainMerges]] — the SAME driver-resident loop
+    * q251 grades), then apply ALL EIGHT to every word of every source
+    * as one flat chain of literal replaces (the merge table is driver
+    * state, so the whole encode is a single codegen'd projection — no
+    * per-round action, no join), and report per-source compression
+    * with exact integer accounting: token count, chars before, symbols
+    * after, saved parts-per-million. The oracle re-derives the merge
+    * table CTE-by-CTE (shared [[bpeRoundCtes]] generator — one
+    * training definition, two graded consumers) and applies the same
+    * nested replace per source. Σ_source syms_after must equal q251's
+    * round-8 corpus_syms — pinned in LlmSpec (the two queries grade
+    * one training run's global and per-source views). */
+  def q256BpeEncode8(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val merges = bpeTrainMerges(docs, k = 8)
+    val noPh = (1 to 8).map(j => !$"text".contains(ph(j))).reduce(_ && _)
+    val srcWords = docs.filter(noPh)
+      .select($"source", explode(tokens($"text")).as("w"))
+      .groupBy($"source", $"w").agg(count(lit(1)).as("wc"))
+    val applied = merges.zipWithIndex.foldLeft($"w": org.apache.spark.sql.Column) {
+      case (acc, ((l, r, _, _, _), j)) =>
+        org.apache.spark.sql.functions.replace(acc,
+          lit(rawSym(merges.take(j), l) + rawSym(merges.take(j), r)),
+          lit(ph(j + 1)))
+    }
+    srcWords
+      .select($"source", $"wc", length($"w").as("nc"), length(applied).as("ns"))
+      .groupBy($"source")
+      .agg(sum($"wc").as("n_tokens"),
+        sum($"wc" * $"nc").as("chars_before"),
+        sum($"wc" * $"ns").as("syms_after"))
+      .select($"source", $"n_tokens", $"chars_before", $"syms_after",
+        expr("CAST(((chars_before - syms_after) * 1000000) div chars_before AS BIGINT)")
+          .as("saved_ppm"))
+      .orderBy($"source")
+  }
+
+  val q256Sql: String = {
+    val K = 8
+    val nested = (1 to K).foldLeft("w") { (acc, t) =>
+      s"replace($acc, ${bpeRawSql(s"(SELECT l FROM b$t)", t)} || " +
+        s"${bpeRawSql(s"(SELECT r FROM b$t)", t)}, chr($t))"
+    }
+    s"""WITH ${bpeRoundCtes(K)}
+       |srcw AS (
+       |  SELECT source, tok AS w, count(*) AS wc FROM (
+       |    SELECT source, unnest(regexp_extract_all(lower(text), '\\S+')) AS tok
+       |    FROM documents WHERE $bpeNoPhSql) t
+       |  GROUP BY source, tok),
+       |enc AS (
+       |  SELECT source, wc, len(w) AS nc, len($nested) AS ns
+       |  FROM srcw)
+       |SELECT source,
+       |  CAST(sum(wc) AS BIGINT) AS n_tokens,
+       |  CAST(sum(wc * nc) AS BIGINT) AS chars_before,
+       |  CAST(sum(wc * ns) AS BIGINT) AS syms_after,
+       |  CAST((sum(wc * nc) - sum(wc * ns)) * 1000000 // sum(wc * nc) AS BIGINT)
+       |    AS saved_ppm
+       |FROM enc GROUP BY source ORDER BY source""".stripMargin
   }
 
   /** q189: SPLIT-LEAKAGE audit — q101's decontamination question asked
@@ -1769,6 +1868,7 @@ object TextOps {
     "q245_memorization_scan" -> (q245MemorizationScan _),
     "q248_memorization_hashed" -> (q248MemorizationHashed _),
     "q251_bpe_train" -> (q251BpeTrain _),
+    "q256_bpe_encode8" -> (q256BpeEncode8 _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -1803,5 +1903,6 @@ object TextOps {
     // hash-graded via fixtures/q248_gramhash_sf001 (q46/q48 discipline)
     "q248_memorization_hashed" -> q248Sql,
     "q251_bpe_train" -> q251Sql,
+    "q256_bpe_encode8" -> q256Sql,
   )
 }

@@ -463,6 +463,22 @@ class DedupSpec extends AnyFunSuite {
     assert(out == viaLabelProp, "two algorithms, one component structure")
   }
 
+  test("q255 salted-feed CC: clone cliques collapse to one cluster per base doc") {
+    // the flood corpus clones every 10th base doc 12x under fresh ids;
+    // the salted candidate path must deliver each clone family to CC
+    // as one component whose canonical id is the smallest clone id
+    val out = Dedup.q255CcSalted(spark, SparkTestSession.sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (base <- 0 until 150 by 10) {
+      val family = (0 until 12).map(r => base * 100L + r)
+      val clusters = family.map(out)
+      assert(clusters.distinct.size == 1,
+        s"clone family of base $base split: ${family.zip(clusters)}")
+      assert(clusters.head <= family.min,
+        s"canonical id must be <= the family's min: ${clusters.head}")
+    }
+  }
+
   test("q246 two-star CC agrees with label propagation on pathological graphs") {
     // the algorithm-agreement pin behind the shared q105/q246 oracle:
     // a long PATH (label propagation's worst diameter case), a star, a

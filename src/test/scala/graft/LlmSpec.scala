@@ -827,5 +827,16 @@ class LlmSpec extends AnyFunSuite {
       assert(cur < prev && prev - cur <= cnt,
         s"decrement ${prev - cur} outside (0, $cnt]")
     }
+    // q256 encode conservation: the per-source view of the SAME
+    // training run must sum to q251's round-8 global symbol total,
+    // every source must compress (the top merges are corpus-global),
+    // and chars_before must exceed syms_after
+    val enc = llm.TextOps.q256BpeEncode8(spark, SparkTestSession.sf).collect()
+    assert(enc.map(_.getAs[Long]("syms_after")).sum == syms.last,
+      "per-source syms_after must sum to q251's round-8 corpus_syms")
+    enc.foreach { r =>
+      assert(r.getAs[Long]("syms_after") < r.getAs[Long]("chars_before"))
+      assert(r.getAs[Long]("saved_ppm") > 0)
+    }
   }
 }
