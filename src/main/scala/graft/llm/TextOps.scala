@@ -989,8 +989,28 @@ object TextOps {
     * over the DISTINCT word table (|vocab| rows, not |tokens| — the
     * BPE trick), a 1-row collect, and one map-side replace; the corpus
     * is touched once (the initial word count). */
-  def q251BpeTrain(s: SparkSession, dir: String): DataFrame =
-    bpeTrainFrom(Tables.documents(s, dir), k = 8)
+  def q251BpeTrain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    cachedMerges(s, dir).zipWithIndex.map { case ((l, r, cnt, m, syms), j) =>
+      (j + 1, l, r, m, cnt, syms)
+    }.toDF("round", "left_sym", "right_sym", "merged", "pair_count", "corpus_syms")
+      .orderBy($"round")
+  }
+
+  /** Cross-query memo of the k=8 merge table per (session, dir): q251
+    * grades the table, q256 applies it — a tokenizer trains ONCE and
+    * every consumer reads the artifact (the pairCache discipline for
+    * driver-resident model state; the value is a 5-tuple Vector, so
+    * onDiscard is a no-op and the ledger still records the training
+    * seconds under "bpe_merges"). */
+  private val mergeCache =
+    new graft.SessionCache[Vector[(String, String, Long, String, Long)]](
+      label = "bpe_merges")
+
+  private def cachedMerges(s: SparkSession,
+      dir: String): Vector[(String, String, Long, String, Long)] =
+    mergeCache.getOrElseUpdate(s, dir,
+      bpeTrainMerges(Tables.documents(s, dir), k = 8))
 
   /** q251's engine on an arbitrary (doc_id, text) frame — split out so
     * LlmSpec can pin merge chaining (a merged symbol participating in
@@ -1159,7 +1179,7 @@ object TextOps {
   def q256BpeEncode8(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, dir)
-    val merges = bpeTrainMerges(docs, k = 8)
+    val merges = cachedMerges(s, dir)
     val noPh = (1 to 8).map(j => !$"text".contains(ph(j))).reduce(_ && _)
     val srcWords = docs.filter(noPh)
       .select($"source", explode(tokens($"text")).as("w"))
