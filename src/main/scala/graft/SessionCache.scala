@@ -54,7 +54,19 @@ final class SessionCache[V >: Null](onDiscard: V => Unit = (_: V) => (),
       val saved = SessionCache.childSecs.get()
       SessionCache.childSecs.set(0.0)
       val t0 = System.nanoTime()
-      val v = build
+      val v =
+        try build
+        catch {
+          case e: Throwable =>
+            // exception safety (CODE-REVIEW r16): a throwing build must
+            // restore the accumulator, or the NEXT sibling's frame nets
+            // against a corrupted zero. Restoring `saved` (not saved +
+            // gross) charges the failed attempt's seconds to the parent
+            // entry — the failed child recorded nothing, so this keeps
+            // Σ(ledger entries) == Σ(actual build work).
+            SessionCache.childSecs.set(saved)
+            throw e
+        }
       val gross = (System.nanoTime() - t0) / 1e9
       SessionCache.recordPay(label, t0, gross - SessionCache.childSecs.get())
       SessionCache.childSecs.set(saved + gross)

@@ -1164,10 +1164,17 @@ object Corpus {
     * by FixtureDriftSpec), where the target signal genuinely
     * generalizes and the graded row records `enrich_gt1 = true` with
     * exact confusion counts. One instrument, both verdicts on the
-    * record. */
+    * record.
+    *
+    * The SPARK side builds the corpus LIVE through [[thematicCorpus]]
+    * while the ORACLE reads the committed fixture (CODE-REVIEW r16):
+    * with both sides on the fixture, a corrupted parquet would grade
+    * green; split this way the driver's hash gate ITSELF verifies
+    * fixture ↔ builder agreement on every run — the content-guard
+    * discipline of every other fixture consumer, with the whole-row
+    * hash as the guard. */
   def q253ProbeTransfer(s: SparkSession, dir: String): DataFrame =
-    probeEvalFrom(
-      s.read.parquet(s"${graft.Fixtures.dir}/q253_thematic_sf001"))
+    probeEvalFrom(thematicCorpus(s))
 
   /** The deterministic thematic corpus (no RNG — index arithmetic
     * only): 160 docs, every 5th from the theme source `src0` whose 30

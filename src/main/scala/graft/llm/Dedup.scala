@@ -1168,14 +1168,15 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
-  /** q252 oracle: q107Sql's banding + verify producing the edge set,
-    * then q105Sql's recursive walk and min-reach labeling over the
-    * even-doc node set. */
-  val q252Sql: String =
-    """WITH RECURSIVE t AS (
-      |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks
-      |  FROM documents WHERE doc_id % 2 = 0),
-      |sh AS (
+  /** Banding + verify + recursive closure over a preexisting
+    * `t (doc_id, toks)` CTE — ONE statement of the candidate/closure
+    * machinery shared by the two CC-over-candidates oracles (q252's
+    * even-doc corpus, q255's flood corpus; CODE-REVIEW r16): q107Sql's
+    * md5 banding and Jaccard verify producing `pairs`, then q105Sql's
+    * walk and per-node min-reach as `best`. Each consumer supplies its
+    * own node set in the final SELECT. */
+  private val ccBandClosureCtes: String =
+    """sh AS (
       |  SELECT doc_id, list_distinct([
       |    concat_ws(' ', toks[i], toks[i+1], toks[i+2])
       |    FOR i IN generate_series(1, greatest(len(toks) - 2, 1))]) AS shs
@@ -1210,7 +1211,15 @@ object Dedup {
       |  UNION
       |  SELECT w.doc_id, e.dst FROM walk w JOIN edges e ON w.reach = e.src),
       |best AS (
-      |  SELECT doc_id, min(reach) AS mn FROM walk GROUP BY doc_id)
+      |  SELECT doc_id, min(reach) AS mn FROM walk GROUP BY doc_id)""".stripMargin
+
+  /** q252 oracle: the shared banding/verify/closure over the even-doc
+    * corpus. */
+  val q252Sql: String =
+    s"""WITH RECURSIVE t AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS toks
+      |  FROM documents WHERE doc_id % 2 = 0),
+      |$ccBandClosureCtes
       |SELECT doc.doc_id,
       |       least(doc.doc_id, coalesce(b.mn, doc.doc_id)) AS cluster
       |FROM documents doc LEFT JOIN best b ON b.doc_id = doc.doc_id
@@ -1244,54 +1253,20 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
-  /** q255 oracle: q228Sql's flood corpus + UNCAPPED banding + verify,
-    * then q105Sql's recursive walk over the verified pairs. */
+  /** q255 oracle: q228Sql's flood corpus feeding the SAME shared
+    * banding/verify/closure — UNCAPPED, so the gate proves the salted
+    * Spark plan lossless. */
   val q255Sql: String =
-    """WITH RECURSIVE f AS (
+    s"""WITH RECURSIVE f AS (
       |  SELECT d.doc_id * 100 + u.r AS doc_id, d.text
       |  FROM documents d,
       |    unnest(generate_series(0,
       |      CASE WHEN d.doc_id % 10 = 0 THEN 11 ELSE 0 END)) AS u(r)
       |  WHERE d.doc_id < 150),
       |t AS (
-      |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks
+      |  SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS toks
       |  FROM f),
-      |sh AS (
-      |  SELECT doc_id, list_distinct([
-      |    concat_ws(' ', toks[i], toks[i+1], toks[i+2])
-      |    FOR i IN generate_series(1, greatest(len(toks) - 2, 1))]) AS shs
-      |  FROM t),
-      |mh AS (
-      |  SELECT doc_id,
-      |    [ list_min([ ('0x' || substr(md5(CAST(k AS VARCHAR) || '|' || s), 1, 8))::BIGINT
-      |                 FOR s IN shs ])
-      |      FOR k IN generate_series(0, 7) ] AS sig
-      |  FROM sh),
-      |banded AS (
-      |  SELECT doc_id, b AS band,
-      |    CAST(sig[2*b + 1] AS VARCHAR) || ',' || CAST(sig[2*b + 2] AS VARCHAR) AS bkt
-      |  FROM mh, unnest(generate_series(0, 3)) AS u(b)),
-      |cand AS (
-      |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-      |  FROM banded a JOIN banded b
-      |    ON a.band = b.band AND a.bkt = b.bkt AND a.doc_id < b.doc_id),
-      |pairs AS (
-      |  SELECT c.id1, c.id2
-      |  FROM cand c
-      |  JOIN sh x ON x.doc_id = c.id1
-      |  JOIN sh y ON y.doc_id = c.id2
-      |  WHERE round(CAST(len(list_intersect(x.shs, y.shs)) AS DOUBLE)
-      |          / len(list_distinct(list_concat(x.shs, y.shs))), 4) >= 0.5),
-      |edges AS (
-      |  SELECT id1 AS src, id2 AS dst FROM pairs
-      |  UNION ALL
-      |  SELECT id2, id1 FROM pairs),
-      |walk AS (
-      |  SELECT src AS doc_id, dst AS reach FROM edges
-      |  UNION
-      |  SELECT w.doc_id, e.dst FROM walk w JOIN edges e ON w.reach = e.src),
-      |best AS (
-      |  SELECT doc_id, min(reach) AS mn FROM walk GROUP BY doc_id)
+      |$ccBandClosureCtes
       |SELECT f.doc_id,
       |       least(f.doc_id, coalesce(b.mn, f.doc_id)) AS cluster
       |FROM f LEFT JOIN best b ON b.doc_id = f.doc_id

@@ -676,13 +676,21 @@ object Multimodal {
   private def phashChunked(sigs: DataFrame): DataFrame = {
     val s = sigs.sparkSession
     import s.implicits._
-    sigs.withColumn("cc", explode(array((0 until 4).map(c =>
+    capChunks(sigs.withColumn("cc", explode(array((0 until 4).map(c =>
         struct(lit(c).as("c"), col(s"v$c").as("v"))): _*)))
-      .select($"media_id", $"v0", $"v1", $"v2", $"v3", $"cc.c", $"cc.v")
-      .withColumn("w", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy($"c", $"v")))
-      .filter($"w" <= Dedup.MaxBucketWidth).drop("w")
+      .select($"media_id", $"v0", $"v1", $"v2", $"v3", $"cc.c", $"cc.v"))
   }
+
+  /** The over-wide-bucket skew cap on a chunk table carrying (c, v)
+    * band-key columns — ONE definition of the `Dedup.MaxBucketWidth`
+    * discipline, shared by the batch band stages here and the
+    * streaming perceptual ingest (CODE-REVIEW r16: previously a third
+    * hand-rolled copy lived in Streams). */
+  private[graft] def capChunks(df: DataFrame): DataFrame =
+    df.withColumn("w", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("c"), col("v"))))
+      .filter(col("w") <= Dedup.MaxBucketWidth).drop("w")
 
   /** q241's production PAIR operator — band-agreeing images verified
     * at Hamming ≤ `radius` (q109's shape; split out so MultimodalSpec

@@ -840,15 +840,16 @@ object Similarity {
       .orderBy($"cell")
   }
 
-  /** q250 oracle at the session's τ / lloydIters: q240Sql's fixture
-    * read + batch assignment + content guard, the survivor cut, the
-    * grown store, then q233Sql's deterministic build machinery (seed
-    * stride/offset from the GROWN store's own count and min) unrolled
-    * CTE-by-CTE, and the per-cell representative argmax. */
-  def q250Sql(tau: Double, lloydIters: Int): String = {
+  /** Shared WITH-prefix of the two compaction oracles (q250 flat,
+    * q254 two-level): fixture read + content guard + batch assignment
+    * + survivor cut + grown store + seed/train params + the Lloyd
+    * unroll, ending after c\$lloydIters with a trailing comma — ONE
+    * statement of the compaction front in SQL, mirroring the single
+    * [[compactionGrownStore]] on the Spark side (CODE-REVIEW r16). */
+  private def compactionFrontCtes(tau: Double, lloydIters: Int): String = {
     val iters = (1 to lloydIters).map(i =>
       lloydCtes(i, if (i == 1) "c0" else s"c${i - 1}")).mkString("\n")
-    s"""WITH eall AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s"""eall AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |store AS (SELECT vec_id, v FROM eall WHERE vec_id % 4 <> 0),
        |batch AS (SELECT vec_id, v FROM eall WHERE vec_id % 4 = 0),
        |idx AS (SELECT cell, cv, rep_id, rep_v
@@ -877,7 +878,30 @@ object Similarity {
        |tr AS (SELECT vec_id, v FROM grown
        |       WHERE vec_id % (SELECT greatest(1, stride // 8) FROM params)
        |           = (SELECT mn % greatest(1, stride // 8) FROM params)),
-       |$iters
+       |$iters""".stripMargin
+  }
+
+  /** The final SELECT shared by both compaction oracles: per final
+    * cell its rep, rep_cos, batch provenance, plus the guard's poison
+    * row. */
+  private def compactionGradeSql(cLast: String): String =
+    s"""SELECT cell, rep_id, rep_cos, rep_from_batch FROM (
+       |  SELECT c.cent_id AS cell, r.rep_id,
+       |    round(${cosSql("r.rep_v", "c.cv")}, 4) AS rep_cos,
+       |    coalesce(r.rep_id % 4 = 0, false) AS rep_from_batch
+       |  FROM $cLast c LEFT JOIN reps2 r ON r.cell = c.cent_id
+       |  UNION ALL
+       |  SELECT CAST(-1 AS BIGINT), CAST(n AS BIGINT), NULL, false
+       |  FROM fixture_corpus_mismatch WHERE n > 0) t
+       |ORDER BY cell""".stripMargin
+
+  /** q250 oracle at the session's τ / lloydIters: q240Sql's fixture
+    * read + batch assignment + content guard, the survivor cut, the
+    * grown store, then q233Sql's deterministic build machinery (seed
+    * stride/offset from the GROWN store's own count and min) unrolled
+    * CTE-by-CTE, and the per-cell representative argmax. */
+  def q250Sql(tau: Double, lloydIters: Int): String = {
+    s"""WITH ${compactionFrontCtes(tau, lloydIters)}
        |sasg AS (
        |  SELECT vec_id, v, cell, cosc FROM (
        |    SELECT g.vec_id, g.v, c.cent_id AS cell,
@@ -890,15 +914,7 @@ object Similarity {
        |    SELECT cell, vec_id, v,
        |      row_number() OVER (PARTITION BY cell ORDER BY cosc DESC, vec_id ASC) AS rn
        |    FROM sasg) t WHERE rn = 1)
-       |SELECT cell, rep_id, rep_cos, rep_from_batch FROM (
-       |  SELECT c.cent_id AS cell, r.rep_id,
-       |    round(${cosSql("r.rep_v", "c.cv")}, 4) AS rep_cos,
-       |    coalesce(r.rep_id % 4 = 0, false) AS rep_from_batch
-       |  FROM c$lloydIters c LEFT JOIN reps2 r ON r.cell = c.cent_id
-       |  UNION ALL
-       |  SELECT CAST(-1 AS BIGINT), CAST(n AS BIGINT), NULL, false
-       |  FROM fixture_corpus_mismatch WHERE n > 0) t
-       |ORDER BY cell""".stripMargin
+       |${compactionGradeSql(s"c$lloydIters")}""".stripMargin
   }
 
   /** q254: the compaction rebuild at its SCALE form — q250's grade
@@ -921,42 +937,12 @@ object Similarity {
       semIndexFrom2(compactionGrownStore(s, dir),
         lloydIters = sessionIvfLloydIters(s)))
 
-  /** q254 oracle: q250Sql's fixture/survivor/grown front + q132Sql's
-    * super/two-hop CTEs over the grown store + the rep argmax. */
+  /** q254 oracle: the shared compaction front + q132Sql's super and
+    * two-hop CTEs over the grown store + the rep argmax + the shared
+    * graded projection. */
   def q254Sql(tau: Double, lloydIters: Int): String = {
-    val iters = (1 to lloydIters).map(i =>
-      lloydCtes(i, if (i == 1) "c0" else s"c${i - 1}")).mkString("\n")
     val cLast = s"c$lloydIters"
-    s"""WITH eall AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |store AS (SELECT vec_id, v FROM eall WHERE vec_id % 4 <> 0),
-       |batch AS (SELECT vec_id, v FROM eall WHERE vec_id % 4 = 0),
-       |idx AS (SELECT cell, cv, rep_id, rep_v
-       |        FROM read_parquet('${graft.Fixtures.dir}/q240_semindex_sf001/*.parquet')),
-       |fixture_corpus_mismatch AS (
-       |  SELECT count(*) AS n FROM (
-       |    SELECT i.rep_id FROM idx i LEFT JOIN eall e ON e.vec_id = i.rep_id
-       |    WHERE i.rep_id IS NOT NULL
-       |      AND (e.vec_id IS NULL OR e.v <> i.rep_v))),
-       |basg AS (
-       |  SELECT vec_id, v, cell FROM (
-       |    SELECT b.vec_id, b.v, c.cell,
-       |      row_number() OVER (PARTITION BY b.vec_id ORDER BY
-       |        ${cosSql("b.v", "c.cv")} DESC, c.cell ASC) AS crn
-       |    FROM batch b, idx c) t WHERE crn = 1),
-       |v1reps AS (SELECT cell, rep_id, rep_v FROM idx WHERE rep_id IS NOT NULL),
-       |surv AS (
-       |  SELECT b.vec_id, b.v
-       |  FROM basg b LEFT JOIN v1reps r ON r.cell = b.cell
-       |  WHERE NOT coalesce(${cosSql("b.v", "r.rep_v")} >= $tau, false)),
-       |grown AS (SELECT vec_id, v FROM store UNION ALL SELECT vec_id, v FROM surv),
-       |params AS (SELECT greatest(31, CAST(floor(sqrt(count(*))) AS BIGINT)) AS stride,
-       |                  min(vec_id) AS mn FROM grown),
-       |c0 AS (SELECT vec_id AS cent_id, v AS cv FROM grown
-       |       WHERE vec_id % (SELECT stride FROM params) = (SELECT mn % stride FROM params)),
-       |tr AS (SELECT vec_id, v FROM grown
-       |       WHERE vec_id % (SELECT greatest(1, stride // 8) FROM params)
-       |           = (SELECT mn % greatest(1, stride // 8) FROM params)),
-       |$iters
+    s"""WITH ${compactionFrontCtes(tau, lloydIters)}
        |kg AS (SELECT cent_id, cv, row_number() OVER (ORDER BY cent_id) AS rn,
        |              count(*) OVER () AS kk FROM $cLast),
        |sup AS (SELECT cent_id AS super_id, cv AS sv FROM kg
@@ -986,15 +972,7 @@ object Similarity {
        |    SELECT cell, vec_id, v,
        |      row_number() OVER (PARTITION BY cell ORDER BY cosc DESC, vec_id ASC) AS rn
        |    FROM sasg) t WHERE rn = 1)
-       |SELECT cell, rep_id, rep_cos, rep_from_batch FROM (
-       |  SELECT c.cent_id AS cell, r.rep_id,
-       |    round(${cosSql("r.rep_v", "c.cv")}, 4) AS rep_cos,
-       |    coalesce(r.rep_id % 4 = 0, false) AS rep_from_batch
-       |  FROM $cLast c LEFT JOIN reps2 r ON r.cell = c.cent_id
-       |  UNION ALL
-       |  SELECT CAST(-1 AS BIGINT), CAST(n AS BIGINT), NULL, false
-       |  FROM fixture_corpus_mismatch WHERE n > 0) t
-       |ORDER BY cell""".stripMargin
+       |${compactionGradeSql(cLast)}""".stripMargin
   }
 
   /** q233 oracle at the session's τ: q134's store/batch split and

@@ -1056,6 +1056,14 @@ object TextOps {
       .persist()
     // driver-resident merge table: (left, right, count, merged, syms)
     var merges = Vector.empty[(String, String, Long, String, Long)]
+    // failure paths must not strand cached word tables (CODE-REVIEW
+    // r16): the loop rotates persists on success; the outer finally
+    // frees whatever `words` points at when a round throws (the
+    // exhausted-corpus IllegalStateException, or any Spark failure),
+    // and the syms step frees its own `next` on the narrow window
+    // between persist and rotation. unpersist is idempotent, so the
+    // success path's own frees are unaffected.
+    try {
     for (t <- 1 to k) {
       // translate a placeholder-space symbol column to real symbols
       val tr = (c: org.apache.spark.sql.Column) => merges.zipWithIndex.foldLeft(c) {
@@ -1078,12 +1086,14 @@ object TextOps {
         .select(org.apache.spark.sql.functions.replace(
           $"w", lit(rawSym(merges, l) + rawSym(merges, r)), lit(ph(t))).as("w"), $"wc")
         .persist()
-      val syms = next.agg(sum($"wc" * length($"w"))).collect()(0).getLong(0)
+      val syms =
+        try next.agg(sum($"wc" * length($"w"))).collect()(0).getLong(0)
+        catch { case e: Throwable => next.unpersist(); throw e }
       words.unpersist() // next is materialized by the syms collect
       words = next
       merges :+= ((l, r, cnt, l + r, syms))
     }
-    words.unpersist()
+    } finally words.unpersist()
     merges
   }
 

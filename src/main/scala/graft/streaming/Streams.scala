@@ -363,12 +363,9 @@ object Streams {
         // over-wide-bucket cap on BOTH sides of the band join (ADVICE
         // r15: without it a degenerate chunk value — e.g. flat images
         // all hashing chunk 0 — grows the per-batch dup join with the
-        // square of store size; q109/q241 apply the same discipline)
-        val cap = (df: org.apache.spark.sql.DataFrame) =>
-          df.withColumn("w", count(lit(1)).over(
-              org.apache.spark.sql.expressions.Window
-                .partitionBy(col("c"), col("v"))))
-            .filter(col("w") <= graft.llm.Dedup.MaxBucketWidth).drop("w")
+        // square of store size); the shared Multimodal.capChunks is
+        // the one definition of the discipline (CODE-REVIEW r16)
+        val cap = graft.llm.Multimodal.capChunks _
         val dirExists = new java.io.File(storeDir).exists()
         val novel =
           if (!dirExists) sigs
