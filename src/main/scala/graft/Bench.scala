@@ -135,20 +135,47 @@ object Bench {
           (kv.getOrElse("avg10", -1.0), kv.getOrElse("total", -1.0) / 1e6)
         }
       }.getOrElse((-1.0, -1.0))
-    def probe(): Double = { // fixed work, single thread; returns seconds
+    def probeLane(iters: Long): Long = {
       var x = 0x9E3779B97F4A7C15L
       var acc = 0L
-      val t0 = System.nanoTime()
       var i = 0L
-      val iters = 1500000000L
       while (i < iters) {
         x ^= x << 13; x ^= x >>> 7; x ^= x << 17
         acc += x
         i += 1
       }
+      acc
+    }
+    def probe(): Double = { // fixed work, single thread; returns seconds
+      val t0 = System.nanoTime()
+      val acc = probeLane(1500000000L)
       val dt = (System.nanoTime() - t0) / 1e9
       // acc escapes so the loop cannot be dead-code-eliminated
       if (acc == 42L) System.err.println("probe blackhole")
+      dt
+    }
+    // r16: the single-thread probe stayed FLAT through a measured
+    // same-code catalog degradation (four stamps in one afternoon,
+    // 228 → 303 s, probe 3.23–3.34 s, PSI ~0, page cache constant,
+    // flags solo-reproduced on an idle box) — the drift was in
+    // MULTI-CORE throughput (host co-tenancy / clock behavior under
+    // full-width load), which a one-lane probe cannot see. This probe
+    // runs the same fixed xorshift work on ONE LANE PER CPU
+    // concurrently: wall-clock ≈ the lane time on a healthy box, and
+    // it moves WITH the catalog when the box's aggregate throughput
+    // sags — giving bench-gate a mechanical classifier for the one
+    // drift class the r15 fields still left "unexplained".
+    def probeMt(): Double = {
+      val lanes = Runtime.getRuntime.availableProcessors()
+      val accs = new java.util.concurrent.atomic.AtomicLong()
+      val t0 = System.nanoTime()
+      val ts = (0 until lanes).map { _ =>
+        val t = new Thread(() => { accs.addAndGet(probeLane(400000000L)); () })
+        t.start(); t
+      }
+      ts.foreach(_.join())
+      val dt = (System.nanoTime() - t0) / 1e9
+      if (accs.get() == 42L) System.err.println("probe blackhole")
       dt
     }
     // r16 (VERDICT r15 item 6): two more signals for the same-code
@@ -174,7 +201,7 @@ object Bench {
       }.getOrElse(-1L)
     val boxLoad0 = load1(); val (boxPsi0, boxPsiTot0) = psiCpu()
     val boxJit0 = jitMs(); val boxCached0 = cachedKb()
-    val boxProbe0 = probe()
+    val boxProbe0 = probe(); val boxProbeMt0 = probeMt()
     val times = collection.mutable.Map.empty[String, Vector[Double]]
       .withDefaultValue(Vector.empty)
     val repLog = collection.mutable.Map
@@ -257,7 +284,7 @@ object Bench {
     val fjson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val boxLoad1 = load1(); val (boxPsi1, boxPsiTot1) = psiCpu()
     val boxJit1 = jitMs(); val boxCached1 = cachedKb()
-    val boxProbe1 = probe()
+    val boxProbe1 = probe(); val boxProbeMt1 = probeMt()
     val psiDelta =
       if (boxPsiTot0 >= 0 && boxPsiTot1 >= 0) boxPsiTot1 - boxPsiTot0 else -1.0
     val jitDelta = if (boxJit0 >= 0 && boxJit1 >= 0) boxJit1 - boxJit0 else -1L
@@ -266,7 +293,8 @@ object Bench {
       s""""psi_total_delta_s":${r3(psiDelta)},""" +
       s""""jit_delta_ms":$jitDelta,""" +
       s""""cached_kb_start":$boxCached0,"cached_kb_end":$boxCached1,""" +
-      s""""probe_start_s":${r3(boxProbe0)},"probe_end_s":${r3(boxProbe1)}}"""
+      s""""probe_start_s":${r3(boxProbe0)},"probe_end_s":${r3(boxProbe1)},""" +
+      s""""probe_mt_start_s":${r3(boxProbeMt0)},"probe_mt_end_s":${r3(boxProbeMt1)}}"""
     val mjson = memoPays.map { case (label, q, pass, at, secs) =>
       s"""{"memo":"$label","q":"$q","pass":$pass,"at":${r3(at)},"cost_s":${r3(secs)}}"""
     }.mkString("[", ",", "]")

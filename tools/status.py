@@ -312,6 +312,24 @@ def box_drift_note(new_path, ref_path, new, ref, new_sp, ref_sp):
         abs(cat - 1.0) >= 0.10 and
         (not (probe_n and probe_r) or
          abs(cat - probe_n / probe_r) > 0.5 * abs(cat - 1.0)))
+    # r16 second wave: the MULTI-CORE probe (one xorshift lane per CPU,
+    # fixed work). A same-code catalog degradation measured 228 -> 303 s
+    # across one afternoon with the single-thread probe FLAT — the box
+    # lost aggregate multi-core throughput (host co-tenancy / clock
+    # behavior under full-width load), invisible to every one-lane
+    # signal. When both records carry probe_mt and it EXPLAINS the move
+    # (same residual rule as the single-thread probe), classify.
+    mt_n = nb.get("probe_mt_start_s")
+    mt_r = rb.get("probe_mt_start_s")
+    if mt_n and mt_r:
+        mtr = mt_n / mt_r
+        parts.append(f"multi-core probe {mt_r:.2f}s -> {mt_n:.2f}s ({mtr:.2f}x)")
+        if probe_unexplained and abs(cat - mtr) <= 0.5 * abs(cat - 1.0):
+            parts.append(
+                f"catalog med ratio {cat:.2f}x tracks the MULTI-CORE probe "
+                "under a flat single-thread probe — uniform shift classified "
+                "MULTICORE BOX DRIFT, not code")
+            probe_unexplained = False
     jit_n, jit_r = nb.get("jit_delta_ms"), rb.get("jit_delta_ms")
     if jit_n is not None and jit_r is not None:
         parts.append(f"jit compile {jit_r / 1000:.1f}s -> {jit_n / 1000:.1f}s")

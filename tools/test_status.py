@@ -251,6 +251,40 @@ def main():
     assert note and "BOX DRIFT" in note and "JIT DRIFT" not in note \
         and "COLD-CACHE" not in note, note
 
+    # --- r16 second wave: multi-core probe adjudication (flat 1-thread
+    # probe + moving mt-probe that explains the move -> MULTICORE BOX
+    # DRIFT; and it must NOT fire when the mt probe is also flat).
+    def write_rec3(path, qsec, probe, probe_mt):
+        rec = {"metric": "total", "value": sum(qsec.values()), "unit": "sec",
+               "queries": qsec,
+               "spread": {q: {"med": v, "min": v, "max": v, "gc": 0.0}
+                          for q, v in qsec.items()},
+               "failed": [],
+               "box": {"load1_start": 1.5, "load1_end": 2.0,
+                       "psi10_start": 0.0, "psi10_end": 0.1,
+                       "psi_total_delta_s": 12.0,
+                       "probe_start_s": probe, "probe_end_s": probe,
+                       "probe_mt_start_s": probe_mt,
+                       "probe_mt_end_s": probe_mt},
+               "sf": "x"}
+        with open(path, "w") as f:
+            json.dump(rec, f)
+    qs_13 = {q: 1.3 for q in qs_ref}
+    write_rec3(ref_p, qs_ref, probe=1.50, probe_mt=1.10)
+    write_rec3(new_p, qs_13, probe=1.50, probe_mt=1.43)  # mt moved 1.3x
+    note = box_drift_note(new_p, ref_p,
+                          load_bench_queries(new_p), load_bench_queries(ref_p),
+                          load_bench_spread(new_p), load_bench_spread(ref_p))
+    assert note and "MULTICORE BOX DRIFT" in note, \
+        f"mt-explained move not classified: {note}"
+    # both probes flat under the same move: neither classification fires
+    write_rec3(new_p, qs_13, probe=1.50, probe_mt=1.10)
+    note = box_drift_note(new_p, ref_p,
+                          load_bench_queries(new_p), load_bench_queries(ref_p),
+                          load_bench_spread(new_p), load_bench_spread(ref_p))
+    assert note and "MULTICORE BOX DRIFT" not in note \
+        and "does NOT track" in note, note
+
     # negative sentinels (no /proc on the box) are dropped, not reported
     with open(new_p, "w") as f:
         json.dump({"queries": qs_new, "box": {"probe_start_s": -1.0,
