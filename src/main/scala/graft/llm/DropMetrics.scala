@@ -40,6 +40,16 @@ object DropMetrics {
     * graph build caps bucket width exactly like the LSH band join —
     * and counts what it drops on the same widths pass. */
   val CoVisitDrops = "graft_covisit_bucket_drops"
+  /** Perceptual-ingest band caps (`streaming.Streams.perceptualIngest`,
+    * ADVICE r16 / VERDICT r16 item 5): the BATCH side's over-wide chunk
+    * buckets, counted on the same widths pass that filters them. */
+  val IngestBatchDrops = "graft_ingest_cap_drops_batch"
+  /** The STORE side of the same ingest band join. A store bucket past
+    * `Dedup.MaxBucketWidth` stops banding FOREVER (every future
+    * near-dup of that flooded pattern is admitted and appended), so a
+    * silently-binding store cap is the worst silent-cap case — this
+    * counter is what makes a runaway flooded pattern visible. */
+  val IngestStoreDrops = "graft_ingest_cap_drops_store"
 
   /** Not a drop counter: rows the Bloom prefilter proved ABSENT from
     * the dedup store, which therefore skipped the store join entirely
@@ -65,6 +75,14 @@ object DropMetrics {
             .collectObservedMetrics(qe.executedPlan)
             .foreach { case (name, row) =>
             if (name.startsWith("graft_")) {
+              // same test-hook trace as reportNow: streaming foreachBatch
+              // actions reach metrics ONLY through this listener (the
+              // write's QueryExecution is not the caller's), so the
+              // ingest-cap pins read lastReports after draining the bus
+              lastReports(name) = row.schema.fieldNames.zip(row.toSeq).collect {
+                case (k, v: Long) => k -> v
+                case (k, v: Int)  => k -> v.toLong
+              }.toMap
               val kv = row.schema.fieldNames.zip(row.toSeq)
                 .map { case (k, v) => s"$k=$v" }.mkString(", ")
               log.info(s"$name: $kv")

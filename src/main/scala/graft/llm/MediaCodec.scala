@@ -120,6 +120,37 @@ object MediaCodec {
     chunks
   }
 
+  /** Video per-FRAME perceptual fingerprint (q257): the video member
+    * of the dHash family — per-column luminance sums of ONE decoded
+    * frame (mono plane, so luminance IS the byte; general h sums the
+    * column like [[dhashChunks]] sums r+g+b — exact integers, no
+    * division), nearest-neighbor resampled to 65 anchor columns
+    * (src column of anchor j = ⌊j·w/65⌋), then bit k = 1 iff
+    * g[k] < g[k+1], k ∈ [0, 64). Robust to container re-encoding and
+    * whole-frame trims (a kept frame's signature never moves), unlike
+    * a cryptographic hash of the clip bytes. Same four 16-bit chunk
+    * representation as the image/audio members — the chunks ARE the
+    * Hamming band keys. Caller guarantees frame.length == w·h, w > 0. */
+  def videoFpChunks(frame: Array[Byte], width: Int, height: Int): Array[Int] = {
+    val g = new Array[Long](65)
+    var j = 0
+    while (j < 65) {
+      val c = (j.toLong * width / 65).toInt
+      var acc = 0L
+      var r = 0
+      while (r < height) { acc += frame(r * width + c) & 0xFF; r += 1 }
+      g(j) = acc
+      j += 1
+    }
+    val chunks = new Array[Int](4)
+    var k = 0
+    while (k < 64) {
+      if (g(k) < g(k + 1)) chunks(k / 16) |= 1 << (k % 16)
+      k += 1
+    }
+    chunks
+  }
+
   // ---------------------------------------------------------------- PPM
 
   final case class Ppm(width: Int, height: Int, maxVal: Int, pixels: Array[Byte])
@@ -302,6 +333,98 @@ object MediaCodec {
       y += 1
     }
     Ppm(w, h, 255, rgb)
+  }
+
+  // ---------------------------------------------------------------- Y4M
+
+  final case class Y4m(width: Int, height: Int, fpsNum: Int, fpsDen: Int,
+                       frames: Array[Array[Byte]])
+
+  /** Encode mono frames as YUV4MPEG2 (Y4M) — the PUBLIC uncompressed
+    * video container (mjpegtools/ffmpeg): an ASCII stream header
+    * `YUV4MPEG2` with space-separated tagged parameters, then per
+    * frame an ASCII `FRAME` marker line and the raw plane bytes.
+    * `Cmono` is the single-plane colorspace (w·h luma bytes per
+    * frame) — the one Y4M layout with no chroma subsampling
+    * arithmetic, which is what keeps the frame slices oracle-
+    * restatable. Headers are real Y4M (a stock `ffmpeg -f yuv4mpegpipe`
+    * reader accepts them); `extra` appends further tagged parameters
+    * (e.g. an `Xcomment`) so a RE-ENCODED copy — same frames,
+    * different header — exists for the dedup robustness pins. */
+  def encodeY4m(frames: Seq[Array[Byte]], width: Int, height: Int,
+                fpsNum: Int = 1, fpsDen: Int = 1,
+                extra: String = ""): Array[Byte] = {
+    require(width > 0 && height > 0, s"Y4M encode: ${width}x$height")
+    frames.zipWithIndex.foreach { case (f, i) =>
+      require(f.length == width * height,
+        s"Y4M encode: frame $i has ${f.length} bytes != $width x $height") }
+    val header =
+      s"YUV4MPEG2 W$width H$height F$fpsNum:$fpsDen Ip A1:1 Cmono$extra\n"
+        .getBytes(US_ASCII)
+    val marker = "FRAME\n".getBytes(US_ASCII)
+    val out = new Array[Byte](
+      header.length + frames.map(marker.length + _.length).sum)
+    System.arraycopy(header, 0, out, 0, header.length)
+    var pos = header.length
+    frames.foreach { f =>
+      System.arraycopy(marker, 0, out, pos, marker.length); pos += marker.length
+      System.arraycopy(f, 0, out, pos, f.length); pos += f.length
+    }
+    out
+  }
+
+  /** Parse a Y4M stream: the full tagged-parameter grammar (W/H/F
+    * required, I/A/X skipped, C must be mono), then the FRAME list —
+    * each marker line may carry its own parameters up to `\n`, as the
+    * spec allows and a real reader must skip. Non-mono colorspaces,
+    * bad magic, or a truncated plane FAIL with a precise message —
+    * the engine's quarantine-not-degradation contract. */
+  def decodeY4m(bytes: Array[Byte]): Y4m = {
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"Y4M decode: $msg")
+    val magic = "YUV4MPEG2".getBytes(US_ASCII)
+    if (bytes.length < magic.length ||
+        !java.util.Arrays.equals(java.util.Arrays.copyOf(bytes, magic.length), magic))
+      fail("bad magic (want YUV4MPEG2)")
+    var i = magic.length
+    var w = -1; var h = -1; var fn = 1; var fd = 1; var cs = "420"
+    // stream-header parameters: space-separated, tag letter + value
+    while (i < bytes.length && bytes(i) != '\n') {
+      if (bytes(i) != ' ') fail("malformed header (want space before parameter)")
+      i += 1
+      val tag = bytes(i).toChar
+      val start = i + 1
+      while (i < bytes.length && bytes(i) != ' ' && bytes(i) != '\n') i += 1
+      val v = new String(bytes, start, i - start, US_ASCII)
+      tag match {
+        case 'W' => w = v.toInt
+        case 'H' => h = v.toInt
+        case 'F' => val p = v.split(':'); fn = p(0).toInt; fd = p(1).toInt
+        case 'C' => cs = v
+        case _   => // I (interlacing), A (aspect), X (extension) — skip
+      }
+    }
+    if (i >= bytes.length) fail("unterminated stream header")
+    i += 1 // the header '\n'
+    if (w <= 0 || h <= 0) fail(s"missing or bad dimensions ${w}x$h")
+    if (cs != "mono") fail(s"colorspace C$cs unsupported, want Cmono")
+    val marker = "FRAME".getBytes(US_ASCII)
+    val frames = Array.newBuilder[Array[Byte]]
+    while (i < bytes.length) {
+      if (bytes.length - i < marker.length ||
+          !java.util.Arrays.equals(
+            java.util.Arrays.copyOfRange(bytes, i, i + marker.length), marker))
+        fail(s"expected FRAME marker at byte $i")
+      i += marker.length
+      while (i < bytes.length && bytes(i) != '\n') i += 1 // frame parameters
+      if (i >= bytes.length) fail("unterminated FRAME marker line")
+      i += 1
+      if (bytes.length - i < w * h)
+        fail(s"truncated frame plane: need ${w * h}, have ${bytes.length - i}")
+      frames += java.util.Arrays.copyOfRange(bytes, i, i + w * h)
+      i += w * h
+    }
+    Y4m(w, h, fn, fd, frames.result())
   }
 
   // ---------------------------------------------------------------- WAV

@@ -616,12 +616,18 @@ object Multimodal {
     chunkStats(phashSigs(mediaTable(s, dir))
       .persist()) // read twice: both chunk-join sides (q109's discipline)
 
-  /** Shared per-signature band rollup — the graded form of q241 AND
-    * q249: every id's complete four-chunk signature plus its banding
-    * stats (band-mate count, min Hamming among mates, the ≤6 near-dup
-    * verdict). `sigs` = (media_id, v0..v3), already persisted by the
-    * caller (read twice: both chunk-join sides + the join back). */
-  private def chunkStats(sigs: DataFrame): DataFrame = {
+  /** Shared per-signature band rollup — the graded form of q241, q249
+    * AND q257: every id's complete four-chunk signature plus its
+    * banding stats (band-mate count, min Hamming among mates, the ≤6
+    * near-dup verdict). `sigs` = (media_id, v0..v3), already persisted
+    * by the caller (read twice: both chunk-join sides + the join
+    * back). `groupOf` maps an id to its conflict group — identity for
+    * the image/audio members (every signature is its own clip), the
+    * fid→clip unpack for video, where same-CLIP frame pairs must not
+    * count as duplicate candidates. */
+  private def chunkStats(sigs: DataFrame,
+      groupOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        identity): DataFrame = {
     val s = sigs.sparkSession
     import s.implicits._
     val chunked = phashChunked(sigs)
@@ -629,7 +635,8 @@ object Multimodal {
       $"v2".as("x2"), $"v3".as("x3"), $"c", $"v")
     val b = chunked.select($"media_id".as("id2"), $"v0".as("y0"), $"v1".as("y1"),
       $"v2".as("y2"), $"v3".as("y3"), $"c".as("c2"), $"v".as("v2j"))
-    val stats = a.join(b, $"c" === $"c2" && $"v" === $"v2j" && $"id1" =!= $"id2")
+    val stats = a.join(b,
+        $"c" === $"c2" && $"v" === $"v2j" && groupOf($"id1") =!= groupOf($"id2"))
       .dropDuplicates("id1", "id2")
       .withColumn("hamming",
         (bit_count($"x0".bitwiseXOR($"y0")) + bit_count($"x1".bitwiseXOR($"y1")) +
@@ -692,6 +699,32 @@ object Multimodal {
           .partitionBy(col("c"), col("v"))))
       .filter(col("w") <= Dedup.MaxBucketWidth).drop("w")
 
+  /** [[capChunks]] with the drop COUNTED (VERDICT r16 item 5 / ADVICE
+    * r16: no silent caps at ingest): the same widths pass additionally
+    * carries a named `observe` in the q47/q155 schema —
+    * `dropped_buckets` (over-wide (c, v) buckets), `dropped_rows`
+    * (chunk rows in them; a signature in k over-wide buckets counts k
+    * times), `dropped_pairs` (Σ w·(w−1)/2, the suppressed candidate
+    * mass). The rn=1 trick marks one representative row per bucket so
+    * bucket counts come out of per-row accounting (CollectMetrics
+    * forbids DISTINCT aggregates); the ordered window rides the same
+    * (c, v) shuffle the width count already pays for. */
+  private[graft] def capChunksCounted(df: DataFrame, metric: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    DropMetrics.ensureListener(df.sparkSession)
+    val max = Dedup.MaxBucketWidth
+    df.withColumn("w", count(lit(1)).over(Window.partitionBy(col("c"), col("v"))))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("c"), col("v")).orderBy(col("media_id"))))
+      .observe(metric,
+        sum(when(col("w") > max && col("rn") === 1, 1L).otherwise(0L))
+          .as("dropped_buckets"),
+        sum(when(col("w") > max, 1L).otherwise(0L)).as("dropped_rows"),
+        shiftright(sum(when(col("w") > max, col("w") - 1L).otherwise(0L)), 1)
+          .as("dropped_pairs"))
+      .filter(col("w") <= max).drop("w", "rn")
+  }
+
   /** q241's production PAIR operator — band-agreeing images verified
     * at Hamming ≤ `radius` (q109's shape; split out so MultimodalSpec
     * can pin shift/re-encode robustness on constructed strips). */
@@ -699,9 +732,14 @@ object Multimodal {
     chunkPairs(phashSigs(media).persist(), radius)
 
   /** Shared band-agreeing pair emission — the production operator
-    * behind [[phashDupsFrom]] (images) and [[audioDupsFrom]] (audio):
-    * ≥1 chunk agreement ⇒ candidate, verified at Hamming ≤ radius. */
-  private def chunkPairs(sigs: DataFrame, radius: Int): DataFrame = {
+    * behind [[phashDupsFrom]] (images), [[audioDupsFrom]] (audio) and
+    * [[videoDupsFrom]] (per-frame, rolled up per clip): ≥1 chunk
+    * agreement ⇒ candidate, verified at Hamming ≤ radius. `groupOf`
+    * as in [[chunkStats]] — pairs within one conflict group are never
+    * emitted. */
+  private def chunkPairs(sigs: DataFrame, radius: Int,
+      groupOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        identity): DataFrame = {
     val s = sigs.sparkSession
     import s.implicits._
     val chunked = phashChunked(sigs)
@@ -709,7 +747,8 @@ object Multimodal {
       $"v2".as("x2"), $"v3".as("x3"), $"c", $"v")
     val b = chunked.select($"media_id".as("id2"), $"v0".as("y0"), $"v1".as("y1"),
       $"v2".as("y2"), $"v3".as("y3"), $"c".as("c2"), $"v".as("v2j"))
-    a.join(b, $"c" === $"c2" && $"v" === $"v2j" && $"id1" < $"id2")
+    a.join(b, $"c" === $"c2" && $"v" === $"v2j" && $"id1" < $"id2" &&
+        groupOf($"id1") =!= groupOf($"id2"))
       .dropDuplicates("id1", "id2")
       .withColumn("hamming",
         (bit_count($"x0".bitwiseXOR($"y0")) + bit_count($"x1".bitwiseXOR($"y1")) +
@@ -771,6 +810,149 @@ object Multimodal {
         }
       }
       .toDF("media_id", "v0", "v1", "v2", "v3")
+  }
+
+  /** Frame-id packing for the video signature table: fid =
+    * (clip_id << 20) | frame_index, so the per-frame table rides every
+    * (media_id, v0..v3) consumer — the shared band machinery here and
+    * the perceptualIngest knob — unchanged, while the clip id stays
+    * one shift away for conflict grouping. 2^20 frames ≈ 12 days of
+    * 1 fps video per clip; [[videoSigs]] asserts the bound. */
+  val FrameIdBits = 20
+
+  /** A REAL-container video table derived from the documents corpus —
+    * the video modality PROMOTED from [[mediaTable]]'s `raw/v1` rows
+    * (whose operators are metadata arithmetic) to genuine YUV4MPEG2
+    * containers a stock Y4M reader accepts: per video-kind document
+    * (doc_id % 3 = 2, the mediaTable cycle), the text bytes cut into
+    * 64×1 mono frames (frame f = bytes [64f, 64f+64)) at F1:1 — 1 fps,
+    * so q53's 1000 ms sampling grid selects EVERY frame and the
+    * per-sampled-frame signature table is the whole clip. Clips
+    * shorter than one frame are absent (the audio ≥1-frame rule).
+    * Deterministic text-byte payloads keep q257 DIRECTLY hash-graded
+    * (q52's discipline): the oracle rebuilds frame slices without
+    * hex-decoding containers. */
+  def videoTable(s: SparkSession, dir: String): Dataset[MediaRow] = {
+    import s.implicits._
+    val W = 64
+    Tables.documents(s, dir)
+      .select($"doc_id", $"text")
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        if (id % 3 != 2) None
+        else {
+          val bytes =
+            if (text == null) Array.emptyByteArray
+            else text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val nf = bytes.length / W
+          if (nf == 0) None
+          else {
+            val frames = (0 until nf).map(f =>
+              java.util.Arrays.copyOfRange(bytes, W * f, W * f + W))
+            Some(MediaRow(id, "video",
+              MediaCodec.encodeY4m(frames, W, 1), W, 1,
+              16000, nf * 1000L, "y4m/mono"))
+          }
+        }
+      }
+  }
+
+  /** The video per-frame perceptual signature table: one row per
+    * sampled frame of each decodable clip, four 16-bit chunks from
+    * [[MediaCodec.videoFpChunks]], fingerprinted THROUGH the real Y4M
+    * walk (stream-header grammar, FRAME marker lines, mono planes) —
+    * one narrow mapPartitions scan; 8 bytes per frame shuffle, planes
+    * never move. */
+  def videoFrameSigs(media: Dataset[MediaRow]): DataFrame = {
+    val s = media.sparkSession
+    import s.implicits._
+    media
+      .filter(_.kind == "video")
+      .mapPartitions { it =>
+        it.flatMap { r =>
+          val clip = MediaCodec.decodeY4m(r.content)
+          clip.frames.iterator.zipWithIndex.map { case (frame, f) =>
+            val ch = MediaCodec.videoFpChunks(frame, clip.width, clip.height)
+            (r.media_id, f, ch(0), ch(1), ch(2), ch(3))
+          }
+        }
+      }
+      .toDF("media_id", "f", "v0", "v1", "v2", "v3")
+  }
+
+  /** [[videoFrameSigs]] in the shared (media_id, v0..v3) signature
+    * schema via fid packing — the form the band machinery and the
+    * `perceptualIngest` fingerprint knob consume. A trimmed or
+    * re-encoded copy of an ingested clip contributes ZERO novel
+    * frames (every kept frame's signature near-dups the store);
+    * a distinct clip's frames all ingest. */
+  def videoSigs(media: Dataset[MediaRow]): DataFrame = {
+    val s = media.sparkSession
+    import s.implicits._
+    videoFrameSigs(media)
+      .select((shiftleft($"media_id", FrameIdBits) +
+        when($"f" < (1 << FrameIdBits), $"f")
+          .otherwise(raise_error(concat(lit("videoSigs: frame index overflows fid packing: "),
+            $"f".cast("string"))))).as("media_id"),
+        $"v0", $"v1", $"v2", $"v3")
+  }
+
+  /** q257: VIDEO PERCEPTUAL DEDUP — the LAST empty cell of the
+    * dedup × media matrix (VERDICT r16 item 1): q241 covered images,
+    * q249 audio; a scraped-video pipeline dedups clips by
+    * per-sampled-frame perceptual signature. Frames come through the
+    * REAL container path ([[videoTable]]'s YUV4MPEG2 encode →
+    * [[MediaCodec.decodeY4m]]'s full grammar walk), each sampled frame
+    * fingerprinted by [[MediaCodec.videoFpChunks]] (column-luminance
+    * gradient signs — dHash's idea per frame, exact integers
+    * throughout), then q241's band/cap/Hamming machinery VERBATIM on
+    * the fid-packed signature table — with one video-specific rule:
+    * same-CLIP frame pairs are not duplicate candidates (`groupOf`
+    * unpacks the clip id), because clip self-similarity is not
+    * inter-clip duplication.
+    *
+    * Graded per-FRAME (the per-clip discipline of q241/q249 at the
+    * clip's own granularity): every sampled frame's complete
+    * four-chunk signature plus its cross-clip banding stats — which
+    * grades all 64 bits of every frame of every clip, the band join,
+    * the cap, and the Hamming arithmetic on rows that exist. The
+    * clip-level pair emission is [[videoDupsFrom]], pinned in
+    * MultimodalSpec on constructed clips (trimmed and re-encoded
+    * copies band together at Hamming 0; distinct clips isolate).
+    * Fully HASH-GRADED with no fixture: frame pixels are text-byte
+    * slices, so the oracle restates the ENTIRE per-frame fingerprint
+    * and replays banding, cap, and the rollup. 100 TB shape:
+    * fingerprinting is one narrow scan (8 bytes per sampled frame —
+    * planes never shuffle), candidates are a band-equality join with
+    * the `Dedup.MaxBucketWidth` skew cap, verification is
+    * candidate-proportional — the q247/q248 hash-keyed discipline,
+    * already in long-key space by construction. */
+  def q257VideoFpDups(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val mask = (1L << FrameIdBits) - 1
+    chunkStats(videoSigs(videoTable(s, dir)).persist(),
+        groupOf = shiftright(_, FrameIdBits))
+      .select(shiftright($"media_id", FrameIdBits).as("media_id"),
+        $"media_id".bitwiseAND(mask).cast("int").as("f"),
+        $"v0", $"v1", $"v2", $"v3", $"n_cands", $"min_hamming", $"near_dup")
+      .orderBy($"media_id", $"f")
+  }
+
+  /** q257's production CLIP-level pair operator: band-agreeing frame
+    * pairs across distinct clips verified at Hamming ≤ `radius`,
+    * rolled up per clip pair — matched-frame count and the closest
+    * frame distance. The caller thresholds n_frames_matched for its
+    * corpus (a trimmed copy matches every kept frame; incidental
+    * single-frame collisions match one). */
+  def videoDupsFrom(media: Dataset[MediaRow], radius: Int = 6): DataFrame = {
+    val s = media.sparkSession
+    import s.implicits._
+    chunkPairs(videoSigs(media).persist(), radius,
+        groupOf = shiftright(_, FrameIdBits))
+      .groupBy(shiftright($"id1", FrameIdBits).as("id1"),
+        shiftright($"id2", FrameIdBits).as("id2"))
+      .agg(count(lit(1)).as("n_frames_matched"), min($"hamming").as("min_hamming"))
+      .orderBy($"id1", $"id2")
   }
 
   /** q241 oracle: the whole dHash restated from text-byte slices —
@@ -904,6 +1086,66 @@ object Multimodal {
        |ORDER BY v.media_id""".stripMargin
   }
 
+  /** q257 oracle: the whole per-frame video fingerprint restated from
+    * text char codes — frame slicing (frame f, anchor j reads the text
+    * byte at 64f + ⌊j·64/65⌋; the corpus is pure ASCII, so ascii() IS
+    * the luminance byte), gradient bits packed into four 16-bit
+    * chunks, then q241's band/cap SQL on (clip, frame) keys with the
+    * same-clip exclusion, and the per-frame candidate rollup. */
+  val q257Sql: String = {
+    val chunks = (0 until 4).map { c =>
+      s"CAST(sum(CASE WHEN k >= ${c * 16} AND k < ${c * 16 + 16} " +
+        s"THEN bit * (1 << (k % 16)) ELSE 0 END) AS INT) AS v$c"
+    }.mkString(",\n    ")
+    s"""WITH m AS (
+       |  SELECT doc_id AS media_id, text, length(text) // 64 AS nf
+       |  FROM documents WHERE doc_id % 3 = 2),
+       |fr AS (
+       |  SELECT media_id, text, unnest(generate_series(0, nf - 1)) AS f
+       |  FROM m WHERE nf >= 1),
+       |lum AS (
+       |  SELECT media_id, f, u.j,
+       |    ascii(substr(text, 64 * f + (u.j * 64) // 65 + 1, 1)) AS g
+       |  FROM fr, unnest(generate_series(0, 64)) AS u(j)),
+       |bits AS (
+       |  SELECT a.media_id, a.f, a.j AS k,
+       |    CASE WHEN a.g < b.g THEN 1 ELSE 0 END AS bit
+       |  FROM lum a JOIN lum b
+       |    ON b.media_id = a.media_id AND b.f = a.f AND b.j = a.j + 1
+       |  WHERE a.j < 64),
+       |v AS (
+       |  SELECT media_id, f,
+       |    $chunks
+       |  FROM bits GROUP BY media_id, f),
+       |c0 AS (
+       |  SELECT media_id, f, v0, v1, v2, v3, u.c,
+       |    CASE u.c WHEN 0 THEN v0 WHEN 1 THEN v1 WHEN 2 THEN v2 ELSE v3 END AS vv
+       |  FROM v, unnest(generate_series(0, 3)) AS u(c)),
+       |c AS (
+       |  SELECT media_id, f, v0, v1, v2, v3, c, vv FROM (
+       |    SELECT c0.*, count(*) OVER (PARTITION BY c, vv) AS w FROM c0) t
+       |  WHERE w <= ${Dedup.MaxBucketWidth}),
+       |cand AS (
+       |  SELECT DISTINCT a.media_id AS id1, a.f AS f1,
+       |    b.media_id AS id2, b.f AS f2
+       |  FROM c a JOIN c b ON a.c = b.c AND a.vv = b.vv
+       |    AND a.media_id <> b.media_id),
+       |stats AS (
+       |  SELECT cd.id1, cd.f1, count(*) AS n_cands,
+       |    min(bit_count(xor(x.v0, y.v0)) + bit_count(xor(x.v1, y.v1)) +
+       |        bit_count(xor(x.v2, y.v2)) + bit_count(xor(x.v3, y.v3))) AS min_hamming
+       |  FROM cand cd
+       |  JOIN v x ON x.media_id = cd.id1 AND x.f = cd.f1
+       |  JOIN v y ON y.media_id = cd.id2 AND y.f = cd.f2
+       |  GROUP BY cd.id1, cd.f1)
+       |SELECT v.media_id, CAST(v.f AS INT) AS f, v.v0, v.v1, v.v2, v.v3,
+       |  CAST(coalesce(s.n_cands, 0) AS BIGINT) AS n_cands,
+       |  CAST(s.min_hamming AS INT) AS min_hamming,
+       |  coalesce(s.min_hamming <= 6, false) AS near_dup
+       |FROM v LEFT JOIN stats s ON s.id1 = v.media_id AND s.f1 = v.f
+       |ORDER BY v.media_id, f""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q203_audio_rms"     -> (q203AudioRms _),
     "q221_vit_patches"   -> (q221VitPatches _),
@@ -914,6 +1156,7 @@ object Multimodal {
     "q131_jpeg_roundtrip" -> (q131JpegRoundtrip _),
     "q241_phash_dups"    -> (q241PhashDups _),
     "q249_audiofp_dups"  -> (q249AudioFpDups _),
+    "q257_videofp_dups"  -> (q257VideoFpDups _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -926,5 +1169,6 @@ object Multimodal {
     "q131_jpeg_roundtrip" -> q131Sql,
     "q241_phash_dups"    -> q241Sql,
     "q249_audiofp_dups"  -> q249Sql,
+    "q257_videofp_dups"  -> q257Sql,
   )
 }

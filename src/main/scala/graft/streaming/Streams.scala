@@ -335,6 +335,24 @@ object Streams {
     * them — exactly-once store contents from at-least-once delivery
     * (the family contract, pinned in StreamingSpec by replay).
     *
+    * Cap semantics and observability (ADVICE r16): a STORE bucket past
+    * `Dedup.MaxBucketWidth` stops banding permanently — every future
+    * near-dup of that flooded pattern is ADMITTED and APPENDED, so the
+    * bucket grows monotonically. That is deliberate (the alternative,
+    * banding an unbounded bucket, makes one degenerate pattern cost
+    * |batch|·|bucket| join rows per batch forever), but it is a recall
+    * leak, so BOTH capped sides count what they drop on named
+    * `observe` metrics ([[graft.llm.DropMetrics.IngestBatchDrops]] /
+    * [[graft.llm.DropMetrics.IngestStoreDrops]]) riding the batch's
+    * own write pass — a runaway flooded pattern surfaces in the driver
+    * log (and StreamingSpec pins both counters firing on a constructed
+    * degenerate-chunk flood). The store side's widths come from a
+    * GROUP BY pre-aggregate broadcast back to the scan, not a window
+    * over the whole store (ADVICE r16 item 4): partial aggregation
+    * keeps the per-batch shuffle at ≤ 4·65536 width rows no matter how
+    * large the store grows, where the window form re-shuffled the
+    * entire store chunk table every micro-batch.
+    *
     * `fingerprint` selects the perceptual signature (r16): the default
     * is the image dHash ([[graft.llm.Multimodal.phashSigs]]); pass
     * [[graft.llm.Multimodal.audioSigs]] to ingest-dedup audio clips
@@ -363,19 +381,37 @@ object Streams {
         // over-wide-bucket cap on BOTH sides of the band join (ADVICE
         // r15: without it a degenerate chunk value — e.g. flat images
         // all hashing chunk 0 — grows the per-batch dup join with the
-        // square of store size); the shared Multimodal.capChunks is
-        // the one definition of the discipline (CODE-REVIEW r16)
-        val cap = graft.llm.Multimodal.capChunks _
+        // square of store size), each side COUNTING its drops (ADVICE
+        // r16: a silently-binding cap is a recall leak with no signal)
+        graft.llm.DropMetrics.ensureListener(s)
+        val maxW = graft.llm.Dedup.MaxBucketWidth
         val dirExists = new java.io.File(storeDir).exists()
         val novel =
           if (!dirExists) sigs
           else {
             val store = s.read.parquet(storeDir)
-            val sc = cap(store).select(col("media_id").as("sid"),
+            // store-side widths as a GROUP BY pre-aggregate (map-side
+            // partial → ≤ 4·65536 rows shuffle) broadcast back to the
+            // scan — not a window over the whole store per batch
+            val widths = store.groupBy(col("c"), col("v"))
+              .agg(count(lit(1)).as("w"))
+              .observe(graft.llm.DropMetrics.IngestStoreDrops,
+                sum(when(col("w") > maxW, 1L).otherwise(0L))
+                  .as("dropped_buckets"),
+                sum(when(col("w") > maxW, col("w")).otherwise(0L))
+                  .as("dropped_rows"),
+                shiftright(sum(when(col("w") > maxW,
+                  col("w") * (col("w") - 1L)).otherwise(0L)), 1)
+                  .as("dropped_pairs"))
+            val sc = store.join(
+                broadcast(widths.filter(col("w") <= maxW).select("c", "v")),
+                Seq("c", "v"))
+              .select(col("media_id").as("sid"),
               col("v0").as("y0"), col("v1").as("y1"),
               col("v2").as("y2"), col("v3").as("y3"),
               col("c").as("c2"), col("v").as("v2j"))
-            val dupIds = cap(chunksOf(sigs))
+            val dupIds = graft.llm.Multimodal.capChunksCounted(
+                chunksOf(sigs), graft.llm.DropMetrics.IngestBatchDrops)
               .join(sc, col("c") === col("c2") && col("v") === col("v2j"))
               .filter(
                 (bit_count(col("v0").bitwiseXOR(col("y0"))) +

@@ -361,4 +361,83 @@ class MultimodalSpec extends AnyFunSuite {
     assert(sigs(3L) == ((0, 0, 0, 0)))
     assert(sigs(4L) == sigs(0L))
   }
+
+  test("MediaCodec: Y4M round-trip, parameterized markers skipped, malformed streams quarantine") {
+    val frames = (0 until 5).map { f =>
+      Array.tabulate[Byte](64 * 2)(i => ((i * (f + 3)) % 251).toByte)
+    }
+    val y = MediaCodec.decodeY4m(MediaCodec.encodeY4m(frames, 64, 2, fpsNum = 25))
+    assert(y.width == 64 && y.height == 2 && y.fpsNum == 25 && y.fpsDen == 1)
+    assert(y.frames.length == 5)
+    y.frames.zip(frames).foreach { case (a, b) =>
+      assert(java.util.Arrays.equals(a, b), "plane bytes must round-trip exactly") }
+    // a re-encode with different header params (fps, an X extension)
+    // decodes to the SAME planes — what makes re-encoded copies dedup
+    val re = MediaCodec.decodeY4m(
+      MediaCodec.encodeY4m(frames, 64, 2, fpsNum = 30, extra = " Xconverted"))
+    re.frames.zip(frames).foreach { case (a, b) =>
+      assert(java.util.Arrays.equals(a, b)) }
+    // FRAME marker lines may carry their own parameters — a real
+    // reader (and ours) must skip to the newline
+    val withParams = {
+      val base = MediaCodec.encodeY4m(frames.take(1), 64, 2)
+      val s = new String(base.takeWhile(_ != '\n').map(_.toChar)) + "\n" +
+        "FRAME Ixyz\n"
+      s.getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++ frames(0)
+    }
+    assert(java.util.Arrays.equals(
+      MediaCodec.decodeY4m(withParams).frames(0), frames(0)))
+    // quarantine contract: bad magic, non-mono colorspace, truncated plane
+    intercept[IllegalArgumentException](MediaCodec.decodeY4m("MPEG".getBytes))
+    intercept[IllegalArgumentException](MediaCodec.decodeY4m(
+      "YUV4MPEG2 W4 H4 F25:1 C420\nFRAME\n".getBytes ++ new Array[Byte](24)))
+    intercept[IllegalArgumentException](MediaCodec.decodeY4m(
+      MediaCodec.encodeY4m(frames.take(2), 64, 2).dropRight(10)))
+  }
+
+  test("q257 video dedup: trimmed/re-encoded copies band per frame, distinct clips and same-clip repeats do not") {
+    // constructed clips of 10 seeded-random 64x1 mono frames: random
+    // frame content makes signatures effectively unique (two distinct
+    // frames differ by ~32 of 64 gradient bits, far past radius 6), so
+    // the pins are exact-match driven and deterministic
+    val W = 64
+    def frame(seed: Int): Array[Byte] = {
+      val rnd = new scala.util.Random(seed)
+      Array.fill[Byte](W)(rnd.nextInt(256).toByte)
+    }
+    val aFrames = (0 until 10).map(f => frame(1000 + f))
+    def row(id: Long, fs: Seq[Array[Byte]], fps: Int = 1, extra: String = "") =
+      Multimodal.MediaRow(id, "video",
+        MediaCodec.encodeY4m(fs, W, 1, fpsNum = fps, extra = extra),
+        W, 1, 16000, fs.length * 1000L, "y4m/mono")
+    val media = spark.createDataset(Seq(
+      row(0L, aFrames),
+      row(1L, aFrames.drop(2)),                       // trimmed copy
+      row(2L, aFrames, fps = 30, extra = " Xcopy"),   // re-encoded copy
+      row(3L, (0 until 10).map(f => frame(9000 + f))) // distinct clip
+    ))
+    val pairs = Multimodal.videoDupsFrom(media).collect()
+      .map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2")) ->
+        (r.getAs[Long]("n_frames_matched"), r.getAs[Int]("min_hamming"))).toMap
+    assert(pairs.get((0L, 1L)) == Some((8L, 0)),
+      s"trimmed copy: every kept frame matches its source frame exactly: $pairs")
+    assert(pairs.get((0L, 2L)) == Some((10L, 0)),
+      s"re-encoded copy: all frames match (the hash sees planes, not headers): $pairs")
+    assert(!pairs.keys.exists(p => p._1 == 3L || p._2 == 3L),
+      s"a distinct clip must not pair with anything: $pairs")
+    // same-clip frame repeats are NOT inter-clip duplication: a clip
+    // repeating its own frame emits no pair at all
+    val selfRep = spark.createDataset(Seq(
+      row(10L, aFrames.updated(5, aFrames(0)))))
+    assert(Multimodal.videoDupsFrom(selfRep).count() == 0)
+    // per-frame graded shape: the trimmed copy's frames all flag
+    // near_dup with ≥1 candidate; the distinct clip's frames flag none
+    val stats = Multimodal.videoFrameSigs(media).collect()
+      .map(r => (r.getAs[Long]("media_id"), r.getAs[Int]("f")) ->
+        (r.getAs[Int]("v0"), r.getAs[Int]("v1"), r.getAs[Int]("v2"),
+          r.getAs[Int]("v3"))).toMap
+    assert(stats((0L, 2)) == stats((1L, 0)),
+      "trim shifts frame indices, not signatures")
+    assert(stats((0L, 0)) == stats((2L, 0)), "re-encode preserves signatures")
+  }
 }

@@ -903,6 +903,122 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("perceptual ingest, video fingerprint: trimmed/re-encoded clips add zero frames, novel clips append, replay inert") {
+    // the r17 video member of the ingest family: videoSigs' fid-packed
+    // per-frame signature table rides the SAME machinery and store
+    // schema — a trimmed or re-encoded copy of an ingested clip
+    // contributes zero novel frames; a distinct clip's frames all land
+    implicit val sqlCtx = spark.sqlContext
+    import graft.llm.{MediaCodec, Multimodal}
+    val dir = java.nio.file.Files.createTempDirectory("graft_vfingest").toFile
+    val store = new java.io.File(dir, "store").getPath
+    val ckpt = new java.io.File(dir, "ckpt").getPath
+    val W = 64
+    def frame(seed: Int): Array[Byte] = {
+      val rnd = new scala.util.Random(seed)
+      Array.fill[Byte](W)(rnd.nextInt(256).toByte)
+    }
+    val aFrames = (0 until 10).map(f => frame(1000 + f))
+    def row(id: Long, fs: Seq[Array[Byte]], fps: Int = 1, extra: String = "") =
+      Multimodal.MediaRow(id, "video",
+        MediaCodec.encodeY4m(fs, W, 1, fpsNum = fps, extra = extra),
+        W, 1, 16000, fs.length * 1000L, "y4m/mono")
+    val mem = MemoryStream[Multimodal.MediaRow]
+    val q = Streams.perceptualIngest(mem.toDS(), store, ckpt,
+      fingerprint = Multimodal.videoSigs)
+    try {
+      def clips() = spark.read.parquet(store)
+        .select(shiftright($"media_id", Multimodal.FrameIdBits))
+        .distinct().as[Long].collect().toSet
+      def frameRows() = spark.read.parquet(store).count()
+      // batch 1: clip 0 and a distinct clip 3 — both novel
+      mem.addData(row(0L, aFrames),
+        row(3L, (0 until 10).map(f => frame(9000 + f))))
+      q.processAllAvailable()
+      assert(clips() == Set(0L, 3L), s"batch 1: ${clips()}")
+      assert(frameRows() == 2 * 10 * 4) // 2 clips x 10 frames x 4 chunk rows
+      // batch 2: a trimmed copy of clip 0 (every kept frame near-dups
+      // the store → ZERO novel frames); clip 2 is genuinely new
+      mem.addData(row(1L, aFrames.drop(2)),
+        row(2L, (0 until 6).map(f => frame(5000 + f))))
+      q.processAllAvailable()
+      assert(clips() == Set(0L, 2L, 3L), s"batch 2: ${clips()}")
+      assert(frameRows() == (10 + 10 + 6) * 4)
+      // batch 3: a RE-ENCODED copy of clip 0 (same planes, different
+      // header) drops; replaying clip 2 verbatim is inert
+      mem.addData(row(4L, aFrames, fps = 30, extra = " Xcopy"),
+        row(2L, (0 until 6).map(f => frame(5000 + f))))
+      q.processAllAvailable()
+      assert(clips() == Set(0L, 2L, 3L), s"batch 3: ${clips()}")
+      assert(frameRows() == (10 + 10 + 6) * 4)
+    } finally q.stop()
+  }
+
+  test("perceptual ingest: band caps COUNT their drops; a flooded store bucket admits forever, visibly") {
+    // ADVICE r16 / VERDICT r16 item 5: no silent caps at ingest. A
+    // degenerate chunk bucket (here: FLAT strips — every pixel equal,
+    // so all 64 dHash gradient bits are 0 and all four chunks are 0)
+    // wider than Dedup.MaxBucketWidth is dropped from the band join on
+    // whichever side it floods; both sides must COUNT the drop on
+    // their named observe metrics, and the store side's admit-forever
+    // consequence (a flooded pattern's future near-dups all ingest) is
+    // pinned as the documented trade, not an accident.
+    implicit val sqlCtx = spark.sqlContext
+    import graft.llm.{DropMetrics, MediaCodec, Multimodal}
+    val dir = java.nio.file.Files.createTempDirectory("graft_capingest").toFile
+    val store = new java.io.File(dir, "store").getPath
+    val ckpt = new java.io.File(dir, "ckpt").getPath
+    val w = 200
+    def strip(f: Int => Int): Array[Byte] = {
+      val px = new Array[Byte](3 * w)
+      for (i <- 0 until w; c <- 0 until 3)
+        px(3 * i + c) = math.min(255, math.max(0, f(i))).toByte
+      px
+    }
+    def row(id: Long, f: Int => Int) = Multimodal.MediaRow(
+      id, "image", MediaCodec.encodePpm(strip(f), w, 1),
+      w, 1, 16000, 0L, "ppm/p6")
+    val flood = graft.llm.Dedup.MaxBucketWidth + 1 // 65: one past the cap
+    DropMetrics.lastReports.remove(DropMetrics.IngestBatchDrops)
+    DropMetrics.lastReports.remove(DropMetrics.IngestStoreDrops)
+    val mem = MemoryStream[Multimodal.MediaRow]
+    val q = Streams.perceptualIngest(mem.toDS(), store, ckpt)
+    try {
+      def ids() = spark.read.parquet(store)
+        .select($"media_id").distinct().as[Long].collect().toSet
+      // batch 1 seeds the store (empty store → no cap runs, all novel)
+      mem.addData(row(0L, i => i))
+      q.processAllAvailable()
+      assert(ids() == Set(0L))
+      // batch 2: 65 identical FLAT strips flood the BATCH side — all
+      // four (c, 0) buckets exceed the cap, are dropped from the dup
+      // join, and every flat image is admitted (judged against the
+      // store only; the store has just the ramp)
+      mem.addData((100L until (100L + flood)).map(id => row(id, _ => 7)): _*)
+      q.processAllAvailable()
+      org.apache.spark.sql.graftshim.GraftSqlShim.drainListenerBus(spark)
+      val batchDrops = DropMetrics.lastReports(DropMetrics.IngestBatchDrops)
+      assert(batchDrops("dropped_buckets") == 4L, s"batch side: $batchDrops")
+      assert(batchDrops("dropped_rows") == 4L * flood, s"batch side: $batchDrops")
+      assert(batchDrops("dropped_pairs") == 4L * flood * (flood - 1) / 2,
+        s"batch side: $batchDrops")
+      assert(ids().size == 1 + flood, "the flooded batch is admitted, not lost")
+      // batch 3: one more flat strip. The STORE bucket is now over-wide
+      // → dropped from the store side (counted), so the newcomer bands
+      // against nothing and is ADMITTED despite 65 stored twins — the
+      // documented admit-forever consequence, now visible in metrics
+      mem.addData(row(500L, _ => 7))
+      q.processAllAvailable()
+      org.apache.spark.sql.graftshim.GraftSqlShim.drainListenerBus(spark)
+      val storeDrops = DropMetrics.lastReports(DropMetrics.IngestStoreDrops)
+      assert(storeDrops("dropped_buckets") == 4L, s"store side: $storeDrops")
+      assert(storeDrops("dropped_rows") == 4L * flood, s"store side: $storeDrops")
+      assert(storeDrops("dropped_pairs") == 4L * flood * (flood - 1) / 2,
+        s"store side: $storeDrops")
+      assert(ids().contains(500L), "admit-forever: the flooded pattern ingests")
+    } finally q.stop()
+  }
+
   test("streaming transition counts match the batch pairwise derivation") {
     implicit val sqlCtx = spark.sqlContext
     import Streams.TransEvent
