@@ -385,21 +385,40 @@ object TextOps {
   def q245MemorizationScan(s: SparkSession, dir: String): DataFrame =
     memorizationScanFrom(Tables.documents(s, dir))
 
-  /** (doc_id, sb, g) 13-token gram windows with the q100 split bucket —
-    * the shared front end of q245 (textual keys), q248 (xxhash64 keys)
-    * and the q248 oracle fixture, so all three see bit-identical gram
-    * strings by construction. */
-  def splitGramWindows(docs: DataFrame): DataFrame = {
+  /** (doc_id, g) 13-token gram windows of an arbitrary (doc_id, text)
+    * frame — THE gram definition of the decontamination/memorization
+    * family (the 13-gram verbatim-containment standard): one shared
+    * window front end feeds q245/q248 (via [[splitGramWindows]]), the
+    * q258 batch decontamination scan, the streaming
+    * `Streams.decontamIngest`, and the q248 oracle fixture, so every
+    * consumer sees bit-identical gram strings by construction. Pure
+    * narrow projection + explode — no shuffle until a consumer keys
+    * on the gram. */
+  def gramWindows(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
     val W = 13
     docs
-      .withColumn("sb", substring(md5($"doc_id".cast("string")), 1, 1))
-      .select($"doc_id", $"sb", tokens($"text").as("toks"))
+      .select($"doc_id", tokens($"text").as("toks"))
       .filter(size($"toks") >= W)
-      .select($"doc_id", $"sb", explode(transform(
+      .select($"doc_id", explode(transform(
         sequence(lit(1), size($"toks") - (W - 1)),
         i => concat_ws(" ", slice($"toks", i, lit(W))))).as("g"))
+  }
+
+  /** (doc_id, sb, g) 13-token gram windows with the q100 split bucket —
+    * [[gramWindows]] plus the split label, the shared front end of
+    * q245 (textual keys), q248 (xxhash64 keys) and the q248 oracle
+    * fixture. The bucket is re-derived map-side from doc_id after the
+    * explode (a hash of a short string per gram row — the same
+    * per-row cost class as the xxhash64 the production form pays
+    * anyway), keeping ONE window definition for the whole family. */
+  def splitGramWindows(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    gramWindows(docs)
+      .select($"doc_id",
+        substring(md5($"doc_id".cast("string")), 1, 1).as("sb"), $"g")
   }
 
   /** q245's engine on an arbitrary (doc_id, text) frame — split out so
@@ -510,6 +529,92 @@ object TextOps {
       |  CAST(sum(CASE WHEN th IS NOT NULL THEN 1 ELSE 0 END) * 1000000
       |       // count(*) AS BIGINT) AS mem_ppm,
       |  sum(CASE WHEN th IS NOT NULL THEN 1 ELSE 0 END) > 0 AS leaked
+      |FROM v GROUP BY doc_id
+      |UNION ALL
+      |SELECT -1, n, CAST(-1 AS BIGINT), -1, CAST(-1 AS BIGINT), FALSE
+      |FROM fixture_corpus_mismatch WHERE n > 0
+      |ORDER BY doc_id""".stripMargin
+  }
+
+  /** q258: BENCHMARK DECONTAMINATION SCAN, hash-keyed — q101's
+    * decontamination question asked at the 13-gram containment
+    * standard on q248's 8-byte keys (VERDICT r16 item 4's batch twin):
+    * for every training-candidate document (source ≠ src0), how many
+    * of its 13-token windows appear verbatim in the BENCHMARK slice
+    * (source = src0) — exact window counts, contamination in exact
+    * integer ppm, and the gate verdict. q245/q248 measure leakage
+    * across the pipeline's own split; this is the EXTERNAL-benchmark
+    * gate (the GPT-3 decontamination appendix's 13-gram rule) that
+    * [[graft.streaming.Streams.decontamIngest]] applies per
+    * micro-batch — one scan definition, batch and streaming consumers.
+    *
+    * Shape: the shared [[gramWindows]] front end, xxhash64 computed
+    * map-side so shuffles carry (doc_id, h:long); the benchmark's
+    * distinct gram-hash set is the SMALL side and broadcast (q101's
+    * geometry — at 100 TB the benchmark suite is MBs against a corpus
+    * of TBs, so the candidate side never shuffles at all: scan →
+    * hash → broadcast-join → partial agg). HASH-GRADED via the
+    * committed q248 gram→hash vocabulary (the fixture covers ALL
+    * distinct corpus grams, benchmark included — one vocabulary, two
+    * graded consumers): the oracle rebuilds grams textually, maps both
+    * sides through the fixture, and replays containment on the hash
+    * key, so both engines consume identical hashes and the grade
+    * survives even a collision. */
+  def q258DecontamScan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    decontamScanFrom(docs.filter($"source" =!= "src0"),
+      docs.filter($"source" === "src0"))
+  }
+
+  /** q258's engine on arbitrary (doc_id, text) frames — split out so
+    * LlmSpec can pin exact hit counts on constructed contamination and
+    * `Streams.decontamIngest` can run it per micro-batch. Returns one
+    * row per candidate doc with ≥ 1 gram window (shorter docs carry no
+    * 13-gram surface; the INGEST wrapper re-adds them as clean). */
+  def decontamScanFrom(candidates: DataFrame, benchmark: DataFrame): DataFrame = {
+    val s = candidates.sparkSession
+    import s.implicits._
+    val bench = gramWindows(benchmark)
+      .select(xxhash64($"g").as("bh")).distinct()
+    gramWindows(candidates)
+      .select($"doc_id", xxhash64($"g").as("h"))
+      .join(broadcast(bench), $"h" === $"bh", "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when($"bh".isNotNull, 1L).otherwise(0L)).as("n_hits"),
+        countDistinct(when($"bh".isNotNull, $"h")).as("n_distinct_hits"))
+      .select($"doc_id", $"n_grams", $"n_hits", $"n_distinct_hits",
+        expr("CAST((n_hits * 1000000) div n_grams AS BIGINT)").as("contam_ppm"),
+        ($"n_hits" > 0).as("contaminated"))
+      .orderBy($"doc_id")
+  }
+
+  val q258Sql: String = {
+    val terms = (0 until 13).map(i => s"toks[i+$i]").mkString(", ")
+    raw"""WITH ${graft.Fixtures.corpusGuardCtes},
+      |hx AS (
+      |  SELECT g, h
+      |  FROM read_parquet('${graft.Fixtures.dir}/q248_gramhash_sf001/*.parquet')),
+      |tk AS (
+      |  SELECT doc_id, source, regexp_extract_all(lower(text), '\S+') AS toks
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, source,
+      |    unnest([concat_ws(' ', $terms)
+      |            FOR i IN generate_series(1, len(toks) - 12)]) AS g
+      |  FROM tk WHERE len(toks) >= 13),
+      |gh AS (SELECT g.doc_id, g.source, hx.h FROM g JOIN hx USING (g)),
+      |bench AS (SELECT DISTINCT h AS bh FROM gh WHERE source = 'src0'),
+      |v AS (SELECT doc_id, h, bh FROM gh LEFT JOIN bench ON bh = h
+      |      WHERE source <> 'src0')
+      |SELECT doc_id,
+      |  count(*) AS n_grams,
+      |  CAST(sum(CASE WHEN bh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+      |  count(DISTINCT CASE WHEN bh IS NOT NULL THEN h END) AS n_distinct_hits,
+      |  CAST(sum(CASE WHEN bh IS NOT NULL THEN 1 ELSE 0 END) * 1000000
+      |       // count(*) AS BIGINT) AS contam_ppm,
+      |  sum(CASE WHEN bh IS NOT NULL THEN 1 ELSE 0 END) > 0 AS contaminated
       |FROM v GROUP BY doc_id
       |UNION ALL
       |SELECT -1, n, CAST(-1 AS BIGINT), -1, CAST(-1 AS BIGINT), FALSE
@@ -1897,6 +2002,7 @@ object TextOps {
     "q101_decontamination" -> (q101Decontamination _),
     "q245_memorization_scan" -> (q245MemorizationScan _),
     "q248_memorization_hashed" -> (q248MemorizationHashed _),
+    "q258_decontam_scan" -> (q258DecontamScan _),
     "q251_bpe_train" -> (q251BpeTrain _),
     "q256_bpe_encode8" -> (q256BpeEncode8 _),
   )
@@ -1932,6 +2038,7 @@ object TextOps {
     "q245_memorization_scan" -> q245Sql,
     // hash-graded via fixtures/q248_gramhash_sf001 (q46/q48 discipline)
     "q248_memorization_hashed" -> q248Sql,
+    "q258_decontam_scan" -> q258Sql,
     "q251_bpe_train" -> q251Sql,
     "q256_bpe_encode8" -> q256Sql,
   )

@@ -759,6 +759,27 @@ class LlmSpec extends AnyFunSuite {
       rows(llm.TextOps.q245MemorizationScan(spark, SparkTestSession.sf)))
   }
 
+  test("q258 decontamination scan: exact containment counts on a constructed benchmark") {
+    import spark.implicits._
+    val benchGram = (0 until 13).map(i => s"b$i").mkString(" ")
+    val bench = Seq((100L, benchGram)).toDF("doc_id", "text")
+    val cand = Seq(
+      (1L, "x y " + benchGram),                        // 15 tokens: 3 windows, 1 hit
+      (2L, (0 until 13).map(i => s"c$i").mkString(" ")), // clean: 1 window, 0 hits
+      (3L, "too short"))                               // < 13 tokens: no gram surface
+      .toDF("doc_id", "text")
+    val out = llm.TextOps.decontamScanFrom(cand, bench).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out.keySet == Set(1L, 2L), s"docs with windows: ${out.keySet}")
+    val d1 = out(1L)
+    assert(d1.getAs[Long]("n_grams") == 3 && d1.getAs[Long]("n_hits") == 1)
+    assert(d1.getAs[Long]("n_distinct_hits") == 1)
+    assert(d1.getAs[Long]("contam_ppm") == 333333L) // 1e6 div 3, exact
+    assert(d1.getAs[Boolean]("contaminated"))
+    val d2 = out(2L)
+    assert(d2.getAs[Long]("n_hits") == 0 && !d2.getAs[Boolean]("contaminated"))
+  }
+
   test("q254 two-level rebuild: same cells as flat; reps agree on a clustered store") {
     // both rebuilds share sampledLloydCents, so the CELL SET is
     // identical by construction — pinned on the live corpus. Rep

@@ -903,6 +903,45 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("decontamination ingest: contaminated docs gate, short docs pass clean, flag mode audits, replay inert") {
+    // the fourth ingest-family member (VERDICT r16 item 4): 13-gram
+    // containment against a batch-static benchmark gram-hash store,
+    // drop-or-flag semantics, exactly-once under replay
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_dcingest").toFile
+    val benchGram = (0 until 13).map(i => s"b$i").mkString(" ")
+    val bench = Seq(benchGram).toDF("g").select(xxhash64($"g").as("h"))
+    val clean13 = (0 until 13).map(i => s"c$i").mkString(" ")
+    def run(mode: String): Set[(Long, Long, Long, Boolean)] = {
+      val store = new java.io.File(dir, s"store_$mode").getPath
+      val ckpt = new java.io.File(dir, s"ckpt_$mode").getPath
+      val mem = MemoryStream[(Long, String)]
+      val q = Streams.decontamIngest(
+        mem.toDS().toDF("doc_id", "text"), bench, store, ckpt, mode)
+      try {
+        // batch 1: clean long doc, contaminated doc (benchmark gram
+        // verbatim inside), short doc (no 13-gram surface → clean)
+        mem.addData((1L, clean13), (2L, "intro words " + benchGram), (3L, "tiny doc"))
+        q.processAllAvailable()
+        // batch 2: replay docs 1 and 3 verbatim + one novel clean doc —
+        // the anti-join must keep the replays out
+        mem.addData((1L, clean13), (3L, "tiny doc"),
+          (4L, (0 until 13).map(i => s"d$i").mkString(" ")))
+        q.processAllAvailable()
+        spark.read.parquet(store).collect()
+          .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_grams"),
+            r.getAs[Long]("n_hits"), r.getAs[Boolean]("contaminated"))).toSet
+      } finally q.stop()
+    }
+    assert(run("drop") == Set(
+      (1L, 1L, 0L, false), (3L, 0L, 0L, false), (4L, 1L, 0L, false)),
+      "drop mode: the contaminated doc never reaches the store; shorts pass")
+    assert(run("flag") == Set(
+      (1L, 1L, 0L, false), (2L, 3L, 1L, true), (3L, 0L, 0L, false),
+      (4L, 1L, 0L, false)),
+      "flag mode: everything lands exactly once, the verdict on the row")
+  }
+
   test("perceptual ingest, video fingerprint: trimmed/re-encoded clips add zero frames, novel clips append, replay inert") {
     // the r17 video member of the ingest family: videoSigs' fid-packed
     // per-frame signature table rides the SAME machinery and store
