@@ -1187,6 +1187,16 @@ object TextOps {
           s"BPE training exhausted the corpus at round $t of $k — no adjacent pair left")
       val best = bestRows(0)
       val (l, r, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
+      // ADVICE r16: if two rounds ever minted the SAME merged string
+      // (two different (l, r) pairs concatenating identically), later
+      // rawSym translations would resolve occurrences to the FIRST
+      // round's placeholder only and replace() would miss text encoded
+      // under the second — fail loudly at training, not via a
+      // downstream invariant at bench time. Uniqueness also keeps
+      // real↔placeholder translation injective, which is what makes
+      // the census tie order total.
+      require(!merges.exists(_._4 == l + r),
+        s"BPE degenerate merge at round $t: '${l + r}' was already minted by an earlier round")
       val next = words
         .select(org.apache.spark.sql.functions.replace(
           $"w", lit(rawSym(merges, l) + rawSym(merges, r)), lit(ph(t))).as("w"), $"wc")
@@ -1339,6 +1349,182 @@ object TextOps {
        |  CAST((sum(wc * nc) - sum(wc * ns)) * 1000000 // sum(wc * nc) AS BIGINT)
        |    AS saved_ppm
        |FROM enc GROUP BY source ORDER BY source""".stripMargin
+  }
+
+  /** First minted symbol id of the INTEGER-symbol BPE form — one past
+    * the Unicode code-point space, so a minted id can never collide
+    * with an original character. */
+  val BpeSymBase: Int = 0x110000
+
+  /** q259: k=16 BPE TRAINING, integer-symbol form (VERDICT r16 item
+    * 2) — q251's loop with the k ≤ 8 REPRESENTATION cap lifted: the
+    * placeholder trick spends one char per merge, so the char form
+    * cannot reach even a toy vocabulary's hundreds of merges; here a
+    * word is an `array<int>` symbol sequence (initial symbols = code
+    * points) and merge t MINTS the fresh integer id BpeSymBase+t —
+    * rounds are bounded by the vocabulary target, not the alphabet.
+    *
+    * Same plan shape as q251 (the anchor, kept registered): per round
+    * one explode + hash aggregation over the DISTINCT word table, a
+    * 1-row argmax collect, one map-side apply; merge table as
+    * driver-resident model state with persist rotation and
+    * exception-safe unpersist. The apply step is a left-to-right fold
+    * (`aggregate`): a pair (l, r) at the array tail of the
+    * accumulator collapses to the minted id — non-overlapping
+    * left-to-right, EXACTLY `replace`'s semantics (the minted id is
+    * fresh, so a replacement can never seed a new match in the same
+    * round), which is what makes the int form ≡ the char form on
+    * rounds 1..8 (pinned in LlmSpec on constructed AND live corpora).
+    * The census argmax tie order is (cnt DESC, real-string ASC,
+    * real-string ASC) — the minted-string uniqueness assert keeps the
+    * int→string translation injective, so the order stays TOTAL and
+    * both engines replay it; the in-engine translation uses `char()`
+    * for original code points (exact on this ASCII corpus — the same
+    * alphabet assumption the char form's placeholder filter makes).
+    *
+    * Oracle: all 16 rounds unrolled CTE-by-CTE (MATERIALIZED word
+    * tables, q244's DuckDB lesson) with the apply fold restated as
+    * `list_reduce` over 1-int lists — bit-identical fold semantics,
+    * verified against the same pair/argmax/total arithmetic. */
+  def q259BpeTrain16(s: SparkSession, dir: String): DataFrame =
+    bpeTrainIntFrom(Tables.documents(s, dir), k = 16)
+
+  /** The int-form loop on an arbitrary (doc_id, text) frame, formatted
+    * to q251's output schema (real-string symbols). */
+  def bpeTrainIntFrom(docs: DataFrame, k: Int): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    bpeTrainMergesInt(docs, k).zipWithIndex.map {
+      case ((_, _, cnt, ls, rs, m, syms), j) => (j + 1, ls, rs, m, cnt, syms)
+    }.toDF("round", "left_sym", "right_sym", "merged", "pair_count", "corpus_syms")
+      .orderBy($"round")
+  }
+
+  /** The k-round integer-symbol training loop — driver-resident merge
+    * table rows are (l, r, cnt, lstr, rstr, merged_str, corpus_syms);
+    * merge t's id is BpeSymBase + t. No placeholder corpus filter: the
+    * int form has no reserved characters (that is the point), so the
+    * char-form equivalence holds on placeholder-free corpora — the
+    * char form's own domain. */
+  private[graft] def bpeTrainMergesInt(docs: DataFrame, k: Int)
+      : Vector[(Int, Int, Long, String, String, String, Long)] = {
+    val s = docs.sparkSession
+    import s.implicits._
+    require(k >= 1, s"k=$k")
+    var words = docs
+      .select(explode(tokens($"text")).as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("wc"))
+      .select(transform(sequence(lit(1), length($"w")),
+        i => ascii($"w".substr(i, lit(1)))).as("syms"), $"wc")
+      .persist()
+    var merges = Vector.empty[(Int, Int, Long, String, String, String, Long)]
+    def strOf(sym: Int): String =
+      if (sym >= BpeSymBase) merges(sym - BpeSymBase - 1)._6
+      else new String(Character.toChars(sym))
+    def sqlStr(v: String): String = "'" + v.replace("'", "''") + "'"
+    try {
+      for (t <- 1 to k) {
+        val whens = merges.zipWithIndex.map { case ((_, _, _, _, _, m, _), j) =>
+          s"WHEN ${BpeSymBase + j + 1} THEN ${sqlStr(m)}"
+        }.mkString(" ")
+        def trSql(x: String): String =
+          if (merges.isEmpty) s"char($x)"
+          else s"CASE $x $whens ELSE char($x) END"
+        val pc = words
+          .select($"wc", explode(zip_with(
+            slice($"syms", lit(1), size($"syms") - 1),
+            slice($"syms", lit(2), size($"syms") - 1),
+            (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+          .groupBy($"p.l", $"p.r").agg(sum($"wc").as("cnt"))
+        val bestRows = pc
+          .selectExpr("l", "r", "cnt", s"${trSql("l")} AS ls", s"${trSql("r")} AS rs")
+          .orderBy($"cnt".desc, $"ls".asc, $"rs".asc).limit(1).collect()
+        if (bestRows.isEmpty)
+          throw new IllegalStateException(
+            s"BPE int training exhausted the corpus at round $t of $k — no adjacent pair left")
+        val best = bestRows(0)
+        val (l, r, cnt) = (best.getInt(0), best.getInt(1), best.getLong(2))
+        val mid = BpeSymBase + t
+        val mstr = strOf(l) + strOf(r)
+        // the same degenerate-case guard as the char form (ADVICE r16):
+        // keeps strOf injective, hence the census tie order total
+        require(!merges.exists(_._6 == mstr),
+          s"BPE degenerate merge at round $t: '$mstr' was already minted by an earlier round")
+        val next = words
+          .select(aggregate($"syms", lit(Array.empty[Int]),
+            (acc, x) => when(size(acc) > 0 &&
+                try_element_at(acc, lit(-1)) === lit(l) && x === lit(r),
+              concat(slice(acc, lit(1), size(acc) - 1), array(lit(mid))))
+              .otherwise(concat(acc, array(x)))).as("syms"), $"wc")
+          .persist()
+        val syms =
+          try next.agg(sum($"wc" * size($"syms"))).collect()(0).getLong(0)
+          catch { case e: Throwable => next.unpersist(); throw e }
+        words.unpersist()
+        words = next
+        merges :+= ((l, r, cnt, strOf(l), strOf(r), mstr, syms))
+      }
+    } finally words.unpersist()
+    merges
+  }
+
+  /** SQL side of the int form's real-string translation at round t. */
+  private def bpeIntTrSql(x: String, t: Int): String =
+    if (t == 1) s"chr($x)"
+    else {
+      val whens = (1 until t)
+        .map(j => s"WHEN $x = ${BpeSymBase + j} THEN (SELECT m FROM b$j)").mkString(" ")
+      s"CASE $whens ELSE chr($x) END"
+    }
+
+  /** The k-round int-form training WITH-prefix: w0 = code-point word
+    * table; per round the int pair census, the real-string-ordered
+    * LIMIT 1 argmax, the list_reduce apply fold (1-int-list lifting so
+    * the accumulator type matches the element type), and the symbol
+    * total. Word tables and argmaxes MATERIALIZED. Trailing comma. */
+  private def bpeIntRoundCtes(K: Int): String = {
+    val rounds = (1 to K).map { t =>
+      s"""i$t AS (SELECT syms, wc, unnest(generate_series(1, len(syms) - 1)) AS i FROM w${t - 1}),
+         |g$t AS MATERIALIZED (
+         |  SELECT syms[i] AS l, syms[i + 1] AS r, CAST(sum(wc) AS BIGINT) AS cnt
+         |  FROM i$t GROUP BY 1, 2),
+         |b$t AS MATERIALIZED (
+         |  SELECT l, r, cnt, ${bpeIntTrSql("l", t)} AS ls, ${bpeIntTrSql("r", t)} AS rs,
+         |    ${bpeIntTrSql("l", t)} || ${bpeIntTrSql("r", t)} AS m,
+         |    ${BpeSymBase + t} AS mid
+         |  FROM g$t ORDER BY cnt DESC, ls ASC, rs ASC LIMIT 1),
+         |w$t AS MATERIALIZED (
+         |  SELECT list_reduce(
+         |    list_transform(w.syms, x -> [x]),
+         |    (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = b$t.l AND x[1] = b$t.r
+         |                THEN list_append(acc[:len(acc) - 1], b$t.mid)
+         |                ELSE list_append(acc, x[1]) END) AS syms, wc
+         |  FROM w${t - 1} w, b$t),
+         |s$t AS (SELECT CAST(sum(wc * len(syms)) AS BIGINT) AS syms FROM w$t),""".stripMargin
+    }.mkString("\n")
+    raw"""w0 AS MATERIALIZED (
+       |  SELECT [unicode(tok[i]) FOR i IN generate_series(1, len(tok))] AS syms,
+       |    count(*) AS wc
+       |  FROM (SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS tok
+       |        FROM documents) t
+       |  GROUP BY tok),
+       |$rounds""".stripMargin
+  }
+
+  val q259Sql: String = {
+    val K = 16
+    val out = (1 to K).map { t =>
+      s"""  SELECT $t AS round, (SELECT ls FROM b$t) AS left_sym,
+         |    (SELECT rs FROM b$t) AS right_sym, (SELECT m FROM b$t) AS merged,
+         |    (SELECT cnt FROM b$t) AS pair_count,
+         |    (SELECT syms FROM s$t) AS corpus_syms""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH ${bpeIntRoundCtes(K)}
+       |fin AS (
+       |$out
+       |)
+       |SELECT round, left_sym, right_sym, merged, pair_count, corpus_syms
+       |FROM fin ORDER BY round""".stripMargin
   }
 
   /** q189: SPLIT-LEAKAGE audit — q101's decontamination question asked
@@ -2003,6 +2189,7 @@ object TextOps {
     "q245_memorization_scan" -> (q245MemorizationScan _),
     "q248_memorization_hashed" -> (q248MemorizationHashed _),
     "q258_decontam_scan" -> (q258DecontamScan _),
+    "q259_bpe_train16" -> (q259BpeTrain16 _),
     "q251_bpe_train" -> (q251BpeTrain _),
     "q256_bpe_encode8" -> (q256BpeEncode8 _),
   )
@@ -2039,6 +2226,7 @@ object TextOps {
     // hash-graded via fixtures/q248_gramhash_sf001 (q46/q48 discipline)
     "q248_memorization_hashed" -> q248Sql,
     "q258_decontam_scan" -> q258Sql,
+    "q259_bpe_train16" -> q259Sql,
     "q251_bpe_train" -> q251Sql,
     "q256_bpe_encode8" -> q256Sql,
   )

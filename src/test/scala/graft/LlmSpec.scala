@@ -807,6 +807,44 @@ class LlmSpec extends AnyFunSuite {
       s"clustered rep agreement $agree/${rf.size} below 0.8 — two-hop routing broke")
   }
 
+  test("q259 int-symbol BPE ≡ char-form BPE on rounds 1-8; int form runs past the char cap") {
+    import spark.implicits._
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Int]("round"), r.getAs[String]("left_sym"),
+        r.getAs[String]("right_sym"), r.getAs[String]("merged"),
+        r.getAs[Long]("pair_count"), r.getAs[Long]("corpus_syms"))).toSeq
+    // the q251 chaining corpus: the int form must reproduce the char
+    // form's merges exactly — minting ids instead of placeholder chars
+    // changes the representation, never the answer
+    val text = (Seq.fill(8)("abcd") ++ Seq.fill(5)("abce") ++
+      Seq.fill(3)("xy")).mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    assert(rows(llm.TextOps.bpeTrainIntFrom(docs, 3)) ==
+      rows(llm.TextOps.bpeTrainFrom(docs, 3)))
+    // ...and on the live corpus over the char form's whole k range
+    assert(rows(llm.TextOps.bpeTrainIntFrom(
+        graft.Tables.documents(spark, SparkTestSession.sf), 8)) ==
+      rows(llm.TextOps.q251BpeTrain(spark, SparkTestSession.sf)))
+    // past the cap: rounds 9..16 exist, stay monotone, and keep
+    // compressing — the representation was the only limit
+    val live16 = rows(llm.TextOps.q259BpeTrain16(spark, SparkTestSession.sf))
+    assert(live16.length == 16)
+    val counts = live16.map(_._5)
+    assert(counts.zip(counts.tail).forall { case (a, b) => b <= a },
+      s"pair counts must be non-increasing: $counts")
+    val syms = live16.map(_._6)
+    syms.zip(syms.tail).zip(counts.tail).foreach { case ((prev, cur), cnt) =>
+      assert(cur < prev && prev - cur <= cnt,
+        s"decrement ${prev - cur} outside (0, $cnt]")
+    }
+    // a merged symbol re-enters later merges (chaining past round 8 is
+    // real, not alphabet-limited): some round >= 2 consumes an earlier
+    // round's minted string on either side
+    val minted = live16.map(_._4).toSet
+    assert(live16.drop(1).exists(r => minted.contains(r._2) || minted.contains(r._3)),
+      "no merge past round 1 consumed a minted symbol — chaining broke")
+  }
+
   test("q251 BPE k-round training: merge chaining, monotonicity, compression accounting") {
     import spark.implicits._
     // constructed vocabulary: abcd×8 + abce×5 + xy×3. Round 1 merges
