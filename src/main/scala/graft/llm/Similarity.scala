@@ -458,7 +458,14 @@ object Similarity {
     // vector -> centroid within its super (N×K/G)
     val centSup = nearestN(supers, "super_id", "sv")(
       cents, "cent_id", "cv0", 1, "sup").drop("sup_rn")
-    val vecSup = nearestN(supers, "super_id", "sv")(
+    // data-side assignment routes only to OCCUPIED supers, so the
+    // within-super join can never drop a vector (ADVICE r16 — see
+    // twoHopAssign; query probes stay unrestricted: an empty probe
+    // lane is reduced probing, not data loss)
+    val occSupers = supers.join(
+      centSup.select($"sup").distinct(), $"super_id" === $"sup")
+      .select($"super_id", $"sv")
+    val vecSup = nearestN(occSupers, "super_id", "sv")(
       e, "vec_id", "v", 1, "vsup").drop("vsup_rn")
     def cellsWithin(df: DataFrame, supCol: String, n: Int): DataFrame = {
       val joined = df.join(centSup.select($"cent_id", $"cv0", $"sup"),
@@ -698,15 +705,7 @@ object Similarity {
       .select($"cent_id".as("super_id"), $"cv0".as("sv"))
     val centSup = nearestN(supers, "super_id", "sv")(
       cents, "cent_id", "cv0", 1, "sup").drop("sup_rn")
-    val vecSup = nearestN(supers, "super_id", "sv")(
-      store, "vec_id", "v", 1, "vsup").drop("vsup_rn")
-    val joined = vecSup
-      .join(centSup.select($"cent_id", $"cv0", $"sup"), $"vsup" === $"sup")
-      .withColumn("cosc", graft.functions.CosineSim.cosine(s, $"v", $"cv0"))
-    val wv = Window.partitionBy($"vec_id").orderBy($"cosc".desc, $"cent_id".asc)
-    val assigned = joined.withColumn("crn", row_number().over(wv))
-      .filter($"crn" === 1)
-      .select($"vec_id", $"v", $"cent_id".as("cell"), $"cosc")
+    val assigned = twoHopAssign(store, centSup, supers)
     val wr = Window.partitionBy($"cell").orderBy($"cosc".desc, $"vec_id".asc)
     val reps = assigned.withColumn("rn", row_number().over(wr))
       .filter($"rn" === 1)
@@ -714,6 +713,36 @@ object Similarity {
     cents.join(reps, cents("cent_id") === reps("rcell"), "left")
       .select(cents("cent_id").as("cell"), cents("cv0").as("cv"),
         $"rep_id", $"rep_v")
+  }
+
+  /** The two-hop (vector → super → centroid-within-super) assignment
+    * of [[semIndexFrom2]], split out so LlmSpec can pin CONSERVATION:
+    * vectors route only to OCCUPIED supers (supers that attracted ≥ 1
+    * centroid in `centSup`), so the within-super inner join can never
+    * drop a vector (ADVICE r16: with the unrestricted super set, a
+    * super whose duplicate/parallel twin absorbed every centroid —
+    * fp-noise on parallel centroid vectors can orphan one — silently
+    * vanished its vectors from the rebuilt index; the SQL twin
+    * replayed the same join, so the grade stayed green while recall
+    * dropped). Every super normally attracts at least its own
+    * centroid, so the restriction is a no-op outside the degenerate
+    * geometry — and there it REROUTES instead of dropping. */
+  private[graft] def twoHopAssign(store: DataFrame, centSup: DataFrame,
+      supers: DataFrame): DataFrame = {
+    val s = store.sparkSession
+    import s.implicits._
+    val occSupers = supers.join(
+      centSup.select($"sup").distinct(), $"super_id" === $"sup")
+      .select($"super_id", $"sv")
+    val vecSup = nearestN(occSupers, "super_id", "sv")(
+      store, "vec_id", "v", 1, "vsup").drop("vsup_rn")
+    val joined = vecSup
+      .join(centSup.select($"cent_id", $"cv0", $"sup"), $"vsup" === $"sup")
+      .withColumn("cosc", graft.functions.CosineSim.cosine(s, $"v", $"cv0"))
+    val wv = Window.partitionBy($"vec_id").orderBy($"cosc".desc, $"cent_id".asc)
+    joined.withColumn("crn", row_number().over(wv))
+      .filter($"crn" === 1)
+      .select($"vec_id", $"v", $"cent_id".as("cell"), $"cosc")
   }
 
   /** q240: BATCH-ONLY marginal cost of incremental SemDeDup, GRADED —
@@ -954,12 +983,14 @@ object Similarity {
        |      row_number() OVER (PARTITION BY c.cent_id ORDER BY
        |        ${cosSql("c.cv", "s.sv")} DESC, s.super_id ASC) AS srn
        |    FROM $cLast c, sup s) t WHERE srn = 1),
+       |occ AS (SELECT DISTINCT sp.super_id, sp.sv
+       |        FROM sup sp JOIN cs ON cs.sup = sp.super_id),
        |vsup AS (
        |  SELECT vec_id, v, super_id AS vsup FROM (
        |    SELECT g.vec_id, g.v, s.super_id,
        |      row_number() OVER (PARTITION BY g.vec_id ORDER BY
        |        ${cosSql("g.v", "s.sv")} DESC, s.super_id ASC) AS srn
-       |    FROM grown g, sup s) t WHERE srn = 1),
+       |    FROM grown g, occ s) t WHERE srn = 1),
        |sasg AS (
        |  SELECT vec_id, v, cell, cosc FROM (
        |    SELECT vs.vec_id, vs.v, c.cent_id AS cell,
@@ -1120,12 +1151,14 @@ object Similarity {
        |      row_number() OVER (PARTITION BY c.cent_id ORDER BY
        |        ${cosSql("c.cv", "s.sv")} DESC, s.super_id ASC) AS srn
        |    FROM $cLast c, sup s) t WHERE srn = 1),
+       |occ AS (SELECT DISTINCT sp.super_id, sp.sv
+       |        FROM sup sp JOIN cs ON cs.sup = sp.super_id),
        |vsup AS (
        |  SELECT vec_id, v, super_id AS vsup FROM (
        |    SELECT e.vec_id, e.v, s.super_id,
        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
        |        ${cosSql("e.v", "s.sv")} DESC, s.super_id ASC) AS srn
-       |    FROM e, sup s) t WHERE srn = 1),
+       |    FROM e, occ s) t WHERE srn = 1),
        |assigned AS (
        |  SELECT vec_id, v, cell FROM (
        |    SELECT vs.vec_id, vs.v, c.cent_id AS cell,

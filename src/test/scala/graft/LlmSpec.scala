@@ -807,6 +807,25 @@ class LlmSpec extends AnyFunSuite {
       s"clustered rep agreement $agree/${rf.size} below 0.8 — two-hop routing broke")
   }
 
+  test("two-hop assignment conserves every store vector under duplicate/parallel supers") {
+    import spark.implicits._
+    // ADVICE r16: a super whose parallel twin absorbed every centroid
+    // must not vanish its vectors — the occupied-super restriction
+    // reroutes instead of dropping. Hand-built degenerate geometry:
+    // super 1 is parallel to super 0 (same direction, 3x length) and
+    // attracted ZERO centroids; every store vector must still land.
+    val store = (0L until 40L)
+      .map(i => (i, Seq(math.cos(i * 0.1), math.sin(i * 0.1))))
+      .toDF("vec_id", "v")
+    val supers = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(3.0, 0.0)))
+      .toDF("super_id", "sv")
+    val centSup = Seq((0L, Seq(1.0, 0.0), 0L), (2L, Seq(0.0, 1.0), 0L))
+      .toDF("cent_id", "cv0", "sup")
+    val out = llm.Similarity.twoHopAssign(store, centSup, supers)
+    assert(out.count() == 40, "every store vector must survive the two-hop join")
+    assert(out.select("vec_id").distinct().count() == 40)
+  }
+
   test("q259 int-symbol BPE ≡ char-form BPE on rounds 1-8; int form runs past the char cap") {
     import spark.implicits._
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
