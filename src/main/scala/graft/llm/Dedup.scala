@@ -1272,6 +1272,42 @@ object Dedup {
       |FROM f LEFT JOIN best b ON b.doc_id = f.doc_id
       |ORDER BY f.doc_id""".stripMargin
 
+  /** q260: the production CC composite on the LIVE (growing) corpus —
+    * salted banding → Jaccard verify → two-star CC over ALL documents
+    * of `dir` (VERDICT r16 item 3: q252 is deliberately uncapped and
+    * q255's flood corpus is fixed-size, so the composite a 100 TB run
+    * executes had no measured curve on a corpus that GROWS with the
+    * scale factor; this registration is what ScalingStudy times at
+    * 1×/10×/100× — the decade row lives in PERF.md §q260). Same
+    * maxWidth=4 salting as q255 so hot buckets genuinely decompose at
+    * every scale. The oracle replays the UNCAPPED banding + verify +
+    * recursive closure over the same corpus, so the hash gate ALSO
+    * proves the salted decomposition lossless on NATURAL corpus skew
+    * (q255 proved it on the constructed flood). */
+  def q260CcSaltedLive(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh = toks(s, dir)
+      .select($"doc_id", shingles($"toks").as("sh"))
+      .persist() // signature pass + verify sides; swept per-query
+    val banded = md5Bands(sh).persist() // widths + both salted-join sides
+    val pairs = verifyJaccard(saltedPairs(banded, maxWidth = 4), sh, 0.5)
+    val nodes = Tables.documents(s, dir).select($"doc_id")
+    twoStarComponents(nodes,
+        pairs.select($"id1".as("src"), $"id2".as("dst")))
+      .orderBy($"doc_id")
+  }
+
+  /** q260 oracle: the shared banding/verify/closure, full corpus. */
+  val q260Sql: String =
+    s"""WITH RECURSIVE t AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS toks
+      |  FROM documents),
+      |$ccBandClosureCtes
+      |SELECT doc.doc_id,
+      |       least(doc.doc_id, coalesce(b.mn, doc.doc_id)) AS cluster
+      |FROM documents doc LEFT JOIN best b ON b.doc_id = doc.doc_id
+      |ORDER BY doc.doc_id""".stripMargin
+
   /** q122: incremental dedup — the PRODUCTION shape of exact dedup at
     * 100 TB: a new ingest batch (doc_id ≥ 250 here) is deduped against
     * the historical fingerprint STORE (doc_id < 250) and within itself,
@@ -2087,6 +2123,7 @@ object Dedup {
     "q247_span_removal_hashed" -> (q247SpanRemovalHashed _),
     "q252_cc_banded" -> (q252CcBanded _),
     "q255_cc_salted" -> (q255CcSalted _),
+    "q260_cc_salted_live" -> (q260CcSaltedLive _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -2129,5 +2166,6 @@ object Dedup {
     "q247_span_removal_hashed" -> q247Sql,
     "q252_cc_banded" -> q252Sql,
     "q255_cc_salted" -> q255Sql,
+    "q260_cc_salted_live" -> q260Sql,
   )
 }

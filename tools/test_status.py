@@ -292,9 +292,32 @@ def main():
     assert load_bench_box(new_p) == {}
     os.unlink(ref_p); os.unlink(new_p)
 
+    # --- STATUS.md freshness pin (VERDICT r16 item 6) -----------------
+    # The committed STATUS.md must never describe a superseded bench
+    # record: the bench source named on its Sources line must be from
+    # the round of the newest BENCH_full_r*.json or later (tails of the
+    # same/newer round are fine — gen prefers fulls within a round).
+    # Bench regenerates STATUS.md in the canonical stamp flow, so this
+    # only fails when a stamp bypassed the flow.
+    import glob, re as _re
+    root = os.path.dirname(HERE)
+    fulls = sorted(glob.glob(os.path.join(root, "BENCH_full_r*.json")))
+    status_path = os.path.join(root, "STATUS.md")
+    if fulls and os.path.exists(status_path):
+        newest_round = max(int(_re.search(r"_r(\d+)\.json$", f).group(1))
+                           for f in fulls)
+        st = open(status_path).read()
+        m = _re.search(r"bench=`BENCH(?:_full)?_r(\d+)\.json`", st)
+        assert m, f"STATUS.md Sources line names no round-stamped bench: {st[:200]}"
+        assert int(m.group(1)) >= newest_round, (
+            f"STATUS.md was generated from round {m.group(1)} but "
+            f"BENCH_full_r{newest_round:02d}.json exists — regenerate "
+            f"(tools/status.py gen runs in Bench's stamp flow)")
+
     print("test_status: OK (spread advisory fires once, suppressions hold; "
           "burst window named from rep provenance + truncation guard; "
-          "reps field round-trips; box drift adjudicated from probes)")
+          "reps field round-trips; box drift adjudicated from probes; "
+          "STATUS.md bench source is not superseded)")
 
 
 if __name__ == "__main__":
