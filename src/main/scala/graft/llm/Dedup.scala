@@ -1160,7 +1160,13 @@ object Dedup {
       .filter($"doc_id" % 2 === 0)
       .select($"doc_id", shingles($"toks").as("sh"))
       .persist() // signature pass + both verify sides; swept per-query
-    val pairs = verifyJaccard(md5Candidates(sh), sh, 0.5)
+    // feed instrumentation (VERDICT r16 item 3): candidate and verified
+    // pair counts ride the pass as observe metrics, so decade rows can
+    // state runtime-vs-CANDIDATES, measured — not argued from stages
+    val pairs = verifyJaccard(
+        md5Candidates(sh).observe("graft_cc_candidates",
+          count(lit(1)).as("candidates")), sh, 0.5)
+      .observe("graft_cc_feed_pairs", count(lit(1)).as("verified_pairs"))
     val nodes = Tables.documents(s, dir)
       .filter($"doc_id" % 2 === 0).select($"doc_id")
     twoStarComponents(nodes,
@@ -1290,7 +1296,11 @@ object Dedup {
       .select($"doc_id", shingles($"toks").as("sh"))
       .persist() // signature pass + verify sides; swept per-query
     val banded = md5Bands(sh).persist() // widths + both salted-join sides
-    val pairs = verifyJaccard(saltedPairs(banded, maxWidth = 4), sh, 0.5)
+    // same feed instrumentation as q252 — the decade rows' denominator
+    val pairs = verifyJaccard(
+        saltedPairs(banded, maxWidth = 4).observe("graft_cc_candidates",
+          count(lit(1)).as("candidates")), sh, 0.5)
+      .observe("graft_cc_feed_pairs", count(lit(1)).as("verified_pairs"))
     val nodes = Tables.documents(s, dir).select($"doc_id")
     twoStarComponents(nodes,
         pairs.select($"id1".as("src"), $"id2".as("dst")))

@@ -678,14 +678,18 @@ object Multimodal {
       .toDF("media_id", "v0", "v1", "v2", "v3")
   }
 
-  /** Chunk-exploded signatures with the over-wide buckets dropped —
-    * q109's band/cap stage on the perceptual signature table. */
+  /** Chunk-exploded signatures with the over-wide buckets dropped AND
+    * counted (`graft_media_band_drops` — the no-silent-caps rule now
+    * holds on the batch media band stages too, r17; previously only
+    * the ingest sides counted): q109's band/cap stage on the
+    * perceptual signature table, shared by q241/q249/q257. */
   private def phashChunked(sigs: DataFrame): DataFrame = {
     val s = sigs.sparkSession
     import s.implicits._
-    capChunks(sigs.withColumn("cc", explode(array((0 until 4).map(c =>
+    capChunksCounted(sigs.withColumn("cc", explode(array((0 until 4).map(c =>
         struct(lit(c).as("c"), col(s"v$c").as("v"))): _*)))
-      .select($"media_id", $"v0", $"v1", $"v2", $"v3", $"cc.c", $"cc.v"))
+      .select($"media_id", $"v0", $"v1", $"v2", $"v3", $"cc.c", $"cc.v"),
+      "graft_media_band_drops")
   }
 
   /** The over-wide-bucket skew cap on a chunk table carrying (c, v)
