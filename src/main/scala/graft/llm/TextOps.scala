@@ -1388,21 +1388,83 @@ object TextOps {
     * verified against the same pair/argmax/total arithmetic. */
   def q259BpeTrain16(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    mergeCache16.getOrElseUpdate(s, dir,
-        bpeTrainMergesInt(Tables.documents(s, dir), k = 16))
+    cachedInt16(s, dir)._1
       .zipWithIndex.map { case ((_, _, cnt, ls, rs, m, syms), j) =>
         (j + 1, ls, rs, m, cnt, syms)
       }.toDF("round", "left_sym", "right_sym", "merged", "pair_count", "corpus_syms")
       .orderBy($"round")
   }
 
-  /** Cross-query memo of the k=16 int-form merge table per
-    * (session, dir) — the mergeCache discipline: a tokenizer trains
-    * once per corpus; bench reps read the artifact and the training
-    * seconds land on the memo ledger in warmup. */
+  /** Cross-query memo of the k=16 int-form training artifacts per
+    * (session, dir) — the mergeCache discipline, now holding BOTH
+    * outputs of one training run: the 16-row merge table (q259 grades
+    * it) and the PINNED encoded vocabulary (q261 joins it). A
+    * race-losing build frees its vocabulary blocks via onDiscard. */
   private val mergeCache16 =
-    new graft.SessionCache[Vector[(Int, Int, Long, String, String, String, Long)]](
-      label = "bpe_merges16")
+    new graft.SessionCache[(Vector[(Int, Int, Long, String, String, String, Long)],
+      DataFrame)](onDiscard = v => graft.Ckpt.free(v._2), label = "bpe_merges16")
+
+  private def cachedInt16(s: SparkSession, dir: String)
+      : (Vector[(Int, Int, Long, String, String, String, Long)], DataFrame) =
+    mergeCache16.getOrElseUpdate(s, dir, {
+      val (m, vocab) = bpeTrainIntWithVocab(Tables.documents(s, dir), k = 16)
+      val pinnedVocab = graft.Ckpt.pinned(vocab) // survives per-query sweeps
+      graft.Ckpt.free(vocab)
+      (m, pinnedVocab)
+    })
+
+  /** q261: the k=16 ENCODE pass as a VOCABULARY JOIN — q256 closed the
+    * char-form loop by re-applying the 8 merges to every source word;
+    * at k=16 the training artifact already contains something better:
+    * the final word table IS the encoded vocabulary (every distinct
+    * corpus word with its fully-merged symbol sequence — the loop
+    * rewrites it every round anyway), so the encode pass is one
+    * dictionary join, no re-apply, no 16-deep expression. That is how
+    * a production tokenizer encodes known words at 100 TB: the
+    * per-source pass shuffles (source, w, wc) once and joins the
+    * |vocab|-row dictionary — work ∝ corpus tokenize + vocab, with no
+    * per-merge term at all. Exact integer accounting per source
+    * (q256's columns: tokens, chars before, symbols after, saved ppm).
+    * Oracle: the shared 16-round generator's final word table joined
+    * the same way. LlmSpec pins Σ syms_after == q259's round-16
+    * corpus_syms AND k=16 ≤ k=8 per source (more merges never hurt —
+    * each merge only shrinks symbol sequences). */
+  def q261BpeEncode16(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val enc = cachedInt16(s, dir)._2.select($"w", size($"syms").as("ns"))
+    Tables.documents(s, dir)
+      .select($"source", explode(tokens($"text")).as("w"))
+      .groupBy($"source", $"w").agg(count(lit(1)).as("wc"))
+      .join(enc, Seq("w"))
+      .select($"source", $"wc", length($"w").as("nc"), $"ns")
+      .groupBy($"source")
+      .agg(sum($"wc").as("n_tokens"),
+        sum($"wc" * $"nc").as("chars_before"),
+        sum($"wc" * $"ns").as("syms_after"))
+      .select($"source", $"n_tokens", $"chars_before", $"syms_after",
+        expr("CAST(((chars_before - syms_after) * 1000000) div chars_before AS BIGINT)")
+          .as("saved_ppm"))
+      .orderBy($"source")
+  }
+
+  val q261Sql: String = {
+    s"""WITH ${bpeIntRoundCtes(16)}
+       |srcw AS (
+       |  SELECT source, tok AS w, count(*) AS wc FROM (
+       |    SELECT source, unnest(regexp_extract_all(lower(text), '\\S+')) AS tok
+       |    FROM documents) t
+       |  GROUP BY source, tok),
+       |enc AS (
+       |  SELECT s.source, s.wc, len(s.w) AS nc, len(v.syms) AS ns
+       |  FROM srcw s JOIN w16 v USING (w))
+       |SELECT source,
+       |  CAST(sum(wc) AS BIGINT) AS n_tokens,
+       |  CAST(sum(wc * nc) AS BIGINT) AS chars_before,
+       |  CAST(sum(wc * ns) AS BIGINT) AS syms_after,
+       |  CAST((sum(wc * nc) - sum(wc * ns)) * 1000000 // sum(wc * nc) AS BIGINT)
+       |    AS saved_ppm
+       |FROM enc GROUP BY source ORDER BY source""".stripMargin
+  }
 
   /** The int-form loop on an arbitrary (doc_id, text) frame, formatted
     * to q251's output schema (real-string symbols). */
@@ -1423,16 +1485,33 @@ object TextOps {
     * char form's own domain. */
   private[graft] def bpeTrainMergesInt(docs: DataFrame, k: Int)
       : Vector[(Int, Int, Long, String, String, String, Long)] = {
+    val (m, vocab) = bpeTrainIntWithVocab(docs, k)
+    graft.Ckpt.free(vocab)
+    m
+  }
+
+  /** [[bpeTrainMergesInt]] ALSO returning the trained ENCODED
+    * VOCABULARY — the final word table (w, syms, wc): each distinct
+    * corpus word with its fully-merged symbol sequence. The vocabulary
+    * is the training's natural by-product (the loop rewrites it every
+    * round anyway; carrying the word string costs one passthrough
+    * column), and it is what makes the ENCODE pass a dictionary JOIN
+    * instead of a re-apply — q261. Returned as the loop's last eager
+    * localCheckpoint; the caller owns its blocks (free or pin). */
+  private[graft] def bpeTrainIntWithVocab(docs: DataFrame, k: Int)
+      : (Vector[(Int, Int, Long, String, String, String, Long)],
+         DataFrame) = {
     val s = docs.sparkSession
     import s.implicits._
     require(k >= 1, s"k=$k")
     var words = docs
       .select(explode(tokens($"text")).as("w"))
       .groupBy($"w").agg(count(lit(1)).as("wc"))
-      .select(transform(sequence(lit(1), length($"w")),
+      .select($"w", transform(sequence(lit(1), length($"w")),
         i => ascii($"w".substr(i, lit(1)))).as("syms"), $"wc")
       .persist()
     var merges = Vector.empty[(Int, Int, Long, String, String, String, Long)]
+    var done = false
     def strOf(sym: Int): String =
       if (sym >= BpeSymBase) merges(sym - BpeSymBase - 1)._6
       else new String(Character.toChars(sym))
@@ -1477,7 +1556,7 @@ object TextOps {
         // rotation discipline); Ckpt.free drops the superseded round's
         // blocks immediately.
         val next = words
-          .select(aggregate($"syms", lit(Array.empty[Int]),
+          .select($"w", aggregate($"syms", lit(Array.empty[Int]),
             (acc, x) => when(size(acc) > 0 &&
                 try_element_at(acc, lit(-1)) === lit(l) && x === lit(r),
               concat(slice(acc, lit(1), size(acc) - 1), array(lit(mid))))
@@ -1493,8 +1572,9 @@ object TextOps {
         words = next
         merges :+= ((l, r, cnt, strOf(l), strOf(r), mstr, syms))
       }
-    } finally { graft.Ckpt.free(words); words.unpersist() }
-    merges
+      done = true
+    } finally if (!done) { graft.Ckpt.free(words); words.unpersist() }
+    (merges, words)
   }
 
   /** SQL side of the int form's real-string translation at round t. */
@@ -1523,16 +1603,17 @@ object TextOps {
          |    ${BpeSymBase + t} AS mid
          |  FROM g$t ORDER BY cnt DESC, ls ASC, rs ASC LIMIT 1),
          |w$t AS MATERIALIZED (
-         |  SELECT list_reduce(
-         |    list_transform(w.syms, x -> [x]),
+         |  SELECT wt.w, list_reduce(
+         |    list_transform(wt.syms, x -> [x]),
          |    (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = b$t.l AND x[1] = b$t.r
          |                THEN list_append(acc[:len(acc) - 1], b$t.mid)
          |                ELSE list_append(acc, x[1]) END) AS syms, wc
-         |  FROM w${t - 1} w, b$t),
+         |  FROM w${t - 1} wt, b$t),
          |s$t AS (SELECT CAST(sum(wc * len(syms)) AS BIGINT) AS syms FROM w$t),""".stripMargin
     }.mkString("\n")
     raw"""w0 AS MATERIALIZED (
-       |  SELECT [unicode(tok[i]) FOR i IN generate_series(1, len(tok))] AS syms,
+       |  SELECT tok AS w,
+       |    [unicode(tok[i]) FOR i IN generate_series(1, len(tok))] AS syms,
        |    count(*) AS wc
        |  FROM (SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS tok
        |        FROM documents) t
@@ -2219,6 +2300,7 @@ object TextOps {
     "q248_memorization_hashed" -> (q248MemorizationHashed _),
     "q258_decontam_scan" -> (q258DecontamScan _),
     "q259_bpe_train16" -> (q259BpeTrain16 _),
+    "q261_bpe_encode16" -> (q261BpeEncode16 _),
     "q251_bpe_train" -> (q251BpeTrain _),
     "q256_bpe_encode8" -> (q256BpeEncode8 _),
   )
@@ -2256,6 +2338,7 @@ object TextOps {
     "q248_memorization_hashed" -> q248Sql,
     "q258_decontam_scan" -> q258Sql,
     "q259_bpe_train16" -> q259Sql,
+    "q261_bpe_encode16" -> q261Sql,
     "q251_bpe_train" -> q251Sql,
     "q256_bpe_encode8" -> q256Sql,
   )

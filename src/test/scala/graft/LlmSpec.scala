@@ -862,6 +862,27 @@ class LlmSpec extends AnyFunSuite {
     val minted = live16.map(_._4).toSet
     assert(live16.drop(1).exists(r => minted.contains(r._2) || minted.contains(r._3)),
       "no merge past round 1 consumed a minted symbol — chaining broke")
+    // q261 encode conservation at k=16: the vocabulary-join encode of
+    // the SAME training run must sum to round 16's global symbol
+    // total, and 16 merges never compress WORSE than 8 (each merge
+    // only shrinks symbol sequences) — pinned per source against q256
+    val enc16 = llm.TextOps.q261BpeEncode16(spark, SparkTestSession.sf).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("chars_before"),
+          r.getAs[Long]("syms_after"))).toMap
+    assert(enc16.values.map(_._3).sum == syms.last,
+      "per-source syms_after must sum to q259's round-16 corpus_syms")
+    val enc8 = llm.TextOps.q256BpeEncode8(spark, SparkTestSession.sf).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("chars_before"),
+          r.getAs[Long]("syms_after"))).toMap
+    assert(enc16.keySet == enc8.keySet)
+    enc16.foreach { case (src, (nt16, cb16, sa16)) =>
+      val (nt8, cb8, sa8) = enc8(src)
+      assert(nt16 == nt8 && cb16 == cb8,
+        s"$src: token/char accounting must agree across k (same corpus)")
+      assert(sa16 <= sa8, s"$src: k=16 must not compress worse than k=8")
+    }
   }
 
   test("q251 BPE k-round training: merge chaining, monotonicity, compression accounting") {
