@@ -630,7 +630,10 @@ object Multimodal {
         identity): DataFrame = {
     val s = sigs.sparkSession
     import s.implicits._
-    val chunked = phashChunked(sigs)
+    // persisted: BOTH band-join sides scan it, and since r17 it carries
+    // the widths pre-aggregate + broadcast (counting its drops) — one
+    // evaluation, not two (swept per-query like the caller's sigs)
+    val chunked = phashChunked(sigs).persist()
     val a = chunked.select($"media_id".as("id1"), $"v0".as("x0"), $"v1".as("x1"),
       $"v2".as("x2"), $"v3".as("x3"), $"c", $"v")
     val b = chunked.select($"media_id".as("id2"), $"v0".as("y0"), $"v1".as("y1"),
@@ -682,14 +685,29 @@ object Multimodal {
     * counted (`graft_media_band_drops` — the no-silent-caps rule now
     * holds on the batch media band stages too, r17; previously only
     * the ingest sides counted): q109's band/cap stage on the
-    * perceptual signature table, shared by q241/q249/q257. */
+    * perceptual signature table, shared by q241/q249/q257. Widths come
+    * from a GROUP BY pre-aggregate broadcast back to the chunk table —
+    * one row per (c, v) bucket (≤ 4·65536), map-side partial, no
+    * window sort at all (the first counted form rode a row_number
+    * window and cost q241 2.4× at the r17 gate; this is cheaper than
+    * even the original count-window cap), with the drop metrics
+    * observed directly on the per-bucket width rows. */
   private def phashChunked(sigs: DataFrame): DataFrame = {
     val s = sigs.sparkSession
     import s.implicits._
-    capChunksCounted(sigs.withColumn("cc", explode(array((0 until 4).map(c =>
+    DropMetrics.ensureListener(s)
+    val max = Dedup.MaxBucketWidth
+    val chunks = sigs.withColumn("cc", explode(array((0 until 4).map(c =>
         struct(lit(c).as("c"), col(s"v$c").as("v"))): _*)))
-      .select($"media_id", $"v0", $"v1", $"v2", $"v3", $"cc.c", $"cc.v"),
-      "graft_media_band_drops")
+      .select($"media_id", $"v0", $"v1", $"v2", $"v3", $"cc.c", $"cc.v")
+    val widths = chunks.groupBy($"c", $"v").agg(count(lit(1)).as("w"))
+      .observe("graft_media_band_drops",
+        sum(when($"w" > max, 1L).otherwise(0L)).as("dropped_buckets"),
+        sum(when($"w" > max, $"w").otherwise(0L)).as("dropped_rows"),
+        shiftright(sum(when($"w" > max, $"w" * ($"w" - 1L)).otherwise(0L)), 1)
+          .as("dropped_pairs"))
+    chunks.join(broadcast(widths.filter($"w" <= max).select($"c", $"v")),
+      Seq("c", "v"))
   }
 
   /** The over-wide-bucket skew cap on a chunk table carrying (c, v)
@@ -746,7 +764,7 @@ object Multimodal {
         identity): DataFrame = {
     val s = sigs.sparkSession
     import s.implicits._
-    val chunked = phashChunked(sigs)
+    val chunked = phashChunked(sigs).persist() // both join sides, as above
     val a = chunked.select($"media_id".as("id1"), $"v0".as("x0"), $"v1".as("x1"),
       $"v2".as("x2"), $"v3".as("x3"), $"c", $"v")
     val b = chunked.select($"media_id".as("id2"), $"v0".as("y0"), $"v1".as("y1"),

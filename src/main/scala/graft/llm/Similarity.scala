@@ -442,8 +442,14 @@ object Similarity {
                   lloydIters: Int = 2, nsupers: Int = 2): DataFrame = {
     val s = e.sparkSession
     import s.implicits._
-    // seed + sampled-Lloyd refine: the SAME build as q66's
-    val cents = sampledLloydCents(e, strideMod, lloydIters)
+    // seed + sampled-Lloyd refine: the SAME build as q66's. Eagerly
+    // checkpointed (K ≈ √N rows — trivial blocks, swept per query):
+    // five consumers read it (supers rank, centroid→super, the
+    // occupied-set collect, vector assignment, query probes), and
+    // without truncation each re-runs the whole Lloyd chain — the r17
+    // occupied-supers guard made that visible by adding a consumer
+    // (gate flag 2.46→3.9 s; with the checkpoint the guard is free).
+    val cents = sampledLloydCents(e, strideMod, lloydIters).localCheckpoint(true)
     // coarse quantizer: G = max(1, ⌊√K⌋) supers = every ⌈K/G⌉-th
     // centroid in cent_id rank order — rank arithmetic over a window
     // count, no driver action, restates verbatim in SQL
@@ -461,10 +467,13 @@ object Similarity {
     // data-side assignment routes only to OCCUPIED supers, so the
     // within-super join can never drop a vector (ADVICE r16 — see
     // twoHopAssign; query probes stay unrestricted: an empty probe
-    // lane is reduced probing, not data loss)
-    val occSupers = supers.join(
-      centSup.select($"sup").distinct(), $"super_id" === $"sup")
-      .select($"super_id", $"sv")
+    // lane is reduced probing, not data loss). The occupied set is
+    // ≤ G ≈ √K ids — driver-resident model state (one tiny collect),
+    // so the N-row nearestN still broadcasts a simple filtered leaf
+    // instead of serializing behind a join-result broadcast (measured
+    // +1.5 s at sf0.1 in the join form, r17 gate flag).
+    val occSupers = supers.filter($"super_id".isin(
+      centSup.select($"sup").distinct().as[Long].collect().toSeq: _*))
     val vecSup = nearestN(occSupers, "super_id", "sv")(
       e, "vec_id", "v", 1, "vsup").drop("vsup_rn")
     def cellsWithin(df: DataFrame, supCol: String, n: Int): DataFrame = {
@@ -695,7 +704,9 @@ object Similarity {
   def semIndexFrom2(store: DataFrame, lloydIters: Int): DataFrame = {
     val s = store.sparkSession
     import s.implicits._
-    val cents = sampledLloydCents(store, 31, lloydIters)
+    // eager checkpoint for the same multi-consumer reason as
+    // annIvf2From (supers, centSup, occupied-set collect, rep join)
+    val cents = sampledLloydCents(store, 31, lloydIters).localCheckpoint(true)
     val ranked = cents
       .withColumn("rn", row_number().over(Window.orderBy($"cent_id")))
       .withColumn("kk", count(lit(1)).over(Window.partitionBy(lit(1))))
@@ -731,9 +742,10 @@ object Similarity {
       supers: DataFrame): DataFrame = {
     val s = store.sparkSession
     import s.implicits._
-    val occSupers = supers.join(
-      centSup.select($"sup").distinct(), $"super_id" === $"sup")
-      .select($"super_id", $"sv")
+    // occupied set as driver-resident model state (≤ G ≈ √K ids, one
+    // tiny collect) — see annIvf2From's note on the join-form cost
+    val occSupers = supers.filter($"super_id".isin(
+      centSup.select($"sup").distinct().as[Long].collect().toSeq: _*))
     val vecSup = nearestN(occSupers, "super_id", "sv")(
       store, "vec_id", "v", 1, "vsup").drop("vsup_rn")
     val joined = vecSup
