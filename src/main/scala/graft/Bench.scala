@@ -345,7 +345,17 @@ object Bench {
       try {
         val p = new ProcessBuilder("python3", "tools/status.py", "gen")
           .directory(new java.io.File(cwd)).inheritIO().start()
-        p.waitFor()
+        // bounded wait + exit-code check (ADVICE r17): a hung python
+        // must not block the stamp forever, and a FAILING gen must
+        // leave a BENCH WARN next to the stale STATUS.md — the catch
+        // below only covers start() itself throwing
+        if (!p.waitFor(120, java.util.concurrent.TimeUnit.SECONDS)) {
+          p.destroyForcibly()
+          System.err.println(
+            "BENCH WARN: status.py gen timed out after 120s — STATUS.md may be stale")
+        } else if (p.exitValue() != 0)
+          System.err.println(
+            s"BENCH WARN: status.py gen exited ${p.exitValue()} — STATUS.md may be stale")
       } catch { case t: Throwable =>
         System.err.println(s"BENCH WARN: status.py gen failed: ${t.getMessage}")
       }

@@ -388,18 +388,30 @@ object MediaCodec {
       fail("bad magic (want YUV4MPEG2)")
     var i = magic.length
     var w = -1; var h = -1; var fn = 1; var fd = 1; var cs = "420"
+    // every malformed-stream shape must exit through fail()'s precise
+    // IllegalArgumentException — the quarantine contract (ADVICE r17):
+    // a raw ArrayIndexOutOfBounds / NumberFormatException here would
+    // escape the callers' quarantine filters as an engine crash
+    def num(tag: Char, v: String): Int =
+      try v.toInt
+      catch { case _: NumberFormatException =>
+        fail(s"non-numeric $tag parameter '$v'") }
     // stream-header parameters: space-separated, tag letter + value
     while (i < bytes.length && bytes(i) != '\n') {
       if (bytes(i) != ' ') fail("malformed header (want space before parameter)")
       i += 1
+      if (i >= bytes.length) fail("unterminated stream header")
       val tag = bytes(i).toChar
       val start = i + 1
       while (i < bytes.length && bytes(i) != ' ' && bytes(i) != '\n') i += 1
       val v = new String(bytes, start, i - start, US_ASCII)
       tag match {
-        case 'W' => w = v.toInt
-        case 'H' => h = v.toInt
-        case 'F' => val p = v.split(':'); fn = p(0).toInt; fd = p(1).toInt
+        case 'W' => w = num(tag, v)
+        case 'H' => h = num(tag, v)
+        case 'F' =>
+          val p = v.split(':')
+          if (p.length != 2) fail(s"malformed F parameter '$v' (want num:den)")
+          fn = num(tag, p(0)); fd = num(tag, p(1))
         case 'C' => cs = v
         case _   => // I (interlacing), A (aspect), X (extension) — skip
       }
@@ -407,6 +419,11 @@ object MediaCodec {
     if (i >= bytes.length) fail("unterminated stream header")
     i += 1 // the header '\n'
     if (w <= 0 || h <= 0) fail(s"missing or bad dimensions ${w}x$h")
+    // plane size in Long: a huge declared W*H must not overflow Int and
+    // sneak past the truncation check below as a small positive number
+    val plane = w.toLong * h
+    if (plane > Int.MaxValue)
+      fail(s"implausible dimensions ${w}x$h (plane $plane bytes)")
     if (cs != "mono") fail(s"colorspace C$cs unsupported, want Cmono")
     val marker = "FRAME".getBytes(US_ASCII)
     val frames = Array.newBuilder[Array[Byte]]
@@ -419,10 +436,10 @@ object MediaCodec {
       while (i < bytes.length && bytes(i) != '\n') i += 1 // frame parameters
       if (i >= bytes.length) fail("unterminated FRAME marker line")
       i += 1
-      if (bytes.length - i < w * h)
-        fail(s"truncated frame plane: need ${w * h}, have ${bytes.length - i}")
-      frames += java.util.Arrays.copyOfRange(bytes, i, i + w * h)
-      i += w * h
+      if (bytes.length - i < plane)
+        fail(s"truncated frame plane: need $plane, have ${bytes.length - i}")
+      frames += java.util.Arrays.copyOfRange(bytes, i, i + plane.toInt)
+      i += plane.toInt
     }
     Y4m(w, h, fn, fd, frames.result())
   }

@@ -854,10 +854,21 @@ object Multimodal {
     * Deterministic text-byte payloads keep q257 DIRECTLY hash-graded
     * (q52's discipline): the oracle rebuilds frame slices without
     * hex-decoding containers. */
-  def videoTable(s: SparkSession, dir: String): Dataset[MediaRow] = {
+  def videoTable(s: SparkSession, dir: String): Dataset[MediaRow] =
+    videoTableFrom(Tables.documents(s, dir))
+
+  /** [[videoTable]] on an arbitrary (doc_id, text) frame. The payload
+    * slicing is BYTE-wise while the q257/q263 oracles slice CHARACTERS
+    * (`substr`/`ascii`) and derive the frame count from
+    * `length(text)` — identical only on ASCII text, so the assumption
+    * is ENFORCED at encode time (ADVICE r17): a corpus change that
+    * introduces non-ASCII text fails loudly here instead of failing
+    * the hash grade mysteriously. */
+  private[graft] def videoTableFrom(docs: DataFrame): Dataset[MediaRow] = {
+    val s = docs.sparkSession
     import s.implicits._
     val W = 64
-    Tables.documents(s, dir)
+    docs
       .select($"doc_id", $"text")
       .as[(Long, String)]
       .flatMap { case (id, text) =>
@@ -866,6 +877,11 @@ object Multimodal {
           val bytes =
             if (text == null) Array.emptyByteArray
             else text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          if (text != null && bytes.length != text.length)
+            throw new IllegalArgumentException(
+              s"videoTable: non-ASCII document text (doc_id=$id): " +
+                s"${bytes.length} UTF-8 bytes != ${text.length} chars — " +
+                "the oracle slices characters, the engine slices bytes")
           val nf = bytes.length / W
           if (nf == 0) None
           else {

@@ -472,8 +472,14 @@ object Similarity {
     // so the N-row nearestN still broadcasts a simple filtered leaf
     // instead of serializing behind a join-result broadcast (measured
     // +1.5 s at sf0.1 in the join form, r17 gate flag).
-    val occSupers = supers.filter($"super_id".isin(
-      centSup.select($"sup").distinct().as[Long].collect().toSeq: _*))
+    val occ2h = centSup.select($"sup").distinct().as[Long].collect().toSeq
+    // same degenerate-input guard as twoHopAssign (ADVICE r17): an
+    // empty occupied set may only route an empty data side
+    if (occ2h.isEmpty && !e.isEmpty)
+      throw new IllegalStateException(
+        "annIvf2From: empty centroid build against a non-empty corpus — " +
+          "refusing to silently drop every vector from the assignment")
+    val occSupers = supers.filter($"super_id".isin(occ2h: _*))
     val vecSup = nearestN(occSupers, "super_id", "sv")(
       e, "vec_id", "v", 1, "vsup").drop("vsup_rn")
     def cellsWithin(df: DataFrame, supCol: String, n: Int): DataFrame = {
@@ -744,8 +750,16 @@ object Similarity {
     import s.implicits._
     // occupied set as driver-resident model state (≤ G ≈ √K ids, one
     // tiny collect) — see annIvf2From's note on the join-form cost
-    val occSupers = supers.filter($"super_id".isin(
-      centSup.select($"sup").distinct().as[Long].collect().toSeq: _*))
+    val occ = centSup.select($"sup").distinct().as[Long].collect().toSeq
+    // ADVICE r17: an EMPTY occupied set (empty centroid build) would
+    // turn isin() into drop-everything — the exact silent-vector-loss
+    // failure this restriction exists to prevent, in the degenerate
+    // case. Legal only when there is nothing to assign.
+    if (occ.isEmpty && !store.isEmpty)
+      throw new IllegalStateException(
+        "twoHopAssign: empty centroid build against a non-empty store — " +
+          "refusing to silently drop every vector from the assignment")
+    val occSupers = supers.filter($"super_id".isin(occ: _*))
     val vecSup = nearestN(occSupers, "super_id", "sv")(
       store, "vec_id", "v", 1, "vsup").drop("vsup_rn")
     val joined = vecSup

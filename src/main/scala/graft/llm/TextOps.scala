@@ -1466,6 +1466,108 @@ object TextOps {
        |FROM enc GROUP BY source ORDER BY source""".stripMargin
   }
 
+  /** q262: OOV ENCODE for the int-form tokenizer (VERDICT r17 item 1)
+    * — the first thing a user of q259/q261 hits: the first novel
+    * document contains words ABSENT from the training vocabulary, and
+    * q261's inner vocabulary join would silently drop them from the
+    * accounting. The corpus's vocabulary is CLOSED (every word appears
+    * in every slice), so the held-out source is DERIVED: the
+    * doc_id % 5 = 0 slice's token stream MIRRORED — each token
+    * contributes itself and its reversal (30 of the 31 corpus words
+    * reverse to novel strings), giving the encode pass a guaranteed
+    * mix of known and OOV mass. The production two-path plan: known
+    * words resolve through the |vocab|-row dictionary join (zero
+    * per-merge cost, q261's shape — the SAME cached k=16 training
+    * run), and OOV words — the LEFT join's null side, never dropped —
+    * fall back to re-applying the 16 merges
+    * ([[BpeApply.applyMergesInt]], the q256 re-apply pattern lifted to
+    * int symbols; pinned ≡ the training fold in LlmSpec). Per-source
+    * exact integer accounting plus the OOV census (distinct OOV words,
+    * OOV token mass) that the silent drop would have zeroed. 100 TB
+    * shape: the vocab join broadcasts model state, the fallback is a
+    * narrow per-row pass over ONLY the OOV slice (per-word work ∝
+    * 16·|word|, no shuffle, no driver action).
+    *
+    * Oracle: the shared full-corpus 16-round generator, then FULL
+    * re-apply of all 16 merges to every mirrored word (no vocab join
+    * at all) — so the hash grade itself proves vocab-join + fallback ≡
+    * full re-apply on every word of the held-out stream. */
+  def q262BpeEncodeOov(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (merges, vocab) = cachedInt16(s, dir)
+    val mpairs = merges.map(m => (m._1, m._2))
+    val enc = vocab.select($"w", size($"syms").as("ns"))
+    val srcw = Tables.documents(s, dir).filter($"doc_id" % 5 === 0)
+      .select($"source", explode(tokens($"text")).as("w0"))
+      .select($"source", explode(array($"w0", reverse($"w0"))).as("w"))
+      .groupBy($"source", $"w").agg(count(lit(1)).as("wc"))
+    val joined = srcw.join(enc, Seq("w"), "left")
+    val known = joined.filter($"ns".isNotNull)
+      .select($"source", $"w", $"wc", $"ns", lit(false).as("oov"))
+    val oov = joined.filter($"ns".isNull)
+      .select($"source", $"w", $"wc").as[(String, String, Long)]
+      .mapPartitions { it =>
+        it.map { case (src, w, wc) =>
+          (src, w, wc, BpeApply.applyMergesInt(w, mpairs).length, true)
+        }
+      }
+      .toDF("source", "w", "wc", "ns", "oov")
+    known.unionByName(oov)
+      .groupBy($"source")
+      .agg(sum($"wc").as("n_tokens"),
+        sum($"wc" * length($"w")).as("chars_before"),
+        sum($"wc" * $"ns").as("syms_after"),
+        countDistinct(when($"oov", $"w")).as("n_oov_types"),
+        sum(when($"oov", $"wc").otherwise(0L)).as("n_oov_tokens"))
+      .select($"source", $"n_tokens", $"chars_before", $"syms_after",
+        $"n_oov_types", $"n_oov_tokens",
+        expr("CAST(((chars_before - syms_after) * 1000000) div chars_before AS BIGINT)")
+          .as("saved_ppm"))
+      .orderBy($"source")
+  }
+
+  val q262Sql: String = {
+    val K = 16
+    // ho0..ho16: the FULL re-apply chain over every mirrored word —
+    // the same per-round list_reduce fold the training CTEs use,
+    // driven by the shared full-corpus b1..b16 merge rows
+    val hoRounds = (1 to K).map { t =>
+      s"""ho$t AS MATERIALIZED (
+         |  SELECT wt.w, list_reduce(
+         |    list_transform(wt.syms, x -> [x]),
+         |    (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = b$t.l AND x[1] = b$t.r
+         |                THEN list_append(acc[:len(acc) - 1], b$t.mid)
+         |                ELSE list_append(acc, x[1]) END) AS syms
+         |  FROM ho${t - 1} wt, b$t),""".stripMargin
+    }.mkString("\n")
+    raw"""WITH ${bpeIntRoundCtes(K)}
+       |srcw AS MATERIALIZED (
+       |  SELECT source, w, count(*) AS wc FROM (
+       |    SELECT source, unnest([tok, reverse(tok)]) AS w FROM (
+       |      SELECT source, unnest(regexp_extract_all(lower(text), '\S+')) AS tok
+       |      FROM documents WHERE doc_id % 5 = 0) t) t2
+       |  GROUP BY source, w),
+       |ho0 AS MATERIALIZED (
+       |  SELECT w,
+       |    [unicode(w[i]) FOR i IN generate_series(1, len(w))] AS syms
+       |  FROM (SELECT DISTINCT w FROM srcw) t),
+       |$hoRounds
+       |enc AS (
+       |  SELECT s.source, s.w, s.wc, len(s.w) AS nc, len(h.syms) AS ns,
+       |         (v.w IS NULL) AS oov
+       |  FROM srcw s JOIN ho$K h USING (w)
+       |  LEFT JOIN w$K v ON v.w = s.w)
+       |SELECT source,
+       |  CAST(sum(wc) AS BIGINT) AS n_tokens,
+       |  CAST(sum(wc * nc) AS BIGINT) AS chars_before,
+       |  CAST(sum(wc * ns) AS BIGINT) AS syms_after,
+       |  count(DISTINCT CASE WHEN oov THEN w END) AS n_oov_types,
+       |  CAST(sum(CASE WHEN oov THEN wc ELSE 0 END) AS BIGINT) AS n_oov_tokens,
+       |  CAST((sum(wc * nc) - sum(wc * ns)) * 1000000 // sum(wc * nc) AS BIGINT)
+       |    AS saved_ppm
+       |FROM enc GROUP BY source ORDER BY source""".stripMargin
+  }
+
   /** The int-form loop on an arbitrary (doc_id, text) frame, formatted
     * to q251's output schema (real-string symbols). */
   def bpeTrainIntFrom(docs: DataFrame, k: Int): DataFrame = {
@@ -1590,8 +1692,10 @@ object TextOps {
     * table; per round the int pair census, the real-string-ordered
     * LIMIT 1 argmax, the list_reduce apply fold (1-int-list lifting so
     * the accumulator type matches the element type), and the symbol
-    * total. Word tables and argmaxes MATERIALIZED. Trailing comma. */
-  private def bpeIntRoundCtes(K: Int): String = {
+    * total. Word tables and argmaxes MATERIALIZED. Trailing comma.
+    * `where` narrows the TRAINING corpus (q262 trains on a holdout
+    * split) — full " WHERE ..." text, empty = whole corpus. */
+  private def bpeIntRoundCtes(K: Int, where: String = ""): String = {
     val rounds = (1 to K).map { t =>
       s"""i$t AS (SELECT syms, wc, unnest(generate_series(1, len(syms) - 1)) AS i FROM w${t - 1}),
          |g$t AS MATERIALIZED (
@@ -1616,7 +1720,7 @@ object TextOps {
        |    [unicode(tok[i]) FOR i IN generate_series(1, len(tok))] AS syms,
        |    count(*) AS wc
        |  FROM (SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS tok
-       |        FROM documents) t
+       |        FROM documents$where) t
        |  GROUP BY tok),
        |$rounds""".stripMargin
   }
@@ -2301,6 +2405,7 @@ object TextOps {
     "q258_decontam_scan" -> (q258DecontamScan _),
     "q259_bpe_train16" -> (q259BpeTrain16 _),
     "q261_bpe_encode16" -> (q261BpeEncode16 _),
+    "q262_bpe_encode_oov" -> (q262BpeEncodeOov _),
     "q251_bpe_train" -> (q251BpeTrain _),
     "q256_bpe_encode8" -> (q256BpeEncode8 _),
   )
@@ -2339,7 +2444,48 @@ object TextOps {
     "q258_decontam_scan" -> q258Sql,
     "q259_bpe_train16" -> q259Sql,
     "q261_bpe_encode16" -> q261Sql,
+    "q262_bpe_encode_oov" -> q262Sql,
     "q251_bpe_train" -> q251Sql,
     "q256_bpe_encode8" -> q256Sql,
   )
+}
+
+/** The executor-side OOV fallback of the int-form tokenizer (q262) —
+  * a standalone Serializable holder so Spark closures reference it as
+  * static module state instead of capturing [[TextOps]]. */
+private[graft] object BpeApply extends Serializable {
+
+  /** One left-greedy merge pass — the Scala form of the training
+    * loop's `aggregate` fold (leftmost-first; a replacement's minted
+    * id immediately becomes the accumulator tail, so e.g. "aaa" under
+    * (a,a) yields [X, a], exactly like the SQL fold). */
+  private def mergePass(syms: Array[Int], l: Int, r: Int, mid: Int): Array[Int] = {
+    val out = new Array[Int](syms.length)
+    var n = 0
+    var i = 0
+    while (i < syms.length) {
+      if (n > 0 && out(n - 1) == l && syms(i) == r) out(n - 1) = mid
+      else { out(n) = syms(i); n += 1 }
+      i += 1
+    }
+    if (n == syms.length) syms else java.util.Arrays.copyOf(out, n)
+  }
+
+  /** Apply a k-round merge table to ONE word: round t's pass maps
+    * (l_t, r_t) → [[TextOps.BpeSymBase]] + t. Per-word work is
+    * k · |word| with no data movement at all — the production shape of
+    * a tokenizer's unknown-word path. Pinned ≡ the training fold and
+    * ≡ the oracle's full re-apply chain (LlmSpec / the q262 hash
+    * grade). */
+  def applyMergesInt(word: String, merges: Seq[(Int, Int)]): Array[Int] = {
+    var syms = new Array[Int](word.length)
+    var i = 0
+    while (i < word.length) { syms(i) = word.charAt(i).toInt; i += 1 }
+    var t = 0
+    merges.foreach { case (l, r) =>
+      t += 1
+      syms = mergePass(syms, l, r, TextOps.BpeSymBase + t)
+    }
+    syms
+  }
 }

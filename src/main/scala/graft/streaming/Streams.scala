@@ -442,11 +442,21 @@ object Streams {
     *     distinct gram-hash set, BATCH-STATIC broadcast state
     *     (semanticIngest's contract: read once at query start, held
     *     fixed between benchmark-suite updates; MBs against a corpus
-    *     of TBs, so the doc side never shuffles for the join);
-    *  3. per-doc verdict: n_grams, n_hits, contaminated = any hit.
-    *     Docs too short to carry a 13-gram window are CLEAN by
-    *     definition (n_grams = 0) — the ingest gate must not lose
-    *     them;
+    *     of TBs, so the doc side never shuffles for the join). A
+    *     benchmark-suite UPDATE is the q250/q254 handoff (VERDICT r17
+    *     item 3): stop, restart with the new suite against the SAME
+    *     store + checkpoint — the doc_id anti-join keeps the store
+    *     exactly-once across the swap, new docs are judged by the new
+    *     suite, and docs ADMITTED under the old suite are NOT
+    *     re-judged (admission is final by policy; a retroactive
+    *     contamination sweep of the store is q258's batch scan, not
+    *     the ingest path's job) — pinned in StreamingSpec;
+    *  3. per-doc verdict (after an in-batch doc_id dedup — the
+    *     incrementalIngest discipline): n_grams, n_hits,
+    *     n_distinct_hits, a sorted ≤8-hash hit_sample (the q258 audit
+    *     trail riding the store row), contaminated = any hit. Docs too
+    *     short to carry a 13-gram window are CLEAN by definition
+    *     (n_grams = 0) — the ingest gate must not lose them;
     *  4. `mode = "drop"` gates contaminated docs out of the store;
     *     `mode = "flag"` appends everything WITH the verdict columns —
     *     the audit-trail variant (quarantine-not-degradation, but for
@@ -468,17 +478,39 @@ object Streams {
         import s.implicits._
         val bench = benchHashes.select(col(benchHashes.columns.head).as("bh"))
           .distinct()
-        val stats = graft.llm.TextOps.gramWindows(batch)
+        // dedupe WITHIN the batch first (ADVICE r17 — the
+        // incrementalIngest discipline): two same-doc_id rows with
+        // different payloads would otherwise blend their gram windows
+        // into one verdict row describing neither document. Smallest
+        // text wins — any deterministic pick; at-least-once replays of
+        // the SAME payload are unaffected.
+        val wB = org.apache.spark.sql.expressions.Window
+          .partitionBy($"doc_id").orderBy($"text".asc_nulls_last)
+        val docs1 = batch.withColumn("rn", row_number().over(wB))
+          .filter($"rn" === 1).drop("rn")
+        // verdict columns carry the FULL q258 audit trail (VERDICT r17
+        // item 6): n_distinct_hits says how many distinct benchmark
+        // grams hit, and hit_sample keeps up to 8 of their hashes
+        // (sorted — deterministic) so a policy reviewer can join a
+        // flagged row back to WHICH benchmark entries matched without
+        // re-running the batch scan.
+        val stats = graft.llm.TextOps.gramWindows(docs1)
           .select($"doc_id", xxhash64($"g").as("h"))
           .join(broadcast(bench), $"h" === $"bh", "left")
           .groupBy($"doc_id")
           .agg(count(lit(1)).as("n_grams"),
-            sum(when($"bh".isNotNull, 1L).otherwise(0L)).as("n_hits"))
-        val verdicts = batch.select($"doc_id").distinct()
+            sum(when($"bh".isNotNull, 1L).otherwise(0L)).as("n_hits"),
+            countDistinct(when($"bh".isNotNull, $"h")).as("n_distinct_hits"),
+            slice(sort_array(collect_set(when($"bh".isNotNull, $"h"))), 1, 8)
+              .as("hit_sample"))
+        val verdicts = docs1.select($"doc_id").distinct()
           .join(stats, Seq("doc_id"), "left")
           .select($"doc_id",
             coalesce($"n_grams", lit(0L)).as("n_grams"),
-            coalesce($"n_hits", lit(0L)).as("n_hits"))
+            coalesce($"n_hits", lit(0L)).as("n_hits"),
+            coalesce($"n_distinct_hits", lit(0L)).as("n_distinct_hits"),
+            coalesce($"hit_sample", array().cast("array<bigint>"))
+              .as("hit_sample"))
           .withColumn("contaminated", $"n_hits" > 0)
         val admitted =
           if (mode == "drop") verdicts.filter(!$"contaminated")

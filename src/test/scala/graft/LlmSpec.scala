@@ -824,6 +824,15 @@ class LlmSpec extends AnyFunSuite {
     val out = llm.Similarity.twoHopAssign(store, centSup, supers)
     assert(out.count() == 40, "every store vector must survive the two-hop join")
     assert(out.select("vec_id").distinct().count() == 40)
+    // ADVICE r17: the degenerate-degenerate case — an EMPTY centroid
+    // build against a non-empty store — must fail loudly, not let an
+    // empty isin() silently drop every vector from the assignment
+    val e = intercept[IllegalStateException](llm.Similarity.twoHopAssign(
+      store, centSup.limit(0), supers))
+    assert(e.getMessage.contains("empty centroid build"), e.getMessage)
+    // ...and an all-empty call is legal (nothing to assign)
+    assert(llm.Similarity.twoHopAssign(
+      store.limit(0), centSup.limit(0), supers.limit(0)).count() == 0)
   }
 
   test("q259 int-symbol BPE ≡ char-form BPE on rounds 1-8; int form runs past the char cap") {
@@ -882,6 +891,42 @@ class LlmSpec extends AnyFunSuite {
       assert(nt16 == nt8 && cb16 == cb8,
         s"$src: token/char accounting must agree across k (same corpus)")
       assert(sa16 <= sa8, s"$src: k=16 must not compress worse than k=8")
+    }
+  }
+
+  test("q262 OOV encode: fallback ≡ training fold on every word; OOV token mass is counted, not dropped") {
+    import spark.implicits._
+    // VERDICT r17 item 1. Constructed training corpus — its vocabulary
+    // rows ARE the progressive application of the merges, so the
+    // OOV-fallback re-apply must reproduce every vocab row exactly
+    // (vocab-join + fallback ≡ full re-apply, word for word).
+    val train = Seq((1L, (Seq.fill(8)("abcd") ++ Seq.fill(5)("abce") ++
+      Seq.fill(3)("xy")).mkString(" "))).toDF("doc_id", "text")
+    val (merges, vocab) = llm.TextOps.bpeTrainIntWithVocab(train, 4)
+    val mpairs = merges.map(m => (m._1, m._2))
+    val rows = vocab.select($"w", $"syms").as[(String, Seq[Int])].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (w, syms) =>
+      assert(llm.BpeApply.applyMergesInt(w, mpairs).toSeq == syms,
+        s"vocab row for '$w' must equal the 4-merge re-apply") }
+    graft.Ckpt.free(vocab)
+    // an UNSEEN word built from trained pieces compresses through the
+    // fallback (the q261 inner join would have dropped it entirely)
+    val abcdId = llm.TextOps.BpeSymBase + merges.indexWhere(_._6 == "abcd") + 1
+    assert(merges.exists(_._6 == "abcd"))
+    assert(llm.BpeApply.applyMergesInt("abcdabcd", mpairs).toSeq ==
+      Seq(abcdId, abcdId), "OOV fallback must chain minted symbols")
+    // the degenerate fold shape: "aaa" under (a,a) -> [mint, a]
+    assert(llm.BpeApply.applyMergesInt("aaa", Seq(('a'.toInt, 'a'.toInt))).length == 2)
+    // live corpus: the holdout actually exercises the OOV path — the
+    // token mass the silent drop would have zeroed is visible and > 0
+    val out = llm.TextOps.q262BpeEncodeOov(spark, SparkTestSession.sf).collect()
+    assert(out.nonEmpty)
+    assert(out.map(_.getAs[Long]("n_oov_tokens")).sum > 0,
+      "held-out slice must contain OOV tokens for the operator to bite")
+    out.foreach { r =>
+      assert(r.getAs[Long]("syms_after") <= r.getAs[Long]("chars_before"))
+      assert(r.getAs[Long]("n_oov_tokens") <= r.getAs[Long]("n_tokens"))
     }
   }
 

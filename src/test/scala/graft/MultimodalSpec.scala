@@ -393,6 +393,33 @@ class MultimodalSpec extends AnyFunSuite {
       "YUV4MPEG2 W4 H4 F25:1 C420\nFRAME\n".getBytes ++ new Array[Byte](24)))
     intercept[IllegalArgumentException](MediaCodec.decodeY4m(
       MediaCodec.encodeY4m(frames.take(2), 64, 2).dropRight(10)))
+    // ADVICE r17: every malformed-header shape exits through the SAME
+    // precise IllegalArgumentException — never a raw index/number error
+    def y4mFail(s: String): Unit = {
+      val e = intercept[IllegalArgumentException](MediaCodec.decodeY4m(
+        s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)))
+      assert(e.getMessage.startsWith("Y4M decode:"), s"got: $e")
+    }
+    y4mFail("YUV4MPEG2 ")                       // header ends right after a space
+    y4mFail("YUV4MPEG2 W64 H2 F25 Cmono\n")     // F without ':'
+    y4mFail("YUV4MPEG2 Wxx H2 F25:1 Cmono\n")   // non-numeric W
+    y4mFail("YUV4MPEG2 W2000000000 H2000000000 F1:1 Cmono\nFRAME\nxx") // W*H overflows Int
+    y4mFail("YUV4MPEG2 W64 H2")                 // header never newline-terminated
+  }
+
+  test("videoTable: non-ASCII document text fails loudly at encode time") {
+    // ADVICE r17: the engine slices UTF-8 BYTES while the q257/q263
+    // oracles slice CHARACTERS — identical only on ASCII, so the
+    // assumption is enforced where the divergence would be minted
+    import spark.implicits._
+    val ascii = Seq((2L, "a" * 130)).toDF("doc_id", "text")
+    assert(Multimodal.videoTableFrom(ascii).count() == 1)
+    val utf8 = Seq((2L, "é" * 130)).toDF("doc_id", "text")
+    val e = intercept[Throwable](Multimodal.videoTableFrom(utf8).count())
+    val chain = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(chain.contains("non-ASCII document text"),
+      s"want the precise encode-time message, got: $chain")
   }
 
   test("q257 video dedup: trimmed/re-encoded copies band per frame, distinct clips and same-clip repeats do not") {

@@ -940,6 +940,93 @@ class StreamingSpec extends AnyFunSuite {
       (1L, 1L, 0L, false), (2L, 3L, 1L, true), (3L, 0L, 0L, false),
       (4L, 1L, 0L, false)),
       "flag mode: everything lands exactly once, the verdict on the row")
+    // VERDICT r17 item 6: the flag-mode audit trail matches q258's
+    // batch answer — n_distinct_hits and a sorted hit-hash sample ride
+    // the store row, so "flagged on which benchmark gram?" is a join
+    // against the suite, not a batch re-scan
+    val benchHash = Seq(benchGram).toDF("g")
+      .select(xxhash64($"g")).collect()(0).getLong(0)
+    val audit = spark.read.parquet(new java.io.File(dir, "store_flag").getPath)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_distinct_hits"), r.getAs[Seq[Long]]("hit_sample"))).toMap
+    assert(audit(2L) == ((1L, Seq(benchHash))),
+      s"the flagged row names the benchmark gram hash that hit: $audit")
+    assert(audit(1L) == ((0L, Seq.empty[Long])) && audit(3L) == ((0L, Seq.empty[Long])),
+      s"clean rows carry an empty sample, not nulls: $audit")
+  }
+
+  test("decontamination ingest: two same-doc_id payloads in one batch do not blend verdicts") {
+    // ADVICE r17: without an in-batch dedup, gramWindows aggregates
+    // grams across BOTH payloads and the verdict row describes neither
+    // document. The incrementalIngest discipline: one deterministic
+    // winner per doc_id (smallest text).
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_dcblend").toFile
+    val benchGram = (0 until 13).map(i => s"b$i").mkString(" ")
+    val bench = Seq(benchGram).toDF("g").select(xxhash64($"g").as("h"))
+    val textA = (0 until 13).map(i => s"a$i").mkString(" ") // clean, sorts first
+    val textB = "zz " + benchGram                           // contaminated
+    val store = new java.io.File(dir, "store").getPath
+    val ckpt = new java.io.File(dir, "ckpt").getPath
+    val mem = MemoryStream[(Long, String)]
+    val q = Streams.decontamIngest(
+      mem.toDS().toDF("doc_id", "text"), bench, store, ckpt, "flag")
+    try {
+      mem.addData((7L, textA), (7L, textB))
+      q.processAllAvailable()
+      val rows = spark.read.parquet(store).collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_grams"),
+          r.getAs[Long]("n_hits"), r.getAs[Boolean]("contaminated")))
+      assert(rows.toSeq == Seq((7L, 1L, 0L, false)),
+        s"one verdict row, the deterministic winner's own gram stats: ${rows.toSeq}")
+    } finally q.stop()
+  }
+
+  test("decontamination ingest: benchmark-suite update handoff — same store+checkpoint, exactly-once, new suite judges new docs") {
+    // VERDICT r17 item 3 — the q250/q254 handoff discipline applied to
+    // the decontamination state: a suite update is stop + restart with
+    // the NEW benchmark gram-hash set against the SAME store and
+    // checkpoint. Policy (stated and pinned): admission is final —
+    // docs admitted under the old suite are not re-judged by the swap
+    // (a retroactive sweep of the store is q258's batch scan); docs
+    // never admitted are judged by whichever suite is live when they
+    // arrive.
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_dcswap").toFile
+    val gramA = (0 until 13).map(i => s"a$i").mkString(" ")
+    val gramB = (0 until 13).map(i => s"b$i").mkString(" ")
+    val benchV1 = Seq(gramA).toDF("g").select(xxhash64($"g").as("h"))
+    val benchV2 = Seq(gramB).toDF("g").select(xxhash64($"g").as("h"))
+    val clean = (0 until 13).map(i => s"c$i").mkString(" ")
+    val store = new java.io.File(dir, "store").getPath
+    val ckpt = new java.io.File(dir, "ckpt").getPath
+    val mem = MemoryStream[(Long, String)]
+    def storedIds() =
+      spark.read.parquet(store).collect().map(_.getAs[Long]("doc_id")).toSeq
+    // phase A under suite v1: doc 1 clean (admitted), doc 2 carries
+    // gramA (dropped under v1)
+    val q1 = Streams.decontamIngest(
+      mem.toDS().toDF("doc_id", "text"), benchV1, store, ckpt, "drop")
+    try {
+      mem.addData((1L, clean), (2L, "x " + gramA))
+      q1.processAllAvailable()
+      assert(storedIds().sorted == Seq(1L), s"phase A: ${storedIds()}")
+    } finally q1.stop()
+    // SUITE UPDATE: new stream, suite v2, same store + checkpoint
+    val q2 = Streams.decontamIngest(
+      mem.toDS().toDF("doc_id", "text"), benchV2, store, ckpt, "drop")
+    try {
+      // replay doc 1 verbatim (inert — the doc_id anti-join holds
+      // across the swap); doc 2 retries: gramA is CLEAN under v2, so
+      // it now admits (it was never in the store, so nothing blocks
+      // it); doc 4 carries gramB — contaminated under the NEW suite,
+      // dropped; doc 5 is novel and clean
+      mem.addData((1L, clean), (2L, "x " + gramA),
+        (4L, "y " + gramB), (5L, (0 until 13).map(i => s"d$i").mkString(" ")))
+      q2.processAllAvailable()
+      assert(storedIds().sorted == Seq(1L, 2L, 5L),
+        s"swap: keep 1 once, admit 2 under v2, drop 4, add 5: ${storedIds()}")
+    } finally q2.stop()
   }
 
   test("perceptual ingest, video fingerprint: trimmed/re-encoded clips add zero frames, novel clips append, replay inert") {
