@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -993,6 +994,152 @@ object Multimodal {
       .orderBy($"id1", $"id2")
   }
 
+  /** q263: TEMPORAL ALIGNMENT in video dedup (VERDICT r17 item 2) —
+    * [[videoDupsFrom]]'s rollup is ORDERLESS, so a clip whose frames
+    * match another's in a different order (a shuffled montage) scores
+    * the same as a true sub-clip. Real video dedup checks alignment,
+    * and the evidence is already computed: over the SAME band-verified
+    * frame pairs (no new candidate generation), per clip pair emit
+    *  - the MODAL OFFSET: the (f2 − f1) with the most verified pairs
+    *    (tie → smallest offset) and its support `n_at_offset`;
+    *  - the LONGEST CONSISTENT RUN: the longest streak of consecutive
+    *    f1 frames matching at that one offset (gaps-and-islands over
+    *    f1 − row_number) — a trimmed copy runs its whole kept length
+    *    at a single offset, a shuffled montage matches many frames but
+    *    never runs;
+    * plus the orderless rollup (pair count, distinct matched frames,
+    * closest distance) for comparison. All exact integers, restated
+    * verbatim from the same frame keys by the oracle. 100 TB shape:
+    * everything after the (already capped) band join is
+    * pair-proportional — two narrow aggregations and one window over
+    * (clip1, clip2)-partitioned data, keys 8 bytes. */
+  def q263VideoAlign(s: SparkSession, dir: String): DataFrame =
+    videoAlignFrom(videoTable(s, dir))
+
+  /** q263's production operator on an arbitrary media table — pinned
+    * in MultimodalSpec: a trimmed copy aligns (max_run = kept length
+    * at one offset); a frame-shuffled montage of the same source
+    * matches as many frames but cannot run. */
+  def videoAlignFrom(media: Dataset[MediaRow], radius: Int = 6): DataFrame = {
+    val s = media.sparkSession
+    import s.implicits._
+    val mask = (1L << FrameIdBits) - 1
+    val pairs = chunkPairs(videoSigs(media).persist(), radius,
+        groupOf = shiftright(_, FrameIdBits))
+      .select(shiftright($"id1", FrameIdBits).as("id1"),
+        $"id1".bitwiseAND(mask).cast("int").as("f1"),
+        shiftright($"id2", FrameIdBits).as("id2"),
+        $"id2".bitwiseAND(mask).cast("int").as("f2"),
+        $"hamming")
+      .withColumn("off", $"f2" - $"f1")
+      .persist() // three consumers: rollup, offset census, run scan
+    val roll = pairs.groupBy($"id1", $"id2")
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct($"f1").as("n_frames_matched"),
+        min($"hamming").as("min_hamming"))
+    val sup = pairs.groupBy($"id1", $"id2", $"off")
+      .agg(count(lit(1)).as("n_off"))
+    val wm = Window.partitionBy($"id1", $"id2")
+      .orderBy($"n_off".desc, $"off".asc)
+    val modal = sup.withColumn("rn", row_number().over(wm)).filter($"rn" === 1)
+      .select($"id1", $"id2", $"off".as("modal_off"), $"n_off".as("n_at_offset"))
+    // distinct f1 at the modal offset; islands via f1 - row_number
+    val am = pairs.select($"id1", $"id2", $"off", $"f1").distinct()
+      .join(modal.select($"id1", $"id2", $"modal_off"), Seq("id1", "id2"))
+      .filter($"off" === $"modal_off")
+    val wr = Window.partitionBy($"id1", $"id2").orderBy($"f1")
+    val runs = am.withColumn("grp", $"f1" - row_number().over(wr))
+      .groupBy($"id1", $"id2", $"grp").agg(count(lit(1)).as("rl"))
+      .groupBy($"id1", $"id2").agg(max($"rl").as("max_run"))
+    roll.join(modal, Seq("id1", "id2")).join(runs, Seq("id1", "id2"))
+      .select($"id1", $"id2", $"n_pairs", $"n_frames_matched", $"min_hamming",
+        $"modal_off", $"n_at_offset", $"max_run")
+      .orderBy($"id1", $"id2")
+  }
+
+  /** q263 oracle: q257's per-frame fingerprint/band/cap CTEs, then the
+    * verified pair table with its offset, and the three rollups
+    * (orderless, modal offset, gaps-and-islands run) in plain SQL. */
+  val q263Sql: String = {
+    val chunks = (0 until 4).map { c =>
+      s"CAST(sum(CASE WHEN k >= ${c * 16} AND k < ${c * 16 + 16} " +
+        s"THEN bit * (1 << (k % 16)) ELSE 0 END) AS INT) AS v$c"
+    }.mkString(",\n    ")
+    s"""WITH m AS (
+       |  SELECT doc_id AS media_id, text, length(text) // 64 AS nf
+       |  FROM documents WHERE doc_id % 3 = 2),
+       |fr AS (
+       |  SELECT media_id, text, unnest(generate_series(0, nf - 1)) AS f
+       |  FROM m WHERE nf >= 1),
+       |lum AS (
+       |  SELECT media_id, f, u.j,
+       |    ascii(substr(text, 64 * f + (u.j * 64) // 65 + 1, 1)) AS g
+       |  FROM fr, unnest(generate_series(0, 64)) AS u(j)),
+       |bits AS (
+       |  SELECT a.media_id, a.f, a.j AS k,
+       |    CASE WHEN a.g < b.g THEN 1 ELSE 0 END AS bit
+       |  FROM lum a JOIN lum b
+       |    ON b.media_id = a.media_id AND b.f = a.f AND b.j = a.j + 1
+       |  WHERE a.j < 64),
+       |v AS (
+       |  SELECT media_id, f,
+       |    $chunks
+       |  FROM bits GROUP BY media_id, f),
+       |c0 AS (
+       |  SELECT media_id, f, v0, v1, v2, v3, u.c,
+       |    CASE u.c WHEN 0 THEN v0 WHEN 1 THEN v1 WHEN 2 THEN v2 ELSE v3 END AS vv
+       |  FROM v, unnest(generate_series(0, 3)) AS u(c)),
+       |c AS (
+       |  SELECT media_id, f, v0, v1, v2, v3, c, vv FROM (
+       |    SELECT c0.*, count(*) OVER (PARTITION BY c, vv) AS w FROM c0) t
+       |  WHERE w <= ${Dedup.MaxBucketWidth}),
+       |cand AS (
+       |  SELECT DISTINCT a.media_id AS id1, a.f AS f1,
+       |    b.media_id AS id2, b.f AS f2
+       |  FROM c a JOIN c b ON a.c = b.c AND a.vv = b.vv
+       |    AND a.media_id < b.media_id),
+       |vp AS MATERIALIZED (
+       |  SELECT cd.id1, cd.f1, cd.id2, cd.f2, cd.f2 - cd.f1 AS off, hamming
+       |  FROM (
+       |    SELECT cd.*,
+       |      bit_count(xor(x.v0, y.v0)) + bit_count(xor(x.v1, y.v1)) +
+       |      bit_count(xor(x.v2, y.v2)) + bit_count(xor(x.v3, y.v3)) AS hamming
+       |    FROM cand cd
+       |    JOIN v x ON x.media_id = cd.id1 AND x.f = cd.f1
+       |    JOIN v y ON y.media_id = cd.id2 AND y.f = cd.f2) cd
+       |  WHERE hamming <= 6),
+       |roll AS (
+       |  SELECT id1, id2, count(*) AS n_pairs,
+       |    count(DISTINCT f1) AS n_frames_matched,
+       |    min(hamming) AS min_hamming
+       |  FROM vp GROUP BY id1, id2),
+       |sup AS (
+       |  SELECT id1, id2, off, count(*) AS n_off FROM vp GROUP BY id1, id2, off),
+       |modal AS (
+       |  SELECT id1, id2, off AS modal_off, n_off AS n_at_offset FROM (
+       |    SELECT sup.*, row_number() OVER (
+       |      PARTITION BY id1, id2 ORDER BY n_off DESC, off ASC) AS rn
+       |    FROM sup) t WHERE rn = 1),
+       |am AS (
+       |  SELECT DISTINCT p.id1, p.id2, p.f1
+       |  FROM vp p JOIN modal mo
+       |    ON mo.id1 = p.id1 AND mo.id2 = p.id2 AND p.off = mo.modal_off),
+       |runs AS (
+       |  SELECT id1, id2, max(rl) AS max_run FROM (
+       |    SELECT id1, id2, grp, count(*) AS rl FROM (
+       |      SELECT id1, id2, f1, f1 - row_number() OVER (
+       |        PARTITION BY id1, id2 ORDER BY f1) AS grp
+       |      FROM am) t GROUP BY id1, id2, grp) t2
+       |  GROUP BY id1, id2)
+       |SELECT r.id1, r.id2, r.n_pairs, r.n_frames_matched,
+       |  CAST(r.min_hamming AS INT) AS min_hamming,
+       |  CAST(mo.modal_off AS INT) AS modal_off, mo.n_at_offset, ru.max_run
+       |FROM roll r
+       |JOIN modal mo ON mo.id1 = r.id1 AND mo.id2 = r.id2
+       |JOIN runs ru ON ru.id1 = r.id1 AND ru.id2 = r.id2
+       |ORDER BY r.id1, r.id2""".stripMargin
+  }
+
   /** q241 oracle: the whole dHash restated from text-byte slices —
     * grayscale g[j] = sum of the 3 payload bytes at resampled column
     * ⌊j·w/65⌋, gradient bits packed into four 16-bit chunks, then
@@ -1195,6 +1342,7 @@ object Multimodal {
     "q241_phash_dups"    -> (q241PhashDups _),
     "q249_audiofp_dups"  -> (q249AudioFpDups _),
     "q257_videofp_dups"  -> (q257VideoFpDups _),
+    "q263_video_align"   -> (q263VideoAlign _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -1208,5 +1356,6 @@ object Multimodal {
     "q241_phash_dups"    -> q241Sql,
     "q249_audiofp_dups"  -> q249Sql,
     "q257_videofp_dups"  -> q257Sql,
+    "q263_video_align"   -> q263Sql,
   )
 }

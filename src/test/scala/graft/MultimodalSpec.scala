@@ -467,4 +467,40 @@ class MultimodalSpec extends AnyFunSuite {
       "trim shifts frame indices, not signatures")
     assert(stats((0L, 0)) == stats((2L, 0)), "re-encode preserves signatures")
   }
+
+  test("q263 temporal alignment: a trimmed copy runs its kept length at one offset; a shuffled montage matches but cannot run") {
+    // VERDICT r17 item 2: videoDupsFrom's orderless rollup scores a
+    // shuffled montage like a true sub-clip; the offset histogram and
+    // the longest consistent run separate them from the SAME pairs
+    val W = 64
+    def frame(seed: Int): Array[Byte] = {
+      val rnd = new scala.util.Random(seed)
+      Array.fill[Byte](W)(rnd.nextInt(256).toByte)
+    }
+    val aFrames = (0 until 10).map(f => frame(1000 + f))
+    def row(id: Long, fs: Seq[Array[Byte]]) =
+      Multimodal.MediaRow(id, "video", MediaCodec.encodeY4m(fs, W, 1),
+        W, 1, 16000, fs.length * 1000L, "y4m/mono")
+    val perm = Seq(3, 0, 7, 1, 9, 4, 2, 8, 5, 6) // montage frame order
+    val media = spark.createDataset(Seq(
+      row(0L, aFrames),
+      row(1L, aFrames.drop(2)),          // trimmed copy: offset -2 throughout
+      row(5L, perm.map(aFrames))         // shuffled montage of the same frames
+    ))
+    val out = Multimodal.videoAlignFrom(media).collect()
+      .map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2")) ->
+        (r.getAs[Long]("n_frames_matched"), r.getAs[Int]("modal_off"),
+          r.getAs[Long]("n_at_offset"), r.getAs[Long]("max_run"))).toMap
+    // sub-clip signature: every kept frame at ONE offset, run = length
+    assert(out((0L, 1L)) == ((8L, -2, 8L, 8L)), s"trimmed: ${out((0L, 1L))}")
+    // montage signature: matches every frame, but support is spread
+    // across offsets and no streak survives the shuffle
+    val (nm, mo, nat, run) = out((0L, 5L))
+    assert(nm == 10L, s"montage matches every frame: $nm")
+    assert(nat <= 2L && run == 1L,
+      s"montage must not align: modal_off=$mo n_at_offset=$nat max_run=$run")
+    // deterministic tie-break: offsets -5,+1,+3 all carry support 2 ->
+    // the smallest wins
+    assert(mo == -5, s"tie-break must pick the smallest offset: $mo")
+  }
 }
