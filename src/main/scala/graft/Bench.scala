@@ -44,6 +44,41 @@ object Bench {
         t.getStackTrace.take(5).foreach(f => System.err.println(s"  at $f"))
         false
       }
+    // Quiet-entry gate (VERDICT r17 item 4): the r17 record adjudicated
+    // environment more often than code — same-code catalogs swinging
+    // ~1.15x with co-tenant load at stamp time. Refuse to START while
+    // the box is visibly loaded: sample load1/cpu-PSI BEFORE our own
+    // warmup adds load, and wait (bounded) for both to fall under the
+    // pinned thresholds. A box still noisy at the cap proceeds — the
+    // driver must not hang — but the record says so (`quiet: false`)
+    // and the entry state rides the stamp for the gate to read.
+    def quietLoad1(): Double =
+      try new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
+        .split("\\s+").head.toDouble
+      catch { case _: Throwable => -1.0 }
+    def quietPsi10(): Double =
+      try new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/pressure/cpu")), "UTF-8")
+        .linesIterator.find(_.startsWith("some"))
+        .flatMap(_.split("\\s+").find(_.startsWith("avg10=")))
+        .map(_.stripPrefix("avg10=").toDouble).getOrElse(-1.0)
+      catch { case _: Throwable => -1.0 }
+    val QuietLoad1Max = 8.0 // 32-cpu box: above this, co-tenants own cores
+    val QuietPsi10Max = 10.0 // % runnable-but-stalled, kernel-measured
+    val QuietWaitCapS = 600
+    val quietEntryLoad1 = quietLoad1(); val quietEntryPsi10 = quietPsi10()
+    val quietT0 = System.nanoTime()
+    def boxQuiet(): Boolean =
+      quietLoad1() <= QuietLoad1Max && quietPsi10() <= QuietPsi10Max
+    var quiet = boxQuiet()
+    while (!quiet && (System.nanoTime() - quietT0) / 1e9 < QuietWaitCapS) {
+      System.err.println(f"BENCH quiet-wait: load1=${quietLoad1()}%.1f " +
+        f"psi10=${quietPsi10()}%.1f — waiting for the box to settle")
+      Thread.sleep(15000)
+      quiet = boxQuiet()
+    }
+    val quietWaitS = (System.nanoTime() - quietT0) / 1e9
     // warmup: JIT + codegen caches + parquet footers
     qs.foreach { case (name, fn) =>
       run(name, fn)
@@ -202,6 +237,13 @@ object Bench {
     val boxLoad0 = load1(); val (boxPsi0, boxPsiTot0) = psiCpu()
     val boxJit0 = jitMs(); val boxCached0 = cachedKb()
     val boxProbe0 = probe(); val boxProbeMt0 = probeMt()
+    // Mid-run probe samples (VERDICT r17 item 4): the endpoint probes
+    // under-explained the r17 drift — a contention window INSIDE the
+    // run is invisible to before/after samples. One probe pair at each
+    // interleaved pass boundary puts box speed ON the record where the
+    // catalog timings actually happened; the gate normalizes by the
+    // mid-run ratio, not the endpoints.
+    val midProbes = Vector.newBuilder[(Int, Double, Double)]
     val times = collection.mutable.Map.empty[String, Vector[Double]]
       .withDefaultValue(Vector.empty)
     val repLog = collection.mutable.Map
@@ -216,7 +258,14 @@ object Bench {
     val schedule: Seq[(Int, (String, (SparkSession, String) => org.apache.spark.sql.DataFrame))] =
       if (consecutive) for { q <- qs; pass <- 1 to reps } yield (pass, q)
       else for { pass <- 1 to reps; q <- qs } yield (pass, q)
+    var lastPass = 1
     for ((pass, (name, fn)) <- schedule if !failedSet(name)) {
+      // one probe pair at every interleaved pass boundary — box speed
+      // sampled WHERE the catalog ran, for the gate's normalization
+      if (!consecutive && pass != lastPass) {
+        midProbes += ((lastPass, probe(), probeMt()))
+        lastPass = pass
+      }
       // one failed rep already decides the query's verdict (-1.0);
       // further reps only multiply the failure cost and stderr noise
       val gc0 = gcMillis()
@@ -294,7 +343,12 @@ object Bench {
       s""""jit_delta_ms":$jitDelta,""" +
       s""""cached_kb_start":$boxCached0,"cached_kb_end":$boxCached1,""" +
       s""""probe_start_s":${r3(boxProbe0)},"probe_end_s":${r3(boxProbe1)},""" +
-      s""""probe_mt_start_s":${r3(boxProbeMt0)},"probe_mt_end_s":${r3(boxProbeMt1)}}"""
+      s""""probe_mt_start_s":${r3(boxProbeMt0)},"probe_mt_end_s":${r3(boxProbeMt1)},""" +
+      s""""probes_mid":${midProbes.result().map { case (p, st, mt) =>
+        s"[$p,${r3(st)},${r3(mt)}]" }.mkString("[", ",", "]")},""" +
+      s""""quiet":$quiet,"quiet_wait_s":${r3(quietWaitS)},""" +
+      s""""quiet_entry_load1":${r3(quietEntryLoad1)},""" +
+      s""""quiet_entry_psi10":${r3(quietEntryPsi10)}}"""
     val mjson = memoPays.map { case (label, q, pass, at, secs) =>
       s"""{"memo":"$label","q":"$q","pass":$pass,"at":${r3(at)},"cost_s":${r3(secs)}}"""
     }.mkString("[", ",", "]")

@@ -930,6 +930,37 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("q264 batched BPE ≡ sequential merge-for-merge; interaction falls back; census rounds shrink") {
+    import spark.implicits._
+    // VERDICT r17 item 5. Interaction-forcing corpus: "aab" puts
+    // (a,a) and (a,b) tied at the top SHARING a symbol, and the pair
+    // the merge MINTS ((X,b), translated "aa"+"b") would outrank a
+    // disjoint tie — the safety rule must refuse to batch past the
+    // argmax here or the table diverges from sequential
+    val inter = Seq((1L, (Seq.fill(5)("aab") ++ Seq.fill(5)("cd"))
+      .mkString(" "))).toDF("doc_id", "text")
+    assert(llm.TextOps.bpeTrainIntBatched(inter, 3)._1 ==
+      llm.TextOps.bpeTrainMergesInt(inter, 3),
+      "interaction corpus: batched must fall back to the sequential order")
+    // chaining corpus (the q251 construction)
+    val chain = Seq((1L, (Seq.fill(8)("abcd") ++ Seq.fill(5)("abce") ++
+      Seq.fill(3)("xy")).mkString(" "))).toDF("doc_id", "text")
+    assert(llm.TextOps.bpeTrainIntBatched(chain, 4)._1 ==
+      llm.TextOps.bpeTrainMergesInt(chain, 4))
+    // live corpus at k=16: merge-identical to the memoized sequential
+    // training, in strictly fewer census rounds (the driver-round-trip
+    // cut that makes k=32000 a plan)
+    val (bl, rounds) = llm.TextOps.bpeTrainIntBatched(
+      graft.Tables.documents(spark, SparkTestSession.sf), 16)
+    val seqRows = llm.TextOps.q259BpeTrain16(spark, SparkTestSession.sf)
+      .collect().map(r => (r.getAs[String]("left_sym"),
+        r.getAs[String]("right_sym"), r.getAs[String]("merged"),
+        r.getAs[Long]("pair_count"), r.getAs[Long]("corpus_syms"))).toSeq
+    assert(bl.map(m => (m._4, m._5, m._6, m._3, m._7)) == seqRows,
+      "live corpus: batched k=16 must reproduce the sequential table")
+    assert(rounds < 16, s"batching must cut census rounds, got $rounds/16")
+  }
+
   test("q251 BPE k-round training: merge chaining, monotonicity, compression accounting") {
     import spark.implicits._
     // constructed vocabulary: abcd×8 + abce×5 + xy×3. Round 1 merges

@@ -267,7 +267,51 @@ def load_bench_box(path):
         if not m:
             return {}
         box = dict(re.findall(r'"([a-z0-9_]+)":(-?[0-9.eE+]+)', m.group(1)))
-    return {k: float(v) for k, v in box.items() if float(v) >= 0}
+        pm = re.search(r'"probes_mid":(\[(?:\[[^\]]*\],?)*\])', src)
+        if pm:
+            try:
+                box["probes_mid"] = json.loads(pm.group(1))
+            except json.JSONDecodeError:
+                pass
+    out = {}
+    for k, v in box.items():
+        if k == "probes_mid" and isinstance(v, list):
+            # r18+: [[pass, probe_s, probe_mt_s], ...] mid-run samples
+            out[k] = [(int(p), float(a), float(b)) for p, a, b in v
+                      if float(a) >= 0 and float(b) >= 0]
+        elif isinstance(v, bool) or v in ("true", "false"):
+            out[k] = v in (True, "true")
+        else:
+            try:
+                if float(v) >= 0:
+                    out[k] = float(v)
+            except (TypeError, ValueError):
+                pass
+    return out
+
+def probe_norm_ratio(new_box, ref_box):
+    """Box-speed normalization factor between two bench records
+    (VERDICT r17 item 4: gate on probe-normalized ratios, so the gate
+    flags CODE, not environment). Prefers the median of the MID-RUN
+    multi-core probe samples — box speed measured where the catalog
+    actually ran, the signal the r17 endpoint probes missed — then
+    endpoint multi-core probes, then endpoint single-thread probes.
+    None when either record lacks all probes (gate then uses raw
+    ratios, the pre-r18 behavior)."""
+    def mid_mt(b):
+        vals = sorted(x[2] for x in (b.get("probes_mid") or []))
+        return vals[len(vals) // 2] if vals else None
+    def end_mt(b):
+        s, e = b.get("probe_mt_start_s"), b.get("probe_mt_end_s")
+        return (s + e) / 2 if s and e else s or e
+    def end_st(b):
+        s, e = b.get("probe_start_s"), b.get("probe_end_s")
+        return (s + e) / 2 if s and e else s or e
+    for pick in (mid_mt, end_mt, end_st):
+        n, r = pick(new_box), pick(ref_box)
+        if n and r:
+            return n / r
+    return None
 
 def box_drift_note(new_path, ref_path, new, ref, new_sp, ref_sp):
     """Mechanical same-code-swing adjudication (VERDICT r13 item 3): a
@@ -629,6 +673,12 @@ def cmd_bench_gate(args):
     ref = load_bench_queries(ref_path)
     new_sp = load_bench_spread(new_path)
     ref_sp = load_bench_spread(ref_path)
+    # probe normalization (VERDICT r17 item 4): divide every per-query
+    # ratio by the records' box-speed ratio so a uniform environment
+    # shift stops tripping per-query flags — and a real code regression
+    # on a FASTER box stops hiding behind it
+    norm = probe_norm_ratio(load_bench_box(new_path), load_bench_box(ref_path))
+    cleared = []
     bad = []
     # Bench records a failed query as -1.0 (and lists it under "failed")
     # — surface those before any ratio math.
@@ -656,7 +706,8 @@ def cmd_bench_gate(args):
         # this gate exists for — q46's 7.8->14.8s, q43's 2.4->4.2s —
         # clear both; a 0.7->1.2s wobble clears neither meaningfully)
         ratio = new_s / ref_s if ref_s > 0 else float("inf")
-        if ratio > 1.5 and new_s - ref_s > 0.75:
+        eff = ratio / norm if norm else ratio
+        if eff > 1.5 and new_s - ref_s > 0.75:
             # surface the RECORDED adjudication (scoped to the timings it
             # judged), not a canned phrase — "prior flag was noise" and
             # "this delta is deliberate" need opposite responses
@@ -667,10 +718,21 @@ def cmd_bench_gate(args):
                     else "median")
             gc = new_sp.get(name, {}).get("gc")
             gcs = f", gc={gc:.1f}s" if gc is not None else ""
+            normed = f", {eff:.2f}x probe-normalized" if norm else ""
             bad.append(
                 f"{name}: {ref_s:.2f}s -> {new_s:.2f}s {kind} "
-                f"({ratio:.2f}x{gcs}){note}")
+                f"({ratio:.2f}x{gcs}{normed}){note}")
+        elif ratio > 1.5 and new_s - ref_s > 0.75:
+            cleared.append(f"{name}: {ref_s:.2f}s -> {new_s:.2f}s "
+                           f"({ratio:.2f}x raw, {eff:.2f}x normalized)")
     flagged = {b.split(":")[0] for b in bad}
+    if norm:
+        print(f"probe normalization: box-speed ratio {norm:.2f}x "
+              f"(mid-run probes preferred) divides every gate ratio")
+    if cleared:
+        print("cleared by probe normalization (environment, not code):")
+        for c in cleared:
+            print(f"  {c}")
     advisories = spread_advisories(new_sp, flagged,
                                    memo_pays=load_bench_memo_pays(new_path))
     if advisories:

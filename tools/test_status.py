@@ -13,7 +13,8 @@ import json, os, sys, tempfile
 HERE = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, HERE)
 from status import (spread_advisories, burst_window, load_bench_spread,
-                    load_bench_box, box_drift_note)  # noqa: E402
+                    load_bench_box, box_drift_note, probe_norm_ratio,
+                    cmd_bench_gate)  # noqa: E402
 
 
 def main():
@@ -291,6 +292,89 @@ def main():
                                               "load1_start": -1.0}}, f)
     assert load_bench_box(new_p) == {}
     os.unlink(ref_p); os.unlink(new_p)
+
+    # --- probe-normalized gate (VERDICT r17 item 4) -------------------
+    # The r17 record adjudicated environment more often than code: a
+    # uniform ~1.15x box-drift shift tripped per-query flags the judge
+    # then had to custody-rerun. The gate now divides every ratio by
+    # the records' box-speed ratio, preferring MID-RUN probe samples.
+    def box_of(mid_mt=None, end_mt=None, end_st=None, quiet=True):
+        b = {"load1_start": 1.0, "load1_end": 1.0, "quiet": quiet}
+        if mid_mt is not None:
+            b["probes_mid"] = [[p + 1, 3.2, v] for p, v in enumerate(mid_mt)]
+        if end_mt is not None:
+            b["probe_mt_start_s"], b["probe_mt_end_s"] = end_mt
+        if end_st is not None:
+            b["probe_start_s"], b["probe_end_s"] = end_st
+        return b
+    # mid-run samples preferred over endpoints: endpoints read flat
+    # (the r17 signature) while the mid-run median carries the 1.5x
+    nb = box_of(mid_mt=[1.5, 1.5], end_mt=(1.0, 1.0))
+    rb = box_of(mid_mt=[1.0, 1.0], end_mt=(1.0, 1.0))
+    assert abs(probe_norm_ratio(nb, rb) - 1.5) < 1e-9
+    # fallbacks: endpoint mt, then endpoint st, then None
+    assert abs(probe_norm_ratio(box_of(end_mt=(1.2, 1.2)),
+                                box_of(end_mt=(1.0, 1.0))) - 1.2) < 1e-9
+    assert abs(probe_norm_ratio(box_of(end_st=(3.9, 3.9)),
+                                box_of(end_st=(3.0, 3.0))) - 1.3) < 1e-9
+    assert probe_norm_ratio(box_of(), box_of()) is None
+    # round-trip through a real record file, tail form included
+    fd, pp = tempfile.mkstemp(suffix=".json"); os.close(fd)
+    rec = {"queries": {"q01_agg": 1.0}, "box": box_of(mid_mt=[1.4, 1.6])}
+    with open(pp, "w") as f:
+        json.dump(rec, f)
+    assert load_bench_box(pp)["probes_mid"] == [(1, 3.2, 1.4), (2, 3.2, 1.6)]
+    assert load_bench_box(pp)["quiet"] is True
+    with open(pp, "w") as f:
+        f.write('...truncated tail..."box":{"probe_start_s":3.2,'
+                '"probes_mid":[[1,3.2,1.4],[2,3.2,1.6]],"quiet":true}')
+    assert load_bench_box(pp)["probes_mid"] == [(1, 3.2, 1.4), (2, 3.2, 1.6)]
+    os.unlink(pp)
+    # end-to-end: a uniform 1.6x shift the mid-run probes explain must
+    # NOT gate (cleared list, exit 0); the same records without probes
+    # must gate (the pre-r18 behavior preserved)
+    import io, contextlib
+    def write_gate_rec(path, qsec, box):
+        rec = {"metric": "total", "value": sum(qsec.values()), "unit": "sec",
+               "queries": qsec,
+               "spread": {q: {"med": v, "min": v, "max": v, "gc": 0.0}
+                          for q, v in qsec.items()},
+               "failed": [], "box": box, "sf": "x"}
+        with open(path, "w") as f:
+            json.dump(rec, f)
+    fd, gref = tempfile.mkstemp(suffix=".json"); os.close(fd)
+    fd, gnew = tempfile.mkstemp(suffix=".json"); os.close(fd)
+    qs_r = {f"q{i:02d}_x": 2.0 for i in range(30)}
+    qs_n = {f"q{i:02d}_x": 3.2 for i in range(30)}  # 1.6x, delta 1.2s
+    write_gate_rec(gref, qs_r, box_of(mid_mt=[1.0, 1.0]))
+    write_gate_rec(gnew, qs_n, box_of(mid_mt=[1.6, 1.6]))
+    out = io.StringIO()
+    with contextlib.redirect_stdout(out):
+        cmd_bench_gate([gnew, gref])  # no SystemExit = gate passed
+    assert "cleared by probe normalization" in out.getvalue(), out.getvalue()
+    write_gate_rec(gref, qs_r, {})
+    write_gate_rec(gnew, qs_n, {})
+    out = io.StringIO()
+    try:
+        with contextlib.redirect_stdout(out):
+            cmd_bench_gate([gnew, gref])
+        assert False, "1.6x with no probes must still gate"
+    except SystemExit as e:
+        assert e.code == 1
+    # ...and a real 2.6x code regression on a 1.3x-slower box still
+    # gates at 2.0x normalized
+    qs_code = dict(qs_r, q00_x=5.2)
+    write_gate_rec(gref, qs_r, box_of(mid_mt=[1.0, 1.0]))
+    write_gate_rec(gnew, qs_code, box_of(mid_mt=[1.3, 1.3]))
+    out = io.StringIO()
+    try:
+        with contextlib.redirect_stdout(out):
+            cmd_bench_gate([gnew, gref])
+        assert False, "normalized 2.0x regression must gate"
+    except SystemExit as e:
+        assert e.code == 1
+    assert "probe-normalized" in out.getvalue(), out.getvalue()
+    os.unlink(gref); os.unlink(gnew)
 
     # --- STATUS.md freshness pin (VERDICT r16 item 6) -----------------
     # The committed STATUS.md must never describe a superseded bench
