@@ -1150,6 +1150,50 @@ object Similarity {
   private def cosSql(a: String, b: String): String =
     s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
 
+  /** q265: ANN RECALL, GRADED — every ANN deployment is an accuracy
+    * trade, and until now the IVF's recall lived only as a spec
+    * assertion (LlmSpec's clustered-corpus floor). This registers the
+    * measurement itself: per query, brute-force top-5 (q36, the exact
+    * ground truth) left-joined against the IVF's top-5 (q66, the SAME
+    * session-knobbed build the graded query runs) — hit count and
+    * recall in exact ppm, a number a 100 TB operator reads before
+    * trusting the index. Shape: both sides are 10-query × top-5
+    * frames, so the scoring join is trivially broadcastable; the cost
+    * is the two builds it measures. Oracle: q36Sql and q66Sql verbatim
+    * as derived tables (both already hash-graded bit-parity, so the
+    * recall join inherits their determinism). */
+  def q265AnnRecall(s: SparkSession, dir: String): DataFrame =
+    recallFrom(q36CosineTopk(s, dir), q66AnnIvf(s, dir))
+
+  /** The recall scorer on any two (qid, …, cid) top-k frames — exact
+    * ground truth on the left, the approximate index under test on the
+    * right. Pinned in LlmSpec: exhaustive probing scores 1.0 recall on
+    * the clustered corpus. */
+  private[graft] def recallFrom(brute: DataFrame, ann: DataFrame): DataFrame = {
+    val s = brute.sparkSession
+    import s.implicits._
+    brute.select($"qid", $"cid")
+      .join(ann.select($"qid", $"cid", lit(1).as("hit")),
+        Seq("qid", "cid"), "left")
+      .groupBy($"qid")
+      .agg(count(lit(1)).as("n_brute"),
+        sum(when($"hit".isNotNull, 1L).otherwise(0L)).as("n_hits"))
+      .select($"qid", $"n_brute", $"n_hits",
+        expr("CAST((n_hits * 1000000) div n_brute AS BIGINT)").as("recall_ppm"))
+      .orderBy($"qid")
+  }
+
+  def q265Sql(np: Int, li: Int): String =
+    s"""WITH brute AS (SELECT qid, cid FROM ($q36Sql) b),
+       |ann AS (SELECT qid, cid FROM (${q66Sql(np, li)}) a)
+       |SELECT b.qid,
+       |  CAST(count(*) AS BIGINT) AS n_brute,
+       |  CAST(sum(CASE WHEN a.cid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       |  CAST(sum(CASE WHEN a.cid IS NOT NULL THEN 1 ELSE 0 END) * 1000000
+       |       // count(*) AS BIGINT) AS recall_ppm
+       |FROM brute b LEFT JOIN ann a ON a.qid = b.qid AND a.cid = b.cid
+       |GROUP BY b.qid ORDER BY b.qid""".stripMargin
+
   /** q132 oracle: the hierarchical build is q66's sampled-Lloyd build
     * plus three more deterministic argmax layers (super selection by
     * rank arithmetic, centroid→super, vector→super→cell), every one
@@ -2545,6 +2589,7 @@ object Similarity {
     "q39_ann_lsh"        -> (q39AnnLsh _),
     "q66_ann_ivf"        -> (q66AnnIvf _),
     "q132_ann_ivf2"      -> (q132AnnIvf2 _),
+    "q265_ann_recall"    -> (q265AnnRecall _),
     "q104_cosine_dups"   -> (q104CosineDups _),
     "q111_ann_md5"       -> (q111AnnMd5 _),
     "q125_cosine_sql"    -> (q125CosineSqlPairs _),
@@ -2590,6 +2635,7 @@ object Similarity {
       "q39_ann_lsh"        -> annLshSql(sessionMultiProbe),
       "q66_ann_ivf"        -> q66Sql(np, li),
       "q132_ann_ivf2"      -> q132Sql(np, li),
+      "q265_ann_recall"    -> q265Sql(np, li),
       "q104_cosine_dups"   -> q104Sql,
       "q111_ann_md5"       -> q111Sql,
       "q125_cosine_sql"    -> q125Sql,

@@ -135,6 +135,31 @@ class LlmSpec extends AnyFunSuite {
     assert(rProbed >= 0.8, f"multi-probe LSH recall $rProbed%.2f below the 0.8 floor")
   }
 
+  test("q265 recall scorer: exhaustive probing scores 1.0; accounting exact; live IVF recall on the record") {
+    import spark.implicits._
+    // the scorer itself: IVF with nprobe covering every cell must
+    // reproduce brute-force exactly (same (sim DESC, cid ASC) order on
+    // both sides), so every query rows out at recall_ppm = 1000000
+    val e = clusteredVecs(nClusters = 10, perCluster = 50, dim = 16)
+    val full = llm.Similarity.recallFrom(
+      llm.Similarity.bruteTopkFrom(e),
+      llm.Similarity.annIvfFrom(e, nprobe = 1000)).collect()
+    assert(full.length == 10)
+    full.foreach { r =>
+      assert(r.getAs[Long]("n_brute") == 5L)
+      assert(r.getAs[Long]("recall_ppm") == 1000000L,
+        s"exhaustive probing must be exact: $r") }
+    // live corpus: structural accounting (hits bounded, ppm exact)
+    val live = llm.Similarity.q265AnnRecall(spark, SparkTestSession.sf).collect()
+    assert(live.nonEmpty)
+    live.foreach { r =>
+      val (nb, nh, ppm) = (r.getAs[Long]("n_brute"), r.getAs[Long]("n_hits"),
+        r.getAs[Long]("recall_ppm"))
+      assert(nb == 5L && nh >= 0L && nh <= nb)
+      assert(ppm == nh * 1000000L / nb, s"ppm must be exact: $r")
+    }
+  }
+
   test("ANN recall floor: PQ holds a high floor on a clustered corpus") {
     val e = clusteredVecs(nClusters = 10, perCluster = 50, dim = 16)
     def pairs(df: org.apache.spark.sql.DataFrame) =
@@ -959,6 +984,17 @@ class LlmSpec extends AnyFunSuite {
     assert(bl.map(m => (m._4, m._5, m._6, m._3, m._7)) == seqRows,
       "live corpus: batched k=16 must reproduce the sequential table")
     assert(rounds < 16, s"batching must cut census rounds, got $rounds/16")
+    // tie-poor census (the realistic Zipfian top): four symbol-disjoint
+    // pairs at strictly distinct counts — no blocker rivals anything,
+    // so ONE census round lands all four merges (k/m, the full cut;
+    // the live corpus's 31-word vocabulary is tie-RICH, which is why
+    // its cut is smaller — see PERF.md r18)
+    val zipf = Seq((1L, (Seq.fill(40)("ab") ++ Seq.fill(30)("cd") ++
+      Seq.fill(20)("ef") ++ Seq.fill(10)("gh")).mkString(" ")))
+      .toDF("doc_id", "text")
+    val (bz, rz) = llm.TextOps.bpeTrainIntBatched(zipf, 4)
+    assert(bz == llm.TextOps.bpeTrainMergesInt(zipf, 4))
+    assert(rz == 1, s"disjoint distinct-count census must batch fully: $rz")
   }
 
   test("q251 BPE k-round training: merge chaining, monotonicity, compression accounting") {

@@ -85,8 +85,12 @@ class PlanHygieneSpec extends AnyFunSuite {
                            // (q208's two-scalar-graft shape)
     "q237_kcenter_coreset", // per-round broadcast of the 1-row current
                            // center (q182's per-round scalar graft)
-    "q238_quality_probe")  // per-step broadcast of the 1-row exact doc
+    "q238_quality_probe",  // per-step broadcast of the 1-row exact doc
                            // count into the mean-gradient update
+    "q265_ann_recall")     // q36's broadcast 10-row query fan-out + q66's
+                           // centroid assignment pass — the two builds
+                           // whose recall gap IS the measurement; the
+                           // scoring join itself is an equi-join
 
   test("no unintended cartesian products across the whole catalog") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
