@@ -1568,6 +1568,65 @@ object TextOps {
        |FROM enc GROUP BY source ORDER BY source""".stripMargin
   }
 
+  /** q266: the tokenizer's PRODUCT — the ordered token-ID stream per
+    * document. q261/q262 grade the encode ACCOUNTING (symbol counts);
+    * a training pipeline's actual output is the id sequence itself, in
+    * token order, written next to the document. Per doc: the token
+    * stream through the k=16 vocabulary (the same cached training run;
+    * whitespace tokenization — separators carry no ids by policy),
+    * each word's fully-merged symbol sequence flattened in POSITION
+    * order. Graded exactly without shipping whole sequences through
+    * the hash gate twice: n_words, n_ids, and two exact integer
+    * checksums over the full sequence — Σ ids (mass) and Σ pos·ids
+    * (ORDER: any transposition of two distinct ids changes it), both
+    * well inside long range (ids < 2^21, pos < 2^10). 100 TB shape:
+    * posexplode + one broadcast dictionary join + per-doc sort_array
+    * of (pos, syms) structs — work ∝ corpus tokens, the one shuffle
+    * keyed by doc_id, no driver action, no per-merge term. */
+  def q266BpeIdStream(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val enc = cachedInt16(s, dir)._2.select($"w", $"syms")
+    val flat = flatten(transform(
+      sort_array(collect_list(struct($"pos", $"syms"))), x => x("syms")))
+    Tables.documents(s, dir)
+      .select($"doc_id", posexplode(tokens($"text")))
+      .withColumnRenamed("col", "w")
+      .join(enc, Seq("w"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_words"), flat.as("ids"))
+      .select($"doc_id", $"n_words",
+        size($"ids").cast("long").as("n_ids"),
+        aggregate($"ids", lit(0L), (a, x) => a + x).as("ids_sum"),
+        aggregate(zip_with($"ids",
+            sequence(lit(1), greatest(size($"ids"), lit(1))),
+            (x, i) => x.cast("long") * i),
+          lit(0L), (a, x) => a + x).as("ids_wsum"))
+      .orderBy($"doc_id")
+  }
+
+  val q266Sql: String = {
+    raw"""WITH ${bpeIntRoundCtes(16)}
+       |tk AS (
+       |  SELECT doc_id,
+       |    unnest([{'pos': i, 'w': toks[i]}
+       |            FOR i IN generate_series(1, len(toks))], recursive := true)
+       |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks
+       |        FROM documents) t),
+       |enc AS (
+       |  SELECT tk.doc_id, tk.pos, v.syms
+       |  FROM tk JOIN w16 v ON v.w = tk.w),
+       |ids AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |    flatten(list(syms ORDER BY pos)) AS ids
+       |  FROM enc GROUP BY doc_id)
+       |SELECT doc_id, n_words,
+       |  CAST(len(ids) AS BIGINT) AS n_ids,
+       |  CAST(list_sum(ids) AS BIGINT) AS ids_sum,
+       |  CAST(list_sum([ids[i] * i FOR i IN generate_series(1, len(ids))])
+       |       AS BIGINT) AS ids_wsum
+       |FROM ids ORDER BY doc_id""".stripMargin
+  }
+
   /** The int-form loop on an arbitrary (doc_id, text) frame, formatted
     * to q251's output schema (real-string symbols). */
   def bpeTrainIntFrom(docs: DataFrame, k: Int): DataFrame = {
@@ -2599,6 +2658,7 @@ object TextOps {
     "q261_bpe_encode16" -> (q261BpeEncode16 _),
     "q262_bpe_encode_oov" -> (q262BpeEncodeOov _),
     "q264_bpe_train64" -> (q264BpeTrain64 _),
+    "q266_bpe_id_stream" -> (q266BpeIdStream _),
     "q251_bpe_train" -> (q251BpeTrain _),
     "q256_bpe_encode8" -> (q256BpeEncode8 _),
   )
@@ -2639,6 +2699,7 @@ object TextOps {
     "q261_bpe_encode16" -> q261Sql,
     "q262_bpe_encode_oov" -> q262Sql,
     "q264_bpe_train64" -> q264Sql,
+    "q266_bpe_id_stream" -> q266Sql,
     "q251_bpe_train" -> q251Sql,
     "q256_bpe_encode8" -> q256Sql,
   )

@@ -997,6 +997,23 @@ class LlmSpec extends AnyFunSuite {
     assert(rz == 1, s"disjoint distinct-count census must batch fully: $rz")
   }
 
+  test("q266 id stream: per-doc ids sum to the training's corpus symbol total") {
+    // the tokenizer's three graded views describe ONE encoding: q259's
+    // round-16 corpus_syms (global), q261's per-source syms_after, and
+    // q266's per-document n_ids must all conserve the same total
+    val live = llm.TextOps.q266BpeIdStream(spark, SparkTestSession.sf).collect()
+    assert(live.nonEmpty)
+    live.foreach { r =>
+      assert(r.getAs[Long]("n_ids") >= r.getAs[Long]("n_words"),
+        "a word encodes to at least one id")
+    }
+    val totIds = live.map(_.getAs[Long]("n_ids")).sum
+    val syms16 = llm.TextOps.q259BpeTrain16(spark, SparkTestSession.sf)
+      .collect().last.getAs[Long]("corpus_syms")
+    assert(totIds == syms16,
+      s"per-doc id totals ($totIds) must conserve round-16 corpus_syms ($syms16)")
+  }
+
   test("q251 BPE k-round training: merge chaining, monotonicity, compression accounting") {
     import spark.implicits._
     // constructed vocabulary: abcd×8 + abce×5 + xy×3. Round 1 merges
