@@ -71,8 +71,15 @@ object Bench {
     val quietT0 = System.nanoTime()
     def boxQuiet(): Boolean =
       quietLoad1() <= QuietLoad1Max && quietPsi10() <= QuietPsi10Max
+    // the wait loop is stamp-grade hygiene; local iteration runs
+    // (SPARK_GRAFT_ONLY subsets, or an explicit opt-out) still RECORD
+    // entry load/PSI but never block up to 10 min on a busy dev box
+    // (ADVICE r18)
+    val skipQuietWait = sys.env.contains("SPARK_GRAFT_ONLY") ||
+      sys.env.contains("SPARK_GRAFT_NO_QUIET_WAIT")
     var quiet = boxQuiet()
-    while (!quiet && (System.nanoTime() - quietT0) / 1e9 < QuietWaitCapS) {
+    while (!quiet && !skipQuietWait &&
+        (System.nanoTime() - quietT0) / 1e9 < QuietWaitCapS) {
       System.err.println(f"BENCH quiet-wait: load1=${quietLoad1()}%.1f " +
         f"psi10=${quietPsi10()}%.1f — waiting for the box to settle")
       Thread.sleep(15000)

@@ -1858,19 +1858,32 @@ object TextOps {
         // dominates every census row sharing a symbol with an earlier
         // accepted pair (the only rows whose merges can mint new pairs
         // or rival the argmax at sequential step p); cut at the first
-        // violation — the argmax itself (p = 1) is always safe
+        // violation — the argmax itself (p = 1) is always safe.
+        // Minted-pair coverage: a merge (l,r)→X mints pairs (x,X) and
+        // (X,y) whose counts are bounded by the ORIGINAL census rows
+        // (x,l) / (r,y) — rows that share a symbol with the accepted
+        // pair and, by symbol-disjointness of the batch, are never
+        // themselves accepted, so they sit in the blocker set… with
+        // ONE exception: a SELF-pair (a,a)→X mints (X,a)/(a,X)/(X,X)
+        // whose only bounding row is the accepted (a,a) itself
+        // (ADVICE r18, corpus 'aaa'×10+'cd'×9). Carry accepted
+        // self-pair counts in the blocker floor so later candidates
+        // must strictly dominate them too.
         val acceptedSet = tentative.map(t => (t._1, t._2)).toSet
         var batch = Vector(tentative.head)
         var prevSyms = Set(tentative.head._1, tentative.head._2)
+        var selfPairFloor =
+          if (tentative.head._1 == tentative.head._2) tentative.head._3 else 0L
         var cut = false
         for (cand <- tentative.tail if !cut) {
           val blockerMax = top.iterator
             .filter(r => !acceptedSet.contains((r._1, r._2)) &&
               (prevSyms.contains(r._1) || prevSyms.contains(r._2)))
-            .map(_._3).foldLeft(tailFloor)(_ max _)
+            .map(_._3).foldLeft(tailFloor max selfPairFloor)(_ max _)
           if (cand._3 > blockerMax) {
             batch :+= cand
             prevSyms += cand._1; prevSyms += cand._2
+            if (cand._1 == cand._2) selfPairFloor = selfPairFloor max cand._3
           } else cut = true
         }
         // mint ids in batch order and apply the WHOLE batch as one
@@ -1923,9 +1936,9 @@ object TextOps {
     * LIMIT 1 argmax, the list_reduce apply fold (1-int-list lifting so
     * the accumulator type matches the element type), and the symbol
     * total. Word tables and argmaxes MATERIALIZED. Trailing comma.
-    * `where` narrows the TRAINING corpus (q262 trains on a holdout
-    * split) — full " WHERE ..." text, empty = whole corpus. */
-  private def bpeIntRoundCtes(K: Int, where: String = ""): String = {
+    * Training is always the shared full-corpus generator — q262 holds
+    * out only its ENCODE stream (doc_id%5=0), never the training side. */
+  private def bpeIntRoundCtes(K: Int): String = {
     val rounds = (1 to K).map { t =>
       // mint$t: the minted-id → string dictionary as an ACCUMULATED
       // TABLE (one tiny union + two hash joins per round) instead of
@@ -1964,7 +1977,7 @@ object TextOps {
        |    [unicode(tok[i]) FOR i IN generate_series(1, len(tok))] AS syms,
        |    count(*) AS wc
        |  FROM (SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS tok
-       |        FROM documents$where) t
+       |        FROM documents) t
        |  GROUP BY tok),
        |$rounds""".stripMargin
   }

@@ -465,7 +465,15 @@ object Streams {
     *     append. Gram hashing is deterministic, so a replayed batch
     *     re-derives the same verdicts and the anti-join drops it —
     *     exactly-once store contents from at-least-once delivery (the
-    *     family contract, pinned in StreamingSpec by replay). */
+    *     family contract, pinned in StreamingSpec by replay).
+    *
+    * Store schema note (ADVICE r18): rows appended since r18 carry 6
+    * verdict columns (+n_distinct_hits, +hit_sample); a store that
+    * predates the change holds 4-column files alongside them. The
+    * ingest path itself is unaffected (the anti-join reads only
+    * doc_id), but AUDIT reads over a mixed store must merge footers —
+    * use [[readDecontamStore]], which sets mergeSchema=true, instead
+    * of a bare spark.read.parquet. */
   def decontamIngest(docs: DataFrame, benchHashes: DataFrame,
                      storeDir: String, checkpoint: String,
                      mode: String = "drop")
@@ -525,6 +533,14 @@ object Streams {
       }
       .start()
   }
+
+  /** Audit-grade read of a decontamination store: mergeSchema=true so
+    * a store holding both pre-r18 4-column and current 6-column
+    * verdict files surfaces every audit column (missing ones read as
+    * null) instead of silently dropping whichever columns the
+    * footer-inference winner lacks. */
+  def readDecontamStore(s: SparkSession, storeDir: String): DataFrame =
+    s.read.option("mergeSchema", "true").parquet(storeDir)
 
   def pulse(statuses: Dataset[PhaseStatus]): DataFrame = {
     val spark = statuses.sparkSession

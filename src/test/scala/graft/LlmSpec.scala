@@ -967,6 +967,22 @@ class LlmSpec extends AnyFunSuite {
     assert(llm.TextOps.bpeTrainIntBatched(inter, 3)._1 ==
       llm.TextOps.bpeTrainMergesInt(inter, 3),
       "interaction corpus: batched must fall back to the sequential order")
+    // self-pair corpus (ADVICE r18): (a,a) at 20 is the argmax, (c,d)
+    // at 9 is symbol-disjoint — but merging (a,a)→X mints (X,a) at 10,
+    // which sequential step 2 prefers over (c,d). The blocker set
+    // excludes accepted rows, so only the self-pair floor catches this.
+    val selfp = Seq((1L, (Seq.fill(10)("aaa") ++ Seq.fill(9)("cd"))
+      .mkString(" "))).toDF("doc_id", "text")
+    assert(llm.TextOps.bpeTrainIntBatched(selfp, 3)._1 ==
+      llm.TextOps.bpeTrainMergesInt(selfp, 3),
+      "self-pair corpus: batched must not batch past a self-pair whose " +
+        "minted pair outranks the next disjoint candidate")
+    // self-pair where batching IS safe: the next candidate strictly
+    // dominates the self-pair's own count, so no minted pair can rival
+    val selfOk = Seq((1L, (Seq.fill(4)("aaa") ++ Seq.fill(20)("cd"))
+      .mkString(" "))).toDF("doc_id", "text")
+    assert(llm.TextOps.bpeTrainIntBatched(selfOk, 2)._1 ==
+      llm.TextOps.bpeTrainMergesInt(selfOk, 2))
     // chaining corpus (the q251 construction)
     val chain = Seq((1L, (Seq.fill(8)("abcd") ++ Seq.fill(5)("abce") ++
       Seq.fill(3)("xy")).mkString(" "))).toDF("doc_id", "text")

@@ -1029,6 +1029,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("decontamination store: mixed-era parquet files read with every audit column via readDecontamStore") {
+    // ADVICE r18: a store that predates the 6-column verdict carries
+    // 4-column files alongside current ones; a bare read lets one
+    // footer drive inference and can silently drop the audit columns.
+    // readDecontamStore merges footers — old rows surface with nulls.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_dcmix").toFile
+    val store = new java.io.File(dir, "store").getPath
+    Seq((1L, 5L, 0L, false))
+      .toDF("doc_id", "n_grams", "n_hits", "contaminated")
+      .write.mode("append").parquet(store)
+    Seq((2L, 7L, 2L, 2L, Seq(11L, 42L), true))
+      .toDF("doc_id", "n_grams", "n_hits", "n_distinct_hits",
+        "hit_sample", "contaminated")
+      .write.mode("append").parquet(store)
+    val merged = Streams.readDecontamStore(spark, store)
+    assert(Set("n_distinct_hits", "hit_sample")
+      .subsetOf(merged.columns.toSet),
+      s"merged schema must carry the r18 audit columns: ${merged.columns.toSeq}")
+    val byId = merged.collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(byId(1L).isNullAt(byId(1L).fieldIndex("n_distinct_hits")),
+      "pre-r18 rows read the new audit columns as null, not dropped")
+    assert(byId(2L).getAs[Long]("n_distinct_hits") == 2L)
+  }
+
   test("perceptual ingest, video fingerprint: trimmed/re-encoded clips add zero frames, novel clips append, replay inert") {
     // the r17 video member of the ingest family: videoSigs' fid-packed
     // per-frame signature table rides the SAME machinery and store

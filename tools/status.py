@@ -727,7 +727,11 @@ def cmd_bench_gate(args):
         # clear both; a 0.7->1.2s wobble clears neither meaningfully)
         ratio = new_s / ref_s if ref_s > 0 else float("inf")
         eff = ratio / norm if norm else ratio
-        if eff > 1.5 and new_s - ref_s > 0.75:
+        # normalize the delta guard too (ADVICE r18): on a FASTER box
+        # (norm < 1) a real regression can hide under the raw 0.75s
+        # floor — compare box-speed-adjusted seconds against the ref
+        eff_delta = (new_s / norm if norm else new_s) - ref_s
+        if eff > 1.5 and eff_delta > 0.75:
             # surface the RECORDED adjudication (scoped to the timings it
             # judged), not a canned phrase — "prior flag was noise" and
             # "this delta is deliberate" need opposite responses
@@ -743,6 +747,7 @@ def cmd_bench_gate(args):
                 f"{name}: {ref_s:.2f}s -> {new_s:.2f}s {kind} "
                 f"({ratio:.2f}x{gcs}{normed}){note}")
         elif ratio > 1.5 and new_s - ref_s > 0.75:
+            # the RAW gate would have fired; normalization cleared it
             cleared.append(f"{name}: {ref_s:.2f}s -> {new_s:.2f}s "
                            f"({ratio:.2f}x raw, {eff:.2f}x normalized)")
     flagged = {b.split(":")[0] for b in bad}
