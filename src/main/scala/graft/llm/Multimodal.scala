@@ -1051,6 +1051,19 @@ object Multimodal {
         $"id2".bitwiseAND(mask).cast("int").as("f2"),
         $"hamming")
       .withColumn("off", $"f2" - $"f1")
+    alignRollup(pairs)
+  }
+
+  /** The three alignment rollups (orderless, modal offset,
+    * gaps-and-islands run) over a verified frame-pair table
+    * (id1, f1, id2, f2, hamming, off) at CLIP granularity — shared by
+    * the batch path (q263) and the incremental path (q271); the
+    * restriction to a pair subset commutes with every rollup because
+    * each groups strictly by (id1, id2). */
+  private def alignRollup(pairsIn: DataFrame): DataFrame = {
+    val s = pairsIn.sparkSession
+    import s.implicits._
+    val pairs = pairsIn
       .persist() // three consumers: rollup, offset census, run scan
     val roll = pairs.groupBy($"id1", $"id2")
       .agg(count(lit(1)).as("n_pairs"),
@@ -1076,10 +1089,85 @@ object Multimodal {
       .orderBy($"id1", $"id2")
   }
 
+  /** q271: INCREMENTAL video alignment (VERDICT r18 item 4) — q263 is
+    * batch-only; a production ingest aligns each NEWLY ingested clip
+    * against the store without re-verifying store×store pairs (the
+    * q134/q233 incremental discipline applied to alignment; the
+    * videoSigs store is already the store-side artifact). The
+    * registered split is deterministic: even clips are the store, odd
+    * clips the arriving batch. Graded by the q134 shape — the oracle
+    * replays the FULL batch alignment on the union and restricts to
+    * pairs involving a new clip, so the hash grade itself proves
+    * increment ≡ batch-recompute-on-union every run (restriction
+    * commutes with the rollups: all three group by (id1, id2)).
+    *
+    * 100 TB shape: the band census runs over the union (cap widths
+    * must match batch semantics — the store's band-occupancy table is
+    * the artifact a real ingest maintains incrementally), but the
+    * candidate JOIN's left side is the NEW batch's chunks only —
+    * work ∝ batch × band-collision mass, never store×store. */
+  def q271VideoAlignIncrement(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sigs = cachedVideoSigs(s, dir)
+    def clipOf(c: org.apache.spark.sql.Column) = shiftright(c, FrameIdBits)
+    videoAlignIncrementFrom(
+      sigs.filter(pmod(clipOf(col("media_id")), lit(2)) === 0),
+      sigs.filter(pmod(clipOf(col("media_id")), lit(2)) === 1))
+  }
+
+  /** The increment operator on arbitrary store/batch signature tables
+    * — pinned in MultimodalSpec (increment ≡ batch-on-union restricted
+    * to new-involved pairs) and driven through the streaming ingest's
+    * `fingerprint` knob in StreamingSpec. */
+  def videoAlignIncrementFrom(store: DataFrame, fresh: DataFrame,
+                              radius: Int = 6): DataFrame = {
+    val s = store.sparkSession
+    import s.implicits._
+    val mask = (1L << FrameIdBits) - 1
+    val chunked = phashChunked(store.unionByName(fresh)).persist()
+    val newClips = fresh
+      .select(shiftright($"media_id", FrameIdBits).as("nid")).distinct()
+    val nc = chunked.join(broadcast(newClips),
+        shiftright($"media_id", FrameIdBits) === $"nid").drop("nid")
+    val a = nc.select($"media_id".as("ida"), $"v0".as("x0"), $"v1".as("x1"),
+      $"v2".as("x2"), $"v3".as("x3"), $"c", $"v")
+    val b = chunked.select($"media_id".as("idb"), $"v0".as("y0"),
+      $"v1".as("y1"), $"v2".as("y2"), $"v3".as("y3"),
+      $"c".as("c2"), $"v".as("v2j"))
+    // hamming is symmetric, so canonicalizing (id1, id2) after the
+    // join gives exactly the batch chunkPairs rows whose pair involves
+    // a new clip; a new×new pair arrives from both directions and
+    // dedups to one canonical row
+    val pairs = a.join(b, $"c" === $"c2" && $"v" === $"v2j" &&
+        shiftright($"ida", FrameIdBits) =!= shiftright($"idb", FrameIdBits))
+      .withColumn("hamming",
+        (bit_count($"x0".bitwiseXOR($"y0")) + bit_count($"x1".bitwiseXOR($"y1")) +
+         bit_count($"x2".bitwiseXOR($"y2")) + bit_count($"x3".bitwiseXOR($"y3")))
+          .cast("int"))
+      .select(least($"ida", $"idb").as("p1"),
+        greatest($"ida", $"idb").as("p2"), $"hamming")
+      .dropDuplicates("p1", "p2")
+      .filter($"hamming" <= radius)
+      .select(shiftright($"p1", FrameIdBits).as("id1"),
+        $"p1".bitwiseAND(mask).cast("int").as("f1"),
+        shiftright($"p2", FrameIdBits).as("id2"),
+        $"p2".bitwiseAND(mask).cast("int").as("f2"),
+        $"hamming")
+      .withColumn("off", $"f2" - $"f1")
+    alignRollup(pairs)
+  }
+
   /** q263 oracle: q257's per-frame fingerprint/band/cap CTEs, then the
     * verified pair table with its offset, and the three rollups
     * (orderless, modal offset, gaps-and-islands run) in plain SQL. */
-  val q263Sql: String = {
+  val q263Sql: String = videoAlignSql("")
+
+  /** q271 oracle: the FULL batch alignment (q263's SQL verbatim)
+    * restricted to pairs involving an odd (new) clip — so the grade is
+    * the increment ≡ batch-on-union proof itself. */
+  val q271Sql: String = videoAlignSql(" WHERE id1 % 2 = 1 OR id2 % 2 = 1")
+
+  private def videoAlignSql(vpWhere: String): String = {
     val chunks = (0 until 4).map { c =>
       s"CAST(sum(CASE WHEN k >= ${c * 16} AND k < ${c * 16 + 16} " +
         s"THEN bit * (1 << (k % 16)) ELSE 0 END) AS INT) AS v$c"
@@ -1127,13 +1215,14 @@ object Multimodal {
        |    JOIN v x ON x.media_id = cd.id1 AND x.f = cd.f1
        |    JOIN v y ON y.media_id = cd.id2 AND y.f = cd.f2) cd
        |  WHERE hamming <= 6),
+       |vpx AS (SELECT * FROM vp$vpWhere),
        |roll AS (
        |  SELECT id1, id2, count(*) AS n_pairs,
        |    count(DISTINCT f1) AS n_frames_matched,
        |    min(hamming) AS min_hamming
-       |  FROM vp GROUP BY id1, id2),
+       |  FROM vpx GROUP BY id1, id2),
        |sup AS (
-       |  SELECT id1, id2, off, count(*) AS n_off FROM vp GROUP BY id1, id2, off),
+       |  SELECT id1, id2, off, count(*) AS n_off FROM vpx GROUP BY id1, id2, off),
        |modal AS (
        |  SELECT id1, id2, off AS modal_off, n_off AS n_at_offset FROM (
        |    SELECT sup.*, row_number() OVER (
@@ -1141,7 +1230,7 @@ object Multimodal {
        |    FROM sup) t WHERE rn = 1),
        |am AS (
        |  SELECT DISTINCT p.id1, p.id2, p.f1
-       |  FROM vp p JOIN modal mo
+       |  FROM vpx p JOIN modal mo
        |    ON mo.id1 = p.id1 AND mo.id2 = p.id2 AND p.off = mo.modal_off),
        |runs AS (
        |  SELECT id1, id2, max(rl) AS max_run FROM (
@@ -1362,6 +1451,7 @@ object Multimodal {
     "q249_audiofp_dups"  -> (q249AudioFpDups _),
     "q257_videofp_dups"  -> (q257VideoFpDups _),
     "q263_video_align"   -> (q263VideoAlign _),
+    "q271_video_align_incr" -> (q271VideoAlignIncrement _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -1376,5 +1466,6 @@ object Multimodal {
     "q249_audiofp_dups"  -> q249Sql,
     "q257_videofp_dups"  -> q257Sql,
     "q263_video_align"   -> q263Sql,
+    "q271_video_align_incr" -> q271Sql,
   )
 }

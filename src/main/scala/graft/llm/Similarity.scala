@@ -1194,6 +1194,277 @@ object Similarity {
        |FROM brute b LEFT JOIN ann a ON a.qid = b.qid AND a.cid = b.cid
        |GROUP BY b.qid ORDER BY b.qid""".stripMargin
 
+  /** The nprobe values q267 sweeps — the knob's practical range on a
+    * √N-cell index (16 probes of a 40-cell sf0.1 index is 40% of the
+    * corpus; past that you want brute force, not ANN). */
+  val SweepNprobes: Seq[Int] = Seq(1, 2, 4, 8, 16)
+
+  /** q267: the ANN ACCURACY FRONTIER (VERDICT r18 item 2) — q265
+    * grades ONE point of the recall curve (the session's nprobe); an
+    * operator tuning a real index needs the CURVE: recall@5 AND cost
+    * per nprobe ∈ {1,2,4,8,16}. Cost here is `n_cand` — the exact
+    * number of candidate vectors the probe scans (the quantity that
+    * prices a probe at 100 TB; wall-clock is not oracle-gradable,
+    * candidate count is). ONE build (centroids, assignment, probe
+    * ranks to max nprobe) serves every sweep point: the per-nprobe
+    * shortlists differ only in the `cell_rn <= nprobe` filter, so the
+    * sweep costs one q66 build + one brute baseline, not five of
+    * each. Where recall crosses 90%+ is read directly off the graded
+    * rows. */
+  def q267AnnNprobeSweep(s: SparkSession, dir: String): DataFrame =
+    nprobeSweepFrom(vecs(s, dir), lloydIters = sessionIvfLloydIters(s))
+
+  private[graft] def nprobeSweepFrom(e: DataFrame, nq: Int = 10, k: Int = 5,
+      strideMod: Int = 31, lloydIters: Int = 2): DataFrame = {
+    val s = e.sparkSession
+    import s.implicits._
+    val cents = sampledLloydCents(e, strideMod, lloydIters)
+    val assigned = nearestN(cents, "cent_id", "cv0")(
+      e, "vec_id", "v", 1, "cell").drop("cell_rn")
+    val qp = nearestN(cents, "cent_id", "cv0")(
+      e.filter($"vec_id" < nq), "vec_id", "v", SweepNprobes.max, "cell")
+      .select($"vec_id".as("qid"), $"v".as("qv"), $"cell", $"cell_rn")
+    val nps = SweepNprobes.toDF("nprobe")
+    // (nprobe, qid) -> the probed cells: rank <= nprobe. Tiny frame
+    // (|Q| * 16 * |sweep| rows) — broadcast against the assignment.
+    val qcells = qp.crossJoin(nps).filter($"cell_rn" <= $"nprobe")
+      .select($"nprobe", $"qid", $"qv", $"cell")
+    val c = assigned.select($"vec_id".as("cid"), $"v".as("cv"),
+      $"cell".as("ccell"))
+    // cells are disjoint (assignment is argmax rn=1), so no dedup is
+    // needed: each cid appears at most once per (nprobe, qid)
+    val cand = c.join(broadcast(qcells),
+        $"ccell" === $"cell" && $"cid" =!= $"qid")
+      .select($"nprobe", $"qid", $"qv", $"cid", $"cv")
+      .persist() // two consumers: the cost census and the top-k
+    val costs = cand.groupBy($"nprobe", $"qid")
+      .agg(count(lit(1)).as("n_cand"))
+    val w = Window.partitionBy($"nprobe", $"qid")
+      .orderBy($"sim".desc, $"cid".asc)
+    val top = cand
+      .withColumn("sim", graft.functions.CosineSim.cosine(s, $"qv", $"cv"))
+      .withColumn("rank", row_number().over(w)).filter($"rank" <= k)
+      .select($"nprobe", $"qid", $"cid", lit(1).as("hit"))
+    bruteTopkFrom(e, nq, k).select($"qid", $"cid").crossJoin(nps)
+      .join(top, Seq("nprobe", "qid", "cid"), "left")
+      .groupBy($"nprobe", $"qid")
+      .agg(count(lit(1)).as("n_brute"),
+        sum(when($"hit".isNotNull, 1L).otherwise(0L)).as("n_hits"))
+      .join(costs, Seq("nprobe", "qid"), "left")
+      .select($"nprobe", $"qid",
+        coalesce($"n_cand", lit(0L)).as("n_cand"), $"n_brute", $"n_hits",
+        expr("CAST((n_hits * 1000000) div n_brute AS BIGINT)")
+          .as("recall_ppm"))
+      .orderBy($"nprobe", $"qid")
+  }
+
+  /** q267 oracle: q66's build CTEs verbatim (same Lloyd unroll, same
+    * tie-broken assignment), the probe ranks taken to the sweep max,
+    * and the five nprobe points derived by filtering `crn <= nprobe`
+    * against a VALUES table — exactly the one-build-many-points shape
+    * the Spark plan uses. */
+  def q267Sql(li: Int): String = {
+    val iters = (1 to li).map(i =>
+      lloydCtes(i, if (i == 1) "c0" else s"c${i - 1}")).mkString("\n")
+    val cLast = s"c$li"
+    val maxNp = SweepNprobes.max
+    val npVals = SweepNprobes.map(n => s"($n)").mkString(", ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |params AS (SELECT greatest(31, CAST(floor(sqrt(count(*))) AS BIGINT)) AS stride FROM e),
+       |c0 AS (SELECT vec_id AS cent_id, v AS cv FROM e
+       |       WHERE vec_id % (SELECT stride FROM params) = 0),
+       |tr AS (SELECT vec_id, v FROM e
+       |       WHERE vec_id % (SELECT greatest(1, stride // 8) FROM params) = 0),
+       |$iters
+       |asgf AS (
+       |  SELECT vec_id, v, cent_id, crn FROM (
+       |    SELECT e.vec_id, e.v, c.cent_id,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        ${cosSql("e.v", "c.cv")} DESC,
+       |        c.cent_id ASC) AS crn
+       |    FROM e, $cLast c) t),
+       |assigned AS (SELECT vec_id, v, cent_id AS cell FROM asgf WHERE crn = 1),
+       |q AS (SELECT vec_id AS qid, v AS qv, cent_id AS cell, crn
+       |      FROM asgf WHERE vec_id < 10 AND crn <= $maxNp),
+       |nps AS (SELECT nprobe FROM (VALUES $npVals) n(nprobe)),
+       |cand AS (
+       |  SELECT n.nprobe, q.qid, q.qv, c.vec_id AS cid, c.v AS cv
+       |  FROM nps n, q
+       |  JOIN assigned c ON c.cell = q.cell AND c.vec_id <> q.qid
+       |  WHERE q.crn <= n.nprobe),
+       |costs AS (SELECT nprobe, qid, CAST(count(*) AS BIGINT) AS n_cand
+       |          FROM cand GROUP BY 1, 2),
+       |top AS (
+       |  SELECT nprobe, qid, cid FROM (
+       |    SELECT nprobe, qid, cid,
+       |      row_number() OVER (PARTITION BY nprobe, qid
+       |        ORDER BY ${cosSql("qv", "cv")} DESC, cid ASC) AS rank
+       |    FROM cand) t WHERE rank <= 5),
+       |brute AS (SELECT qid, cid FROM ($q36Sql) b),
+       |expected AS (SELECT n.nprobe, b.qid, b.cid FROM nps n, brute b),
+       |rec AS (
+       |  SELECT x.nprobe, x.qid,
+       |    CAST(count(*) AS BIGINT) AS n_brute,
+       |    CAST(sum(CASE WHEN t.cid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+       |  FROM expected x
+       |  LEFT JOIN top t ON t.nprobe = x.nprobe AND t.qid = x.qid AND t.cid = x.cid
+       |  GROUP BY 1, 2)
+       |SELECT r.nprobe, r.qid, coalesce(c.n_cand, 0) AS n_cand,
+       |  r.n_brute, r.n_hits,
+       |  CAST(r.n_hits * 1000000 // r.n_brute AS BIGINT) AS recall_ppm
+       |FROM rec r LEFT JOIN costs c ON c.nprobe = r.nprobe AND c.qid = r.qid
+       |ORDER BY r.nprobe, r.qid""".stripMargin
+  }
+
+  /** q268: the recall score applied across the WHOLE ANN family
+    * (VERDICT r18 item 2, second half) — [[recallFrom]] is
+    * frame-agnostic, so the two-hop (q132), LSH (q39), PQ (q138) and
+    * SQ8 (q136) shortlists each score against the same brute ground
+    * truth in one graded frame. The number an operator reads before
+    * picking an index family — on the record, not in a spec comment. */
+  def q268AnnFamilyRecall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val brute = q36CosineTopk(s, dir).select($"qid", $"cid").persist()
+    Seq("ivf2" -> q132AnnIvf2(s, dir),
+        "lsh"  -> q39AnnLsh(s, dir),
+        "pq"   -> q138AnnPq(s, dir),
+        "sq8"  -> q136AnnSq8(s, dir))
+      .map { case (nm, df) =>
+        recallFrom(brute, df).withColumn("family", lit(nm)) }
+      .reduce(_ unionByName _)
+      .select($"family", $"qid", $"n_brute", $"n_hits", $"recall_ppm")
+      .orderBy($"family", $"qid")
+  }
+
+  /** q268 oracle: each family's already-hash-graded SQL as a derived
+    * table (so this grade inherits their bit-parity), unioned under a
+    * family tag and scored against q36's brute rows. */
+  def q268Sql(np: Int, li: Int, mp: Int): String =
+    s"""WITH brute AS (SELECT qid, cid FROM ($q36Sql) b),
+       |hits AS (
+       |  SELECT 'ivf2' AS family, qid, cid FROM (${q132Sql(np, li)}) x
+       |  UNION ALL SELECT 'lsh', qid, cid FROM (${annLshSql(mp)}) x
+       |  UNION ALL SELECT 'pq', qid, cid FROM ($q138Sql) x
+       |  UNION ALL SELECT 'sq8', qid, cid FROM ($q136Sql) x),
+       |fams AS (SELECT family FROM (VALUES ('ivf2'), ('lsh'), ('pq'), ('sq8')) f(family)),
+       |expected AS (SELECT f.family, b.qid, b.cid FROM fams f, brute b)
+       |SELECT x.family, x.qid,
+       |  CAST(count(*) AS BIGINT) AS n_brute,
+       |  CAST(sum(CASE WHEN h.cid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       |  CAST(sum(CASE WHEN h.cid IS NOT NULL THEN 1 ELSE 0 END) * 1000000
+       |       // count(*) AS BIGINT) AS recall_ppm
+       |FROM expected x
+       |LEFT JOIN hits h ON h.family = x.family AND h.qid = x.qid AND h.cid = x.cid
+       |GROUP BY x.family, x.qid
+       |ORDER BY x.family, x.qid""".stripMargin
+
+  /** q269: q265's SAMPLED ground-truth twin — the 100 TB form of the
+    * recall measurement (VERDICT r18 item 2, the weak-by-designation
+    * fix). q265's brute side is exact and therefore Θ(|Q|·N) — 26×
+    * per decade at the 100× point by design. This estimator bounds
+    * the ground-truth side to a CONSTANT-size deterministic corpus
+    * sample (`vec_id % max(4, ⌊N/512⌋) = 1` — ≈512 vectors at any
+    * scale, the ivfStride sizing discipline) and a query sample (the
+    * even half of the query batch): exact brute top-k ON THE SAMPLE
+    * vs the full-corpus IVF's probe restricted to the same sample,
+    * ranked within it. Graded exactly on the sample (every row of the
+    * estimate is hash-checked); what is approximate is only the
+    * ESTIMATOR's relationship to full recall, which is the standard
+    * subsampled-ground-truth trade every production recall harness
+    * makes. Scale shape: brute side |Qs|·512 cosines — FLAT per
+    * decade where q265's grows 26×. */
+  def q269AnnRecallSampled(s: SparkSession, dir: String): DataFrame =
+    sampledRecallFrom(vecs(s, dir),
+      nprobe = sessionIvfNprobe(s), lloydIters = sessionIvfLloydIters(s))
+
+  private[graft] def sampledRecallFrom(e: DataFrame, nq: Int = 10, k: Int = 5,
+      strideMod: Int = 31, nprobe: Int = 2, lloydIters: Int = 2,
+      sampleCap: Long = 512L): DataFrame = {
+    val s = e.sparkSession
+    import s.implicits._
+    val sStride = math.max(4L, e.count() / sampleCap)
+    val qs = e.filter($"vec_id" < nq && $"vec_id" % 2 === 0)
+      .select($"vec_id".as("qid"), $"v".as("qv"))
+    val wb = Window.partitionBy($"qid").orderBy($"sim".desc, $"cid".asc)
+    val bruteS = e.filter(pmod($"vec_id", lit(sStride)) === 1)
+      .select($"vec_id".as("cid"), $"v".as("cv"))
+      .join(broadcast(qs), $"cid" =!= $"qid")
+      .withColumn("sim", graft.functions.CosineSim.cosine(s, $"qv", $"cv"))
+      .withColumn("rank", row_number().over(wb)).filter($"rank" <= k)
+      .select($"qid", $"cid")
+    val cents = sampledLloydCents(e, strideMod, lloydIters)
+    val assigned = nearestN(cents, "cent_id", "cv0")(
+      e, "vec_id", "v", 1, "cell").drop("cell_rn")
+    val qp = nearestN(cents, "cent_id", "cv0")(
+      e.filter($"vec_id" < nq && $"vec_id" % 2 === 0),
+      "vec_id", "v", nprobe, "cell")
+      .select($"vec_id".as("qid"), $"v".as("qv"), $"cell")
+    val wa = Window.partitionBy($"qid").orderBy($"sim".desc, $"cid".asc)
+    val annS = assigned.filter(pmod($"vec_id", lit(sStride)) === 1)
+      .select($"vec_id".as("cid"), $"v".as("cv"), $"cell".as("ccell"))
+      .join(broadcast(qp), $"ccell" === $"cell" && $"cid" =!= $"qid")
+      .dropDuplicates("qid", "cid")
+      .withColumn("sim", graft.functions.CosineSim.cosine(s, $"qv", $"cv"))
+      .withColumn("rank", row_number().over(wa)).filter($"rank" <= k)
+      .select($"qid", $"cid")
+    recallFrom(bruteS, annS)
+  }
+
+  /** q269 oracle: q66's build CTEs with both sides' sample filters
+    * restated (`params2` computes the same ⌊N/512⌋-floored stride from
+    * the corpus's own count, the ivfStride pattern). */
+  def q269Sql(np: Int, li: Int): String = {
+    val iters = (1 to li).map(i =>
+      lloydCtes(i, if (i == 1) "c0" else s"c${i - 1}")).mkString("\n")
+    val cLast = s"c$li"
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |params AS (SELECT greatest(31, CAST(floor(sqrt(count(*))) AS BIGINT)) AS stride FROM e),
+       |params2 AS (SELECT greatest(4, count(*) // 512) AS sstride FROM e),
+       |c0 AS (SELECT vec_id AS cent_id, v AS cv FROM e
+       |       WHERE vec_id % (SELECT stride FROM params) = 0),
+       |tr AS (SELECT vec_id, v FROM e
+       |       WHERE vec_id % (SELECT greatest(1, stride // 8) FROM params) = 0),
+       |$iters
+       |qs AS (SELECT vec_id AS qid, v AS qv FROM e
+       |       WHERE vec_id < 10 AND vec_id % 2 = 0),
+       |bruteS AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT q.qid, c.vec_id AS cid,
+       |      row_number() OVER (PARTITION BY q.qid ORDER BY
+       |        ${cosSql("q.qv", "c.v")} DESC, c.vec_id ASC) AS rank
+       |    FROM qs q JOIN e c
+       |      ON c.vec_id % (SELECT sstride FROM params2) = 1
+       |     AND c.vec_id <> q.qid) t WHERE rank <= 5),
+       |asgf AS (
+       |  SELECT vec_id, v, cent_id, crn FROM (
+       |    SELECT e.vec_id, e.v, c.cent_id,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        ${cosSql("e.v", "c.cv")} DESC,
+       |        c.cent_id ASC) AS crn
+       |    FROM e, $cLast c) t),
+       |assigned AS (SELECT vec_id, v, cent_id AS cell FROM asgf WHERE crn = 1),
+       |qp AS (SELECT vec_id AS qid, v AS qv, cent_id AS cell
+       |       FROM asgf WHERE vec_id < 10 AND vec_id % 2 = 0 AND crn <= $np),
+       |annS AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT qid, cid,
+       |      row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rank
+       |    FROM (
+       |      SELECT DISTINCT q.qid, c.vec_id AS cid,
+       |        ${cosSql("q.qv", "c.v")} AS sim
+       |      FROM qp q JOIN assigned c
+       |        ON c.cell = q.cell AND c.vec_id <> q.qid
+       |       AND c.vec_id % (SELECT sstride FROM params2) = 1) s) t
+       |  WHERE rank <= 5)
+       |SELECT b.qid,
+       |  CAST(count(*) AS BIGINT) AS n_brute,
+       |  CAST(sum(CASE WHEN a.cid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       |  CAST(sum(CASE WHEN a.cid IS NOT NULL THEN 1 ELSE 0 END) * 1000000
+       |       // count(*) AS BIGINT) AS recall_ppm
+       |FROM bruteS b LEFT JOIN annS a ON a.qid = b.qid AND a.cid = b.cid
+       |GROUP BY b.qid ORDER BY b.qid""".stripMargin
+  }
+
   /** q132 oracle: the hierarchical build is q66's sampled-Lloyd build
     * plus three more deterministic argmax layers (super selection by
     * rank arithmetic, centroid→super, vector→super→cell), every one
@@ -2590,6 +2861,9 @@ object Similarity {
     "q66_ann_ivf"        -> (q66AnnIvf _),
     "q132_ann_ivf2"      -> (q132AnnIvf2 _),
     "q265_ann_recall"    -> (q265AnnRecall _),
+    "q267_ann_nprobe_sweep" -> (q267AnnNprobeSweep _),
+    "q268_ann_family_recall" -> (q268AnnFamilyRecall _),
+    "q269_ann_recall_sampled" -> (q269AnnRecallSampled _),
     "q104_cosine_dups"   -> (q104CosineDups _),
     "q111_ann_md5"       -> (q111AnnMd5 _),
     "q125_cosine_sql"    -> (q125CosineSqlPairs _),
@@ -2636,6 +2910,9 @@ object Similarity {
       "q66_ann_ivf"        -> q66Sql(np, li),
       "q132_ann_ivf2"      -> q132Sql(np, li),
       "q265_ann_recall"    -> q265Sql(np, li),
+      "q267_ann_nprobe_sweep" -> q267Sql(li),
+      "q268_ann_family_recall" -> q268Sql(np, li, sessionMultiProbe),
+      "q269_ann_recall_sampled" -> q269Sql(np, li),
       "q104_cosine_dups"   -> q104Sql,
       "q111_ann_md5"       -> q111Sql,
       "q125_cosine_sql"    -> q125Sql,

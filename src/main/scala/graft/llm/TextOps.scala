@@ -1627,6 +1627,99 @@ object TextOps {
        |FROM ids ORDER BY doc_id""".stripMargin
   }
 
+  /** q270 packing parameters. `PackEosId` is the document separator:
+    * `BpeSymBase` itself is reserved by construction — every codepoint
+    * symbol is < BpeSymBase and every minted merge id is
+    * BpeSymBase + t with t >= 1, so the separator can never collide
+    * with a real token id. */
+  val PackSeqLen = 256
+  val PackEosId: Int = BpeSymBase
+
+  /** q270: PACKED TRAINING SEQUENCES from the id streams (VERDICT r18
+    * item 3) — the composition that is the tokenizer pipeline's actual
+    * deliverable: q266 emits per-document ordered id streams; the
+    * trainer consumes FIXED-LENGTH sequences. Policy, stated
+    * explicitly: no BOS; one `PackEosId` separator appended per
+    * document (the doc-boundary token); documents concatenate in
+    * doc_id order WITHIN A SHARD (doc_id % 8 — q116's scale
+    * discipline: packing is a running sum, inherently sequential, so
+    * it runs per shard, embarrassingly parallel across shards, never
+    * a global total order); the concatenation chops into
+    * `PackSeqLen`-token sequences; the trailing partial sequence is
+    * KEPT (n_tokens < PackSeqLen) so conservation is exact.
+    *
+    * Graded with q266's checksum discipline per (shard, seq_id):
+    * n_tokens, n_eos (doc boundaries in the sequence), Σ ids (mass)
+    * and Σ (pos+1)·id (ORDER — any transposition changes it).
+    * Conservation is pinned in LlmSpec: Σ n_tokens ≡ q266's Σ n_ids
+    * plus one EOS per emitted document, and Σ n_eos ≡ the document
+    * count — boundary tokens accounted separately, exactly.
+    *
+    * 100 TB shape: per-doc offsets are one per-SHARD window over the
+    * doc-level frame (one row per doc, 16 bytes); the token-level work
+    * is posexplode → map-side partial aggregation → ONE shuffle keyed
+    * (shard, seq_id) carrying only per-sequence partials — Θ(corpus
+    * tokens) scan, the emission floor, no per-merge term. */
+  def q270SeqPackIds(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val enc = cachedInt16(s, dir)._2.select($"w", $"syms")
+    val flat = flatten(transform(
+      sort_array(collect_list(struct($"pos", $"syms"))), x => x("syms")))
+    val docIds = Tables.documents(s, dir)
+      .select($"doc_id", posexplode(tokens($"text")))
+      .withColumnRenamed("col", "w")
+      .join(enc, Seq("w"))
+      .groupBy($"doc_id")
+      .agg(concat(flat, array(lit(PackEosId))).as("ids"))
+      .select($"doc_id", pmod($"doc_id", lit(8)).as("shard"), $"ids")
+    val w = Window.partitionBy($"shard").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docIds
+      .withColumn("off0",
+        coalesce(sum(size($"ids").cast("long")).over(w), lit(0L)))
+      .select($"shard", $"off0", posexplode($"ids").as(Seq("p", "id")))
+      .withColumn("goff", $"off0" + $"p")
+      .withColumn("seq_id", expr(s"goff div $PackSeqLen"))
+      .withColumn("ps", expr(s"goff % $PackSeqLen"))
+      .groupBy($"shard", $"seq_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when($"id" === PackEosId, 1L).otherwise(0L)).as("n_eos"),
+        sum($"id".cast("long")).as("ids_sum"),
+        sum(($"ps" + lit(1L)) * $"id").as("ids_wsum"))
+      .orderBy($"shard", $"seq_id")
+  }
+
+  val q270Sql: String = {
+    raw"""WITH ${bpeIntRoundCtes(16)}
+       |tk AS (
+       |  SELECT doc_id,
+       |    unnest([{'pos': i, 'w': toks[i]}
+       |            FOR i IN generate_series(1, len(toks))], recursive := true)
+       |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks
+       |        FROM documents) t),
+       |enc AS (
+       |  SELECT tk.doc_id, tk.pos, v.syms
+       |  FROM tk JOIN w16 v ON v.w = tk.w),
+       |ids AS (
+       |  SELECT doc_id, doc_id % 8 AS shard,
+       |    list_append(flatten(list(syms ORDER BY pos)), $PackEosId) AS ids
+       |  FROM enc GROUP BY doc_id),
+       |offs AS (
+       |  SELECT shard, ids,
+       |    CAST(coalesce(sum(len(ids)) OVER (PARTITION BY shard ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off0
+       |  FROM ids),
+       |tok AS (
+       |  SELECT shard, off0 + i - 1 AS goff, ids[i] AS id
+       |  FROM offs, unnest(generate_series(1, len(ids))) AS u(i))
+       |SELECT shard, CAST(goff // $PackSeqLen AS BIGINT) AS seq_id,
+       |  CAST(count(*) AS BIGINT) AS n_tokens,
+       |  CAST(sum(CASE WHEN id = $PackEosId THEN 1 ELSE 0 END) AS BIGINT) AS n_eos,
+       |  CAST(sum(id) AS BIGINT) AS ids_sum,
+       |  CAST(sum((goff % $PackSeqLen + 1) * id) AS BIGINT) AS ids_wsum
+       |FROM tok GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
   /** The int-form loop on an arbitrary (doc_id, text) frame, formatted
     * to q251's output schema (real-string symbols). */
   def bpeTrainIntFrom(docs: DataFrame, k: Int): DataFrame = {
@@ -1763,9 +1856,12 @@ object TextOps {
     *
     * Every census round then applies its whole batch as stacked fold
     * projections under ONE eager checkpoint and reads the per-stage
-    * symbol totals in ONE aggregation — 3 driver actions per census
-    * round instead of 3 per merge. `mMax` bounds the stacked-fold plan
-    * depth (the 2^k analyzer lesson, PERF.md r17). */
+    * symbol totals in ONE aggregation; since r19 the census itself is
+    * maintained by DELTA (changed words only — see
+    * [[bpeTrainIntBatched]]), so a round pays 4 flat-plan driver
+    * actions, of which only the fold scan is corpus-sized. `mMax`
+    * bounds the stacked-fold plan depth (the 2^k analyzer lesson,
+    * PERF.md r17). */
   def q264BpeTrain64(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     cachedBatched64(s, dir)
@@ -1796,9 +1892,25 @@ object TextOps {
     * other — the plan is ONE flat fold per census round, not m nested
     * ones); (2) each rule's replacement count is exactly its minted
     * id's occurrence count in the batch output, so every SEQUENTIAL
-    * intermediate corpus total reconstructs from one aggregation. */
+    * intermediate corpus total reconstructs from one aggregation.
+    *
+    * CENSUS-DELTA maintenance (`deltaCensus`, default on — VERDICT r18
+    * item 5): a full re-census explodes EVERY adjacent pair of EVERY
+    * word each round, but a round's merges only change the pair counts
+    * of words they actually rewrote. The census lives as a materialized
+    * (l, r, cnt) table; each round updates it from the CHANGED words
+    * only — (new pairs − old pairs)·wc, a full-outer merge on the
+    * 8-byte pair key — so per-round census cost is proportional to the
+    * batch's replacement FOOTPRINT plus the distinct-pair table, not
+    * the corpus. Exactness is inductive (round 1 is the full census;
+    * every delta is the exact multiset difference), re-proved per run
+    * by the q264 oracle's sequential replay and pinned against the
+    * full-census path in LlmSpec. Delta mode pays 4 flat-plan driver
+    * actions per census round (top-T collect, fold checkpoint, totals
+    * aggregation, census checkpoint) where full mode pays 3 — the 4th
+    * is footprint-sized, which is the whole point at k=32000. */
   private[graft] def bpeTrainIntBatched(docs: DataFrame, k: Int,
-      mMax: Int = 6, topT: Int = 256)
+      mMax: Int = 6, topT: Int = 256, deltaCensus: Boolean = true)
       : (Vector[(Int, Int, Long, String, String, String, Long)], Int) = {
     val s = docs.sparkSession
     import s.implicits._
@@ -1810,6 +1922,8 @@ object TextOps {
       .select($"w", transform(sequence(lit(1), length($"w")),
         i => ascii($"w".substr(i, lit(1)))).as("syms"), $"wc")
       .persist()
+    var back: DataFrame = words // the checkpointed frame backing `words`
+    var census: DataFrame = null // delta mode: materialized (l, r, cnt)
     var merges = Vector.empty[(Int, Int, Long, String, String, String, Long)]
     var rounds = 0
     def strOf(sym: Int): String =
@@ -1826,13 +1940,18 @@ object TextOps {
         def trSql(x: String): String =
           if (merges.isEmpty) s"char($x)"
           else s"CASE $x $whens ELSE char($x) END"
-        val pc = words
+        lazy val pc = words
           .select($"wc", explode(zip_with(
             slice($"syms", lit(1), size($"syms") - 1),
             slice($"syms", lit(2), size($"syms") - 1),
             (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
           .groupBy($"p.l", $"p.r").agg(sum($"wc").as("cnt"))
-        val top = pc
+        val censusNow =
+          if (deltaCensus) {
+            if (census == null) census = pc.localCheckpoint(true)
+            census
+          } else pc
+        val top = censusNow
           .selectExpr("l", "r", "cnt", s"${trSql("l")} AS ls", s"${trSql("r")} AS rs")
           .orderBy($"cnt".desc, $"ls".asc, $"rs".asc).limit(topT).collect()
           .map(r => (r.getInt(0), r.getInt(1), r.getLong(2),
@@ -1901,20 +2020,49 @@ object TextOps {
               concat(slice(acc, lit(1), size(acc) - 1), array(lit(mid))))
               .otherwise(els)
           })
-        val next = words.select($"w", folded.as("syms"), $"wc")
+        // the fold checkpoint carries BOTH the pre- and post-merge
+        // symbol arrays: the next word table reads syms2, and delta
+        // mode reads (syms, syms2) of the CHANGED words to update the
+        // census without re-exploding the whole corpus
+        val sel = words.select($"w", $"syms", folded.as("syms2"), $"wc")
           .localCheckpoint(true)
         // one aggregation recovers every sequential intermediate:
         // rule j's replacement count is its minted id's occurrence
         // count (later batch rules never consume a minted id)
-        val aggs = sum($"wc" * size($"syms")).as("total") +:
+        val aggs = sum($"wc" * size($"syms2")).as("total") +:
           rules.map { case (_, _, mid) =>
-            sum($"wc" * size(filter($"syms", x => x === lit(mid)))) }
-        val row0 = next.agg(aggs.head, aggs.tail: _*).collect()(0)
+            sum($"wc" * size(filter($"syms2", x => x === lit(mid)))) }
+        val row0 = sel.agg(aggs.head, aggs.tail: _*).collect()(0)
         val totalAfterAll = row0.getLong(0)
         val repl = rules.indices.map(i => row0.getLong(i + 1))
-        graft.Ckpt.free(words)
-        words.unpersist()
-        words = next
+        if (deltaCensus) {
+          // merges only shrink arrays, so "changed" == "size shrank";
+          // each changed word retracts its old pairs and asserts its
+          // new ones at its own weight — the exact multiset difference
+          val changed = sel.filter(size($"syms2") < size($"syms"))
+          def signedPairs(cn: org.apache.spark.sql.Column,
+                          sign: org.apache.spark.sql.Column) =
+            transform(zip_with(
+              slice(cn, lit(1), size(cn) - 1), slice(cn, lit(2), size(cn) - 1),
+              (a, b) => struct(a.as("l"), b.as("r"))),
+              p => struct(p.getField("l").as("l"), p.getField("r").as("r"),
+                sign.as("d")))
+          val delta = changed.select(explode(concat(
+              signedPairs($"syms", -$"wc"), signedPairs($"syms2", $"wc"))).as("p"))
+            .groupBy($"p.l", $"p.r").agg(sum($"p.d").as("d"))
+            .filter($"d" =!= 0)
+          val upd = census.join(delta, Seq("l", "r"), "full_outer")
+            .select($"l", $"r",
+              (coalesce($"cnt", lit(0L)) + coalesce($"d", lit(0L))).as("cnt"))
+            .filter($"cnt" > 0)
+            .localCheckpoint(true)
+          graft.Ckpt.free(census)
+          census = upd
+        }
+        graft.Ckpt.free(back)
+        back.unpersist()
+        back = sel
+        words = sel.select($"w", $"syms2".as("syms"), $"wc")
         batch.zipWithIndex.foreach { case ((l, r, cnt, _, _), i) =>
           val mstr = strOf(l) + strOf(r)
           require(!merges.exists(_._6 == mstr),
@@ -1927,7 +2075,10 @@ object TextOps {
         }
       }
       done = true
-    } finally { graft.Ckpt.free(words); words.unpersist() }
+    } finally {
+      graft.Ckpt.free(back); back.unpersist()
+      if (census != null) graft.Ckpt.free(census)
+    }
     (merges, rounds)
   }
 
@@ -2672,6 +2823,7 @@ object TextOps {
     "q262_bpe_encode_oov" -> (q262BpeEncodeOov _),
     "q264_bpe_train64" -> (q264BpeTrain64 _),
     "q266_bpe_id_stream" -> (q266BpeIdStream _),
+    "q270_seq_pack_ids" -> (q270SeqPackIds _),
     "q251_bpe_train" -> (q251BpeTrain _),
     "q256_bpe_encode8" -> (q256BpeEncode8 _),
   )
@@ -2713,6 +2865,7 @@ object TextOps {
     "q262_bpe_encode_oov" -> q262Sql,
     "q264_bpe_train64" -> q264Sql,
     "q266_bpe_id_stream" -> q266Sql,
+    "q270_seq_pack_ids" -> q270Sql,
     "q251_bpe_train" -> q251Sql,
     "q256_bpe_encode8" -> q256Sql,
   )

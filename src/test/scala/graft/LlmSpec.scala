@@ -160,6 +160,73 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("q267 nprobe sweep: cost and recall monotone in nprobe; exhaustive point exact; live frontier on the record") {
+    // the frontier's defining invariants: probing MORE cells can only
+    // add candidates (n_cand non-decreasing) and can only add hits
+    // (recall non-decreasing — shortlists are nested because the
+    // candidate sets are), and a sweep point probing >= every cell IS
+    // brute force (recall exactly 1.0)
+    val e = clusteredVecs(nClusters = 10, perCluster = 50, dim = 16)
+    val sweep = llm.Similarity.nprobeSweepFrom(e).collect()
+      .map(r => (r.getAs[Int]("nprobe"), r.getAs[Long]("qid"),
+        r.getAs[Long]("n_cand"), r.getAs[Long]("recall_ppm")))
+    val byQ = sweep.groupBy(_._2)
+    assert(byQ.size == 10)
+    byQ.foreach { case (q, rows) =>
+      val ord = rows.sortBy(_._1)
+      assert(ord.map(_._1).toSeq == llm.Similarity.SweepNprobes,
+        s"every sweep point present for qid=$q")
+      assert(ord.map(_._3).toSeq == ord.map(_._3).sorted.toSeq,
+        s"n_cand must be non-decreasing in nprobe: $q ${ord.toSeq}")
+      assert(ord.map(_._4).toSeq == ord.map(_._4).sorted.toSeq,
+        s"recall must be non-decreasing in nprobe: $q ${ord.toSeq}")
+    }
+    // 500 vectors -> stride 31 -> ~16 cells, but cells can be fewer;
+    // assert the exhaustive invariant structurally: at the max sweep
+    // point every same-cell candidate is scanned, so if n_cand covers
+    // the whole corpus minus self, recall must be exactly 1.0
+    sweep.filter(t => t._1 == 16 && t._3 == 499L).foreach { t =>
+      assert(t._4 == 1000000L, s"full-coverage point must be exact: $t") }
+    val live = llm.Similarity.q267AnnNprobeSweep(spark, SparkTestSession.sf)
+      .collect()
+    assert(live.length == 10 * llm.Similarity.SweepNprobes.length)
+  }
+
+  test("q269 sampled recall: exhaustive probing is exact on the sample; sample stride honors the cap") {
+    val e = clusteredVecs(nClusters = 10, perCluster = 50, dim = 16)
+    // nprobe covering every cell -> the ANN side scans every sample
+    // member the brute side ranks -> recall exactly 1.0 per query
+    val full = llm.Similarity.sampledRecallFrom(e, nprobe = 1000).collect()
+    assert(full.length == 5, "query sample = the even half of 10")
+    full.foreach { r =>
+      assert(r.getAs[Long]("n_brute") == 5L)
+      assert(r.getAs[Long]("recall_ppm") == 1000000L,
+        s"exhaustive probing must be exact on the sample: $r") }
+    // live registration: accounting exact, 5 sampled queries
+    val live = llm.Similarity.q269AnnRecallSampled(spark, SparkTestSession.sf)
+      .collect()
+    assert(live.length == 5)
+    live.foreach { r =>
+      val (nb, nh, ppm) = (r.getAs[Long]("n_brute"), r.getAs[Long]("n_hits"),
+        r.getAs[Long]("recall_ppm"))
+      assert(nh >= 0L && nh <= nb)
+      assert(ppm == nh * 1000000L / nb, s"ppm must be exact: $r")
+    }
+  }
+
+  test("q268 family recall: all four families scored against one brute baseline") {
+    val live = llm.Similarity.q268AnnFamilyRecall(spark, SparkTestSession.sf)
+      .collect()
+    val fams = live.map(_.getAs[String]("family")).toSet
+    assert(fams == Set("ivf2", "lsh", "pq", "sq8"))
+    live.foreach { r =>
+      val (nb, nh, ppm) = (r.getAs[Long]("n_brute"), r.getAs[Long]("n_hits"),
+        r.getAs[Long]("recall_ppm"))
+      assert(nb == 5L && nh >= 0L && nh <= nb)
+      assert(ppm == nh * 1000000L / nb, s"ppm must be exact: $r")
+    }
+  }
+
   test("ANN recall floor: PQ holds a high floor on a clustered corpus") {
     val e = clusteredVecs(nClusters = 10, perCluster = 50, dim = 16)
     def pairs(df: org.apache.spark.sql.DataFrame) =
@@ -967,6 +1034,12 @@ class LlmSpec extends AnyFunSuite {
     assert(llm.TextOps.bpeTrainIntBatched(inter, 3)._1 ==
       llm.TextOps.bpeTrainMergesInt(inter, 3),
       "interaction corpus: batched must fall back to the sequential order")
+    // census-delta maintenance (VERDICT r18 item 5) ≡ full re-census on
+    // the interaction corpus — the corpus where the census CHANGES the
+    // most per merge relative to its size
+    assert(llm.TextOps.bpeTrainIntBatched(inter, 3, deltaCensus = false)._1 ==
+      llm.TextOps.bpeTrainIntBatched(inter, 3)._1,
+      "delta census must reproduce the full re-census merge table")
     // self-pair corpus (ADVICE r18): (a,a) at 20 is the argmax, (c,d)
     // at 9 is symbol-disjoint — but merging (a,a)→X mints (X,a) at 10,
     // which sequential step 2 prefers over (c,d). The blocker set
@@ -991,6 +1064,14 @@ class LlmSpec extends AnyFunSuite {
     // live corpus at k=16: merge-identical to the memoized sequential
     // training, in strictly fewer census rounds (the driver-round-trip
     // cut that makes k=32000 a plan)
+    // live corpus: delta-census (the default engine path) ≡ full
+    // re-census, merge-for-merge
+    assert(llm.TextOps.bpeTrainIntBatched(
+        graft.Tables.documents(spark, SparkTestSession.sf), 16,
+        deltaCensus = false)._1 ==
+      llm.TextOps.bpeTrainIntBatched(
+        graft.Tables.documents(spark, SparkTestSession.sf), 16)._1,
+      "live corpus: delta census must reproduce the full re-census table")
     val (bl, rounds) = llm.TextOps.bpeTrainIntBatched(
       graft.Tables.documents(spark, SparkTestSession.sf), 16)
     val seqRows = llm.TextOps.q259BpeTrain16(spark, SparkTestSession.sf)
@@ -1028,6 +1109,33 @@ class LlmSpec extends AnyFunSuite {
       .collect().last.getAs[Long]("corpus_syms")
     assert(totIds == syms16,
       s"per-doc id totals ($totIds) must conserve round-16 corpus_syms ($syms16)")
+  }
+
+  test("q270 packed sequences: exact conservation against q266, boundary accounting, fixed length") {
+    // VERDICT r18 item 3 — the packing must conserve the id streams
+    // exactly: Σ n_tokens over sequences ≡ q266's Σ n_ids plus ONE
+    // EOS per emitted document; Σ n_eos ≡ the document count; every
+    // sequence is full except possibly the last of each shard
+    val ids = llm.TextOps.q266BpeIdStream(spark, SparkTestSession.sf).collect()
+    val packed = llm.TextOps.q270SeqPackIds(spark, SparkTestSession.sf).collect()
+    assert(packed.nonEmpty)
+    val totTokens = packed.map(_.getAs[Long]("n_tokens")).sum
+    val totEos = packed.map(_.getAs[Long]("n_eos")).sum
+    assert(totTokens == ids.map(_.getAs[Long]("n_ids")).sum + ids.length,
+      "packed tokens must equal id-stream tokens + one EOS per document")
+    assert(totEos == ids.length.toLong,
+      "every document contributes exactly one boundary token")
+    val L = llm.TextOps.PackSeqLen.toLong
+    packed.groupBy(_.getAs[Long]("shard")).foreach { case (sh, rows) =>
+      val ord = rows.sortBy(_.getAs[Long]("seq_id"))
+      // seq ids are dense within a shard and all but the last are full
+      assert(ord.map(_.getAs[Long]("seq_id")).toSeq ==
+        ord.indices.map(_.toLong), s"shard $sh seq ids must be dense")
+      ord.dropRight(1).foreach { r =>
+        assert(r.getAs[Long]("n_tokens") == L,
+          s"non-trailing sequence must be full: shard $sh $r") }
+      assert(ord.last.getAs[Long]("n_tokens") <= L)
+    }
   }
 
   test("q251 BPE k-round training: merge chaining, monotonicity, compression accounting") {

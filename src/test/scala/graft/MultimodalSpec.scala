@@ -503,4 +503,48 @@ class MultimodalSpec extends AnyFunSuite {
     // the smallest wins
     assert(mo == -5, s"tie-break must pick the smallest offset: $mo")
   }
+
+  test("q271 incremental alignment: increment ≡ batch-on-union restricted to new-involved pairs") {
+    // VERDICT r18 item 4 — the q134 grading shape applied to q263: the
+    // store holds clips 0 and 5; the batch delivers 1 (a trimmed copy
+    // of 0) and 4 (a distinct clip). The increment must reproduce the
+    // BATCH alignment rows for every pair involving 1 or 4 — including
+    // the trimmed copy's full (8, -2, 8, 8) verdict — and emit nothing
+    // for the store×store pair (0, 5).
+    val W = 64
+    def frame(seed: Int): Array[Byte] = {
+      val rnd = new scala.util.Random(seed)
+      Array.fill[Byte](W)(rnd.nextInt(256).toByte)
+    }
+    val aFrames = (0 until 10).map(f => frame(1000 + f))
+    val bFrames = (0 until 6).map(f => frame(9000 + f))
+    def row(id: Long, fs: Seq[Array[Byte]]) =
+      Multimodal.MediaRow(id, "video", MediaCodec.encodeY4m(fs, W, 1),
+        W, 1, 16000, fs.length * 1000L, "y4m/mono")
+    val perm = Seq(3, 0, 7, 1, 9, 4, 2, 8, 5, 6)
+    val storeMedia = spark.createDataset(Seq(
+      row(0L, aFrames), row(5L, perm.map(aFrames))))
+    val freshMedia = spark.createDataset(Seq(
+      row(1L, aFrames.drop(2)), row(4L, bFrames)))
+    val storeSigs = Multimodal.videoSigs(storeMedia)
+    val freshSigs = Multimodal.videoSigs(freshMedia)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("id1"), r.getAs[Long]("id2")) ->
+        (r.getAs[Long]("n_pairs"), r.getAs[Long]("n_frames_matched"),
+          r.getAs[Int]("min_hamming"), r.getAs[Int]("modal_off"),
+          r.getAs[Long]("n_at_offset"), r.getAs[Long]("max_run"))
+    val incr = Multimodal.videoAlignIncrementFrom(storeSigs, freshSigs)
+      .collect().map(key).toMap
+    val batch = Multimodal
+      .videoAlignFrom(storeMedia.unionByName(freshMedia)).collect()
+      .map(key).toMap
+    val newInvolved = batch.filter { case ((i1, i2), _) =>
+      Set(1L, 4L).contains(i1) || Set(1L, 4L).contains(i2) }
+    assert(incr == newInvolved,
+      s"increment must equal batch-on-union restricted: incr=$incr batch=$newInvolved")
+    assert(incr.contains((0L, 1L)) && incr((0L, 1L)) ==
+      ((8L, 8L, 0, -2, 8L, 8L)), s"trimmed copy verdict: ${incr.get((0L, 1L))}")
+    assert(!incr.contains((0L, 5L)),
+      "store×store pairs must not be re-verified by the increment")
+  }
 }

@@ -87,10 +87,20 @@ class PlanHygieneSpec extends AnyFunSuite {
                            // center (q182's per-round scalar graft)
     "q238_quality_probe",  // per-step broadcast of the 1-row exact doc
                            // count into the mean-gradient update
-    "q265_ann_recall")     // q36's broadcast 10-row query fan-out + q66's
+    "q265_ann_recall",     // q36's broadcast 10-row query fan-out + q66's
                            // centroid assignment pass — the two builds
                            // whose recall gap IS the measurement; the
                            // scoring join itself is an equi-join
+    "q267_ann_nprobe_sweep", // q265's two builds plus the deliberate
+                           // 5-row nprobe VALUES crossJoin that derives
+                           // the sweep points from ONE build
+    "q268_ann_family_recall", // the four family builds each carry their
+                           // own allowlisted fan-out (q132/q136/q138
+                           // shapes) + q36's broadcast baseline
+    "q269_ann_recall_sampled") // q66's assignment pass + the broadcast
+                           // 5-query fan-out over the ≈512-vector
+                           // sample — the bounded brute side IS the
+                           // scale fix being graded
 
   test("no unintended cartesian products across the whole catalog") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

@@ -1102,6 +1102,23 @@ class StreamingSpec extends AnyFunSuite {
       q.processAllAvailable()
       assert(clips() == Set(0L, 2L, 3L), s"batch 3: ${clips()}")
       assert(frameRows() == (10 + 10 + 6) * 4)
+      // q271 composition (VERDICT r18 item 4): the PERSISTED signature
+      // store is directly consumable by the incremental aligner — a
+      // newly arriving trimmed copy aligns against the store BEFORE
+      // the dedup gate would drop its frames (which is exactly why
+      // alignment must run at ingest time: the copy contributes zero
+      // novel rows, so post-ingest the evidence is gone)
+      val storeSigs = spark.read.parquet(store)
+        .select("media_id", "v0", "v1", "v2", "v3").distinct()
+      val freshSigs = Multimodal.videoSigs(
+        spark.createDataset(Seq(row(7L, aFrames.drop(2)))))
+      val verdict = Multimodal.videoAlignIncrementFrom(storeSigs, freshSigs)
+        .collect().map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2")) ->
+          (r.getAs[Long]("n_frames_matched"), r.getAs[Int]("modal_off"),
+            r.getAs[Long]("max_run"))).toMap
+      assert(verdict.contains((0L, 7L)), s"verdicts: $verdict")
+      assert(verdict((0L, 7L)) == ((8L, -2, 8L)),
+        s"trimmed copy must align against the store: ${verdict((0L, 7L))}")
     } finally q.stop()
   }
 

@@ -91,19 +91,36 @@ ADJUDICATIONS = {
             "refinement real. Deliberate bug-fix cost, not a plan "
             "regression.")},
     "q129_png_roundtrip": {
-        "ref": 0.66, "new": 1.86,
+        "ref": 1.41, "new": 2.27,
         "note": (
-            "r17 final-stamp flag adjudicated NOT real (environment class, "
-            "twice-documented): no r17 code touches the PNG round-trip (the "
-            "round's media change is in the band stage, a different query "
-            "path), the stamp's own box fields classified the catalog's "
-            "uniform 1.18x shift BOX DRIFT (single-thread probe 3.17->3.51s "
-            "tracking it; multi-core probe 0.94->1.44s), and the custody "
-            "solo 3-rep read a TIGHT 1.231/1.233/1.271s. Supersedes the r10 "
-            "entry (1.54s->2.50s, same verdict class): ImageIO "
-            "encode/decode latency is JIT/allocator-sensitive and swings "
-            "3x rep-to-rep — established then by a solo spread of "
-            "1.88/4.33/5.74s against a flat catalog record.")},
+            "r18 driver-record flag (1.41s->2.27s min-of-reps, 1.57x "
+            "probe-normalized) RE-adjudicated in r19 at these timings (the "
+            "prior entry, judged 0.66->1.86, was marked stale by the gate): "
+            "NOT real — PNG round-trip code untouched since r9; the r19 "
+            "custody solo 3-rep read 1.86/1.037/0.975s, min 0.975s, BELOW "
+            "even the r17 reference min. Third documented instance of the "
+            "ImageIO JIT/allocator plateau (r10 solo spread 1.88/4.33/5.74s; "
+            "r17 solo 1.231/1.233/1.271s): encode/decode latency swings 2-3x "
+            "rep-to-rep with a cold-JIT first rep, so single-window "
+            "min-of-reps on a drifted box flags it spuriously.")},
+    "q254_semindex_compact2": {
+        "ref": 3.12, "new": 4.91,
+        "note": (
+            "r18 driver-record flag adjudicated NOT real by the r19 "
+            "same-box A/B (BENCH_ab_r19.json): the r17-close build "
+            "(ee740ae) and r19 HEAD benched interleaved on one box read "
+            "min-of-3 3.386s vs 3.482s — 1.028x on identical code for "
+            "this path (zero Dedup/Similarity diff in r18). The 4.91s "
+            "reading was the drifted post-commit box, same as the record's "
+            "own BOX DRIFT classification.")},
+    "q255_cc_salted": {
+        "ref": 2.53, "new": 4.06,
+        "note": (
+            "r18 driver-record flag adjudicated NOT real by the r19 "
+            "same-box A/B: r17-close vs r19 HEAD interleaved min-of-3 "
+            "3.081s vs 2.869s — 0.93x, the current build is FASTER on "
+            "identical code. Environment, matching the record's box "
+            "classifier.")},
     "q155_triangles": {
         "ref": 1.24, "new": 2.10,
         "note": (
