@@ -1856,12 +1856,13 @@ object TextOps {
     *
     * Every census round then applies its whole batch as stacked fold
     * projections under ONE eager checkpoint and reads the per-stage
-    * symbol totals in ONE aggregation; since r19 the census itself is
-    * maintained by DELTA (changed words only — see
-    * [[bpeTrainIntBatched]]), so a round pays 4 flat-plan driver
-    * actions, of which only the fold scan is corpus-sized. `mMax`
-    * bounds the stacked-fold plan depth (the 2^k analyzer lesson,
-    * PERF.md r17). */
+    * symbol totals in ONE aggregation — 3 flat-plan driver actions per
+    * census round. Since r19 a DELTA-maintained census is available
+    * for wide-vocabulary corpora (see [[bpeTrainIntBatched]] — the
+    * default here stays full-census because this corpus's 31-word
+    * table makes the full explode cheaper than delta's per-round
+    * join, measured in BpeCensusStudy). `mMax` bounds the
+    * stacked-fold plan depth (the 2^k analyzer lesson, PERF.md r17). */
   def q264BpeTrain64(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     cachedBatched64(s, dir)
@@ -1894,23 +1895,42 @@ object TextOps {
     * id's occurrence count in the batch output, so every SEQUENTIAL
     * intermediate corpus total reconstructs from one aggregation.
     *
-    * CENSUS-DELTA maintenance (`deltaCensus`, default on — VERDICT r18
-    * item 5): a full re-census explodes EVERY adjacent pair of EVERY
+    * CENSUS-DELTA maintenance (`deltaCensus` — VERDICT r18 item 5): a
+    * full re-census explodes EVERY adjacent pair of EVERY distinct
     * word each round, but a round's merges only change the pair counts
-    * of words they actually rewrote. The census lives as a materialized
-    * (l, r, cnt) table; each round updates it from the CHANGED words
-    * only — (new pairs − old pairs)·wc, a full-outer merge on the
-    * 8-byte pair key — so per-round census cost is proportional to the
-    * batch's replacement FOOTPRINT plus the distinct-pair table, not
-    * the corpus. Exactness is inductive (round 1 is the full census;
-    * every delta is the exact multiset difference), re-proved per run
-    * by the q264 oracle's sequential replay and pinned against the
-    * full-census path in LlmSpec. Delta mode pays 4 flat-plan driver
-    * actions per census round (top-T collect, fold checkpoint, totals
-    * aggregation, census checkpoint) where full mode pays 3 — the 4th
-    * is footprint-sized, which is the whole point at k=32000. */
+    * of words they actually rewrote. The census lives as a
+    * materialized (l, r, cnt) table; each round updates it from the
+    * CHANGED words only — (new pairs − old pairs)·wc, a full-outer
+    * merge on the 8-byte pair key — so per-round census cost is
+    * proportional to the batch's replacement FOOTPRINT plus the
+    * distinct-pair table, not the vocabulary. Exactness is inductive
+    * (round 1 is the full census; every delta is the exact multiset
+    * difference), pinned ≡ full-census and ≡ sequential in LlmSpec
+    * and asserted per run by BpeCensusStudy. Delta mode pays 4
+    * flat-plan driver actions per census round (top-T collect, fold
+    * checkpoint, totals aggregation, census checkpoint) vs full
+    * mode's 3.
+    *
+    * The default is MEASURED, not assumed — and the measurement is a
+    * NEGATIVE result worth keeping on the record (BpeCensusStudy,
+    * k=64): full census beats delta on the graded corpus (18.6 s vs
+    * 31.2 s at sf0.1, 17.9 vs 20.6 at 10× — its word table is a
+    * constant 31 rows, the anti-case) AND on a 200k-distinct-word
+    * wide-vocabulary corpus (29.4 s vs 53.2 s, 27 census rounds) where
+    * each merge rewrites ~1% of the vocabulary and delta "should" win.
+    * Why it doesn't, in this architecture: the census groupBy
+    * map-side-combines, so the full re-census's shuffle already
+    * carries only distinct pairs — the explode itself is ONE linear
+    * scan of the word table, comparable to the fold pass every round
+    * must pay anyway — while delta adds an eager checkpoint (holding
+    * BOTH symbol arrays), a changed-word scan, and a full-outer join,
+    * a fixed ~0.5–0.9 s/round that no tested vocabulary amortizes.
+    * The crossover needs the census scan alone to exceed that fixed
+    * cost — vocabularies of ~10^7+ distinct words on this box — so
+    * the knob stays available (pinned bit-identical here and in
+    * BpeCensusStudy's per-run assert) but OFF by default. */
   private[graft] def bpeTrainIntBatched(docs: DataFrame, k: Int,
-      mMax: Int = 6, topT: Int = 256, deltaCensus: Boolean = true)
+      mMax: Int = 6, topT: Int = 256, deltaCensus: Boolean = false)
       : (Vector[(Int, Int, Long, String, String, String, Long)], Int) = {
     val s = docs.sparkSession
     import s.implicits._

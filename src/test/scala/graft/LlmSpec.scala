@@ -1037,8 +1037,8 @@ class LlmSpec extends AnyFunSuite {
     // census-delta maintenance (VERDICT r18 item 5) ≡ full re-census on
     // the interaction corpus — the corpus where the census CHANGES the
     // most per merge relative to its size
-    assert(llm.TextOps.bpeTrainIntBatched(inter, 3, deltaCensus = false)._1 ==
-      llm.TextOps.bpeTrainIntBatched(inter, 3)._1,
+    assert(llm.TextOps.bpeTrainIntBatched(inter, 3, deltaCensus = true)._1 ==
+      llm.TextOps.bpeTrainIntBatched(inter, 3, deltaCensus = false)._1,
       "delta census must reproduce the full re-census merge table")
     // self-pair corpus (ADVICE r18): (a,a) at 20 is the argmax, (c,d)
     // at 9 is symbol-disjoint — but merging (a,a)→X mints (X,a) at 10,
@@ -1068,9 +1068,10 @@ class LlmSpec extends AnyFunSuite {
     // re-census, merge-for-merge
     assert(llm.TextOps.bpeTrainIntBatched(
         graft.Tables.documents(spark, SparkTestSession.sf), 16,
-        deltaCensus = false)._1 ==
+        deltaCensus = true)._1 ==
       llm.TextOps.bpeTrainIntBatched(
-        graft.Tables.documents(spark, SparkTestSession.sf), 16)._1,
+        graft.Tables.documents(spark, SparkTestSession.sf), 16,
+        deltaCensus = false)._1,
       "live corpus: delta census must reproduce the full re-census table")
     val (bl, rounds) = llm.TextOps.bpeTrainIntBatched(
       graft.Tables.documents(spark, SparkTestSession.sf), 16)
