@@ -1662,21 +1662,7 @@ object TextOps {
     * tokens) scan, the emission floor, no per-merge term. */
   def q270SeqPackIds(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val enc = cachedInt16(s, dir)._2.select($"w", $"syms")
-    val flat = flatten(transform(
-      sort_array(collect_list(struct($"pos", $"syms"))), x => x("syms")))
-    val docIds = Tables.documents(s, dir)
-      .select($"doc_id", posexplode(tokens($"text")))
-      .withColumnRenamed("col", "w")
-      .join(enc, Seq("w"))
-      .groupBy($"doc_id")
-      .agg(concat(flat, array(lit(PackEosId))).as("ids"))
-      .select($"doc_id", pmod($"doc_id", lit(8)).as("shard"), $"ids")
-    val w = Window.partitionBy($"shard").orderBy($"doc_id")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    docIds
-      .withColumn("off0",
-        coalesce(sum(size($"ids").cast("long")).over(w), lit(0L)))
+    packedDocStreams(s, dir)
       .select($"shard", $"off0", posexplode($"ids").as(Seq("p", "id")))
       .withColumn("goff", $"off0" + $"p")
       .withColumn("seq_id", expr(s"goff div $PackSeqLen"))
@@ -1687,6 +1673,79 @@ object TextOps {
         sum($"id".cast("long")).as("ids_sum"),
         sum(($"ps" + lit(1L)) * $"id").as("ids_wsum"))
       .orderBy($"shard", $"seq_id")
+  }
+
+  /** The per-document packed stream frame shared by q270/q272:
+    * (doc_id, shard, ids = token ids + trailing EOS, off0 = the doc's
+    * global token offset within its shard — a per-shard window over
+    * the DOC-level frame, never a global total order). */
+  private def packedDocStreams(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val enc = cachedInt16(s, dir)._2.select($"w", $"syms")
+    val flat = flatten(transform(
+      sort_array(collect_list(struct($"pos", $"syms"))), x => x("syms")))
+    val w = Window.partitionBy($"shard").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(s, dir)
+      .select($"doc_id", posexplode(tokens($"text")))
+      .withColumnRenamed("col", "w")
+      .join(enc, Seq("w"))
+      .groupBy($"doc_id")
+      .agg(concat(flat, array(lit(PackEosId))).as("ids"))
+      .select($"doc_id", pmod($"doc_id", lit(8)).as("shard"), $"ids")
+      .withColumn("off0",
+        coalesce(sum(size($"ids").cast("long")).over(w), lit(0L)))
+  }
+
+  /** q272: the SEQUENCE BOUNDARY MAP — what a trainer consumes NEXT TO
+    * q270's packed sequences: block-diagonal attention and loss
+    * masking need WHERE each document ends inside each sequence, not
+    * just how many do (q270's n_eos). One row per document: the
+    * (shard, seq_id, pos) of its EOS token plus its id-stream length —
+    * derived arithmetically from the shared per-doc offset frame
+    * (off0 + |ids| − 1), NO token-level explode at all, so the whole
+    * map costs one doc-level pass over the q270 frame. Fully
+    * hash-graded row-for-row (boundaries are sparse — one per doc —
+    * so no checksum compression is needed). Conservation pinned in
+    * LlmSpec: per-sequence boundary counts ≡ q270's n_eos, Σ n_ids ≡
+    * q266's totals, every doc exactly once. */
+  def q272SeqBoundaryMap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    packedDocStreams(s, dir)
+      .withColumn("goff", $"off0" + size($"ids") - 1)
+      .select($"shard",
+        expr(s"goff div $PackSeqLen").as("seq_id"),
+        expr(s"goff % $PackSeqLen").as("pos"),
+        $"doc_id",
+        (size($"ids") - 1).cast("long").as("n_ids"))
+      .orderBy($"shard", $"seq_id", $"pos")
+  }
+
+  val q272Sql: String = {
+    raw"""WITH ${bpeIntRoundCtes(16)}
+       |tk AS (
+       |  SELECT doc_id,
+       |    unnest([{'pos': i, 'w': toks[i]}
+       |            FOR i IN generate_series(1, len(toks))], recursive := true)
+       |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks
+       |        FROM documents) t),
+       |enc AS (
+       |  SELECT tk.doc_id, tk.pos, v.syms
+       |  FROM tk JOIN w16 v ON v.w = tk.w),
+       |ids AS (
+       |  SELECT doc_id, doc_id % 8 AS shard,
+       |    list_append(flatten(list(syms ORDER BY pos)), $PackEosId) AS ids
+       |  FROM enc GROUP BY doc_id),
+       |offs AS (
+       |  SELECT doc_id, shard, ids,
+       |    CAST(coalesce(sum(len(ids)) OVER (PARTITION BY shard ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off0
+       |  FROM ids)
+       |SELECT shard,
+       |  CAST((off0 + len(ids) - 1) // $PackSeqLen AS BIGINT) AS seq_id,
+       |  CAST((off0 + len(ids) - 1) % $PackSeqLen AS BIGINT) AS pos,
+       |  doc_id, CAST(len(ids) - 1 AS BIGINT) AS n_ids
+       |FROM offs ORDER BY shard, seq_id, pos""".stripMargin
   }
 
   val q270Sql: String = {
@@ -2844,6 +2903,7 @@ object TextOps {
     "q264_bpe_train64" -> (q264BpeTrain64 _),
     "q266_bpe_id_stream" -> (q266BpeIdStream _),
     "q270_seq_pack_ids" -> (q270SeqPackIds _),
+    "q272_seq_boundary_map" -> (q272SeqBoundaryMap _),
     "q251_bpe_train" -> (q251BpeTrain _),
     "q256_bpe_encode8" -> (q256BpeEncode8 _),
   )
@@ -2886,6 +2946,7 @@ object TextOps {
     "q264_bpe_train64" -> q264Sql,
     "q266_bpe_id_stream" -> q266Sql,
     "q270_seq_pack_ids" -> q270Sql,
+    "q272_seq_boundary_map" -> q272Sql,
     "q251_bpe_train" -> q251Sql,
     "q256_bpe_encode8" -> q256Sql,
   )

@@ -1137,6 +1137,25 @@ class LlmSpec extends AnyFunSuite {
           s"non-trailing sequence must be full: shard $sh $r") }
       assert(ord.last.getAs[Long]("n_tokens") <= L)
     }
+    // q272 boundary map: one row per document, in-bounds positions,
+    // per-sequence boundary counts identical to q270's n_eos, and the
+    // id-stream lengths conserve q266's totals
+    val bmap = llm.TextOps.q272SeqBoundaryMap(spark, SparkTestSession.sf)
+      .collect()
+    assert(bmap.map(_.getAs[Long]("doc_id")).toSet ==
+      ids.map(_.getAs[Long]("doc_id")).toSet,
+      "every emitted document has exactly one boundary row")
+    bmap.foreach { r =>
+      assert(r.getAs[Long]("pos") >= 0 && r.getAs[Long]("pos") < L) }
+    assert(bmap.map(_.getAs[Long]("n_ids")).sum ==
+      ids.map(_.getAs[Long]("n_ids")).sum,
+      "boundary rows must carry the exact per-doc id-stream lengths")
+    val eosBySeq = packed.map(r => (r.getAs[Long]("shard"),
+      r.getAs[Long]("seq_id")) -> r.getAs[Long]("n_eos")).toMap
+    val bBySeq = bmap.groupBy(r => (r.getAs[Long]("shard"),
+      r.getAs[Long]("seq_id"))).view.mapValues(_.length.toLong).toMap
+    assert(bBySeq == eosBySeq.filter(_._2 > 0),
+      "per-sequence boundary counts must equal q270's n_eos")
   }
 
   test("q251 BPE k-round training: merge chaining, monotonicity, compression accounting") {
