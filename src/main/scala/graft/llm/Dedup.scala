@@ -429,11 +429,21 @@ object Dedup {
     * remains the xxhash64 fast path. */
   def q109SimhashMd5(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    simhashMd5PairsFromToks(
+      toks(s, dir).select($"doc_id", explode($"toks").as("tok")))
+  }
+
+  /** q109's pair engine on an arbitrary exploded (doc_id, tok) frame —
+    * split out for the q276 funnel census, which runs it on the
+    * QUALITY-stage survivors (the funnel order: cheap row-wise filters
+    * first, pairwise work last on the smallest set). */
+  private[llm] def simhashMd5PairsFromToks(tok: DataFrame): DataFrame = {
+    val s = tok.sparkSession
+    import s.implicits._
     // pre-group to (doc, tok, cnt) — md5 once per DISTINCT (doc, token)
     // and count-weighted bit-sums (Σ over occurrences = Σ cnt·sign);
     // the md5 hex is computed once and both halves sliced from it
-    val hashed = toks(s, dir)
-      .select($"doc_id", explode($"toks").as("tok"))
+    val hashed = tok
       .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("cnt"))
       .withColumn("m", md5($"tok"))
       .withColumn("h1", conv(substring($"m", 1, 8), 16, 10).cast("long"))

@@ -120,6 +120,40 @@ object MediaCodec {
     chunks
   }
 
+  /** Audio per-FRAME perceptual fingerprint (q275): the time-resolved
+    * member of the audio family — [[audioFpChunks]] summarizes the
+    * WHOLE clip's energy envelope (orderless across frames, the q249
+    * dedup key); alignment needs one signature PER 64-sample frame,
+    * exactly as video alignment keys per decoded frame. Within frame
+    * f the signal is the per-SAMPLE energy s² (exact integer — the
+    * same no-doubles rule that lets the oracle restate the fingerprint
+    * from text char codes), nearest-neighbor resampled to the family's
+    * 65-anchor grid (in-frame sample of anchor j = ⌊j·64/65⌋ — on a
+    * 64-sample window anchors 0 and 1 coincide, so bit 0 is always 0;
+    * the deterministic price of one shared grid), bit k = 1 iff
+    * e[k] < e[k+1]. Trimming WHOLE frames never changes a kept frame's
+    * signature (samples don't move within their frame), which is what
+    * makes frame-level alignment sound. Caller guarantees frame f is
+    * complete (f < data.length / 2 / 64). */
+  def audioFrameFpChunks(data: Array[Byte], f: Int): Array[Int] = {
+    val e = new Array[Long](65)
+    var j = 0
+    while (j < 65) {
+      val i = f * 64 + j * 64 / 65
+      val lo = data(2 * i) & 0xFF
+      val sm = (data(2 * i + 1).toInt << 8) | lo // sign-extending hi byte
+      e(j) = sm.toLong * sm
+      j += 1
+    }
+    val chunks = new Array[Int](4)
+    var k = 0
+    while (k < 64) {
+      if (e(k) < e(k + 1)) chunks(k / 16) |= 1 << (k % 16)
+      k += 1
+    }
+    chunks
+  }
+
   /** Video per-FRAME perceptual fingerprint (q257): the video member
     * of the dHash family — per-column luminance sums of ONE decoded
     * frame (mono plane, so luminance IS the byte; general h sums the

@@ -227,11 +227,215 @@ object Pipeline {
       |FROM fixture_corpus_mismatch WHERE n > 0
       |ORDER BY doc_id""".stripMargin
 
+  /** q276: THE PIPELINE FUNNEL CENSUS — the accounting a training run
+    * signs off on before it spends compute: one graded row per pipeline
+    * stage with EXACT per-stage document, whitespace-token, and
+    * token-ID totals, so every stage's cost and yield is on the record
+    * (q87 emits the curated corpus; this emits the FUNNEL — what each
+    * stage removed, measured in the unit the trainer pays for: ids
+    * through the k=16 vocabulary, the same cached artifact q261/q266
+    * consume). Stages, in production cost order (cheap row-wise
+    * filters first, pairwise work last on the smallest set):
+    *
+    *   0. raw — the corpus as scanned;
+    *   1. exact_dedup — q29's identity (md5(text), keep min doc_id);
+    *   2. quality — the published Gopher rule set (q239's flags,
+    *      shared `gopherRulesFrom`);
+    *   3. near_dedup — md5-SimHash Hamming ≤ 6 pairs among the
+    *      QUALITY SURVIVORS (q109's engine via
+    *      `Dedup.simhashMd5PairsFromToks`), greedy keep-min: any doc
+    *      with a verified pair to a smaller id drops. Stated policy:
+    *      greedy-by-pair, not cluster-canonical — a chain b~a, c~b
+    *      drops BOTH b and c (the conservative over-removal every
+    *      keep-first near-dedup makes; the cluster-exact form is
+    *      q105/q246);
+    *   4. decontam — the q258 rule at TEXTUAL 13-gram keys: the
+    *      benchmark source (src0) leaves the training corpus entirely,
+    *      and any surviving doc sharing a verbatim 13-gram with it
+    *      drops. (The census is the exactness twin: production
+    *      decontamination is hash-keyed q258/decontamIngest; textual
+    *      keys here keep the whole funnel restatable in one oracle
+    *      with no fixture.)
+    *
+    * Per-doc accounting is computed ONCE (one tokenize + one broadcast
+    * vocabulary join), each stage is an id-set semi-join against it —
+    * the census costs one scan plus the stage operators themselves.
+    * 100 TB shape: every stage is a shape already scale-audited under
+    * its own query; the census adds only tiny id-frame joins. */
+  def q276PipelineFunnel(s: SparkSession, dir: String): DataFrame =
+    pipelineFunnelFrom(Tables.documents(s, dir), TextOps.vocab16(s, dir))
+
+  /** The funnel census on arbitrary (doc_id, text, source) docs and an
+    * encoded vocabulary (w, syms) — split out so PipelineSpec can pin
+    * each stage's drop reason on a constructed corpus (training its
+    * own k=16 vocabulary). */
+  private[graft] def pipelineFunnelFrom(docs: DataFrame,
+      enc: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val stats = docs
+      .select($"doc_id", explode(TextOps.tokens($"text")).as("w"))
+      .join(enc.select($"w", size($"syms").as("ns")), Seq("w"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tok"), sum($"ns".cast("long")).as("n_ids"))
+      .persist()
+    val s0 = docs.select($"doc_id")
+    val s1 = docs.groupBy(md5($"text").as("h"))
+      .agg(min($"doc_id").as("doc_id")).select($"doc_id")
+      .persist()
+    val s2 = s1.join(TextOps.gopherRulesFrom(docs)
+        .filter($"gopher_pass").select($"doc_id"), Seq("doc_id"))
+      .persist()
+    val docs2 = docs.join(s2, Seq("doc_id"))
+    val drop3 = Dedup.simhashMd5PairsFromToks(
+        docs2.select($"doc_id", explode(TextOps.tokens($"text")).as("tok")))
+      .select($"id2".as("doc_id")).distinct()
+    val s3 = s2.join(drop3, Seq("doc_id"), "left_anti").persist()
+    val bench = TextOps.gramWindows(docs.filter($"source" === "src0"))
+      .select($"g").distinct()
+    val docs3 = docs.join(s3, Seq("doc_id"))
+    val contaminated = TextOps.gramWindows(docs3.filter($"source" =!= "src0"))
+      .join(bench, Seq("g")).select($"doc_id").distinct()
+    val s4 = s3
+      .join(docs.select($"doc_id", $"source"), Seq("doc_id"))
+      .filter($"source" =!= "src0").select($"doc_id")
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .persist()
+    def census(i: Int, nm: String, ids: DataFrame): DataFrame =
+      ids.join(stats, Seq("doc_id"), "left")
+        .agg(count(lit(1)).as("n_docs"),
+          coalesce(sum($"n_tok"), lit(0L)).as("n_tokens"),
+          coalesce(sum($"n_ids"), lit(0L)).as("n_ids"))
+        .select(lit(i).as("stage_id"), lit(nm).as("stage"),
+          $"n_docs", $"n_tokens", $"n_ids")
+    census(0, "raw", s0)
+      .unionByName(census(1, "exact_dedup", s1))
+      .unionByName(census(2, "quality", s2))
+      .unionByName(census(3, "near_dedup", s3))
+      .unionByName(census(4, "decontam", s4))
+      .orderBy($"stage_id")
+  }
+
+  /** q276 oracle: the whole funnel restated CTE-by-CTE — q29's keep-min
+    * identity, q239's rule arithmetic, q109's md5-SimHash pair SQL
+    * applied to the quality survivors, textual 13-gram containment
+    * against the src0 benchmark, and the per-stage totals through the
+    * shared 16-round vocabulary generator. No fixture anywhere. */
+  val q276Sql: String = {
+    val bitSums = (0 until 64).map { j =>
+      val src = if (j < 32) "h1" else "h2"
+      s"sum(CASE WHEN (($src >> ${j % 32}) & 1) = 1 THEN 1 ELSE -1 END) AS b$j"
+    }.mkString(",\n    ")
+    val chunks = (0 until 4).map { c =>
+      (0 until 16).map { k =>
+        s"(CASE WHEN b${c * 16 + k} > 0 THEN ${1 << k} ELSE 0 END)"
+      }.mkString("CAST(", " + ", s" AS INT) AS v$c")
+    }.mkString(",\n    ")
+    val gterms = (0 until 13).map(i => s"toks[i+$i]").mkString(", ")
+    raw"""WITH ${TextOps.bpeIntRoundCtes(16)}
+      |tkx AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS w
+      |  FROM documents),
+      |stats AS (
+      |  SELECT tkx.doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+      |    CAST(sum(len(v.syms)) AS BIGINT) AS n_ids
+      |  FROM tkx JOIN w16 v USING (w) GROUP BY tkx.doc_id),
+      |st1 AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+      |gt AS (
+      |  SELECT doc_id, text, regexp_extract_all(lower(text), '\S+') AS toks
+      |  FROM documents),
+      |gm AS (
+      |  SELECT doc_id,
+      |    CAST(len(toks) AS BIGINT) AS n_words,
+      |    CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS sum_len,
+      |    CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS n_alpha,
+      |    CAST(length(text) - length(replace(text, '#', ''))
+      |      + (length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT) AS n_sym,
+      |    CAST(len(list_filter(toks, x -> x IN ${TextOps.stopSqlList})) AS BIGINT) AS n_stop
+      |  FROM gt),
+      |st2 AS (
+      |  SELECT st1.doc_id FROM st1 JOIN gm USING (doc_id)
+      |  WHERE n_words >= 50 AND n_words <= 100000
+      |    AND 3 * n_words <= sum_len AND sum_len <= 10 * n_words
+      |    AND 10 * n_sym <= n_words
+      |    AND 10 * n_alpha >= 7 * n_words
+      |    AND n_stop >= 2),
+      |sht AS (
+      |  SELECT d.doc_id, unnest(regexp_extract_all(lower(d.text), '\S+')) AS tok
+      |  FROM documents d JOIN st2 USING (doc_id)),
+      |shh AS (
+      |  SELECT doc_id,
+      |    ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h1,
+      |    ('0x' || substr(md5(tok), 9, 8))::BIGINT AS h2
+      |  FROM sht),
+      |shb AS (
+      |  SELECT doc_id,
+      |    $bitSums
+      |  FROM shh GROUP BY doc_id),
+      |shv AS (
+      |  SELECT doc_id,
+      |    $chunks
+      |  FROM shb),
+      |shc0 AS (
+      |  SELECT doc_id, v0, v1, v2, v3, u.c,
+      |    CASE u.c WHEN 0 THEN v0 WHEN 1 THEN v1 WHEN 2 THEN v2 ELSE v3 END AS vv
+      |  FROM shv, unnest(generate_series(0, 3)) AS u(c)),
+      |shc AS (
+      |  SELECT doc_id, v0, v1, v2, v3, c, vv FROM (
+      |    SELECT shc0.*, count(*) OVER (PARTITION BY c, vv) AS w FROM shc0) t
+      |  WHERE w <= ${Dedup.MaxBucketWidth}),
+      |shcand AS (
+      |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+      |  FROM shc a JOIN shc b ON a.c = b.c AND a.vv = b.vv AND a.doc_id < b.doc_id),
+      |drop3 AS (
+      |  SELECT DISTINCT cd.id2 AS doc_id
+      |  FROM shcand cd
+      |  JOIN shv x ON x.doc_id = cd.id1
+      |  JOIN shv y ON y.doc_id = cd.id2
+      |  WHERE bit_count(xor(x.v0, y.v0)) + bit_count(xor(x.v1, y.v1)) +
+      |        bit_count(xor(x.v2, y.v2)) + bit_count(xor(x.v3, y.v3)) <= 6),
+      |st3 AS (
+      |  SELECT doc_id FROM st2
+      |  WHERE doc_id NOT IN (SELECT doc_id FROM drop3)),
+      |bg AS (
+      |  SELECT DISTINCT unnest([concat_ws(' ', $gterms)
+      |            FOR i IN generate_series(1, len(toks) - 12)]) AS g
+      |  FROM gt JOIN documents USING (doc_id)
+      |  WHERE source = 'src0' AND len(toks) >= 13),
+      |cg AS (
+      |  SELECT gt.doc_id,
+      |    unnest([concat_ws(' ', $gterms)
+      |            FOR i IN generate_series(1, len(toks) - 12)]) AS g
+      |  FROM gt JOIN st3 USING (doc_id) JOIN documents d USING (doc_id)
+      |  WHERE d.source <> 'src0' AND len(toks) >= 13),
+      |cont AS (SELECT DISTINCT cg.doc_id FROM cg JOIN bg USING (g)),
+      |st4 AS (
+      |  SELECT st3.doc_id FROM st3 JOIN documents d USING (doc_id)
+      |  WHERE d.source <> 'src0'
+      |    AND st3.doc_id NOT IN (SELECT doc_id FROM cont)),
+      |census AS (
+      |  SELECT 0 AS stage_id, 'raw' AS stage, d.doc_id
+      |  FROM documents d
+      |  UNION ALL SELECT 1, 'exact_dedup', doc_id FROM st1
+      |  UNION ALL SELECT 2, 'quality', doc_id FROM st2
+      |  UNION ALL SELECT 3, 'near_dedup', doc_id FROM st3
+      |  UNION ALL SELECT 4, 'decontam', doc_id FROM st4)
+      |SELECT c.stage_id, c.stage,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(coalesce(sum(st.n_tok), 0) AS BIGINT) AS n_tokens,
+      |  CAST(coalesce(sum(st.n_ids), 0) AS BIGINT) AS n_ids
+      |FROM census c LEFT JOIN stats st ON st.doc_id = c.doc_id
+      |GROUP BY c.stage_id, c.stage
+      |ORDER BY c.stage_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q87_curation_pipeline" -> (curate _),
-    "q108_curation_md5"     -> (q108CurationMd5 _))
+    "q108_curation_md5"     -> (q108CurationMd5 _),
+    "q276_pipeline_funnel"  -> (q276PipelineFunnel _))
 
   val oracle: Map[String, String] = Map(
     "q87_curation_pipeline" -> q87Sql,
-    "q108_curation_md5" -> q108Sql)
+    "q108_curation_md5" -> q108Sql,
+    "q276_pipeline_funnel" -> q276Sql)
 }

@@ -1982,6 +1982,29 @@ object Similarity {
   def annPqFrom(e: DataFrame, nq: Int = 10, k: Int = 5): DataFrame = {
     val s = e.sparkSession
     import s.implicits._
+    val scored = pqAdcScoredFrom(e, nq)
+    val wq = Window.partitionBy($"qid").orderBy($"simpq".desc, $"cid".asc)
+    val shortlist = scored.withColumn("rr", row_number().over(wq))
+      .filter($"rr" <= PqRerank).select($"qid", $"cid")
+    val wr = Window.partitionBy($"qid").orderBy($"sim".desc, $"cid".asc)
+    shortlist
+      .join(e.select($"vec_id".as("qid"), $"v".as("qv")), Seq("qid"))
+      .join(e.select($"vec_id".as("cid"), $"v".as("cv")), Seq("cid"))
+      .withColumn("sim", graft.functions.CosineSim.cosine(s, $"qv", $"cv"))
+      .withColumn("rank", row_number().over(wr))
+      .filter($"rank" <= k)
+      .select($"qid", $"rank", $"cid", round($"sim", 4).as("sim"))
+      .orderBy($"qid", $"rank")
+  }
+
+  /** The PQ build through the ADC score frame (qid, cid, simpq) — the
+    * shared prefix of q138 (fixed-depth shortlist + rerank) and q273
+    * (the rerank-depth sweep): codebooks, encoding, and the asymmetric
+    * scores are ONE build; what varies downstream is only how deep the
+    * exact rerank reaches into the ADC ranking. */
+  private[graft] def pqAdcScoredFrom(e: DataFrame, nq: Int): DataFrame = {
+    val s = e.sparkSession
+    import s.implicits._
     val cnt = e.agg(greatest(lit(1L),
       floor(count(lit(1)) / PqK).cast("long")).as("stride"))
     // per-(vector, subspace) slice arrays; subspace width from the
@@ -2025,22 +2048,74 @@ object Similarity {
       .groupBy($"qid", $"cid").agg(expr(mFold("m", "dm")).as("ddot"))
     val qn2 = qsubs.withColumn("q2", expr(dotF("qsub", "qsub")))
       .groupBy($"qid").agg(expr(mFold("qm", "q2")).as("qn2"))
-    val scored = ddot.join(qn2, "qid").join(cn2, "cid")
+    ddot.join(qn2, "qid").join(cn2, "cid")
       .withColumn("simpq",
         when($"qn2" === 0 || $"cn2" === 0, lit(0.0))
           .otherwise($"ddot" / (sqrt($"qn2") * sqrt($"cn2"))))
+  }
+
+  /** The rerank depths q273 sweeps — brackets the session default
+    * (`PqRerank` = 50) both ways; 200 against a 500-vector graded
+    * corpus is 40% of it, the same past-this-use-brute boundary the
+    * nprobe sweep stops at. */
+  val PqRerankSweep: Seq[Int] = Seq(10, 25, 50, 100, 200)
+
+  /** q273: the PQ accuracy frontier over RERANK DEPTH — q267 swept the
+    * IVF's nprobe knob; the PQ family's knob is how deep the exact
+    * rerank reaches into the ADC ranking. q268 grades PQ at the fixed
+    * session depth (50) and reads 0.50 recall@5 on the live corpus —
+    * the number that says WHERE the loss lives is this curve: if
+    * recall climbs with depth, the 4-bit ADC ordering is merely
+    * coarse (true neighbors sit just below the cutoff — spend rerank);
+    * if it plateaus, the codebooks themselves lose the neighborhood
+    * (spend bits, not rerank). Cost is `n_short` — the exact number of
+    * full-precision vectors the rerank touches, the quantity that
+    * prices a depth at 100 TB (the ADC pass is depth-independent).
+    * ONE build (codebooks, codes, ADC scores, the rank window) serves
+    * every sweep point: shortlists are nested (rr <= depth), so the
+    * sweep costs one q138 build + one brute baseline, not five of
+    * each. */
+  def q273PqRerankSweep(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    pqRerankSweepFrom(vecs(s, dir).select($"vec_id", $"v"))
+  }
+
+  private[graft] def pqRerankSweepFrom(e: DataFrame, nq: Int = 10,
+      k: Int = 5): DataFrame = {
+    val s = e.sparkSession
+    import s.implicits._
+    val maxR = PqRerankSweep.max
     val wq = Window.partitionBy($"qid").orderBy($"simpq".desc, $"cid".asc)
-    val shortlist = scored.withColumn("rr", row_number().over(wq))
-      .filter($"rr" <= PqRerank).select($"qid", $"cid")
-    val wr = Window.partitionBy($"qid").orderBy($"sim".desc, $"cid".asc)
-    shortlist
+    // exact sims computed ONCE on the max-depth shortlist (|Q| * maxR
+    // rows); every shallower depth is a filter of this frame
+    val ex = pqAdcScoredFrom(e, nq)
+      .withColumn("rr", row_number().over(wq)).filter($"rr" <= maxR)
       .join(e.select($"vec_id".as("qid"), $"v".as("qv")), Seq("qid"))
       .join(e.select($"vec_id".as("cid"), $"v".as("cv")), Seq("cid"))
       .withColumn("sim", graft.functions.CosineSim.cosine(s, $"qv", $"cv"))
-      .withColumn("rank", row_number().over(wr))
+      .select($"qid", $"cid", $"rr", $"sim")
+      .persist() // feeds the cost census and the per-depth top-k
+    val depths = PqRerankSweep.toDF("rerank")
+    val cand = ex.crossJoin(broadcast(depths)).filter($"rr" <= $"rerank")
+    val costs = cand.groupBy($"rerank", $"qid")
+      .agg(count(lit(1)).as("n_short"))
+    val wt = Window.partitionBy($"rerank", $"qid")
+      .orderBy($"sim".desc, $"cid".asc)
+    val top = cand.withColumn("rank", row_number().over(wt))
       .filter($"rank" <= k)
-      .select($"qid", $"rank", $"cid", round($"sim", 4).as("sim"))
-      .orderBy($"qid", $"rank")
+      .select($"rerank", $"qid", $"cid", lit(1).as("hit"))
+    bruteTopkFrom(e, nq, k).select($"qid", $"cid")
+      .crossJoin(broadcast(depths))
+      .join(top, Seq("rerank", "qid", "cid"), "left")
+      .groupBy($"rerank", $"qid")
+      .agg(count(lit(1)).as("n_brute"),
+        sum(when($"hit".isNotNull, 1L).otherwise(0L)).as("n_hits"))
+      .join(costs, Seq("rerank", "qid"), "left")
+      .select($"rerank", $"qid",
+        coalesce($"n_short", lit(0L)).as("n_short"), $"n_brute", $"n_hits",
+        expr("CAST((n_hits * 1000000) div n_brute AS BIGINT)")
+          .as("recall_ppm"))
+      .orderBy($"rerank", $"qid")
   }
 
   /** q138 oracle — mirrors the fold-structured build: slice arrays per
@@ -2050,8 +2125,11 @@ object Similarity {
     * from an m-ORDERED list through the same proven kernel
     * (list_dot_product(l, ones) — each term x·1.0 is bitwise x, so the
     * partial sums match Spark's ordered-collect_list fold exactly). */
-  val q138Sql: String =
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+  /** The oracle restatement of [[pqAdcScoredFrom]] — the CTE prefix
+    * shared verbatim by q138Sql and q273Sql, so both grades inherit
+    * the same proven build arithmetic. */
+  private val pqScoredCtes: String =
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       |cnt AS (SELECT greatest(1, count(*) // $PqK) AS stride FROM e),
       |subs AS (
       |  SELECT vec_id, mm AS m, v[mm * sw + 1 : mm * sw + sw] AS sub
@@ -2092,7 +2170,10 @@ object Similarity {
       |  SELECT d.qid, d.cid,
       |    CASE WHEN q.qn2 = 0 OR c2.cn2 = 0 THEN 0.0
       |         ELSE d.ddot / (sqrt(q.qn2) * sqrt(c2.cn2)) END AS simpq
-      |  FROM ddot d JOIN qn2 q USING (qid) JOIN cn2 c2 USING (cid)),
+      |  FROM ddot d JOIN qn2 q USING (qid) JOIN cn2 c2 USING (cid))""".stripMargin
+
+  val q138Sql: String =
+    s"""WITH $pqScoredCtes,
       |short AS (
       |  SELECT qid, cid FROM (
       |    SELECT qid, cid,
@@ -2110,6 +2191,54 @@ object Similarity {
       |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rank
       |  FROM rr) t
       |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+
+  /** q273 oracle: the shared PQ build prefix, the ADC rank window
+    * taken once to the sweep max, exact sims on that max-depth
+    * shortlist, and the five depth points derived by filtering
+    * `rr <= rerank` against a VALUES table — exactly the
+    * one-build-many-points shape the Spark plan uses (q267's oracle
+    * pattern applied to the rerank knob). */
+  def q273Sql: String = {
+    val maxR = PqRerankSweep.max
+    val dVals = PqRerankSweep.map(n => s"($n)").mkString(", ")
+    s"""WITH $pqScoredCtes,
+       |rrk AS (
+       |  SELECT qid, cid, row_number() OVER (PARTITION BY qid
+       |    ORDER BY simpq DESC, cid ASC) AS rr
+       |  FROM scored),
+       |ex AS (
+       |  SELECT r.qid, r.cid, r.rr,
+       |    list_dot_product(eq.v, ec.v)
+       |      / (sqrt(list_dot_product(eq.v, eq.v)) * sqrt(list_dot_product(ec.v, ec.v))) AS sim
+       |  FROM rrk r
+       |  JOIN e eq ON eq.vec_id = r.qid
+       |  JOIN e ec ON ec.vec_id = r.cid
+       |  WHERE r.rr <= $maxR),
+       |depths AS (SELECT rerank FROM (VALUES $dVals) d(rerank)),
+       |costs AS (
+       |  SELECT d.rerank, x.qid, CAST(count(*) AS BIGINT) AS n_short
+       |  FROM depths d JOIN ex x ON x.rr <= d.rerank GROUP BY 1, 2),
+       |top AS (
+       |  SELECT rerank, qid, cid FROM (
+       |    SELECT d.rerank, x.qid, x.cid,
+       |      row_number() OVER (PARTITION BY d.rerank, x.qid
+       |        ORDER BY x.sim DESC, x.cid ASC) AS rank
+       |    FROM depths d JOIN ex x ON x.rr <= d.rerank) t WHERE rank <= 5),
+       |brute AS (SELECT qid, cid FROM ($q36Sql) b),
+       |expected AS (SELECT d.rerank, b.qid, b.cid FROM depths d, brute b),
+       |rec AS (
+       |  SELECT x.rerank, x.qid,
+       |    CAST(count(*) AS BIGINT) AS n_brute,
+       |    CAST(sum(CASE WHEN t.cid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+       |  FROM expected x
+       |  LEFT JOIN top t ON t.rerank = x.rerank AND t.qid = x.qid AND t.cid = x.cid
+       |  GROUP BY 1, 2)
+       |SELECT r.rerank, r.qid, coalesce(c.n_short, 0) AS n_short,
+       |  r.n_brute, r.n_hits,
+       |  CAST(r.n_hits * 1000000 // r.n_brute AS BIGINT) AS recall_ppm
+       |FROM rec r LEFT JOIN costs c ON c.rerank = r.rerank AND c.qid = r.qid
+       |ORDER BY r.rerank, r.qid""".stripMargin
+  }
 
   /** q159: reciprocal-rank fusion — the HYBRID-retrieval join of the
     * two ranking families this engine ships: the lexical BM25 ranking
@@ -2864,6 +2993,7 @@ object Similarity {
     "q267_ann_nprobe_sweep" -> (q267AnnNprobeSweep _),
     "q268_ann_family_recall" -> (q268AnnFamilyRecall _),
     "q269_ann_recall_sampled" -> (q269AnnRecallSampled _),
+    "q273_pq_rerank_sweep" -> (q273PqRerankSweep _),
     "q104_cosine_dups"   -> (q104CosineDups _),
     "q111_ann_md5"       -> (q111AnnMd5 _),
     "q125_cosine_sql"    -> (q125CosineSqlPairs _),
@@ -2913,6 +3043,7 @@ object Similarity {
       "q267_ann_nprobe_sweep" -> q267Sql(li),
       "q268_ann_family_recall" -> q268Sql(np, li, sessionMultiProbe),
       "q269_ann_recall_sampled" -> q269Sql(np, li),
+      "q273_pq_rerank_sweep" -> q273Sql,
       "q104_cosine_dups"   -> q104Sql,
       "q111_ann_md5"       -> q111Sql,
       "q125_cosine_sql"    -> q125Sql,

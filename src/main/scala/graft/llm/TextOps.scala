@@ -1413,6 +1413,13 @@ object TextOps {
       (m, pinnedVocab)
     })
 
+  /** The cached k=16 encoded vocabulary (w, syms, wc) — the
+    * cross-query training artifact, exposed for the q276 funnel census
+    * (its tokenize accounting joins the same vocabulary q261/q266
+    * consume). */
+  private[llm] def vocab16(s: SparkSession, dir: String): DataFrame =
+    cachedInt16(s, dir)._2
+
   /** q261: the k=16 ENCODE pass as a VOCABULARY JOIN — q256 closed the
     * char-form loop by re-applying the 8 merges to every source word;
     * at k=16 the training artifact already contains something better:
@@ -1625,6 +1632,84 @@ object TextOps {
        |  CAST(list_sum([ids[i] * i FOR i IN generate_series(1, len(ids))])
        |       AS BIGINT) AS ids_wsum
        |FROM ids ORDER BY doc_id""".stripMargin
+  }
+
+  /** q274: DECODE — the inverse direction that completes the tokenizer
+    * as a product: q259/q264 train, q261/q262 account, q266 emits the
+    * id streams; a consumer of those streams needs ids → TEXT back
+    * (inspection, spot-checks, serving). Per document the q266 stream
+    * is re-derived and decoded: minted ids resolve through the 16-row
+    * merge dictionary (driver-known model state — a CASE branch table,
+    * the training loop's own trSql idiom), codepoint ids through
+    * char(), concatenated in stream order. The roundtrip law is graded
+    * explicitly: whitespace carries no ids BY POLICY (q266's stated
+    * contract), so decode(encode(x)) equals lower(x) with whitespace
+    * stripped — the `roundtrip` column says so per document, and the
+    * decoded STRING itself ships through the hash gate (inversion
+    * proven char-for-char, not just by length). 100 TB shape: decode
+    * is a per-row projection over the id stream (no shuffle beyond
+    * q266's own doc_id-keyed one, no per-merge term — the CASE table
+    * is broadcast-free constant model state inside codegen).
+    *
+    * Oracle: the shared 16-round generator's accumulated mint
+    * dictionary (mint16 ∪ b16) joined per id — a TABLE join on the
+    * DuckDB side vs the engine's inlined branch table, so the hash
+    * grade proves dictionary-join ≡ branch-table decode on every id
+    * of every stream. */
+  def q274BpeDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (merges, vocab) = cachedInt16(s, dir)
+    val enc = vocab.select($"w", $"syms")
+    def sqlStr(v: String): String = "'" + v.replace("'", "''") + "'"
+    val whens = merges.zipWithIndex.map { case (m, j) =>
+      s"WHEN ${BpeSymBase + j + 1} THEN ${sqlStr(m._6)}"
+    }.mkString(" ")
+    val flat = flatten(transform(
+      sort_array(collect_list(struct($"pos", $"syms"))), x => x("syms")))
+    val ids = Tables.documents(s, dir)
+      .select($"doc_id", posexplode(tokens($"text")))
+      .withColumnRenamed("col", "w")
+      .join(enc, Seq("w"))
+      .groupBy($"doc_id").agg(flat.as("ids"))
+    Tables.documents(s, dir)
+      .select($"doc_id",
+        regexp_replace(lower($"text"), "\\s+", "").as("src"))
+      .join(ids, Seq("doc_id"))
+      .select($"doc_id", size($"ids").cast("long").as("n_ids"),
+        expr(s"concat_ws('', transform(ids, x -> CASE x $whens ELSE char(x) END))")
+          .as("decoded"), $"src")
+      .select($"doc_id", $"n_ids", $"decoded",
+        ($"decoded" === $"src").as("roundtrip"))
+      .orderBy($"doc_id")
+  }
+
+  val q274Sql: String = {
+    raw"""WITH ${bpeIntRoundCtes(16)}
+       |mintall AS (SELECT mid, m FROM mint16 UNION ALL SELECT mid, m FROM b16),
+       |tk AS (
+       |  SELECT doc_id,
+       |    unnest([{'pos': i, 'w': toks[i]}
+       |            FOR i IN generate_series(1, len(toks))], recursive := true)
+       |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks
+       |        FROM documents) t),
+       |enc AS (
+       |  SELECT tk.doc_id, tk.pos, v.syms
+       |  FROM tk JOIN w16 v ON v.w = tk.w),
+       |ids AS (
+       |  SELECT doc_id, flatten(list(syms ORDER BY pos)) AS ids
+       |  FROM enc GROUP BY doc_id),
+       |tok AS (
+       |  SELECT doc_id, i, ids[i] AS id
+       |  FROM ids, unnest(generate_series(1, len(ids))) AS u(i)),
+       |dec AS (
+       |  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_ids,
+       |    string_agg(coalesce(m.m, chr(t.id)), '' ORDER BY t.i) AS decoded
+       |  FROM tok t LEFT JOIN mintall m ON m.mid = t.id
+       |  GROUP BY t.doc_id)
+       |SELECT d.doc_id, d.n_ids, d.decoded,
+       |  d.decoded = regexp_replace(lower(doc.text), '\s+', '', 'g') AS roundtrip
+       |FROM dec d JOIN documents doc ON doc.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
   }
 
   /** q270 packing parameters. `PackEosId` is the document separator:
@@ -2168,7 +2253,7 @@ object TextOps {
     * total. Word tables and argmaxes MATERIALIZED. Trailing comma.
     * Training is always the shared full-corpus generator — q262 holds
     * out only its ENCODE stream (doc_id%5=0), never the training side. */
-  private def bpeIntRoundCtes(K: Int): String = {
+  private[llm] def bpeIntRoundCtes(K: Int): String = {
     val rounds = (1 to K).map { t =>
       // mint$t: the minted-id → string dictionary as an ACCUMULATED
       // TABLE (one tiny union + two hash joins per round) instead of
@@ -2902,6 +2987,7 @@ object TextOps {
     "q262_bpe_encode_oov" -> (q262BpeEncodeOov _),
     "q264_bpe_train64" -> (q264BpeTrain64 _),
     "q266_bpe_id_stream" -> (q266BpeIdStream _),
+    "q274_bpe_decode" -> (q274BpeDecode _),
     "q270_seq_pack_ids" -> (q270SeqPackIds _),
     "q272_seq_boundary_map" -> (q272SeqBoundaryMap _),
     "q251_bpe_train" -> (q251BpeTrain _),
@@ -2945,6 +3031,7 @@ object TextOps {
     "q262_bpe_encode_oov" -> q262Sql,
     "q264_bpe_train64" -> q264Sql,
     "q266_bpe_id_stream" -> q266Sql,
+    "q274_bpe_decode" -> q274Sql,
     "q270_seq_pack_ids" -> q270Sql,
     "q272_seq_boundary_map" -> q272Sql,
     "q251_bpe_train" -> q251Sql,

@@ -214,6 +214,51 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("q273 rerank sweep: recall monotone in depth; full-coverage depth exact; session point == q138's score") {
+    // shortlists are nested (rr <= depth), so deeper rerank can only
+    // add hits; and a depth covering EVERY ADC-scored candidate makes
+    // the rerank exact brute force (200 >= N-1 on a 200-vector corpus)
+    val e = clusteredVecs(nClusters = 10, perCluster = 20, dim = 16)
+    val sweep = llm.Similarity.pqRerankSweepFrom(e).collect()
+      .map(r => (r.getAs[Int]("rerank"), r.getAs[Long]("qid"),
+        r.getAs[Long]("n_short"), r.getAs[Long]("recall_ppm")))
+    val byQ = sweep.groupBy(_._2)
+    assert(byQ.size == 10)
+    byQ.foreach { case (q, rows) =>
+      val ord = rows.sortBy(_._1)
+      assert(ord.map(_._1).toSeq == llm.Similarity.PqRerankSweep,
+        s"every sweep point present for qid=$q")
+      assert(ord.map(_._3).toSeq == ord.map(_._3).sorted.toSeq,
+        s"n_short must be non-decreasing in depth: $q ${ord.toSeq}")
+      assert(ord.map(_._4).toSeq == ord.map(_._4).sorted.toSeq,
+        s"recall must be non-decreasing in depth: $q ${ord.toSeq}")
+      // n_short = min(depth, N-1): the cost column is exact
+      ord.foreach { t => assert(t._3 == math.min(t._1.toLong, 199L), s"$t") }
+      // depth 200 covers all 199 scored candidates -> exact brute force
+      assert(ord.last._4 == 1000000L,
+        s"full-coverage depth must be exact: $q ${ord.toSeq}")
+    }
+    // the session-depth sweep point (50) must reproduce q138's recall
+    // exactly — the sweep IS the registered family's curve, not a twin
+    val atSession = sweep.filter(_._1 == llm.Similarity.PqRerank)
+      .map(t => (t._2, t._4)).toMap
+    val q138rec = llm.Similarity.recallFrom(
+        llm.Similarity.bruteTopkFrom(e), llm.Similarity.annPqFrom(e))
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("recall_ppm")))
+    q138rec.foreach { case (q, ppm) =>
+      assert(atSession(q) == ppm, s"sweep@50 must equal q138 recall: qid=$q") }
+    // live registration: every (depth, qid) point present, ppm exact
+    val live = llm.Similarity.q273PqRerankSweep(spark, SparkTestSession.sf)
+      .collect()
+    assert(live.length == 10 * llm.Similarity.PqRerankSweep.length)
+    live.foreach { r =>
+      val (nb, nh, ppm) = (r.getAs[Long]("n_brute"), r.getAs[Long]("n_hits"),
+        r.getAs[Long]("recall_ppm"))
+      assert(nb == 5L && nh >= 0L && nh <= nb)
+      assert(ppm == nh * 1000000L / nb, s"ppm must be exact: $r")
+    }
+  }
+
   test("q268 family recall: all four families scored against one brute baseline") {
     val live = llm.Similarity.q268AnnFamilyRecall(spark, SparkTestSession.sf)
       .collect()
@@ -1110,6 +1155,26 @@ class LlmSpec extends AnyFunSuite {
       .collect().last.getAs[Long]("corpus_syms")
     assert(totIds == syms16,
       s"per-doc id totals ($totIds) must conserve round-16 corpus_syms ($syms16)")
+  }
+
+  test("q274 decode: roundtrip law holds on every document; n_ids conserves q266") {
+    // decode(encode(x)) == lower(x) minus whitespace — the policy-true
+    // inversion — on EVERY document, and the decode consumes exactly
+    // the stream q266 emits (same per-doc n_ids)
+    val dec = llm.TextOps.q274BpeDecode(spark, SparkTestSession.sf).collect()
+    assert(dec.nonEmpty)
+    dec.foreach { r =>
+      assert(r.getAs[Boolean]("roundtrip"),
+        s"decode must invert encode for doc ${r.getAs[Long]("doc_id")}")
+      assert(r.getAs[String]("decoded").nonEmpty)
+    }
+    val n266 = llm.TextOps.q266BpeIdStream(spark, SparkTestSession.sf)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_ids"))).toMap
+    assert(dec.length == n266.size, "decode covers exactly q266's documents")
+    dec.foreach { r =>
+      assert(r.getAs[Long]("n_ids") == n266(r.getAs[Long]("doc_id")),
+        s"decode must consume q266's stream: doc ${r.getAs[Long]("doc_id")}")
+    }
   }
 
   test("q270 packed sequences: exact conservation against q266, boundary accounting, fixed length") {

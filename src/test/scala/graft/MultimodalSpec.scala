@@ -533,7 +533,7 @@ class MultimodalSpec extends AnyFunSuite {
         (r.getAs[Long]("n_pairs"), r.getAs[Long]("n_frames_matched"),
           r.getAs[Int]("min_hamming"), r.getAs[Int]("modal_off"),
           r.getAs[Long]("n_at_offset"), r.getAs[Long]("max_run"))
-    val incr = Multimodal.videoAlignIncrementFrom(storeSigs, freshSigs)
+    val incr = Multimodal.alignIncrementFrom(storeSigs, freshSigs)
       .collect().map(key).toMap
     val batch = Multimodal
       .videoAlignFrom(storeMedia.unionByName(freshMedia)).collect()
@@ -546,5 +546,80 @@ class MultimodalSpec extends AnyFunSuite {
       ((8L, 8L, 0, -2, 8L, 8L)), s"trimmed copy verdict: ${incr.get((0L, 1L))}")
     assert(!incr.contains((0L, 5L)),
       "store×store pairs must not be re-verified by the increment")
+  }
+
+  test("q275 audio shift alignment: derived trims recover their offset; arithmetic derivation ≡ re-encoded trim; a montage cannot run") {
+    // per-frame PCM whose WITHIN-frame energy pattern differs per
+    // (clip, frame): v(clip, f, i) decorrelates frames so distinct
+    // frames never verify at Hamming ≤ 6 and distinct clips never pair
+    val nf = 8
+    def pcm(clip: Int, frames: Seq[Int]): Array[Byte] = {
+      val d = new Array[Byte](frames.length * 64 * 2)
+      for ((f, p) <- frames.zipWithIndex) {
+        val rnd = new scala.util.Random(clip * 10007 + f)
+        for (i <- 0 until 64) {
+          val v = rnd.nextInt(201) - 100
+          d(2 * (p * 64 + i)) = (v & 0xFF).toByte
+          d(2 * (p * 64 + i) + 1) = ((v >> 8) & 0xFF).toByte
+        }
+      }
+      d
+    }
+    def row(id: Long, content: Array[Byte]) = Multimodal.MediaRow(
+      id, "audio", content, 0, 0, 16000, 0L, "wav/pcm16")
+    // (1) arithmetic derivation ≡ a REAL re-encoded trim: frame g of
+    // the 2-frame-trimmed re-encode fingerprints exactly like frame
+    // g+2 of the original (whole-frame trims move no sample within
+    // its frame)
+    val orig = pcm(0, 0 until nf)
+    val trimmed = java.util.Arrays.copyOfRange(orig, 2 * 64 * 2, orig.length)
+    val sigPairs = Multimodal.audioFrameSigs(spark.createDataset(Seq(
+        row(0L, MediaCodec.encodeWav(orig, 16000)),
+        row(1L, MediaCodec.encodeWav(trimmed, 16000)))))
+      .collect().map(r => (r.getAs[Long]("media_id"), r.getAs[Int]("f")) ->
+        (r.getAs[Int]("v0"), r.getAs[Int]("v1"), r.getAs[Int]("v2"),
+          r.getAs[Int]("v3"))).toMap
+    (0 until nf - 2).foreach { g =>
+      assert(sigPairs((1L, g)) == sigPairs((0L, g + 2)),
+        s"trimmed frame $g must fingerprint as original frame ${g + 2}")
+    }
+    // (2) the shift operator recovers k = clip % 4 on every clip:
+    // clips 0..3 (k = 0..3), each 8 frames, mutually decorrelated
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("id1"), r.getAs[Long]("id2")) ->
+        (r.getAs[Long]("n_pairs"), r.getAs[Long]("n_frames_matched"),
+          r.getAs[Int]("min_hamming"), r.getAs[Int]("modal_off"),
+          r.getAs[Long]("n_at_offset"), r.getAs[Long]("max_run"))
+    val media = spark.createDataset((0 until 4).map(c =>
+      row(c.toLong, MediaCodec.encodeWav(pcm(c, 0 until nf), 16000))))
+    val sigs = Multimodal.audioFrameSigs(media)
+    val packed = sigs.selectExpr(
+      s"shiftleft(media_id, ${Multimodal.FrameIdBits}) + f AS media_id",
+      "v0", "v1", "v2", "v3")
+    val out = Multimodal.audioAlignShiftFrom(packed).collect().map(key).toMap
+    val base = Multimodal.AudioDerivedIdBase
+    (0 until 4).foreach { c =>
+      val k = c % 4
+      val kept = (nf - k).toLong
+      assert(out.get((c.toLong, c + base)) ==
+        Some((kept, kept, 0, -k, kept, kept)),
+        s"clip $c must recover trim $k: ${out.get((c.toLong, c + base))}")
+    }
+    assert(out.size == 4, s"decorrelated clips must not cross-pair: $out")
+    // (3) a frame-shuffled montage matches every frame but cannot run:
+    // derived ids are a permutation with no two consecutive frames
+    // kept consecutive -> every offset support <= 2, max_run 1
+    val perm = Seq(0, 2, 4, 6, 1, 3, 5, 7)
+    val montage = sigs.filter("media_id = 0").selectExpr(
+      s"shiftleft(media_id + $base, ${Multimodal.FrameIdBits}) + " +
+        s"CASE f ${perm.zipWithIndex.map { case (o, p) => s"WHEN $o THEN $p" }
+          .mkString(" ")} END AS media_id",
+      "v0", "v1", "v2", "v3")
+    val m = Multimodal.alignIncrementFrom(
+        packed.filter(s"shiftright(media_id, ${Multimodal.FrameIdBits}) = 0"),
+        montage).collect().map(key).toMap
+    val mv = m((0L, base))
+    assert(mv._2 == nf.toLong, s"montage matches every frame: $mv")
+    assert(mv._6 == 1L, s"montage must not run: $mv")
   }
 }

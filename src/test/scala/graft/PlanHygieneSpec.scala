@@ -97,10 +97,15 @@ class PlanHygieneSpec extends AnyFunSuite {
     "q268_ann_family_recall", // the four family builds each carry their
                            // own allowlisted fan-out (q132/q136/q138
                            // shapes) + q36's broadcast baseline
-    "q269_ann_recall_sampled") // q66's assignment pass + the broadcast
+    "q269_ann_recall_sampled", // q66's assignment pass + the broadcast
                            // 5-query fan-out over the ≈512-vector
                            // sample — the bounded brute side IS the
                            // scale fix being graded
+    "q273_pq_rerank_sweep") // q138's build + q36's broadcast baseline
+                           // plus the deliberate 5-row rerank-depth
+                           // VALUES crossJoin that derives the sweep
+                           // points from ONE build (q267's pattern on
+                           // the rerank knob)
 
   test("no unintended cartesian products across the whole catalog") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

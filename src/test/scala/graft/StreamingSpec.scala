@@ -1112,7 +1112,7 @@ class StreamingSpec extends AnyFunSuite {
         .select("media_id", "v0", "v1", "v2", "v3").distinct()
       val freshSigs = Multimodal.videoSigs(
         spark.createDataset(Seq(row(7L, aFrames.drop(2)))))
-      val verdict = Multimodal.videoAlignIncrementFrom(storeSigs, freshSigs)
+      val verdict = Multimodal.alignIncrementFrom(storeSigs, freshSigs)
         .collect().map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2")) ->
           (r.getAs[Long]("n_frames_matched"), r.getAs[Int]("modal_off"),
             r.getAs[Long]("max_run"))).toMap
