@@ -1186,6 +1186,13 @@ object Multimodal {
       .toDF("media_id", "f", "v0", "v1", "v2", "v3")
   }
 
+  /** [[audioFrameSigs]] in the shared fid-packed signature schema —
+    * the form the band machinery, the alignment family, and the
+    * `perceptualIngest` fingerprint knob consume (the audio analog of
+    * [[videoSigs]]). */
+  def audioFrameSigsPacked(media: Dataset[MediaRow]): DataFrame =
+    fidPacked(audioFrameSigs(media))
+
   /** The derived-clip id base for q275: original clip ids are doc_ids
     * (≤ ~10^4 at any graded SF), so base + id never collides. */
   val AudioDerivedIdBase = 1000000L
@@ -1219,7 +1226,7 @@ object Multimodal {
     * the candidate join's left side is the derived batch's chunks
     * only, never store×store. */
   def q275AudioAlignShift(s: SparkSession, dir: String): DataFrame =
-    audioAlignShiftFrom(fidPacked(audioFrameSigs(mediaTable(s, dir))))
+    audioAlignShiftFrom(audioFrameSigsPacked(mediaTable(s, dir)))
 
   /** The shift-recovery operator on an arbitrary fid-packed audio
     * signature table — the derivation is ARITHMETIC on the store's

@@ -2002,7 +2002,26 @@ object Similarity {
     * (the rerank-depth sweep): codebooks, encoding, and the asymmetric
     * scores are ONE build; what varies downstream is only how deep the
     * exact rerank reaches into the ADC ranking. */
-  private[graft] def pqAdcScoredFrom(e: DataFrame, nq: Int): DataFrame = {
+  // deterministic sequential left folds over PQ slice arrays — shared
+  // by the model build and both scoring paths
+  private def pqDotF(a: String, b: String) =
+    s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
+  private def pqSqDiffF(a: String, b: String) =
+    s"aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), 0.0D, (acc, x) -> acc + x)"
+  // ordered fold over the M per-subspace values of a group — the
+  // collect_list is sorted by m before folding, so the sum is
+  // independent of aggregation order without any decimal cast
+  private def pqMFold(mCol: String, vCol: String) =
+    s"aggregate(transform(array_sort(collect_list(struct($mCol, $vCol))), " +
+      s"t -> t.$vCol), 0.0D, (acc, x) -> acc + x)"
+
+  /** The PQ MODEL build — (subs, cents, codes, cn2): per-(vector,
+    * subspace) slice arrays (persisted — the caller's query sweeps
+    * it), the K·M-row codebook, each vector's code words, and each
+    * vector's reconstruction norm. Shared by the full-ADC scoring
+    * paths (q138/q273) and the IVF-restricted path (q277). */
+  private def pqModel(e: DataFrame)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val s = e.sparkSession
     import s.implicits._
     val cnt = e.agg(greatest(lit(1L),
@@ -2016,38 +2035,60 @@ object Similarity {
           "struct(mm AS m, slice(v, mm * sw + 1, sw) AS sub))")).as("t"))
       .select($"vec_id", $"t.m".as("m"), $"t.sub".as("sub"))
       .persist() // feeds cents, encoding, the query side, and the norms
-    // deterministic sequential left folds over the slice arrays
-    def dotF(a: String, b: String) =
-      s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
-    def sqDiffF(a: String, b: String) =
-      s"aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), 0.0D, (acc, x) -> acc + x)"
-    // ordered fold over the M per-subspace values of a group — the
-    // collect_list is sorted by m before folding, so the sum is
-    // independent of aggregation order without any decimal cast
-    def mFold(mCol: String, vCol: String) =
-      s"aggregate(transform(array_sort(collect_list(struct($mCol, $vCol))), " +
-        s"t -> t.$vCol), 0.0D, (acc, x) -> acc + x)"
     val cents = subs.crossJoin(broadcast(cnt))
       .filter($"vec_id" % $"stride" === 0 && $"vec_id" < $"stride" * PqK)
       .select(expr("vec_id div stride").as("j"), $"m", $"sub".as("carr"))
     // encode: per (vector, subspace) the L2-nearest codebook entry,
     // ties toward the smallest j; the codebook is K·M rows — broadcast
     val enc = subs.join(broadcast(cents), Seq("m"))
-      .withColumn("d2", expr(sqDiffF("sub", "carr")))
+      .withColumn("d2", expr(pqSqDiffF("sub", "carr")))
     val wEnc = Window.partitionBy($"vec_id", $"m").orderBy($"d2".asc, $"j".asc)
     val codes = enc.withColumn("rn", row_number().over(wEnc)).filter($"rn" === 1)
       .select($"vec_id".as("cid"), $"m", $"j")
-    val cn2m = cents.select($"j", $"m", expr(dotF("carr", "carr")).as("c2"))
+    val cn2m = cents.select($"j", $"m", expr(pqDotF("carr", "carr")).as("c2"))
     val cn2 = codes.join(broadcast(cn2m), Seq("j", "m"))
-      .groupBy($"cid").agg(expr(mFold("m", "c2")).as("cn2"))
+      .groupBy($"cid").agg(expr(pqMFold("m", "c2")).as("cn2"))
+    (subs, cents, codes, cn2)
+  }
+
+  private[graft] def pqAdcScoredFrom(e: DataFrame, nq: Int): DataFrame = {
+    val s = e.sparkSession
+    import s.implicits._
+    val (subs, cents, codes, cn2) = pqModel(e)
     val cdim = codes.join(broadcast(cents), Seq("j", "m")) // (cid, m, carr)
     val qsubs = subs.filter($"vec_id" < nq)
       .select($"vec_id".as("qid"), $"m".as("qm"), $"sub".as("qsub"))
     val ddot = cdim.join(broadcast(qsubs), $"qm" === $"m" && $"cid" =!= $"qid")
-      .withColumn("dm", expr(dotF("qsub", "carr")))
-      .groupBy($"qid", $"cid").agg(expr(mFold("m", "dm")).as("ddot"))
-    val qn2 = qsubs.withColumn("q2", expr(dotF("qsub", "qsub")))
-      .groupBy($"qid").agg(expr(mFold("qm", "q2")).as("qn2"))
+      .withColumn("dm", expr(pqDotF("qsub", "carr")))
+      .groupBy($"qid", $"cid").agg(expr(pqMFold("m", "dm")).as("ddot"))
+    val qn2 = qsubs.withColumn("q2", expr(pqDotF("qsub", "qsub")))
+      .groupBy($"qid").agg(expr(pqMFold("qm", "q2")).as("qn2"))
+    ddot.join(qn2, "qid").join(cn2, "cid")
+      .withColumn("simpq",
+        when($"qn2" === 0 || $"cn2" === 0, lit(0.0))
+          .otherwise($"ddot" / (sqrt($"qn2") * sqrt($"cn2"))))
+  }
+
+  /** ADC scores RESTRICTED to a candidate (qid, cid) frame — the
+    * IVFPQ composition's scoring pass: the candidate list (from the
+    * coarse quantizer's probed cells) joins the code table FIRST, so
+    * ADC work is ∝ |candidates|·M instead of |Q|·N·M. Same arithmetic
+    * as [[pqAdcScoredFrom]] fold-for-fold. */
+  private[graft] def pqAdcScoredOn(e: DataFrame, cand: DataFrame,
+      nq: Int): DataFrame = {
+    val s = e.sparkSession
+    import s.implicits._
+    val (subs, cents, codes, cn2) = pqModel(e)
+    val cdim = codes.join(broadcast(cents), Seq("j", "m")) // (cid, m, carr)
+    val qsubs = subs.filter($"vec_id" < nq)
+      .select($"vec_id".as("qsid"), $"m".as("qm"), $"sub".as("qsub"))
+    val ddot = cand.join(cdim, Seq("cid"))
+      .join(broadcast(qsubs), $"qm" === $"m" && $"qsid" === $"qid")
+      .withColumn("dm", expr(pqDotF("qsub", "carr")))
+      .groupBy($"qid", $"cid").agg(expr(pqMFold("m", "dm")).as("ddot"))
+    val qn2 = qsubs.withColumn("q2", expr(pqDotF("qsub", "qsub")))
+      .groupBy($"qsid").agg(expr(pqMFold("qm", "q2")).as("qn2"))
+      .withColumnRenamed("qsid", "qid")
     ddot.join(qn2, "qid").join(cn2, "cid")
       .withColumn("simpq",
         when($"qn2" === 0 || $"cn2" === 0, lit(0.0))
@@ -2239,6 +2280,133 @@ object Similarity {
        |FROM rec r LEFT JOIN costs c ON c.rerank = r.rerank AND c.qid = r.qid
        |ORDER BY r.rerank, r.qid""".stripMargin
   }
+
+  /** q277: IVF-PQ — the PRODUCTION ANN composition (the FAISS
+    * IVFPQ/IMI shape, Jégou et al. 2011): the coarse quantizer prunes
+    * N (q66's cells — only the query's `nprobe` probed cells produce
+    * candidates), PQ compresses what remains (q138's 4-bit codes —
+    * the probed candidates are scored against their RECONSTRUCTIONS,
+    * never their full vectors), and the exact rerank recovers
+    * precision on the top-`PqRerank` shortlist. Both parents ship
+    * graded and frontier-swept (q267 prices nprobe, q273 prices
+    * rerank depth); this registers their composition, where ADC work
+    * is ∝ probed-candidate mass · M instead of q138's |Q|·N·M — the
+    * memory story (4-byte codes) and the pruning story (nprobe/K of
+    * the corpus) in one operator, q36's output contract so recall
+    * scores against brute force directly ([[recallFrom]] in LlmSpec).
+    * 100 TB shape: the only N×K term is the coarse assignment q66
+    * already prices; scoring touches ~|Q|·nprobe·N/K code rows. */
+  def q277AnnIvfPq(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    annIvfPqFrom(vecs(s, dir).select($"vec_id", $"v"),
+      nprobe = sessionIvfNprobe(s), lloydIters = sessionIvfLloydIters(s))
+  }
+
+  private[graft] def annIvfPqFrom(e: DataFrame, nq: Int = 10, k: Int = 5,
+      strideMod: Int = 31, nprobe: Int = 2, lloydIters: Int = 2): DataFrame = {
+    val s = e.sparkSession
+    import s.implicits._
+    // the coarse build, eagerly checkpointed (K ≈ √N rows): two
+    // consumers (assignment, probes) would otherwise re-run the Lloyd
+    // chain — q132's discipline
+    val cents = sampledLloydCents(e, strideMod, lloydIters).localCheckpoint(true)
+    val assigned = nearestN(cents, "cent_id", "cv0")(
+      e, "vec_id", "v", 1, "cell").drop("cell_rn")
+    val qp = nearestN(cents, "cent_id", "cv0")(
+      e.filter($"vec_id" < nq), "vec_id", "v", nprobe, "cell")
+      .select($"vec_id".as("qid"), $"cell")
+    // cells are disjoint (assignment is argmax rn=1), so a candidate
+    // appears at most once per qid
+    val cand = assigned.select($"vec_id".as("cid"), $"cell".as("ccell"))
+      .join(broadcast(qp), $"ccell" === $"cell" && $"cid" =!= $"qid")
+      .select($"qid", $"cid")
+    val scored = pqAdcScoredOn(e, cand, nq)
+    val wq = Window.partitionBy($"qid").orderBy($"simpq".desc, $"cid".asc)
+    val shortlist = scored.withColumn("rr", row_number().over(wq))
+      .filter($"rr" <= PqRerank).select($"qid", $"cid")
+    val wr = Window.partitionBy($"qid").orderBy($"sim".desc, $"cid".asc)
+    shortlist
+      .join(e.select($"vec_id".as("qid"), $"v".as("qv")), Seq("qid"))
+      .join(e.select($"vec_id".as("cid"), $"v".as("cv")), Seq("cid"))
+      .withColumn("sim", graft.functions.CosineSim.cosine(s, $"qv", $"cv"))
+      .withColumn("rank", row_number().over(wr))
+      .filter($"rank" <= k)
+      .select($"qid", $"rank", $"cid", round($"sim", 4).as("sim"))
+      .orderBy($"qid", $"rank")
+  }
+
+  /** q277 oracle: the shared PQ build prefix (all-pairs ADC scores —
+    * the oracle may over-compute; restriction commutes with scoring
+    * because a pair's ADC score is independent of the candidate set),
+    * q66's coarse-quantizer CTEs verbatim, the probed-cell candidate
+    * join, and q138's shortlist/rerank tail over the restricted
+    * scores. */
+  def q277Sql(np: Int, li: Int): String = {
+    val iters = (1 to li).map(i =>
+      lloydCtes(i, if (i == 1) "c0" else s"c${i - 1}")).mkString("\n")
+    val cLast = s"c$li"
+    s"""WITH $pqScoredCtes,
+       |params AS (SELECT greatest(31, CAST(floor(sqrt(count(*))) AS BIGINT)) AS stride FROM e),
+       |c0 AS (SELECT vec_id AS cent_id, v AS cv FROM e
+       |       WHERE vec_id % (SELECT stride FROM params) = 0),
+       |tr AS (SELECT vec_id, v FROM e
+       |       WHERE vec_id % (SELECT greatest(1, stride // 8) FROM params) = 0),
+       |$iters
+       |asgf AS (
+       |  SELECT vec_id, v, cent_id, crn FROM (
+       |    SELECT e.vec_id, e.v, c.cent_id,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        ${cosSql("e.v", "c.cv")} DESC,
+       |        c.cent_id ASC) AS crn
+       |    FROM e, $cLast c) t),
+       |assigned AS (SELECT vec_id, cent_id AS cell FROM asgf WHERE crn = 1),
+       |qp AS (SELECT vec_id AS qid, cent_id AS cell
+       |       FROM asgf WHERE vec_id < 10 AND crn <= $np),
+       |cand AS (
+       |  SELECT q.qid, c.vec_id AS cid
+       |  FROM qp q JOIN assigned c ON c.cell = q.cell AND c.vec_id <> q.qid),
+       |iscored AS (SELECT s.* FROM scored s JOIN cand USING (qid, cid)),
+       |short AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT qid, cid,
+       |      row_number() OVER (PARTITION BY qid ORDER BY simpq DESC, cid ASC) AS rr
+       |    FROM iscored) t WHERE rr <= $PqRerank),
+       |rr AS (
+       |  SELECT s.qid, s.cid,
+       |    list_dot_product(eq.v, ec.v)
+       |      / (sqrt(list_dot_product(eq.v, eq.v)) * sqrt(list_dot_product(ec.v, ec.v))) AS sim
+       |  FROM short s
+       |  JOIN e eq ON eq.vec_id = s.qid
+       |  JOIN e ec ON ec.vec_id = s.cid)
+       |SELECT qid, rank, cid, round(sim, 4) AS sim FROM (
+       |  SELECT qid, cid, sim,
+       |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rank
+       |  FROM rr) t
+       |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+  }
+
+  /** q278: the IVFPQ composition's RECALL on the graded record —
+    * q265's discipline applied to q277: per query, brute top-5 (q36)
+    * left-joined against the composed index's top-5, hits + recall in
+    * exact ppm. The number that closes the frontier story: q267
+    * prices the coarse knob, q273 prices the rerank knob, q277
+    * registers the composition, and this row says what the
+    * composition actually recalls at the session shape — against the
+    * family readings q268 already carries (SQ8 0.98, LSH 0.96, PQ
+    * 0.50, ivf2 0.44 at sf0.01). */
+  def q278IvfPqRecall(s: SparkSession, dir: String): DataFrame =
+    recallFrom(q36CosineTopk(s, dir), q277AnnIvfPq(s, dir))
+
+  def q278Sql(np: Int, li: Int): String =
+    s"""WITH brute AS (SELECT qid, cid FROM ($q36Sql) b),
+       |ann AS (SELECT qid, cid FROM (${q277Sql(np, li)}) a)
+       |SELECT b.qid,
+       |  CAST(count(*) AS BIGINT) AS n_brute,
+       |  CAST(sum(CASE WHEN a.cid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       |  CAST(sum(CASE WHEN a.cid IS NOT NULL THEN 1 ELSE 0 END) * 1000000
+       |       // count(*) AS BIGINT) AS recall_ppm
+       |FROM brute b LEFT JOIN ann a ON a.qid = b.qid AND a.cid = b.cid
+       |GROUP BY b.qid ORDER BY b.qid""".stripMargin
 
   /** q159: reciprocal-rank fusion — the HYBRID-retrieval join of the
     * two ranking families this engine ships: the lexical BM25 ranking
@@ -2994,6 +3162,8 @@ object Similarity {
     "q268_ann_family_recall" -> (q268AnnFamilyRecall _),
     "q269_ann_recall_sampled" -> (q269AnnRecallSampled _),
     "q273_pq_rerank_sweep" -> (q273PqRerankSweep _),
+    "q277_ann_ivfpq"     -> (q277AnnIvfPq _),
+    "q278_ivfpq_recall"  -> (q278IvfPqRecall _),
     "q104_cosine_dups"   -> (q104CosineDups _),
     "q111_ann_md5"       -> (q111AnnMd5 _),
     "q125_cosine_sql"    -> (q125CosineSqlPairs _),
@@ -3044,6 +3214,8 @@ object Similarity {
       "q268_ann_family_recall" -> q268Sql(np, li, sessionMultiProbe),
       "q269_ann_recall_sampled" -> q269Sql(np, li),
       "q273_pq_rerank_sweep" -> q273Sql,
+      "q277_ann_ivfpq"     -> q277Sql(np, li),
+      "q278_ivfpq_recall"  -> q278Sql(np, li),
       "q104_cosine_dups"   -> q104Sql,
       "q111_ann_md5"       -> q111Sql,
       "q125_cosine_sql"    -> q125Sql,

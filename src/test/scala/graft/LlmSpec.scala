@@ -259,6 +259,46 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("q277 IVFPQ: exhaustive probing degenerates to plain PQ; clustered recall holds; live contract shape") {
+    val e = clusteredVecs(nClusters = 10, perCluster = 50, dim = 16)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rank"),
+        r.getAs[Long]("cid"), r.getAs[Double]("sim"))).toSeq
+    // probing every cell makes the candidate set the whole corpus, so
+    // the composition must reproduce plain PQ row-for-row — the
+    // restriction is EXACTLY the coarse quantizer's pruning
+    assert(rows(llm.Similarity.annIvfPqFrom(e, nprobe = 1000)) ==
+      rows(llm.Similarity.annPqFrom(e)),
+      "exhaustive-probe IVFPQ must equal plain PQ")
+    // at the session shape the pruned composition still holds a recall
+    // floor on clustered geometry (both parents do: PQ >= 0.8, IVF
+    // clustered >= 0.95 at nprobe=2)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "cid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairs(llm.Similarity.bruteTopkFrom(e))
+    val ivfpq = pairs(llm.Similarity.annIvfPqFrom(e))
+    val recall = (ivfpq & brute).size.toDouble / brute.size
+    info(f"clustered IVFPQ recall@5: $recall%.2f")
+    assert(recall >= 0.7, f"IVFPQ clustered recall $recall%.2f below 0.7")
+    // live registration: q36's contract shape
+    val live = llm.Similarity.q277AnnIvfPq(spark, SparkTestSession.sf).collect()
+    assert(live.length == 50)
+    live.groupBy(_.getAs[Long]("qid")).foreach { case (q, rs) =>
+      assert(rs.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to 5),
+        s"dense ranks for qid=$q") }
+    // q278: the composition's recall rides the same graded scorer
+    val rec = llm.Similarity.q278IvfPqRecall(spark, SparkTestSession.sf)
+      .collect()
+    assert(rec.length == 10)
+    rec.foreach { r =>
+      val (nb, nh, ppm) = (r.getAs[Long]("n_brute"), r.getAs[Long]("n_hits"),
+        r.getAs[Long]("recall_ppm"))
+      assert(nb == 5L && nh >= 0L && nh <= nb)
+      assert(ppm == nh * 1000000L / nb, s"ppm must be exact: $r")
+    }
+  }
+
   test("q268 family recall: all four families scored against one brute baseline") {
     val live = llm.Similarity.q268AnnFamilyRecall(spark, SparkTestSession.sf)
       .collect()

@@ -101,11 +101,20 @@ class PlanHygieneSpec extends AnyFunSuite {
                            // 5-query fan-out over the ≈512-vector
                            // sample — the bounded brute side IS the
                            // scale fix being graded
-    "q273_pq_rerank_sweep") // q138's build + q36's broadcast baseline
+    "q273_pq_rerank_sweep", // q138's build + q36's broadcast baseline
                            // plus the deliberate 5-row rerank-depth
                            // VALUES crossJoin that derives the sweep
                            // points from ONE build (q267's pattern on
                            // the rerank knob)
+    "q277_ann_ivfpq",      // q66's broadcast-centroid assignment pass
+                           // (the one N×K fan-out) + the broadcast
+                           // codebook/query-slice joins of the PQ
+                           // scoring — the IVFPQ composition's own
+                           // graded builds
+    "q278_ivfpq_recall")   // q36's broadcast baseline + q277's build —
+                           // the two sides whose gap IS the measurement
+                           // (q265's shape); the scoring join is an
+                           // equi-join
 
   test("no unintended cartesian products across the whole catalog") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

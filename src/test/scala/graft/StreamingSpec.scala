@@ -1054,6 +1054,70 @@ class StreamingSpec extends AnyFunSuite {
     assert(byId(2L).getAs[Long]("n_distinct_hits") == 2L)
   }
 
+  test("perceptual ingest, audio frame fingerprint: shifted copies add zero frames; the store feeds the aligner") {
+    // q275's streaming composition: audioFrameSigsPacked rides the
+    // SAME ingest machinery and store schema as the video member — a
+    // whole-frame time-shifted copy of an ingested clip contributes
+    // zero novel frames, and the persisted store is directly
+    // consumable by the incremental aligner, which recovers the shift
+    // (alignment must run at ingest time: post-gate the copy's
+    // evidence is gone)
+    implicit val sqlCtx = spark.sqlContext
+    import graft.llm.{MediaCodec, Multimodal}
+    val dir = java.nio.file.Files.createTempDirectory("graft_afingest").toFile
+    val store = new java.io.File(dir, "store").getPath
+    val ckpt = new java.io.File(dir, "ckpt").getPath
+    val nf = 8
+    def pcm(clip: Int, frames: Seq[Int]): Array[Byte] = {
+      val d = new Array[Byte](frames.length * 64 * 2)
+      for ((f, p) <- frames.zipWithIndex) {
+        val rnd = new scala.util.Random(clip * 10007 + f)
+        for (i <- 0 until 64) {
+          val v = rnd.nextInt(201) - 100
+          d(2 * (p * 64 + i)) = (v & 0xFF).toByte
+          d(2 * (p * 64 + i) + 1) = ((v >> 8) & 0xFF).toByte
+        }
+      }
+      d
+    }
+    def row(id: Long, clip: Int, frames: Seq[Int]) = Multimodal.MediaRow(
+      id, "audio", MediaCodec.encodeWav(pcm(clip, frames), 16000),
+      0, 0, 16000, 0L, "wav/pcm16")
+    val mem = MemoryStream[Multimodal.MediaRow]
+    val q = Streams.perceptualIngest(mem.toDS(), store, ckpt,
+      fingerprint = Multimodal.audioFrameSigsPacked)
+    try {
+      def clips() = spark.read.parquet(store)
+        .select(shiftright($"media_id", Multimodal.FrameIdBits))
+        .distinct().as[Long].collect().toSet
+      def frameRows() = spark.read.parquet(store).count()
+      // batch 1: two distinct clips
+      mem.addData(row(0L, 0, 0 until nf), row(3L, 3, 0 until nf))
+      q.processAllAvailable()
+      assert(clips() == Set(0L, 3L), s"batch 1: ${clips()}")
+      assert(frameRows() == 2 * nf * 4)
+      // batch 2: a 2-frame-trimmed copy of clip 0 — every kept frame's
+      // signature is already in the store, zero novel rows
+      mem.addData(row(1L, 0, 2 until nf))
+      q.processAllAvailable()
+      assert(clips() == Set(0L, 3L), s"batch 2: ${clips()}")
+      assert(frameRows() == 2 * nf * 4)
+      // the persisted store feeds the aligner: a new trimmed copy
+      // aligns against the store with the trim recovered exactly
+      val storeSigs = spark.read.parquet(store)
+        .select("media_id", "v0", "v1", "v2", "v3").distinct()
+      val freshSigs = Multimodal.audioFrameSigsPacked(
+        spark.createDataset(Seq(row(7L, 0, 2 until nf))))
+      val verdict = Multimodal.alignIncrementFrom(storeSigs, freshSigs)
+        .collect().map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2")) ->
+          (r.getAs[Long]("n_frames_matched"), r.getAs[Int]("modal_off"),
+            r.getAs[Long]("max_run"))).toMap
+      assert(verdict.contains((0L, 7L)), s"verdicts: $verdict")
+      assert(verdict((0L, 7L)) == (((nf - 2).toLong, -2, (nf - 2).toLong)),
+        s"shifted copy must align against the store: ${verdict((0L, 7L))}")
+    } finally q.stop()
+  }
+
   test("perceptual ingest, video fingerprint: trimmed/re-encoded clips add zero frames, novel clips append, replay inert") {
     // the r17 video member of the ingest family: videoSigs' fid-packed
     // per-frame signature table rides the SAME machinery and store
