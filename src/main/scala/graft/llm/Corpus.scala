@@ -797,12 +797,22 @@ object Corpus {
     * knob values are cross-engine-safe. */
   def q236UnimaxMixing(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val C = 4L
-    val av = Tables.documents(s, dir)
+    unimaxAlloc(Tables.documents(s, dir)
       .select($"lang", size(TextOps.tokens($"text")).as("n"))
-      .groupBy($"lang").agg(sum($"n").as("avail"))
+      .groupBy($"lang").agg(sum($"n").as("avail")), "lang")
+  }
+
+  /** The exact integer water-filling on an arbitrary (key, avail)
+    * frame — q236's allocator factored out so the funnel-survivor
+    * composition (q280) allocates by SOURCE through the SAME
+    * implementation the language mixing grades. Budget B = 3·Σavail,
+    * cap C = 4 epochs (the q236 knobs). */
+  private[llm] def unimaxAlloc(av: DataFrame, key: String): DataFrame = {
+    val s = av.sparkSession
+    import s.implicits._
+    val C = 4L
     val tot = av.agg((sum($"avail") * 3).as("b"), count(lit(1)).as("ns"))
-    val w = Window.orderBy($"avail".asc, $"lang".asc)
+    val w = Window.orderBy($"avail".asc, col(key).asc)
     val cum = w.rowsBetween(Window.unboundedPreceding, 0)
     val ranked = av.crossJoin(broadcast(tot))
       .withColumn("rk", row_number().over(w))
@@ -822,29 +832,28 @@ object Corpus {
       .withColumn("rem",
         when($"slots" > 0, pmod($"leftover", $"slots")).otherwise(lit(0L)))
       .withColumn("urank",
-        row_number().over(Window.partitionBy($"capped").orderBy($"lang".asc)))
+        row_number().over(Window.partitionBy($"capped").orderBy(col(key).asc)))
       .withColumn("alloc",
         when($"capped", lit(C) * $"avail")
           .otherwise($"level" + when($"urank" <= $"rem", 1L).otherwise(0L)))
-      .select($"lang", $"avail", $"capped", $"alloc",
-        // a zero-token language (all-empty documents) caps at alloc 0;
-        // the guard keeps the engines aligned there — Spark's div
-        // returns NULL on /0 while DuckDB's // raises (CODE-REVIEW r14)
+      .select(col(key), $"avail", $"capped", $"alloc",
+        // a zero-token key (all-empty documents) caps at alloc 0; the
+        // guard keeps the engines aligned there — Spark's div returns
+        // NULL on /0 while DuckDB's // raises (CODE-REVIEW r14)
         when($"avail" > 0, expr("(100 * alloc) div avail"))
           .otherwise(lit(null).cast("long")).as("epochs_pct"))
-      .orderBy($"lang")
+      .orderBy(col(key))
   }
 
-  val q236Sql: String =
-    raw"""WITH av AS (
-      |  SELECT lang,
-      |    CAST(sum(len(regexp_extract_all(lower(text), '\S+'))) AS BIGINT) AS avail
-      |  FROM documents GROUP BY lang),
-      |tot AS (SELECT CAST(sum(avail) * 3 AS BIGINT) AS b, count(*) AS ns FROM av),
+  /** The water-filling tail in SQL over a given `av(key, avail)` CTE —
+    * q236's oracle arithmetic parameterized by key, shared with the
+    * q280 funnel composition. */
+  private[llm] def unimaxTailSql(key: String): String =
+    s"""tot AS (SELECT CAST(sum(avail) * 3 AS BIGINT) AS b, count(*) AS ns FROM av),
       |rk AS (
-      |  SELECT lang, avail, b, ns,
-      |    row_number() OVER (ORDER BY avail ASC, lang ASC) AS rk,
-      |    CAST(sum(avail) OVER (ORDER BY avail ASC, lang ASC
+      |  SELECT $key, avail, b, ns,
+      |    row_number() OVER (ORDER BY avail ASC, $key ASC) AS rk,
+      |    CAST(sum(avail) OVER (ORDER BY avail ASC, $key ASC
       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
       |  FROM av, tot),
       |cd AS (
@@ -860,19 +869,26 @@ object Corpus {
       |  FROM cp),
       |ur AS (
       |  SELECT cp.*, fill.cum_capped, fill.k,
-      |    row_number() OVER (PARTITION BY capped ORDER BY lang ASC) AS urank
+      |    row_number() OVER (PARTITION BY capped ORDER BY $key ASC) AS urank
       |  FROM cp, fill),
       |al AS (
-      |  SELECT lang, avail, capped,
+      |  SELECT $key, avail, capped,
       |    CAST(CASE WHEN capped THEN 4 * avail
       |         ELSE (b - 4 * cum_capped) // (ns - k)
       |              + (CASE WHEN urank <= (b - 4 * cum_capped) % (ns - k)
       |                 THEN 1 ELSE 0 END) END AS BIGINT) AS alloc
       |  FROM ur)
-      |SELECT lang, avail, capped, alloc,
+      |SELECT $key, avail, capped, alloc,
       |  CAST(CASE WHEN avail > 0 THEN (100 * alloc) // avail
       |       ELSE NULL END AS BIGINT) AS epochs_pct
-      |FROM al ORDER BY lang""".stripMargin
+      |FROM al ORDER BY $key""".stripMargin
+
+  val q236Sql: String =
+    raw"""WITH av AS (
+      |  SELECT lang,
+      |    CAST(sum(len(regexp_extract_all(lower(text), '\S+'))) AS BIGINT) AS avail
+      |  FROM documents GROUP BY lang),
+      |${unimaxTailSql("lang")}""".stripMargin
 
   /** q238: IN-ENGINE QUALITY-CLASSIFIER TRAINING — the classifier-based
     * filtering step of the GPT-3/CCNet-family pipelines (public: train

@@ -273,6 +273,24 @@ object Pipeline {
       enc: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
+    val (stats, stages) = funnelStages(docs, enc)
+    def census(t: (Int, String, DataFrame)): DataFrame =
+      t._3.join(stats, Seq("doc_id"), "left")
+        .agg(count(lit(1)).as("n_docs"),
+          coalesce(sum($"n_tok"), lit(0L)).as("n_tokens"),
+          coalesce(sum($"n_ids"), lit(0L)).as("n_ids"))
+        .select(lit(t._1).as("stage_id"), lit(t._2).as("stage"),
+          $"n_docs", $"n_tokens", $"n_ids")
+    stages.map(census).reduce(_ unionByName _).orderBy($"stage_id")
+  }
+
+  /** The funnel's per-doc accounting frame and its five stage id-sets
+    * — ONE definition of the stage logic, consumed by the census
+    * (q276) and the survivor mixture (q280). */
+  private def funnelStages(docs: DataFrame, enc: DataFrame)
+      : (DataFrame, Seq[(Int, String, DataFrame)]) = {
+    val s = docs.sparkSession
+    import s.implicits._
     val stats = docs
       .select($"doc_id", explode(TextOps.tokens($"text")).as("w"))
       .join(enc.select($"w", size($"syms").as("ns")), Seq("w"))
@@ -301,27 +319,59 @@ object Pipeline {
       .filter($"source" =!= "src0").select($"doc_id")
       .join(contaminated, Seq("doc_id"), "left_anti")
       .persist()
-    def census(i: Int, nm: String, ids: DataFrame): DataFrame =
-      ids.join(stats, Seq("doc_id"), "left")
-        .agg(count(lit(1)).as("n_docs"),
-          coalesce(sum($"n_tok"), lit(0L)).as("n_tokens"),
-          coalesce(sum($"n_ids"), lit(0L)).as("n_ids"))
-        .select(lit(i).as("stage_id"), lit(nm).as("stage"),
-          $"n_docs", $"n_tokens", $"n_ids")
-    census(0, "raw", s0)
-      .unionByName(census(1, "exact_dedup", s1))
-      .unionByName(census(2, "quality", s2))
-      .unionByName(census(3, "near_dedup", s3))
-      .unionByName(census(4, "decontam", s4))
-      .orderBy($"stage_id")
+    (stats, Seq((0, "raw", s0), (1, "exact_dedup", s1), (2, "quality", s2),
+      (3, "near_dedup", s3), (4, "decontam", s4)))
   }
+
+  /** q280: the FUNNEL → MIXTURE handoff — what a run actually
+    * allocates after curation: q276's decontaminated survivors,
+    * grouped by SOURCE with their token-ID masses (the same per-doc
+    * accounting frame, ids through the shared k=16 vocabulary), fed
+    * through q236's exact UniMax water-filling (`Corpus.unimaxAlloc` —
+    * ONE allocator implementation, two graded consumers: language
+    * mixing on the raw corpus there, source mixing on the curated
+    * corpus here). The difference between the two allocations is the
+    * funnel itself: q236 budgets over everything the scan found, q280
+    * over what survives curation — the allocation a trainer should
+    * actually use, with Σalloc = 3·Σsurviving-ids EXACT by the
+    * allocator's integer remainder discipline. */
+  def q280FunnelMixture(s: SparkSession, dir: String): DataFrame =
+    funnelMixtureFrom(Tables.documents(s, dir), TextOps.vocab16(s, dir))
+
+  private[graft] def funnelMixtureFrom(docs: DataFrame,
+      enc: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val (stats, stages) = funnelStages(docs, enc)
+    val av = stages.last._3
+      .join(docs.select($"doc_id", $"source"), Seq("doc_id"))
+      .join(stats, Seq("doc_id"))
+      .groupBy($"source").agg(sum($"n_ids").as("avail"))
+    Corpus.unimaxAlloc(av, "source")
+  }
+
+  /** q280 oracle: the shared funnel CTEs through the survivor set,
+    * the per-source id masses, and q236's water-filling tail with the
+    * key renamed — the allocator arithmetic restated once, shared by
+    * both graded consumers. */
+  val q280Sql: String =
+    raw"""WITH $funnelCtes,
+      |av AS (
+      |  SELECT d.source, CAST(sum(st.n_ids) AS BIGINT) AS avail
+      |  FROM st4 JOIN documents d USING (doc_id)
+      |  JOIN stats st USING (doc_id)
+      |  GROUP BY d.source),
+      |${Corpus.unimaxTailSql("source")}""".stripMargin
 
   /** q276 oracle: the whole funnel restated CTE-by-CTE — q29's keep-min
     * identity, q239's rule arithmetic, q109's md5-SimHash pair SQL
     * applied to the quality survivors, textual 13-gram containment
     * against the src0 benchmark, and the per-stage totals through the
     * shared 16-round vocabulary generator. No fixture anywhere. */
-  val q276Sql: String = {
+  /** The funnel's CTE chain through the survivor set (st4) — shared
+    * verbatim by the census oracle (q276) and the mixture oracle
+    * (q280). */
+  private def funnelCtes: String = {
     val bitSums = (0 until 64).map { j =>
       val src = if (j < 32) "h1" else "h2"
       s"sum(CASE WHEN (($src >> ${j % 32}) & 1) = 1 THEN 1 ELSE -1 END) AS b$j"
@@ -332,7 +382,7 @@ object Pipeline {
       }.mkString("CAST(", " + ", s" AS INT) AS v$c")
     }.mkString(",\n    ")
     val gterms = (0 until 13).map(i => s"toks[i+$i]").mkString(", ")
-    raw"""WITH ${TextOps.bpeIntRoundCtes(16)}
+    raw"""${TextOps.bpeIntRoundCtes(16)}
       |tkx AS (
       |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS w
       |  FROM documents),
@@ -412,7 +462,11 @@ object Pipeline {
       |st4 AS (
       |  SELECT st3.doc_id FROM st3 JOIN documents d USING (doc_id)
       |  WHERE d.source <> 'src0'
-      |    AND st3.doc_id NOT IN (SELECT doc_id FROM cont)),
+      |    AND st3.doc_id NOT IN (SELECT doc_id FROM cont))""".stripMargin
+  }
+
+  val q276Sql: String =
+    raw"""WITH $funnelCtes,
       |census AS (
       |  SELECT 0 AS stage_id, 'raw' AS stage, d.doc_id
       |  FROM documents d
@@ -427,15 +481,16 @@ object Pipeline {
       |FROM census c LEFT JOIN stats st ON st.doc_id = c.doc_id
       |GROUP BY c.stage_id, c.stage
       |ORDER BY c.stage_id""".stripMargin
-  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q87_curation_pipeline" -> (curate _),
     "q108_curation_md5"     -> (q108CurationMd5 _),
-    "q276_pipeline_funnel"  -> (q276PipelineFunnel _))
+    "q276_pipeline_funnel"  -> (q276PipelineFunnel _),
+    "q280_funnel_mixture"   -> (q280FunnelMixture _))
 
   val oracle: Map[String, String] = Map(
     "q87_curation_pipeline" -> q87Sql,
     "q108_curation_md5" -> q108Sql,
-    "q276_pipeline_funnel" -> q276Sql)
+    "q276_pipeline_funnel" -> q276Sql,
+    "q280_funnel_mixture" -> q280Sql)
 }

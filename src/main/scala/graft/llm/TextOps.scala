@@ -1864,6 +1864,87 @@ object TextOps {
        |FROM tok GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
 
+  /** The epochs q279 plans — enough to grade that epochs decorrelate
+    * while keeping the output 3× the sequence inventory, not a
+    * training run's worth. */
+  val ShuffleEpochs: Seq[Int] = Seq(0, 1, 2)
+
+  /** q279: the EPOCH SHUFFLE PLAN for the packed training sequences —
+    * the last hop between q270's sequences and a training run: every
+    * epoch must visit every sequence exactly once in an order that is
+    * (a) decorrelated from the previous epoch, (b) REPRODUCIBLE from
+    * the plan alone (resumable training re-derives position k of
+    * epoch e without any stored state), and (c) computed WITHOUT a
+    * global total order. The standard hash-shuffle does all three:
+    * within each (epoch, shard), sequences order by
+    * md5(epoch:shard:seq_id) (seq_id tie-break — md5 collisions cannot
+    * break determinism), positions dense from 0. Shuffling stays
+    * per-shard BY POLICY — q270's sharding discipline carries over
+    * (the running sum there, the sort here: both are the per-shard
+    * price of avoiding a global order), and a trainer reading S shards
+    * round-robin gets cross-shard mixing for free. Output one row per
+    * (epoch, shard, pos): the seq_id to read and its n_tokens (the
+    * trailing partial rides the plan, so a step-budget cutoff is exact
+    * token arithmetic). Graded row-for-row. 100 TB shape: one narrow
+    * pass over the SEQUENCE inventory (not tokens — Θ(corpus)/256
+    * rows), one per-(epoch, shard) window sort on a 16-byte key. */
+  def q279SeqShufflePlan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val seqs = q270SeqPackIds(s, dir).select($"shard", $"seq_id", $"n_tokens")
+    val epochs = ShuffleEpochs.toDF("epoch")
+    val w = Window.partitionBy($"epoch", $"shard").orderBy($"h", $"seq_id")
+    seqs.crossJoin(broadcast(epochs))
+      .withColumn("h", md5(concat_ws(":",
+        $"epoch".cast("string"), $"shard".cast("string"),
+        $"seq_id".cast("string"))))
+      .withColumn("pos", (row_number().over(w) - 1).cast("long"))
+      .select($"epoch", $"shard", $"pos", $"seq_id", $"n_tokens")
+      .orderBy($"epoch", $"shard", $"pos")
+  }
+
+  /** q279 oracle: q270's sequence inventory CTEs, the epoch VALUES
+    * table, and the same md5 ordering — the hash strings concatenate
+    * identically (integer-to-string has one canonical form on both
+    * engines), so the permutation is bit-reproducible. */
+  val q279Sql: String = {
+    val epVals = ShuffleEpochs.map(e => s"($e)").mkString(", ")
+    raw"""WITH ${bpeIntRoundCtes(16)}
+       |tk AS (
+       |  SELECT doc_id,
+       |    unnest([{'pos': i, 'w': toks[i]}
+       |            FOR i IN generate_series(1, len(toks))], recursive := true)
+       |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks
+       |        FROM documents) t),
+       |enc AS (
+       |  SELECT tk.doc_id, tk.pos, v.syms
+       |  FROM tk JOIN w16 v ON v.w = tk.w),
+       |ids AS (
+       |  SELECT doc_id, doc_id % 8 AS shard,
+       |    list_append(flatten(list(syms ORDER BY pos)), $PackEosId) AS ids
+       |  FROM enc GROUP BY doc_id),
+       |offs AS (
+       |  SELECT shard, ids,
+       |    CAST(coalesce(sum(len(ids)) OVER (PARTITION BY shard ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off0
+       |  FROM ids),
+       |tok AS (
+       |  SELECT shard, off0 + i - 1 AS goff
+       |  FROM offs, unnest(generate_series(1, len(ids))) AS u(i)),
+       |seqs AS (
+       |  SELECT shard, CAST(goff // $PackSeqLen AS BIGINT) AS seq_id,
+       |    CAST(count(*) AS BIGINT) AS n_tokens
+       |  FROM tok GROUP BY 1, 2),
+       |ep AS (SELECT epoch FROM (VALUES $epVals) e(epoch))
+       |SELECT ep.epoch, s.shard,
+       |  CAST(row_number() OVER (PARTITION BY ep.epoch, s.shard
+       |    ORDER BY md5(CAST(ep.epoch AS VARCHAR) || ':' ||
+       |                 CAST(s.shard AS VARCHAR) || ':' ||
+       |                 CAST(s.seq_id AS VARCHAR)), s.seq_id) - 1 AS BIGINT) AS pos,
+       |  s.seq_id, s.n_tokens
+       |FROM seqs s, ep
+       |ORDER BY ep.epoch, s.shard, pos""".stripMargin
+  }
+
   /** The int-form loop on an arbitrary (doc_id, text) frame, formatted
     * to q251's output schema (real-string symbols). */
   def bpeTrainIntFrom(docs: DataFrame, k: Int): DataFrame = {
@@ -2990,6 +3071,7 @@ object TextOps {
     "q274_bpe_decode" -> (q274BpeDecode _),
     "q270_seq_pack_ids" -> (q270SeqPackIds _),
     "q272_seq_boundary_map" -> (q272SeqBoundaryMap _),
+    "q279_seq_shuffle_plan" -> (q279SeqShufflePlan _),
     "q251_bpe_train" -> (q251BpeTrain _),
     "q256_bpe_encode8" -> (q256BpeEncode8 _),
   )
@@ -3034,6 +3116,7 @@ object TextOps {
     "q274_bpe_decode" -> q274Sql,
     "q270_seq_pack_ids" -> q270Sql,
     "q272_seq_boundary_map" -> q272Sql,
+    "q279_seq_shuffle_plan" -> q279Sql,
     "q251_bpe_train" -> q251Sql,
     "q256_bpe_encode8" -> q256Sql,
   )

@@ -1217,6 +1217,45 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("q279 epoch shuffle plan: per-epoch bijection over q270's inventory, dense positions, decorrelated epochs, deterministic") {
+    val packed = llm.TextOps.q270SeqPackIds(spark, SparkTestSession.sf).collect()
+    val inv = packed.map(r => (r.getAs[Long]("shard"), r.getAs[Long]("seq_id")))
+      .toSet
+    val totTok = packed.map(_.getAs[Long]("n_tokens")).sum
+    val plan = llm.TextOps.q279SeqShufflePlan(spark, SparkTestSession.sf)
+      .collect()
+      .map(r => (r.getAs[Int]("epoch"), r.getAs[Long]("shard"),
+        r.getAs[Long]("pos"), r.getAs[Long]("seq_id"),
+        r.getAs[Long]("n_tokens")))
+    val byEpoch = plan.groupBy(_._1)
+    assert(byEpoch.keySet == llm.TextOps.ShuffleEpochs.toSet)
+    byEpoch.foreach { case (e, rows) =>
+      // bijection: every sequence exactly once per epoch
+      assert(rows.map(r => (r._2, r._4)).toSet == inv,
+        s"epoch $e must visit exactly q270's inventory")
+      // dense positions per shard
+      rows.groupBy(_._2).foreach { case (sh, rs) =>
+        assert(rs.map(_._3).sorted.toSeq == (0L until rs.length).toSeq,
+          s"epoch $e shard $sh positions must be dense") }
+      // token budget rides the plan exactly
+      assert(rows.map(_._5).sum == totTok, s"epoch $e token conservation")
+    }
+    // epochs decorrelate: some shard with >= 2 sequences orders
+    // differently between epoch 0 and epoch 1
+    def order(e: Int) = byEpoch(e).groupBy(_._2).view
+      .mapValues(_.sortBy(_._3).map(_._4).toSeq).toMap
+    val (o0, o1) = (order(0), order(1))
+    assert(o0.exists { case (sh, sq) => sq.length >= 2 && o1(sh) != sq },
+      "at least one multi-sequence shard must reorder between epochs")
+    // reproducible: the plan is a pure function of (epoch, shard, seq_id)
+    val again = llm.TextOps.q279SeqShufflePlan(spark, SparkTestSession.sf)
+      .collect()
+      .map(r => (r.getAs[Int]("epoch"), r.getAs[Long]("shard"),
+        r.getAs[Long]("pos"), r.getAs[Long]("seq_id"),
+        r.getAs[Long]("n_tokens")))
+    assert(plan.toSeq == again.toSeq, "the plan must be bit-reproducible")
+  }
+
   test("q270 packed sequences: exact conservation against q266, boundary accounting, fixed length") {
     // VERDICT r18 item 3 — the packing must conserve the id streams
     // exactly: Σ n_tokens over sequences ≡ q266's Σ n_ids plus ONE

@@ -62,6 +62,16 @@ class PipelineSpec extends AnyFunSuite {
         assert(by(i)._1 >= by(i + 1)._1 && by(i)._2 >= by(i + 1)._2 &&
           by(i)._3 >= by(i + 1)._3, s"stage $i -> ${i + 1} must narrow: $by")
       }
+      // q280 on the same constructed corpus: the sole surviving source
+      // (src1, doc A alone) water-fills the whole budget — a single
+      // uncapped key takes B = 3·avail exactly, 300 epochs_pct
+      val mix = llm.Pipeline.funnelMixtureFrom(docs, vocab).collect()
+      assert(mix.length == 1 && mix(0).getAs[String]("source") == "src1")
+      assert(!mix(0).getAs[Boolean]("capped"))
+      assert(mix(0).getAs[Long]("alloc") == 3 * mix(0).getAs[Long]("avail"))
+      assert(mix(0).getAs[Long]("epochs_pct") == 300L)
+      assert(mix(0).getAs[Long]("avail") == by(4)._3,
+        "the mixture's avail must equal the census's surviving id mass")
     } finally graft.Ckpt.free(vocab)
     // live registration ties to the single-stage graded queries: raw
     // counts are the corpus's, exact_dedup keeps q29's keeper count,
@@ -76,6 +86,19 @@ class PipelineSpec extends AnyFunSuite {
       .agg(org.apache.spark.sql.functions.sum("n_ids")).collect()(0).getLong(0)
     assert(lby(0)._2 == ids266,
       s"raw id total must conserve q266: ${lby(0)._2} vs $ids266")
+    // live q280: Σalloc = 3·Σsurviving-ids EXACTLY (the allocator's
+    // integer remainder discipline), capped sources at exactly 4
+    // epochs, and the total avail equals the census's stage-4 id mass
+    val mixLive = llm.Pipeline.q280FunnelMixture(spark, sf).collect()
+    assert(mixLive.nonEmpty)
+    val availTot = mixLive.map(_.getAs[Long]("avail")).sum
+    assert(availTot == lby(4)._2,
+      s"mixture avail must equal the surviving id mass: $availTot vs ${lby(4)._2}")
+    assert(mixLive.map(_.getAs[Long]("alloc")).sum == 3 * availTot,
+      "the budget must be allocated exactly")
+    mixLive.filter(_.getAs[Boolean]("capped")).foreach { r =>
+      assert(r.getAs[Long]("alloc") == 4 * r.getAs[Long]("avail"),
+        s"capped source must take exactly 4 epochs: $r") }
   }
 
   test("dropDuplicatesWithinWatermark dedups within the horizon") {

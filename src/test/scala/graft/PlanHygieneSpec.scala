@@ -111,10 +111,17 @@ class PlanHygieneSpec extends AnyFunSuite {
                            // codebook/query-slice joins of the PQ
                            // scoring — the IVFPQ composition's own
                            // graded builds
-    "q278_ivfpq_recall")   // q36's broadcast baseline + q277's build —
+    "q278_ivfpq_recall",   // q36's broadcast baseline + q277's build —
                            // the two sides whose gap IS the measurement
                            // (q265's shape); the scoring join is an
                            // equi-join
+    "q279_seq_shuffle_plan", // the deliberate 3-row epoch VALUES
+                           // crossJoin over the sequence inventory —
+                           // one inventory, every epoch's plan
+                           // (q267's one-build-many-points shape)
+    "q280_funnel_mixture") // q236's broadcast 1-row budget + 1-row
+                           // fill-state grafts over the #sources-row
+                           // frame — the shared allocator's shape
 
   test("no unintended cartesian products across the whole catalog") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
