@@ -18,6 +18,42 @@ object Tables {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Scan-parallelism floor for per-row-heavy pipelines (optimization
+    * guide §2.5, "one huge unsplittable file ... repartition immediately
+    * after the read"): the test tables are single-row-group parquet, so
+    * Spark's scan is ONE task no matter what `maxPartitionBytes` says,
+    * and every narrow op downstream of the scan (tokenize + per-token
+    * md5, 64-dim cosine math, codec decodes) runs single-threaded until
+    * the first exchange — measured at 1.2 s of serial work inside e.g.
+    * q242's scan stage on a 32-core box. This hash-spreads the rows
+    * across the cluster width, keyed by the frame's primary key — which
+    * ALSO lets every downstream groupBy/join keyed on (pk, ...) reuse
+    * the partitioning instead of adding its own exchange (§2.4).
+    *
+    * Scale-adaptive, not a local[32] constant: the split count comes
+    * from the scan itself and the width from `defaultParallelism`, so a
+    * 100 TB table that already arrives in thousands of splits is left
+    * untouched (the guard fires only when the scan is narrower than the
+    * cluster), and the shuffled bytes are the frame's raw bytes once.
+    * The explicit partition count pins the spread against AQE's
+    * parallelism-first coalescing, which would fold ~1 MB of text back
+    * into one partition and re-serialize the whole downstream chain.
+    *
+    * Applied at the HEAVY consumers' build sites, not blanket in the
+    * loaders: a loader-level spread was measured first and taxes every
+    * light consumer one exchange (~+0.25 s each) and every index-family
+    * query once per re-scan of the table (q268 1.47x, q250 1.51x), while
+    * the wins concentrate in the dozen operators whose per-row work is
+    * actually heavy. Callers pass the frame at the point where the
+    * expensive narrow work starts (usually just before a persist). */
+  def spread(df: DataFrame, key: String): DataFrame = {
+    val s = df.sparkSession
+    val width = s.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < width)
+      df.repartition(width, org.apache.spark.sql.functions.col(key))
+    else df
+  }
+
   def region(s: SparkSession, d: String): DataFrame    = t(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = t(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame  = t(s, d, "customer")

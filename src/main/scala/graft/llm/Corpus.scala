@@ -696,7 +696,7 @@ object Corpus {
     import s.implicits._
     import org.apache.spark.sql.types.DecimalType
     val nB = 8192
-    val grams = Tables.documents(s, dir)
+    val grams = graft.Tables.spread(Tables.documents(s, dir), "doc_id")
       .withColumn("toks", TextOps.tokens($"text"))
       .select($"doc_id", $"source",
         explode(concat($"toks", expr(
@@ -986,7 +986,7 @@ object Corpus {
   def q238QualityProbe(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val nB = 256
-    val xb = Tables.documents(s, dir)
+    val xb = graft.Tables.spread(Tables.documents(s, dir), "doc_id")
       .withColumn("toks", TextOps.tokens($"text"))
       .select($"doc_id", $"source", explode($"toks").as("g"))
       .withColumn("b",
@@ -1119,7 +1119,7 @@ object Corpus {
     import s.implicits._
     import org.apache.spark.sql.types.DecimalType
     val nB = 256
-    val grams = docs
+    val grams = graft.Tables.spread(docs, "doc_id")
       .withColumn("toks", TextOps.tokens($"text"))
       .withColumn("sb", substring(md5($"doc_id".cast("string")), 1, 1))
       .filter(!$"sb".isin("e", "f")) // test split withheld entirely

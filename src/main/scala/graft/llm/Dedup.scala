@@ -34,7 +34,10 @@ object Dedup {
   /** Tokenized docs: (doc_id, toks). */
   private def toks(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables.documents(s, dir)
+    // spread BEFORE tokenize: every consumer hashes per token/shingle
+    // (md5 minhash sigs, simhash bit-sums), which otherwise runs inside
+    // the single-task scan stage (Tables.spread scaladoc; guide §2.5)
+    Tables.spread(Tables.documents(s, dir), "doc_id")
       .select($"doc_id",
         TextOps.tokens($"text").as("toks"))
   }

@@ -78,7 +78,10 @@ object Pipeline {
     // 4. near-dup suppression via MinHash-LSH: id-only band join with the
     //    skew cap, late shingle re-join (Dedup.lshCandidates/verifyJaccard),
     //    then drop the higher doc_id of any confirmed near-dup pair
-    val sh = en.select($"doc_id", Dedup.shingles($"toks").as("sh"))
+    // spread before the persist: the signature pass hashes every shingle
+    // 32x and otherwise runs at the funnel join's coalesced width
+    val sh = graft.Tables.spread(
+        en.select($"doc_id", Dedup.shingles($"toks").as("sh")), "doc_id")
       .persist() // feeds the signature pass and both verify sides (lazily)
     val losers = Dedup.verifyJaccard(Dedup.lshCandidates(Dedup.minhashSigs(sh)), sh, 0.5)
       .select($"id2".as("doc_id")).distinct()
@@ -97,7 +100,8 @@ object Pipeline {
     // the funnel COMPOSITION, not corpus-scale md5 throughput — q87
     // stays the full-corpus path
     val en = enCorpus(s, dir, $"doc_id" % 2 === 0)
-    val sh = en.select($"doc_id", Dedup.shingles($"toks").as("sh"))
+    val sh = graft.Tables.spread(
+        en.select($"doc_id", Dedup.shingles($"toks").as("sh")), "doc_id")
       .persist() // feeds the signature pass and both verify sides (lazily)
     val losers = Dedup.verifyJaccard(
         Dedup.md5Candidates(sh, Dedup.MaxBucketWidth), sh, 0.5)

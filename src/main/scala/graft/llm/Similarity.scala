@@ -2684,7 +2684,13 @@ object Similarity {
     val g12 = 4096.0
     def q12(c: Column): Column = floor(c * g12) / lit(g12)
     // 1. quantize, mean (exact sums on the shared grid), center, requantize
-    val xq = e.select($"vec_id", transform($"v", x => q12(x)).as("xq"))
+    // spread BEFORE the persist: the cached frame otherwise inherits the
+    // single-task scan partitioning and every power-iteration pass runs
+    // one task (measured ~900 ms/step serial; guide §2.5). Dyadic-grid
+    // sums are exact at any aggregation order, so the parallel partial
+    // aggregation is bit-identical (q238's argument, carried here).
+    val xq = graft.Tables.spread(e, "vec_id")
+      .select($"vec_id", transform($"v", x => q12(x)).as("xq"))
       .persist()
     val meanRows = xq.select(posexplode($"xq").as(Seq("pos", "x")))
       .groupBy($"pos").agg(sum($"x").as("sx"), count(lit(1)).as("n"))

@@ -182,7 +182,7 @@ object TextOps {
     // 0.6 would let a pair in the [0.59995, 0.6) rounding window pass
     // the oracle but lose its prefix/length-ratio guarantee here.
     val tGen = t - 0.5e-4
-    val docs = Tables.documents(s, dir)
+    val docs = graft.Tables.spread(Tables.documents(s, dir), "doc_id")
       // the SHARED tokenizer (tokens) — q34's token domain must move in
       // lockstep with every other tokenizing query and its oracle SQL
       .select($"doc_id", $"source", array_distinct(tokens($"text")).as("toks"))
