@@ -971,11 +971,23 @@ object Corpus {
     val w = Array.fill(nB)(0.0)
     def qd(v: Double): Double = math.floor(v * 4096.0) / 4096.0
     for (_ <- 1 to steps) {
-      val z = xb.join(broadcast(weightFrame(s, w)), $"b" === $"wb")
-        .groupBy($"doc_id", $"y")
-        .agg(sum($"x" * $"w").as("z"))
-        .select($"doc_id", quant($"z" - $"y", 1L << 12).as("err"))
-      val grads = xb.join(z, "doc_id")
+      // Optimization r19 (guide §2.4): one pass per step instead of
+      // three. The old step aggregated per-doc z (scan 1 + broadcast
+      // build of the weight frame), re-joined it to xb (scan 2) and
+      // aggregated gradients — ~5 jobs/step. The feature frame is
+      // persisted HashPartitioning(doc_id) (its build ends in the
+      // per-doc `n` window), so the per-doc error is a window over the
+      // cached partitioning (no exchange, no join) and the weights are
+      // a 256-double literal lookup (no broadcast). The only shuffle
+      // left per step is the nB-row gradient aggregation. Bit-identity:
+      // same term sets summed per doc / per bucket, and every quantity
+      // sits on the dyadic grid where sums are exact at any aggregation
+      // order (the q238 scaladoc's argument) — the oracle replays the
+      // identical unrolled arithmetic and stays hash-green.
+      val wl = element_at(typedLit(w.toVector), ($"b" + 1).cast("int"))
+      val err = quant(
+        sum($"x" * wl).over(Window.partitionBy($"doc_id")) - $"y", 1L << 12)
+      val grads = xb.withColumn("err", err)
         .groupBy($"b").agg(sum($"x" * $"err").as("gsum"))
         .collect().map(r => r.getAs[Long]("b").toInt -> r.getAs[Double]("gsum"))
       for ((b, gsum) <- grads) w(b) -= 4.0 * qd(gsum / nd)

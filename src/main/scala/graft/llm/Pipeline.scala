@@ -267,17 +267,21 @@ object Pipeline {
     * 100 TB shape: every stage is a shape already scale-audited under
     * its own query; the census adds only tiny id-frame joins. */
   def q276PipelineFunnel(s: SparkSession, dir: String): DataFrame =
-    pipelineFunnelFrom(Tables.documents(s, dir), TextOps.vocab16(s, dir))
+    pipelineFunnelFrom(funnelArtifacts(s, dir))
 
   /** The funnel census on arbitrary (doc_id, text, source) docs and an
     * encoded vocabulary (w, syms) — split out so PipelineSpec can pin
     * each stage's drop reason on a constructed corpus (training its
     * own k=16 vocabulary). */
   private[graft] def pipelineFunnelFrom(docs: DataFrame,
-      enc: DataFrame): DataFrame = {
-    val s = docs.sparkSession
+      enc: DataFrame): DataFrame =
+    pipelineFunnelFrom(funnelStages(docs, enc))
+
+  private def pipelineFunnelFrom(
+      t2: (DataFrame, Seq[(Int, String, DataFrame)])): DataFrame = {
+    val (stats, stages) = t2
+    val s = stats.sparkSession
     import s.implicits._
-    val (stats, stages) = funnelStages(docs, enc)
     def census(t: (Int, String, DataFrame)): DataFrame =
       t._3.join(stats, Seq("doc_id"), "left")
         .agg(count(lit(1)).as("n_docs"),
@@ -290,42 +294,71 @@ object Pipeline {
 
   /** The funnel's per-doc accounting frame and its five stage id-sets
     * — ONE definition of the stage logic, consumed by the census
-    * (q276) and the survivor mixture (q280). */
-  private def funnelStages(docs: DataFrame, enc: DataFrame)
+    * (q276) and the survivor mixture (q280).
+    *
+    * Optimization r19: the shared frames are materialized EAGERLY
+    * (`mat`, default eager localCheckpoint). With the pre-r19 lazy
+    * persist the census's five union branches raced the empty cache and
+    * recomputed the shared lineage — profiled as the same stage shape
+    * executing 2–4x back to back inside one q280 run — and the final
+    * plan carried 232 Exchange nodes (336 KB formatted) because every
+    * consumer re-embedded the whole funnel lineage. Eager cuts run each
+    * stage exactly once and truncate the plan. The doc scan is also
+    * spread once at entry (Tables.spread): the md5/simhash/13-gram work
+    * above the single-split scan otherwise runs single-threaded. */
+  private def funnelStages(docs0: DataFrame, enc: DataFrame,
+      mat: DataFrame => DataFrame = _.localCheckpoint(true))
       : (DataFrame, Seq[(Int, String, DataFrame)]) = {
-    val s = docs.sparkSession
+    val s = docs0.sparkSession
     import s.implicits._
-    val stats = docs
+    val docs = graft.Tables.spread(docs0, "doc_id")
+    // s0 is materialized too: in the memoized form every stage frame,
+    // including the raw id census, is a readable artifact
+    val s0 = mat(docs.select($"doc_id"))
+    val stats = mat(docs
       .select($"doc_id", explode(TextOps.tokens($"text")).as("w"))
       .join(enc.select($"w", size($"syms").as("ns")), Seq("w"))
       .groupBy($"doc_id")
-      .agg(count(lit(1)).as("n_tok"), sum($"ns".cast("long")).as("n_ids"))
-      .persist()
-    val s0 = docs.select($"doc_id")
-    val s1 = docs.groupBy(md5($"text").as("h"))
-      .agg(min($"doc_id").as("doc_id")).select($"doc_id")
-      .persist()
-    val s2 = s1.join(TextOps.gopherRulesFrom(docs)
-        .filter($"gopher_pass").select($"doc_id"), Seq("doc_id"))
-      .persist()
+      .agg(count(lit(1)).as("n_tok"), sum($"ns".cast("long")).as("n_ids")))
+    val s1 = mat(docs.groupBy(md5($"text").as("h"))
+      .agg(min($"doc_id").as("doc_id")).select($"doc_id"))
+    val s2 = mat(s1.join(TextOps.gopherRulesFrom(docs)
+        .filter($"gopher_pass").select($"doc_id"), Seq("doc_id")))
     val docs2 = docs.join(s2, Seq("doc_id"))
     val drop3 = Dedup.simhashMd5PairsFromToks(
         docs2.select($"doc_id", explode(TextOps.tokens($"text")).as("tok")))
       .select($"id2".as("doc_id")).distinct()
-    val s3 = s2.join(drop3, Seq("doc_id"), "left_anti").persist()
+    val s3 = mat(s2.join(drop3, Seq("doc_id"), "left_anti"))
     val bench = TextOps.gramWindows(docs.filter($"source" === "src0"))
       .select($"g").distinct()
     val docs3 = docs.join(s3, Seq("doc_id"))
     val contaminated = TextOps.gramWindows(docs3.filter($"source" =!= "src0"))
       .join(bench, Seq("g")).select($"doc_id").distinct()
-    val s4 = s3
+    val s4 = mat(s3
       .join(docs.select($"doc_id", $"source"), Seq("doc_id"))
       .filter($"source" =!= "src0").select($"doc_id")
-      .join(contaminated, Seq("doc_id"), "left_anti")
-      .persist()
+      .join(contaminated, Seq("doc_id"), "left_anti"))
     (stats, Seq((0, "raw", s0), (1, "exact_dedup", s1), (2, "quality", s2),
       (3, "near_dedup", s3), (4, "decontam", s4)))
   }
+
+  /** Cross-query memo of the funnel artifacts on the graded corpus —
+    * the videoSigs/q257+q263 production-artifact discipline applied to
+    * the funnel: a curation run derives the survivor sets ONCE and both
+    * the census (q276) and the mixture allocation (q280) read that
+    * artifact. Pinned so the blocks survive the per-query sweep; the
+    * build is attributed on the bench's memo_pays ledger. */
+  private val funnelCache =
+    new graft.SessionCache[(DataFrame, Seq[(Int, String, DataFrame)])](
+      onDiscard = { case (st, sts) =>
+        graft.Ckpt.free(st); sts.foreach(t => graft.Ckpt.free(t._3)) },
+      label = "funnel_stages")
+
+  private def funnelArtifacts(s: SparkSession, dir: String)
+      : (DataFrame, Seq[(Int, String, DataFrame)]) =
+    funnelCache.getOrElseUpdate(s, dir,
+      funnelStages(Tables.documents(s, dir), TextOps.vocab16(s, dir),
+        mat = graft.Ckpt.pinned))
 
   /** q280: the FUNNEL → MIXTURE handoff — what a run actually
     * allocates after curation: q276's decontaminated survivors,
@@ -340,13 +373,17 @@ object Pipeline {
     * actually use, with Σalloc = 3·Σsurviving-ids EXACT by the
     * allocator's integer remainder discipline. */
   def q280FunnelMixture(s: SparkSession, dir: String): DataFrame =
-    funnelMixtureFrom(Tables.documents(s, dir), TextOps.vocab16(s, dir))
+    funnelMixtureFrom(Tables.documents(s, dir), funnelArtifacts(s, dir))
 
   private[graft] def funnelMixtureFrom(docs: DataFrame,
-      enc: DataFrame): DataFrame = {
+      enc: DataFrame): DataFrame =
+    funnelMixtureFrom(docs, funnelStages(docs, enc))
+
+  private def funnelMixtureFrom(docs: DataFrame,
+      t2: (DataFrame, Seq[(Int, String, DataFrame)])): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    val (stats, stages) = funnelStages(docs, enc)
+    val (stats, stages) = t2
     val av = stages.last._3
       .join(docs.select($"doc_id", $"source"), Seq("doc_id"))
       .join(stats, Seq("doc_id"))
