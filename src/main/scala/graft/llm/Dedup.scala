@@ -1022,9 +1022,9 @@ object Dedup {
     val sh = toks(s, dir)
       .filter($"doc_id" % 2 === 0)
       .select($"doc_id", shingles($"toks").as("sh"))
-      .persist() // signature pass + both verify sides; swept per-query (Ckpt.sweep)
+      .localCheckpoint(true) // EAGER (q260's pattern); swept per-query (Ckpt.sweep)
     val banded = md5Bands(sh)
-      .persist() // widths + both salted-join sides; swept per-query
+      .localCheckpoint(true) // widths + both salted-join sides; swept per-query
     verifyJaccard(saltedPairs(banded, maxWidth = 1), sh, 0.5)
       .orderBy($"id1", $"id2")
   }
@@ -1047,8 +1047,9 @@ object Dedup {
     * engaging if the corpus constants drift. */
   def q228SaltedBudget(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sh = saltedBudgetShingles(s, dir).persist() // sig pass + verify sides
-    val banded = md5Bands(sh).persist() // widths + both salted-join sides
+    val sh = saltedBudgetShingles(s, dir)
+      .localCheckpoint(true) // EAGER (q260's pattern); sig pass + verify sides
+    val banded = md5Bands(sh).localCheckpoint(true) // widths + both salted-join sides
     verifyJaccard(saltedPairs(banded, maxWidth = 4), sh, 0.5)
       .orderBy($"id1", $"id2")
   }
@@ -1113,7 +1114,7 @@ object Dedup {
     val sh = toks(s, dir)
       .filter($"doc_id" % 2 === 0)
       .select($"doc_id", shingles($"toks").as("sh"))
-      .persist() // signature pass + both verify sides (lazily)
+      .localCheckpoint(true) // EAGER (q260's pattern); sig pass + both verify sides
     verifyJaccard(md5Candidates(sh), sh, 0.5)
       .orderBy($"id1", $"id2")
   }
@@ -1172,7 +1173,9 @@ object Dedup {
     val sh = toks(s, dir)
       .filter($"doc_id" % 2 === 0)
       .select($"doc_id", shingles($"toks").as("sh"))
-      .persist() // signature pass + both verify sides; swept per-query
+      // EAGER cut (optimization r19, q260's pattern): a lazy persist
+      // lets the banding and verify subtrees race the empty cache
+      .localCheckpoint(true) // signature pass + both verify sides; swept per-query
     // feed instrumentation (VERDICT r16 item 3): candidate and verified
     // pair counts ride the pass as observe metrics, so decade rows can
     // state runtime-vs-CANDIDATES, measured — not argued from stages
@@ -1263,8 +1266,8 @@ object Dedup {
   def q255CcSalted(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val sh = saltedBudgetShingles(s, dir)
-      .persist() // signature pass + verify sides; swept per-query
-    val banded = md5Bands(sh).persist() // widths + both salted-join sides
+      .localCheckpoint(true) // EAGER (q260's pattern); swept per-query
+    val banded = md5Bands(sh).localCheckpoint(true) // widths + both salted-join sides
     val pairs = verifyJaccard(saltedPairs(banded, maxWidth = 4), sh, 0.5)
     val nodes = sh.select($"doc_id").distinct()
     twoStarComponents(nodes,
@@ -1305,10 +1308,13 @@ object Dedup {
     * (q255 proved it on the constructed flood). */
   def q260CcSaltedLive(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // EAGER cuts (optimization r19): lazily-persisted sh/banded let the
+    // salted join's concurrent subtrees race the empty cache — profiled
+    // as the same ~0.4 s stage executing 4x inside one run
     val sh = toks(s, dir)
       .select($"doc_id", shingles($"toks").as("sh"))
-      .persist() // signature pass + verify sides; swept per-query
-    val banded = md5Bands(sh).persist() // widths + both salted-join sides
+      .localCheckpoint(true) // signature pass + verify sides; swept per-query
+    val banded = md5Bands(sh).localCheckpoint(true) // widths + both salted-join sides
     // same feed instrumentation as q252 — the decade rows' denominator
     val pairs = verifyJaccard(
         saltedPairs(banded, maxWidth = 4).observe("graft_cc_candidates",
