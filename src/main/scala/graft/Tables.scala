@@ -48,6 +48,10 @@ object Tables {
     * expensive narrow work starts (usually just before a persist). */
   def spread(df: DataFrame, key: String): DataFrame = {
     val s = df.sparkSession
+    // streaming frames can't answer getNumPartitions (and micro-batches
+    // are already planned per-trigger) — pass them through untouched,
+    // so shared front ends like gramWindows stay usable from both sides
+    if (df.isStreaming) return df
     val width = s.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < width)
       df.repartition(width, org.apache.spark.sql.functions.col(key))

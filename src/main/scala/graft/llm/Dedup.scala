@@ -1587,7 +1587,7 @@ object Dedup {
   def q150SubstringDedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val W = 5
-    val spans = Tables.documents(s, dir)
+    val spans = graft.Tables.spread(Tables.documents(s, dir), "doc_id")
       .select($"doc_id", TextOps.tokens($"text").as("toks"))
       .filter(size($"toks") >= W)
       .select($"doc_id", posexplode(transform(
@@ -1595,7 +1595,8 @@ object Dedup {
         i => concat_ws(" ", slice($"toks", i, lit(W))))))
       .toDF("doc_id", "off", "sh")
       .select($"doc_id", ($"off" + 1).cast("long").as("pos"), $"sh")
-      .persist() // read twice: the duplicated-span build + the join back
+      // EAGER cut + spread (optimization r19, q260/q243's pattern)
+      .localCheckpoint(true) // read twice; swept per-query
     val dup = spans.groupBy($"sh")
       .agg(countDistinct($"doc_id").as("nd"))
       .filter($"nd" >= 2).select($"sh")
@@ -1669,7 +1670,9 @@ object Dedup {
   def spanWindows(docs: DataFrame, w: Int): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    docs
+    // spread before tokenize+window (optimization r19): same reasoning
+    // as gramWindows — the span build is the dominant narrow cost
+    graft.Tables.spread(docs, "doc_id")
       .select($"doc_id", TextOps.tokens($"text").as("toks"))
       .filter(size($"toks") >= w)
       .select($"doc_id", posexplode(transform(
@@ -1704,7 +1707,10 @@ object Dedup {
     val s = spans0.sparkSession
     import s.implicits._
     val spans = spans0
-      .persist() // read twice: the duplicated-span build + the join back
+      // EAGER cut (optimization r19, q260's pattern): the dup census and
+      // the join back race a lazy cache and rebuild the window table
+      // twice (profiled as twin ~780 ms stages in q243)
+      .localCheckpoint(true) // read twice; swept per-query
     val dup = spans.groupBy($"k")
       .agg(countDistinct($"doc_id").as("nd"))
       .filter($"nd" >= 2).select($"k")

@@ -398,7 +398,11 @@ object TextOps {
     val s = docs.sparkSession
     import s.implicits._
     val W = 13
-    docs
+    // spread before tokenize+window (optimization r19, guide §2.5): the
+    // 13-gram build is the family's dominant narrow cost and otherwise
+    // runs inside the single-split scan's one task (no-op for streaming
+    // micro-batches and already-wide frames)
+    graft.Tables.spread(docs, "doc_id")
       .select($"doc_id", tokens($"text").as("toks"))
       .filter(size($"toks") >= W)
       .select($"doc_id", explode(transform(
