@@ -615,7 +615,9 @@ object Multimodal {
     * does not. */
   def q241PhashDups(s: SparkSession, dir: String): DataFrame =
     chunkStats(phashSigs(mediaTable(s, dir))
-      .persist()) // read twice: both chunk-join sides (q109's discipline)
+      // EAGER cut (optimization r19, q260's pattern): a lazy persist
+      // races both chunk-join sides into re-decoding the corpus
+      .localCheckpoint(true)) // read twice: both chunk-join sides
 
   /** Shared per-signature band rollup — the graded form of q241, q249
     * AND q257: every id's complete four-chunk signature plus its
@@ -634,7 +636,7 @@ object Multimodal {
     // persisted: BOTH band-join sides scan it, and since r17 it carries
     // the widths pre-aggregate + broadcast (counting its drops) — one
     // evaluation, not two (swept per-query like the caller's sigs)
-    val chunked = phashChunked(sigs).persist()
+    val chunked = phashChunked(sigs).localCheckpoint(true) // EAGER (r19)
     val a = chunked.select($"media_id".as("id1"), $"v0".as("x0"), $"v1".as("x1"),
       $"v2".as("x2"), $"v3".as("x3"), $"c", $"v")
     val b = chunked.select($"media_id".as("id2"), $"v0".as("y0"), $"v1".as("y1"),
@@ -752,7 +754,7 @@ object Multimodal {
     * at Hamming ≤ `radius` (q109's shape; split out so MultimodalSpec
     * can pin shift/re-encode robustness on constructed strips). */
   def phashDupsFrom(media: Dataset[MediaRow], radius: Int = 6): DataFrame =
-    chunkPairs(phashSigs(media).persist(), radius)
+    chunkPairs(phashSigs(media).localCheckpoint(true), radius)
 
   /** Shared band-agreeing pair emission — the production operator
     * behind [[phashDupsFrom]] (images), [[audioDupsFrom]] (audio) and
@@ -765,7 +767,7 @@ object Multimodal {
         identity): DataFrame = {
     val s = sigs.sparkSession
     import s.implicits._
-    val chunked = phashChunked(sigs).persist() // both join sides, as above
+    val chunked = phashChunked(sigs).localCheckpoint(true) // both join sides; EAGER (r19)
     val a = chunked.select($"media_id".as("id1"), $"v0".as("x0"), $"v1".as("x1"),
       $"v2".as("x2"), $"v3".as("x3"), $"c", $"v")
     val b = chunked.select($"media_id".as("id2"), $"v0".as("y0"), $"v1".as("y1"),
@@ -807,12 +809,12 @@ object Multimodal {
     * candidates are a band-equality join, verification is
     * candidate-proportional. */
   def q249AudioFpDups(s: SparkSession, dir: String): DataFrame =
-    chunkStats(audioSigs(mediaTable(s, dir)).persist())
+    chunkStats(audioSigs(mediaTable(s, dir)).localCheckpoint(true))
 
   /** q249's production PAIR operator — band-agreeing clips verified at
     * Hamming ≤ `radius`. */
   def audioDupsFrom(media: Dataset[MediaRow], radius: Int = 6): DataFrame =
-    chunkPairs(audioSigs(media).persist(), radius)
+    chunkPairs(audioSigs(media).localCheckpoint(true), radius)
 
   /** The audio perceptual signature table: one row per audio clip with
     * ≥ 1 full frame, four 16-bit energy-envelope chunks, fingerprinted
@@ -992,7 +994,7 @@ object Multimodal {
   def videoDupsFrom(media: Dataset[MediaRow], radius: Int = 6): DataFrame = {
     val s = media.sparkSession
     import s.implicits._
-    chunkPairs(videoSigs(media).persist(), radius,
+    chunkPairs(videoSigs(media).localCheckpoint(true), radius,
         groupOf = shiftright(_, FrameIdBits))
       .groupBy(shiftright($"id1", FrameIdBits).as("id1"),
         shiftright($"id2", FrameIdBits).as("id2"))
@@ -1043,7 +1045,7 @@ object Multimodal {
     * at one offset); a frame-shuffled montage of the same source
     * matches as many frames but cannot run. */
   def videoAlignFrom(media: Dataset[MediaRow], radius: Int = 6): DataFrame =
-    videoAlignFromSigs(videoSigs(media).persist(), radius)
+    videoAlignFromSigs(videoSigs(media).localCheckpoint(true), radius)
 
   private def videoAlignFromSigs(sigs: DataFrame, radius: Int = 6): DataFrame = {
     val s = sigs.sparkSession
@@ -1070,7 +1072,8 @@ object Multimodal {
     val s = pairsIn.sparkSession
     import s.implicits._
     val pairs = pairsIn
-      .persist() // three consumers: rollup, offset census, run scan
+      // EAGER cut (r19): three concurrent consumers raced the lazy cache
+      .localCheckpoint(true) // rollup, offset census, run scan
     val roll = pairs.groupBy($"id1", $"id2")
       .agg(count(lit(1)).as("n_pairs"),
         countDistinct($"f1").as("n_frames_matched"),
@@ -1130,7 +1133,7 @@ object Multimodal {
     val s = store.sparkSession
     import s.implicits._
     val mask = (1L << FrameIdBits) - 1
-    val chunked = phashChunked(store.unionByName(fresh)).persist()
+    val chunked = phashChunked(store.unionByName(fresh)).localCheckpoint(true) // EAGER (r19)
     val newClips = fresh
       .select(shiftright($"media_id", FrameIdBits).as("nid")).distinct()
     val nc = chunked.join(broadcast(newClips),
@@ -1237,7 +1240,7 @@ object Multimodal {
       radius: Int = 6): DataFrame = {
     val s = sigsIn.sparkSession
     import s.implicits._
-    val sigs = sigsIn.persist() // store side + the derivation source
+    val sigs = sigsIn.localCheckpoint(true) // store side + derivation source; EAGER (r19)
     val mask = (1L << FrameIdBits) - 1
     val clip = shiftright($"media_id", FrameIdBits)
     val f = $"media_id".bitwiseAND(mask)
