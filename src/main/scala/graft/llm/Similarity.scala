@@ -1150,6 +1150,27 @@ object Similarity {
   private def cosSql(a: String, b: String): String =
     s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
 
+  /** Cross-query memo for the ANN family's shared artifacts
+    * (optimization r19, the videoSigs/funnel-artifact discipline): the
+    * recall compositions q265/q268/q278 score SHORTLISTS the graded
+    * index queries already compute — brute ground truth (q36) plus one
+    * frame per index family. Un-memoized, q268 re-ran four full index
+    * builds and q265/q278 one each (profiled: 101 driver jobs, the
+    * embeddings scan re-read 8×). A production pipeline builds each
+    * index once and runs every evaluation off it; the memo is that
+    * artifact — pinned LogicalRDD (survives per-query Ckpt.sweep; a
+    * race-losing build frees its blocks via onDiscard), attributed on
+    * the bench's memo_pays ledger, keyed by (session, dir # name) so
+    * scaled-study dirs never collide. */
+  private val annShortlistCache =
+    new graft.SessionCache[DataFrame](onDiscard = graft.Ckpt.free,
+      label = "ann_shortlists")
+
+  private def annArtifact(s: SparkSession, dir: String, name: String)(
+      build: => DataFrame): DataFrame =
+    annShortlistCache.getOrElseUpdate(s, dir + "#" + name,
+      graft.Ckpt.pinned(build))
+
   /** q265: ANN RECALL, GRADED — every ANN deployment is an accuracy
     * trade, and until now the IVF's recall lived only as a spec
     * assertion (LlmSpec's clustered-corpus floor). This registers the
@@ -1163,7 +1184,8 @@ object Similarity {
     * as derived tables (both already hash-graded bit-parity, so the
     * recall join inherits their determinism). */
   def q265AnnRecall(s: SparkSession, dir: String): DataFrame =
-    recallFrom(q36CosineTopk(s, dir), q66AnnIvf(s, dir))
+    recallFrom(annArtifact(s, dir, "brute")(q36CosineTopk(s, dir)),
+      annArtifact(s, dir, "ivf")(q66AnnIvf(s, dir)))
 
   /** The recall scorer on any two (qid, …, cid) top-k frames — exact
     * ground truth on the left, the approximate index under test on the
@@ -1324,11 +1346,17 @@ object Similarity {
     * picking an index family — on the record, not in a spec comment. */
   def q268AnnFamilyRecall(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val brute = q36CosineTopk(s, dir).select($"qid", $"cid").persist()
-    Seq("ivf2" -> q132AnnIvf2(s, dir),
-        "lsh"  -> q39AnnLsh(s, dir),
-        "pq"   -> q138AnnPq(s, dir),
-        "sq8"  -> q136AnnSq8(s, dir))
+    // shared artifacts (optimization r19): the four families' graded
+    // builds and the brute ground truth come from the memo — one build
+    // per session+dir. The old lazy `.persist()` on brute additionally
+    // raced all four union branches into re-computing it (the q260
+    // pattern); the pinned checkpoint is materialized once, race-free.
+    val brute = annArtifact(s, dir, "brute")(q36CosineTopk(s, dir))
+      .select($"qid", $"cid")
+    Seq("ivf2" -> annArtifact(s, dir, "ivf2")(q132AnnIvf2(s, dir)),
+        "lsh"  -> annArtifact(s, dir, "lsh")(q39AnnLsh(s, dir)),
+        "pq"   -> annArtifact(s, dir, "pq")(q138AnnPq(s, dir)),
+        "sq8"  -> annArtifact(s, dir, "sq8")(q136AnnSq8(s, dir)))
       .map { case (nm, df) =>
         recallFrom(brute, df).withColumn("family", lit(nm)) }
       .reduce(_ unionByName _)
@@ -2395,7 +2423,8 @@ object Similarity {
     * family readings q268 already carries (SQ8 0.98, LSH 0.96, PQ
     * 0.50, ivf2 0.44 at sf0.01). */
   def q278IvfPqRecall(s: SparkSession, dir: String): DataFrame =
-    recallFrom(q36CosineTopk(s, dir), q277AnnIvfPq(s, dir))
+    recallFrom(annArtifact(s, dir, "brute")(q36CosineTopk(s, dir)),
+      annArtifact(s, dir, "ivfpq")(q277AnnIvfPq(s, dir)))
 
   def q278Sql(np: Int, li: Int): String =
     s"""WITH brute AS (SELECT qid, cid FROM ($q36Sql) b),
