@@ -871,8 +871,22 @@ object Similarity {
         lloydIters = sessionIvfLloydIters(s)))
 
   /** The grown store both compaction grades rebuild from: the fixture
-    * (v1) assignment's batch survivors unioned onto the store split. */
-  private def compactionGrownStore(s: SparkSession, dir: String): DataFrame = {
+    * (v1) assignment's batch survivors unioned onto the store split.
+    * Session-memoized pinned checkpoint (optimization r19): q250 AND
+    * q254 rebuild from the SAME grown store, and within each query the
+    * rebuild consumes it from several subtrees (the sizing count, the
+    * seed and train slices, the full assignment, the rep join) — un-cut,
+    * every consumer re-ran the fixture assignment + survivor join. One
+    * build per session+dir, attributed on memo_pays. */
+  private val grownStoreCache =
+    new graft.SessionCache[DataFrame](onDiscard = graft.Ckpt.free,
+      label = "compaction_grown_store")
+
+  private def compactionGrownStore(s: SparkSession, dir: String): DataFrame =
+    grownStoreCache.getOrElseUpdate(s, dir,
+      graft.Ckpt.pinned(compactionGrownStoreBuild(s, dir)))
+
+  private def compactionGrownStoreBuild(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val all = vecs(s, dir)
     val store = all.filter(pmod($"vec_id", lit(4)) =!= 0).select($"vec_id", $"v")

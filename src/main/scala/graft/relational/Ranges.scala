@@ -61,7 +61,14 @@ object Ranges {
   def activeWindows(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val wOrd = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    // The sessionize window's shuffle is ~1.5 MB, so AQE coalesces it
+    // to ONE task and the lag/session-sum/agg chain runs serial
+    // (profiled: twin ~600 ms single-task stages). Pin the per-user
+    // partitioning to the cluster width (REPARTITION_BY_NUM — exempt
+    // from AQE coalescing, satisfies the window's distribution, so no
+    // second exchange).
     ev(s, dir)
+      .repartition(s.sparkContext.defaultParallelism, $"user_id")
       .withColumn("prev_ts", lag($"ts", 1).over(wOrd))
       .withColumn("new_sess",
         when($"prev_ts".isNull ||
@@ -128,13 +135,21 @@ object Ranges {
     * this plan specifically. */
   def q174RangeJoin(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val wins = activeWindows(s, dir)
+    // Same CPU-dense-small-shuffle story as q175 (profiled: 1.3 s
+    // single-task join stage after AQE coalesced a ~1.5 MB shuffle):
+    // pin the bucket-join partitioning to the cluster width.
+    val width = s.sparkContext.defaultParallelism
+    // EAGER cut (r19): wins feeds the bucket side AND the left join
+    // back for zero rows — un-cut, both subtrees re-ran the sessionize
+    val wins = activeWindows(s, dir).localCheckpoint(true)
     val winsB = explodedBuckets(wins)
       .select($"user_id", $"sess_id", $"au", $"bu", $"bucket")
+      .repartition(width, $"bucket")
     val errs = ev(s, dir).filter($"event_type" === "error")
       .select($"user_id".as("e_user"),
         unix_micros($"ts".cast("timestamp")).as("tu"), $"value")
       .withColumn("bucket", bucketOf("tu"))
+      .repartition(width, $"bucket")
     val hits = winsB.join(errs,
         winsB("bucket") === errs("bucket") &&
         $"tu" >= $"au" && $"tu" < $"bu" &&
@@ -179,11 +194,25 @@ object Ranges {
     * sums and the ranking are exact in both engines. */
   def q175IntervalOverlap(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val wins = activeWindows(s, dir)
+    // The bucket join's CPU is the per-bucket pair verification, not
+    // its bytes: AQE sees a ~1.5 MB shuffle and coalesces the join to
+    // ONE task (profiled: a 2.2 s single-task stage on a 32-core box
+    // — guide §2.6's idle-capacity trap for CPU-dense small shuffles).
+    // Pin the join-side partitioning to the cluster width explicitly
+    // (REPARTITION_BY_NUM is exempt from AQE coalescing); the width is
+    // defaultParallelism, so it scales with the cluster, and the join
+    // key partitioning is exactly what the pair join needs — no extra
+    // exchange downstream.
+    val width = s.sparkContext.defaultParallelism
+    // EAGER cut (r19): both exploded sides derive from wins — un-cut,
+    // each side re-ran the sessionize chain (profiled as twin stages)
+    val wins = activeWindows(s, dir).localCheckpoint(true)
     val buyers = explodedBuckets(wins.filter($"has_purchase" === 1))
       .select($"user_id".as("buyer_id"), $"au".as("p_au"), $"bu".as("p_bu"), $"bucket")
+      .repartition(width, $"bucket")
     val others = explodedBuckets(wins)
       .select($"user_id".as("other_id"), $"au".as("o_au"), $"bu".as("o_bu"), $"bucket")
+      .repartition(width, $"bucket")
     val pairs = buyers.join(others,
         buyers("bucket") === others("bucket") &&
         $"buyer_id" =!= $"other_id" &&
