@@ -1248,10 +1248,14 @@ object Similarity {
     * each. Where recall crosses 90%+ is read directly off the graded
     * rows. */
   def q267AnnNprobeSweep(s: SparkSession, dir: String): DataFrame =
-    nprobeSweepFrom(vecs(s, dir), lloydIters = sessionIvfLloydIters(s))
+    nprobeSweepFrom(vecs(s, dir), lloydIters = sessionIvfLloydIters(s),
+      // the brute baseline is the SAME frame q36 grades — read the
+      // shared artifact instead of re-running the all-pairs pass (r19)
+      brute = Some(annArtifact(s, dir, "brute")(q36CosineTopk(s, dir))))
 
   private[graft] def nprobeSweepFrom(e: DataFrame, nq: Int = 10, k: Int = 5,
-      strideMod: Int = 31, lloydIters: Int = 2): DataFrame = {
+      strideMod: Int = 31, lloydIters: Int = 2,
+      brute: Option[DataFrame] = None): DataFrame = {
     val s = e.sparkSession
     import s.implicits._
     val cents = sampledLloydCents(e, strideMod, lloydIters)
@@ -1272,7 +1276,10 @@ object Similarity {
     val cand = c.join(broadcast(qcells),
         $"ccell" === $"cell" && $"cid" =!= $"qid")
       .select($"nprobe", $"qid", $"qv", $"cid", $"cv")
-      .persist() // two consumers: the cost census and the top-k
+      // EAGER cut (r19): two consumers (cost census, top-k) evaluate
+      // in one action — a lazy persist raced them into re-running the
+      // candidate join (profiled: twin ~550 ms 32-task stages)
+      .localCheckpoint(true)
     val costs = cand.groupBy($"nprobe", $"qid")
       .agg(count(lit(1)).as("n_cand"))
     val w = Window.partitionBy($"nprobe", $"qid")
@@ -1281,7 +1288,8 @@ object Similarity {
       .withColumn("sim", graft.functions.CosineSim.cosine(s, $"qv", $"cv"))
       .withColumn("rank", row_number().over(w)).filter($"rank" <= k)
       .select($"nprobe", $"qid", $"cid", lit(1).as("hit"))
-    bruteTopkFrom(e, nq, k).select($"qid", $"cid").crossJoin(nps)
+    brute.getOrElse(bruteTopkFrom(e, nq, k))
+      .select($"qid", $"cid").crossJoin(nps)
       .join(top, Seq("nprobe", "qid", "cid"), "left")
       .groupBy($"nprobe", $"qid")
       .agg(count(lit(1)).as("n_brute"),
@@ -2076,7 +2084,12 @@ object Similarity {
         s"transform(sequence(0, ${PqM - 1}), mm -> " +
           "struct(mm AS m, slice(v, mm * sw + 1, sw) AS sub))")).as("t"))
       .select($"vec_id", $"t.m".as("m"), $"t.sub".as("sub"))
-      .persist() // feeds cents, encoding, the query side, and the norms
+      // EAGER cut (r19): feeds cents, encoding, the query side and the
+      // norms — the broadcast builds and the probe stage evaluate
+      // concurrently, and a lazy persist raced them into re-running
+      // the slice scan (profiled: twin ~700 ms single-task stages in
+      // q138/q273/q277's profiles)
+      .localCheckpoint(true)
     val cents = subs.crossJoin(broadcast(cnt))
       .filter($"vec_id" % $"stride" === 0 && $"vec_id" < $"stride" * PqK)
       .select(expr("vec_id div stride").as("j"), $"m", $"sub".as("carr"))
@@ -2160,11 +2173,13 @@ object Similarity {
     * each. */
   def q273PqRerankSweep(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    pqRerankSweepFrom(vecs(s, dir).select($"vec_id", $"v"))
+    pqRerankSweepFrom(vecs(s, dir).select($"vec_id", $"v"),
+      // shared brute artifact, as in q267 (optimization r19)
+      brute = Some(annArtifact(s, dir, "brute")(q36CosineTopk(s, dir))))
   }
 
   private[graft] def pqRerankSweepFrom(e: DataFrame, nq: Int = 10,
-      k: Int = 5): DataFrame = {
+      k: Int = 5, brute: Option[DataFrame] = None): DataFrame = {
     val s = e.sparkSession
     import s.implicits._
     val maxR = PqRerankSweep.max
@@ -2177,7 +2192,10 @@ object Similarity {
       .join(e.select($"vec_id".as("cid"), $"v".as("cv")), Seq("cid"))
       .withColumn("sim", graft.functions.CosineSim.cosine(s, $"qv", $"cv"))
       .select($"qid", $"cid", $"rr", $"sim")
-      .persist() // feeds the cost census and the per-depth top-k
+      // EAGER cut (r19): cost census + per-depth top-k evaluate in one
+      // action — a lazy persist raced them into re-running the ADC
+      // scoring (profiled: twin ~750 ms single-task embedding scans)
+      .localCheckpoint(true)
     val depths = PqRerankSweep.toDF("rerank")
     val cand = ex.crossJoin(broadcast(depths)).filter($"rr" <= $"rerank")
     val costs = cand.groupBy($"rerank", $"qid")
@@ -2187,7 +2205,7 @@ object Similarity {
     val top = cand.withColumn("rank", row_number().over(wt))
       .filter($"rank" <= k)
       .select($"rerank", $"qid", $"cid", lit(1).as("hit"))
-    bruteTopkFrom(e, nq, k).select($"qid", $"cid")
+    brute.getOrElse(bruteTopkFrom(e, nq, k)).select($"qid", $"cid")
       .crossJoin(broadcast(depths))
       .join(top, Seq("rerank", "qid", "cid"), "left")
       .groupBy($"rerank", $"qid")

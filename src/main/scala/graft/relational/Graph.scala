@@ -49,13 +49,19 @@ object Graph {
         $"o_custkey" === $"c_custkey")
       .select($"s_nationkey".as("src"), $"c_nationkey".as("dst"))
       .groupBy($"src", $"dst").agg(count(lit(1)).as("w"))
+      // EAGER cut (optimization r19): edges (≤ |nations|² rows) backs
+      // outw, shares and both iterations' dangling anti-joins, all
+      // evaluated in ONE action — lazily persisted downstream frames
+      // raced the empty cache and replayed the 4-way star join behind
+      // this aggregate (profiled: the star-join stage shape executing
+      // twice per run). One cut here truncates every consumer's
+      // lineage to a ≤625-row LogicalRDD; the downstream re-aggs are
+      // trivial. Swept per-query by Ckpt.sweep.
+      .localCheckpoint(true)
     val outw = edges.groupBy($"src").agg(sum($"w").as("outw"))
-      .persist() // read per iteration (dangling anti-join) — N² rows max
     val shares = edges.join(outw, "src")
       .select($"src", $"dst",
         ($"w".cast("double") / $"outw".cast("double")).as("share"))
-      .persist() // each iteration re-reads the edge list; the 4-way
-                 // star join behind it must not replay per step
     val nodes = Tables.nation(s, dir).select($"n_nationkey".as("v"), $"n_name")
     val nDf = nodes.agg(count(lit(1)).cast("double").as("nn"))
     val r0 = nodes.crossJoin(broadcast(nDf))
