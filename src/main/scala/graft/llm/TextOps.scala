@@ -2810,12 +2810,15 @@ object TextOps {
     * silently under Spark's non-ANSI default and flip a band. */
   def q230RarityBands(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val tk = Tables.documents(s, dir)
+    // spread + EAGER cut (optimization r19): the tokenize+explode scan
+    // feeds the vocabulary aggregation AND the join probe side (the
+    // q227 lesson), but the single-split scan left the cached frame
+    // one partition — every consumer subtree ran serial, back to back
+    // (profiled: four ~435 ms single-task stages). Spread to cluster
+    // width first; the eager checkpoint runs the scan exactly once.
+    val tk = graft.Tables.spread(Tables.documents(s, dir), "doc_id")
       .select($"doc_id", $"lang", explode(tokens($"text")).as("tok"))
-      // feeds the vocabulary aggregation AND the join probe side — the
-      // q227 lesson: unpersisted, the tokenize+explode scan (the
-      // query's dominant cost) would run twice (freed by Ckpt.sweep)
-      .persist()
+      .localCheckpoint(true)
     val dfreq = tk.groupBy($"tok").agg(count(lit(1)).as("df"))
     val scored = tk.join(dfreq, "tok")
       .groupBy($"doc_id", $"lang")
@@ -2979,11 +2982,10 @@ object TextOps {
     * sketch accuracy or band rule ever changed here). */
   private[graft] def rarityTertileCounts(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val tk = Tables.documents(s, dir)
+    // spread + EAGER cut — q230's story verbatim (optimization r19)
+    val tk = graft.Tables.spread(Tables.documents(s, dir), "doc_id")
       .select($"doc_id", $"lang", explode(tokens($"text")).as("tok"))
-      // feeds the vocabulary aggregation AND the join probe side — the
-      // q227/q230 lesson (freed by Ckpt.sweep after the query)
-      .persist()
+      .localCheckpoint(true)
     val dfreq = tk.groupBy($"tok").agg(count(lit(1)).as("df"))
     val scored = tk.join(dfreq, "tok")
       .groupBy($"doc_id", $"lang")

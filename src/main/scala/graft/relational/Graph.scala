@@ -277,7 +277,12 @@ object Graph {
     // distinct user set == the presence table's user set (the edge
     // build's input); derived directly so the memoized edge table is
     // the only heavy shared intermediate
-    val users = Tables.events(s, dir).select($"user_id").distinct().persist()
+    // EAGER cut (r19): the d0→d1→d2 relax chain evaluates in one
+    // action, and each relax reads its input twice (frontier filter +
+    // the outer join back) — lazy persists raced those subtrees into
+    // re-deriving the distinct user set per consumer
+    val users = Tables.events(s, dir).select($"user_id").distinct()
+      .localCheckpoint(true)
     val e = coVisitEdgesCached(s, dir) // shared with q155, checkpointed
     val ed = e.select($"u1".as("src"), $"u2".as("dst"))
       .unionByName(e.select($"u2".as("src"), $"u1".as("dst")))
@@ -314,8 +319,8 @@ object Graph {
       d.join(nd, $"user_id" === $"dst", "left_outer")
         .select($"user_id", least($"d", coalesce($"nd", lit(999L))).as("d"))
     }
-    val d1 = relax(d0, 0).persist()
-    val d2 = relax(d1, 1).persist()
+    val d1 = relax(d0, 0).localCheckpoint(true) // EAGER (r19), as above
+    val d2 = relax(d1, 1).localCheckpoint(true)
     relax(d2, 2)
       .groupBy($"d".as("hops"))
       .agg(count(lit(1)).as("n_users"),
