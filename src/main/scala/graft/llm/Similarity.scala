@@ -395,10 +395,11 @@ object Similarity {
     * Hash-graded via q66; recall vs brute force unit-tested. */
   def annIvfFrom(e: DataFrame, nq: Int = 10, k: Int = 5,
                  strideMod: Int = 31, nprobe: Int = 2,
-                 lloydIters: Int = 2): DataFrame = {
+                 lloydIters: Int = 2,
+                 centsIn: Option[DataFrame] = None): DataFrame = {
     val s = e.sparkSession
     import s.implicits._
-    val cents = sampledLloydCents(e, strideMod, lloydIters)
+    val cents = centsIn.getOrElse(sampledLloydCents(e, strideMod, lloydIters))
     val assigned = nearestN(cents, "cent_id", "cv0")(
       e, "vec_id", "v", 1, "cell").drop("cell_rn")
     val q = nearestN(cents, "cent_id", "cv0")(
@@ -417,7 +418,8 @@ object Similarity {
 
   def q66AnnIvf(s: SparkSession, dir: String): DataFrame =
     annIvfFrom(vecs(s, dir),
-      nprobe = sessionIvfNprobe(s), lloydIters = sessionIvfLloydIters(s))
+      nprobe = sessionIvfNprobe(s), lloydIters = sessionIvfLloydIters(s),
+      centsIn = Some(cachedCorpusCents(s, dir, sessionIvfLloydIters(s))))
 
   /** q132: HIERARCHICAL IVF — the linear-build scale path past q66.
     *
@@ -439,7 +441,8 @@ object Similarity {
     * asserted on the clustered corpus in LlmSpec. */
   def annIvf2From(e: DataFrame, nq: Int = 10, k: Int = 5,
                   strideMod: Int = 31, nprobe: Int = 2,
-                  lloydIters: Int = 2, nsupers: Int = 2): DataFrame = {
+                  lloydIters: Int = 2, nsupers: Int = 2,
+                  centsIn: Option[DataFrame] = None): DataFrame = {
     val s = e.sparkSession
     import s.implicits._
     // seed + sampled-Lloyd refine: the SAME build as q66's. Eagerly
@@ -449,7 +452,10 @@ object Similarity {
     // without truncation each re-runs the whole Lloyd chain — the r17
     // occupied-supers guard made that visible by adding a consumer
     // (gate flag 2.46→3.9 s; with the checkpoint the guard is free).
-    val cents = sampledLloydCents(e, strideMod, lloydIters).localCheckpoint(true)
+    // centsIn: the shared corpus-cents artifact (already a pinned
+    // checkpoint) when the caller is the registered full-corpus query.
+    val cents = centsIn.getOrElse(
+      sampledLloydCents(e, strideMod, lloydIters).localCheckpoint(true))
     // coarse quantizer: G = max(1, ⌊√K⌋) supers = every ⌈K/G⌉-th
     // centroid in cent_id rank order — rank arithmetic over a window
     // count, no driver action, restates verbatim in SQL
@@ -509,7 +515,8 @@ object Similarity {
 
   def q132AnnIvf2(s: SparkSession, dir: String): DataFrame =
     annIvf2From(vecs(s, dir),
-      nprobe = sessionIvfNprobe(s), lloydIters = sessionIvfLloydIters(s))
+      nprobe = sessionIvfNprobe(s), lloydIters = sessionIvfLloydIters(s),
+      centsIn = Some(cachedCorpusCents(s, dir, sessionIvfLloydIters(s))))
 
   /** q229: SemDeDup — semantic (embedding-cluster) deduplication, the
     * cluster-then-prune method of Abbas et al. 2023 (arXiv:2303.09540,
@@ -543,16 +550,18 @@ object Similarity {
     * runs 0.9+. */
   def q229SemanticDedup(s: SparkSession, dir: String): DataFrame =
     semanticDedupFrom(vecs(s, dir), sessionSemdedupTau(s),
-      sessionIvfLloydIters(s))
+      sessionIvfLloydIters(s),
+      centsIn = Some(cachedCorpusCents(s, dir, sessionIvfLloydIters(s))))
 
   /** q229's engine on an arbitrary (vec_id, v) frame — split out so
     * specs can pin the tie-break discipline on CONSTRUCTED exact ties
     * (duplicate vectors), which the synthetic corpus cannot force. */
   def semanticDedupFrom(e: DataFrame, tau: Double,
-                        lloydIters: Int): DataFrame = {
+                        lloydIters: Int,
+                        centsIn: Option[DataFrame] = None): DataFrame = {
     val s = e.sparkSession
     import s.implicits._
-    val cents = sampledLloydCents(e, 31, lloydIters)
+    val cents = centsIn.getOrElse(sampledLloydCents(e, 31, lloydIters))
     // the assignment pass already computes every vector's cosine to its
     // own (winning) centroid — keepSim reads it instead of re-joining
     // the centroids and re-folding N cosines to rebuild the same number
@@ -1185,6 +1194,18 @@ object Similarity {
     annShortlistCache.getOrElseUpdate(s, dir + "#" + name,
       graft.Ckpt.pinned(build))
 
+  /** The full-corpus coarse quantizer as a shared artifact
+    * (optimization r19): q66/q132/q229/q267/q269/q277 all refine the
+    * SAME deterministic sampled-Lloyd centroids (stride 31 seeds over
+    * `vecs`, session lloydIters) and each rebuilt them from scratch —
+    * K ≈ √N rows, built once per (session, dir, iters) now. The
+    * store/grown-corpus builds (q233/q250/q254) are different corpora
+    * and keep their own builds. */
+  private def cachedCorpusCents(s: SparkSession, dir: String,
+      lloydIters: Int): DataFrame =
+    annArtifact(s, dir, s"cents$lloydIters")(
+      sampledLloydCents(vecs(s, dir), 31, lloydIters))
+
   /** q265: ANN RECALL, GRADED — every ANN deployment is an accuracy
     * trade, and until now the IVF's recall lived only as a spec
     * assertion (LlmSpec's clustered-corpus floor). This registers the
@@ -1251,14 +1272,16 @@ object Similarity {
     nprobeSweepFrom(vecs(s, dir), lloydIters = sessionIvfLloydIters(s),
       // the brute baseline is the SAME frame q36 grades — read the
       // shared artifact instead of re-running the all-pairs pass (r19)
-      brute = Some(annArtifact(s, dir, "brute")(q36CosineTopk(s, dir))))
+      brute = Some(annArtifact(s, dir, "brute")(q36CosineTopk(s, dir))),
+      centsIn = Some(cachedCorpusCents(s, dir, sessionIvfLloydIters(s))))
 
   private[graft] def nprobeSweepFrom(e: DataFrame, nq: Int = 10, k: Int = 5,
       strideMod: Int = 31, lloydIters: Int = 2,
-      brute: Option[DataFrame] = None): DataFrame = {
+      brute: Option[DataFrame] = None,
+      centsIn: Option[DataFrame] = None): DataFrame = {
     val s = e.sparkSession
     import s.implicits._
-    val cents = sampledLloydCents(e, strideMod, lloydIters)
+    val cents = centsIn.getOrElse(sampledLloydCents(e, strideMod, lloydIters))
     val assigned = nearestN(cents, "cent_id", "cv0")(
       e, "vec_id", "v", 1, "cell").drop("cell_rn")
     val qp = nearestN(cents, "cent_id", "cv0")(
@@ -1425,11 +1448,13 @@ object Similarity {
     * decade where q265's grows 26×. */
   def q269AnnRecallSampled(s: SparkSession, dir: String): DataFrame =
     sampledRecallFrom(vecs(s, dir),
-      nprobe = sessionIvfNprobe(s), lloydIters = sessionIvfLloydIters(s))
+      nprobe = sessionIvfNprobe(s), lloydIters = sessionIvfLloydIters(s),
+      centsIn = Some(cachedCorpusCents(s, dir, sessionIvfLloydIters(s))))
 
   private[graft] def sampledRecallFrom(e: DataFrame, nq: Int = 10, k: Int = 5,
       strideMod: Int = 31, nprobe: Int = 2, lloydIters: Int = 2,
-      sampleCap: Long = 512L): DataFrame = {
+      sampleCap: Long = 512L,
+      centsIn: Option[DataFrame] = None): DataFrame = {
     val s = e.sparkSession
     import s.implicits._
     val sStride = math.max(4L, e.count() / sampleCap)
@@ -1442,7 +1467,7 @@ object Similarity {
       .withColumn("sim", graft.functions.CosineSim.cosine(s, $"qv", $"cv"))
       .withColumn("rank", row_number().over(wb)).filter($"rank" <= k)
       .select($"qid", $"cid")
-    val cents = sampledLloydCents(e, strideMod, lloydIters)
+    val cents = centsIn.getOrElse(sampledLloydCents(e, strideMod, lloydIters))
     val assigned = nearestN(cents, "cent_id", "cv0")(
       e, "vec_id", "v", 1, "cell").drop("cell_rn")
     val qp = nearestN(cents, "cent_id", "cv0")(
@@ -2359,17 +2384,20 @@ object Similarity {
   def q277AnnIvfPq(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     annIvfPqFrom(vecs(s, dir).select($"vec_id", $"v"),
-      nprobe = sessionIvfNprobe(s), lloydIters = sessionIvfLloydIters(s))
+      nprobe = sessionIvfNprobe(s), lloydIters = sessionIvfLloydIters(s),
+      centsIn = Some(cachedCorpusCents(s, dir, sessionIvfLloydIters(s))))
   }
 
   private[graft] def annIvfPqFrom(e: DataFrame, nq: Int = 10, k: Int = 5,
-      strideMod: Int = 31, nprobe: Int = 2, lloydIters: Int = 2): DataFrame = {
+      strideMod: Int = 31, nprobe: Int = 2, lloydIters: Int = 2,
+      centsIn: Option[DataFrame] = None): DataFrame = {
     val s = e.sparkSession
     import s.implicits._
     // the coarse build, eagerly checkpointed (K ≈ √N rows): two
     // consumers (assignment, probes) would otherwise re-run the Lloyd
-    // chain — q132's discipline
-    val cents = sampledLloydCents(e, strideMod, lloydIters).localCheckpoint(true)
+    // chain — q132's discipline; centsIn is the shared corpus artifact
+    val cents = centsIn.getOrElse(
+      sampledLloydCents(e, strideMod, lloydIters).localCheckpoint(true))
     val assigned = nearestN(cents, "cent_id", "cv0")(
       e, "vec_id", "v", 1, "cell").drop("cell_rn")
     val qp = nearestN(cents, "cent_id", "cv0")(
